@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One registered engine query.
+  *
+  * @param name   stable key (SURVEY.md §2 operator key)
+  * @param oracle equivalent ANSI SQL runnable by DuckDB over the same
+  *               parquet tables (None → driver records a rows-only check)
+  * @param fn     the Spark implementation: (session, sf dir) => result
+  */
+final case class Q(
+    name: String,
+    oracle: Option[String],
+    fn: (SparkSession, String) => DataFrame)
+
+object Registry {
+  /** All query groups, assembled by SparkEntry. Order matters only for
+    * readability of CORRECTNESS reports. */
+  def all: Seq[Q] =
+    graft.ops.Relational.queries ++
+      graft.ops.Aggregates.queries ++
+      graft.ops.Windows.queries ++
+      graft.ops.Joins.queries ++
+      graft.io.IoQueries.queries ++
+      graft.functions.ExprQueries.queries ++
+      graft.text.TextQueries.queries ++
+      graft.text.DedupQueries.queries ++
+      graft.sim.SimQueries.queries ++
+      graft.multimodal.MultimodalQueries.queries ++
+      graft.pipeline.PipelineQueries.queries ++
+      graft.streaming.StreamQueries.queries
+}

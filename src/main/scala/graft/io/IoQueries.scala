@@ -1,0 +1,112 @@
+package graft.io
+
+import graft.Q
+import org.apache.spark.sql.functions._
+
+/** Source/sink operators (SURVEY.md §2.1 S1-S4 + §2.2 "formats beyond
+  * CSV"). The CSV queries round-trip testdata through the CSV
+  * source/sink with the reference's exact options (header + inferSchema
+  * on read — pandas `pd.read_csv` parity; header, no index on write) and
+  * then hash-compare against the oracle over the original parquet, so
+  * the format conversion itself is under test.
+  */
+object IoQueries {
+
+  private def tmp(d: String, name: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_io_${d.replaceAll("[^A-Za-z0-9]", "_")}/$name"
+
+  def queries: Seq[Q] = Seq(
+    // parquet source — the engine's native format (day-1 per SURVEY §2.2).
+    Q("src_parquet",
+      Some("SELECT * FROM nation ORDER BY n_nationkey"),
+      (s, d) => Tables.nation(s, d).orderBy("n_nationkey")),
+
+    // S1 — CSV scan with schema inference (app.py:47-50, etl_core.py:22-27):
+    // parquet → CSV → inferred-schema read-back must hash-match the original.
+    Q("src_csv",
+      Some("SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey"),
+      (s, d) => {
+        val path = tmp(d, "nation_csv")
+        Csv.write(Tables.nation(s, d), path)
+        Csv.read(s, path)
+          .select(col("n_nationkey").cast("int"), col("n_name"),
+            col("n_regionkey").cast("int"))
+          .orderBy("n_nationkey")
+      }),
+
+    // S2 — CSV sink, single-object contract (app.py:53-62: one S3 object
+    // per job). coalesce(1) only on the final write, never mid-plan.
+    Q("sink_csv",
+      Some("""SELECT c_custkey, c_name, c_mktsegment FROM customer
+             |ORDER BY c_custkey""".stripMargin),
+      (s, d) => {
+        val path = tmp(d, "customer_csv")
+        Csv.writeSingle(
+          Tables.customer(s, d).select("c_custkey", "c_name", "c_mktsegment"), path)
+        Csv.read(s, path)
+          .select(col("c_custkey").cast("long"), col("c_name"), col("c_mktsegment"))
+          .orderBy("c_custkey")
+      }),
+
+    // parquet sink — partitioned write + read-back.
+    Q("sink_parquet",
+      Some("SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey"),
+      (s, d) => {
+        val path = tmp(d, "orders_parquet")
+        Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+          .write.mode("overwrite").parquet(path)
+        s.read.parquet(path).orderBy("o_orderkey")
+      }),
+
+    // JSON source/sink round-trip (the reference frontend advertises
+    // .json uploads, templates/index.html:77 — realized here for real).
+    Q("src_json",
+      Some("""SELECT event_id, event_type, user_id FROM events
+             |ORDER BY event_id""".stripMargin),
+      (s, d) => {
+        val path = tmp(d, "events_json")
+        Tables.events(s, d).select("event_id", "event_type", "user_id")
+          .write.mode("overwrite").json(path)
+        s.read.json(path)
+          .select(col("event_id").cast("long"), col("event_type"),
+            col("user_id").cast("long"))
+          .orderBy("event_id")
+      }),
+
+    // S3 — catalog table scans (src_jdbc parity; models.py:8-35).
+    Q("catalog_users",
+      Some(s"""SELECT c_custkey AS id, c_name AS username,
+              |       sha256(concat(c_name, ':', 'pw')) AS password,
+              |       ${Catalog.DefaultCreatedAt} AS created_at
+              |FROM customer ORDER BY id""".stripMargin),
+      (s, d) => Catalog.users(s, d).orderBy("id")),
+
+    Q("catalog_jobs",
+      Some("""SELECT o_orderkey AS id,
+             |       concat('file_', o_orderkey, '.csv') AS filename,
+             |       CASE o_orderstatus WHEN 'F' THEN 'Completed'
+             |            WHEN 'O' THEN 'Pending' ELSE 'Processing' END AS status,
+             |       CASE WHEN o_orderstatus = 'F'
+             |            THEN concat('s3://processed/processed_file_', o_orderkey, '.csv')
+             |            ELSE NULL END AS result_url,
+             |       o_orderdate AS upload_time,
+             |       o_custkey AS user_id
+             |FROM orders ORDER BY id""".stripMargin),
+      (s, d) => Catalog.jobs(s, d).orderBy("id")),
+
+    // S4 — relational update parity (app.py:177-179): complete all
+    // pending jobs, filling result_url.
+    Q("catalog_job_update",
+      Some("""SELECT o_orderkey AS id,
+             |       CASE o_orderstatus WHEN 'P' THEN 'Processing'
+             |            ELSE 'Completed' END AS status,
+             |       CASE WHEN o_orderstatus = 'F'
+             |            THEN concat('s3://processed/processed_file_', o_orderkey, '.csv')
+             |            WHEN o_orderstatus = 'O'
+             |            THEN concat('s3://processed/processed_file_', o_orderkey, '.csv')
+             |            ELSE NULL END AS result_url
+             |FROM orders ORDER BY id""".stripMargin),
+      (s, d) => Catalog.completePendingJobs(Catalog.jobs(s, d))
+        .select("id", "status", "result_url").orderBy("id"))
+  )
+}

@@ -1,0 +1,58 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Parquet-backed testdata tables (TESTDATA.md). All engine queries load
+  * inputs through here so scan options live in one place. */
+object Tables {
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** events.parquet carries TIMESTAMP(NANOS) which Spark's parquet
+    * reader rejects; read nanos as long (legacy flag) and convert to a
+    * microsecond timestamp (the testdata's nanos are exact µs). */
+  def eventsNanosToTs(spark: SparkSession): Unit =
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+  def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame = {
+    eventsNanosToTs(s)
+    table(s, d, "events")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+}
+
+/** CSV source/sink with the reference's option semantics:
+  * header row + full schema inference on read (reference: pandas
+  * `pd.read_csv`, app.py:49 / etl_core.py:27); header + no index on write
+  * (app.py:55, etl_core.py:68).
+  *
+  * The reference emits ONE object per job (app.py:53-62) — `writeSingle`
+  * preserves that contract via coalesce(1). At 100 TB that contract is
+  * wrong, so `write` (partitioned, the default for engine users) exists
+  * alongside it.
+  */
+object Csv {
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("inferSchema", "true")
+      .csv(path)
+
+  /** Partitioned CSV write — the 100 TB default. */
+  def write(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+
+  /** Single-object CSV write — reference parity (one S3 object per job). */
+  def writeSingle(df: DataFrame, path: String): Unit =
+    df.coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
+}

@@ -1,0 +1,120 @@
+package graft.ops
+
+import graft.Q
+import graft.io.Tables._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Join operators (SURVEY.md §2.1 J1/J2 + §2.2 extensions).
+  *
+  * Scale notes baked into each plan:
+  *  - dimension sides are `broadcast()`-hinted (no shuffle of the fact);
+  *  - semi/anti joins never materialize right-side payload columns;
+  *  - the as-of join is ONE shuffle: union both inputs, hash-partition by
+  *    key, sort within partition, window `last(ignoreNulls)` — the
+  *    sort-merge formulation that survives 100 TB (a correlated
+  *    subquery / per-row probe would not).
+  */
+object Joins {
+
+  def queries: Seq[Q] = Seq(
+    // J1 — FK equi-join, 1-N (reference models.py:17,32: jobs.user_id →
+    // users.id). customer is the dimension → broadcast hash join.
+    Q("join_fk",
+      Some("""SELECT o.o_orderkey, o.o_totalprice, c.c_name, c.c_mktsegment
+             |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+             |ORDER BY o.o_orderkey""".stripMargin),
+      (s, d) => {
+        val o = orders(s, d)
+        val c = customer(s, d)
+        o.join(broadcast(c), o("o_custkey") === c("c_custkey"), "inner")
+          .select(o("o_orderkey"), o("o_totalprice"), c("c_name"), c("c_mktsegment"))
+          .orderBy("o_orderkey")
+      }),
+
+    // J2 — existence probe (reference app.py:83 duplicate-username
+    // check) as a LEFT SEMI join: right side contributes no columns,
+    // probe stops at first match.
+    Q("semi_exists",
+      Some("""SELECT c_custkey, c_name FROM customer c
+             |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+             |ORDER BY c_custkey""".stripMargin),
+      (s, d) => {
+        val c = customer(s, d)
+        val o = orders(s, d).select(col("o_custkey"))
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+          .select("c_custkey", "c_name").orderBy("c_custkey")
+      }),
+
+    // anti join — NOT EXISTS (customers with no orders).
+    Q("join_anti",
+      Some("""SELECT c_custkey, c_name FROM customer c
+             |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+             |ORDER BY c_custkey""".stripMargin),
+      (s, d) => {
+        val c = customer(s, d)
+        val o = orders(s, d).select(col("o_custkey"))
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+          .select("c_custkey", "c_name").orderBy("c_custkey")
+      }),
+
+    // as-of join — for each purchase event, the user's latest view event
+    // at or before it. Implemented as union + ONE hash shuffle on the
+    // key + in-partition sort + running last(ignoreNulls): O(n log n)
+    // per partition, no per-row probe, no skew amplification — the
+    // sort-merge as-of formulation that survives 100 TB.
+    Q("join_asof",
+      Some("""SELECT p.event_id, p.user_id, p.ts,
+             |       (SELECT max(v.ts) FROM events v
+             |        WHERE v.user_id = p.user_id AND v.event_type = 'view'
+             |          AND v.ts <= p.ts) AS last_view_ts
+             |FROM events p WHERE p.event_type = 'purchase'
+             |ORDER BY p.event_id""".stripMargin),
+      (s, d) => {
+        val ev = events(s, d)
+        val p = ev.filter(col("event_type") === "purchase").select(
+          col("user_id").as("k"), col("ts").as("t"), col("event_id"),
+          lit(null).cast("timestamp").as("v_ts"), lit(1).as("is_probe"))
+        val v = ev.filter(col("event_type") === "view").select(
+          col("user_id").as("k"), col("ts").as("t"),
+          lit(null).cast("long").as("event_id"),
+          col("ts").as("v_ts"), lit(0).as("is_probe"))
+        // views sort before purchases at equal timestamps → "<=" semantics
+        val w = Window.partitionBy("k").orderBy(col("t"), col("is_probe"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        p.unionByName(v)
+          .withColumn("last_view_ts", last("v_ts", ignoreNulls = true).over(w))
+          .filter(col("is_probe") === 1)
+          .select(col("event_id"), col("k").as("user_id"), col("t").as("ts"),
+            col("last_view_ts"))
+          .orderBy("event_id")
+      }),
+
+    // range join — events of the same user within 1 hour after each
+    // signup: equi-key join with a range residual (the equi key bounds
+    // the pair space; NOT a cross join).
+    Q("join_range",
+      Some("""SELECT s.event_id, count(e.event_id) AS n_follow
+             |FROM events s LEFT JOIN events e
+             |  ON e.user_id = s.user_id
+             | AND e.ts > s.ts AND e.ts <= s.ts + INTERVAL 1 HOUR
+             |WHERE s.event_type = 'signup'
+             |GROUP BY s.event_id ORDER BY s.event_id""".stripMargin),
+      (s, d) => {
+        val ev = events(s, d)
+        val sgn = ev.filter(col("event_type") === "signup")
+          .select(col("event_id").as("s_id"), col("user_id").as("s_user"),
+            col("ts").as("s_ts"))
+        val fol = ev.select(col("event_id").as("e_id"),
+          col("user_id").as("e_user"), col("ts").as("e_ts"))
+        sgn.join(fol,
+          fol("e_user") === sgn("s_user") &&
+            fol("e_ts") > sgn("s_ts") &&
+            fol("e_ts") <= sgn("s_ts") + expr("INTERVAL 1 HOUR"),
+          "left")
+          .groupBy(col("s_id").as("event_id"))
+          .agg(count(col("e_id")).as("n_follow"))
+          .orderBy("event_id")
+      })
+  )
+}

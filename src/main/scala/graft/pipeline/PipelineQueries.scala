@@ -1,0 +1,40 @@
+package graft.pipeline
+
+import graft.Q
+import graft.io.Tables._
+import graft.text.Sentiment
+import org.apache.spark.sql.functions._
+
+/** The two reference pipelines as registered queries over `documents`
+  * (documents.text stands in for the uploaded CSV's review/comments
+  * column, FIXTURES.md §B role mapping). */
+object PipelineQueries {
+
+  def queries: Seq[Q] = Seq(
+    // app.py demo path: comment_length, NaN→"nan", no dropna.
+    Q("pipeline_demo",
+      Some("""SELECT doc_id, lang,
+             |       length(coalesce(text, 'nan')) AS comment_length
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      (s, d) => Pipelines.demo(documents(s, d))
+        .select("doc_id", "lang", "comment_length").orderBy("doc_id")),
+
+    // etl_core path: dropna(any) → sentiment.
+    Q("pipeline_clean_ai",
+      Some(s"""SELECT doc_id, ${Sentiment.oracleCaseSql("text")} AS sentiment_result
+              |FROM documents
+              |WHERE doc_id IS NOT NULL AND text IS NOT NULL AND lang IS NOT NULL
+              |  AND source IS NOT NULL AND n_chars IS NOT NULL
+              |ORDER BY doc_id""".stripMargin),
+      (s, d) => Pipelines.cleanAi(documents(s, d))
+        .select("doc_id", "sentiment_result").orderBy("doc_id")),
+
+    // clean+AI with both flags off — flags are real here (the reference
+    // accepted but ignored them, SURVEY §2.3.6).
+    Q("pipeline_flags_off",
+      Some("SELECT doc_id, n_chars FROM documents ORDER BY doc_id"),
+      (s, d) => Pipelines.cleanAi(documents(s, d),
+        Pipelines.EtlOptions(clean = false, ai = false))
+        .select("doc_id", "n_chars").orderBy("doc_id"))
+  )
+}

@@ -1,0 +1,113 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search [EXT] (north_star "similarity search")
+  * over `embeddings.embedding: ARRAY<FLOAT>`.
+  *
+  * Kernels are pure Column compositions (`zip_with` + `aggregate`) in
+  * double precision with a fixed left-to-right fold — deterministic and
+  * codegen'd. Three search paths:
+  *
+  *  - brute-force top-k: broadcast the query vector, one linear scan,
+  *    TakeOrderedAndProject (no global sort) — the correctness baseline;
+  *  - per-group top-k: window row_number inside each label partition;
+  *  - IVF: coarse-quantize by per-label centroids, probe the nprobe
+  *    nearest cells, scan only those cells — the 100 TB path (scan cost
+  *    drops by ~nlabels/nprobe; cells are the natural partition key).
+  *
+  *  - sign-bit LSH buckets for near-dup pairing (see [[signBucket]]).
+  */
+object Similarity {
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / nullif(norm(a) * norm(b), lit(0.0))
+
+  /** The query row (lowest vec_id) as a 1-row DataFrame for broadcast. */
+  def queryVector(emb: DataFrame): DataFrame =
+    emb.orderBy("vec_id").limit(1)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+
+  /** Brute-force cosine top-k against the query vector. */
+  def bruteForceTopK(emb: DataFrame, k: Int = 10): DataFrame =
+    emb.crossJoin(broadcast(queryVector(emb)))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("vec_id"), col("label"),
+        cosine(col("embedding"), col("q_emb")).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id")).limit(k)
+
+  /** Per-label top-k nearest to the query vector. */
+  def perLabelTopK(emb: DataFrame, k: Int = 3): DataFrame = {
+    val w = Window.partitionBy("label")
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    emb.crossJoin(broadcast(queryVector(emb)))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("vec_id"), col("label"),
+        cosine(col("embedding"), col("q_emb")).as("cos_sim"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+  }
+
+  /** Element-wise mean vector per label — the IVF coarse centroids.
+    * posexplode → per-(label,pos) avg → re-assemble ordered array. */
+  def labelCentroids(emb: DataFrame): DataFrame =
+    emb.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("label", "pos").agg(avg(col("v")).as("m"))
+      .groupBy("label")
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("label"), transform(col("pm"), x => x.getField("m")).as("centroid"))
+
+  /** IVF search: probe the `nprobe` nearest centroids, brute-force only
+    * inside those cells. */
+  def ivfTopK(emb: DataFrame, k: Int = 10, nprobe: Int = 2): DataFrame = {
+    val q = broadcast(queryVector(emb))
+    val cells = labelCentroids(emb).crossJoin(q)
+      .select(col("label"), cosine(col("centroid"), col("q_emb")).as("c_sim"))
+      .orderBy(col("c_sim").desc, col("label")).limit(nprobe)
+      .select(col("label"))
+    emb.join(broadcast(cells), Seq("label"))
+      .crossJoin(q)
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("vec_id"), col("label"),
+        cosine(col("embedding"), col("q_emb")).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id")).limit(k)
+  }
+
+  /** 16-bit sign-LSH bucket from the first 16 dimensions. */
+  def signBucket(emb: Column): Column = {
+    val weights = array((0 until 16).map(i => lit(1L << i)): _*)
+    aggregate(
+      zip_with(slice(emb, 1, 16), weights,
+        (x, w) => when(x > 0f, w).otherwise(lit(0L))),
+      lit(0L), (acc, v) => acc + v)
+  }
+
+  /** Embedding-cosine near-dup pairs: bucket by sign-LSH, verify cosine
+    * within buckets only. */
+  def nearDupPairs(emb: DataFrame, threshold: Double = 0.95): DataFrame = {
+    val h = emb.select(col("vec_id"), col("embedding"),
+      signBucket(col("embedding")).as("bucket"))
+    val a = h.select(col("bucket"), col("vec_id").as("id_a"), col("embedding").as("e_a"))
+    val b = h.select(col("bucket"), col("vec_id").as("id_b"), col("embedding").as("e_b"))
+    a.join(b, "bucket").filter(col("id_a") < col("id_b"))
+      .withColumn("cos_sim", cosine(col("e_a"), col("e_b")))
+      .filter(col("cos_sim") >= threshold)
+      .select("id_a", "id_b", "cos_sim")
+  }
+
+  /** Embedding near-dedup → kept corpus. */
+  def dedupEmbeddings(emb: DataFrame, threshold: Double = 0.95): DataFrame = {
+    val dupIds = nearDupPairs(emb, threshold).select(col("id_b").as("vec_id")).distinct()
+    emb.join(dupIds, Seq("vec_id"), "left_anti")
+  }
+}

