@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan-inspection main: prints the formatted physical plan of the
+  * named queries (or a default set of scale-critical ones) so plan
+  * properties — PushedFilters, BroadcastHashJoin, TakeOrderedAndProject,
+  * partial aggregation, WholeStageCodegen spans — can be audited.
+  *
+  * Usage: runMain graft.Explain [sfDir] [queryName...]
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val names = if (args.length > 1) args.drop(1).toSeq
+      else Seq("filter_eq", "join_fk", "topk", "agg_group", "semi_exists",
+        "sim_topk_brute", "window_rank", "sink_partitioned")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val qs = SparkEntry.queries
+    names.foreach { n =>
+      println(s"\n========== $n ==========")
+      qs(n)(spark, sfDir).explain("formatted")
+    }
+    spark.stop()
+  }
+}

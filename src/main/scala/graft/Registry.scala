@@ -22,6 +22,8 @@ object Registry {
       graft.ops.Aggregates.queries ++
       graft.ops.Windows.queries ++
       graft.ops.Joins.queries ++
+      graft.ops.SqlSurface.queries ++
+      graft.ops.Scale.queries ++
       graft.io.IoQueries.queries ++
       graft.functions.ExprQueries.queries ++
       graft.text.TextQueries.queries ++

@@ -1,0 +1,98 @@
+package graft.ops
+
+import graft.Q
+import graft.io.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The engine's SQL surface: `spark.sql` over temp views of the
+  * testdata tables — the same Catalyst plans as the DataFrame API, via
+  * ANSI SQL. Covers the subquery + grouping-sets categories the
+  * DataFrame queries don't exercise.
+  */
+object SqlSurface {
+
+  /** Register sf-dir tables as temp views (idempotent). */
+  def registerViews(s: SparkSession, d: String, names: String*): Unit =
+    names.foreach { n =>
+      val df = if (n == "events") Tables.events(s, d) else Tables.table(s, d, n)
+      df.createOrReplaceTempView(n)
+    }
+
+  private def sql(views: Seq[String], q: String): (SparkSession, String) => DataFrame =
+    (s, d) => { registerViews(s, d, views: _*); s.sql(q) }
+
+  def queries: Seq[Q] = Seq(
+    // TPC-H Q6-shaped filtered aggregate through the SQL parser;
+    // predicate reaches the parquet scan as PushedFilters.
+    Q("sql_filtered_agg",
+      Some("""SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4)))
+             |            AS DOUBLE) AS revenue,
+             |       count(*) AS n
+             |FROM lineitem
+             |WHERE l_discount >= 0.05 AND l_quantity < 24""".stripMargin),
+      sql(Seq("lineitem"),
+        """SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4)))
+          |            AS DOUBLE) AS revenue,
+          |       count(*) AS n
+          |FROM lineitem
+          |WHERE l_discount >= 0.05 AND l_quantity < 24""".stripMargin)),
+
+    // correlated EXISTS subquery → planned as a semi join.
+    Q("sql_exists_subquery",
+      Some("""SELECT c_custkey, c_name FROM customer c
+             |WHERE EXISTS (SELECT 1 FROM orders o
+             |              WHERE o.o_custkey = c.c_custkey
+             |                AND o.o_totalprice > 100000)
+             |ORDER BY c_custkey""".stripMargin),
+      sql(Seq("customer", "orders"),
+        """SELECT c_custkey, c_name FROM customer c
+          |WHERE EXISTS (SELECT 1 FROM orders o
+          |              WHERE o.o_custkey = c.c_custkey
+          |                AND o.o_totalprice > 100000)
+          |ORDER BY c_custkey""".stripMargin)),
+
+    // scalar subquery (uncorrelated) + IN subquery.
+    Q("sql_scalar_in_subquery",
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders) * 1.5
+             |  AND o_custkey IN (SELECT c_custkey FROM customer
+             |                    WHERE c_mktsegment = 'BUILDING')
+             |ORDER BY o_orderkey""".stripMargin),
+      sql(Seq("customer", "orders"),
+        """SELECT o_orderkey, o_totalprice FROM orders
+          |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders) * 1.5
+          |  AND o_custkey IN (SELECT c_custkey FROM customer
+          |                    WHERE c_mktsegment = 'BUILDING')
+          |ORDER BY o_orderkey""".stripMargin)),
+
+    // explicit GROUPING SETS (beyond cube/rollup).
+    Q("sql_grouping_sets",
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n
+             |FROM lineitem
+             |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+             |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin),
+      sql(Seq("lineitem"),
+        """SELECT l_returnflag, l_linestatus, count(*) AS n
+          |FROM lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+          |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)),
+
+    // multi-way star join through SQL (region→nation→customer→orders).
+    Q("sql_star_join",
+      Some("""SELECT r.r_name, n.n_name, count(o.o_orderkey) AS n_orders
+             |FROM region r
+             |JOIN nation n ON n.n_regionkey = r.r_regionkey
+             |JOIN customer c ON c.c_nationkey = n.n_nationkey
+             |JOIN orders o ON o.o_custkey = c.c_custkey
+             |GROUP BY r.r_name, n.n_name
+             |ORDER BY r.r_name, n.n_name""".stripMargin),
+      sql(Seq("region", "nation", "customer", "orders"),
+        """SELECT r.r_name, n.n_name, count(o.o_orderkey) AS n_orders
+          |FROM region r
+          |JOIN nation n ON n.n_regionkey = r.r_regionkey
+          |JOIN customer c ON c.c_nationkey = n.n_nationkey
+          |JOIN orders o ON o.o_custkey = c.c_custkey
+          |GROUP BY r.r_name, n.n_name
+          |ORDER BY r.r_name, n.n_name""".stripMargin))
+  )
+}

@@ -1,0 +1,43 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import org.apache.spark.sql.functions.call_function
+
+/** Registration for the engine's native Catalyst expressions.
+  *
+  * Two paths:
+  *  - [[GraftFunctions.register]] — per-session, idempotent; what the
+  *    registered queries use.
+  *  - [[GraftExtensions]] — `SparkSessionExtensions` hook for
+  *    production sessions:
+  *    `SparkSession.builder().withExtensions(new GraftExtensions)` or
+  *    `spark.sql.extensions=graft.plans.GraftExtensions`.
+  */
+object GraftFunctions {
+  val Functions: Seq[(String, Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+      org.apache.spark.sql.catalyst.expressions.Expression)] = Seq(
+    "cosine_sim" -> (exprs => CosineSimilarity(exprs(0), exprs(1))))
+
+  /** Idempotent per-session registration. */
+  def register(spark: SparkSession): Unit =
+    Functions.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
+
+  /** cosine_sim as a Column (requires register(spark) on the session
+    * that analyzes the plan). */
+  def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
+}
+
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftFunctions.Functions.foreach { case (name, builder) =>
+      e.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(classOf[CosineSimilarity].getName, name),
+        builder))
+    }
+}

@@ -33,6 +33,15 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / nullif(norm(a) * norm(b), lit(0.0))
 
+  /** Native codegen'd cosine (graft.plans.CosineSimilarity): one fused
+    * array pass, bit-identical to [[cosine]]. Used on every bulk
+    * embedding scan; the declarative form stays for mixed-type inputs
+    * (double-array centroids) and as the cross-check in tests. */
+  private def cosFast(df: DataFrame)(a: Column, b: Column): Column = {
+    graft.plans.GraftFunctions.register(df.sparkSession)
+    graft.plans.GraftFunctions.cosineSim(a, b)
+  }
+
   /** The query row (lowest vec_id) as a 1-row DataFrame for broadcast. */
   def queryVector(emb: DataFrame): DataFrame =
     emb.orderBy("vec_id").limit(1)
@@ -43,7 +52,7 @@ object Similarity {
     emb.crossJoin(broadcast(queryVector(emb)))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("vec_id"), col("label"),
-        cosine(col("embedding"), col("q_emb")).as("cos_sim"))
+        cosFast(emb)(col("embedding"), col("q_emb")).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id")).limit(k)
 
   /** Per-label top-k nearest to the query vector. */
@@ -53,7 +62,7 @@ object Similarity {
     emb.crossJoin(broadcast(queryVector(emb)))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("vec_id"), col("label"),
-        cosine(col("embedding"), col("q_emb")).as("cos_sim"))
+        cosFast(emb)(col("embedding"), col("q_emb")).as("cos_sim"))
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
   }
@@ -79,7 +88,7 @@ object Similarity {
       .crossJoin(q)
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("vec_id"), col("label"),
-        cosine(col("embedding"), col("q_emb")).as("cos_sim"))
+        cosFast(emb)(col("embedding"), col("q_emb")).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id")).limit(k)
   }
 
@@ -100,7 +109,7 @@ object Similarity {
     val a = h.select(col("bucket"), col("vec_id").as("id_a"), col("embedding").as("e_a"))
     val b = h.select(col("bucket"), col("vec_id").as("id_b"), col("embedding").as("e_b"))
     a.join(b, "bucket").filter(col("id_a") < col("id_b"))
-      .withColumn("cos_sim", cosine(col("e_a"), col("e_b")))
+      .withColumn("cos_sim", cosFast(emb)(col("e_a"), col("e_b")))
       .filter(col("cos_sim") >= threshold)
       .select("id_a", "id_b", "cos_sim")
   }
