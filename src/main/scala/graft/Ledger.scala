@@ -1,0 +1,35 @@
+package graft
+
+/** Prints the coverage ledger (markdown) — query key, oracle status,
+  * module — for SURVEY.md §2.4. */
+object Ledger {
+  def main(args: Array[String]): Unit = {
+    val groups: Seq[(String, Seq[Q])] = Seq(
+      "relational" -> ops.Relational.queries,
+      "aggregate" -> ops.Aggregates.queries,
+      "window" -> ops.Windows.queries,
+      "join" -> ops.Joins.queries,
+      "sql-surface" -> ops.SqlSurface.queries,
+      "scale-mechanics" -> ops.Scale.queries,
+      "extras" -> ops.Extras.queries,
+      "io/catalog" -> io.IoQueries.queries,
+      "scalar-fns" -> functions.ExprQueries.queries,
+      "text-analysis" -> text.TextQueries.queries,
+      "dedup" -> text.DedupQueries.queries,
+      "similarity" -> sim.SimQueries.queries,
+      "multimodal" -> multimodal.MultimodalQueries.queries,
+      "pipeline" -> pipeline.PipelineQueries.queries,
+      "streaming" -> streaming.StreamQueries.queries)
+    println("| category | query key | check |")
+    println("|---|---|---|")
+    groups.foreach { case (g, qs) =>
+      qs.foreach { q =>
+        val check = if (q.oracle.isDefined) "DuckDB oracle (exact hash)" else "rows-only + unit tests"
+        println(s"| $g | `${q.name}` | $check |")
+      }
+    }
+    val n = groups.map(_._2.size).sum
+    val o = groups.flatMap(_._2).count(_.oracle.isDefined)
+    println(s"\n${n} queries: ${o} oracle-checked, ${n - o} rows-only.")
+  }
+}

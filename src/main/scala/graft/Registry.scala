@@ -24,6 +24,7 @@ object Registry {
       graft.ops.Joins.queries ++
       graft.ops.SqlSurface.queries ++
       graft.ops.Scale.queries ++
+      graft.ops.Extras.queries ++
       graft.io.IoQueries.queries ++
       graft.functions.ExprQueries.queries ++
       graft.text.TextQueries.queries ++

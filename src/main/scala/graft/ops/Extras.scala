@@ -1,0 +1,153 @@
+package graft.ops
+
+import graft.Q
+import graft.io.Tables._
+import org.apache.spark.sql.functions._
+
+/** Remaining operator-category coverage: percentiles, arg-min/max,
+  * pivot/unpivot, array & map function batteries, conditionals,
+  * cartesian products, and (rows-only) moment statistics.
+  */
+object Extras {
+
+  def queries: Seq[Q] = Seq(
+    // exact percentiles (sort-based interpolation — deterministic).
+    Q("agg_percentile",
+      Some("""SELECT o_orderpriority,
+             |       quantile_cont(o_totalprice, 0.5) AS p50,
+             |       quantile_cont(o_totalprice, 0.9) AS p90
+             |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+      (s, d) => orders(s, d).groupBy("o_orderpriority").agg(
+        expr("percentile(o_totalprice, 0.5)").as("p50"),
+        expr("percentile(o_totalprice, 0.9)").as("p90"))
+        .orderBy("o_orderpriority")),
+
+    // arg-min/arg-max (min_by/max_by).
+    Q("agg_argminmax",
+      Some("""SELECT o_orderpriority,
+             |       arg_min(o_orderkey, o_totalprice) AS cheapest_order,
+             |       arg_max(o_orderkey, o_totalprice) AS priciest_order
+             |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+      (s, d) => orders(s, d).groupBy("o_orderpriority").agg(
+        min_by(col("o_orderkey"), col("o_totalprice")).as("cheapest_order"),
+        max_by(col("o_orderkey"), col("o_totalprice")).as("priciest_order"))
+        .orderBy("o_orderpriority")),
+
+    // moment statistics — partition-merge order perturbs low bits →
+    // rows-only check (unit-level determinism is not the engine's claim
+    // here; Spark and DuckDB both use streaming moment merges).
+    Q("agg_stats",
+      None,
+      (s, d) => lineitem(s, d).groupBy("l_returnflag").agg(
+        stddev(col("l_extendedprice")).as("sd_price"),
+        variance(col("l_quantity")).as("var_qty"),
+        corr(col("l_quantity"), col("l_extendedprice")).as("qty_price_corr"),
+        skewness(col("l_discount")).as("skew_disc"))
+        .orderBy("l_returnflag")),
+
+    // pivot: per-user event-type counts as columns.
+    Q("pivot_counts",
+      Some("""SELECT user_id,
+             |       count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+             |       count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+             |       count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+             |       count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+             |       count(CASE WHEN event_type = 'view' THEN 1 END) AS view
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin),
+      (s, d) => {
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        val p = events(s, d).groupBy("user_id").pivot("event_type", types).count()
+        p.select(col("user_id") +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+          .orderBy("user_id")
+      }),
+
+    // unpivot/melt: wide lineitem metrics → long (metric, value) rows.
+    Q("unpivot_metrics",
+      Some("""SELECT l_orderkey, l_linenumber, metric, value FROM (
+             |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+             |  UNION ALL
+             |  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+             |  UNION ALL
+             |  SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem) t
+             |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin),
+      (s, d) => lineitem(s, d).unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+        "metric", "value")
+        .orderBy("l_orderkey", "l_linenumber", "metric")),
+
+    // array-function battery over tokenized text (try_element_at for
+    // ANSI-safe out-of-bounds → NULL, matching DuckDB list indexing).
+    Q("array_funcs",
+      Some("""SELECT doc_id,
+             |       CAST(len(toks) AS BIGINT) AS n,
+             |       toks[2] AS second_tok,
+             |       list_slice(toks, 2, 4) AS mid,
+             |       array_contains(toks, 'data') AS has_data,
+             |       list_sort(list_distinct(toks)) AS vocab
+             |FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) t
+             |ORDER BY doc_id""".stripMargin),
+      (s, d) => documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n"),
+          try_element_at(col("toks"), lit(2)).as("second_tok"),
+          slice(col("toks"), 2, 3).as("mid"),
+          array_contains(col("toks"), "data").as("has_data"),
+          array_sort(array_distinct(col("toks"))).as("vocab"))
+        .orderBy("doc_id")),
+
+    // map-function battery: JSON props → typed MAP → keys/values/lookup.
+    Q("map_funcs",
+      Some("""SELECT event_id, ['k'] AS ks,
+             |       [CAST(json_extract_string(props, '$.k') AS INTEGER)] AS vs,
+             |       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_lookup
+             |FROM events ORDER BY event_id""".stripMargin),
+      (s, d) => {
+        val m = from_json(col("props"),
+          org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType,
+            org.apache.spark.sql.types.IntegerType))
+        events(s, d).select(col("event_id"),
+          map_keys(m).as("ks"),
+          map_values(m).as("vs"),
+          m.getItem("k").as("k_lookup"))
+          .orderBy("event_id")
+      }),
+
+    // conditional battery: CASE/if/greatest/least/coalesce/nullif.
+    Q("conditional_funcs",
+      Some("""SELECT o_orderkey,
+             |       CASE WHEN o_totalprice > 200000 THEN 'big'
+             |            WHEN o_totalprice > 100000 THEN 'mid'
+             |            ELSE 'small' END AS bucket,
+             |       if(o_orderstatus = 'F', 'done', 'open') AS state,
+             |       greatest(o_totalprice, 50000.0) AS floor_price,
+             |       least(o_totalprice, 300000.0) AS cap_price,
+             |       coalesce(nullif(o_orderstatus, 'P'), 'PENDING') AS status_norm
+             |FROM orders ORDER BY o_orderkey""".stripMargin),
+      (s, d) => orders(s, d).select(col("o_orderkey"),
+        when(col("o_totalprice") > 200000, "big")
+          .when(col("o_totalprice") > 100000, "mid")
+          .otherwise("small").as("bucket"),
+        when(col("o_orderstatus") === "F", "done").otherwise("open").as("state"),
+        greatest(col("o_totalprice"), lit(50000.0)).as("floor_price"),
+        least(col("o_totalprice"), lit(300000.0)).as("cap_price"),
+        coalesce(nullif(col("o_orderstatus"), lit("P")), lit("PENDING")).as("status_norm"))
+        .orderBy("o_orderkey")),
+
+    // cartesian product (explicit crossJoin — the only non-equi-join
+    // shape with no key; bounded inputs only).
+    Q("cross_join",
+      Some("""SELECT a.r_name AS from_region, b.r_name AS to_region
+             |FROM region a, region b WHERE a.r_regionkey <> b.r_regionkey
+             |ORDER BY from_region, to_region""".stripMargin),
+      (s, d) => {
+        val a = region(s, d).select(col("r_regionkey").as("ak"), col("r_name").as("from_region"))
+        val b = region(s, d).select(col("r_regionkey").as("bk"), col("r_name").as("to_region"))
+        a.crossJoin(b).filter(col("ak") =!= col("bk"))
+          .select("from_region", "to_region")
+          .orderBy("from_region", "to_region")
+      })
+  )
+}

@@ -47,6 +47,44 @@ object Scale {
           .orderBy("o_orderkey")
       }),
 
+    // big×big sort-merge join (broadcast suppressed via merge hint) —
+    // the strategy Catalyst picks when neither side fits in memory.
+    Q("join_sortmerge",
+      Some("""SELECT l.l_orderkey, l.l_linenumber, o.o_orderdate
+             |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+             |ORDER BY l.l_orderkey, l.l_linenumber""".stripMargin),
+      (s, d) => {
+        val l = Tables.lineitem(s, d)
+        val o = Tables.orders(s, d).hint("merge")
+        l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .select(l("l_orderkey"), l("l_linenumber"), o("o_orderdate"))
+          .orderBy("l_orderkey", "l_linenumber")
+      }),
+
+    // bucketed tables: both sides pre-hashed into the same bucket count
+    // on the join key → the join runs with NO shuffle exchange (the
+    // 100 TB answer to repeated joins on the same key).
+    Q("join_bucketed",
+      Some("""SELECT o.o_orderkey, o.o_totalprice, c.c_name
+             |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+             |ORDER BY o.o_orderkey""".stripMargin),
+      (s, d) => {
+        val base = s"${sys.props("java.io.tmpdir")}/graft_bucketed_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+        s.sql("DROP TABLE IF EXISTS graft_orders_b")
+        s.sql("DROP TABLE IF EXISTS graft_customer_b")
+        Tables.orders(s, d).write.mode("overwrite")
+          .bucketBy(8, "o_custkey").sortBy("o_custkey")
+          .option("path", s"$base/orders_b").saveAsTable("graft_orders_b")
+        Tables.customer(s, d).write.mode("overwrite")
+          .bucketBy(8, "c_custkey").sortBy("c_custkey")
+          .option("path", s"$base/customer_b").saveAsTable("graft_customer_b")
+        val o = s.table("graft_orders_b").hint("merge")
+        val c = s.table("graft_customer_b").hint("merge")
+        o.join(c, o("o_custkey") === c("c_custkey"))
+          .select(o("o_orderkey"), o("o_totalprice"), c("c_name"))
+          .orderBy("o_orderkey")
+      }),
+
     // salted join must be result-identical to the plain join → its
     // oracle IS the plain join SQL.
     Q("join_skew_salted",
