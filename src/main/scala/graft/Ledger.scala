@@ -12,6 +12,7 @@ object Ledger {
       "sql-surface" -> ops.SqlSurface.queries,
       "scale-mechanics" -> ops.Scale.queries,
       "extras" -> ops.Extras.queries,
+      "typed/UDAF" -> ops.Typed.queries,
       "io/catalog" -> io.IoQueries.queries,
       "scalar-fns" -> functions.ExprQueries.queries,
       "text-analysis" -> text.TextQueries.queries,

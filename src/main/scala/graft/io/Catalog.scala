@@ -65,4 +65,17 @@ object Catalog {
     * append of new job rows. */
   def insertJobs(jobs: DataFrame, newJobs: DataFrame): DataFrame =
     jobs.unionByName(newJobs)
+
+  /** MERGE/upsert: apply an updates batch to the catalog — matching ids
+    * take the update row, unmatched update rows insert, everything else
+    * passes through. At 100 TB this is the per-batch catalog commit
+    * (one shuffle on id), replacing the reference's row-at-a-time
+    * UPDATE+COMMIT. */
+  def mergeJobs(jobs: DataFrame, updates: DataFrame): DataFrame = {
+    val u = updates.columns.foldLeft(updates)((df, c) =>
+      df.withColumnRenamed(c, s"u_$c"))
+    jobs.join(u, jobs("id") === u("u_id"), "full_outer")
+      .select(jobs.columns.map(c =>
+        coalesce(col(s"u_$c"), col(c)).as(c)): _*)
+  }
 }

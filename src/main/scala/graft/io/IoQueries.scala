@@ -94,6 +94,28 @@ object IoQueries {
              |FROM orders ORDER BY id""".stripMargin),
       (s, d) => Catalog.jobs(s, d).orderBy("id")),
 
+    // MERGE/upsert into the catalog: updates batch = all pending jobs
+    // completed + one new job row (id -1). Oracle replays the merge in SQL.
+    Q("catalog_merge",
+      Some("""SELECT id, status FROM (
+             |  SELECT o_orderkey AS id,
+             |         CASE o_orderstatus WHEN 'O' THEN 'Completed'
+             |              WHEN 'F' THEN 'Completed' ELSE 'Processing' END AS status
+             |  FROM orders
+             |  UNION ALL SELECT -1, 'Pending') t
+             |ORDER BY id""".stripMargin),
+      (s, d) => {
+        val jobs = Catalog.jobs(s, d)
+        val newRow = s.range(1).select(
+          lit(-1L).as("id"), lit("new_file.csv").as("filename"),
+          lit("Pending").as("status"), lit(null).cast("string").as("result_url"),
+          expr(Catalog.DefaultCreatedAt).as("upload_time"), lit(0L).as("user_id"))
+        val updates = Catalog.completePendingJobs(
+          jobs.filter(col("status") === "Pending")).unionByName(newRow)
+        Catalog.mergeJobs(jobs, updates)
+          .select("id", "status").orderBy("id")
+      }),
+
     // S4 — relational update parity (app.py:177-179): complete all
     // pending jobs, filling result_url.
     Q("catalog_job_update",

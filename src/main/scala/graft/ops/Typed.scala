@@ -1,0 +1,90 @@
+package graft.ops
+
+import graft.Q
+import graft.io.Tables
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Typed Dataset surface (SURVEY.md §1.1: `Dataset[T]` where compile-time
+  * field checks help) + the UDAF extension point as a typed
+  * `Aggregator[IN, BUF, OUT]` — partial (reduce) + merge phases map onto
+  * Spark's partial/final aggregation, so the custom aggregate shuffles
+  * only its buffer, exactly like a built-in.
+  */
+object Typed {
+
+  final case class LineRow(l_orderkey: Long, l_quantity: Double, l_returnflag: String)
+
+  /** Mean quantity as a typed Aggregator. l_quantity is integral-valued,
+    * so the double partial sums are exact in any order (oracle-safe). */
+  object MeanQty extends Aggregator[LineRow, (Double, Long), Double] {
+    override def zero: (Double, Long) = (0.0, 0L)
+    override def reduce(b: (Double, Long), a: LineRow): (Double, Long) =
+      (b._1 + a.l_quantity, b._2 + 1)
+    override def merge(x: (Double, Long), y: (Double, Long)): (Double, Long) =
+      (x._1 + y._1, x._2 + y._2)
+    override def finish(r: (Double, Long)): Double = r._1 / r._2
+    override def bufferEncoder: Encoder[(Double, Long)] =
+      Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong)
+    override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  def queries: Seq[Q] = Seq(
+    // typed groupByKey + custom Aggregator (UDAF surface).
+    Q("typed_agg",
+      Some("""SELECT l_returnflag, SUM(l_quantity) / count(*) AS avg_qty
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+      (s, d) => {
+        import s.implicits._
+        Tables.lineitem(s, d)
+          .select("l_orderkey", "l_quantity", "l_returnflag")
+          .as[LineRow]
+          .groupByKey(_.l_returnflag)
+          .agg(MeanQty.toColumn.name("avg_qty"))
+          .toDF("l_returnflag", "avg_qty")
+          .orderBy("l_returnflag")
+      }),
+
+    // typed filter+map pipeline (Dataset transforms with case classes).
+    Q("typed_map_filter",
+      Some("""SELECT l_orderkey, l_quantity * 2 AS double_qty FROM lineitem
+             |WHERE l_returnflag = 'R' AND l_quantity >= 30
+             |ORDER BY l_orderkey, double_qty""".stripMargin),
+      (s, d) => {
+        import s.implicits._
+        Tables.lineitem(s, d)
+          .select("l_orderkey", "l_quantity", "l_returnflag")
+          .as[LineRow]
+          .filter(r => r.l_returnflag == "R" && r.l_quantity >= 30)
+          .map(r => (r.l_orderkey, r.l_quantity * 2))
+          .toDF("l_orderkey", "double_qty")
+          .orderBy("l_orderkey", "double_qty")
+      }),
+
+    // same-registered UDAF through the untyped/SQL surface.
+    Q("typed_udaf_sql",
+      Some("""SELECT l_returnflag, SUM(l_quantity) / count(*) AS avg_qty
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+      (s, d) => {
+        import s.implicits._
+        s.udf.register("mean_qty", udaf(MeanQtyUntyped))
+        Tables.lineitem(s, d).createOrReplaceTempView("lineitem_t")
+        s.sql("""SELECT l_returnflag, mean_qty(l_quantity) AS avg_qty
+                 FROM lineitem_t GROUP BY l_returnflag ORDER BY l_returnflag""")
+      })
+  )
+
+  /** Column-input variant of the same aggregator for the SQL surface. */
+  object MeanQtyUntyped extends Aggregator[Double, (Double, Long), Double] {
+    override def zero: (Double, Long) = (0.0, 0L)
+    override def reduce(b: (Double, Long), a: Double): (Double, Long) =
+      (b._1 + a, b._2 + 1)
+    override def merge(x: (Double, Long), y: (Double, Long)): (Double, Long) =
+      (x._1 + y._1, x._2 + y._2)
+    override def finish(r: (Double, Long)): Double = r._1 / r._2
+    override def bufferEncoder: Encoder[(Double, Long)] =
+      Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong)
+    override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+}
