@@ -15,6 +15,17 @@ object Tables {
   def eventsNanosToTs(spark: SparkSession): Unit =
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
+  /** Rebalance a small scan across the cluster before compute-heavy
+    * per-row work. The testdata parquet is one row group per file, so a
+    * scan is ONE task no matter how it's split — minhashing or
+    * embedding math downstream would run on a single core. On a real
+    * 100 TB table (thousands of row groups) the partition count already
+    * exceeds parallelism and this is a no-op. */
+  def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
+
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")
@@ -27,8 +38,12 @@ object Tables {
     table(s, d, "events")
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
-  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+  // documents/embeddings feed the compute-heavy operators (minhash,
+  // regex batteries, cosine scans) → rebalanced at load.
+  def documents(s: SparkSession, d: String): DataFrame =
+    spread(table(s, d, "documents"))
+  def embeddings(s: SparkSession, d: String): DataFrame =
+    spread(table(s, d, "embeddings"))
 }
 
 /** CSV source/sink with the reference's option semantics:

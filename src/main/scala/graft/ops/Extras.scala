@@ -104,14 +104,17 @@ object Extras {
              |       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_lookup
              |FROM events ORDER BY event_id""".stripMargin),
       (s, d) => {
-        val m = from_json(col("props"),
-          org.apache.spark.sql.types.MapType(
-            org.apache.spark.sql.types.StringType,
-            org.apache.spark.sql.types.IntegerType))
+        // parse once in its own projection — three references to the
+        // same from_json would otherwise parse the JSON 3× per row
         events(s, d).select(col("event_id"),
-          map_keys(m).as("ks"),
-          map_values(m).as("vs"),
-          m.getItem("k").as("k_lookup"))
+          from_json(col("props"),
+            org.apache.spark.sql.types.MapType(
+              org.apache.spark.sql.types.StringType,
+              org.apache.spark.sql.types.IntegerType)).as("m"))
+          .select(col("event_id"),
+            map_keys(col("m")).as("ks"),
+            map_values(col("m")).as("vs"),
+            col("m").getItem("k").as("k_lookup"))
           .orderBy("event_id")
       }),
 

@@ -1,7 +1,6 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Near-duplicate detection for training-data pipelines [EXT]
@@ -83,23 +82,27 @@ object Dedup {
         xxhash64(slice(sig, b * RowsPerBand + 1, RowsPerBand).cast("string")).as("bh"))
     }: _*)
 
-  /** Candidate pairs (idA < idB) sharing ≥1 LSH bucket. Buckets larger
-    * than `maxBucket` are dropped — a hot bucket (e.g. the empty-doc
-    * bucket) would otherwise explode quadratically at 100 TB. */
-  def candidatePairs(df: DataFrame, idCol: String, textCol: String,
-      maxBucket: Int = 100): DataFrame = {
-    val buckets = withSignature(df, idCol, textCol)
-      .select(col("id"), explode(bandsCol(col("mh_sig"))).as("bk"))
-      .select(col("id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
-    val sized = buckets
-      .withColumn("bsz", count(lit(1)).over(Window.partitionBy("band", "bh")))
-      .filter(col("bsz") <= maxBucket)
-    val a = sized.select(col("band"), col("bh"), col("id").as("id_a"))
-    val b = sized.select(col("band"), col("bh"), col("id").as("id_b"))
-    a.join(b, Seq("band", "bh"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+  /** id-list → ordered unique pairs (bucket sizes are cut off at
+    * `maxBucket`, so the quadratic blowup is bounded per bucket). */
+  private val pairCombos = udf { ids: Seq[Long] =>
+    val s = ids.distinct.sorted
+    for (i <- s.indices; j <- (i + 1) until s.length) yield (s(i), s(j))
   }
+
+  /** Candidate pairs (idA < idB) sharing ≥1 LSH bucket. One shuffle to
+    * group the bucket, pairs exploded from the grouped id-list (no
+    * self-join). Buckets larger than `maxBucket` are dropped — a hot
+    * bucket (e.g. the empty-doc bucket) would otherwise explode
+    * quadratically at 100 TB. */
+  def candidatePairs(df: DataFrame, idCol: String, textCol: String,
+      maxBucket: Int = 100): DataFrame =
+    withSignature(df, idCol, textCol)
+      .select(col("id"), explode(bandsCol(col("mh_sig"))).as("bk"))
+      .groupBy(col("bk")).agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+      .select(explode(pairCombos(col("ids"))).as("p"))
+      .select(col("p._1").as("id_a"), col("p._2").as("id_b"))
+      .distinct()
 
   /** Candidates verified with exact Jaccard over distinct shingle sets. */
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
@@ -185,11 +188,13 @@ object Dedup {
     val inv = df.select(col(idCol).as("id"),
       explode(array_distinct(shinglesCol(col(textCol)))).as("ng"))
     val sizes = inv.groupBy("id").agg(count(lit(1)).as("nsh"))
-    val rare = inv.withColumn("df", count(lit(1)).over(Window.partitionBy("ng")))
-      .filter(col("df") <= maxDf)
-    val shared = rare.select(col("ng"), col("id").as("id_a"))
-      .join(rare.select(col("ng"), col("id").as("id_b")), "ng")
-      .filter(col("id_a") < col("id_b"))
+    // group the posting list per n-gram (df-cutoff bounds the pair
+    // explosion), emit pairs from the list, count shared n-grams per
+    // pair — 3 shuffles total, no self-join of the posting table.
+    val shared = inv.groupBy("ng").agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxDf))
+      .select(explode(pairCombos(col("ids"))).as("p"))
+      .select(col("p._1").as("id_a"), col("p._2").as("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
     shared
       .join(sizes.select(col("id").as("id_a"), col("nsh").as("na")), "id_a")
