@@ -42,7 +42,9 @@ object Extras {
         stddev(col("l_extendedprice")).as("sd_price"),
         variance(col("l_quantity")).as("var_qty"),
         corr(col("l_quantity"), col("l_extendedprice")).as("qty_price_corr"),
-        skewness(col("l_discount")).as("skew_disc"))
+        skewness(col("l_discount")).as("skew_disc"),
+        approx_percentile(col("l_extendedprice"), lit(0.5), lit(1000))
+          .as("p50_sketch"))
         .orderBy("l_returnflag")),
 
     // pivot: per-user event-type counts as columns.

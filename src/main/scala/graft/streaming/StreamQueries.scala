@@ -30,6 +30,21 @@ object StreamQueries {
              |GROUP BY ws, event_type ORDER BY ws, event_type""".stripMargin),
       (s, d) => Streams.slidingEventCounts(s, d)),
 
+    // streaming exact dedup (dropDuplicates within the watermark) —
+    // event_ids are unique in the snapshot, so the deduped counts equal
+    // the plain counts.
+    Q("stream_dedup",
+      Some("""SELECT event_type, count(DISTINCT event_id) AS n
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+      (s, d) => Streams.dedupedEventCounts(s, d)),
+
+    // stream-static broadcast-enrichment join.
+    Q("stream_static_join",
+      Some("""SELECT e.event_id, e.user_id, c.c_name, c.c_mktsegment
+             |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+             |WHERE e.event_type = 'purchase' ORDER BY e.event_id""".stripMargin),
+      (s, d) => Streams.enrichedPurchases(s, d)),
+
     // custom per-key state machine via mapGroupsWithState (update mode;
     // counters are monotone, so max() collapses multi-batch emissions to
     // the final value). total_value is float-accumulated → excluded.

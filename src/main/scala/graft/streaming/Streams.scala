@@ -66,6 +66,41 @@ object Streams {
     spark.table(name).orderBy("ws", "event_type")
   }
 
+  /** Streaming exact dedup: dropDuplicates on the key within the
+    * watermark horizon (state = one entry per key in the horizon — the
+    * streaming half of the dedup story; the batch half is
+    * graft.text.Dedup). Emits each event_id once even if the source
+    * replays it. */
+  def dedupedEventCounts(spark: SparkSession, dir: String): DataFrame = {
+    val name = "graft_stream_dedup"
+    val q = eventsStream(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name).orderBy("event_type")
+  }
+
+  /** Stream-static join: the streaming fact joins a broadcast static
+    * dimension (the canonical enrichment topology — no stream state). */
+  def enrichedPurchases(spark: SparkSession, dir: String): DataFrame = {
+    val name = "graft_stream_enrich"
+    val cust = spark.read.parquet(s"$dir/customer.parquet")
+    val q = eventsStream(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .join(broadcast(cust), col("user_id") === col("c_custkey"), "left")
+      .select(col("event_id"), col("user_id"), col("c_name"), col("c_mktsegment"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name).orderBy("event_id")
+  }
+
   /** Session windows (30-minute inactivity gap) per user — batch
     * session_window here; the streaming variant is identical plus
     * watermark (see SessionizeStateful for the custom-state form). */

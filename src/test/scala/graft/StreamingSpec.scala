@@ -1,0 +1,40 @@
+package graft
+
+import graft.streaming.Streams
+import org.apache.spark.sql.functions._
+
+/** Streaming/batch parity: Structured Streaming's core guarantee is
+  * that the streaming plan over a finite source equals the batch plan
+  * over the same data. */
+class StreamingSpec extends SparkSpec {
+
+  test("streaming hourly agg == batch hourly agg") {
+    val streamed = Streams.hourlyEventAgg(spark, sf0001)
+      .select("ws", "n").collect()
+      .map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    val batch = io.Tables.events(spark, sf0001)
+      .groupBy(date_trunc("hour", col("ts")).as("ws"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    assert(streamed == batch)
+  }
+
+  test("streaming dedup emits each event once") {
+    val streamed = Streams.dedupedEventCounts(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = io.Tables.events(spark, sf0001)
+      .groupBy("event_type").agg(countDistinct("event_id").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed == batch)
+  }
+
+  test("stateful user stats match batch counts") {
+    val got = graft.streaming.Stateful.userStats(spark, sf0001)
+      .collect().map(u => u.user_id -> (u.n_events, u.n_purchases)).toMap
+    val batch = io.Tables.events(spark, sf0001)
+      .groupBy("user_id").agg(count(lit(1)).as("n"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("p"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == batch)
+  }
+}
