@@ -73,6 +73,17 @@ object IoQueries {
           .orderBy("event_id")
       }),
 
+    // ORC source/sink round-trip (third columnar format).
+    Q("src_orc",
+      Some("""SELECT s_suppkey, s_name, s_acctbal FROM supplier
+             |ORDER BY s_suppkey""".stripMargin),
+      (s, d) => {
+        val path = tmp(d, "supplier_orc")
+        Tables.supplier(s, d).select("s_suppkey", "s_name", "s_acctbal")
+          .write.mode("overwrite").orc(path)
+        s.read.orc(path).orderBy("s_suppkey")
+      }),
+
     // S3 — catalog table scans (src_jdbc parity; models.py:8-35).
     Q("catalog_users",
       Some(s"""SELECT c_custkey AS id, c_name AS username,

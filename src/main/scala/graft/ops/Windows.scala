@@ -53,6 +53,51 @@ object Windows {
           .orderBy("o_orderkey")
       }),
 
+    // ranking-function battery: rank/dense_rank/percent_rank/ntile/
+    // cume_dist (deterministic: the window order is total).
+    Q("window_rank_fns",
+      Some("""SELECT c_custkey,
+             |       CAST(rank() OVER w AS BIGINT) AS rnk,
+             |       CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+             |       percent_rank() OVER w AS prnk,
+             |       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+             |       cume_dist() OVER w AS cdist
+             |FROM customer
+             |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+             |ORDER BY c_custkey""".stripMargin),
+      (s, d) => {
+        val w = Window.partitionBy("c_mktsegment")
+          .orderBy(col("c_acctbal").desc, col("c_custkey"))
+        customer(s, d).select(col("c_custkey"),
+          rank().over(w).cast("long").as("rnk"),
+          dense_rank().over(w).cast("long").as("drnk"),
+          percent_rank().over(w).as("prnk"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          cume_dist().over(w).as("cdist"))
+          .orderBy("c_custkey")
+      }),
+
+    // value-function battery: first/last/nth value over a bounded frame.
+    Q("window_value_fns",
+      Some("""SELECT o_orderkey,
+             |       first_value(o_totalprice) OVER w AS first_price,
+             |       last_value(o_totalprice) OVER w AS latest_price,
+             |       nth_value(o_totalprice, 2) OVER w AS second_price
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |ORDER BY o_orderkey""".stripMargin),
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        orders(s, d).select(col("o_orderkey"),
+          first(col("o_totalprice")).over(w).as("first_price"),
+          last(col("o_totalprice")).over(w).as("latest_price"),
+          nth_value(col("o_totalprice"), 2).over(w).as("second_price"))
+          .orderBy("o_orderkey")
+      }),
+
     // analytic lag/lead over an event stream per user.
     Q("window_lag",
       Some("""SELECT event_id, user_id, ts,

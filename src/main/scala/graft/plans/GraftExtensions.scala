@@ -18,7 +18,9 @@ import org.apache.spark.sql.functions.call_function
 object GraftFunctions {
   val Functions: Seq[(String, Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
       org.apache.spark.sql.catalyst.expressions.Expression)] = Seq(
-    "cosine_sim" -> (exprs => CosineSimilarity(exprs(0), exprs(1))))
+    "cosine_sim" -> (exprs => CosineSimilarity(exprs(0), exprs(1))),
+    "minhash_signature" -> (exprs => MinHashSignature(exprs.head)),
+    "shingles" -> (exprs => Shingles(exprs.head)))
 
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit =

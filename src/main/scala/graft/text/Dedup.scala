@@ -63,12 +63,15 @@ object Dedup {
       array_min(transform(hs, h => (lit(a) * h + lit(b)) % lit(P)))
     }: _*)
 
-  /** Adds `mh_sig` (64 minhashes). Two-step projection so the shingle
-    * hashing runs once per row; CollapseProject keeps multiply-referenced
-    * non-trivial aliases un-inlined. */
-  def withSignature(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol).as("id"), shingleHashes(col(textCol)).as("__hs"))
-      .select(col("id"), signatureFromHashes(col("__hs")).as("mh_sig"))
+  /** Adds `mh_sig` (64 minhashes) via the native MinHashSignature
+    * expression (graft.plans) — one tight-loop pass per document,
+    * bit-identical to [[signatureCol]] (same XXH64 seed 42 + LCG perm
+    * family), ~10× the interpreted higher-order-function formulation. */
+  def withSignature(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.plans.GraftFunctions.register(df.sparkSession)
+    df.select(col(idCol).as("id"),
+      call_function("minhash_signature", col(textCol)).as("mh_sig"))
+  }
 
   /** 64-element minhash signature as a single Column (test/interop use;
     * prefer [[withSignature]] in plans). */
@@ -107,8 +110,9 @@ object Dedup {
   /** Candidates verified with exact Jaccard over distinct shingle sets. */
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.7, maxBucket: Int = 100): DataFrame = {
+    graft.plans.GraftFunctions.register(df.sparkSession)
     val sets = df.select(col(idCol).as("id"),
-      array_distinct(shinglesCol(col(textCol))).as("sh"))
+      array_distinct(call_function("shingles", col(textCol))).as("sh"))
     val pairs = candidatePairs(df, idCol, textCol, maxBucket)
     pairs
       .join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
@@ -185,8 +189,9 @@ object Dedup {
     * |A∩B| / (|A|+|B|-|A∩B|) from groupBy counts only. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.5, maxDf: Int = 100): DataFrame = {
+    graft.plans.GraftFunctions.register(df.sparkSession)
     val inv = df.select(col(idCol).as("id"),
-      explode(array_distinct(shinglesCol(col(textCol)))).as("ng"))
+      explode(array_distinct(call_function("shingles", col(textCol)))).as("ng"))
     val sizes = inv.groupBy("id").agg(count(lit(1)).as("nsh"))
     // group the posting list per n-gram (df-cutoff bounds the pair
     // explosion), emit pairs from the list, count shared n-grams per
