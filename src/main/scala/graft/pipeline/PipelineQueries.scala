@@ -29,6 +29,40 @@ object PipelineQueries {
       (s, d) => Pipelines.cleanAi(documents(s, d))
         .select("doc_id", "sentiment_result").orderBy("doc_id")),
 
+    // the batched external-enrichment shape (mapPartitions, one client
+    // call per batch — etl_core.py:60's scalable form). The lexicon
+    // client is pure, so results equal the Column scorer → oracled.
+    Q("pipeline_enrich_batched",
+      Some(s"""SELECT doc_id, ${Sentiment.oracleCaseSql("text")} AS sentiment_result
+              |FROM documents ORDER BY doc_id""".stripMargin),
+      (s, d) => graft.text.Sentiment.enrichBatched(
+        documents(s, d), "text", "sentiment_result")
+        .select("doc_id", "sentiment_result").orderBy("doc_id")),
+
+    // full ETL through the CSV boundary (§3.2 end-to-end): documents →
+    // CSV upload → read+infer → dropna → sentiment → comment_length →
+    // single-object CSV result → read back.
+    Q("pipeline_full_etl",
+      Some(s"""SELECT doc_id, lang,
+              |       length(coalesce(text, 'nan')) AS comment_length,
+              |       ${Sentiment.oracleCaseSql("text")} AS sentiment_result
+              |FROM documents
+              |WHERE doc_id IS NOT NULL AND text IS NOT NULL AND lang IS NOT NULL
+              |  AND source IS NOT NULL AND n_chars IS NOT NULL
+              |ORDER BY doc_id""".stripMargin),
+      (s, d) => {
+        val base = s"${sys.props("java.io.tmpdir")}/graft_etl_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+        graft.io.Csv.writeSingle(documents(s, d), s"$base/upload")
+        val uploaded = graft.io.Csv.read(s, s"$base/upload")
+        val out = Pipelines.demo(Pipelines.cleanAi(uploaded))
+        graft.io.Csv.writeSingle(out, s"$base/processed")
+        graft.io.Csv.read(s, s"$base/processed")
+          .select(col("doc_id").cast("long"), col("lang"),
+            col("comment_length").cast("long"),
+            col("sentiment_result"))
+          .orderBy("doc_id")
+      }),
+
     // clean+AI with both flags off — flags are real here (the reference
     // accepted but ignored them, SURVEY §2.3.6).
     Q("pipeline_flags_off",

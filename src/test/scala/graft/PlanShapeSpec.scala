@@ -1,0 +1,52 @@
+package graft
+
+/** Plan-shape regression: the scale-critical physical-plan properties
+  * (SCALE.md) must not silently regress. */
+class PlanShapeSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf0001)
+      .queryExecution.executedPlan.toString
+
+  test("join_fk broadcasts the dimension") {
+    assert(plan("join_fk").contains("BroadcastHashJoin"))
+  }
+
+  test("topk plans TakeOrderedAndProject, not a global sort") {
+    assert(plan("topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("semi_exists plans a semi join (no right payload)") {
+    val p = plan("semi_exists")
+    assert(p.contains("LeftSemi"))
+  }
+
+  test("filter_eq pushes the predicate into the parquet scan") {
+    assert(plan("filter_eq").contains("PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)]"))
+  }
+
+  test("window_rank prunes with WindowGroupLimit before the shuffle") {
+    assert(plan("window_rank").contains("WindowGroupLimit"))
+  }
+
+  test("agg_group does partial+final aggregation") {
+    val p = plan("agg_group")
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+  }
+
+  test("bucketed join has no exchange before the join") {
+    val p = plan("join_bucketed")
+    val joinIdx = p.indexOf("SortMergeJoin")
+    assert(joinIdx > 0)
+    // the only Exchange allowed is AFTER the join (final ORDER BY)
+    val beforeJoin = p.substring(joinIdx)
+    assert(!beforeJoin.contains("Exchange hashpartitioning"),
+      s"unexpected exchange below the join:\n$p")
+  }
+
+  test("column pruning: 2-column projection reads a 2-column schema") {
+    val p = SparkEntry.queries("topk")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("ReadSchema: struct<o_orderkey:bigint,o_totalprice:double>"))
+  }
+}
