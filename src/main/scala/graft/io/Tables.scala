@@ -70,4 +70,18 @@ object Csv {
   /** Single-object CSV write — reference parity (one S3 object per job). */
   def writeSingle(df: DataFrame, path: String): Unit =
     df.coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
+
+  /** Fault-tolerant CSV scan (the engine's version of the reference's
+    * try/except ingestion, etl_core.py:21-29): PERMISSIVE mode with an
+    * explicit schema; malformed rows land whole in `_corrupt_record`
+    * instead of failing the job, so one bad row in 100 TB doesn't kill
+    * the pipeline and the rejects are queryable. */
+  def readPermissive(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(schema.add("_corrupt_record", "string"))
+      .csv(path)
 }

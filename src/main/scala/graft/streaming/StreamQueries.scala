@@ -38,6 +38,16 @@ object StreamQueries {
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
       (s, d) => Streams.dedupedEventCounts(s, d)),
 
+    // stream-stream join with watermark-bounded state.
+    Q("stream_stream_join",
+      Some("""SELECT p.event_id AS p_id, v.event_id AS v_id, p.user_id AS p_user
+             |FROM events p JOIN events v
+             |  ON p.event_type = 'purchase' AND v.event_type = 'view'
+             | AND v.user_id = p.user_id
+             | AND v.ts <= p.ts AND v.ts > p.ts - INTERVAL 1 HOUR
+             |ORDER BY p_id, v_id""".stripMargin),
+      (s, d) => Streams.purchaseViewJoin(s, d)),
+
     // stream-static broadcast-enrichment join.
     Q("stream_static_join",
       Some("""SELECT e.event_id, e.user_id, c.c_name, c.c_mktsegment

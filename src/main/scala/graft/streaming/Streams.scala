@@ -101,6 +101,35 @@ object Streams {
     spark.table(name).orderBy("event_id")
   }
 
+  /** Stream-stream inner join: purchases joined to the same user's
+    * views within the preceding hour. Both sides watermarked; the
+    * time-range condition bounds the join state (views older than the
+    * range + watermark are evicted — state does not grow unboundedly).
+    */
+  def purchaseViewJoin(spark: SparkSession, dir: String): DataFrame = {
+    val name = "graft_stream_ssjoin"
+    val p = eventsStream(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val v = eventsStream(spark, dir)
+      .filter(col("event_type") === "view")
+      .select(col("event_id").as("v_id"), col("user_id").as("v_user"),
+        col("ts").as("v_ts"))
+      .withWatermark("v_ts", "2 hours")
+    val q = p.join(v,
+      col("p_user") === col("v_user") &&
+        col("v_ts") <= col("p_ts") &&
+        col("v_ts") > col("p_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("p_id"), col("v_id"), col("p_user"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name).orderBy("p_id", "v_id")
+  }
+
   /** Session windows (30-minute inactivity gap) per user — batch
     * session_window here; the streaming variant is identical plus
     * watermark (see SessionizeStateful for the custom-state form). */

@@ -80,6 +80,27 @@ class OperatorSpec extends SparkSpec {
       Seq((1, "a,b", "x"), (2, "q\"uote", "y")))
   }
 
+  test("permissive csv: malformed rows land in _corrupt_record, job survives") {
+    import org.apache.spark.sql.types._
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_test_corrupt"
+    val f = new java.io.File(dir)
+    f.mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/data.csv"),
+      "id,score\n1,10\nnot_a_number,oops,extra\n3,30\n")
+    val schema = StructType(Seq(
+      StructField("id", IntegerType), StructField("score", IntegerType)))
+    // caching is required before filtering on the corrupt-record column
+    // (Spark disallows corrupt-record-only queries on the raw scan)
+    val df = graft.io.Csv.readPermissive(spark, dir, schema).cache()
+    val good = df.filter(col("_corrupt_record").isNull)
+    val bad = df.filter(col("_corrupt_record").isNotNull)
+    assert(good.count() == 2)
+    assert(bad.count() == 1)
+    assert(bad.collect().head.getAs[String]("_corrupt_record")
+      .startsWith("not_a_number"))
+  }
+
   test("processData returns success boolean and writes output (etl_core.py:17)") {
     val in = s"${sys.props("java.io.tmpdir")}/graft_test_in"
     val out = s"${sys.props("java.io.tmpdir")}/graft_test_out"
