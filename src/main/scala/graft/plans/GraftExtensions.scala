@@ -35,11 +35,16 @@ object GraftFunctions {
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  private val exprClass = Map(
+    "cosine_sim" -> classOf[CosineSimilarity].getName,
+    "minhash_signature" -> classOf[MinHashSignature].getName,
+    "shingles" -> classOf[Shingles].getName)
+
   override def apply(e: SparkSessionExtensions): Unit =
     GraftFunctions.Functions.foreach { case (name, builder) =>
       e.injectFunction((
         FunctionIdentifier(name),
-        new ExpressionInfo(classOf[CosineSimilarity].getName, name),
+        new ExpressionInfo(exprClass(name), name),
         builder))
     }
 }

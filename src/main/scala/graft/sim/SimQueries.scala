@@ -17,6 +17,21 @@ object SimQueries {
       None,
       (s, d) => Similarity.bruteForceTopK(embeddings(s, d), 10)),
 
+    // id-level oracle for the brute-force top-k: the cosine VALUES may
+    // differ from DuckDB's in the last ulps (different accumulators),
+    // but the induced ORDER of distinct random vectors is identical —
+    // ties between different vectors are measure-zero.
+    Q("sim_topk_ids",
+      Some("""WITH q AS (SELECT embedding AS qe, vec_id AS qid
+             |           FROM embeddings ORDER BY vec_id LIMIT 1)
+             |SELECT e.vec_id, e.label FROM embeddings e, q
+             |WHERE e.vec_id <> q.qid
+             |ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+             |                                CAST(q.qe AS DOUBLE[])) DESC, e.vec_id
+             |LIMIT 10""".stripMargin),
+      (s, d) => Similarity.bruteForceTopK(embeddings(s, d), 10)
+        .select("vec_id", "label")),
+
     // per-label top-3 (window row_number inside each label).
     Q("sim_topk_per_label",
       None,

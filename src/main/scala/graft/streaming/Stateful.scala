@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 
@@ -29,6 +29,69 @@ object Stateful {
     }
     state.update(next)
     next
+  }
+
+  final case class EventTs(user_id: Long, event_id: Long, ts: java.sql.Timestamp)
+  final case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
+      n_events: Long)
+
+  /** flatMapGroupsWithState: emit one row PER SESSION (0..n outputs per
+    * key per batch — the shape mapGroupsWithState can't express).
+    * Sessions split on gaps > 30 min (matching session_window's
+    * inclusive-merge semantics). This snapshot-driven form emits every
+    * session it sees; a production stream would hold the open tail
+    * session in `state` with an event-time timeout and emit it on
+    * expiry. */
+  def extractSessions(id: Long, events: Iterator[EventTs],
+      state: GroupState[SessionOut]): Iterator[SessionOut] = {
+    val sorted = events.toArray.sortBy(e => (e.ts.getTime, e.event_id))
+    if (sorted.isEmpty) Iterator.empty
+    else {
+      val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+      var start = sorted.head.ts
+      var prev = sorted.head.ts
+      var n = 1L
+      sorted.tail.foreach { e =>
+        if (e.ts.getTime - prev.getTime > 30L * 60 * 1000) {
+          out += SessionOut(id, start, n)
+          start = e.ts; n = 1L
+        } else n += 1
+        prev = e.ts
+      }
+      out += SessionOut(id, start, n)
+      out.iterator
+    }
+  }
+
+  /** Per-user sessions via flatMapGroupsWithState (append mode). */
+  def userSessions(spark: SparkSession, dir: String): Dataset[SessionOut] = {
+    import spark.implicits._
+    val name = "graft_stream_usersessions"
+    val q = Streams.eventsStream(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .as[EventTs]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(extractSessions)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name).as[SessionOut]
+  }
+
+  /** foreachBatch sink bridge: each microbatch lands as a batch parquet
+    * append — the escape hatch for sinks without a native streaming
+    * writer. Returns the landed row count. */
+  def sinkViaForeachBatch(spark: SparkSession, dir: String, outPath: String): Long = {
+    val q = Streams.eventsStream(spark, dir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(outPath)
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.read.parquet(outPath).count()
   }
 
   /** Streaming per-user stats over the events parquet snapshot

@@ -73,6 +73,27 @@ object StreamQueries {
           .orderBy("user_id")
       }),
 
+    // flatMapGroupsWithState: one output row PER SESSION (the 0..n
+    // emission shape); oracle replays the gap-split with window SQL.
+    Q("stream_flatmap_sessions",
+      Some("""WITH g AS (
+             |  SELECT user_id, ts, event_id,
+             |         CASE WHEN lag(ts) OVER w IS NULL THEN 1
+             |              WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1
+             |              ELSE 0 END AS brk
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |s AS (
+             |  SELECT user_id, ts,
+             |         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |                        ROWS UNBOUNDED PRECEDING) AS sess
+             |  FROM g)
+             |SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+             |FROM s GROUP BY user_id, sess
+             |ORDER BY user_id, session_start""".stripMargin),
+      (s, d) => Stateful.userSessions(s, d).toDF()
+        .orderBy("user_id", "session_start")),
+
     // sessionization: 30-min-gap session windows per user.
     Q("stream_sessions",
       Some("""WITH g AS (

@@ -28,6 +28,22 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("foreachBatch sink lands every row exactly once") {
+    val out = s"${sys.props("java.io.tmpdir")}/graft_test_feb_${System.nanoTime()}"
+    val landed = graft.streaming.Stateful.sinkViaForeachBatch(spark, sf0001, out)
+    val expected = io.Tables.events(spark, sf0001).count()
+    assert(landed == expected)
+  }
+
+  test("flatMapGroupsWithState sessions: per-user session count matches session_window") {
+    val flat = graft.streaming.Stateful.userSessions(spark, sf0001)
+      .groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sw = Streams.sessionCounts(io.Tables.events(spark, sf0001))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(flat == sw)
+  }
+
   test("stateful user stats match batch counts") {
     val got = graft.streaming.Stateful.userStats(spark, sf0001)
       .collect().map(u => u.user_id -> (u.n_events, u.n_purchases)).toMap
