@@ -82,16 +82,39 @@ object Stateful {
 
   /** foreachBatch sink bridge: each microbatch lands as a batch parquet
     * append — the escape hatch for sinks without a native streaming
-    * writer. Returns the landed row count. */
-  def sinkViaForeachBatch(spark: SparkSession, dir: String, outPath: String): Long = {
-    val q = Streams.eventsStream(spark, dir)
+    * writer. With a checkpoint dir, restarts resume from the last
+    * committed offset (exactly-once into the sink for already-seen
+    * files). Returns the landed row count. */
+  def sinkViaForeachBatch(spark: SparkSession, dir: String, outPath: String,
+      checkpoint: Option[String] = None): Long = {
+    val writer = Streams.eventsStream(spark, dir)
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         batch.write.mode("append").parquet(outPath)
       }
+    checkpoint.foreach(writer.option("checkpointLocation", _))
+    val q = writer.trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    if (new java.io.File(outPath).exists()) spark.read.parquet(outPath).count()
+    else 0L
+  }
+
+  /** Like sinkViaForeachBatch but over an arbitrary source directory of
+    * parquet event files (for incremental-ingest tests). */
+  def sinkDirViaForeachBatch(spark: SparkSession, srcDir: String,
+      outPath: String, checkpoint: String): Long = {
+    graft.io.Tables.eventsNanosToTs(spark)
+    val schema = spark.read.parquet(srcDir).schema
+    val q = spark.readStream.schema(schema).parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(outPath)
+      }
+      .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    spark.read.parquet(outPath).count()
+    if (new java.io.File(outPath).exists()) spark.read.parquet(outPath).count()
+    else 0L
   }
 
   /** Streaming per-user stats over the events parquet snapshot
