@@ -141,6 +141,87 @@ object Extras {
         coalesce(nullif(col("o_orderstatus"), lit("P")), lit("PENDING")).as("status_norm"))
         .orderBy("o_orderkey")),
 
+    // predicate battery: LIKE / IN-list / BETWEEN / compound boolean.
+    Q("filter_predicates",
+      Some("""SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+             |WHERE o_orderpriority LIKE '%URGENT'
+             |  AND o_orderstatus IN ('F', 'O')
+             |  AND o_totalprice BETWEEN 50000 AND 250000
+             |  AND NOT (o_custkey = 1)
+             |ORDER BY o_orderkey""".stripMargin),
+      (s, d) => orders(s, d)
+        .filter(col("o_orderpriority").like("%URGENT") &&
+          col("o_orderstatus").isin("F", "O") &&
+          col("o_totalprice").between(50000, 250000) &&
+          !(col("o_custkey") === 1))
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .orderBy("o_orderkey")),
+
+    // array higher-order functions: filter/transform/exists/aggregate.
+    Q("array_hof_funcs",
+      Some("""SELECT doc_id,
+             |       CAST(len(list_filter(toks, x -> length(x) > 4)) AS BIGINT) AS n_long,
+             |       list_transform(toks, x -> upper(x)) AS toks_uc,
+             |       len(list_filter(toks, x -> x = 'spark')) > 0 AS has_spark,
+             |       CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum')
+             |            AS BIGINT) AS total_chars
+             |FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) t
+             |ORDER BY doc_id""".stripMargin),
+      (s, d) => documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .select(col("doc_id"),
+          size(filter(col("toks"), x => length(x) > 4)).cast("long").as("n_long"),
+          transform(col("toks"), x => upper(x)).as("toks_uc"),
+          exists(col("toks"), x => x === "spark").as("has_spark"),
+          aggregate(transform(col("toks"), x => length(x).cast("long")),
+            lit(0L), (acc, v) => acc + v).as("total_chars"))
+        .orderBy("doc_id")),
+
+    // extended string battery: pad/translate/split_part/format/reverse/
+    // repeat/left/right/contains/position/chr.
+    Q("str_funcs2",
+      Some("""SELECT c_custkey,
+             |       lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS key_padded,
+             |       translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_tr,
+             |       split_part(c_name, '#', 2) AS name_num,
+             |       printf('%s|%s', c_mktsegment, c_name) AS fmt,
+             |       reverse(c_mktsegment) AS seg_rev,
+             |       repeat('-', 3) AS dashes,
+             |       left(c_name, 4) AS name_l,
+             |       right(c_name, 3) AS name_r,
+             |       contains(c_name, '001') AS has_001,
+             |       CAST(instr(c_name, '#') AS BIGINT) AS hash_pos
+             |FROM customer ORDER BY c_custkey""".stripMargin),
+      (s, d) => customer(s, d).select(col("c_custkey"),
+        lpad(col("c_custkey").cast("string"), 10, "0").as("key_padded"),
+        translate(col("c_mktsegment"), "AEIOU", "aeiou").as("seg_tr"),
+        element_at(split(col("c_name"), "#"), 2).as("name_num"),
+        format_string("%s|%s", col("c_mktsegment"), col("c_name")).as("fmt"),
+        reverse(col("c_mktsegment")).as("seg_rev"),
+        lit("---").as("dashes"),
+        substring(col("c_name"), 1, 4).as("name_l"),
+        col("c_name").substr(length(col("c_name")) - 2, lit(3)).as("name_r"),
+        col("c_name").contains("001").as("has_001"),
+        instr(col("c_name"), "#").cast("long").as("hash_pos"))
+        .orderBy("c_custkey")),
+
+    // bitwise battery.
+    Q("bitwise_funcs",
+      Some("""SELECT l_orderkey, l_linenumber,
+             |       l_orderkey & 255 AS k_and,
+             |       l_orderkey | 1 AS k_or,
+             |       xor(l_orderkey, l_linenumber) AS k_xor,
+             |       CAST(l_linenumber << 4 AS BIGINT) AS k_shl,
+             |       l_orderkey >> 2 AS k_shr
+             |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin),
+      (s, d) => lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
+        col("l_orderkey").bitwiseAND(255).as("k_and"),
+        col("l_orderkey").bitwiseOR(1).as("k_or"),
+        col("l_orderkey").bitwiseXOR(col("l_linenumber").cast("long")).as("k_xor"),
+        shiftleft(col("l_linenumber"), 4).cast("long").as("k_shl"),
+        shiftright(col("l_orderkey"), 2).as("k_shr"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
     // cartesian product (explicit crossJoin — the only non-equi-join
     // shape with no key; bounded inputs only).
     Q("cross_join",
