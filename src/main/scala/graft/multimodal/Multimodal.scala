@@ -23,7 +23,9 @@ object Multimodal {
       mean_byte: Double,
       n_frames: Long)
 
-  final case class FrameSample(doc_id: Long, n_frames: Long, frame_bytes: Seq[Long])
+  /** `frame_bytes` is a comma-joined preview string (not an array):
+    * the driver's correctness compare can't sort array cells. */
+  final case class FrameSample(doc_id: Long, n_frames: Long, frame_bytes: String)
 
   /** Attach a binary payload column + typed metadata to `documents`
     * (payload = UTF-8 bytes of the text — the testdata has no real
@@ -84,7 +86,7 @@ object Multimodal {
         val dec = StubDecoder
         rows.map { case (id, bytes) =>
           val fr = dec.sampleFrames(bytes)
-          FrameSample(id, fr.length.toLong, fr.take(5))
+          FrameSample(id, fr.length.toLong, fr.take(5).mkString(","))
         }
       }
   }

@@ -80,13 +80,15 @@ object Extras {
 
     // array-function battery over tokenized text (try_element_at for
     // ANSI-safe out-of-bounds → NULL, matching DuckDB list indexing).
+    // array columns are serialized with concat_ws/array_to_string —
+    // the driver's pandas compare can't sort/hash raw array cells.
     Q("array_funcs",
       Some("""SELECT doc_id,
              |       CAST(len(toks) AS BIGINT) AS n,
              |       toks[2] AS second_tok,
-             |       list_slice(toks, 2, 4) AS mid,
+             |       array_to_string(list_slice(toks, 2, 4), ' ') AS mid,
              |       array_contains(toks, 'data') AS has_data,
-             |       list_sort(list_distinct(toks)) AS vocab
+             |       array_to_string(list_sort(list_distinct(toks)), ' ') AS vocab
              |FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) t
              |ORDER BY doc_id""".stripMargin),
       (s, d) => documents(s, d)
@@ -94,15 +96,15 @@ object Extras {
         .select(col("doc_id"),
           size(col("toks")).cast("long").as("n"),
           try_element_at(col("toks"), lit(2)).as("second_tok"),
-          slice(col("toks"), 2, 3).as("mid"),
+          concat_ws(" ", slice(col("toks"), 2, 3)).as("mid"),
           array_contains(col("toks"), "data").as("has_data"),
-          array_sort(array_distinct(col("toks"))).as("vocab"))
+          concat_ws(" ", array_sort(array_distinct(col("toks")))).as("vocab"))
         .orderBy("doc_id")),
 
     // map-function battery: JSON props → typed MAP → keys/values/lookup.
     Q("map_funcs",
-      Some("""SELECT event_id, ['k'] AS ks,
-             |       [CAST(json_extract_string(props, '$.k') AS INTEGER)] AS vs,
+      Some("""SELECT event_id, 'k' AS ks,
+             |       CAST(CAST(json_extract_string(props, '$.k') AS INTEGER) AS VARCHAR) AS vs,
              |       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_lookup
              |FROM events ORDER BY event_id""".stripMargin),
       (s, d) => {
@@ -114,8 +116,8 @@ object Extras {
               org.apache.spark.sql.types.StringType,
               org.apache.spark.sql.types.IntegerType)).as("m"))
           .select(col("event_id"),
-            map_keys(col("m")).as("ks"),
-            map_values(col("m")).as("vs"),
+            concat_ws(",", map_keys(col("m"))).as("ks"),
+            concat_ws(",", map_values(col("m")).cast("array<string>")).as("vs"),
             col("m").getItem("k").as("k_lookup"))
           .orderBy("event_id")
       }),
@@ -161,7 +163,7 @@ object Extras {
     Q("array_hof_funcs",
       Some("""SELECT doc_id,
              |       CAST(len(list_filter(toks, x -> length(x) > 4)) AS BIGINT) AS n_long,
-             |       list_transform(toks, x -> upper(x)) AS toks_uc,
+             |       array_to_string(list_transform(toks, x -> upper(x)), ' ') AS toks_uc,
              |       len(list_filter(toks, x -> x = 'spark')) > 0 AS has_spark,
              |       CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum')
              |            AS BIGINT) AS total_chars
@@ -171,7 +173,7 @@ object Extras {
         .withColumn("toks", split(col("text"), " "))
         .select(col("doc_id"),
           size(filter(col("toks"), x => length(x) > 4)).cast("long").as("n_long"),
-          transform(col("toks"), x => upper(x)).as("toks_uc"),
+          concat_ws(" ", transform(col("toks"), x => upper(x))).as("toks_uc"),
           exists(col("toks"), x => x === "spark").as("has_spark"),
           aggregate(transform(col("toks"), x => length(x).cast("long")),
             lit(0L), (acc, v) => acc + v).as("total_chars"))
