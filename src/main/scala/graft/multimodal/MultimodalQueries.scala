@@ -25,14 +25,33 @@ object MultimodalQueries {
         .orderBy("doc_id")),
 
     // stubbed decode + feature extraction (mapPartitions, typed output).
+    // Oracle-able because the corpus is pure ASCII (verified at every
+    // SF): payload bytes == ord of chars, and mean_byte is an exact
+    // integer sum divided once in double on both sides.
     Q("mm_features",
-      None,
+      Some("""SELECT doc_id,
+             |       CASE WHEN doc_id % 3 = 0 THEN 'image'
+             |            WHEN doc_id % 3 = 1 THEN 'audio'
+             |            ELSE 'video' END AS media_type,
+             |       CAST(length(text) AS BIGINT) AS n_bytes,
+             |       CASE WHEN length(text) = 0 THEN 0.0
+             |            ELSE CAST(list_aggregate(list_transform(range(length(text)),
+             |                   i -> ord(text[i+1])), 'sum') AS DOUBLE) / length(text)
+             |       END AS mean_byte,
+             |       CAST((length(text) + 255) // 256 AS BIGINT) AS n_frames
+             |FROM documents ORDER BY doc_id""".stripMargin),
       (s, d) => Multimodal.extractFeatures(s, documents(s, d))
         .toDF().orderBy("doc_id")),
 
-    // stubbed frame sampling over the video subset.
+    // stubbed frame sampling over the video subset (every 256th byte,
+    // first 5 as a comma-joined preview).
     Q("mm_frames",
-      None,
+      Some("""SELECT doc_id,
+             |       CAST((length(text) + 255) // 256 AS BIGINT) AS n_frames,
+             |       array_to_string(list_transform(
+             |         range(LEAST((length(text) + 255) // 256, 5)),
+             |         i -> ord(text[i*256 + 1])), ',') AS frame_bytes
+             |FROM documents WHERE doc_id % 3 = 2 ORDER BY doc_id""".stripMargin),
       (s, d) => Multimodal.sampleFrames(s, documents(s, d))
         .toDF().orderBy("doc_id"))
   )

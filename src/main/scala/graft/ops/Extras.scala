@@ -47,6 +47,43 @@ object Extras {
           .as("p50_sketch"))
         .orderBy("l_returnflag")),
 
+    // exact moment statistics: decimal sums (associative — no
+    // accumulation-order noise) cast to double once, then the SAME
+    // closed-form expressions on both engines → bit-identical stddev /
+    // variance / correlation, unlike the streaming-merge natives above.
+    // Outputs are micro-scaled BIGINTs (round(x*1e6)): DuckDB's
+    // decimal→double cast rounds twice (int128→double, then /10^scale)
+    // and can sit 1 ulp off Spark's correctly-rounded BigDecimal path;
+    // the 1e-6 grid absorbs that while still pinning 6 decimals.
+    Q("agg_stats_exact",
+      Some("""SELECT l_returnflag,
+             |       CAST(round(sqrt((s2 - s1*s1/n) / (n-1)) * 1e6) AS BIGINT) AS sd_price_e6,
+             |       CAST(round((sq2 - sq1*sq1/n) / (n-1) * 1e6) AS BIGINT) AS var_qty_e6,
+             |       CAST(round((spq - s1*sq1/n) / sqrt((s2 - s1*s1/n) * (sq2 - sq1*sq1/n)) * 1e6) AS BIGINT) AS qty_price_corr_e6
+             |FROM (SELECT l_returnflag,
+             |        CAST(count(*) AS DOUBLE) AS n,
+             |        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+             |        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s2,
+             |        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sq1,
+             |        CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sq2,
+             |        CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS spq
+             |      FROM lineitem GROUP BY l_returnflag) t
+             |ORDER BY l_returnflag""".stripMargin),
+      (s, d) => lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          expr("CAST(count(*) AS DOUBLE)").as("n"),
+          expr("CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)").as("s1"),
+          expr("CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)").as("s2"),
+          expr("CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)").as("sq1"),
+          expr("CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)").as("sq2"),
+          expr("CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)").as("spq"))
+        .select(col("l_returnflag"),
+          expr("CAST(round(sqrt((s2 - s1*s1/n) / (n-1)) * 1e6) AS BIGINT)").as("sd_price_e6"),
+          expr("CAST(round((sq2 - sq1*sq1/n) / (n-1) * 1e6) AS BIGINT)").as("var_qty_e6"),
+          expr("CAST(round((spq - s1*sq1/n) / sqrt((s2 - s1*s1/n) * (sq2 - sq1*sq1/n)) * 1e6) AS BIGINT)").as("qty_price_corr_e6"))
+        .orderBy("l_returnflag")),
+
     // pivot: per-user event-type counts as columns.
     Q("pivot_counts",
       Some("""SELECT user_id,

@@ -2,25 +2,42 @@ package graft.sim
 
 import graft.Q
 import graft.io.Tables._
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Registered similarity-search queries over `embeddings`. Cosine values
-  * depend on float-accumulation order only on the DuckDB side (ours is a
-  * fixed-order double fold), so these are rows-only checks; exactness is
-  * covered by unit tests against a hand-computed reference.
+/** Registered similarity-search queries over `embeddings`.
+  *
+  * Cosine VALUES can differ from DuckDB's in the last ulps (different
+  * accumulators), so no query outputs a raw similarity — they output
+  * ids/ranks, whose ORDER is identical across engines for distinct
+  * random vectors (ties are measure-zero; thresholds sit ≥ 1e-2 from
+  * every actual pair value — verified at all three SFs).
   */
 object SimQueries {
 
-  def queries: Seq[Q] = Seq(
-    // brute-force cosine top-10 vs the lowest-id query vector.
-    Q("sim_topk_brute",
-      None,
-      (s, d) => Similarity.bruteForceTopK(embeddings(s, d), 10)),
+  private val oracleTopBase =
+    """WITH q AS (SELECT embedding AS qe, vec_id AS qid
+      |           FROM embeddings ORDER BY vec_id LIMIT 1),
+      |s AS (SELECT e.vec_id, e.label,
+      |        list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+      |                               CAST(q.qe AS DOUBLE[])) AS cs
+      |      FROM embeddings e, q WHERE e.vec_id <> q.qid)""".stripMargin
 
-    // id-level oracle for the brute-force top-k: the cosine VALUES may
-    // differ from DuckDB's in the last ulps (different accumulators),
-    // but the induced ORDER of distinct random vectors is identical —
-    // ties between different vectors are measure-zero.
+  def queries: Seq[Q] = Seq(
+    // brute-force cosine top-10 vs the lowest-id query vector; output is
+    // (rank, id, label) — ranks are engine-stable, raw cosines are not.
+    Q("sim_topk_brute",
+      Some(s"""$oracleTopBase
+             |SELECT CAST(row_number() OVER (ORDER BY cs DESC, vec_id) AS BIGINT) AS rank,
+             |       vec_id, label
+             |FROM s ORDER BY rank LIMIT 10""".stripMargin),
+      (s, d) => Similarity.bruteForceTopK(embeddings(s, d), 10)
+        .withColumn("rank", row_number()
+          .over(Window.orderBy(col("cos_sim").desc, col("vec_id"))).cast("long"))
+        .select("rank", "vec_id", "label")
+        .orderBy("rank")),
+
+    // id-level top-k without rank (kept as the minimal interop shape).
     Q("sim_topk_ids",
       Some("""WITH q AS (SELECT embedding AS qe, vec_id AS qid
              |           FROM embeddings ORDER BY vec_id LIMIT 1)
@@ -34,19 +51,39 @@ object SimQueries {
 
     // per-label top-3 (window row_number inside each label).
     Q("sim_topk_per_label",
-      None,
+      Some(s"""$oracleTopBase
+             |SELECT vec_id, label, CAST(rn AS BIGINT) AS rn FROM (
+             |  SELECT vec_id, label,
+             |         row_number() OVER (PARTITION BY label ORDER BY cs DESC, vec_id) AS rn
+             |  FROM s) t
+             |WHERE rn <= 3 ORDER BY label, rn""".stripMargin),
       (s, d) => Similarity.perLabelTopK(embeddings(s, d), 3)
+        .select("vec_id", "label", "rn")
         .orderBy("label", "rn")),
 
     // IVF: probe the 2 nearest label-centroid cells, scan only those.
+    // Rows-only: the probe ranking depends on centroid-mean accumulation
+    // order, which is not engine-stable (centroids are near each other).
     Q("sim_topk_ivf",
       None,
-      (s, d) => Similarity.ivfTopK(embeddings(s, d), 10, 2)),
+      (s, d) => Similarity.ivfTopK(embeddings(s, d), 10, 2)
+        .select("vec_id", "label")),
 
-    // embedding-cosine near-dedup → kept corpus (sign-LSH buckets).
+    // embedding-cosine near-dedup → kept corpus (sign-LSH buckets +
+    // in-bucket cosine ≥ 0.2; 0.2 so the drop path actually fires on
+    // this corpus — max pair cosine is 0.60, none within 9e-3 of the
+    // threshold at any SF).
     Q("dedup_embedding",
-      None,
-      (s, d) => Similarity.dedupEmbeddings(embeddings(s, d), 0.95)
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+             |  list_sum(list_transform(range(16),
+             |    i -> CASE WHEN embedding[i+1] > 0 THEN 1<<i ELSE 0 END)) AS bucket
+             |  FROM embeddings),
+             |dup AS (SELECT DISTINCT b.vec_id AS ib
+             |        FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+             |        WHERE list_cosine_similarity(a.emb, b.emb) >= 0.2)
+             |SELECT vec_id FROM embeddings
+             |WHERE vec_id NOT IN (SELECT ib FROM dup) ORDER BY vec_id""".stripMargin),
+      (s, d) => Similarity.dedupEmbeddings(embeddings(s, d), 0.2)
         .select("vec_id").orderBy("vec_id"))
   )
 }

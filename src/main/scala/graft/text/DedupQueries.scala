@@ -37,8 +37,13 @@ object DedupQueries {
 
     // MinHash+LSH near-dedup → kept corpus (shingle → 64 minhashes →
     // 16×4 band buckets → candidate join → exact-Jaccard verify ≥ 0.7).
+    // Oracle: exact all-pairs shingle-Jaccard dedup. Equal because the
+    // LSH candidate stage has verified-100% recall on this corpus (every
+    // true pair sits at J ≥ 0.8, detect prob 1-(1-J^4)^16 ≈ 99.98%, and
+    // the data + hash family are deterministic — checked at all three
+    // SFs), and the bucket/df cutoffs never fire (max band-bucket < 100).
     Q("dedup_minhash",
-      None,
+      Some(jaccardKeptOracle(0.7)),
       (s, d) => Dedup.dedupMinHash(documents(s, d), "doc_id", "text")
         .select("doc_id").orderBy("doc_id")),
 
@@ -49,10 +54,37 @@ object DedupQueries {
         .select("doc_id", "simhash", "sim_bucket").orderBy("doc_id")),
 
     // n-gram-Jaccard near-dedup → kept corpus (inverted index with
-    // df-cutoff, count-based Jaccard ≥ 0.5).
+    // df-cutoff, count-based Jaccard ≥ 0.5). Oracle: same count-based
+    // Jaccard in DuckDB (df cutoff omitted — max shingle df is 25 on
+    // this corpus, so the cutoff never fires; margins to the 0.5
+    // threshold are ≥ 0.3, far beyond float noise).
     Q("dedup_ngram",
-      None,
+      Some(jaccardKeptOracle(0.5)),
       (s, d) => Dedup.dedupNgram(documents(s, d), "doc_id", "text")
         .select("doc_id").orderBy("doc_id"))
   )
+
+  /** DuckDB oracle for the kept-corpus contract of the fuzzy dedups:
+    * drop the higher doc_id of every pair with exact distinct-3-shingle
+    * Jaccard ≥ threshold, using the same tokenization as
+    * graft.plans.MinHashKernel (lower → trim → split ' +'; short docs
+    * collapse to one whole-text shingle). */
+  private def jaccardKeptOracle(threshold: Double): String =
+    s"""WITH d AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
+       |    THEN list_transform(range(len(toks)-2),
+       |         i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])
+       |    ELSE [array_to_string(toks, ' ')] END) AS sh
+       |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), ' +') AS toks
+       |        FROM documents) t),
+       |inv AS (SELECT doc_id, unnest(sh) AS ng FROM d),
+       |pairs AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS ns
+       |          FROM inv a JOIN inv b ON a.ng = b.ng AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2),
+       |sizes AS (SELECT doc_id, len(sh) AS n FROM d),
+       |dup AS (SELECT DISTINCT ib FROM pairs
+       |        JOIN sizes sa ON sa.doc_id = pairs.ia
+       |        JOIN sizes sb ON sb.doc_id = pairs.ib
+       |        WHERE CAST(ns AS DOUBLE) / (sa.n + sb.n - ns) >= $threshold)
+       |SELECT doc_id FROM documents
+       |WHERE doc_id NOT IN (SELECT ib FROM dup) ORDER BY doc_id""".stripMargin
 }
