@@ -73,6 +73,30 @@ object SimQueries {
     // in-bucket cosine ≥ 0.2; 0.2 so the drop path actually fires on
     // this corpus — max pair cosine is 0.60, none within 9e-3 of the
     // threshold at any SF).
+    // L2 normalization — the embedding-preprocessing op every similarity
+    // pipeline runs first. First 4 dims reported as µ-scaled ints; both
+    // engines fold the squared sum left-to-right in double, so the
+    // pre-round values are bit-identical.
+    Q("emb_norm",
+      Some("""SELECT vec_id,
+             |       CAST(round(emb[1] / nrm * 1e6) AS BIGINT) AS d1,
+             |       CAST(round(emb[2] / nrm * 1e6) AS BIGINT) AS d2,
+             |       CAST(round(emb[3] / nrm * 1e6) AS BIGINT) AS d3,
+             |       CAST(round(emb[4] / nrm * 1e6) AS BIGINT) AS d4
+             |FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+             |        sqrt(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]),
+             |             x -> x * x), 'sum')) AS nrm
+             |      FROM embeddings) t
+             |ORDER BY vec_id""".stripMargin),
+      (s, d) => embeddings(s, d)
+        .withColumn("nrm", sqrt(aggregate(
+          transform(col("embedding"), x => x.cast("double") * x.cast("double")),
+          lit(0.0), (acc, v) => acc + v)))
+        .select(col("vec_id") +: (1 to 4).map(i =>
+          expr(s"CAST(round(CAST(element_at(embedding, $i) AS DOUBLE) / nrm * 1e6) AS BIGINT)")
+            .as(s"d$i")): _*)
+        .orderBy("vec_id")),
+
     Q("dedup_embedding",
       Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
              |  list_sum(list_transform(range(16),

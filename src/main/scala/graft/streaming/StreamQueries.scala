@@ -38,6 +38,13 @@ object StreamQueries {
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
       (s, d) => Streams.dedupedEventCounts(s, d)),
 
+    // streaming dedup with GUARANTEED watermark-bounded state
+    // (dropDuplicatesWithinWatermark — the bounded-state variant).
+    Q("stream_dedup_within_wm",
+      Some("""SELECT event_type, count(DISTINCT event_id) AS n
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+      (s, d) => Streams.dedupedWithinWatermarkCounts(s, d)),
+
     // stream-stream join with watermark-bounded state.
     Q("stream_stream_join",
       Some("""SELECT p.event_id AS p_id, v.event_id AS v_id, p.user_id AS p_user

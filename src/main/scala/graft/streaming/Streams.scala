@@ -85,6 +85,25 @@ object Streams {
     spark.table(name).orderBy("event_type")
   }
 
+  /** Streaming dedup with watermark-scoped state eviction
+    * (dropDuplicatesWithinWatermark): unlike plain dropDuplicates, the
+    * per-key state is GUARANTEED dropped once the key falls behind the
+    * watermark — the bounded-state form a forever-running 100 TB/day
+    * stream needs. */
+  def dedupedWithinWatermarkCounts(spark: SparkSession, dir: String): DataFrame = {
+    val name = "graft_stream_dedup_wm"
+    val q = eventsStream(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name).orderBy("event_type")
+  }
+
   /** Stream-static join: the streaming fact joins a broadcast static
     * dimension (the canonical enrichment topology — no stream state). */
   def enrichedPurchases(spark: SparkSession, dir: String): DataFrame = {

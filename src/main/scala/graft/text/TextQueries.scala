@@ -22,6 +22,27 @@ object TextQueries {
   private val dPunct =
     "len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))"
 
+  /** Language-score columns (subquery body) + argmax CASE, shared by
+    * text_langid and pipeline_quality_gate oracles. */
+  private val dLangScores =
+    """len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|is|in|that|it|for)\b')) AS s_en,
+      |    len(regexp_extract_all(lower(text), '\b(le|la|les|et|de|un|une|est|que|pour)\b')) AS s_fr,
+      |    len(regexp_extract_all(lower(text), '\b(el|los|las|y|de|un|una|es|que|por)\b')) AS s_es,
+      |    len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|ein|eine|zu|den|von)\b')) AS s_de,
+      |    greatest(
+      |      len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|is|in|that|it|for)\b')),
+      |      len(regexp_extract_all(lower(text), '\b(le|la|les|et|de|un|une|est|que|pour)\b')),
+      |      len(regexp_extract_all(lower(text), '\b(el|los|las|y|de|un|una|es|que|por)\b')),
+      |      len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|ein|eine|zu|den|von)\b'))) AS best""".stripMargin
+  private val dLangCase =
+    """CASE
+      |    WHEN len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) > 0 THEN 'zh'
+      |    WHEN s_en = best AND best > 0 THEN 'en'
+      |    WHEN s_fr = best AND best > 0 THEN 'fr'
+      |    WHEN s_es = best AND best > 0 THEN 'es'
+      |    WHEN s_de = best AND best > 0 THEN 'de'
+      |    ELSE 'und' END""".stripMargin
+
   def queries: Seq[Q] = Seq(
     // token counting: whitespace tokens + BPE-ish subword-regex tokens.
     Q("text_tokens",
@@ -77,30 +98,94 @@ object TextQueries {
     // language ID: stopword-profile heuristic, argmax with fixed
     // tie-break order (en, fr, es, de), CJK short-circuit.
     Q("text_langid",
-      Some("""SELECT doc_id, lang,
-             |  CASE
-             |    WHEN len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) > 0 THEN 'zh'
-             |    WHEN s_en = best AND best > 0 THEN 'en'
-             |    WHEN s_fr = best AND best > 0 THEN 'fr'
-             |    WHEN s_es = best AND best > 0 THEN 'es'
-             |    WHEN s_de = best AND best > 0 THEN 'de'
-             |    ELSE 'und' END AS lang_pred
-             |FROM (
-             |  SELECT doc_id, lang, text,
-             |    len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|is|in|that|it|for)\b')) AS s_en,
-             |    len(regexp_extract_all(lower(text), '\b(le|la|les|et|de|un|une|est|que|pour)\b')) AS s_fr,
-             |    len(regexp_extract_all(lower(text), '\b(el|los|las|y|de|un|una|es|que|por)\b')) AS s_es,
-             |    len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|ein|eine|zu|den|von)\b')) AS s_de,
-             |    greatest(
-             |      len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|is|in|that|it|for)\b')),
-             |      len(regexp_extract_all(lower(text), '\b(le|la|les|et|de|un|une|est|que|pour)\b')),
-             |      len(regexp_extract_all(lower(text), '\b(el|los|las|y|de|un|una|es|que|por)\b')),
-             |      len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|ein|eine|zu|den|von)\b'))) AS best
-             |  FROM documents) t
-             |ORDER BY doc_id""".stripMargin),
+      Some(s"""SELECT doc_id, lang,
+              |  $dLangCase AS lang_pred
+              |FROM (
+              |  SELECT doc_id, lang, text,
+              |    $dLangScores
+              |  FROM documents) t
+              |ORDER BY doc_id""".stripMargin),
       (s, d) => documents(s, d).select(
         col("doc_id"), col("lang"),
         TextAnalysis.langId(col("text")).as("lang_pred"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // corpus bigram counts: the n-gram statistics op (top-20, total
+    // tiebreak). explode drops sub-2-token docs via the empty array.
+    Q("text_ngram_counts",
+      Some("""SELECT bigram, count(*) AS cnt FROM (
+             |  SELECT unnest(CASE WHEN len(toks) >= 2
+             |    THEN list_transform(range(len(toks)-1), i -> toks[i+1] || ' ' || toks[i+2])
+             |    ELSE [] END) AS bigram
+             |  FROM (SELECT string_split_regex(lower(trim(text)), ' +') AS toks
+             |        FROM documents) t) u
+             |GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 20""".stripMargin),
+      (s, d) => {
+        val toks = split(lower(trim(col("text"))), " +")
+        documents(s, d)
+          .select(explode(when(size(toks) >= 2,
+            transform(sequence(lit(0), size(toks) - 2), i =>
+              concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2))))
+            .otherwise(array().cast("array<string>"))).as("bigram"))
+          .groupBy("bigram").agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("bigram")).limit(20)
+      }),
+
+    // TF-IDF top-3 terms per document. Both engines RANK on the
+    // micro-scaled integer (round(tf·ln(N/df)·1e6)), so a last-ulp ln()
+    // difference cannot flip the ordering.
+    Q("text_tfidf",
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), ' +')) AS term
+             |            FROM documents),
+             |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+             |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+             |nq AS (SELECT count(*) AS n FROM documents),
+             |s AS (SELECT tf.doc_id, tf.term,
+             |        CAST(round(tf.tf * ln(CAST(nq.n AS DOUBLE) / dfq.df) * 1e6) AS BIGINT) AS tfidf_e6
+             |      FROM tf JOIN dfq USING (term), nq)
+             |SELECT doc_id, term, tfidf_e6,
+             |       CAST(row_number() OVER (PARTITION BY doc_id
+             |            ORDER BY tfidf_e6 DESC, term) AS BIGINT) AS rn
+             |FROM s QUALIFY rn <= 3 ORDER BY doc_id, rn""".stripMargin),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = documents(s, d)
+        val tok = docs.select(col("doc_id"),
+          explode(split(lower(trim(col("text"))), " +")).as("term"))
+        val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val dfq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val nq = docs.agg(count(lit(1)).as("n"))
+        tf.join(dfq, "term").crossJoin(broadcast(nq))
+          .withColumn("tfidf_e6",
+            expr("CAST(round(tf * ln(CAST(n AS DOUBLE) / df) * 1e6) AS BIGINT)"))
+          .withColumn("rn", row_number().over(Window.partitionBy("doc_id")
+            .orderBy(col("tfidf_e6").desc, col("term"))).cast("long"))
+          .filter(col("rn") <= 3)
+          .select("doc_id", "term", "tfidf_e6", "rn")
+          .orderBy("doc_id", "rn")
+      }),
+
+    // composed quality gate: the keep/drop decision a training-data
+    // pipeline actually ships (token-count band + punctuation ceiling +
+    // language filter), reusing the scoring + langid operators.
+    Q("pipeline_quality_gate",
+      Some(s"""SELECT doc_id FROM (
+              |  SELECT doc_id, $dLangCase AS lp,
+              |         CAST($dTok AS BIGINT) AS ntok,
+              |         CAST($dPunct AS DOUBLE) / nullif(length(text), 0) AS pr
+              |  FROM (
+              |    SELECT doc_id, text,
+              |      $dLangScores
+              |    FROM documents) t) u
+              |WHERE ntok BETWEEN 10 AND 1000 AND pr <= 0.2 AND lp = 'en'
+              |ORDER BY doc_id""".stripMargin),
+      (s, d) => documents(s, d)
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("ntok"),
+          (TextAnalysis.punctCount(col("text")).cast("double") /
+            nullif(length(col("text")).cast("long"), lit(0L))).as("pr"),
+          TextAnalysis.langId(col("text")).as("lp"))
+        .filter(col("ntok").between(10, 1000) && col("pr") <= 0.2 && col("lp") === "en")
+        .select("doc_id").orderBy("doc_id"))
   )
 }
