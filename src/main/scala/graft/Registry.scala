@@ -29,6 +29,7 @@ object Registry {
       graft.ops.Typed.queries ++
       graft.io.IoQueries.queries ++
       graft.functions.ExprQueries.queries ++
+      graft.functions.ExprQueries2.queries ++
       graft.text.TextQueries.queries ++
       graft.text.DedupQueries.queries ++
       graft.sim.SimQueries.queries ++

@@ -1,0 +1,99 @@
+package graft.functions
+
+import graft.Q
+import graft.io.Tables._
+import org.apache.spark.sql.functions._
+
+/** Round-2 function batteries: JSON generation/introspection, map
+  * higher-order functions, extended array ops, and timestamp/epoch
+  * arithmetic. Array/map results are string-serialized (driver-compare
+  * constraint); formulas are integer/string-exact in both engines.
+  */
+object ExprQueries2 {
+
+  def queries: Seq[Q] = Seq(
+    // JSON battery 2: path extraction, generation, key introspection.
+    Q("json_funcs2",
+      Some("""SELECT event_id,
+             |       json_extract_string(props, '$.k') AS k_str,
+             |       to_json(struct_pack(n := event_id)) AS ev_json,
+             |       array_to_string(json_keys(props), ',') AS prop_keys
+             |FROM events ORDER BY event_id""".stripMargin),
+      (s, d) => events(s, d).select(col("event_id"),
+        get_json_object(col("props"), "$.k").as("k_str"),
+        to_json(struct(col("event_id").as("n"))).as("ev_json"),
+        concat_ws(",", json_object_keys(col("props"))).as("prop_keys"))
+        .orderBy("event_id")),
+
+    // map higher-order functions over the typed props map (single key
+    // 'k' — the oracle mirrors each op on the extracted value).
+    Q("map_funcs2",
+      Some("""SELECT event_id, kv * 2 AS k_doubled,
+             |       CAST(CASE WHEN kv > 50 THEN 1 ELSE 0 END AS BIGINT) AS n_high,
+             |       CAST(2 AS BIGINT) AS n_merged,
+             |       'k' AS keys_str
+             |FROM (SELECT event_id,
+             |        CAST(json_extract_string(props, '$.k') AS INTEGER) AS kv
+             |      FROM events) t
+             |ORDER BY event_id""".stripMargin),
+      (s, d) => {
+        val mapT = org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.IntegerType)
+        events(s, d)
+          .select(col("event_id"), from_json(col("props"), mapT).as("m"))
+          .select(col("event_id"),
+            transform_values(col("m"), (_, v) => v * 2)
+              .getItem("k").as("k_doubled"),
+            size(map_filter(col("m"), (_, v) => v > 50))
+              .cast("long").as("n_high"),
+            size(map_concat(col("m"), map(lit("extra"), lit(1))))
+              .cast("long").as("n_merged"),
+            concat_ws(",", map_keys(col("m"))).as("keys_str"))
+          .orderBy("event_id")
+      }),
+
+    // array battery 2: position/remove/flatten/repeat/zip_with/compact.
+    Q("array_funcs2",
+      Some("""SELECT doc_id,
+             |       CAST(coalesce(list_position(toks, 'data'), 0) AS BIGINT) AS pos_data,
+             |       array_to_string(list_filter(toks, x -> x <> 'the'), ' ') AS no_the,
+             |       array_to_string(flatten([list_slice(toks, 1, 2), list_slice(toks, 3, 4)]), ' ') AS flat4,
+             |       array_to_string([toks[1], toks[1], toks[1]], ',') AS rep3,
+             |       array_to_string(list_transform(range(len(toks)),
+             |         i -> toks[i+1] || '|' || toks[len(toks)-i]), ' ') AS zipcat,
+             |       CAST(len(list_filter([toks[1], NULL, toks[2]], x -> x IS NOT NULL)) AS BIGINT) AS n_compact
+             |FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) t
+             |ORDER BY doc_id""".stripMargin),
+      (s, d) => documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .select(col("doc_id"),
+          array_position(col("toks"), "data").as("pos_data"),
+          concat_ws(" ", array_remove(col("toks"), "the")).as("no_the"),
+          concat_ws(" ", flatten(array(slice(col("toks"), 1, 2),
+            slice(col("toks"), 3, 2)))).as("flat4"),
+          concat_ws(",", array_repeat(try_element_at(col("toks"), lit(1)), 3)).as("rep3"),
+          concat_ws(" ", zip_with(col("toks"), reverse(col("toks")),
+            (a, b) => concat(a, lit("|"), b))).as("zipcat"),
+          size(array_compact(array(try_element_at(col("toks"), lit(1)), lit(null),
+            try_element_at(col("toks"), lit(2))))).cast("long").as("n_compact"))
+        .orderBy("doc_id")),
+
+    // timestamp/epoch battery over events (UTC session both engines).
+    Q("ts_funcs",
+      Some("""SELECT event_id,
+             |       CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+             |       strftime(to_timestamp(CAST(floor(epoch(ts)) AS BIGINT)), '%Y-%m-%d %H:%M:%S') AS from_epoch,
+             |       CAST(date_trunc('week', ts) AS TIMESTAMP) AS week_start,
+             |       CAST(hour(ts) AS BIGINT) AS h,
+             |       CAST(hour(ts) * 60 + minute(ts) AS BIGINT) AS mins_into_day
+             |FROM events ORDER BY event_id""".stripMargin),
+      (s, d) => events(s, d).select(col("event_id"),
+        unix_timestamp(col("ts")).as("epoch_s"),
+        from_unixtime(unix_timestamp(col("ts"))).as("from_epoch"),
+        date_trunc("week", col("ts")).as("week_start"),
+        hour(col("ts")).cast("long").as("h"),
+        (hour(col("ts")) * 60 + minute(col("ts"))).cast("long").as("mins_into_day"))
+        .orderBy("event_id"))
+  )
+}

@@ -61,6 +61,19 @@ object SimQueries {
         .select("vec_id", "label", "rn")
         .orderBy("label", "rn")),
 
+    // range search: every vector within cosine ≥ 0.3 of the query (the
+    // radius-query companion to top-k; margins to 0.3 are ≥ 4e-4 at
+    // every SF — far beyond cross-engine float noise).
+    Q("sim_range_search",
+      Some("""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe, vec_id AS qid
+             |           FROM embeddings ORDER BY vec_id LIMIT 1)
+             |SELECT e.vec_id, e.label FROM embeddings e, q
+             |WHERE e.vec_id <> q.qid
+             |  AND list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe) >= 0.3
+             |ORDER BY e.vec_id""".stripMargin),
+      (s, d) => Similarity.rangeSearch(embeddings(s, d), 0.3)
+        .select("vec_id", "label").orderBy("vec_id")),
+
     // IVF: probe the 2 nearest label-centroid cells, scan only those.
     // Rows-only: the probe ranking depends on centroid-mean accumulation
     // order, which is not engine-stable (centroids are near each other).

@@ -67,6 +67,15 @@ object Similarity {
       .filter(col("rn") <= k)
   }
 
+  /** Radius query: all vectors with cosine ≥ threshold of the query
+    * vector — one broadcast + one filtered scan, no sort (unlike top-k
+    * this needs no TakeOrderedAndProject; selectivity does the work). */
+  def rangeSearch(emb: DataFrame, threshold: Double): DataFrame =
+    emb.crossJoin(broadcast(queryVector(emb)))
+      .filter(col("vec_id") =!= col("q_id"))
+      .filter(cosFast(emb)(col("embedding"), col("q_emb")) >= threshold)
+      .select(col("vec_id"), col("label"))
+
   /** Element-wise mean vector per label — the IVF coarse centroids.
     * posexplode → per-(label,pos) avg → re-assemble ordered array. */
   def labelCentroids(emb: DataFrame): DataFrame =
