@@ -12,9 +12,11 @@ object Ledger {
       "sql-surface" -> ops.SqlSurface.queries,
       "scale-mechanics" -> ops.Scale.queries,
       "extras" -> ops.Extras.queries,
+      "extras-2" -> ops.Extras2.queries,
       "typed/UDAF" -> ops.Typed.queries,
       "io/catalog" -> io.IoQueries.queries,
       "scalar-fns" -> functions.ExprQueries.queries,
+      "scalar-fns-2" -> functions.ExprQueries2.queries,
       "text-analysis" -> text.TextQueries.queries,
       "dedup" -> text.DedupQueries.queries,
       "similarity" -> sim.SimQueries.queries,
@@ -29,6 +31,10 @@ object Ledger {
         println(s"| $g | `${q.name}` | $check |")
       }
     }
+    val reg = Registry.all.map(_.name).toSet
+    val led = groups.flatMap(_._2).map(_.name).toSet
+    require(reg == led,
+      s"Ledger/Registry diverged: ${((reg diff led) ++ (led diff reg)).mkString(", ")}")
     val n = groups.map(_._2.size).sum
     val o = groups.flatMap(_._2).count(_.oracle.isDefined)
     println(s"\n${n} queries: ${o} oracle-checked, ${n - o} rows-only.")
