@@ -109,29 +109,35 @@ object Extras2 {
 
     // recursive CTE (Spark 4 WITH RECURSIVE): a 1995 month spine LEFT
     // JOINed to order counts — the calendar-densification shape.
+    // Scale note: orders is aggregated to per-month counts FIRST
+    // (distributed partial+final agg), and only the tiny spine joins the
+    // tiny aggregate — a spine-streaming outer join would force Spark to
+    // broadcast the fact table (BNLJ preserves the streamed side).
     Q("sql_recursive_cte",
       Some("""WITH RECURSIVE months(m) AS (
              |  SELECT DATE '1995-01-01'
              |  UNION ALL
              |  SELECT CAST(m + INTERVAL '1' MONTH AS DATE) FROM months
-             |  WHERE m < DATE '1995-12-01')
-             |SELECT m, count(o.o_orderkey) AS n_orders
-             |FROM months LEFT JOIN orders o
-             |  ON CAST(o.o_orderdate AS DATE) >= m
-             | AND CAST(o.o_orderdate AS DATE) < CAST(m + INTERVAL '1' MONTH AS DATE)
-             |GROUP BY m ORDER BY m""".stripMargin),
+             |  WHERE m < DATE '1995-12-01'),
+             |agg AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mo,
+             |               count(*) AS n
+             |        FROM orders GROUP BY 1)
+             |SELECT m, coalesce(n, 0) AS n_orders
+             |FROM months LEFT JOIN agg ON agg.mo = months.m
+             |ORDER BY m""".stripMargin),
       (s, d) => {
         SqlSurface.registerViews(s, d, "orders")
         s.sql("""WITH RECURSIVE months(m) AS (
                 |  SELECT DATE '1995-01-01'
                 |  UNION ALL
                 |  SELECT CAST(m + INTERVAL '1' MONTH AS DATE) FROM months
-                |  WHERE m < DATE '1995-12-01')
-                |SELECT m, count(o.o_orderkey) AS n_orders
-                |FROM months LEFT JOIN orders o
-                |  ON CAST(o.o_orderdate AS DATE) >= m
-                | AND CAST(o.o_orderdate AS DATE) < CAST(m + INTERVAL '1' MONTH AS DATE)
-                |GROUP BY m ORDER BY m""".stripMargin)
+                |  WHERE m < DATE '1995-12-01'),
+                |agg AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mo,
+                |               count(*) AS n
+                |        FROM orders GROUP BY 1)
+                |SELECT m, coalesce(n, 0) AS n_orders
+                |FROM months LEFT JOIN agg ON agg.mo = months.m
+                |ORDER BY m""".stripMargin)
       }),
 
     // ordered string aggregation (LISTAGG shape): deterministic via an

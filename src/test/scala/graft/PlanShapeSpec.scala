@@ -44,6 +44,25 @@ class PlanShapeSpec extends SparkSpec {
       s"unexpected exchange below the join:\n$p")
   }
 
+  test("sim_range_search broadcasts the 1-row query vector, never the corpus") {
+    val p = plan("sim_range_search")
+    assert(p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("TakeOrderedAndProject")) // the limit(1) query row
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("sql_recursive_cte aggregates the fact table before joining the spine") {
+    val p = plan("sql_recursive_cte")
+    // orders must reach the join pre-aggregated via an equi join; a
+    // BNLJ here would mean the fact table is being broadcast
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+  }
+
+  test("text_tfidf joins document frequencies with a broadcast hash join") {
+    assert(plan("text_tfidf").contains("BroadcastHashJoin"))
+  }
+
   test("column pruning: 2-column projection reads a 2-column schema") {
     val p = SparkEntry.queries("topk")(spark, sf0001)
       .queryExecution.executedPlan.toString
