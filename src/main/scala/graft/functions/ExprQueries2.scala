@@ -79,6 +79,23 @@ object ExprQueries2 {
             try_element_at(col("toks"), lit(2))))).cast("long").as("n_compact"))
         .orderBy("doc_id")),
 
+    // user-registered Scala UDF called through the SQL surface (the
+    // escape hatch the reference's per-row sentiment maps to; native
+    // expressions stay preferred — see expr_sentiment — but the
+    // registration surface itself must work).
+    Q("udf_sql",
+      Some("""SELECT doc_id,
+             |       regexp_replace(lower(text), '[^a-z0-9]+', '-', 'g') AS slug
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      (s, d) => {
+        s.udf.register("graft_slug", (t: String) =>
+          if (t == null) null
+          else t.toLowerCase.replaceAll("[^a-z0-9]+", "-"))
+        documents(s, d).createOrReplaceTempView("documents_u")
+        s.sql("""SELECT doc_id, graft_slug(text) AS slug
+                |FROM documents_u ORDER BY doc_id""".stripMargin)
+      }),
+
     // timestamp/epoch battery over events (UTC session both engines).
     Q("ts_funcs",
       Some("""SELECT event_id,

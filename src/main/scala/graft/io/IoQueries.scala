@@ -84,6 +84,17 @@ object IoQueries {
         s.read.orc(path).orderBy("s_suppkey")
       }),
 
+    // line-oriented text source/sink (spark.read.text — the raw-corpus
+    // ingest format; docs are single-line so the round-trip is lossless).
+    Q("src_text",
+      Some("SELECT text AS value FROM documents ORDER BY value"),
+      (s, d) => {
+        val path = tmp(d, "documents_text")
+        Tables.documents(s, d).select("text")
+          .write.mode("overwrite").text(path)
+        s.read.text(path).orderBy("value")
+      }),
+
     // S3 — catalog table scans (src_jdbc parity; models.py:8-35).
     Q("catalog_users",
       Some(s"""SELECT c_custkey AS id, c_name AS username,

@@ -62,6 +62,31 @@ object Typed {
           .orderBy("l_orderkey", "double_qty")
       }),
 
+    // typed cogroup: both sides grouped by the same key, one function
+    // sees each key's two iterators (the general two-input per-key op;
+    // plans as CoGroup over co-partitioned shuffles — one exchange per
+    // side, no join blow-up).
+    Q("typed_cogroup",
+      Some("""SELECT coalesce(o.k, l.k) AS o_key,
+             |       coalesce(o.n, 0) AS n_orders,
+             |       coalesce(l.n, 0) AS n_lines
+             |FROM (SELECT o_orderkey AS k, count(*) AS n FROM orders GROUP BY 1) o
+             |FULL OUTER JOIN
+             |     (SELECT l_orderkey AS k, count(*) AS n FROM lineitem GROUP BY 1) l
+             |  ON o.k = l.k
+             |ORDER BY o_key""".stripMargin),
+      (s, d) => {
+        import s.implicits._
+        val o = Tables.orders(s, d).select(col("o_orderkey")).as[Long]
+          .groupByKey(identity)
+        val l = Tables.lineitem(s, d).select(col("l_orderkey")).as[Long]
+          .groupByKey(identity)
+        o.cogroup(l) { (k, os, ls) =>
+          Iterator((k, os.size.toLong, ls.size.toLong))
+        }.toDF("o_key", "n_orders", "n_lines")
+          .orderBy("o_key")
+      }),
+
     // same-registered UDAF through the untyped/SQL surface.
     Q("typed_udaf_sql",
       Some("""SELECT l_returnflag, SUM(l_quantity) / count(*) AS avg_qty
