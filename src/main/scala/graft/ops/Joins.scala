@@ -90,6 +90,36 @@ object Joins {
           .orderBy("event_id")
       }),
 
+    // forward as-of join — for each purchase, the user's EARLIEST view
+    // at or after it (the mirror direction; same union + one-shuffle
+    // sort formulation, frame flipped to currentRow→following).
+    Q("join_asof_forward",
+      Some("""SELECT p.event_id, p.user_id, p.ts,
+             |       (SELECT min(v.ts) FROM events v
+             |        WHERE v.user_id = p.user_id AND v.event_type = 'view'
+             |          AND v.ts >= p.ts) AS next_view_ts
+             |FROM events p WHERE p.event_type = 'purchase'
+             |ORDER BY p.event_id""".stripMargin),
+      (s, d) => {
+        val ev = events(s, d)
+        val p = ev.filter(col("event_type") === "purchase").select(
+          col("user_id").as("k"), col("ts").as("t"), col("event_id"),
+          lit(null).cast("timestamp").as("v_ts"), lit(1).as("is_probe"))
+        val v = ev.filter(col("event_type") === "view").select(
+          col("user_id").as("k"), col("ts").as("t"),
+          lit(null).cast("long").as("event_id"),
+          col("ts").as("v_ts"), lit(0).as("is_probe"))
+        // probes sort before views at equal timestamps → ">=" semantics
+        val w = Window.partitionBy("k").orderBy(col("t"), col("is_probe").desc)
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        p.unionByName(v)
+          .withColumn("next_view_ts", first("v_ts", ignoreNulls = true).over(w))
+          .filter(col("is_probe") === 1)
+          .select(col("event_id"), col("k").as("user_id"), col("t").as("ts"),
+            col("next_view_ts"))
+          .orderBy("event_id")
+      }),
+
     // range join — events of the same user within 1 hour after each
     // signup: equi-key join with a range residual (the equi key bounds
     // the pair space; NOT a cross join).

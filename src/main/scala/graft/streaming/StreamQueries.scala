@@ -19,6 +19,16 @@ object StreamQueries {
              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
       (s, d) => Streams.hourlyEventAgg(s, d)),
 
+    // append-mode variant: only windows the final watermark
+    // (max ts − 1 h) has passed are emitted; open windows stay withheld.
+    Q("stream_append_window_agg",
+      Some("""SELECT ws, n FROM (
+             |  SELECT date_trunc('hour', ts) AS ws, count(*) AS n
+             |  FROM events GROUP BY 1) t
+             |WHERE ws + INTERVAL 1 HOUR <= (SELECT max(ts) - INTERVAL 1 HOUR FROM events)
+             |ORDER BY ws""".stripMargin),
+      (s, d) => Streams.hourlyEventAggAppend(s, d)),
+
     Q("stream_sliding_window",
       // a 1h-window/30m-slide event belongs to exactly two windows:
       // the one starting at its 30-min bucket and the one 30 min before.

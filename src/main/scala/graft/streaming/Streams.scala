@@ -51,6 +51,25 @@ object Streams {
     spark.table(name).orderBy("ws")
   }
 
+  /** Hourly counts in APPEND mode: a window row is emitted exactly once,
+    * when the watermark passes its end (and its state is dropped) — so
+    * the last, still-open windows are withheld. This is the eviction
+    * semantics a forever-running production stream relies on; the
+    * complete-mode variant above shows the full table instead. */
+  def hourlyEventAggAppend(spark: SparkSession, dir: String): DataFrame = {
+    val name = "graft_stream_hourly_append"
+    val q = eventsStream(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("n"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name).orderBy("ws")
+  }
+
   /** Sliding-window event counts per type (1h window, 30m slide). */
   def slidingEventCounts(spark: SparkSession, dir: String): DataFrame = {
     val name = "graft_stream_sliding"

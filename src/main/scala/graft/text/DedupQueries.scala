@@ -47,6 +47,33 @@ object DedupQueries {
       (s, d) => Dedup.dedupMinHash(documents(s, d), "doc_id", "text")
         .select("doc_id").orderBy("doc_id")),
 
+    // pair-level minhash contract: the verified near-dup pairs with
+    // their exact Jaccard (µ-scaled — both engines divide the same two
+    // ints, so the grid is exact).
+    Q("dedup_minhash_pairs",
+      Some("""WITH d AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
+             |    THEN list_transform(range(len(toks)-2),
+             |         i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])
+             |    ELSE [array_to_string(toks, ' ')] END) AS sh
+             |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), ' +') AS toks
+             |        FROM documents) t),
+             |inv AS (SELECT doc_id, unnest(sh) AS ng FROM d),
+             |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ns
+             |          FROM inv a JOIN inv b ON a.ng = b.ng AND a.doc_id < b.doc_id
+             |          GROUP BY 1, 2),
+             |sizes AS (SELECT doc_id, len(sh) AS n FROM d)
+             |SELECT id_a, id_b,
+             |       CAST(round(CAST(ns AS DOUBLE) / (sa.n + sb.n - ns) * 1e6) AS BIGINT) AS jaccard_e6
+             |FROM pairs
+             |JOIN sizes sa ON sa.doc_id = pairs.id_a
+             |JOIN sizes sb ON sb.doc_id = pairs.id_b
+             |WHERE CAST(ns AS DOUBLE) / (sa.n + sb.n - ns) >= 0.7
+             |ORDER BY id_a, id_b""".stripMargin),
+      (s, d) => Dedup.nearDupPairs(documents(s, d), "doc_id", "text", 0.7)
+        .select(col("id_a"), col("id_b"),
+          expr("CAST(round(jaccard * 1e6) AS BIGINT)").as("jaccard_e6"))
+        .orderBy("id_a", "id_b")),
+
     // SimHash fingerprints (+ prefix bucket) for every doc.
     Q("dedup_simhash",
       None,
