@@ -140,6 +140,49 @@ object Extras2 {
                 |ORDER BY m""".stripMargin)
       }),
 
+    // reproducible train/test split: hash-bucket assignment from md5 of
+    // the stable id — deterministic across engines, runs, cluster sizes
+    // and retries (never rand()/TABLESAMPLE, which are neither).
+    Q("split_train_test",
+      Some("""SELECT doc_id,
+             |       CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+             |                 IN ('0','1','2','3','4','5','6','7','8','9','a','b','c')
+             |            THEN 'train' ELSE 'test' END AS split
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      (s, d) => documents(s, d).select(col("doc_id"),
+        when(substring(md5(col("doc_id").cast("string")), 1, 1)
+          .isin("0123456789abc".map(_.toString): _*), "train")
+          .otherwise("test").as("split"))
+        .orderBy("doc_id")),
+
+    // edit-distance battery (fuzzy string matching): levenshtein + a
+    // µ-scaled normalized similarity ratio.
+    Q("fuzzy_str_funcs",
+      Some("""SELECT c_custkey,
+             |       CAST(levenshtein(c_mktsegment, 'BUILDING') AS BIGINT) AS lev_bld,
+             |       CAST(round((1.0 - CAST(levenshtein(c_mktsegment, 'BUILDING') AS DOUBLE)
+             |            / greatest(length(c_mktsegment), length('BUILDING'))) * 1e6) AS BIGINT) AS sim_e6
+             |FROM customer ORDER BY c_custkey""".stripMargin),
+      (s, d) => customer(s, d).select(col("c_custkey"),
+        levenshtein(col("c_mktsegment"), lit("BUILDING")).cast("long").as("lev_bld"),
+        expr("""CAST(round((1.0 - CAST(levenshtein(c_mktsegment, 'BUILDING') AS DOUBLE)
+                / greatest(length(c_mktsegment), length('BUILDING'))) * 1e6) AS BIGINT)""")
+          .as("sim_e6"))
+        .orderBy("c_custkey")),
+
+    // XML ingestion surface: from_xml over a wire-format column (built
+    // from events — the oracle checks the round-tripped value).
+    Q("xml_funcs",
+      Some("""SELECT event_id, CAST(user_id AS BIGINT) AS xml_uid
+             |FROM events ORDER BY event_id""".stripMargin),
+      (s, d) => events(s, d)
+        .withColumn("xml", concat(lit("<r><uid>"), col("user_id"), lit("</uid></r>")))
+        .select(col("event_id"),
+          from_xml(col("xml"),
+            org.apache.spark.sql.types.StructType.fromDDL("uid BIGINT"))
+            .getField("uid").as("xml_uid"))
+        .orderBy("event_id")),
+
     // ordered string aggregation (LISTAGG shape): deterministic via an
     // explicit sort of the collected list.
     Q("agg_stringagg",

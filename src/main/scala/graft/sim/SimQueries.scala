@@ -75,10 +75,24 @@ object SimQueries {
         .select("vec_id", "label").orderBy("vec_id")),
 
     // IVF: probe the 2 nearest label-centroid cells, scan only those.
-    // Rows-only: the probe ranking depends on centroid-mean accumulation
-    // order, which is not engine-stable (centroids are near each other).
+    // Oracle-able: the rank-2→rank-3 centroid-similarity gap is ≥ 0.009
+    // at every SF — five orders of magnitude above the avg-accumulation
+    // noise that makes raw centroid values engine-specific.
     Q("sim_topk_ivf",
-      None,
+      Some("""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe, vec_id AS qid
+             |           FROM embeddings ORDER BY vec_id LIMIT 1),
+             |pos AS (SELECT label, generate_subscripts(embedding, 1) AS p,
+             |               unnest(CAST(embedding AS DOUBLE[])) AS v
+             |        FROM embeddings),
+             |cent AS (SELECT label, p, avg(v) AS m FROM pos GROUP BY 1, 2),
+             |carr AS (SELECT label, list(m ORDER BY p) AS c FROM cent GROUP BY label),
+             |cells AS (SELECT label FROM carr, q
+             |          ORDER BY list_cosine_similarity(c, qe) DESC, label LIMIT 2)
+             |SELECT e.vec_id, e.label FROM embeddings e JOIN cells USING (label), q
+             |WHERE e.vec_id <> q.qid
+             |ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe) DESC,
+             |         e.vec_id
+             |LIMIT 10""".stripMargin),
       (s, d) => Similarity.ivfTopK(embeddings(s, d), 10, 2)
         .select("vec_id", "label")),
 
