@@ -96,11 +96,13 @@ object ExprQueries2 {
                 |FROM documents_u ORDER BY doc_id""".stripMargin)
       }),
 
-    // timestamp/epoch battery over events (UTC session both engines).
+    // timestamp/epoch battery over events. The oracle renders epoch
+    // seconds via make_timestamp (timezone-NAIVE) — to_timestamp would
+    // be TIMESTAMPTZ and silently depend on the check host's TimeZone.
     Q("ts_funcs",
       Some("""SELECT event_id,
              |       CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
-             |       strftime(to_timestamp(CAST(floor(epoch(ts)) AS BIGINT)), '%Y-%m-%d %H:%M:%S') AS from_epoch,
+             |       strftime(make_timestamp(CAST(floor(epoch(ts)) AS BIGINT) * 1000000), '%Y-%m-%d %H:%M:%S') AS from_epoch,
              |       CAST(date_trunc('week', ts) AS TIMESTAMP) AS week_start,
              |       CAST(hour(ts) AS BIGINT) AS h,
              |       CAST(hour(ts) * 60 + minute(ts) AS BIGINT) AS mins_into_day

@@ -91,8 +91,12 @@ object Joins {
       }),
 
     // forward as-of join — for each purchase, the user's EARLIEST view
-    // at or after it (the mirror direction; same union + one-shuffle
-    // sort formulation, frame flipped to currentRow→following).
+    // at or after it. Same union + one-shuffle formulation as the
+    // backward join, with the SORT mirrored (t desc) so the frame stays
+    // unboundedPreceding→currentRow: Spark evaluates that frame
+    // incrementally (O(n) per partition), whereas a
+    // currentRow→unboundedFollowing frame is re-evaluated per row
+    // (O(n²) — a hot key would straggle at scale).
     Q("join_asof_forward",
       Some("""SELECT p.event_id, p.user_id, p.ts,
              |       (SELECT min(v.ts) FROM events v
@@ -109,11 +113,11 @@ object Joins {
           col("user_id").as("k"), col("ts").as("t"),
           lit(null).cast("long").as("event_id"),
           col("ts").as("v_ts"), lit(0).as("is_probe"))
-        // probes sort before views at equal timestamps → ">=" semantics
-        val w = Window.partitionBy("k").orderBy(col("t"), col("is_probe").desc)
-          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        // descending time; views sort before probes at equal t → ">="
+        val w = Window.partitionBy("k").orderBy(col("t").desc, col("is_probe"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         p.unionByName(v)
-          .withColumn("next_view_ts", first("v_ts", ignoreNulls = true).over(w))
+          .withColumn("next_view_ts", last("v_ts", ignoreNulls = true).over(w))
           .filter(col("is_probe") === 1)
           .select(col("event_id"), col("k").as("user_id"), col("t").as("ts"),
             col("next_view_ts"))

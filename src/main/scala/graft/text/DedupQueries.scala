@@ -51,22 +51,12 @@ object DedupQueries {
     // their exact Jaccard (µ-scaled — both engines divide the same two
     // ints, so the grid is exact).
     Q("dedup_minhash_pairs",
-      Some("""WITH d AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
-             |    THEN list_transform(range(len(toks)-2),
-             |         i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])
-             |    ELSE [array_to_string(toks, ' ')] END) AS sh
-             |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), ' +') AS toks
-             |        FROM documents) t),
-             |inv AS (SELECT doc_id, unnest(sh) AS ng FROM d),
-             |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ns
-             |          FROM inv a JOIN inv b ON a.ng = b.ng AND a.doc_id < b.doc_id
-             |          GROUP BY 1, 2),
-             |sizes AS (SELECT doc_id, len(sh) AS n FROM d)
-             |SELECT id_a, id_b,
+      Some(s"""$jaccardCtePrefix
+             |SELECT ia AS id_a, ib AS id_b,
              |       CAST(round(CAST(ns AS DOUBLE) / (sa.n + sb.n - ns) * 1e6) AS BIGINT) AS jaccard_e6
              |FROM pairs
-             |JOIN sizes sa ON sa.doc_id = pairs.id_a
-             |JOIN sizes sb ON sb.doc_id = pairs.id_b
+             |JOIN sizes sa ON sa.doc_id = pairs.ia
+             |JOIN sizes sb ON sb.doc_id = pairs.ib
              |WHERE CAST(ns AS DOUBLE) / (sa.n + sb.n - ns) >= 0.7
              |ORDER BY id_a, id_b""".stripMargin),
       (s, d) => Dedup.nearDupPairs(documents(s, d), "doc_id", "text", 0.7)
@@ -91,23 +81,29 @@ object DedupQueries {
         .select("doc_id").orderBy("doc_id"))
   )
 
-  /** DuckDB oracle for the kept-corpus contract of the fuzzy dedups:
-    * drop the higher doc_id of every pair with exact distinct-3-shingle
-    * Jaccard ≥ threshold, using the same tokenization as
-    * graft.plans.MinHashKernel (lower → trim → split ' +'; short docs
-    * collapse to one whole-text shingle). */
+  /** Shared DuckDB CTE prefix: exact distinct-3-shingle sets, inverted
+    * index, shared-shingle pair counts, set sizes — the same
+    * tokenization as graft.plans.MinHashKernel (lower → trim →
+    * split ' +'; short docs collapse to one whole-text shingle). Both
+    * the kept-corpus and pair-level oracles build on THIS text, so the
+    * two contracts cannot silently diverge. */
+  private val jaccardCtePrefix: String =
+    """WITH d AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
+      |    THEN list_transform(range(len(toks)-2),
+      |         i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])
+      |    ELSE [array_to_string(toks, ' ')] END) AS sh
+      |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), ' +') AS toks
+      |        FROM documents) t),
+      |inv AS (SELECT doc_id, unnest(sh) AS ng FROM d),
+      |pairs AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS ns
+      |          FROM inv a JOIN inv b ON a.ng = b.ng AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |sizes AS (SELECT doc_id, len(sh) AS n FROM d)""".stripMargin
+
+  /** Kept-corpus oracle for the fuzzy dedups: drop the higher doc_id of
+    * every pair with exact shingle-Jaccard ≥ threshold. */
   private def jaccardKeptOracle(threshold: Double): String =
-    s"""WITH d AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
-       |    THEN list_transform(range(len(toks)-2),
-       |         i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])
-       |    ELSE [array_to_string(toks, ' ')] END) AS sh
-       |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), ' +') AS toks
-       |        FROM documents) t),
-       |inv AS (SELECT doc_id, unnest(sh) AS ng FROM d),
-       |pairs AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS ns
-       |          FROM inv a JOIN inv b ON a.ng = b.ng AND a.doc_id < b.doc_id
-       |          GROUP BY 1, 2),
-       |sizes AS (SELECT doc_id, len(sh) AS n FROM d),
+    s"""$jaccardCtePrefix,
        |dup AS (SELECT DISTINCT ib FROM pairs
        |        JOIN sizes sa ON sa.doc_id = pairs.ia
        |        JOIN sizes sb ON sb.doc_id = pairs.ib

@@ -30,6 +30,17 @@ object TextAnalysis {
   def punctCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[^A-Za-z0-9\\s]"), lit(0))).cast("long")
 
+  /** Lower-cased word bigrams ("a b" strings); sub-2-token docs yield an
+    * empty array. Shared by the text_ngram_counts query and its spec so
+    * the tested expression IS the shipped one. */
+  def bigramsCol(text: Column): Column = {
+    val toks = split(lower(trim(text)), " +")
+    when(size(toks) >= 2,
+      transform(sequence(lit(0), size(toks) - 2), i =>
+        concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2))))
+      .otherwise(array().cast("array<string>"))
+  }
+
   /** Quality features + a composite score in [0,1]-ish range. Division
     * guards via nullif so empty docs yield NULL, never an ANSI error. */
   def qualityColumns(text: Column): Seq[(String, Column)] = {

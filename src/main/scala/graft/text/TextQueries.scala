@@ -120,16 +120,10 @@ object TextQueries {
              |  FROM (SELECT string_split_regex(lower(trim(text)), ' +') AS toks
              |        FROM documents) t) u
              |GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 20""".stripMargin),
-      (s, d) => {
-        val toks = split(lower(trim(col("text"))), " +")
-        documents(s, d)
-          .select(explode(when(size(toks) >= 2,
-            transform(sequence(lit(0), size(toks) - 2), i =>
-              concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2))))
-            .otherwise(array().cast("array<string>"))).as("bigram"))
-          .groupBy("bigram").agg(count(lit(1)).as("cnt"))
-          .orderBy(col("cnt").desc, col("bigram")).limit(20)
-      }),
+      (s, d) => documents(s, d)
+        .select(explode(TextAnalysis.bigramsCol(col("text"))).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("bigram")).limit(20)),
 
     // TF-IDF top-3 terms per document. Both engines RANK on the
     // micro-scaled integer (round(tf·ln(N/df)·1e6)), so a last-ulp ln()

@@ -52,14 +52,10 @@ class Extras2Spec extends SparkSpec {
     assert(hits == all && hits.nonEmpty)
   }
 
-  test("bigram counts: literal check") {
-    val df = Seq("a b a b", "a b").toDF("text")
-      .withColumn("doc_id", lit(1L))
-    val toks = split(lower(trim(col("text"))), " +")
-    val bigrams = df.select(explode(when(size(toks) >= 2,
-      transform(sequence(lit(0), size(toks) - 2), i =>
-        concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2))))
-      .otherwise(array().cast("array<string>"))).as("bg"))
+  test("bigram counts: literal check through the shared shipped expression") {
+    val df = Seq("a b a b", "a b", "solo").toDF("text")
+    val bigrams = df
+      .select(explode(text.TextAnalysis.bigramsCol(col("text"))).as("bg"))
       .groupBy("bg").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(bigrams == Map("a b" -> 3L, "b a" -> 1L))
