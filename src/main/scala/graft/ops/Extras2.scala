@@ -183,6 +183,73 @@ object Extras2 {
             .getField("uid").as("xml_uid"))
         .orderBy("event_id")),
 
+    // aggregate FILTER clause + HAVING through the SQL parser (testdata
+    // has no NULLs, so conditional aggregation is derived via FILTER).
+    Q("agg_filter_having",
+      Some("""SELECT o_orderpriority,
+             |       count(*) AS n_all,
+             |       count(*) FILTER (WHERE o_totalprice > 150000) AS n_big,
+             |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+             |            FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS sum_f
+             |FROM orders GROUP BY o_orderpriority
+             |HAVING count(*) > 10
+             |ORDER BY o_orderpriority""".stripMargin),
+      (s, d) => {
+        SqlSurface.registerViews(s, d, "orders")
+        s.sql("""SELECT o_orderpriority,
+                |       count(*) AS n_all,
+                |       count(*) FILTER (WHERE o_totalprice > 150000) AS n_big,
+                |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                |            FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS sum_f
+                |FROM orders GROUP BY o_orderpriority
+                |HAVING count(*) > 10
+                |ORDER BY o_orderpriority""".stripMargin)
+      }),
+
+    // null-safe comparison battery over derived NULLs (nullif):
+    // IS [NOT] DISTINCT FROM (<=>), nvl2, and null-pinned ordering.
+    Q("null_safe_ops",
+      Some("""SELECT c_custkey,
+             |       nullif(c_mktsegment, 'BUILDING') AS seg_n,
+             |       c_mktsegment IS DISTINCT FROM 'BUILDING' AS not_bld,
+             |       nullif(c_mktsegment, 'BUILDING') IS NOT DISTINCT FROM NULL AS was_bld,
+             |       CASE WHEN nullif(c_mktsegment, 'BUILDING') IS NOT NULL
+             |            THEN 'kept' ELSE 'nulled' END AS nvl2_tag
+             |FROM customer ORDER BY c_custkey""".stripMargin),
+      (s, d) => customer(s, d).select(col("c_custkey"),
+        nullif(col("c_mktsegment"), lit("BUILDING")).as("seg_n"),
+        (!(col("c_mktsegment") <=> lit("BUILDING"))).as("not_bld"),
+        (nullif(col("c_mktsegment"), lit("BUILDING")) <=> lit(null)).as("was_bld"),
+        nvl2(nullif(col("c_mktsegment"), lit("BUILDING")),
+          lit("kept"), lit("nulled")).as("nvl2_tag"))
+        .orderBy("c_custkey")),
+
+    // DataFrameNaFunctions surface: fill + replace over derived NULLs.
+    Q("fillna_funcs",
+      Some("""SELECT c_custkey,
+             |       coalesce(nullif(c_mktsegment, 'BUILDING'), 'NONE') AS seg_filled,
+             |       CASE c_name WHEN 'Customer#000000001' THEN 'FIRST'
+             |            ELSE c_name END AS name_repl
+             |FROM customer ORDER BY c_custkey""".stripMargin),
+      (s, d) => customer(s, d)
+        .select(col("c_custkey"),
+          nullif(col("c_mktsegment"), lit("BUILDING")).as("seg_filled"),
+          col("c_name").as("name_repl"))
+        .na.fill(Map("seg_filled" -> "NONE"))
+        .na.replace("name_repl", Map("Customer#000000001" -> "FIRST"))
+        .orderBy("c_custkey")),
+
+    // explicit null ordering: DESC NULLS LAST (Spark's desc default is
+    // NULLS LAST, but the intent is pinned on both sides).
+    Q("sort_nulls_last",
+      Some("""SELECT c_custkey, nullif(c_mktsegment, 'BUILDING') AS seg_n
+             |FROM customer
+             |ORDER BY seg_n DESC NULLS LAST, c_custkey""".stripMargin),
+      (s, d) => customer(s, d)
+        .select(col("c_custkey"),
+          nullif(col("c_mktsegment"), lit("BUILDING")).as("seg_n"))
+        .orderBy(col("seg_n").desc_nulls_last, col("c_custkey"))),
+
     // ordered string aggregation (LISTAGG shape): deterministic via an
     // explicit sort of the collected list.
     Q("agg_stringagg",
