@@ -64,7 +64,7 @@ object Stateful {
   }
 
   /** Per-user sessions via flatMapGroupsWithState (append mode). */
-  def userSessions(spark: SparkSession, dir: String): Dataset[SessionOut] = {
+  def userSessions(spark: SparkSession, dir: String): Dataset[SessionOut] = Streams.withStreamParallelism(spark) {
     import spark.implicits._
     val name = "graft_stream_usersessions"
     val q = Streams.eventsStream(spark, dir)
@@ -119,7 +119,7 @@ object Stateful {
 
   /** Streaming per-user stats over the events parquet snapshot
     * (AvailableNow). Update output mode: one row per key per batch. */
-  def userStats(spark: SparkSession, dir: String): Dataset[UserStats] = {
+  def userStats(spark: SparkSession, dir: String): Dataset[UserStats] = Streams.withStreamParallelism(spark) {
     import spark.implicits._
     val name = "graft_stream_userstats"
     val q = Streams.eventsStream(spark, dir)
