@@ -192,7 +192,12 @@ object Dedup {
     graft.plans.GraftFunctions.register(df.sparkSession)
     val inv = df.select(col(idCol).as("id"),
       explode(array_distinct(call_function("shingles", col(textCol)))).as("ng"))
-    val sizes = inv.groupBy("id").agg(count(lit(1)).as("nsh"))
+    // set sizes straight off the docs scan (one pass, no shuffle) —
+    // deriving them from `inv` would recompute the posting table AND
+    // aggregate it: an extra shuffle of |postings| rows for a number
+    // already known per document.
+    val sizes = df.select(col(idCol).as("id"),
+      size(array_distinct(call_function("shingles", col(textCol)))).cast("long").as("nsh"))
     // group the posting list per n-gram (df-cutoff bounds the pair
     // explosion), emit pairs from the list, count shared n-grams per
     // pair — 3 shuffles total, no self-join of the posting table.
