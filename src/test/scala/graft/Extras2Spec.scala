@@ -7,6 +7,8 @@ import org.apache.spark.sql.functions._
 class Extras2Spec extends SparkSpec {
   import spark.implicits._
 
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
   test("recursive CTE spine has exactly 12 months, all 1995") {
     val rows = Registry.all.find(_.name == "sql_recursive_cte").get
       .fn(spark, sf0001).collect()
@@ -84,6 +86,60 @@ class Extras2Spec extends SparkSpec {
       .filter(col("doc_id").isin(kept.toSeq: _*))
       .select("lp").distinct().as[String].collect().toSeq
     assert(langs == Seq("en"))
+  }
+
+  test("train/test split is deterministic, total, and roughly 13/16 train") {
+    val q = Registry.all.find(_.name == "split_train_test").get
+    val a = q.fn(spark, sf0001).collect().map(r => r.getLong(0) -> r.getString(1))
+    val b = q.fn(spark, sf0001).collect().map(r => r.getLong(0) -> r.getString(1))
+    assert(a.toSeq == b.toSeq) // rerun-stable
+    val frac = a.count(_._2 == "train").toDouble / a.length
+    assert(frac > 0.6 && frac < 0.95) // 13 of 16 hex buckets ≈ 0.8125
+  }
+
+  test("null-safe equality: <=> treats NULL = NULL as true, = as unknown") {
+    val df = Seq((Some("x"), Some("x")), (None, None), (Some("x"), None))
+      .toDF("a", "b")
+    val r = df.select((col("a") <=> col("b")).as("nse"),
+      (col("a") === col("b")).as("eq")).collect()
+    assert(r.map(_.getBoolean(0)).toSeq == Seq(true, true, false))
+    assert(r.map(x => Option(x.get(1))).toSeq == Seq(Some(true), None, None))
+  }
+
+  test("xml round-trip extracts the embedded value") {
+    val rows = Registry.all.find(_.name == "xml_funcs").get
+      .fn(spark, sf0001).limit(50).collect()
+    val ev = io.Tables.events(spark, sf0001)
+      .select("event_id", "user_id").limit(50).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach(r => assert(r.getLong(1) == ev(r.getLong(0))))
+  }
+
+  test("forward as-of picks the earliest view at-or-after (ties inclusive)") {
+    val events = Seq(
+      (1L, 10L, ts("2024-01-10 00:00:00"), "purchase"),
+      (2L, 10L, ts("2024-01-10 00:00:00"), "view"), // same instant → counts
+      (3L, 10L, ts("2024-01-12 00:00:00"), "view"),
+      (4L, 20L, ts("2024-01-10 00:00:00"), "purchase") // no view after → null
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val p = events.filter(col("event_type") === "purchase").select(
+      col("user_id").as("k"), col("ts").as("t"), col("event_id"),
+      lit(null).cast("timestamp").as("v_ts"), lit(1).as("is_probe"))
+    val v = events.filter(col("event_type") === "view").select(
+      col("user_id").as("k"), col("ts").as("t"),
+      lit(null).cast("long").as("event_id"),
+      col("ts").as("v_ts"), lit(0).as("is_probe"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("k").orderBy(col("t").desc, col("is_probe"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val out = p.unionByName(v)
+      .withColumn("next_view_ts", last("v_ts", ignoreNulls = true).over(w))
+      .filter(col("is_probe") === 1)
+      .select("event_id", "next_view_ts").collect()
+      .map(r => r.getLong(0) -> Option(r.getTimestamp(1))).toMap
+    assert(out(1L).contains(ts("2024-01-10 00:00:00"))) // the tied view
+    assert(out(4L).isEmpty)
   }
 
   test("dropDuplicatesWithinWatermark emits each key once") {
