@@ -16,6 +16,10 @@ run / fork := true
 // the driver's json parse of Bench's one-line output fails.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ...and suppress sbt's trailing "[success] Total time: ..." line so the
+// json line Bench prints is the LAST line of stdout (round-2 BENCH had
+// parsed:null because [success] trailed the json).
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -37,8 +37,11 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // Stop Spark BEFORE printing so nothing (shutdown logging included)
+    // can land on stdout after the json line — the driver parses the
+    // last line of stdout.
+    spark.stop()
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    spark.stop()
   }
 }
