@@ -13,6 +13,7 @@ object Ledger {
       "scale-mechanics" -> ops.Scale.queries,
       "extras" -> ops.Extras.queries,
       "extras-2" -> ops.Extras2.queries,
+      "extras-3" -> ops.Extras3.queries,
       "typed/UDAF" -> ops.Typed.queries,
       "io/catalog" -> io.IoQueries.queries,
       "scalar-fns" -> functions.ExprQueries.queries,

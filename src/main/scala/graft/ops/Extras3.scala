@@ -1,0 +1,187 @@
+package graft.ops
+
+import graft.Q
+import graft.io.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-3 operators: SCD-2 interval building (CDC history), single-pass
+  * data profiling, PII masking, deterministic stratified sampling, and
+  * small-file compaction — the warehouse-maintenance surface around the
+  * core query engine.
+  */
+object Extras3 {
+
+  def queries: Seq[Q] = Seq(
+    // SCD Type-2 dimension build from the event log: per user, one row
+    // per consecutive run of the same event_type, with validity
+    // interval [valid_from, valid_to) and NULL valid_to = current.
+    Q("scd2_intervals",
+      Some("""WITH c AS (
+             |  SELECT user_id, event_type, ts, event_id,
+             |         CASE WHEN lag(event_type) OVER
+             |                (PARTITION BY user_id ORDER BY ts, event_id)
+             |              IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+             |  FROM events),
+             |v AS (
+             |  SELECT user_id, event_type, ts,
+             |         sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |                        ROWS UNBOUNDED PRECEDING) AS version
+             |  FROM c),
+             |g AS (
+             |  SELECT user_id, version, min(event_type) AS event_type,
+             |         min(ts) AS valid_from, count(*) AS n_events
+             |  FROM v GROUP BY user_id, version)
+             |SELECT user_id, CAST(version AS BIGINT) AS version, event_type, valid_from,
+             |       lead(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+             |         AS valid_to,
+             |       n_events
+             |FROM g ORDER BY user_id, version""".stripMargin),
+      (s, d) => Scd.buildScd2(Tables.events(s, d),
+        col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumnRenamed("key", "user_id")
+        .withColumnRenamed("attr", "event_type")
+        .orderBy("user_id", "version")),
+
+    // single-pass column profiling (the data-quality sweep a pipeline
+    // runs before training): null counts, exact distinct counts, and
+    // min/max per column, computed in ONE aggregation and unpivoted
+    // with stack. Exact multi-column distinct plans as one Expand pass
+    // (rows × 5) — at 100 TB swap count_distinct for
+    // approx_count_distinct and the Expand disappears; the shape here
+    // keeps the oracle exact. Numerics are micro-scaled to cents so the
+    // cross-engine hash compares integers.
+    Q("dq_profile",
+      Some("""SELECT 'c_acctbal' AS col_name, count(*) AS n_rows,
+             |       count(*) - count(c_acctbal) AS n_nulls,
+             |       count(DISTINCT c_acctbal) AS n_distinct,
+             |       CAST(round(min(c_acctbal)*100) AS BIGINT) AS min_num,
+             |       CAST(round(max(c_acctbal)*100) AS BIGINT) AS max_num,
+             |       CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+             |FROM customer
+             |UNION ALL
+             |SELECT 'c_custkey', count(*), count(*) - count(c_custkey),
+             |       count(DISTINCT c_custkey), min(c_custkey), max(c_custkey),
+             |       NULL, NULL FROM customer
+             |UNION ALL
+             |SELECT 'c_mktsegment', count(*), count(*) - count(c_mktsegment),
+             |       count(DISTINCT c_mktsegment), NULL, NULL,
+             |       min(c_mktsegment), max(c_mktsegment) FROM customer
+             |UNION ALL
+             |SELECT 'c_name', count(*), count(*) - count(c_name),
+             |       count(DISTINCT c_name), NULL, NULL,
+             |       min(c_name), max(c_name) FROM customer
+             |UNION ALL
+             |SELECT 'c_nationkey', count(*), count(*) - count(c_nationkey),
+             |       count(DISTINCT c_nationkey), min(c_nationkey), max(c_nationkey),
+             |       NULL, NULL FROM customer
+             |ORDER BY col_name""".stripMargin),
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val agg = c.agg(
+          count(lit(1)).as("n"),
+          count(col("c_custkey")).as("nn_key"),
+          count_distinct(col("c_custkey")).as("nd_key"),
+          min(col("c_custkey")).as("min_key"),
+          max(col("c_custkey")).as("max_key"),
+          count(col("c_nationkey")).as("nn_nat"),
+          count_distinct(col("c_nationkey")).as("nd_nat"),
+          min(col("c_nationkey")).cast("long").as("min_nat"),
+          max(col("c_nationkey")).cast("long").as("max_nat"),
+          count(col("c_acctbal")).as("nn_bal"),
+          count_distinct(col("c_acctbal")).as("nd_bal"),
+          expr("CAST(round(min(c_acctbal)*100) AS BIGINT)").as("min_bal"),
+          expr("CAST(round(max(c_acctbal)*100) AS BIGINT)").as("max_bal"),
+          count(col("c_name")).as("nn_name"),
+          count_distinct(col("c_name")).as("nd_name"),
+          min(col("c_name")).as("min_name"),
+          max(col("c_name")).as("max_name"),
+          count(col("c_mktsegment")).as("nn_seg"),
+          count_distinct(col("c_mktsegment")).as("nd_seg"),
+          min(col("c_mktsegment")).as("min_seg"),
+          max(col("c_mktsegment")).as("max_seg"))
+        agg.select(expr(
+          """stack(5,
+            |  'c_acctbal',   n - nn_bal,  nd_bal,  min_bal, max_bal,
+            |      CAST(NULL AS STRING), CAST(NULL AS STRING),
+            |  'c_custkey',   n - nn_key,  nd_key,  min_key, max_key,
+            |      CAST(NULL AS STRING), CAST(NULL AS STRING),
+            |  'c_mktsegment', n - nn_seg, nd_seg,  CAST(NULL AS BIGINT),
+            |      CAST(NULL AS BIGINT), min_seg, max_seg,
+            |  'c_name',      n - nn_name, nd_name, CAST(NULL AS BIGINT),
+            |      CAST(NULL AS BIGINT), min_name, max_name,
+            |  'c_nationkey', n - nn_nat,  nd_nat,  min_nat, max_nat,
+            |      CAST(NULL AS STRING), CAST(NULL AS STRING))
+            |  AS (col_name, n_nulls, n_distinct, min_num, max_num,
+            |      min_str, max_str)""".stripMargin),
+          col("n").as("n_rows"))
+          .select("col_name", "n_rows", "n_nulls", "n_distinct",
+            "min_num", "max_num", "min_str", "max_str")
+          .orderBy("col_name")
+      }),
+
+    // PII masking (the redaction pass before a corpus leaves the
+    // boundary): digits starred out, a stable join token (md5) kept for
+    // linkage, the numeric balance generalized to a coarse band.
+    Q("pipeline_pii_mask",
+      Some("""SELECT c_custkey,
+             |       regexp_replace(c_name, '[0-9]', '*', 'g') AS name_masked,
+             |       md5(c_name) AS name_token,
+             |       CASE WHEN c_acctbal < 0 THEN 'negative'
+             |            WHEN c_acctbal < 5000 THEN 'low' ELSE 'high' END AS bal_band
+             |FROM customer ORDER BY c_custkey""".stripMargin),
+      (s, d) => Tables.customer(s, d).select(
+        col("c_custkey"),
+        regexp_replace(col("c_name"), "[0-9]", "*").as("name_masked"),
+        md5(col("c_name")).as("name_token"),
+        when(col("c_acctbal") < 0, "negative")
+          .when(col("c_acctbal") < 5000, "low")
+          .otherwise("high").as("bal_band"))
+        .orderBy("c_custkey")),
+
+    // deterministic stratified sampling: fixed-size per-stratum sample
+    // selected by a Knuth-hash order, reproducible across engines and
+    // runs (a training-data pipeline samples per source/language with
+    // exactly this shape). One shuffle on the stratum key; rank + filter
+    // push the per-stratum limit into the window operator.
+    Q("sample_stratified",
+      Some("""SELECT c_custkey, c_mktsegment, rn FROM (
+             |  SELECT c_custkey, c_mktsegment,
+             |         CAST(row_number() OVER (PARTITION BY c_mktsegment
+             |              ORDER BY (c_custkey * 2654435761) % 4294967296, c_custkey)
+             |           AS BIGINT) AS rn
+             |  FROM customer) t
+             |WHERE rn <= 50 ORDER BY c_mktsegment, rn""".stripMargin),
+      (s, d) => Tables.customer(s, d)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("c_mktsegment"))
+            .orderBy((col("c_custkey") * lit(2654435761L)) % lit(4294967296L),
+              col("c_custkey"))).cast("long"))
+        .filter(col("rn") <= 50)
+        .select("c_custkey", "c_mktsegment", "rn")
+        .orderBy("c_mktsegment", "rn")),
+
+    // small-file compaction (the maintenance job that keeps a 100 TB
+    // table scannable): rewrite the table into exactly 4 files via
+    // repartition — round-robin, so files are balanced — then prove the
+    // round-trip from the compacted copy: file count off the parquet
+    // _metadata column, row count, and an exact key checksum.
+    Q("sink_compact",
+      Some("""SELECT CAST(4 AS BIGINT) AS n_files, count(*) AS n_rows,
+             |       CAST(sum(l_orderkey) AS BIGINT) AS key_sum,
+             |       CAST(sum(l_quantity) AS BIGINT) AS qty_sum
+             |FROM lineitem""".stripMargin),
+      (s, d) => {
+        val path = s"${sys.props("java.io.tmpdir")}/graft_io_${d.replaceAll("[^A-Za-z0-9]", "_")}/lineitem_compact"
+        Tables.lineitem(s, d).repartition(4)
+          .write.mode("overwrite").parquet(path)
+        s.read.parquet(path).select(
+            col("l_orderkey"), col("l_quantity"),
+            col("_metadata.file_path").as("fp"))
+          .agg(count_distinct(col("fp")).as("n_files"),
+            count(lit(1)).as("n_rows"),
+            sum(col("l_orderkey")).as("key_sum"),
+            sum(col("l_quantity")).cast("long").as("qty_sum"))
+      })
+  )
+}

@@ -55,6 +55,22 @@ object StreamQueries {
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
       (s, d) => Streams.dedupedWithinWatermarkCounts(s, d)),
 
+    // watermark LATE-DATA DROP (see Streams.lateDropHourlyCounts for
+    // the 3-batch arrival choreography): on-time rows (evens + the last
+    // 3 h) are counted; the purely-late odd rows arrive after their
+    // windows were evicted and are dropped. Emitted windows are those
+    // the final watermark (max ts − 1 h) passed — append mode, as in
+    // stream_append_window_agg.
+    Q("stream_late_drop",
+      Some("""WITH mx AS (SELECT max(ts) AS m FROM events),
+             |kept AS (
+             |  SELECT date_trunc('hour', ts) AS ws FROM events, mx
+             |  WHERE event_id % 2 = 0 OR ts >= mx.m - INTERVAL 3 HOUR)
+             |SELECT ws, count(*) AS n FROM kept, mx
+             |WHERE ws + INTERVAL 1 HOUR <= mx.m - INTERVAL 1 HOUR
+             |GROUP BY ws ORDER BY ws""".stripMargin),
+      (s, d) => Streams.lateDropHourlyCounts(s, d)),
+
     // stream-stream join with watermark-bounded state.
     Q("stream_stream_join",
       Some("""SELECT p.event_id AS p_id, v.event_id AS v_id, p.user_id AS p_user

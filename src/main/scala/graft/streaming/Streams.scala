@@ -138,6 +138,86 @@ object Streams {
     spark.table(name).orderBy("event_type")
   }
 
+  /** Watermark late-data DROP, demonstrated end-to-end. The events
+    * snapshot arrives as THREE micro-batches:
+    *
+    *  1. evens + every row from the last 3 h (spans the full range →
+    *     the watermark lands at max ts − 1 h after this batch);
+    *  2. the single max-ts row alone (re-delivery of a row already
+    *     seen) — its only job is to BE a batch, so window eviction at
+    *     the now-final watermark happens before the late rows arrive;
+    *     its own window ends after the watermark, so it stays withheld
+    *     and never surfaces;
+    *  3. the remaining odds — every one ≥ 2 h out-of-order, landing in
+    *     windows whose state was already evicted → DROPPED
+    *     (numRowsDroppedByWatermark counts them).
+    *
+    * Probed semantics (Spark 4.1): a late row is only dropped once its
+    * window's state has been EVICTED — rows older than the watermark
+    * whose window is still live are merged (batch-parity). The 3-h band
+    * in batch 1 keeps every window that straddles the two candidate
+    * filter boundaries out of batch 3, so the result is deterministic
+    * regardless of which batch's watermark does the filtering. Append
+    * mode, so each emitted window is final.
+    */
+  def lateDropHourlyCounts(spark: SparkSession, dir: String): DataFrame = withStreamParallelism(spark) {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.nio.file.attribute.FileTime
+    val name = "graft_stream_latedrop"
+    val ev = graft.io.Tables.events(spark, dir)
+    val tmpRoot = sys.props("java.io.tmpdir")
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val stageDir = Paths.get(tmpRoot, s"graft_stream_late_$tag")
+    Files.createDirectories(stageDir)
+    // clear any previous staging (a stale extra file would change the
+    // batch structure the semantics depend on)
+    locally {
+      val ls = Files.list(stageDir)
+      try ls.forEach(p => Files.deleteIfExists(p)) finally ls.close()
+    }
+    // one single-file parquet per arrival; modification times force the
+    // file-source admission order (oldest first), re-set on every run
+    // so a stale stage dir can't flip it.
+    def stage(df: org.apache.spark.sql.DataFrame, fileName: String,
+        mtimeMs: Long): Unit = {
+      val outDir = Paths.get(tmpRoot, s"graft_stream_late_build_${tag}_$fileName")
+      df.coalesce(1).write.mode("overwrite").parquet(outDir.toString)
+      val ls = Files.list(outDir)
+      val part = try ls.filter(p => p.getFileName.toString.startsWith("part-"))
+        .findFirst().get() finally ls.close()
+      Files.move(part, stageDir.resolve(fileName),
+        StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(stageDir.resolve(fileName),
+        FileTime.fromMillis(mtimeMs))
+    }
+    val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+    val recent = col("ts") >= lit(maxTs) - expr("INTERVAL 3 HOURS")
+    val now = System.currentTimeMillis()
+    stage(ev.filter(col("event_id") % 2 === 0 || recent),
+      "a_ontime.parquet", now - 120000)
+    stage(ev.filter(col("ts") === lit(maxTs)), "b_tick.parquet", now - 60000)
+    stage(ev.filter(col("event_id") % 2 === 1 && !recent),
+      "c_late.parquet", now)
+    val schema = spark.read.parquet(stageDir.toString).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(stageDir.toString)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("n"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    if (sys.env.contains("GRAFT_STREAM_DEBUG"))
+      q.recentProgress.foreach(p => System.err.println(
+        s"[latedrop] batch=${p.batchId} in=${p.numInputRows} eventTime=${p.eventTime} " +
+          p.stateOperators.map(so => s"dropped=${so.numRowsDroppedByWatermark} " +
+            s"updated=${so.numRowsUpdated} removed=${so.numRowsRemoved}").mkString(";")))
+    spark.table(name).orderBy("ws")
+  }
+
   /** Stream-static join: the streaming fact joins a broadcast static
     * dimension (the canonical enrichment topology — no stream state). */
   def enrichedPurchases(spark: SparkSession, dir: String): DataFrame = {

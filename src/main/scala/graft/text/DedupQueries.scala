@@ -70,6 +70,38 @@ object DedupQueries {
       (s, d) => Dedup.withSimHash(documents(s, d), "text")
         .select("doc_id", "simhash", "sim_bucket").orderBy("doc_id")),
 
+    // duplicate-group assignment: connected components over the
+    // verified near-dup pairs (docs in no pair form their own group).
+    // A pipeline picks survivors / caps group sizes from THIS table;
+    // the kept-corpus queries above are its one-survivor projection.
+    // Oracle: transitive closure via recursive CTE over the same exact
+    // Jaccard ≥ 0.7 pairs.
+    Q("dedup_clusters",
+      Some(s"""${jaccardCtePrefix.replaceFirst("WITH ", "WITH RECURSIVE ")},
+             |e AS (SELECT ia AS a, ib AS b FROM pairs
+             |      JOIN sizes sa ON sa.doc_id = pairs.ia
+             |      JOIN sizes sb ON sb.doc_id = pairs.ib
+             |      WHERE CAST(ns AS DOUBLE) / (sa.n + sb.n - ns) >= 0.7),
+             |edges AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+             |reach AS (SELECT a AS s, b AS t FROM edges
+             |          UNION SELECT r.s, e2.b FROM reach r JOIN edges e2 ON r.t = e2.a),
+             |cl AS (SELECT s AS doc_id, least(s, min(t)) AS cluster_id
+             |       FROM reach GROUP BY s)
+             |SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS cluster_id
+             |FROM documents d LEFT JOIN cl USING (doc_id)
+             |ORDER BY doc_id""".stripMargin),
+      (s, d) => {
+        val docs = documents(s, d)
+        val edges = Dedup.nearDupPairs(docs, "doc_id", "text", 0.7)
+          .select("id_a", "id_b")
+        val cc = graft.ops.Graph.connectedComponents(edges, 6)
+          .withColumnRenamed("id", "doc_id")
+        docs.select("doc_id").join(cc, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("component"), col("doc_id")).as("cluster_id"))
+          .orderBy("doc_id")
+      }),
+
     // n-gram-Jaccard near-dedup → kept corpus (inverted index with
     // df-cutoff, count-based Jaccard ≥ 0.5). Oracle: same count-based
     // Jaccard in DuckDB (df cutoff omitted — max shingle df is 25 on

@@ -63,6 +63,25 @@ class StreamingSpec extends SparkSpec {
     assert(n3 == 2000L, s"incremental run landed $n3")
   }
 
+  test("late-data drop: late rows excluded, on-time rows kept, windows final") {
+    val got = graft.streaming.Streams.lateDropHourlyCounts(spark, sf0001)
+      .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    val ev = io.Tables.events(spark, sf0001)
+    val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+    val expected = ev
+      .filter(col("event_id") % 2 === 0 ||
+        col("ts") >= lit(maxTs) - expr("INTERVAL 3 HOURS"))
+      .groupBy(date_trunc("hour", col("ts")).as("ws"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("ws") + expr("INTERVAL 1 HOUR") <=
+        lit(maxTs) - expr("INTERVAL 1 HOUR"))
+      .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+    // and it genuinely dropped something: the full batch agg differs
+    val full = ev.groupBy(date_trunc("hour", col("ts"))).count().count()
+    assert(got.size < full)
+  }
+
   test("stateful user stats match batch counts") {
     val got = graft.streaming.Stateful.userStats(spark, sf0001)
       .collect().map(u => u.user_id -> (u.n_events, u.n_purchases)).toMap
