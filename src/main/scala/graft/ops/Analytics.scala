@@ -1,0 +1,119 @@
+package graft.ops
+
+import graft.Q
+import graft.io.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product/behavioral analytics over the event log [EXT]: funnel
+  * conversion, cohort retention, rolling anomaly scores. The OLAP
+  * shapes a SaaS ETL product reports from its event table — each one
+  * shuffle-conscious: everything reduces to keyed aggregations or
+  * per-key windows, never a self-join of the raw log.
+  */
+object Analytics {
+
+  def queries: Seq[Q] = Seq(
+    // funnel: first view → first purchase strictly after it, per user.
+    // Two filtered aggregations on the user key + one join of the two
+    // (already co-partitioned) per-user tables; the raw log is scanned
+    // twice but never self-joined at event granularity.
+    Q("funnel_conversion",
+      Some("""WITH fv AS (SELECT user_id, min(ts) AS first_view
+             |            FROM events WHERE event_type = 'view' GROUP BY 1),
+             |fp AS (SELECT e.user_id, min(e.ts) AS first_purchase
+             |       FROM events e JOIN fv ON e.user_id = fv.user_id
+             |       WHERE e.event_type = 'purchase' AND e.ts > fv.first_view
+             |       GROUP BY 1)
+             |SELECT fv.user_id, fv.first_view, fp.first_purchase,
+             |       fp.first_purchase IS NOT NULL AS converted
+             |FROM fv LEFT JOIN fp USING (user_id)
+             |ORDER BY user_id""".stripMargin),
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val fv = ev.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min(col("ts")).as("first_view"))
+        val fp = ev.filter(col("event_type") === "purchase")
+          .join(fv, "user_id")
+          .filter(col("ts") > col("first_view"))
+          .groupBy("user_id").agg(min(col("ts")).as("first_purchase"))
+        fv.join(fp, Seq("user_id"), "left")
+          .select(col("user_id"), col("first_view"), col("first_purchase"),
+            col("first_purchase").isNotNull.as("converted"))
+          .orderBy("user_id")
+      }),
+
+    // cohort retention: users grouped by first-activity week; for each
+    // (cohort, week-offset) the distinct active users. The classic
+    // retention triangle — one agg for cohorts, one distinct-activity
+    // agg, one join on the user key, final count per cell. date_trunc
+    // lands both engines on Monday-start weeks; offsets are exact
+    // multiples of 7 days, so the integer division is lossless.
+    Q("cohort_retention",
+      Some("""WITH f AS (SELECT user_id,
+             |                  CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort
+             |            FROM events GROUP BY 1),
+             |a AS (SELECT DISTINCT user_id,
+             |             CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk
+             |      FROM events)
+             |SELECT f.cohort,
+             |       CAST(date_diff('day', f.cohort, a.wk) / 7 AS BIGINT) AS week_offset,
+             |       count(DISTINCT a.user_id) AS n_active
+             |FROM a JOIN f ON a.user_id = f.user_id
+             |GROUP BY 1, 2 ORDER BY cohort, week_offset""".stripMargin),
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val f = ev.groupBy("user_id")
+          .agg(date_trunc("week", min(col("ts"))).as("cohort"))
+        val a = ev.select(col("user_id"),
+          date_trunc("week", col("ts")).as("wk")).distinct()
+        a.join(f, "user_id")
+          .groupBy(col("cohort"),
+            (datediff(col("wk"), col("cohort")) / 7).cast("long").as("week_offset"))
+          .agg(count_distinct(col("user_id")).as("n_active"))
+          .orderBy("cohort", "week_offset")
+      }),
+
+    // rolling z-score anomaly detection: each event's value scored
+    // against the trailing 100 events of its type (full frames only —
+    // the warm-up rows where the frame is short have degenerate
+    // variance). Mean/variance come from EXACT decimal window sums (the
+    // double product value*value rounds identically to 6 decimals in
+    // both engines), every subsequent op (division, sqrt, multiply) is
+    // IEEE-exact on identical inputs, and the result lands on the 1e-6
+    // grid (SCALE.md float policy). One shuffle on event_type, one
+    // in-partition sort — the streaming-friendly anomaly shape.
+    Q("window_zscore",
+      Some("""SELECT event_id,
+             |       CAST(round(
+             |         (value - s1 / n) /
+             |         sqrt(nullif(s2 / n - (s1 / n) * (s1 / n), 0)) * 1e6)
+             |         AS BIGINT) AS z_e6
+             |FROM (
+             |  SELECT event_id, value,
+             |         CAST(sum(CAST(value AS DECIMAL(25,6))) OVER w AS DOUBLE) AS s1,
+             |         CAST(sum(CAST(value * value AS DECIMAL(25,6))) OVER w AS DOUBLE) AS s2,
+             |         CAST(count(*) OVER w AS DOUBLE) AS n
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+             |               ROWS BETWEEN 99 PRECEDING AND CURRENT ROW)) t
+             |WHERE n = 100
+             |ORDER BY event_id""".stripMargin),
+      (s, d) => {
+        val w = Window.partitionBy("event_type")
+          .orderBy(col("ts"), col("event_id")).rowsBetween(-99, 0)
+        Tables.events(s, d).select(col("event_id"), col("value"),
+          sum(col("value").cast("decimal(25,6)")).over(w).cast("double").as("s1"),
+          sum((col("value") * col("value")).cast("decimal(25,6)")).over(w)
+            .cast("double").as("s2"),
+          count(lit(1)).over(w).cast("double").as("n"))
+          .filter(col("n") === 100.0)
+          .select(col("event_id"),
+            expr("""CAST(round(
+                   |  (value - s1 / n) /
+                   |  sqrt(nullif(s2 / n - (s1 / n) * (s1 / n), 0)) * 1e6)
+                   |  AS BIGINT)""".stripMargin).as("z_e6"))
+          .orderBy("event_id")
+      })
+  )
+}

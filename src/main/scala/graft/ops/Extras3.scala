@@ -161,6 +161,60 @@ object Extras3 {
         .select("c_custkey", "c_mktsegment", "rn")
         .orderBy("c_mktsegment", "rn")),
 
+    // schema-evolution union: unionByName with allowMissingColumns —
+    // the append that survives a producer adding/dropping columns
+    // (missing columns null-fill; position never matters). The oracle
+    // is DuckDB's UNION ALL BY NAME.
+    Q("set_union_byname",
+      Some("""SELECT * FROM (
+             |  SELECT c_custkey, c_name, 'dim' AS src FROM customer
+             |  UNION ALL BY NAME
+             |  SELECT c_custkey, CAST(round(c_acctbal*100) AS BIGINT) AS bal_cents,
+             |         'fact' AS src FROM customer)
+             |ORDER BY c_custkey, src""".stripMargin),
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val dim = c.select(col("c_custkey"), col("c_name"), lit("dim").as("src"))
+        val fact = c.select(col("c_custkey"),
+          expr("CAST(round(c_acctbal*100) AS BIGINT)").as("bal_cents"),
+          lit("fact").as("src"))
+        dim.unionByName(fact, allowMissingColumns = true)
+          .orderBy("c_custkey", "src")
+      }),
+
+    // join-strategy hint surface: force a shuffled hash join where the
+    // planner would broadcast — the knob an engine user reaches for
+    // when the "small" side stops fitting (broadcast OOM) but sorting
+    // both sides (SMJ) is still overkill. PlanShapeSpec pins the
+    // physical operator.
+    Q("join_hinted",
+      Some("""SELECT o_orderkey, c_name FROM orders
+             |JOIN customer ON o_custkey = c_custkey
+             |ORDER BY o_orderkey""".stripMargin),
+      (s, d) => Tables.orders(s, d)
+        .join(Tables.customer(s, d).hint("shuffle_hash"),
+          col("o_custkey") === col("c_custkey"))
+        .select("o_orderkey", "c_name").orderBy("o_orderkey")),
+
+    // semi-structured VARIANT (Spark 4): parse once into the binary
+    // variant encoding, then typed path extraction — the open-schema
+    // ingestion shape (at 100 TB, parse_json once at ingest and store
+    // VARIANT; variant_get is then sub-linear in document size, no
+    // re-parse per query).
+    Q("json_variant",
+      Some("""SELECT event_id,
+             |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int,
+             |       json_extract_string(props, '$.k') AS k_str,
+             |       json_extract_string(props, '$.missing') AS missing_str
+             |FROM events ORDER BY event_id""".stripMargin),
+      (s, d) => Tables.events(s, d)
+        .select(col("event_id"), parse_json(col("props")).as("v"))
+        .select(col("event_id"),
+          expr("variant_get(v, '$.k', 'bigint')").as("k_int"),
+          expr("variant_get(v, '$.k', 'string')").as("k_str"),
+          expr("variant_get(v, '$.missing', 'string')").as("missing_str"))
+        .orderBy("event_id")),
+
     // small-file compaction (the maintenance job that keeps a 100 TB
     // table scannable): rewrite the table into exactly 4 files via
     // repartition — round-robin, so files are balanced — then prove the

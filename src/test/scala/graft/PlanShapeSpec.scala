@@ -63,6 +63,25 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan("text_tfidf").contains("BroadcastHashJoin"))
   }
 
+  test("join_hinted honors the shuffle_hash hint over broadcast") {
+    assert(plan("join_hinted").contains("ShuffledHashJoin"))
+  }
+
+  test("scd2 window passes share one exchange on the entity key") {
+    // the raw event shuffle on user_id must appear exactly once; the
+    // later exchanges operate on collapsed version rows only
+    val p = plan("scd2_intervals")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 3, s"unexpected exchange count in:\n$p")
+  }
+
+  test("funnel never self-joins the raw event log at event granularity") {
+    // both join inputs are aggregates: every SMJ/SHJ/BHJ sits above a
+    // HashAggregate on at least one side — cheap proxy: aggregate count
+    val p = plan("funnel_conversion")
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p)
+  }
+
   test("column pruning: 2-column projection reads a 2-column schema") {
     val p = SparkEntry.queries("topk")(spark, sf0001)
       .queryExecution.executedPlan.toString
