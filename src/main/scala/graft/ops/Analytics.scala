@@ -74,6 +74,68 @@ object Analytics {
           .orderBy("cohort", "week_offset")
       }),
 
+    // event-sequence transition matrix: counts of (previous type →
+    // type) steps per user timeline — the Markov-chain summary behind
+    // next-action models. One window pass on the user key, then a tiny
+    // (|types|²) aggregation.
+    Q("seq_transitions",
+      Some("""SELECT prev_type, event_type, count(*) AS n FROM (
+             |  SELECT lag(event_type) OVER (PARTITION BY user_id
+             |           ORDER BY ts, event_id) AS prev_type,
+             |         event_type
+             |  FROM events) t
+             |WHERE prev_type IS NOT NULL
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        Tables.events(s, d)
+          .select(lag(col("event_type"), 1).over(w).as("prev_type"),
+            col("event_type"))
+          .filter(col("prev_type").isNotNull)
+          .groupBy("prev_type", "event_type").agg(count(lit(1)).as("n"))
+          .orderBy("prev_type", "event_type")
+      }),
+
+    // time-series resample + forward-fill: each user's value series on
+    // a dense hourly grid (sequence/explode generates the grid — no
+    // driver loop), missing hours forward-filled from the last
+    // observation. Hourly sums are exact decimal; the fill copies
+    // doubles verbatim, so both engines hash-match. The grid join is on
+    // the (user, hour) key; the fill is one window pass per user.
+    Q("ts_resample",
+      Some("""WITH b AS (SELECT user_id, date_trunc('hour', min(ts)) AS h0,
+             |                  date_trunc('hour', max(ts)) AS h1
+             |           FROM events GROUP BY 1),
+             |g AS (SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr
+             |      FROM b),
+             |v AS (SELECT user_id, date_trunc('hour', ts) AS hr,
+             |             CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS hv
+             |      FROM events GROUP BY 1, 2)
+             |SELECT g.user_id, g.hr,
+             |       last_value(v.hv IGNORE NULLS) OVER (
+             |         PARTITION BY g.user_id ORDER BY g.hr
+             |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS val_ff
+             |FROM g LEFT JOIN v ON v.user_id = g.user_id AND v.hr = g.hr
+             |ORDER BY g.user_id, g.hr""".stripMargin),
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val grid = ev.groupBy("user_id")
+          .agg(date_trunc("hour", min(col("ts"))).as("h0"),
+            date_trunc("hour", max(col("ts"))).as("h1"))
+          .select(col("user_id"),
+            explode(sequence(col("h0"), col("h1"),
+              expr("INTERVAL 1 HOUR"))).as("hr"))
+        val hourly = ev.groupBy(col("user_id"),
+            date_trunc("hour", col("ts")).as("hr"))
+          .agg(sum(col("value").cast("decimal(25,6)")).cast("double").as("hv"))
+        val w = Window.partitionBy("user_id").orderBy("hr")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        grid.join(hourly, Seq("user_id", "hr"), "left")
+          .select(col("user_id"), col("hr"),
+            last(col("hv"), ignoreNulls = true).over(w).as("val_ff"))
+          .orderBy("user_id", "hr")
+      }),
+
     // rolling z-score anomaly detection: each event's value scored
     // against the trailing 100 events of its type (full frames only —
     // the warm-up rows where the frame is short have degenerate

@@ -124,6 +124,55 @@ object Joins {
           .orderBy("event_id")
       }),
 
+    // nearest as-of join — for each purchase, the user's view event
+    // CLOSEST in time, either direction (ties → the earlier one). Both
+    // directional passes ride ONE hash shuffle on the key (two
+    // in-partition sorts); the pick is a pure comparison on the two
+    // candidates — still no per-row probe.
+    Q("join_asof_nearest",
+      Some("""WITH p AS (SELECT event_id, user_id, ts FROM events
+             |           WHERE event_type = 'purchase'),
+             |b AS (SELECT p.event_id, max(v.ts) AS bt FROM p
+             |      LEFT JOIN events v ON v.user_id = p.user_id
+             |       AND v.event_type = 'view' AND v.ts <= p.ts GROUP BY 1),
+             |f AS (SELECT p.event_id, min(v.ts) AS ft FROM p
+             |      LEFT JOIN events v ON v.user_id = p.user_id
+             |       AND v.event_type = 'view' AND v.ts >= p.ts GROUP BY 1)
+             |SELECT p.event_id, p.user_id, p.ts,
+             |       CASE WHEN bt IS NULL THEN ft WHEN ft IS NULL THEN bt
+             |            WHEN epoch_us(p.ts) - epoch_us(bt)
+             |                 <= epoch_us(ft) - epoch_us(p.ts) THEN bt
+             |            ELSE ft END AS nearest_view_ts
+             |FROM p JOIN b USING (event_id) JOIN f USING (event_id)
+             |ORDER BY event_id""".stripMargin),
+      (s, d) => {
+        val ev = events(s, d)
+        val p = ev.filter(col("event_type") === "purchase").select(
+          col("user_id").as("k"), col("ts").as("t"), col("event_id"),
+          lit(null).cast("timestamp").as("v_ts"), lit(1).as("is_probe"))
+        val v = ev.filter(col("event_type") === "view").select(
+          col("user_id").as("k"), col("ts").as("t"),
+          lit(null).cast("long").as("event_id"),
+          col("ts").as("v_ts"), lit(0).as("is_probe"))
+        val wb = Window.partitionBy("k").orderBy(col("t"), col("is_probe"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wf = Window.partitionBy("k").orderBy(col("t").desc, col("is_probe"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        p.unionByName(v)
+          .withColumn("bt", last("v_ts", ignoreNulls = true).over(wb))
+          .withColumn("ft", last("v_ts", ignoreNulls = true).over(wf))
+          .filter(col("is_probe") === 1)
+          .withColumn("nearest_view_ts",
+            when(col("bt").isNull, col("ft"))
+              .when(col("ft").isNull, col("bt"))
+              .when(unix_micros(col("t")) - unix_micros(col("bt")) <=
+                unix_micros(col("ft")) - unix_micros(col("t")), col("bt"))
+              .otherwise(col("ft")))
+          .select(col("event_id"), col("k").as("user_id"), col("t").as("ts"),
+            col("nearest_view_ts"))
+          .orderBy("event_id")
+      }),
+
     // range join — events of the same user within 1 hour after each
     // signup: equi-key join with a range residual (the equi key bounds
     // the pair space; NOT a cross join).

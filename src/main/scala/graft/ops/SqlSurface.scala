@@ -77,6 +77,19 @@ object SqlSurface {
           |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
           |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)),
 
+    // positional generator through SQL: LATERAL VIEW posexplode keeps
+    // the element index — the token-position shape (attention masks,
+    // span labeling) that plain explode loses.
+    Q("sql_posexplode",
+      Some("""SELECT doc_id, CAST(generate_subscripts(toks, 1) - 1 AS INT) AS pos,
+             |       unnest(toks) AS word
+             |FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) t
+             |ORDER BY doc_id, pos""".stripMargin),
+      sql(Seq("documents"),
+        """SELECT doc_id, pos, word FROM documents
+          |LATERAL VIEW posexplode(split(text, ' ')) t AS pos, word
+          |ORDER BY doc_id, pos""".stripMargin)),
+
     // multi-way star join through SQL (region→nation→customer→orders).
     Q("sql_star_join",
       Some("""SELECT r.r_name, n.n_name, count(o.o_orderkey) AS n_orders
