@@ -162,14 +162,27 @@ object Analytics {
              |WHERE n = 100
              |ORDER BY event_id""".stripMargin),
       (s, d) => {
-        val w = Window.partitionBy("event_type")
-          .orderBy(col("ts"), col("event_id")).rowsBetween(-99, 0)
-        Tables.events(s, d).select(col("event_id"), col("value"),
-          sum(col("value").cast("decimal(25,6)")).over(w).cast("double").as("s1"),
-          sum((col("value") * col("value")).cast("decimal(25,6)")).over(w)
-            .cast("double").as("s2"),
-          count(lit(1)).over(w).cast("double").as("n"))
-          .filter(col("n") === 100.0)
+        // Frame sums come from RUNNING-sum differences, not a bounded
+        // frame: Spark re-aggregates a sliding ROWS frame per row
+        // (O(n·frame) — measured 9s at sf0.1), while the running sum is
+        // incremental (O(n)) and the difference of two exact decimals
+        // IS the frame sum exactly, so the oracle (which uses the
+        // bounded frame directly) still hash-matches.
+        val ord = Window.partitionBy("event_type").orderBy(col("ts"), col("event_id"))
+        val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(s, d).select(col("event_id"), col("event_type"),
+          col("ts"), col("value"),
+          sum(col("value").cast("decimal(25,6)")).over(run).as("c1"),
+          sum((col("value") * col("value")).cast("decimal(25,6)")).over(run).as("c2"),
+          row_number().over(ord).as("rn"))
+          .select(col("event_id"), col("value"),
+            (col("c1") - coalesce(lag(col("c1"), 100).over(ord),
+              lit(0).cast("decimal(25,6)"))).cast("double").as("s1"),
+            (col("c2") - coalesce(lag(col("c2"), 100).over(ord),
+              lit(0).cast("decimal(25,6)"))).cast("double").as("s2"),
+            col("rn"))
+          .filter(col("rn") >= 100)
+          .withColumn("n", lit(100.0))
           .select(col("event_id"),
             expr("""CAST(round(
                    |  (value - s1 / n) /
