@@ -161,6 +161,99 @@ object Extras3 {
         .select("c_custkey", "c_mktsegment", "rn")
         .orderBy("c_mktsegment", "rn")),
 
+    // boolean aggregates: every/any per group (the assertion shape of
+    // data-quality rules: "all rows in the partition satisfy X").
+    Q("agg_bool",
+      Some("""SELECT o_orderpriority,
+             |       bool_and(o_totalprice > 1000) AS all_over_1k,
+             |       bool_or(o_orderstatus = 'F') AS any_final,
+             |       count(*) AS n
+             |FROM orders GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin),
+      (s, d) => Tables.orders(s, d).groupBy("o_orderpriority")
+        .agg(bool_and(col("o_totalprice") > 1000).as("all_over_1k"),
+          bool_or(col("o_orderstatus") === "F").as("any_final"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")),
+
+    // fixed-width histogram via width_bucket: the one-pass distribution
+    // sketch (bucket key = integer → the groupBy shuffles tiny keys, not
+    // values; at 100 TB this is how you eyeball a column's shape).
+    Q("agg_histogram",
+      // DuckDB has no width_bucket — the oracle spells out the SQL-
+      // standard formula ((max-min)/num = 50000 exactly, so the
+      // division is the same op in both engines).
+      Some("""SELECT CASE WHEN o_totalprice < 0 THEN 0
+             |            WHEN o_totalprice >= 600000 THEN 13
+             |            ELSE CAST(floor(o_totalprice / 50000) AS BIGINT) + 1 END AS bucket,
+             |       count(*) AS n,
+             |       CAST(round(min(o_totalprice)*100) AS BIGINT) AS min_c,
+             |       CAST(round(max(o_totalprice)*100) AS BIGINT) AS max_c
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, d) => Tables.orders(s, d)
+        .groupBy(width_bucket(col("o_totalprice"), lit(0), lit(600000), lit(12))
+          .as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          expr("CAST(round(min(o_totalprice)*100) AS BIGINT)").as("min_c"),
+          expr("CAST(round(max(o_totalprice)*100) AS BIGINT)").as("max_c"))
+        .orderBy("bucket")),
+
+    // simple linear regression as exact-sum aggregation: slope and
+    // intercept of value vs hour-of-day from the five classical sums,
+    // every one exact (decimal value sums, integer hour sums), the
+    // closed form evaluated identically in both engines on the 1e-6
+    // grid — the regr_slope/regr_intercept surface without trusting
+    // either engine's float accumulation order.
+    Q("agg_regression",
+      Some("""SELECT event_type,
+             |       CAST(round((n*sxy - sx*sy) / nullif(n*sxx - sx*sx, 0) * 1e6)
+             |            AS BIGINT) AS slope_e6,
+             |       CAST(round((sy - (n*sxy - sx*sy) / nullif(n*sxx - sx*sx, 0) * sx)
+             |                  / n * 1e6) AS BIGINT) AS intercept_e6
+             |FROM (
+             |  SELECT event_type,
+             |         CAST(count(*) AS DOUBLE) AS n,
+             |         CAST(sum(hour(ts)) AS DOUBLE) AS sx,
+             |         CAST(sum(hour(ts)*hour(ts)) AS DOUBLE) AS sxx,
+             |         CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sy,
+             |         CAST(sum(CAST(hour(ts) * value AS DECIMAL(25,6))) AS DOUBLE) AS sxy
+             |  FROM events GROUP BY event_type) t
+             |ORDER BY event_type""".stripMargin),
+      (s, d) => Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(count(lit(1)).cast("double").as("n"),
+          sum(hour(col("ts"))).cast("double").as("sx"),
+          sum(hour(col("ts")) * hour(col("ts"))).cast("double").as("sxx"),
+          sum(col("value").cast("decimal(25,6)")).cast("double").as("sy"),
+          sum((hour(col("ts")) * col("value")).cast("decimal(25,6)"))
+            .cast("double").as("sxy"))
+        .select(col("event_type"),
+          expr("""CAST(round((n*sxy - sx*sy) / nullif(n*sxx - sx*sx, 0) * 1e6)
+                 |     AS BIGINT)""".stripMargin).as("slope_e6"),
+          expr("""CAST(round((sy - (n*sxy - sx*sy) / nullif(n*sxx - sx*sx, 0) * sx)
+                 |           / n * 1e6) AS BIGINT)""".stripMargin).as("intercept_e6"))
+        .orderBy("event_type")),
+
+    // time-interval RANGE frame: each event's trailing-1-hour value sum
+    // per user — the frame is defined by the ORDER BY VALUE (ts), not
+    // row position, so sparse and dense hours are handled uniformly.
+    Q("window_range_frame",
+      Some("""SELECT event_id,
+             |       CAST(sum(CAST(value AS DECIMAL(25,6))) OVER (
+             |         PARTITION BY user_id ORDER BY ts
+             |         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+             |         AS DOUBLE) AS hr_sum
+             |FROM events ORDER BY event_id""".stripMargin),
+      (s, d) => {
+        Tables.events(s, d).createOrReplaceTempView("events_rf")
+        s.sql("""SELECT event_id,
+                |       CAST(sum(CAST(value AS DECIMAL(25,6))) OVER (
+                |         PARTITION BY user_id ORDER BY ts
+                |         RANGE BETWEEN INTERVAL '1' HOUR PRECEDING AND CURRENT ROW)
+                |         AS DOUBLE) AS hr_sum
+                |FROM events_rf ORDER BY event_id""".stripMargin)
+      }),
+
     // schema-evolution union: unionByName with allowMissingColumns —
     // the append that survives a producer adding/dropping columns
     // (missing columns null-fill; position never matters). The oracle
