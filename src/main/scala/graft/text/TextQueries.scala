@@ -159,6 +159,94 @@ object TextQueries {
           .orderBy("doc_id", "rn")
       }),
 
+    // document chunking: overlapping token windows (size 32, stride 16)
+    // — the unit a training pipeline actually feeds a tokenizer. Chunk
+    // starts step by the stride until the document is exhausted; the
+    // final partial window is kept. posexplode keeps the chunk index.
+    Q("text_chunks",
+      Some("""SELECT doc_id, CAST(ci AS INT) AS chunk_idx,
+             |       array_to_string(toks[ci*16+1 : ci*16+32], ' ') AS chunk_text,
+             |       CAST(least(32, len(toks) - ci*16) AS BIGINT) AS n_tokens
+             |FROM (SELECT doc_id, string_split_regex(lower(trim(text)), ' +') AS toks
+             |      FROM documents) t,
+             |     LATERAL unnest(range(CAST(ceil(greatest(len(toks) - 32, 0) / 16.0)
+             |                          AS BIGINT) + 1)) u(ci)
+             |ORDER BY doc_id, chunk_idx""".stripMargin),
+      (s, d) => {
+        val toks = split(lower(trim(col("text"))), " +")
+        documents(s, d)
+          .select(col("doc_id"), toks.as("toks"))
+          .select(col("doc_id"),
+            posexplode(transform(
+              sequence(lit(0),
+                ceil(greatest(size(col("toks")) - 32, lit(0)) / 16.0).cast("int")),
+              ci => slice(col("toks"), ci * 16 + 1, lit(32)))))
+          .select(col("doc_id"), col("pos").as("chunk_idx"),
+            concat_ws(" ", col("col")).as("chunk_text"),
+            size(col("col")).cast("long").as("n_tokens"))
+          .orderBy("doc_id", "chunk_idx")
+      }),
+
+    // sequence packing: per source shard, concatenate documents in
+    // doc_id order and cut at a 512-token capacity — each doc lands in
+    // bin floor(running prefix / 512) (the contiguous packing real
+    // pretraining pipelines use). One window pass PARTITIONED BY the
+    // shard key (a global-order window would serialize — SCALE.md);
+    // the running sum is exact integers.
+    Q("text_pack_bins",
+      Some("""SELECT doc_id, source, n_tok,
+             |       CAST(floor((cum - n_tok) / 512) AS BIGINT) AS bin_id,
+             |       CAST(cum - n_tok - floor((cum - n_tok) / 512) * 512 AS BIGINT)
+             |         AS offset_in_bin
+             |FROM (
+             |  SELECT doc_id, source,
+             |         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+             |              ELSE len(string_split_regex(trim(text), ' +')) END AS BIGINT) AS n_tok,
+             |         sum(CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+             |              ELSE len(string_split_regex(trim(text), ' +')) END AS BIGINT))
+             |           OVER (PARTITION BY source ORDER BY doc_id
+             |                 ROWS UNBOUNDED PRECEDING) AS cum
+             |  FROM documents) t
+             |ORDER BY doc_id""".stripMargin),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("source").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        documents(s, d)
+          .select(col("doc_id"), col("source"),
+            TextAnalysis.tokenCount(col("text")).as("n_tok"))
+          .withColumn("cum", sum(col("n_tok")).over(w))
+          .select(col("doc_id"), col("source"), col("n_tok"),
+            floor((col("cum") - col("n_tok")) / 512).as("bin_id"),
+            (col("cum") - col("n_tok") -
+              floor((col("cum") - col("n_tok")) / 512) * 512).as("offset_in_bin"))
+          .orderBy("doc_id")
+      }),
+
+    // vocabulary build: corpus words with count >= 5, dense ids in
+    // (count desc, word) order — the tokenizer-vocab construction pass
+    // (explode -> count -> rank; the rank window is over the tiny
+    // filtered vocab, not the corpus).
+    Q("text_vocab",
+      Some("""SELECT CAST(row_number() OVER (ORDER BY cnt DESC, word) AS BIGINT) AS token_id,
+             |       word, cnt FROM (
+             |  SELECT word, count(*) AS cnt FROM (
+             |    SELECT unnest(string_split_regex(lower(trim(text)), ' +')) AS word
+             |    FROM documents) t
+             |  GROUP BY word HAVING count(*) >= 5) v
+             |ORDER BY token_id""".stripMargin),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        documents(s, d)
+          .select(explode(split(lower(trim(col("text"))), " +")).as("word"))
+          .groupBy("word").agg(count(lit(1)).as("cnt"))
+          .filter(col("cnt") >= 5)
+          .withColumn("token_id", row_number()
+            .over(Window.orderBy(col("cnt").desc, col("word"))).cast("long"))
+          .select("token_id", "word", "cnt")
+          .orderBy("token_id")
+      }),
+
     // composed quality gate: the keep/drop decision a training-data
     // pipeline actually ships (token-count band + punctuation ceiling +
     // language filter), reusing the scoring + langid operators.
