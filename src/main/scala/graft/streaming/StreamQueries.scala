@@ -55,6 +55,22 @@ object StreamQueries {
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
       (s, d) => Streams.dedupedWithinWatermarkCounts(s, d)),
 
+    // UPDATE output mode across two micro-batches (evens then odds):
+    // the sink records every per-batch update; counts are monotone so
+    // max() per window is the final value = the batch aggregation.
+    Q("stream_window_update",
+      Some("""SELECT date_trunc('hour', ts) AS ws, count(*) AS n
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, d) => Streams.hourlyCountsUpdateMode(s, d)),
+
+    // checkpointed foreachBatch parquet sink run twice against one
+    // checkpoint — the restart lands nothing twice (exactly-once), so
+    // the sink contents equal the source.
+    Q("stream_sink_exactly_once",
+      Some("""SELECT event_type, count(*) AS n FROM events
+             |GROUP BY event_type ORDER BY event_type""".stripMargin),
+      (s, d) => Streams.exactlyOnceSinkCounts(s, d)),
+
     // watermark LATE-DATA DROP (see Streams.lateDropHourlyCounts for
     // the 3-batch arrival choreography): on-time rows (evens + the last
     // 3 h) are counted; the purely-late odd rows arrive after their

@@ -160,27 +160,27 @@ object Streams {
     * regardless of which batch's watermark does the filtering. Append
     * mode, so each emitted window is final.
     */
-  def lateDropHourlyCounts(spark: SparkSession, dir: String): DataFrame = withStreamParallelism(spark) {
+  /** Stage a sequence of DataFrames as single parquet files in one
+    * stream-source directory, in arrival order: the dir is CLEARED
+    * first (a stale extra file would change the batch structure the
+    * semantics depend on), each file is written via coalesce(1), and
+    * modification times force the file-source admission order (oldest
+    * first), re-set on every run so a stale stage dir can't flip it.
+    * Returns the stage directory path. */
+  private def stageArrivals(stageName: String,
+      files: Seq[(DataFrame, String)]): String = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     import java.nio.file.attribute.FileTime
-    val name = "graft_stream_latedrop"
-    val ev = graft.io.Tables.events(spark, dir)
     val tmpRoot = sys.props("java.io.tmpdir")
-    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val stageDir = Paths.get(tmpRoot, s"graft_stream_late_$tag")
+    val stageDir = Paths.get(tmpRoot, stageName)
     Files.createDirectories(stageDir)
-    // clear any previous staging (a stale extra file would change the
-    // batch structure the semantics depend on)
     locally {
       val ls = Files.list(stageDir)
       try ls.forEach(p => Files.deleteIfExists(p)) finally ls.close()
     }
-    // one single-file parquet per arrival; modification times force the
-    // file-source admission order (oldest first), re-set on every run
-    // so a stale stage dir can't flip it.
-    def stage(df: org.apache.spark.sql.DataFrame, fileName: String,
-        mtimeMs: Long): Unit = {
-      val outDir = Paths.get(tmpRoot, s"graft_stream_late_build_${tag}_$fileName")
+    val now = System.currentTimeMillis()
+    files.zipWithIndex.foreach { case ((df, fileName), i) =>
+      val outDir = Paths.get(tmpRoot, s"${stageName}_build_$fileName")
       df.coalesce(1).write.mode("overwrite").parquet(outDir.toString)
       val ls = Files.list(outDir)
       val part = try ls.filter(p => p.getFileName.toString.startsWith("part-"))
@@ -188,16 +188,21 @@ object Streams {
       Files.move(part, stageDir.resolve(fileName),
         StandardCopyOption.REPLACE_EXISTING)
       Files.setLastModifiedTime(stageDir.resolve(fileName),
-        FileTime.fromMillis(mtimeMs))
+        FileTime.fromMillis(now - (files.size - 1 - i) * 60000L))
     }
+    stageDir.toString
+  }
+
+  def lateDropHourlyCounts(spark: SparkSession, dir: String): DataFrame = withStreamParallelism(spark) {
+    val name = "graft_stream_latedrop"
+    val ev = graft.io.Tables.events(spark, dir)
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
     val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
     val recent = col("ts") >= lit(maxTs) - expr("INTERVAL 3 HOURS")
-    val now = System.currentTimeMillis()
-    stage(ev.filter(col("event_id") % 2 === 0 || recent),
-      "a_ontime.parquet", now - 120000)
-    stage(ev.filter(col("ts") === lit(maxTs)), "b_tick.parquet", now - 60000)
-    stage(ev.filter(col("event_id") % 2 === 1 && !recent),
-      "c_late.parquet", now)
+    val stageDir = stageArrivals(s"graft_stream_late_$tag", Seq(
+      ev.filter(col("event_id") % 2 === 0 || recent) -> "a_ontime.parquet",
+      ev.filter(col("ts") === lit(maxTs)) -> "b_tick.parquet",
+      ev.filter(col("event_id") % 2 === 1 && !recent) -> "c_late.parquet"))
     val schema = spark.read.parquet(stageDir.toString).schema
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1)
@@ -216,6 +221,59 @@ object Streams {
           p.stateOperators.map(so => s"dropped=${so.numRowsDroppedByWatermark} " +
             s"updated=${so.numRowsUpdated} removed=${so.numRowsRemoved}").mkString(";")))
     spark.table(name).orderBy("ws")
+  }
+
+  /** UPDATE output mode demonstrated across micro-batches: the events
+    * snapshot arrives as two batches (evens then odds, both spanning
+    * the full range, no watermark), so most windows are UPDATED twice
+    * and the memory sink holds one row per (window, batch-that-changed-
+    * it). Counts are monotone, so max() per window collapses the
+    * update history to the final value — which must equal the batch
+    * aggregation exactly. */
+  def hourlyCountsUpdateMode(spark: SparkSession, dir: String): DataFrame = withStreamParallelism(spark) {
+    val name = "graft_stream_update"
+    val ev = graft.io.Tables.events(spark, dir)
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val stageDir = stageArrivals(s"graft_stream_upd_$tag", Seq(
+      ev.filter(col("event_id") % 2 === 0) -> "a_even.parquet",
+      ev.filter(col("event_id") % 2 === 1) -> "b_odd.parquet"))
+    val schema = spark.read.parquet(stageDir).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(stageDir)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("n"))
+      .writeStream.outputMode("update")
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name).groupBy("ws").agg(max(col("n")).as("n")).orderBy("ws")
+  }
+
+  /** Checkpointed foreachBatch parquet sink, run TWICE against the same
+    * checkpoint: the restart re-processes nothing (exactly-once per
+    * batch), so the landed counts equal the source exactly — the
+    * durable-sink contract a production stream restarts on. */
+  def exactlyOnceSinkCounts(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val tmpRoot = sys.props("java.io.tmpdir")
+    val ev = graft.io.Tables.events(spark, dir)
+    val srcDir = stageArrivals(s"graft_stream_eo_src_$tag",
+      Seq(ev -> "events.parquet"))
+    val outPath = Paths.get(tmpRoot, s"graft_stream_eo_out_$tag")
+    val ckpt = Paths.get(tmpRoot, s"graft_stream_eo_ckpt_$tag")
+    Seq(outPath, ckpt).foreach { p =>
+      if (Files.exists(p))
+        org.apache.commons.io.FileUtils.deleteDirectory(p.toFile)
+    }
+    Stateful.sinkDirViaForeachBatch(spark, srcDir, outPath.toString, ckpt.toString)
+    // restart with the same checkpoint and no new files: must be a no-op
+    Stateful.sinkDirViaForeachBatch(spark, srcDir, outPath.toString, ckpt.toString)
+    spark.read.parquet(outPath.toString)
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+      .orderBy("event_type")
   }
 
   /** Stream-static join: the streaming fact joins a broadcast static
