@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** LLM-corpus prep operators: chunking / packing / vocab invariants
+  * beyond the DuckDB oracle (structural properties per document). */
+class TextPrepSpec extends SparkSpec {
+
+  test("text_chunks: stride/coverage invariants per document") {
+    val chunks = Registry.all.find(_.name == "text_chunks").get
+      .fn(spark, sf0001)
+    val docs = io.Tables.documents(spark, sf0001)
+      .select(col("doc_id"),
+        size(split(lower(trim(col("text"))), " +")).as("ntok"))
+    val per = chunks.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("n_tokens") === 32, 1).otherwise(0)).as("n_full"),
+        max(col("n_tokens")).as("max_t"), min(col("n_tokens")).as("min_t"))
+      .join(docs, "doc_id")
+    // every doc chunked; expected chunk count = ceil(max(ntok-32,0)/16)+1
+    assert(per.count() == docs.count())
+    val bad = per.filter(
+      col("n_chunks") =!= (ceil(greatest(col("ntok") - 32, lit(0)) / 16.0) + 1) ||
+        col("max_t") > 32 || col("min_t") < 1)
+    assert(bad.count() == 0, bad.limit(5).collect().mkString("; "))
+  }
+
+  test("text_pack_bins: offsets stay under capacity and bins advance monotonically") {
+    val bins = Registry.all.find(_.name == "text_pack_bins").get
+      .fn(spark, sf0001)
+    assert(bins.filter(col("offset_in_bin") < 0 || col("offset_in_bin") >= 512)
+      .count() == 0)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy("doc_id")
+    val nonMono = bins
+      .withColumn("prev_bin", lag(col("bin_id"), 1).over(w))
+      .filter(col("prev_bin").isNotNull && col("bin_id") < col("prev_bin"))
+    assert(nonMono.count() == 0)
+  }
+
+  test("text_vocab: dense contiguous ids, min-count filter, rank order") {
+    val v = Registry.all.find(_.name == "text_vocab").get
+      .fn(spark, sf0001).collect()
+    assert(v.map(_.getLong(0)).toSeq == (1L to v.length).toSeq)
+    assert(v.forall(_.getLong(2) >= 5))
+    // counts non-increasing in id order; ties broken by word ascending
+    v.sliding(2).foreach { case Array(a, b) =>
+      val (ca, cb) = (a.getLong(2), b.getLong(2))
+      assert(ca > cb || (ca == cb && a.getString(1) < b.getString(1)))
+    case _ => ()
+    }
+  }
+}
