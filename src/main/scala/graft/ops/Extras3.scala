@@ -161,6 +161,32 @@ object Extras3 {
         .select("c_custkey", "c_mktsegment", "rn")
         .orderBy("c_mktsegment", "rn")),
 
+    // incremental aggregation: yesterday's rollup + today's delta merge
+    // into the exact full rollup WITHOUT rescanning history — counts
+    // add, decimal sums add (associative), the double cast happens only
+    // at the end. The pattern every incremental ETL rollup at 100 TB
+    // relies on; mergeability is why the partials are decimals and
+    // counts, never averages. Demonstrated by splitting events into two
+    // "days" (even/odd ids) and merging their independent aggregates.
+    Q("agg_incremental_merge",
+      Some("""SELECT event_type, count(*) AS n,
+             |       CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        def partial(f: org.apache.spark.sql.Column) = ev.filter(f)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(25,6)")).as("sum_dec"))
+        val existing = partial(col("event_id") % 2 === 0)
+        val delta = partial(col("event_id") % 2 === 1)
+        existing.unionByName(delta)
+          .groupBy("event_type")
+          .agg(sum(col("n")).as("n"),
+            sum(col("sum_dec")).cast("double").as("sum_value"))
+          .orderBy("event_type")
+      }),
+
     // boolean aggregates: every/any per group (the assertion shape of
     // data-quality rules: "all rows in the partition satisfy X").
     Q("agg_bool",
