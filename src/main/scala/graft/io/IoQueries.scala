@@ -95,6 +95,67 @@ object IoQueries {
         s.read.text(path).orderBy("value")
       }),
 
+    // fault-tolerant CSV ingestion (the engine's version of the
+    // reference's try/except around pd.read_csv, etl_core.py:21-29):
+    // PERMISSIVE mode + explicit schema lands malformed rows whole in
+    // _corrupt_record instead of failing the job — one bad row in
+    // 100 TB neither kills the pipeline nor disappears silently. The
+    // staged file = nation rows + two hand-broken lines; the query
+    // reports good/corrupt splits and proves the good rows parsed.
+    Q("src_csv_permissive",
+      Some("""SELECT count(*) + 2 AS n_total,
+             |       count(*) AS n_good,
+             |       CAST(2 AS BIGINT) AS n_corrupt,
+             |       CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+             |FROM nation""".stripMargin),
+      (s, d) => {
+        val path = tmp(d, "nation_permissive")
+        Csv.write(Tables.nation(s, d), path)
+        // append a file of malformed lines (wrong arity / bad types)
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(path, "bad.csv"),
+          "n_nationkey,n_name,n_regionkey\nnot_an_int,BROKEN,9\n777,SHORT_ROW\n")
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("n_nationkey",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("n_name",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("n_regionkey",
+            org.apache.spark.sql.types.IntegerType)))
+        // cache() before touching _corrupt_record: with column pruning
+        // the parser only parses projected fields, so corruption in an
+        // unprojected field would go undetected (documented Spark
+        // caveat — the cache forces one full-row parse).
+        val df = Csv.readPermissive(s, path, schema).cache()
+        df.agg(count(lit(1)).as("n_total"),
+          count(when(col("_corrupt_record").isNull, 1)).as("n_good"),
+          count(col("_corrupt_record")).as("n_corrupt"),
+          sum(when(col("_corrupt_record").isNull, col("n_nationkey"))
+            .cast("long")).as("key_sum"))
+      }),
+
+    // CSV dialect options: semicolon delimiter, quoted fields, custom
+    // escape — the knobs real-world CSV interchange needs beyond the
+    // reference's pandas defaults. Round-trips text WITH the delimiter
+    // embedded in values, so quoting is actually exercised.
+    Q("src_csv_options",
+      Some("""SELECT c_custkey, c_name || ';' || c_mktsegment AS packed
+             |FROM customer ORDER BY c_custkey""".stripMargin),
+      (s, d) => {
+        val path = tmp(d, "customer_csv_options")
+        Tables.customer(s, d)
+          .select(col("c_custkey"),
+            concat(col("c_name"), lit(";"), col("c_mktsegment")).as("packed"))
+          .write.mode("overwrite")
+          .option("header", "true").option("sep", ";").option("quote", "\"")
+          .csv(path)
+        s.read
+          .option("header", "true").option("sep", ";").option("quote", "\"")
+          .csv(path)
+          .select(col("c_custkey").cast("long"), col("packed"))
+          .orderBy("c_custkey")
+      }),
+
     // S3 — catalog table scans (src_jdbc parity; models.py:8-35).
     Q("catalog_users",
       Some(s"""SELECT c_custkey AS id, c_name AS username,
