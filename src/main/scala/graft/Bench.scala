@@ -29,7 +29,9 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
-    val pool = sys.env.getOrElse("SPARK_GRAFT_BENCH_POOL", "4").toInt
+    // 6 measured as the knee at sf0.1 local[32]: wall 136s serial →
+    // 70s @4 → 52s @6 → 50s @8 with growing per-query inflation.
+    val pool = sys.env.getOrElse("SPARK_GRAFT_BENCH_POOL", "6").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
