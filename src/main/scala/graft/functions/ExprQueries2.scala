@@ -96,6 +96,32 @@ object ExprQueries2 {
                 |FROM documents_u ORDER BY doc_id""".stripMargin)
       }),
 
+    // error-safe arithmetic battery (ANSI mode's escape hatches): the
+    // try_ variants return NULL where the strict form would fail the
+    // job — division by zero, numeric overflow, uncastable strings.
+    // At 100 TB one poisoned row must not kill a 6-hour job; try_* is
+    // the per-expression containment (PERMISSIVE csv is the per-row
+    // one, src_csv_permissive).
+    Q("try_funcs",
+      Some("""SELECT event_id,
+             |       CASE WHEN kv = 0 THEN NULL ELSE 100 / kv END AS safe_div,
+             |       TRY_CAST(props AS INTEGER) AS bad_cast,
+             |       TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS good_cast,
+             |       CAST(9223372036854775807 AS BIGINT) + NULL AS overflow_add
+             |FROM (SELECT event_id, props,
+             |        CAST(json_extract_string(props, '$.k') AS INTEGER) AS kv
+             |      FROM events) t
+             |ORDER BY event_id""".stripMargin),
+      (s, d) => events(s, d)
+        .select(col("event_id"), col("props"),
+          get_json_object(col("props"), "$.k").cast("int").as("kv"))
+        .select(col("event_id"),
+          try_divide(lit(100), col("kv")).as("safe_div"),
+          expr("try_cast(props AS INT)").as("bad_cast"),
+          expr("try_cast(get_json_object(props, '$.k') AS INT)").as("good_cast"),
+          try_add(lit(Long.MaxValue), lit(null).cast("bigint")).as("overflow_add"))
+        .orderBy("event_id")),
+
     // timestamp/epoch battery over events. The oracle renders epoch
     // seconds via make_timestamp (timezone-NAIVE) — to_timestamp would
     // be TIMESTAMPTZ and silently depend on the check host's TimeZone.
