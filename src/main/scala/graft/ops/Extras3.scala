@@ -161,6 +161,91 @@ object Extras3 {
         .select("c_custkey", "c_mktsegment", "rn")
         .orderBy("c_mktsegment", "rn")),
 
+    // rule-driven expectations report (the data-quality contract a
+    // pipeline gates on): each rule contributes one row with its
+    // violation count — all row-level rules ride ONE scan/aggregation;
+    // the uniqueness rule is its own keyed aggregate. Zero violations
+    // is the expected steady state; the report shape (not the zeros)
+    // is the operator.
+    Q("dq_expectations",
+      Some("""SELECT 'acctbal_in_range' AS rule, count(*) FILTER (
+             |         WHERE c_acctbal < -1000 OR c_acctbal > 10000) AS n_violations
+             |FROM customer
+             |UNION ALL
+             |SELECT 'custkey_not_null', count(*) FILTER (WHERE c_custkey IS NULL)
+             |FROM customer
+             |UNION ALL
+             |SELECT 'custkey_unique',
+             |       (SELECT count(*) FROM (
+             |          SELECT c_custkey FROM customer GROUP BY c_custkey
+             |          HAVING count(*) > 1) d)
+             |UNION ALL
+             |SELECT 'segment_in_set', count(*) FILTER (WHERE c_mktsegment NOT IN
+             |         ('AUTOMOBILE','BUILDING','FURNITURE','HOUSEHOLD','MACHINERY'))
+             |FROM customer
+             |ORDER BY rule""".stripMargin),
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val rowRules = c.agg(
+          count(when(col("c_acctbal") < -1000 || col("c_acctbal") > 10000, 1))
+            .as("acctbal_in_range"),
+          count(when(col("c_custkey").isNull, 1)).as("custkey_not_null"),
+          count(when(!col("c_mktsegment").isin("AUTOMOBILE", "BUILDING",
+            "FURNITURE", "HOUSEHOLD", "MACHINERY"), 1)).as("segment_in_set"))
+          .select(expr(
+            """stack(3,
+              |  'acctbal_in_range', acctbal_in_range,
+              |  'custkey_not_null', custkey_not_null,
+              |  'segment_in_set',  segment_in_set) AS (rule, n_violations)""".stripMargin))
+        val unique = c.groupBy("c_custkey").agg(count(lit(1)).as("n"))
+          .filter(col("n") > 1)
+          .agg(count(lit(1)).as("n_violations"))
+          .select(lit("custkey_unique").as("rule"), col("n_violations"))
+        rowRules.unionByName(unique).orderBy("rule")
+      }),
+
+    // duplicate survivorship: within each near-dup cluster pick the
+    // golden record — longest text, ties to the lowest doc_id (the MDM
+    // merge step after dedup_clusters; one window rank over cluster
+    // assignments, no re-comparison of documents).
+    Q("dedup_survivors",
+      Some(s"""${graft.text.DedupQueries.clusterOracleCte},
+             |r AS (SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS cluster_id,
+             |             d.n_chars
+             |      FROM documents d LEFT JOIN cl USING (doc_id))
+             |SELECT cluster_id, doc_id AS survivor_id, n_chars,
+             |       CAST(sz AS BIGINT) AS cluster_size
+             |FROM (SELECT cluster_id, doc_id, n_chars,
+             |             row_number() OVER (PARTITION BY cluster_id
+             |               ORDER BY n_chars DESC, doc_id) AS rn,
+             |             count(*) OVER (PARTITION BY cluster_id) AS sz
+             |      FROM r) t
+             |WHERE rn = 1 ORDER BY cluster_id""".stripMargin),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.table(s, d, "documents")
+        val edges = graft.text.Dedup.nearDupPairs(
+          graft.io.Tables.documents(s, d), "doc_id", "text", 0.7)
+          .select("id_a", "id_b")
+        val cc = Graph.connectedComponents(edges, 4)
+          .withColumnRenamed("id", "doc_id")
+        val assigned = docs.select("doc_id", "n_chars")
+          .join(cc, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("component"), col("doc_id")).as("cluster_id"),
+            col("n_chars"))
+        val w = Window.partitionBy("cluster_id")
+          .orderBy(col("n_chars").desc, col("doc_id"))
+        val ws = Window.partitionBy("cluster_id")
+        assigned
+          .withColumn("rn", row_number().over(w))
+          .withColumn("cluster_size", count(lit(1)).over(ws))
+          .filter(col("rn") === 1)
+          .select(col("cluster_id"), col("doc_id").as("survivor_id"),
+            col("n_chars"), col("cluster_size"))
+          .orderBy("cluster_id")
+      }),
+
     // incremental aggregation: yesterday's rollup + today's delta merge
     // into the exact full rollup WITHOUT rescanning history — counts
     // add, decimal sums add (associative), the double cast happens only

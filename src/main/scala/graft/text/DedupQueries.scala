@@ -77,16 +77,7 @@ object DedupQueries {
     // Oracle: transitive closure via recursive CTE over the same exact
     // Jaccard ≥ 0.7 pairs.
     Q("dedup_clusters",
-      Some(s"""${jaccardCtePrefix.replaceFirst("WITH ", "WITH RECURSIVE ")},
-             |e AS (SELECT ia AS a, ib AS b FROM pairs
-             |      JOIN sizes sa ON sa.doc_id = pairs.ia
-             |      JOIN sizes sb ON sb.doc_id = pairs.ib
-             |      WHERE CAST(ns AS DOUBLE) / (sa.n + sb.n - ns) >= 0.7),
-             |edges AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
-             |reach AS (SELECT a AS s, b AS t FROM edges
-             |          UNION SELECT r.s, e2.b FROM reach r JOIN edges e2 ON r.t = e2.a),
-             |cl AS (SELECT s AS doc_id, least(s, min(t)) AS cluster_id
-             |       FROM reach GROUP BY s)
+      Some(s"""$clusterOracleCte
              |SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS cluster_id
              |FROM documents d LEFT JOIN cl USING (doc_id)
              |ORDER BY doc_id""".stripMargin),
@@ -131,6 +122,22 @@ object DedupQueries {
       |          FROM inv a JOIN inv b ON a.ng = b.ng AND a.doc_id < b.doc_id
       |          GROUP BY 1, 2),
       |sizes AS (SELECT doc_id, len(sh) AS n FROM d)""".stripMargin
+
+  /** Shared cluster-assignment oracle CTE: exact Jaccard ≥ 0.7 pairs →
+    * transitive closure (recursive CTE) → min-reachable-id per node as
+    * `cl(doc_id, cluster_id)`. Used by dedup_clusters here and
+    * dedup_survivors (ops.Extras3). */
+  private[graft] val clusterOracleCte: String =
+    s"""${jaccardCtePrefix.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |e AS (SELECT ia AS a, ib AS b FROM pairs
+       |      JOIN sizes sa ON sa.doc_id = pairs.ia
+       |      JOIN sizes sb ON sb.doc_id = pairs.ib
+       |      WHERE CAST(ns AS DOUBLE) / (sa.n + sb.n - ns) >= 0.7),
+       |edges AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+       |reach AS (SELECT a AS s, b AS t FROM edges
+       |          UNION SELECT r.s, e2.b FROM reach r JOIN edges e2 ON r.t = e2.a),
+       |cl AS (SELECT s AS doc_id, least(s, min(t)) AS cluster_id
+       |       FROM reach GROUP BY s)""".stripMargin
 
   /** Kept-corpus oracle for the fuzzy dedups: drop the higher doc_id of
     * every pair with exact shingle-Jaccard ≥ threshold. */
