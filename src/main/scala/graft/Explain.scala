@@ -14,7 +14,10 @@ object Explain {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("filter_eq", "join_fk", "topk", "agg_group", "semi_exists",
-        "sim_topk_brute", "window_rank", "sink_partitioned")
+        "sim_topk_brute", "window_rank", "sink_partitioned",
+        // round-3 scale-critical additions
+        "scd2_intervals", "funnel_conversion", "ts_resample",
+        "join_asof_nearest", "join_hinted", "text_pack_bins")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
