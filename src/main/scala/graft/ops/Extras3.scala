@@ -161,6 +161,31 @@ object Extras3 {
         .select("c_custkey", "c_mktsegment", "rn")
         .orderBy("c_mktsegment", "rn")),
 
+    // Observation API: named metrics piggyback on the query's own
+    // execution (CollectMetrics operator) — row counts and control
+    // sums come back with the job, WITHOUT a second scan. The returned
+    // row is the observed metrics; the 100 TB use is reconciliation
+    // (rows in == rows out) on every production run for free.
+    Q("obs_metrics",
+      Some("""SELECT count(*) AS n,
+             |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty_sum,
+             |       count(*) FILTER (WHERE l_discount >= 0.05) AS n_discounted
+             |FROM lineitem""".stripMargin),
+      (s, d) => {
+        import s.implicits._
+        val obs = org.apache.spark.sql.Observation()
+        Tables.lineitem(s, d)
+          .observe(obs,
+            count(lit(1)).as("n"),
+            sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("qty_sum"),
+            count(when(col("l_discount") >= 0.05, 1)).as("n_discounted"))
+          .write.format("noop").mode("overwrite").save()
+        val m = obs.get
+        Seq((m("n").asInstanceOf[Long], m("qty_sum").asInstanceOf[Double],
+          m("n_discounted").asInstanceOf[Long]))
+          .toDF("n", "qty_sum", "n_discounted")
+      }),
+
     // rule-driven expectations report (the data-quality contract a
     // pipeline gates on): each rule contributes one row with its
     // violation count — all row-level rules ride ONE scan/aggregation;

@@ -117,6 +117,63 @@ object Stateful {
     else 0L
   }
 
+  final case class TypeCount(event_type: String, n: Long)
+
+  /** Spark 4's transformWithState API (the successor to
+    * mapGroupsWithState): explicit named state variables managed by a
+    * StatefulProcessor, RocksDB-backed, with TTL/timers available. Here
+    * a single ValueState counter per event_type — the minimal arbitrary
+    * state machine in the new API. */
+  class TypeCountProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, EventIn, TypeCount] {
+    @transient private var cnt: org.apache.spark.sql.streaming.ValueState[Long] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      cnt = getHandle.getValueState[Long]("cnt",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[EventIn],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[TypeCount] = {
+      val n = (if (cnt.exists()) cnt.get() else 0L) + rows.size
+      cnt.update(n)
+      Iterator.single(TypeCount(key, n))
+    }
+  }
+
+  /** Per-type running counts via transformWithState. RocksDB state
+    * store is REQUIRED by the API (scoped to this stream, restored
+    * after); counts are monotone, so max() per key collapses the
+    * update-mode emission history to the final value. */
+  def typeCountsTws(spark: SparkSession, dir: String): DataFrame = Streams.withStreamParallelism(spark) {
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val name = "graft_stream_tws"
+      val q = Streams.eventsStream(spark, dir)
+        .select(col("user_id"), col("event_type"), col("value"))
+        .as[EventIn]
+        .groupByKey(_.event_type)
+        .transformWithState(new TypeCountProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          OutputMode.Update())
+        .writeStream.outputMode(OutputMode.Update())
+        .format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.table(name)
+        .groupBy("event_type").agg(max(col("n")).as("n"))
+        .orderBy("event_type")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   /** Streaming per-user stats over the events parquet snapshot
     * (AvailableNow). Update output mode: one row per key per batch. */
   def userStats(spark: SparkSession, dir: String): Dataset[UserStats] = Streams.withStreamParallelism(spark) {

@@ -104,6 +104,13 @@ object StreamQueries {
              |WHERE e.event_type = 'purchase' ORDER BY e.event_id""".stripMargin),
       (s, d) => Streams.enrichedPurchases(s, d)),
 
+    // transformWithState (Spark 4's arbitrary-state successor API):
+    // named ValueState counter per event_type on RocksDB state store.
+    Q("stream_tws_counts",
+      Some("""SELECT event_type, count(*) AS n FROM events
+             |GROUP BY event_type ORDER BY event_type""".stripMargin),
+      (s, d) => Stateful.typeCountsTws(s, d)),
+
     // custom per-key state machine via mapGroupsWithState (update mode;
     // counters are monotone, so max() collapses multi-batch emissions to
     // the final value). total_value is float-accumulated → excluded.
