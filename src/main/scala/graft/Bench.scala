@@ -70,14 +70,26 @@ object Bench {
 
     val byName = (batchTimes ++ streamTimes).toMap
     val results = Registry.all.map(q => q.name -> byName(q.name))
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
-      .mkString("{", ",", "}")
+    def jsonMap(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val serialSum = results.map(_._2).sum
+    // Full per-query timings go to STDERR: the driver keeps only the
+    // last ~2000 chars of stdout and json-parses its last line, so a
+    // 172-entry map (~4.5 KB) on stdout gets truncated mid-line and
+    // the whole bench reads as unparseable (rounds 1-3 all did).
+    System.err.println("[bench-full] " + jsonMap(results))
+    // Stdout gets a COMPACT line (<1 KB): totals + a fixed headline
+    // subset spanning the operator categories.
+    val headline = Vector(
+      "agg_group", "join_fk", "topk", "agg_cube", "join_asof",
+      "dedup_minhash", "dedup_clusters", "sim_topk_brute", "text_tfidf",
+      "pipeline_full_etl", "src_parquet", "stream_window_agg")
+    val qs = jsonMap(results.filter(r => headline.contains(r._1)))
     // Stop Spark BEFORE printing so nothing (shutdown logging included)
     // can land on stdout after the json line — the driver parses the
     // last line of stdout.
     spark.stop()
     println(
-      f"""{"metric":"total","value":$wall%.3f,"unit":"sec","pool":$pool,"serial_sum":$serialSum%.3f,"queries":$qs,"sf":"$sfDir"}""")
+      f"""{"metric":"total","value":$wall%.3f,"unit":"sec","pool":$pool,"serial_sum":$serialSum%.3f,"n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}""")
   }
 }
