@@ -1,0 +1,194 @@
+package graft.ops
+
+import graft.Q
+import graft.io.Tables
+import org.apache.spark.sql.functions._
+
+/** Round-4 surface widening: exact median, bitmap-index distinct
+  * counting, the binned interval join (the scalable plan for range
+  * predicates with NO equi-key), URL parsing, batch sessionization at
+  * session granularity, and the high-watermark incremental-aggregation
+  * pattern every production ETL eventually needs.
+  *
+  * Reference scope note: the reference (thewiin/aws-saas-etl) has no
+  * analytics operators at all (SURVEY §2.2, grep-verified); these are
+  * [EXT] rows mandated by BASELINE.json's north_star.
+  */
+object Extras4 {
+
+  def queries: Seq[Q] = Seq(
+    // exact interpolated median per group. Both engines interpolate the
+    // even-count case as lo + (hi-lo)*0.5; micro-scaling to BIGINT
+    // absorbs any last-ulp divergence of that double arithmetic.
+    // Scale note: median is NOT partially aggregable — Spark plans a
+    // full sort-based aggregate per group; at 100 TB prefer
+    // approx_percentile unless exactness is contractual.
+    Q("agg_median",
+      Some("""SELECT o_orderpriority,
+             |       CAST(round(median(o_totalprice) * 1e6) AS BIGINT) AS median_price_micro,
+             |       count(*) AS n
+             |FROM orders GROUP BY 1 ORDER BY o_orderpriority""".stripMargin),
+      (s, d) => {
+        Tables.orders(s, d)
+          .groupBy("o_orderpriority")
+          .agg(
+            round(median(col("o_totalprice")) * lit(1e6)).cast("long")
+              .as("median_price_micro"),
+            count(lit(1)).as("n"))
+          .orderBy("o_orderpriority")
+      }),
+
+    // distinct counting via the Spark 4 bitmap kernel: position keys
+    // into 32k-bit bitmaps per (group, bucket), OR-merge, count bits.
+    // Bit-exact (not a sketch) and mergeable across partitions/days —
+    // the 100 TB pattern for pre-aggregated distinct-count cubes where
+    // HLL's error is unacceptable. Oracle: plain COUNT(DISTINCT).
+    Q("agg_bitmap_distinct",
+      Some("""SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_custs
+             |FROM orders GROUP BY 1 ORDER BY o_orderpriority""".stripMargin),
+      (s, d) => {
+        Tables.orders(s, d)
+          .groupBy(col("o_orderpriority"),
+            expr("bitmap_bucket_number(o_custkey)").as("bucket"))
+          .agg(expr("bitmap_construct_agg(bitmap_bit_position(o_custkey))")
+            .as("bm"))
+          .groupBy("o_orderpriority")
+          .agg(sum(expr("bitmap_count(bm)")).as("n_custs"))
+          .orderBy("o_orderpriority")
+      }),
+
+    // interval join with NO equi-key (customer balance within ±50 of a
+    // supplier balance). The naive plan is BroadcastNestedLoopJoin —
+    // O(n·m) compares and a broadcast that dies at scale. The scalable
+    // plan: quantize the range into fixed-width bins, explode each
+    // interval to the bins it overlaps (≤3 here), equi-join on bin,
+    // then re-check the exact predicate. Same result set, but now it's
+    // a shuffled hash join: O(n·k) with full cluster parallelism.
+    Q("join_range_binned",
+      Some("""SELECT c.c_custkey, s.s_suppkey FROM customer c
+             |JOIN supplier s
+             |  ON c.c_acctbal BETWEEN s.s_acctbal - 50 AND s.s_acctbal + 50
+             |ORDER BY c_custkey, s_suppkey""".stripMargin),
+      (s, d) => {
+        val binW = 64.0
+        val sup = Tables.supplier(s, d)
+          .withColumn("lo", col("s_acctbal") - 50)
+          .withColumn("hi", col("s_acctbal") + 50)
+          .withColumn("bin",
+            explode(sequence(floor(col("lo") / binW), floor(col("hi") / binW))))
+        val cust = Tables.customer(s, d)
+          .withColumn("bin", floor(col("c_acctbal") / binW))
+        cust.join(sup,
+            cust("bin") === sup("bin") &&
+              cust("c_acctbal").between(sup("lo"), sup("hi")))
+          .select(col("c_custkey"), col("s_suppkey"))
+          .orderBy("c_custkey", "s_suppkey")
+      }),
+
+    // URL scalar kernel: build a profile URL per customer, then take it
+    // apart again with parse_url (HOST/PATH/keyed QUERY) + url_decode.
+    // The oracle states the expected semantics directly from the base
+    // columns (c_name's only non-URL-safe char is '#' → %23).
+    Q("url_funcs",
+      Some("""SELECT c_custkey,
+             |       'shop.example.com' AS host,
+             |       '/u/' || c_custkey || '/profile' AS path,
+             |       c_mktsegment AS seg,
+             |       replace(c_name, '#', '%23') AS name_enc,
+             |       c_name AS name_dec
+             |FROM customer ORDER BY c_custkey""".stripMargin),
+      (s, d) => {
+        Tables.customer(s, d)
+          .withColumn("url",
+            concat(lit("https://shop.example.com/u/"), col("c_custkey"),
+              lit("/profile?seg="), col("c_mktsegment"),
+              lit("&name="), url_encode(col("c_name"))))
+          .select(col("c_custkey"),
+            parse_url(col("url"), lit("HOST")).as("host"),
+            parse_url(col("url"), lit("PATH")).as("path"),
+            parse_url(col("url"), lit("QUERY"), lit("seg")).as("seg"),
+            url_encode(col("c_name")).as("name_enc"),
+            url_decode(url_encode(col("c_name"))).as("name_dec"))
+          .orderBy("c_custkey")
+      }),
+
+    // batch sessionization at SESSION granularity (stream_sessions
+    // reports per-user rollups): one session_window aggregate, one
+    // shuffle on user_id. session_window.end = last event + gap, and
+    // events exactly at the gap boundary MERGE (inclusive) — the
+    // oracle splits strictly on `> INTERVAL 30 MINUTE`.
+    Q("ts_sessionize",
+      Some("""WITH g AS (
+             |  SELECT user_id, ts,
+             |         CASE WHEN lag(ts) OVER w IS NULL THEN 1
+             |              WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1
+             |              ELSE 0 END AS brk
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+             |sess AS (
+             |  SELECT user_id, ts,
+             |         sum(brk) OVER (PARTITION BY user_id ORDER BY ts) AS sid
+             |  FROM g)
+             |SELECT user_id,
+             |       min(ts) AS session_start,
+             |       max(ts) + INTERVAL 30 MINUTE AS session_end,
+             |       count(*) AS n_events
+             |FROM sess GROUP BY user_id, sid
+             |ORDER BY user_id, session_start""".stripMargin),
+      (s, d) => {
+        Tables.events(s, d)
+          .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(col("user_id"),
+            col("session_window.start").as("session_start"),
+            col("session_window.end").as("session_end"),
+            col("n_events"))
+          .orderBy("user_id", "session_start")
+      }),
+
+    // high-watermark incremental aggregation: the nightly-ETL pattern
+    // where a persisted per-key state table absorbs only rows newer
+    // than the watermark instead of rescanning history. Both legs are
+    // keyed aggregates + one full-outer merge on the key — at 100 TB
+    // the "base" leg is a table read, not a recompute, so cost tracks
+    // the increment size. Exact value sums via micro-scaled BIGINT.
+    Q("pipeline_incremental",
+      Some("""WITH base AS (
+             |  SELECT user_id, count(*) AS n,
+             |         sum(CAST(round(value * 1e6) AS BIGINT)) AS v
+             |  FROM events WHERE ts < TIMESTAMP '2024-01-20 00:00:00'
+             |  GROUP BY 1),
+             |inc AS (
+             |  SELECT user_id, count(*) AS n,
+             |         sum(CAST(round(value * 1e6) AS BIGINT)) AS v
+             |  FROM events WHERE ts >= TIMESTAMP '2024-01-20 00:00:00'
+             |  GROUP BY 1)
+             |SELECT coalesce(base.user_id, inc.user_id) AS user_id,
+             |       CAST(coalesce(base.n, 0) + coalesce(inc.n, 0) AS BIGINT) AS n_events,
+             |       CAST(coalesce(base.v, 0) + coalesce(inc.v, 0) AS BIGINT) AS value_micro,
+             |       inc.user_id IS NOT NULL AS updated
+             |FROM base FULL JOIN inc ON base.user_id = inc.user_id
+             |ORDER BY user_id""".stripMargin),
+      (s, d) => {
+        val wm = lit("2024-01-20 00:00:00").cast("timestamp")
+        val ev = Tables.events(s, d)
+          .withColumn("v_micro", round(col("value") * 1e6).cast("long"))
+        def rollup(df: org.apache.spark.sql.DataFrame) =
+          df.groupBy("user_id")
+            .agg(count(lit(1)).as("n"), sum("v_micro").as("v"))
+        val base = rollup(ev.filter(col("ts") < wm))
+        val inc = rollup(ev.filter(col("ts") >= wm))
+        base.join(inc.withColumnRenamed("user_id", "i_user_id")
+              .withColumnRenamed("n", "i_n").withColumnRenamed("v", "i_v"),
+            col("user_id") === col("i_user_id"), "full_outer")
+          .select(
+            coalesce(col("user_id"), col("i_user_id")).as("user_id"),
+            (coalesce(col("n"), lit(0L)) + coalesce(col("i_n"), lit(0L)))
+              .as("n_events"),
+            (coalesce(col("v"), lit(0L)) + coalesce(col("i_v"), lit(0L)))
+              .as("value_micro"),
+            col("i_user_id").isNotNull.as("updated"))
+          .orderBy("user_id")
+      })
+  )
+}

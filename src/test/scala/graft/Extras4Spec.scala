@@ -1,0 +1,96 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+/** Round-4 operators: bitmap distinct counting, binned interval join,
+  * URL round-trips, batch sessionization boundaries, incremental
+  * high-watermark merge.
+  */
+class Extras4Spec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("bitmap distinct-count equals exact count distinct across buckets") {
+    // keys straddle the 32768-bit bitmap bucket boundary on purpose
+    val df = Seq(1L, 2L, 32768L, 32769L, 32769L, 70000L, 1L)
+      .toDF("k").withColumn("g", lit("a"))
+    val n = df
+      .groupBy(col("g"), expr("bitmap_bucket_number(k)").as("b"))
+      .agg(expr("bitmap_construct_agg(bitmap_bit_position(k))").as("bm"))
+      .groupBy("g").agg(sum(expr("bitmap_count(bm)")).as("n"))
+      .head().getLong(1)
+    assert(n == 5L)
+  }
+
+  test("binned interval join matches the naive range join exactly") {
+    val points = Seq((1L, -130.0), (2L, 0.0), (3L, 63.9), (4L, 64.0),
+      (5L, 200.0)).toDF("pid", "x")
+    val intervals = Seq((10L, -100.0), (11L, 50.0), (12L, 190.0))
+      .toDF("iid", "center")
+    val naive = points.join(intervals,
+        col("x").between(col("center") - 50, col("center") + 50))
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val binW = 64.0
+    val iv = intervals
+      .withColumn("lo", col("center") - 50).withColumn("hi", col("center") + 50)
+      .withColumn("bin", explode(sequence(floor(col("lo") / binW), floor(col("hi") / binW))))
+    val p = points.withColumn("bin", floor(col("x") / binW))
+    val binned = p.join(iv,
+        p("bin") === iv("bin") && p("x").between(iv("lo"), iv("hi")))
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(binned == naive)
+    assert(naive.contains((1L, 10L)) && naive.contains((5L, 12L)))
+  }
+
+  test("url_encode/parse_url/url_decode round-trip including reserved chars") {
+    val df = Seq("A&B #1").toDF("name")
+      .withColumn("url", concat(lit("https://h.example.com/p?q="),
+        url_encode(col("name"))))
+    val r = df.select(
+      parse_url(col("url"), lit("HOST")).as("h"),
+      parse_url(col("url"), lit("QUERY"), lit("q")).as("q"),
+      url_decode(url_encode(col("name"))).as("rt")).head()
+    assert(r.getString(0) == "h.example.com")
+    assert(r.getString(2) == "A&B #1")
+  }
+
+  test("session_window merges at exactly the gap and splits just past it") {
+    val df = Seq(
+      (1L, ts("2024-01-01 00:00:00")),
+      (1L, ts("2024-01-01 00:30:00")), // exactly gap → merges (inclusive)
+      (2L, ts("2024-01-01 00:00:00")),
+      (2L, ts("2024-01-01 00:30:00.001")) // just past gap → new session
+    ).toDF("user_id", "ts")
+    val sess = df.groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy("user_id").agg(count(lit(1)).as("n_sessions"))
+      .orderBy("user_id").collect().map(_.getLong(1)).toSeq
+    assert(sess == Seq(1L, 2L))
+  }
+
+  test("incremental merge equals the full recompute") {
+    val ev = Seq(
+      (1L, ts("2024-01-10 00:00:00"), 2.5),
+      (1L, ts("2024-01-25 00:00:00"), 1.5),
+      (2L, ts("2024-01-05 00:00:00"), 4.0),
+      (3L, ts("2024-01-28 00:00:00"), 3.0) // new key after the watermark
+    ).toDF("user_id", "ts", "value")
+    val wm = lit("2024-01-20 00:00:00").cast("timestamp")
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("user_id").agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 1e6).cast("long")).as("v"))
+    val base = agg(ev.filter(col("ts") < wm))
+    val inc = agg(ev.filter(col("ts") >= wm))
+      .withColumnRenamed("user_id", "iu")
+      .withColumnRenamed("n", "in").withColumnRenamed("v", "iv")
+    val merged = base.join(inc, col("user_id") === col("iu"), "full_outer")
+      .select(coalesce(col("user_id"), col("iu")).as("user_id"),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("in"), lit(0L))).as("n"),
+        (coalesce(col("v"), lit(0L)) + coalesce(col("iv"), lit(0L))).as("v"))
+    val full = agg(ev)
+    assert(merged.exceptAll(full).isEmpty && full.exceptAll(merged).isEmpty)
+  }
+}
