@@ -164,6 +164,31 @@ object StreamQueries {
              |       CAST(sum(brk) AS BIGINT) AS n_sessions,
              |       count(*) AS n_events
              |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin),
-      (s, d) => Streams.sessionCounts(events(s, d)).orderBy("user_id"))
+      (s, d) => Streams.sessionCounts(events(s, d)).orderBy("user_id")),
+
+    // STREAMING session_window in append mode: sessions emit once their
+    // end (last event + 30-min gap) falls behind the final watermark
+    // (max ts − 1 h); still-open or too-recent sessions stay withheld.
+    Q("stream_session_window",
+      Some("""WITH g AS (
+             |  SELECT user_id, ts,
+             |         CASE WHEN lag(ts) OVER w IS NULL THEN 1
+             |              WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1
+             |              ELSE 0 END AS brk
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+             |s AS (
+             |  SELECT user_id, ts,
+             |         sum(brk) OVER (PARTITION BY user_id ORDER BY ts) AS sid
+             |  FROM g)
+             |SELECT user_id, session_start, session_end, n_events FROM (
+             |  SELECT user_id,
+             |         min(ts) AS session_start,
+             |         max(ts) + INTERVAL 30 MINUTE AS session_end,
+             |         count(*) AS n_events
+             |  FROM s GROUP BY user_id, sid) t
+             |WHERE session_end <= (SELECT max(ts) - INTERVAL 1 HOUR FROM events)
+             |ORDER BY user_id, session_start""".stripMargin),
+      (s, d) => Streams.streamingSessionWindows(s, d))
   )
 }

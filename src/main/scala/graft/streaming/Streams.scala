@@ -324,6 +324,29 @@ object Streams {
   /** Session windows (30-minute inactivity gap) per user — batch
     * session_window here; the streaming variant is identical plus
     * watermark (see SessionizeStateful for the custom-state form). */
+  /** STREAMING session windows in append mode: per-user sessions merge
+    * while events arrive; a session row is emitted exactly once, when
+    * the watermark passes its end (last event + gap) and its state is
+    * evicted. The forever-running form of [[sessionCounts]] — state is
+    * bounded by (open sessions × users in the horizon), not history.
+    */
+  def streamingSessionWindows(spark: SparkSession, dir: String): DataFrame = withStreamParallelism(spark) {
+    val name = "graft_stream_session_window"
+    val q = eventsStream(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name).orderBy("user_id", "session_start")
+  }
+
   def sessionCounts(events: DataFrame): DataFrame =
     events
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
