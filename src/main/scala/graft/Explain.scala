@@ -17,7 +17,10 @@ object Explain {
         "sim_topk_brute", "window_rank", "sink_partitioned",
         // round-3 scale-critical additions
         "scd2_intervals", "funnel_conversion", "ts_resample",
-        "join_asof_nearest", "join_hinted", "text_pack_bins")
+        "join_asof_nearest", "join_hinted", "text_pack_bins",
+        // round-4 scale-critical additions
+        "join_range_binned", "agg_bitmap_distinct", "pipeline_incremental",
+        "ts_sessionize")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

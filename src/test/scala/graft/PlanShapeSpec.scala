@@ -87,4 +87,25 @@ class PlanShapeSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(p.contains("ReadSchema: struct<o_orderkey:bigint,o_totalprice:double>"))
   }
+
+  test("binned range join is an equi-join on bin, never a nested loop") {
+    val p = plan("join_range_binned")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range join degenerated to a nested loop:\n$p")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"))
+  }
+
+  test("bitmap distinct count does partial+final on both aggregation levels") {
+    val p = plan("agg_bitmap_distinct")
+    // (group,bucket) bitmap build, then per-group bit-count sum — each
+    // level partial+final around its exchange
+    assert("Aggregate".r.findAllIn(p).size >= 4, p)
+  }
+
+  test("incremental merge reuses each leg's aggregation partitioning for the join") {
+    val p = plan("pipeline_incremental")
+    // 2 aggregation exchanges (one per leg) + the oracle ORDER BY range
+    // exchange; the full-outer join itself must NOT add exchanges
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2, p)
+  }
 }
