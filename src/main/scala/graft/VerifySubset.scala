@@ -6,9 +6,9 @@ import org.apache.spark.sql.SparkSession
 
 /** Ad-hoc filtered Verify (not part of the driver contract): dumps only
   * the named queries + their oracles, for fast check.py iteration on
-  * new operators. Usage: runMain graft.Scratch5 <sfDir> <outDir> <name>...
+  * new operators. Usage: runMain graft.VerifySubset <sfDir> <outDir> <name>...
   */
-object Scratch5 {
+object VerifySubset {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val outDir = args(1)
