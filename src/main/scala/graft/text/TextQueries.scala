@@ -268,6 +268,82 @@ object TextQueries {
             nullif(length(col("text")).cast("long"), lit(0L))).as("pr"),
           TextAnalysis.langId(col("text")).as("lp"))
         .filter(col("ntok").between(10, 1000) && col("pr") <= 0.2 && col("lp") === "en")
-        .select("doc_id").orderBy("doc_id"))
+        .select("doc_id").orderBy("doc_id")),
+
+    // the END-TO-END training-corpus pipeline: quality gate → exact
+    // dedup (min-doc_id survivor per fingerprint) → overlapping
+    // chunking (32/16) → 512-token sequence packing per source shard —
+    // all ONE composed plan. Shuffle ledger: gate is a pure scan, dedup
+    // is one shuffle on the 16-byte fingerprint, chunking is
+    // shuffle-free row generation, packing is one window on the shard
+    // key. Nothing materializes between stages; Catalyst fuses the
+    // scan+gate+fingerprint into a single codegen stage.
+    Q("pipeline_training_corpus",
+      Some(s"""WITH u AS (
+              |  SELECT doc_id, source, text, $dLangCase AS lp,
+              |         CAST($dTok AS BIGINT) AS ntok,
+              |         CAST($dPunct AS DOUBLE) / nullif(length(text), 0) AS pr
+              |  FROM (SELECT doc_id, source, text,
+              |    $dLangScores
+              |  FROM documents) t),
+              |kept AS (
+              |  SELECT doc_id, source, text,
+              |         md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+              |  FROM u WHERE ntok BETWEEN 10 AND 1000 AND pr <= 0.2 AND lp = 'en'),
+              |uniq AS (
+              |  SELECT doc_id, source, text FROM (
+              |    SELECT doc_id, source, text,
+              |           row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+              |    FROM kept) r WHERE rn = 1),
+              |chunks AS (
+              |  SELECT doc_id, source, CAST(ci AS INT) AS chunk_idx,
+              |         CAST(least(32, len(toks) - ci*16) AS BIGINT) AS n_tokens
+              |  FROM (SELECT doc_id, source,
+              |               string_split_regex(lower(trim(text)), ' +') AS toks
+              |        FROM uniq) t,
+              |       LATERAL unnest(range(CAST(ceil(greatest(len(toks) - 32, 0) / 16.0)
+              |                            AS BIGINT) + 1)) un(ci)),
+              |packed AS (
+              |  SELECT doc_id, chunk_idx, source, n_tokens,
+              |         sum(n_tokens) OVER (PARTITION BY source
+              |                             ORDER BY doc_id, chunk_idx
+              |                             ROWS UNBOUNDED PRECEDING) AS cum
+              |  FROM chunks)
+              |SELECT doc_id, chunk_idx, source, n_tokens,
+              |       CAST(floor((cum - n_tokens) / 512) AS BIGINT) AS bin_id
+              |FROM packed ORDER BY doc_id, chunk_idx""".stripMargin),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val kept = documents(s, d)
+          .select(col("doc_id"), col("source"), col("text"),
+            TextAnalysis.tokenCount(col("text")).as("ntok"),
+            (TextAnalysis.punctCount(col("text")).cast("double") /
+              nullif(length(col("text")).cast("long"), lit(0L))).as("pr"),
+            TextAnalysis.langId(col("text")).as("lp"),
+            TextAnalysis.fingerprint(col("text")).as("fp"))
+          .filter(col("ntok").between(10, 1000) &&
+            col("pr") <= 0.2 && col("lp") === "en")
+        val uniq = kept
+          .withColumn("rn",
+            row_number().over(Window.partitionBy("fp").orderBy("doc_id")))
+          .filter(col("rn") === 1)
+        val toks = split(lower(trim(col("text"))), " +")
+        val chunks = uniq
+          .select(col("doc_id"), col("source"), toks.as("toks"))
+          .select(col("doc_id"), col("source"),
+            posexplode(transform(
+              sequence(lit(0),
+                ceil(greatest(size(col("toks")) - 32, lit(0)) / 16.0).cast("int")),
+              ci => slice(col("toks"), ci * 16 + 1, lit(32)))))
+          .select(col("doc_id"), col("source"), col("pos").as("chunk_idx"),
+            size(col("col")).cast("long").as("n_tokens"))
+        val wp = Window.partitionBy("source").orderBy("doc_id", "chunk_idx")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        chunks.withColumn("cum", sum(col("n_tokens")).over(wp))
+          .select(col("doc_id"), col("chunk_idx"), col("source"),
+            col("n_tokens"),
+            floor((col("cum") - col("n_tokens")) / 512).as("bin_id"))
+          .orderBy("doc_id", "chunk_idx")
+      })
   )
 }
