@@ -135,6 +135,49 @@ object SimQueries {
              |SELECT vec_id FROM embeddings
              |WHERE vec_id NOT IN (SELECT ib FROM dup) ORDER BY vec_id""".stripMargin),
       (s, d) => Similarity.dedupEmbeddings(embeddings(s, d), 0.2)
-        .select("vec_id").orderBy("vec_id"))
+        .select("vec_id").orderBy("vec_id")),
+
+    // exact-arithmetic k-means (2 Lloyd iterations, k=5, seeded from
+    // the 5 lowest vec_ids): coordinates quantized to a 1e-7 integer
+    // grid → every distance and centroid mean is exact BIGINT math,
+    // bit-identical across engines and partitionings (graft.sim
+    // .Clustering). The oracle spells the same integer algorithm
+    // relationally (dims exploded); integer arithmetic is
+    // formulation-independent, so array-form and relational-form agree
+    // exactly.
+    Q("cluster_kmeans",
+      Some("""WITH dims AS (
+             |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+             |         CAST(round(unnest(embedding) * 1e7) AS BIGINT) + 10000000 AS v
+             |  FROM embeddings),
+             |init AS (
+             |  SELECT d.i, d.v AS cv, r.j FROM dims d
+             |  JOIN (SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS j
+             |        FROM embeddings ORDER BY vec_id LIMIT 5) r
+             |    ON d.vec_id = r.vec_id),
+             |d1 AS (
+             |  SELECT d.vec_id, c.j,
+             |         CAST(sum((d.v - c.cv) * (d.v - c.cv)) AS BIGINT) AS d2
+             |  FROM dims d JOIN init c ON d.i = c.i GROUP BY 1, 2),
+             |a1 AS (
+             |  SELECT vec_id, j, d2,
+             |         row_number() OVER (PARTITION BY vec_id ORDER BY d2, j) AS rn
+             |  FROM d1),
+             |upd AS (
+             |  SELECT a1.j, d.i, CAST(sum(d.v) AS BIGINT) AS s, count(*) AS n
+             |  FROM a1 JOIN dims d ON a1.vec_id = d.vec_id
+             |  WHERE a1.rn = 1 GROUP BY 1, 2),
+             |cent2 AS (SELECT j, i, CAST((s - s % n) / n AS BIGINT) AS cv FROM upd),
+             |d2t AS (
+             |  SELECT d.vec_id, c.j,
+             |         CAST(sum((d.v - c.cv) * (d.v - c.cv)) AS BIGINT) AS d2
+             |  FROM dims d JOIN cent2 c ON d.i = c.i GROUP BY 1, 2),
+             |a2 AS (
+             |  SELECT vec_id, j, d2,
+             |         row_number() OVER (PARTITION BY vec_id ORDER BY d2, j) AS rn
+             |  FROM d2t)
+             |SELECT vec_id, j AS cluster, d2 AS dist2
+             |FROM a2 WHERE rn = 1 ORDER BY vec_id""".stripMargin),
+      (s, d) => Clustering.kmeans(embeddings(s, d), k = 5))
   )
 }

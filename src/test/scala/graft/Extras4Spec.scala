@@ -93,4 +93,26 @@ class Extras4Spec extends SparkSpec {
     val full = agg(ev)
     assert(merged.exceptAll(full).isEmpty && full.exceptAll(merged).isEmpty)
   }
+
+  test("exact-integer kmeans separates obvious clusters, invariant to partitioning") {
+    import graft.sim.Clustering
+    // two tight blobs far apart; k=2 seeds land one in each after update
+    val rows = (0 until 8).map { i =>
+      val base = if (i % 2 == 0) 0.1f else -0.4f
+      (i.toLong, Array.fill(4)(base + i * 1e-6f))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val out1 = Clustering.kmeans(df, k = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // evens (near 0.1) and odds (near -0.4) form the two clusters
+    assert(out1.filterKeys(_ % 2 == 0).values.toSet.size == 1)
+    assert(out1.filterKeys(_ % 2 == 1).values.toSet.size == 1)
+    assert(out1(0L) != out1(1L))
+    // bit-identical under a different partitioning (exact integer math)
+    val out7 = Clustering.kmeans(df.repartition(7), k = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val outA = Clustering.kmeans(df, k = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(out7.toSeq == outA.toSeq)
+  }
 }
