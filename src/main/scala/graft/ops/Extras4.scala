@@ -189,6 +189,48 @@ object Extras4 {
               .as("value_micro"),
             col("i_user_id").isNotNull.as("updated"))
           .orderBy("user_id")
+      }),
+
+    // crypto-hash + binary-encoding scalar battery: md5 / sha2-256 /
+    // base64 round-trip / hex — content-addressing and wire-encoding
+    // primitives (all codegen'd, embarrassingly parallel). hex case
+    // differs across engines → lower() pinned on both sides.
+    Q("hash_encode_funcs",
+      Some("""SELECT c_custkey,
+             |       md5(c_name) AS h_md5,
+             |       sha256(c_name) AS h_sha256,
+             |       base64(CAST(c_name AS BLOB)) AS enc_b64,
+             |       CAST(from_base64(base64(CAST(c_name AS BLOB))) AS VARCHAR) AS rt_b64,
+             |       lower(hex(CAST(c_mktsegment AS BLOB))) AS enc_hex
+             |FROM customer ORDER BY c_custkey""".stripMargin),
+      (s, d) => {
+        Tables.customer(s, d)
+          .select(col("c_custkey"),
+            md5(col("c_name")).as("h_md5"),
+            sha2(col("c_name"), 256).as("h_sha256"),
+            base64(col("c_name").cast("binary")).as("enc_b64"),
+            decode(unbase64(base64(col("c_name").cast("binary"))), "UTF-8")
+              .as("rt_b64"),
+            lower(hex(col("c_mktsegment").cast("binary"))).as("enc_hex"))
+          .orderBy("c_custkey")
+      }),
+
+    // Bernoulli sampling by hash threshold: keep ~20% of rows chosen by
+    // the Knuth multiplicative hash of the key. Unlike rand()-based
+    // sampling this is deterministic under retry/speculation AND
+    // requires NO sort or window — a pure codegen'd filter, the only
+    // sampling that's free at 100 TB (sample_stratified is the
+    // per-group-exact-k counterpart).
+    Q("sample_bernoulli",
+      Some("""SELECT c_custkey, c_mktsegment FROM customer
+             |WHERE (c_custkey * 2654435761) % 4294967296 < 858993459
+             |ORDER BY c_custkey""".stripMargin),
+      (s, d) => {
+        Tables.customer(s, d)
+          .filter((col("c_custkey") * lit(2654435761L)) % lit(4294967296L)
+            < lit(858993459L))
+          .select("c_custkey", "c_mktsegment")
+          .orderBy("c_custkey")
       })
   )
 }

@@ -59,16 +59,22 @@ object Clustering {
       .select(col("cluster").as("j"), col("c"))
 
   /** Two Lloyd iterations from a deterministic seed (the k lowest
-    * vec_ids). Returns (vec_id, cluster, dist2) — dist2 in squared
-    * grid units, exact. */
-  def kmeans(emb: DataFrame, k: Int): DataFrame = {
+    * vec_ids). Returns (final assignments (vec_id, cluster, dist2, v),
+    * final centroids (j, c)) — both in exact grid units. */
+  def kmeansFull(emb: DataFrame, k: Int): (DataFrame, DataFrame) = {
     val vecs = emb.select(col("vec_id"), quantize(col("embedding")).as("v"))
     val init = vecs.orderBy("vec_id").limit(k)
       .withColumn("j",
         (row_number().over(Window.orderBy("vec_id")) - 1).cast("long"))
       .select(col("j"), col("v").as("c"))
     val a1 = assign(vecs, init)
-    val a2 = assign(vecs, update(a1))
-    a2.select(col("vec_id"), col("cluster"), col("dist2")).orderBy("vec_id")
+    val c2 = update(a1)
+    (assign(vecs, c2), c2)
   }
+
+  /** Assignment-only view: (vec_id, cluster, dist2), dist2 in squared
+    * grid units, exact. */
+  def kmeans(emb: DataFrame, k: Int): DataFrame =
+    kmeansFull(emb, k)._1
+      .select(col("vec_id"), col("cluster"), col("dist2")).orderBy("vec_id")
 }

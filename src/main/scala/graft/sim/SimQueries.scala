@@ -146,7 +146,43 @@ object SimQueries {
     // formulation-independent, so array-form and relational-form agree
     // exactly.
     Q("cluster_kmeans",
-      Some("""WITH dims AS (
+      Some(s"""WITH $kmeansCte
+              |SELECT vec_id, j AS cluster, d2 AS dist2
+              |FROM a2 WHERE rn = 1 ORDER BY vec_id""".stripMargin),
+      (s, d) => Clustering.kmeans(embeddings(s, d), k = 5)),
+
+    // IVF-Flat with kmeans-trained cells (the structure FAISS ships):
+    // cell choice = exact-integer distance to the trained centroids
+    // (deterministic), in-cell ranking = brute cosine over only the
+    // probed cells. Completes the ANN ladder: brute → label-IVF →
+    // kmeans-IVF.
+    Q("sim_topk_ivf_kmeans",
+      Some(s"""WITH $kmeansCte,
+              |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe, vec_id AS qid
+              |      FROM embeddings ORDER BY vec_id LIMIT 1),
+              |qd AS (SELECT i, v FROM dims
+              |       WHERE vec_id = (SELECT min(vec_id) FROM embeddings)),
+              |probe AS (
+              |  SELECT c.j FROM cent2 c JOIN qd ON c.i = qd.i
+              |  GROUP BY c.j
+              |  ORDER BY sum((qd.v - c.cv) * (qd.v - c.cv)), c.j LIMIT 2),
+              |cand AS (SELECT vec_id FROM a2
+              |         WHERE rn = 1 AND j IN (SELECT j FROM probe))
+              |SELECT e.vec_id, e.label
+              |FROM embeddings e JOIN cand USING (vec_id), q
+              |WHERE e.vec_id <> q.qid
+              |ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe) DESC,
+              |         e.vec_id
+              |LIMIT 10""".stripMargin),
+      (s, d) => Similarity.ivfKmeansTopK(embeddings(s, d), 10, 5, 2)
+        .select("vec_id", "label"))
+  )
+
+  /** The exact-integer kmeans pipeline as DuckDB CTEs (shared by
+    * cluster_kmeans and sim_topk_ivf_kmeans): quantized dims → seeded
+    * centroids → assign → exact floor-division update → re-assign. */
+  private val kmeansCte =
+    """dims AS (
              |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
              |         CAST(round(unnest(embedding) * 1e7) AS BIGINT) + 10000000 AS v
              |  FROM embeddings),
@@ -175,9 +211,5 @@ object SimQueries {
              |a2 AS (
              |  SELECT vec_id, j, d2,
              |         row_number() OVER (PARTITION BY vec_id ORDER BY d2, j) AS rn
-             |  FROM d2t)
-             |SELECT vec_id, j AS cluster, d2 AS dist2
-             |FROM a2 WHERE rn = 1 ORDER BY vec_id""".stripMargin),
-      (s, d) => Clustering.kmeans(embeddings(s, d), k = 5))
-  )
+             |  FROM d2t)""".stripMargin
 }

@@ -101,6 +101,31 @@ object Similarity {
       .orderBy(col("cos_sim").desc, col("vec_id")).limit(k)
   }
 
+  /** IVF with kmeans-trained cells (the FAISS IVF-Flat structure):
+    * probe the `nprobe` centroids nearest the query in EXACT grid
+    * distance (deterministic cell choice — no float tie risk), then
+    * brute-force cosine only inside those cells. */
+  def ivfKmeansTopK(emb: DataFrame, k: Int = 10, kClusters: Int = 5,
+      nprobe: Int = 2): DataFrame = {
+    val (assigned, cents) = Clustering.kmeansFull(emb, kClusters)
+    val q = broadcast(emb.orderBy("vec_id").limit(1)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        Clustering.quantize(col("embedding")).as("q_v")))
+    val d2 = aggregate(
+      zip_with(col("c"), col("q_v"), (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, e) => acc + e)
+    val cells = cents.crossJoin(q).select(col("j").as("cluster"), d2.as("d2"))
+      .orderBy("d2", "cluster").limit(nprobe).select("cluster")
+    assigned.select("vec_id", "cluster")
+      .join(broadcast(cells), Seq("cluster"))
+      .join(emb, Seq("vec_id"))
+      .crossJoin(q)
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("vec_id"), col("label"),
+        cosFast(emb)(col("embedding"), col("q_emb")).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id")).limit(k)
+  }
+
   /** 16-bit sign-LSH bucket from the first 16 dimensions. */
   def signBucket(emb: Column): Column = {
     val weights = array((0 until 16).map(i => lit(1L << i)): _*)
