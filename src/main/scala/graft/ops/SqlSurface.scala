@@ -37,6 +37,38 @@ object SqlSurface {
           |FROM lineitem
           |WHERE l_discount >= 0.05 AND l_quantity < 24""".stripMargin)),
 
+    // named WINDOW clause: one window definition shared by several
+    // functions — parsed once, planned as ONE Window operator (one
+    // shuffle+sort on the partition key, not three).
+    Q("sql_named_window",
+      Some("""SELECT o_custkey, o_orderkey,
+             |       CAST(row_number() OVER w AS BIGINT) AS rn,
+             |       CAST(rank() OVER w AS BIGINT) AS rk,
+             |       lag(o_totalprice) OVER w AS prev_price
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+             |ORDER BY o_custkey, o_orderkey""".stripMargin),
+      sql(Seq("orders"),
+        """SELECT o_custkey, o_orderkey,
+          |       CAST(row_number() OVER w AS BIGINT) AS rn,
+          |       CAST(rank() OVER w AS BIGINT) AS rk,
+          |       lag(o_totalprice) OVER w AS prev_price
+          |FROM orders
+          |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+          |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
+    // Spark 4 collations: case-insensitive compare + sort via the
+    // UTF8_LCASE collation (a property of the comparison, pushed into
+    // codegen) — the oracle spells the same semantics with lower().
+    Q("str_collation",
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE lower(c_mktsegment) = 'building'
+             |ORDER BY lower(c_name), c_custkey""".stripMargin),
+      sql(Seq("customer"),
+        """SELECT c_custkey, c_name FROM customer
+          |WHERE collate(c_mktsegment, 'UTF8_LCASE') = 'building'
+          |ORDER BY collate(c_name, 'UTF8_LCASE'), c_custkey""".stripMargin)),
+
     // correlated EXISTS subquery → planned as a semi join.
     Q("sql_exists_subquery",
       Some("""SELECT c_custkey, c_name FROM customer c
