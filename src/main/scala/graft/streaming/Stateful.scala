@@ -80,6 +80,58 @@ object Stateful {
     spark.table(name).as[SessionOut]
   }
 
+  final case class EventVal(user_id: Long, event_id: Long,
+      ts: java.sql.Timestamp, value: Double)
+  final case class ZState(n: Long, s: Long, s2: Long)
+  final case class ZOut(event_id: Long, user_id: Long,
+      z_micro: Option[Long])
+
+  /** Streaming expanding z-score (the stateful twin of the batch
+    * `window_zscore`): each event is scored against the running
+    * mean/stddev of all PRIOR events for its user, held as exact
+    * cent-scaled integer moment sums (n, Σv, Σv²) in per-key state —
+    * order-independent, retry-safe, and bit-comparable to a batch
+    * expanding-window computation. z = (v·n − s) / √(n·s2 − s²) — the
+    * closed form keeps every intermediate an exact integer; only the
+    * final √/÷ are floats, reported on the 1e-6 grid. */
+  def scoreExpanding(id: Long, events: Iterator[EventVal],
+      state: GroupState[ZState]): Iterator[ZOut] = {
+    val sorted = events.toArray.sortBy(e => (e.ts.getTime, e.event_id))
+    var st = state.getOption.getOrElse(ZState(0L, 0L, 0L))
+    val out = sorted.iterator.map { e =>
+      val v = math.round(e.value * 100) // cents — exact for 2-dp values
+      val den2 = st.n * st.s2 - st.s * st.s
+      val z =
+        if (st.n >= 2 && den2 > 0) {
+          val raw = (v * st.n - st.s).toDouble / math.sqrt(den2.toDouble)
+          // HALF_UP = away from zero, matching DuckDB round()
+          Some(java.math.BigDecimal.valueOf(raw * 1e6)
+            .setScale(0, java.math.RoundingMode.HALF_UP).longValue())
+        } else None
+      st = ZState(st.n + 1, st.s + v, st.s2 + v * v)
+      ZOut(e.event_id, id, z)
+    }.toVector
+    state.update(st)
+    out.iterator
+  }
+
+  /** Per-event anomaly scores via flatMapGroupsWithState (append). */
+  def expandingZscores(spark: SparkSession, dir: String): Dataset[ZOut] = Streams.withStreamParallelism(spark) {
+    import spark.implicits._
+    val name = "graft_stream_zscore"
+    val q = Streams.eventsStream(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .as[EventVal]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(scoreExpanding)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name).as[ZOut]
+  }
+
   /** foreachBatch sink bridge: each microbatch lands as a batch parquet
     * append — the escape hatch for sinks without a native streaming
     * writer. With a checkpoint dir, restarts resume from the last

@@ -189,6 +189,32 @@ object StreamQueries {
              |  FROM s GROUP BY user_id, sid) t
              |WHERE session_end <= (SELECT max(ts) - INTERVAL 1 HOUR FROM events)
              |ORDER BY user_id, session_start""".stripMargin),
-      (s, d) => Streams.streamingSessionWindows(s, d))
+      (s, d) => Streams.streamingSessionWindows(s, d)),
+
+    // streaming expanding z-score: per-event anomaly vs the running
+    // moments of all PRIOR events of that user (exact cent-integer
+    // sums in flatMapGroupsWithState state). The oracle is the batch
+    // expanding-window spelling of the identical integer closed form.
+    Q("stream_zscore",
+      Some("""WITH m AS (
+             |  SELECT event_id, user_id,
+             |         CAST(round(value * 100) AS BIGINT) AS v,
+             |         count(*) OVER w AS n_prev,
+             |         sum(CAST(round(value * 100) AS BIGINT)) OVER w AS s_prev,
+             |         sum(CAST(round(value * 100) AS BIGINT)
+             |             * CAST(round(value * 100) AS BIGINT)) OVER w AS s2_prev
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+             |SELECT event_id, user_id,
+             |       CASE WHEN n_prev >= 2
+             |                 AND n_prev * s2_prev - s_prev * s_prev > 0
+             |            THEN CAST(round((v * n_prev - s_prev)
+             |                 / sqrt(CAST(n_prev * s2_prev - s_prev * s_prev AS DOUBLE))
+             |                 * 1e6) AS BIGINT)
+             |            ELSE NULL END AS z_micro
+             |FROM m ORDER BY event_id""".stripMargin),
+      (s, d) => Stateful.expandingZscores(s, d).toDF()
+        .orderBy("event_id"))
   )
 }
