@@ -69,6 +69,55 @@ object SqlSurface {
           |WHERE collate(c_mktsegment, 'UTF8_LCASE') = 'building'
           |ORDER BY collate(c_name, 'UTF8_LCASE'), c_custkey""".stripMargin)),
 
+    // SQL PIVOT clause (the relational spelling of pivot_counts); the
+    // oracle states the semantics with FILTER aggregates. coalesce
+    // pins empty cells to 0 on both sides.
+    Q("sql_pivot",
+      Some("""SELECT o_orderpriority,
+             |       count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+             |       count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+             |       count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+             |FROM orders GROUP BY 1 ORDER BY o_orderpriority""".stripMargin),
+      sql(Seq("orders"),
+        """SELECT o_orderpriority,
+          |       CAST(coalesce(n_f, 0) AS BIGINT) AS n_f,
+          |       CAST(coalesce(n_o, 0) AS BIGINT) AS n_o,
+          |       CAST(coalesce(n_p, 0) AS BIGINT) AS n_p
+          |FROM (SELECT o_orderpriority, o_orderstatus FROM orders)
+          |  PIVOT (count(*) FOR o_orderstatus IN ('F' AS n_f, 'O' AS n_o, 'P' AS n_p))
+          |ORDER BY o_orderpriority""".stripMargin)),
+
+    // SQL UNPIVOT clause: wide metrics → (key, metric, value) rows;
+    // mixed int/double inputs coerce to the least common type.
+    Q("sql_unpivot",
+      Some("""SELECT c_custkey, 'bal' AS metric, c_acctbal AS val FROM customer
+             |UNION ALL
+             |SELECT c_custkey, 'nation', CAST(c_nationkey AS DOUBLE) FROM customer
+             |ORDER BY c_custkey, metric""".stripMargin),
+      sql(Seq("customer"),
+        """SELECT c_custkey, metric, val FROM customer
+          |UNPIVOT (val FOR metric IN (c_acctbal AS bal, c_nationkey AS nation))
+          |ORDER BY c_custkey, metric""".stripMargin)),
+
+    // correlated LATERAL subquery with per-row LIMIT — top-2 orders per
+    // customer written as the dependent join it is; Catalyst decorrelates
+    // to a ranked window, not a per-row re-execution. DuckDB runs the
+    // identical SQL.
+    Q("sql_lateral_topn",
+      Some("""SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+             |FROM customer c, LATERAL (
+             |  SELECT o_orderkey, o_totalprice FROM orders o
+             |  WHERE o.o_custkey = c.c_custkey
+             |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+             |ORDER BY c_custkey, o_orderkey""".stripMargin),
+      sql(Seq("customer", "orders"),
+        """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+          |FROM customer c, LATERAL (
+          |  SELECT o_orderkey, o_totalprice FROM orders o
+          |  WHERE o.o_custkey = c.c_custkey
+          |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+          |ORDER BY c_custkey, o_orderkey""".stripMargin)),
+
     // correlated EXISTS subquery → planned as a semi join.
     Q("sql_exists_subquery",
       Some("""SELECT c_custkey, c_name FROM customer c
