@@ -43,15 +43,26 @@ object Graph {
       .localCheckpoint()
     val nodes = bi.select(col("src").as("id")).distinct()
     var labels = nodes.withColumn("component", col("id")).localCheckpoint()
-    for (_ <- 1 to iterations) {
+    // `iterations` is a CAP, not a count: label propagation reaches its
+    // fixed point after diameter rounds, and every further round is a
+    // full wasted pass. The `changed` flag rides the checkpointed rows,
+    // so the convergence probe is a filter over materialized blocks
+    // (first-match short-circuit), not a recompute.
+    var converged = false
+    var round = 0
+    while (round < iterations && !converged) {
       val nbrMin = bi.join(labels, bi("dst") === labels("id"))
         .groupBy(col("src")).agg(min(col("component")).as("nbr_min"))
       labels = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
-        .select(labels("id"),
+        .select(labels("id"), labels("component").as("old"),
           least(col("component"), coalesce(col("nbr_min"), col("component")))
             .as("component"))
+        .select(col("id"), col("component"),
+          (col("component") =!= col("old")).as("changed"))
         .localCheckpoint()
+      converged = labels.filter(col("changed")).isEmpty
+      round += 1
     }
-    labels
+    labels.select(col("id"), col("component"))
   }
 }
