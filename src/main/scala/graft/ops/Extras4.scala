@@ -215,6 +215,72 @@ object Extras4 {
           .orderBy("c_custkey")
       }),
 
+    // feature scaling (the ML-preprocessing pass): per-segment z-score
+    // AND min-max normalization in one window pass. All moments are
+    // exact cent-integers; the closed forms (v·n−s)/√(n·s2−s²) and
+    // (v−min)/(max−min) make the only float ops a final √/÷ evaluated
+    // identically in both engines, reported on the 1e-6 grid.
+    Q("feature_scale",
+      Some("""WITH m AS (
+             |  SELECT c_custkey, c_mktsegment,
+             |         CAST(round(c_acctbal * 100) AS BIGINT) AS v,
+             |         count(*) OVER w AS n,
+             |         CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) OVER w AS BIGINT) AS s,
+             |         CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)
+             |                  * CAST(round(c_acctbal * 100) AS BIGINT)) OVER w AS BIGINT) AS s2,
+             |         min(CAST(round(c_acctbal * 100) AS BIGINT)) OVER w AS vmin,
+             |         max(CAST(round(c_acctbal * 100) AS BIGINT)) OVER w AS vmax
+             |  FROM customer
+             |  WINDOW w AS (PARTITION BY c_mktsegment))
+             |SELECT c_custkey, c_mktsegment,
+             |       CAST(round((v * n - s)
+             |            / sqrt(CAST(n * s2 - s * s AS DOUBLE)) * 1e6) AS BIGINT) AS z_micro,
+             |       CAST(round(CAST(v - vmin AS DOUBLE)
+             |            / (vmax - vmin) * 1e6) AS BIGINT) AS mm_micro
+             |FROM m ORDER BY c_custkey""".stripMargin),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("c_mktsegment")
+        val v = round(col("c_acctbal") * 100).cast("long")
+        Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_mktsegment"), v.as("v"))
+          .withColumn("n", count(lit(1)).over(w))
+          .withColumn("s", sum(col("v")).over(w))
+          .withColumn("s2", sum(col("v") * col("v")).over(w))
+          .withColumn("vmin", min(col("v")).over(w))
+          .withColumn("vmax", max(col("v")).over(w))
+          .select(col("c_custkey"), col("c_mktsegment"),
+            round((col("v") * col("n") - col("s")) /
+              sqrt((col("n") * col("s2") - col("s") * col("s")).cast("double"))
+              * 1e6).cast("long").as("z_micro"),
+            round((col("v") - col("vmin")).cast("double") /
+              (col("vmax") - col("vmin")) * 1e6).cast("long").as("mm_micro"))
+          .orderBy("c_custkey")
+      }),
+
+    // exact weighted average: Σ(price·qty)/Σqty from exact decimal
+    // products — the order-independent form of a ratio aggregate.
+    Q("agg_weighted_avg",
+      Some("""SELECT l_returnflag,
+             |       CAST(round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+             |                              * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             |            / CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             |            * 1e6) AS BIGINT) AS wavg_micro,
+             |       count(*) AS n
+             |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin),
+      (s, d) => {
+        Tables.lineitem(s, d)
+          .groupBy("l_returnflag")
+          .agg(
+            round(
+              sum(col("l_extendedprice").cast("decimal(18,2)") *
+                col("l_quantity").cast("decimal(18,2)")).cast("double") /
+              sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+              * 1e6).cast("long").as("wavg_micro"),
+            count(lit(1)).as("n"))
+          .orderBy("l_returnflag")
+      }),
+
     // Bernoulli sampling by hash threshold: keep ~20% of rows chosen by
     // the Knuth multiplicative hash of the key. Unlike rand()-based
     // sampling this is deterministic under retry/speculation AND
