@@ -215,6 +215,37 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Asymmetric containment pairs: C(inner→outer) = |inner ∩ outer| /
+    * |inner| ≥ threshold. Catches SUB-document duplication (a doc
+    * whose shingles mostly appear inside a larger doc) that symmetric
+    * Jaccard dilutes away. Same inverted-index plan as
+    * [[ngramJaccardPairs]] — each unordered pair just emits both
+    * directions before the threshold. The ratio is a division of two
+    * small exact integers: bit-identical in any engine. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.8, maxDf: Int = 100): DataFrame = {
+    graft.plans.GraftFunctions.register(df.sparkSession)
+    val inv = df.select(col(idCol).as("id"),
+      explode(array_distinct(call_function("shingles", col(textCol)))).as("ng"))
+    val sizes = df.select(col(idCol).as("id"),
+      size(array_distinct(call_function("shingles", col(textCol)))).cast("long").as("nsh"))
+    val shared = inv.groupBy("ng").agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxDf))
+      .select(explode(pairCombos(col("ids"))).as("p"))
+      .select(col("p._1").as("id_a"), col("p._2").as("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+    val withSizes = shared
+      .join(sizes.select(col("id").as("id_a"), col("nsh").as("na")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("nsh").as("nb")), "id_b")
+    val aInB = withSizes.select(col("id_a").as("inner_id"),
+      col("id_b").as("outer_id"),
+      (col("n_shared").cast("double") / col("na")).as("containment"))
+    val bInA = withSizes.select(col("id_b").as("inner_id"),
+      col("id_a").as("outer_id"),
+      (col("n_shared").cast("double") / col("nb")).as("containment"))
+    aInB.unionByName(bInA).filter(col("containment") >= threshold)
+  }
+
   def dedupNgram(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.5): DataFrame = {
     val dupIds = ngramJaccardPairs(df, idCol, textCol, threshold)

@@ -101,7 +101,29 @@ object DedupQueries {
     Q("dedup_ngram",
       Some(jaccardKeptOracle(0.5)),
       (s, d) => Dedup.dedupNgram(documents(s, d), "doc_id", "text")
-        .select("doc_id").orderBy("doc_id"))
+        .select("doc_id").orderBy("doc_id")),
+
+    // asymmetric containment (|A∩B|/|A| ≥ 0.8): sub-document dup
+    // detection — the direction-sensitive complement of dedup_ngram's
+    // symmetric Jaccard. The ratio divides two small exact integers,
+    // so the threshold compare and the µ-scaled output are engine-exact
+    // with no margin analysis needed.
+    Q("dedup_containment",
+      Some(s"""$jaccardCtePrefix,
+              |wp AS (SELECT ia, ib, ns, sa.n AS na, sb.n AS nb FROM pairs
+              |       JOIN sizes sa ON sa.doc_id = pairs.ia
+              |       JOIN sizes sb ON sb.doc_id = pairs.ib),
+              |c AS (SELECT ia AS inner_id, ib AS outer_id,
+              |             CAST(ns AS DOUBLE) / na AS ct FROM wp
+              |      UNION ALL
+              |      SELECT ib, ia, CAST(ns AS DOUBLE) / nb FROM wp)
+              |SELECT inner_id, outer_id,
+              |       CAST(round(ct * 1e6) AS BIGINT) AS containment_micro
+              |FROM c WHERE ct >= 0.8 ORDER BY inner_id, outer_id""".stripMargin),
+      (s, d) => Dedup.containmentPairs(documents(s, d), "doc_id", "text", 0.8)
+        .select(col("inner_id"), col("outer_id"),
+          round(col("containment") * 1e6).cast("long").as("containment_micro"))
+        .orderBy("inner_id", "outer_id"))
   )
 
   /** Shared DuckDB CTE prefix: exact distinct-3-shingle sets, inverted
