@@ -98,6 +98,76 @@ object Scale {
           saltSource = col("o_orderkey"), buckets = 8)
           .select(col("o_orderkey"), col("c_name"))
           .orderBy("o_orderkey")
+      }),
+
+    // dynamic partition pruning: fact laid out partitioned by the join
+    // key, dimension filtered at runtime — Catalyst injects the dim's
+    // surviving keys as a partition filter on the fact scan
+    // (dynamicpruningexpression), so only 5 of 25 nation partitions are
+    // read. At 100 TB this is the difference between scanning the lake
+    // and scanning the region's slice; no hand-written pruning needed.
+    Q("join_dpp",
+      Some("""SELECT c.c_custkey, c.c_name, n.n_name
+             |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+             |WHERE n.n_regionkey = 1
+             |ORDER BY c.c_custkey""".stripMargin),
+      (s, d) => {
+        val path = s"${sys.props("java.io.tmpdir")}/graft_dpp_${d.replaceAll("[^A-Za-z0-9]", "_")}/customer_by_nation"
+        Tables.customer(s, d)
+          .write.mode("overwrite").partitionBy("c_nationkey").parquet(path)
+        val c = s.read.parquet(path)
+        val n = Tables.nation(s, d).filter(col("n_regionkey") === 1)
+        c.join(n, c("c_nationkey") === n("n_nationkey"))
+          .select(c("c_custkey"), c("c_name"), n("n_name"))
+          .orderBy("c_custkey")
+      }),
+
+    // runtime bloom-filter pushdown: the selective predicate lives on
+    // the small side (part), the big side (lineitem) has no static
+    // filter — InjectRuntimeFilter builds a bloom filter from the
+    // filtered dim keys and probes it on the fact BEFORE the shuffle,
+    // cutting shuffled bytes by the dim's selectivity. Thresholds are
+    // sized for the lake (10 GB scans); lowered here so the optimization
+    // fires at test scale. Session-scoped confs on a forked session —
+    // the shared session's conf is never touched (bench runs queries
+    // concurrently).
+    Q("join_bloom_filtered",
+      Some("""SELECT l.l_orderkey, l.l_linenumber, p.p_name
+             |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+             |WHERE p.p_size = 1
+             |ORDER BY l.l_orderkey, l.l_linenumber""".stripMargin),
+      (s, d) => {
+        val s2 = s.newSession()
+        s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+        s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+        val l = Tables.lineitem(s2, d)
+        val p = Tables.part(s2, d).filter(col("p_size") === 1)
+        l.join(p, l("l_partkey") === p("p_partkey"))
+          .select(l("l_orderkey"), l("l_linenumber"), p("p_name"))
+          .orderBy("l_orderkey", "l_linenumber")
+      }),
+
+    // salted two-phase exact COUNT(DISTINCT): the salt is derived from
+    // the DISTINCT column itself (hash mod 64), so each distinct value
+    // lands in exactly one (group, salt) cell — phase 1 counts
+    // distincts per cell in parallel, phase 2 sums the cell counts.
+    // A 3-group COUNT DISTINCT over 100 TB would otherwise funnel every
+    // distinct key of a group through one task; this keeps 64-way
+    // parallelism per group and stays exact (oracle = the plain
+    // COUNT(DISTINCT)).
+    Q("agg_distinct_salted",
+      Some("""SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+      (s, d) => {
+        val cells = Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag"),
+            pmod(xxhash64(col("l_partkey")), lit(64)).as("__salt"))
+          .agg(count_distinct(col("l_partkey")).as("c"))
+        cells.groupBy("l_returnflag")
+          .agg(sum(col("c")).as("n_parts"))
+          .orderBy("l_returnflag")
       })
   )
 }

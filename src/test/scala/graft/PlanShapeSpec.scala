@@ -108,4 +108,24 @@ class PlanShapeSpec extends SparkSpec {
     // exchange; the full-outer join itself must NOT add exchanges
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 2, p)
   }
+
+  test("join_dpp injects a dynamic partition-pruning filter on the fact scan") {
+    val p = plan("join_dpp")
+    assert(p.contains("dynamicpruning"), s"no DPP filter in:\n$p")
+  }
+
+  test("join_bloom_filtered probes a runtime bloom filter before the shuffle") {
+    val p = plan("join_bloom_filtered")
+    assert(p.contains("might_contain"), s"no runtime bloom filter in:\n$p")
+  }
+
+  test("agg_distinct_salted keeps the distinct state 64-way parallel per group") {
+    val p = plan("agg_distinct_salted")
+    // phase-1 cells aggregate on (group, salt), phase-2 on group alone;
+    // the alias is inlined, so match the salt expression and the
+    // salted shuffle key
+    assert(p.contains("pmod(xxhash64"), p)
+    assert("hashpartitioning\\(l_returnflag[^)]*_groupingexpression".r
+      .findFirstIn(p).isDefined, p)
+  }
 }
