@@ -28,6 +28,7 @@ object Registry {
       graft.ops.Extras2.queries ++
       graft.ops.Extras3.queries ++
       graft.ops.Extras4.queries ++
+      graft.ops.Extras5.queries ++
       graft.ops.Analytics.queries ++
       graft.ops.Typed.queries ++
       graft.io.IoQueries.queries ++

@@ -1,0 +1,196 @@
+package graft.ops
+
+import graft.Q
+import graft.io.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-4 wave-2 operators: statistical mode, struct-column algebra,
+  * exact-integer linear interpolation, triangle counting over the
+  * near-dup graph, and rule-based stemming. All oracled; every float
+  * leaves through the µ-scaled-integer door (SCALE.md policy).
+  */
+object Extras5 {
+
+  def queries: Seq[Q] = Seq(
+    // statistical mode with a deterministic tie-break (most frequent
+    // value, ties → smallest value). Spelled relationally (count +
+    // one window) instead of Spark's native mode(), whose tie choice
+    // is partitioning-dependent — at 1000 executors the relational
+    // spelling is the only reproducible one. Two shuffles total, both
+    // on low-cardinality keys.
+    Q("agg_mode",
+      Some("""WITH c AS (SELECT l_returnflag, l_quantity, count(*) AS n
+             |          FROM lineitem GROUP BY 1, 2),
+             |r AS (SELECT l_returnflag, l_quantity, n, row_number() OVER (
+             |        PARTITION BY l_returnflag ORDER BY n DESC, l_quantity ASC) AS rk
+             |      FROM c)
+             |SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS mode_qty, n
+             |FROM r WHERE rk = 1 ORDER BY l_returnflag""".stripMargin),
+      (s, d) => {
+        val counts = Tables.lineitem(s, d)
+          .groupBy("l_returnflag", "l_quantity").agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy("l_returnflag")
+          .orderBy(col("n").desc, col("l_quantity").asc)
+        counts.withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1)
+          .select(col("l_returnflag"),
+            col("l_quantity").cast("long").as("mode_qty"), col("n"))
+          .orderBy("l_returnflag")
+      }),
+
+    // struct-column algebra: min/max over struct(acctbal, name) is
+    // lexicographic, so one aggregation yields argmin AND argmax with
+    // their payloads — no self-join, no window over the full table.
+    // to_json(named_struct(...)) exercises struct → JSON rendering.
+    // The oracle spells the same semantics with windows.
+    Q("struct_funcs",
+      Some("""WITH r AS (SELECT c_nationkey, c_name, c_acctbal,
+             |        row_number() OVER (PARTITION BY c_nationkey
+             |          ORDER BY c_acctbal ASC, c_name ASC) AS rk_min,
+             |        row_number() OVER (PARTITION BY c_nationkey
+             |          ORDER BY c_acctbal DESC, c_name DESC) AS rk_max,
+             |        count(*) OVER (PARTITION BY c_nationkey) AS n
+             |      FROM customer)
+             |SELECT a.c_nationkey, a.c_name AS poorest, a.c_acctbal AS poorest_bal,
+             |       b.c_name AS richest, b.c_acctbal AS richest_bal,
+             |       a.n AS n_cust, '{"n":' || a.n || '}' AS info_json
+             |FROM r a JOIN r b ON a.c_nationkey = b.c_nationkey AND b.rk_max = 1
+             |WHERE a.rk_min = 1 ORDER BY a.c_nationkey""".stripMargin),
+      (s, d) => Tables.customer(s, d)
+        .groupBy("c_nationkey")
+        .agg(min(struct(col("c_acctbal"), col("c_name"))).as("mn"),
+          max(struct(col("c_acctbal"), col("c_name"))).as("mx"),
+          count(lit(1)).as("n_cust"))
+        .select(col("c_nationkey"),
+          col("mn.c_name").as("poorest"), col("mn.c_acctbal").as("poorest_bal"),
+          col("mx.c_name").as("richest"), col("mx.c_acctbal").as("richest_bal"),
+          col("n_cust"),
+          to_json(struct(col("n_cust").as("n"))).as("info_json"))
+        .orderBy("c_nationkey")),
+
+    // linear interpolation on the dense hourly grid (ts_resample's
+    // gap-fill, but interpolating instead of forward-filling). All
+    // math is exact BIGINT: values are µ-scaled ints (non-negative on
+    // this corpus), the interp is the weighted form
+    //   (vp·(tn−t) + vn·(t−tp)) div (tn−tp)
+    // whose numerator is non-negative, so trunc-div == floor-div in
+    // both engines. One shuffle on user_id; two window passes share
+    // its sort.
+    Q("ts_interp_linear",
+      Some("""WITH b AS (SELECT user_id, date_trunc('hour', min(ts)) AS h0,
+             |                  date_trunc('hour', max(ts)) AS h1
+             |           FROM events GROUP BY 1),
+             |g AS (SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr
+             |      FROM b),
+             |v AS (SELECT user_id, date_trunc('hour', ts) AS hr,
+             |             sum(CAST(round(value * 1e6) AS BIGINT)) AS v6
+             |      FROM events GROUP BY 1, 2),
+             |f AS (SELECT g.user_id, g.hr,
+             |        last_value(CASE WHEN v.v6 IS NOT NULL THEN g.hr END IGNORE NULLS) OVER wb AS tp,
+             |        last_value(v.v6 IGNORE NULLS) OVER wb AS vp,
+             |        first_value(CASE WHEN v.v6 IS NOT NULL THEN g.hr END IGNORE NULLS) OVER wf AS tn,
+             |        first_value(v.v6 IGNORE NULLS) OVER wf AS vn
+             |      FROM g LEFT JOIN v ON v.user_id = g.user_id AND v.hr = g.hr
+             |      WINDOW wb AS (PARTITION BY g.user_id ORDER BY g.hr
+             |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             |             wf AS (PARTITION BY g.user_id ORDER BY g.hr
+             |               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+             |SELECT user_id, hr,
+             |       CAST(CASE WHEN tn = tp THEN vp
+             |            ELSE (vp * (CAST(epoch(tn) AS BIGINT) - CAST(epoch(hr) AS BIGINT))
+             |                + vn * (CAST(epoch(hr) AS BIGINT) - CAST(epoch(tp) AS BIGINT)))
+             |                 // (CAST(epoch(tn) AS BIGINT) - CAST(epoch(tp) AS BIGINT)) END
+             |            AS BIGINT) AS val_e6
+             |FROM f WHERE tp IS NOT NULL AND tn IS NOT NULL
+             |ORDER BY user_id, hr""".stripMargin),
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val grid = ev.groupBy("user_id")
+          .agg(date_trunc("hour", min(col("ts"))).as("h0"),
+            date_trunc("hour", max(col("ts"))).as("h1"))
+          .select(col("user_id"),
+            explode(sequence(col("h0"), col("h1"),
+              expr("INTERVAL 1 HOUR"))).as("hr"))
+        val hourly = ev.groupBy(col("user_id"),
+            date_trunc("hour", col("ts")).as("hr"))
+          .agg(sum(round(col("value") * 1e6).cast("long")).as("v6"))
+        val wb = Window.partitionBy("user_id").orderBy("hr")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wf = Window.partitionBy("user_id").orderBy("hr")
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        grid.join(hourly, Seq("user_id", "hr"), "left")
+          .select(col("user_id"), col("hr"),
+            last(when(col("v6").isNotNull, col("hr")), ignoreNulls = true).over(wb).as("tp"),
+            last(col("v6"), ignoreNulls = true).over(wb).as("vp"),
+            first(when(col("v6").isNotNull, col("hr")), ignoreNulls = true).over(wf).as("tn"),
+            first(col("v6"), ignoreNulls = true).over(wf).as("vn"))
+          .filter(col("tp").isNotNull && col("tn").isNotNull)
+          .select(col("user_id"), col("hr"),
+            when(col("tn") === col("tp"), col("vp"))
+              .otherwise(expr("""(vp * (unix_timestamp(tn) - unix_timestamp(hr))
+                               | + vn * (unix_timestamp(hr) - unix_timestamp(tp)))
+                               | div (unix_timestamp(tn) - unix_timestamp(tp))""".stripMargin))
+              .as("val_e6"))
+          .orderBy("user_id", "hr")
+      }),
+
+    // triangle enumeration over the verified near-dup graph: edges are
+    // the exact-Jaccard ≥ 0.7 pairs (id_a < id_b), a triangle is
+    // e(a,b) ⋈ e(b,c) ⋈ e(a,c) with a < b < c. The edge set is tiny
+    // relative to the corpus (near-dup graphs are sparse), so both
+    // joins broadcast; the expensive part — pair generation — is the
+    // one LSH-bucketed shuffle dedup_minhash already pays.
+    Q("graph_triangles",
+      Some(s"""${graft.text.DedupQueries.jaccardCtePrefix},
+             |e AS (SELECT ia AS a, ib AS b FROM pairs
+             |      JOIN sizes sa ON sa.doc_id = pairs.ia
+             |      JOIN sizes sb ON sb.doc_id = pairs.ib
+             |      WHERE CAST(ns AS DOUBLE) / (sa.n + sb.n - ns) >= 0.7)
+             |SELECT e1.a AS a, e1.b AS b, e2.b AS c
+             |FROM e e1 JOIN e e2 ON e1.b = e2.a
+             |JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+             |ORDER BY 1, 2, 3""".stripMargin),
+      (s, d) => {
+        val e = graft.text.Dedup
+          .nearDupPairs(Tables.documents(s, d), "doc_id", "text", 0.7)
+          .select(col("id_a").as("a"), col("id_b").as("b"))
+        val e1 = e.as("e1"); val e2 = e.as("e2"); val e3 = e.as("e3")
+        e1.join(e2, col("e1.b") === col("e2.a"))
+          .join(e3, col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+          .select(col("e1.a").as("a"), col("e1.b").as("b"), col("e2.b").as("c"))
+          .orderBy("a", "b", "c")
+      }),
+
+    // rule-based suffix stemming (Porter step-1-ish) + stem-level
+    // vocabulary: tokenize, stem each token with the first matching
+    // rule, count occurrences and distinct surface forms per stem.
+    // Pure string CASE logic — byte-identical across engines — and
+    // one explode + one aggregation shuffle.
+    Q("text_stem",
+      Some("""WITH t AS (SELECT unnest(string_split_regex(lower(trim(text)), ' +')) AS tok
+             |          FROM documents),
+             |s AS (SELECT tok,
+             |        CASE WHEN tok LIKE '%ing' AND length(tok) > 5 THEN substring(tok, 1, length(tok) - 3)
+             |             WHEN tok LIKE '%ed'  AND length(tok) > 4 THEN substring(tok, 1, length(tok) - 2)
+             |             WHEN tok LIKE '%ly'  AND length(tok) > 4 THEN substring(tok, 1, length(tok) - 2)
+             |             WHEN tok LIKE '%s' AND tok NOT LIKE '%ss' AND length(tok) > 3
+             |                  THEN substring(tok, 1, length(tok) - 1)
+             |             ELSE tok END AS stem
+             |      FROM t)
+             |SELECT stem, count(*) AS n_tokens, count(DISTINCT tok) AS n_forms
+             |FROM s GROUP BY stem ORDER BY stem""".stripMargin),
+      (s, d) => Tables.documents(s, d)
+        .select(explode(split(lower(trim(col("text"))), " +")).as("tok"))
+        .withColumn("stem", expr(
+          """CASE WHEN tok LIKE '%ing' AND length(tok) > 5 THEN substring(tok, 1, length(tok) - 3)
+            |     WHEN tok LIKE '%ed'  AND length(tok) > 4 THEN substring(tok, 1, length(tok) - 2)
+            |     WHEN tok LIKE '%ly'  AND length(tok) > 4 THEN substring(tok, 1, length(tok) - 2)
+            |     WHEN tok LIKE '%s' AND tok NOT LIKE '%ss' AND length(tok) > 3
+            |          THEN substring(tok, 1, length(tok) - 1)
+            |     ELSE tok END""".stripMargin))
+        .groupBy("stem")
+        .agg(count(lit(1)).as("n_tokens"), count_distinct(col("tok")).as("n_forms"))
+        .orderBy("stem"))
+  )
+}

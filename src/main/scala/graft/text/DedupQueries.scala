@@ -132,7 +132,7 @@ object DedupQueries {
     * split ' +'; short docs collapse to one whole-text shingle). Both
     * the kept-corpus and pair-level oracles build on THIS text, so the
     * two contracts cannot silently diverge. */
-  private val jaccardCtePrefix: String =
+  private[graft] val jaccardCtePrefix: String =
     """WITH d AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
       |    THEN list_transform(range(len(toks)-2),
       |         i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])
