@@ -20,7 +20,10 @@ object Explain {
         "join_asof_nearest", "join_hinted", "text_pack_bins",
         // round-4 scale-critical additions
         "join_range_binned", "agg_bitmap_distinct", "pipeline_incremental",
-        "ts_sessionize")
+        "ts_sessionize",
+        // round-4 wave-2 scale-critical additions
+        "join_dpp", "join_bloom_filtered", "agg_distinct_salted",
+        "ts_interp_linear")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
