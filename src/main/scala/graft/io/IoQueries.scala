@@ -95,6 +95,32 @@ object IoQueries {
         s.read.text(path).orderBy("value")
       }),
 
+    // schema-evolution read: two parquet generations with different
+    // column sets (v1: doc_id+text; v2: doc_id+lang+n_chars) read as
+    // ONE table via mergeSchema — missing columns null-fill per file.
+    // The footer merge is metadata-only; at 100 TB the scan still
+    // prunes columns per generation. Oracle: the explicit UNION of the
+    // two generations with typed NULLs.
+    Q("src_schema_evolution",
+      Some("""SELECT doc_id, text, CAST(NULL AS VARCHAR) AS lang,
+             |       CAST(NULL AS BIGINT) AS n_chars
+             |FROM documents WHERE doc_id % 2 = 0
+             |UNION ALL
+             |SELECT doc_id, CAST(NULL AS VARCHAR), lang, n_chars
+             |FROM documents WHERE doc_id % 2 = 1
+             |ORDER BY doc_id""".stripMargin),
+      (s, d) => {
+        val base = tmp(d, "documents_evo")
+        val docs = Tables.documents(s, d)
+        docs.filter(col("doc_id") % 2 === 0).select("doc_id", "text")
+          .write.mode("overwrite").parquet(s"$base/v1")
+        docs.filter(col("doc_id") % 2 === 1).select("doc_id", "lang", "n_chars")
+          .write.mode("overwrite").parquet(s"$base/v2")
+        s.read.option("mergeSchema", "true").parquet(s"$base/v1", s"$base/v2")
+          .select("doc_id", "text", "lang", "n_chars")
+          .orderBy("doc_id")
+      }),
+
     // fault-tolerant CSV ingestion (the engine's version of the
     // reference's try/except around pd.read_csv, etl_core.py:21-29):
     // PERMISSIVE mode + explicit schema lands malformed rows whole in

@@ -53,6 +53,23 @@ object MultimodalQueries {
              |         i -> ord(text[i*256 + 1])), ',') AS frame_bytes
              |FROM documents WHERE doc_id % 3 = 2 ORDER BY doc_id""".stripMargin),
       (s, d) => Multimodal.sampleFrames(s, documents(s, d))
-        .toDF().orderBy("doc_id"))
+        .toDF().orderBy("doc_id")),
+
+    // content-addressed binary dedup: group payloads by sha2-256 —
+    // the multimodal dedup primitive (image/audio blobs dedup by
+    // content hash, never by byte comparison). The shuffle key is the
+    // 32-byte digest, not the payload, so shuffled bytes stay tiny
+    // however large the media column is. Corpus is ASCII, so DuckDB's
+    // sha256(text) sees the same bytes as sha2(payload, 256).
+    Q("mm_dedup",
+      Some("""SELECT sha256(text) AS content_hash, min(doc_id) AS keep_id,
+             |       count(*) AS n_copies,
+             |       CAST(min(octet_length(encode(text))) AS BIGINT) AS n_bytes
+             |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin),
+      (s, d) => Multimodal.withMediaColumns(documents(s, d))
+        .groupBy(sha2(col("payload"), 256).as("content_hash"))
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"),
+          min("n_bytes").as("n_bytes"))
+        .orderBy("keep_id"))
   )
 }

@@ -167,6 +167,31 @@ object Extras5 {
           .orderBy("a", "b", "c")
       }),
 
+    // exact heavy hitters with a RELATIVE threshold (≥ 0.1% of the
+    // group): per-(group, value) counts map-side combine, group totals
+    // broadcast back — both shuffles key on low-cardinality columns,
+    // and the threshold scales with the data so the query means the
+    // same thing at sf0.001 and at 100 TB.
+    Q("agg_heavy_hitters",
+      Some("""WITH c AS (SELECT l_returnflag, l_suppkey, count(*) AS n
+             |          FROM lineitem GROUP BY 1, 2),
+             |t AS (SELECT l_returnflag, count(*) AS total FROM lineitem GROUP BY 1)
+             |SELECT c.l_returnflag, c.l_suppkey, c.n
+             |FROM c JOIN t ON c.l_returnflag = t.l_returnflag
+             |WHERE c.n * 1000 >= t.total
+             |ORDER BY c.l_returnflag, c.l_suppkey""".stripMargin),
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val counts = li.groupBy("l_returnflag", "l_suppkey")
+          .agg(count(lit(1)).as("n"))
+        val totals = li.groupBy("l_returnflag")
+          .agg(count(lit(1)).as("total"))
+        counts.join(broadcast(totals), "l_returnflag")
+          .filter(col("n") * 1000 >= col("total"))
+          .select(col("l_returnflag"), col("l_suppkey"), col("n"))
+          .orderBy("l_returnflag", "l_suppkey")
+      }),
+
     // damped PageRank over the near-dup graph, 4 iterations, ALL
     // arithmetic exact BIGINT on the 1e-6 grid: contrib = r div deg,
     // r' = 150000 + (17·Σcontrib) div 20 — floor division of

@@ -132,6 +132,30 @@ object SqlSurface {
           |                AND o.o_totalprice > 100000)
           |ORDER BY c_custkey""".stripMargin)),
 
+    // NOT IN vs NOT EXISTS under three-valued logic: one NULL in the
+    // NOT IN subquery's output makes every membership test UNKNOWN →
+    // zero rows (Spark plans the null-aware anti join to honor this);
+    // NOT EXISTS is null-safe and returns the real complement. Both
+    // branches in one query so the contrast is pinned by the oracle.
+    Q("sql_not_in_nulls",
+      Some("""WITH dim AS (SELECT CASE WHEN c_nationkey = 5 THEN c_custkey END AS k
+             |            FROM customer)
+             |SELECT 'not_in' AS variant, count(*) AS n FROM orders
+             |WHERE o_custkey NOT IN (SELECT k FROM dim)
+             |UNION ALL
+             |SELECT 'not_exists', count(*) FROM orders o
+             |WHERE NOT EXISTS (SELECT 1 FROM dim WHERE dim.k = o.o_custkey)
+             |ORDER BY variant""".stripMargin),
+      sql(Seq("customer", "orders"),
+        """WITH dim AS (SELECT CASE WHEN c_nationkey = 5 THEN c_custkey END AS k
+          |            FROM customer)
+          |SELECT 'not_in' AS variant, count(*) AS n FROM orders
+          |WHERE o_custkey NOT IN (SELECT k FROM dim)
+          |UNION ALL
+          |SELECT 'not_exists', count(*) FROM orders o
+          |WHERE NOT EXISTS (SELECT 1 FROM dim WHERE dim.k = o.o_custkey)
+          |ORDER BY variant""".stripMargin)),
+
     // scalar subquery (uncorrelated) + IN subquery.
     Q("sql_scalar_in_subquery",
       Some("""SELECT o_orderkey, o_totalprice FROM orders

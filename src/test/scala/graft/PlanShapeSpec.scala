@@ -128,4 +128,11 @@ class PlanShapeSpec extends SparkSpec {
     assert("hashpartitioning\\(l_returnflag[^)]*_groupingexpression".r
       .findFirstIn(p).isDefined, p)
   }
+
+  test("NOT IN plans the null-aware anti join; NOT EXISTS the plain one") {
+    val p = plan("sql_not_in_nulls")
+    // trailing flag on BroadcastHashJoin is isNullAwareAntiJoin
+    assert(p.contains("LeftAnti, BuildRight, true"), p)
+    assert(p.contains("LeftAnti, BuildRight, false"), p)
+  }
 }
