@@ -121,6 +121,35 @@ object IoQueries {
           .orderBy("doc_id")
       }),
 
+    // partition backfill via DYNAMIC partition overwrite: rewrite ONLY
+    // the partitions present in the incoming frame (here: status 'F'
+    // gets a recomputed priority), leaving every other partition's
+    // files untouched — the lake-backfill primitive: a day's recompute
+    // never rewrites the year. Static overwrite mode would truncate
+    // the whole table; the reader sees patched F rows + originals.
+    Q("sink_dynamic_overwrite",
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice,
+             |       CASE WHEN o_orderstatus = 'F' THEN 'BACKFILLED'
+             |            ELSE o_orderpriority END AS o_orderpriority,
+             |       o_orderstatus
+             |FROM orders ORDER BY o_orderkey""".stripMargin),
+      (s, d) => {
+        val base = tmp(d, "orders_dynover")
+        val o = Tables.orders(s, d)
+          .select("o_orderkey", "o_custkey", "o_totalprice",
+            "o_orderpriority", "o_orderstatus")
+        o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(base)
+        o.filter(col("o_orderstatus") === "F")
+          .withColumn("o_orderpriority", lit("BACKFILLED"))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("o_orderstatus").parquet(base)
+        s.read.parquet(base)
+          .select("o_orderkey", "o_custkey", "o_totalprice",
+            "o_orderpriority", "o_orderstatus")
+          .orderBy("o_orderkey")
+      }),
+
     // fault-tolerant CSV ingestion (the engine's version of the
     // reference's try/except around pd.read_csv, etl_core.py:21-29):
     // PERMISSIVE mode + explicit schema lands malformed rows whole in

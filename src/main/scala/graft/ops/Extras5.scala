@@ -167,6 +167,42 @@ object Extras5 {
           .orderBy("a", "b", "c")
       }),
 
+    // shuffle-key skew report: for each candidate join/agg key, the
+    // hottest key's share vs a uniform spread (skew_e6 = max·keys/rows,
+    // µ-scaled, 1e6 = perfectly uniform) — the number that decides
+    // salting / AQE skew-join BEFORE the 100 TB shuffle runs. One
+    // map-side-combined count per key column; the report is 3 rows.
+    Q("dq_skew_report",
+      Some("""WITH s1 AS (SELECT count(*) AS n FROM orders GROUP BY o_custkey),
+             |s2 AS (SELECT count(*) AS n FROM lineitem GROUP BY l_partkey),
+             |s3 AS (SELECT count(*) AS n FROM lineitem GROUP BY l_suppkey)
+             |SELECT 'orders.o_custkey' AS key_col, CAST(count(*) AS BIGINT) AS n_keys,
+             |       CAST(sum(n) AS BIGINT) AS n_rows, CAST(max(n) AS BIGINT) AS max_cnt,
+             |       CAST((max(n) * count(*) * 1000000) // sum(n) AS BIGINT) AS skew_e6
+             |FROM s1
+             |UNION ALL
+             |SELECT 'lineitem.l_partkey', CAST(count(*) AS BIGINT), CAST(sum(n) AS BIGINT),
+             |       CAST(max(n) AS BIGINT), CAST((max(n) * count(*) * 1000000) // sum(n) AS BIGINT)
+             |FROM s2
+             |UNION ALL
+             |SELECT 'lineitem.l_suppkey', CAST(count(*) AS BIGINT), CAST(sum(n) AS BIGINT),
+             |       CAST(max(n) AS BIGINT), CAST((max(n) * count(*) * 1000000) // sum(n) AS BIGINT)
+             |FROM s3
+             |ORDER BY key_col""".stripMargin),
+      (s, d) => {
+        def report(df: org.apache.spark.sql.DataFrame, key: String, label: String) =
+          df.groupBy(key).agg(count(lit(1)).as("n"))
+            .agg(count(lit(1)).as("n_keys"), sum(col("n")).as("n_rows"),
+              max(col("n")).as("max_cnt"))
+            .select(lit(label).as("key_col"), col("n_keys"), col("n_rows"),
+              col("max_cnt"),
+              expr("(max_cnt * n_keys * 1000000L) div n_rows").as("skew_e6"))
+        report(Tables.orders(s, d), "o_custkey", "orders.o_custkey")
+          .union(report(Tables.lineitem(s, d), "l_partkey", "lineitem.l_partkey"))
+          .union(report(Tables.lineitem(s, d), "l_suppkey", "lineitem.l_suppkey"))
+          .orderBy("key_col")
+      }),
+
     // exact heavy hitters with a RELATIVE threshold (≥ 0.1% of the
     // group): per-(group, value) counts map-side combine, group totals
     // broadcast back — both shuffles key on low-cardinality columns,
