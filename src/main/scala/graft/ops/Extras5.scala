@@ -167,6 +167,28 @@ object Extras5 {
           .orderBy("a", "b", "c")
       }),
 
+    // ratio-to-report: each (flag, status) cell's share of its flag's
+    // total — the aggregate feeds a window over its own (already tiny)
+    // output, so the window sees grouped rows, never the fact table.
+    // Share is exact: (cnt·1e6) div total.
+    Q("agg_ratio_to_report",
+      Some("""WITH c AS (SELECT l_returnflag, l_linestatus, count(*) AS n
+             |          FROM lineitem GROUP BY 1, 2)
+             |SELECT l_returnflag, l_linestatus, n,
+             |       CAST((n * 1000000) // sum(n) OVER (PARTITION BY l_returnflag)
+             |            AS BIGINT) AS share_e6
+             |FROM c ORDER BY l_returnflag, l_linestatus""".stripMargin),
+      (s, d) => {
+        val cells = Tables.lineitem(s, d)
+          .groupBy("l_returnflag", "l_linestatus").agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy("l_returnflag")
+        cells.select(col("l_returnflag"), col("l_linestatus"), col("n"),
+          expr("n * 1000000L").as("scaled"), sum(col("n")).over(w).as("tot"))
+          .select(col("l_returnflag"), col("l_linestatus"), col("n"),
+            expr("scaled div tot").as("share_e6"))
+          .orderBy("l_returnflag", "l_linestatus")
+      }),
+
     // shuffle-key skew report: for each candidate join/agg key, the
     // hottest key's share vs a uniform spread (skew_e6 = max·keys/rows,
     // µ-scaled, 1e6 = perfectly uniform) — the number that decides

@@ -87,6 +87,25 @@ object Typed {
           .orderBy("o_key")
       }),
 
+    // Dataset.joinWith: the typed join — both sides keep their object
+    // identity (a pair per match, no column flattening/name clashes),
+    // then a typed map projects the pair. Same BroadcastHashJoin
+    // underneath as the untyped join.
+    Q("typed_joinwith",
+      Some("""SELECT o_orderkey, c_name FROM orders o JOIN customer c
+             |ON o.o_custkey = c.c_custkey ORDER BY o_orderkey""".stripMargin),
+      (s, d) => {
+        import s.implicits._
+        val o = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey")).as[(Long, Long)]
+        val c = Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_name")).as[(Long, String)]
+        o.joinWith(c, o("o_custkey") === c("c_custkey"))
+          .map { case ((orderKey, _), (_, name)) => (orderKey, name) }
+          .toDF("o_orderkey", "c_name")
+          .orderBy("o_orderkey")
+      }),
+
     // same-registered UDAF through the untyped/SQL surface.
     Q("typed_udaf_sql",
       Some("""SELECT l_returnflag, SUM(l_quantity) / count(*) AS avg_qty

@@ -69,6 +69,37 @@ object PipelineQueries {
       Some("SELECT doc_id, n_chars FROM documents ORDER BY doc_id"),
       (s, d) => Pipelines.cleanAi(documents(s, d),
         Pipelines.EtlOptions(clean = false, ai = false))
-        .select("doc_id", "n_chars").orderBy("doc_id"))
+        .select("doc_id", "n_chars").orderBy("doc_id")),
+
+    // right-to-erasure over a partitioned lake: tombstoned keys are
+    // anti-joined out and ONLY the partitions that contain them are
+    // rewritten (dynamic partition overwrite; the semi join against
+    // the broadcast affected-partition set prunes the rewrite input).
+    // At 100 TB the erasure cost tracks the tombstones' partition
+    // footprint, not the table size. No collect: tombstones and
+    // affected partitions stay DataFrames end-to-end.
+    Q("pipeline_erasure",
+      Some("""SELECT c_custkey, c_name, c_acctbal, c_nationkey
+             |FROM customer WHERE c_custkey % 97 <> 0
+             |ORDER BY c_custkey""".stripMargin),
+      (s, d) => {
+        val base = s"${sys.props("java.io.tmpdir")}/graft_erasure_${d.replaceAll("[^A-Za-z0-9]", "_")}/customer"
+        val cust = graft.io.Tables.customer(s, d)
+          .select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+        cust.write.mode("overwrite").partitionBy("c_nationkey").parquet(base)
+        val tombstones = cust.filter(col("c_custkey") % 97 === 0)
+          .select("c_custkey", "c_nationkey")
+        val affected = tombstones.select("c_nationkey").distinct()
+        s.read.parquet(base)
+          .join(broadcast(affected), Seq("c_nationkey"), "left_semi")
+          .join(broadcast(tombstones.select("c_custkey")), Seq("c_custkey"), "left_anti")
+          .select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("c_nationkey").parquet(base)
+        s.read.parquet(base)
+          .select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+          .orderBy("c_custkey")
+      })
   )
 }
