@@ -123,7 +123,42 @@ object DedupQueries {
       (s, d) => Dedup.containmentPairs(documents(s, d), "doc_id", "text", 0.8)
         .select(col("inner_id"), col("outer_id"),
           round(col("containment") * 1e6).cast("long").as("containment_micro"))
-        .orderBy("inner_id", "outer_id"))
+        .orderBy("inner_id", "outer_id")),
+
+    // train/eval decontamination: drop every TRAIN doc that near-dups
+    // an EVAL doc (doc_id % 10 = 0 stands in for the benchmark set) —
+    // the leakage-removal pass a training corpus runs before any
+    // eval is trusted. Reuses the same LSH candidate machinery as
+    // dedup_minhash: the cross-set pairs are a filter over the
+    // verified pair stream, so decontamination costs ONE extra anti
+    // join beyond the dedup the pipeline already pays.
+    Q("dedup_decontaminate",
+      Some(s"""$jaccardCtePrefix,
+             |jp AS (SELECT ia, ib FROM pairs
+             |       JOIN sizes sa ON sa.doc_id = pairs.ia
+             |       JOIN sizes sb ON sb.doc_id = pairs.ib
+             |       WHERE CAST(ns AS DOUBLE) / (sa.n + sb.n - ns) >= 0.7),
+             |bad AS (SELECT ib AS id FROM jp WHERE ia % 10 = 0 AND ib % 10 <> 0
+             |        UNION
+             |        SELECT ia FROM jp WHERE ib % 10 = 0 AND ia % 10 <> 0)
+             |SELECT doc_id FROM documents
+             |WHERE doc_id % 10 <> 0 AND doc_id NOT IN (SELECT id FROM bad)
+             |ORDER BY doc_id""".stripMargin),
+      (s, d) => {
+        val docs = documents(s, d)
+        val pairs = Dedup.nearDupPairs(docs, "doc_id", "text", 0.7)
+          .select("id_a", "id_b")
+        val contaminated = pairs
+          .filter(col("id_a") % 10 === 0 && col("id_b") % 10 =!= 0)
+          .select(col("id_b").as("doc_id"))
+          .union(pairs
+            .filter(col("id_b") % 10 === 0 && col("id_a") % 10 =!= 0)
+            .select(col("id_a").as("doc_id")))
+          .distinct()
+        docs.filter(col("doc_id") % 10 =!= 0)
+          .join(contaminated, Seq("doc_id"), "left_anti")
+          .select("doc_id").orderBy("doc_id")
+      })
   )
 
   /** Shared DuckDB CTE prefix: exact distinct-3-shingle sets, inverted
