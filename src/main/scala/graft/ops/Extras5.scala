@@ -167,6 +167,101 @@ object Extras5 {
           .orderBy("a", "b", "c")
       }),
 
+    // snapshot reconciliation: two table versions diffed in ONE full
+    // outer join on the key — added / removed / changed / unchanged
+    // per row, aggregated to a count report. Payload comparison hashes
+    // inside the join (never a second pass); at 100 TB both snapshots
+    // shuffle once on the key and the report is 4 rows. (v_old drops
+    // orderkey%13=0, v_new drops %11=0 and re-prices %7=0 — a
+    // deterministic stand-in for yesterday/today.)
+    Q("pipeline_snapshot_diff",
+      Some("""WITH v_old AS (SELECT o_orderkey AS k, o_totalprice AS p FROM orders
+             |              WHERE o_orderkey % 13 <> 0),
+             |v_new AS (SELECT o_orderkey AS k,
+             |                 CASE WHEN o_orderkey % 7 = 0 THEN 0.0
+             |                      ELSE o_totalprice END AS p
+             |          FROM orders WHERE o_orderkey % 11 <> 0)
+             |SELECT CASE WHEN o.k IS NULL THEN 'added'
+             |            WHEN n.k IS NULL THEN 'removed'
+             |            WHEN o.p <> n.p THEN 'changed'
+             |            ELSE 'unchanged' END AS change_type,
+             |       count(*) AS n
+             |FROM v_old o FULL OUTER JOIN v_new n ON o.k = n.k
+             |GROUP BY 1 ORDER BY change_type""".stripMargin),
+      (s, d) => {
+        val orders = Tables.orders(s, d)
+        val vOld = orders.filter(col("o_orderkey") % 13 =!= 0)
+          .select(col("o_orderkey").as("k"), col("o_totalprice").as("p"))
+        val vNew = orders.filter(col("o_orderkey") % 11 =!= 0)
+          .select(col("o_orderkey").as("k"),
+            when(col("o_orderkey") % 7 === 0, lit(0.0))
+              .otherwise(col("o_totalprice")).as("p"))
+        vOld.as("o").join(vNew.as("n"), col("o.k") === col("n.k"), "full_outer")
+          .select(
+            when(col("o.k").isNull, "added")
+              .when(col("n.k").isNull, "removed")
+              .when(col("o.p") =!= col("n.p"), "changed")
+              .otherwise("unchanged").as("change_type"))
+          .groupBy("change_type").agg(count(lit(1)).as("n"))
+          .orderBy("change_type")
+      }),
+
+    // markup stripping for corpus cleaning: HTML tags out, markdown
+    // links collapsed to their anchor text, whitespace renormalized —
+    // pure codegen'd regexp_replace chain fused into the scan. (The
+    // corpus is plain text, so the markup is synthesized first; the
+    // oracle strips the same synthesis with RE2 \\1 backrefs where
+    // Spark uses Java's $1.)
+    Q("text_strip_markup",
+      Some("""SELECT doc_id,
+             |  trim(regexp_replace(regexp_replace(regexp_replace(
+             |    '<h1>' || upper(lang) || '</h1> <p>' || text || '</p> [ref](http://x/' || doc_id || ')',
+             |    '\[([^\]]*)\]\([^)]*\)', '\1', 'g'),
+             |    '<[^>]*>', '', 'g'),
+             |    ' +', ' ', 'g')) AS clean
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          concat(lit("<h1>"), upper(col("lang")), lit("</h1> <p>"), col("text"),
+            lit("</p> [ref](http://x/"), col("doc_id"), lit(")")).as("marked"))
+        .select(col("doc_id"),
+          trim(regexp_replace(regexp_replace(regexp_replace(col("marked"),
+            "\\[([^\\]]*)\\]\\([^)]*\\)", "$1"),
+            "<[^>]*>", ""),
+            " +", " ")).as("clean"))
+        .orderBy("doc_id")),
+
+    // running distinct-user count per event type: first-occurrence
+    // flag (row_number over (type, user) = 1) then a running sum —
+    // two O(n log n) window passes, never a per-row set scan. The
+    // incremental form of "how many unique users so far", the curve
+    // every growth dashboard draws.
+    Q("window_running_distinct",
+      Some("""SELECT event_id,
+             |       CAST(sum(first_seen) OVER (PARTITION BY event_type
+             |         ORDER BY ts, event_id
+             |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             |         AS users_so_far
+             |FROM (SELECT event_id, event_type, ts,
+             |        CASE WHEN row_number() OVER (PARTITION BY event_type, user_id
+             |               ORDER BY ts, event_id) = 1 THEN 1 ELSE 0 END AS first_seen
+             |      FROM events) t
+             |ORDER BY event_id""".stripMargin),
+      (s, d) => {
+        val wFirst = Window.partitionBy("event_type", "user_id")
+          .orderBy(col("ts"), col("event_id"))
+        val wRun = Window.partitionBy("event_type")
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(s, d)
+          .select(col("event_id"), col("event_type"), col("ts"), col("user_id"))
+          .withColumn("first_seen",
+            when(row_number().over(wFirst) === 1, 1L).otherwise(0L))
+          .select(col("event_id"),
+            sum(col("first_seen")).over(wRun).as("users_so_far"))
+          .orderBy("event_id")
+      }),
+
     // ratio-to-report: each (flag, status) cell's share of its flag's
     // total — the aggregate feeds a window over its own (already tiny)
     // output, so the window sees grouped rows, never the fact table.
