@@ -167,6 +167,23 @@ object Extras5 {
           .orderBy("a", "b", "c")
       }),
 
+    // deterministic array aggregation: collect_list/collect_set are
+    // partitioning-order-dependent — sort_array makes the aggregate
+    // reproducible at any parallelism, and the canonical string form
+    // keeps the oracle engine-neutral. The per-group array is bounded
+    // (distinct segments), never the row stream.
+    Q("array_collect_sorted",
+      Some("""SELECT c_nationkey,
+             |       array_to_string(list_sort(list_distinct(list(c_mktsegment))), ',') AS segments,
+             |       CAST(count(*) AS BIGINT) AS n_cust
+             |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin),
+      (s, d) => Tables.customer(s, d)
+        .groupBy("c_nationkey")
+        .agg(
+          array_join(sort_array(collect_set(col("c_mktsegment"))), ",").as("segments"),
+          count(lit(1)).as("n_cust"))
+        .orderBy("c_nationkey")),
+
     // snapshot reconciliation: two table versions diffed in ONE full
     // outer join on the key — added / removed / changed / unchanged
     // per row, aggregated to a count report. Payload comparison hashes

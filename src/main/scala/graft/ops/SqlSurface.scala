@@ -132,6 +132,36 @@ object SqlSurface {
           |                AND o.o_totalprice > 100000)
           |ORDER BY c_custkey""".stripMargin)),
 
+    // GROUP BY ALL / ORDER BY ALL (Spark 4 + DuckDB share the modern
+    // shorthand): every non-aggregate select item groups, every output
+    // column orders — the hand-written list can't drift from the
+    // projection.
+    Q("sql_group_by_all",
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+             |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+             |FROM lineitem GROUP BY ALL ORDER BY ALL""".stripMargin),
+      sql(Seq("lineitem"),
+        """SELECT l_returnflag, l_linestatus, count(*) AS n,
+          |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+          |FROM lineitem GROUP BY ALL ORDER BY ALL""".stripMargin)),
+
+    // parameterized SQL: named parameter markers bound server-side
+    // (spark.sql(text, args)) — the injection-safe form of the
+    // reference's f-string query building (app.py's string-built
+    // routes); the oracle inlines the same constants.
+    Q("sql_parameterized",
+      Some("""SELECT c_custkey, c_name, c_acctbal FROM customer
+             |WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 5000.0
+             |ORDER BY c_custkey""".stripMargin),
+      (s, d) => {
+        registerViews(s, d, "customer")
+        s.sql(
+          """SELECT c_custkey, c_name, c_acctbal FROM customer
+            |WHERE c_mktsegment = :seg AND c_acctbal > :minbal
+            |ORDER BY c_custkey""".stripMargin,
+          Map("seg" -> "BUILDING", "minbal" -> 5000.0))
+      }),
+
     // NOT IN vs NOT EXISTS under three-valued logic: one NULL in the
     // NOT IN subquery's output makes every membership test UNKNOWN →
     // zero rows (Spark plans the null-aware anti join to honor this);
