@@ -66,6 +66,14 @@ object StreamQueries {
     // checkpointed foreachBatch parquet sink run twice against one
     // checkpoint — the restart lands nothing twice (exactly-once), so
     // the sink contents equal the source.
+    Q("stream_upsert_state",
+      Some("""SELECT user_id, ts AS last_ts, event_id AS last_event_id,
+             |       value AS last_value
+             |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+             |        ORDER BY ts DESC, event_id DESC) AS rk FROM events) t
+             |WHERE rk = 1 ORDER BY user_id""".stripMargin),
+      (s, d) => Streams.upsertLatestState(s, d)),
+
     Q("stream_sink_exactly_once",
       Some("""SELECT event_type, count(*) AS n FROM events
              |GROUP BY event_type ORDER BY event_type""".stripMargin),

@@ -251,6 +251,62 @@ object Streams {
     spark.table(name).groupBy("ws").agg(max(col("n")).as("n")).orderBy("ws")
   }
 
+  /** Streaming upsert into a keyed state table (the CDC-apply /
+    * materialized-latest topology): each micro-batch full-outer-merges
+    * into the persisted per-user latest row — newest (ts, event_id)
+    * wins — and the state dir is swapped atomically (write to _new,
+    * then replace), never read-overwritten in place. The final state is
+    * batch-boundary-invariant: "latest per key" is an associative
+    * merge, so two staged files through maxFilesPerTrigger=1 land the
+    * same table a single batch would — which is exactly what the batch
+    * oracle checks. At 100 TB the merge is one shuffle on the key per
+    * batch against a state table read; compaction comes free from the
+    * rewrite. */
+  def upsertLatestState(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val tmpRoot = sys.props("java.io.tmpdir")
+    val ev = graft.io.Tables.events(spark, dir)
+      .select("event_id", "ts", "user_id", "value")
+    val srcDir = stageArrivals(s"graft_stream_upsert_src_$tag",
+      Seq(ev.filter(col("event_id") % 2 === 0) -> "evens.parquet",
+        ev.filter(col("event_id") % 2 === 1) -> "odds.parquet"))
+    val statePath = Paths.get(tmpRoot, s"graft_stream_upsert_state_$tag")
+    val ckpt = Paths.get(tmpRoot, s"graft_stream_upsert_ckpt_$tag")
+    Seq(statePath, ckpt).foreach { p =>
+      if (Files.exists(p))
+        org.apache.commons.io.FileUtils.deleteDirectory(p.toFile)
+    }
+    val schema = spark.read.parquet(srcDir).schema
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val cur =
+          if (Files.exists(statePath)) spark.read.parquet(statePath.toString)
+          else spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema)
+        val merged = cur.unionByName(batch)
+          .withColumn("__rk", row_number().over(w))
+          .filter(col("__rk") === 1).drop("__rk")
+        val tmpNew = Paths.get(tmpRoot, s"graft_stream_upsert_state_new_$tag")
+        merged.write.mode("overwrite").parquet(tmpNew.toString)
+        org.apache.commons.io.FileUtils.deleteDirectory(statePath.toFile)
+        Files.move(tmpNew, statePath)
+        ()
+      }
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.read.parquet(statePath.toString)
+      .select(col("user_id"), col("ts").as("last_ts"),
+        col("event_id").as("last_event_id"), col("value").as("last_value"))
+      .orderBy("user_id")
+  }
+
   /** Checkpointed foreachBatch parquet sink, run TWICE against the same
     * checkpoint: the restart re-processes nothing (exactly-once per
     * batch), so the landed counts equal the source exactly — the

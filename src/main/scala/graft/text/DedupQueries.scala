@@ -125,6 +125,27 @@ object DedupQueries {
           round(col("containment") * 1e6).cast("long").as("containment_micro"))
         .orderBy("inner_id", "outer_id")),
 
+    // similarity histogram of the verified pair space: how much mass
+    // sits at each Jaccard band ≥ 0.7 — the threshold-tuning view a
+    // dedup rollout reads before committing to a cutoff. µ-scaled
+    // Jaccard buckets into exact 0.05-wide integer bins.
+    Q("dedup_pair_histogram",
+      Some(s"""$jaccardCtePrefix,
+             |j AS (SELECT CAST(round(CAST(ns AS DOUBLE) / (sa.n + sb.n - ns) * 1e6)
+             |             AS BIGINT) AS j6
+             |      FROM pairs
+             |      JOIN sizes sa ON sa.doc_id = pairs.ia
+             |      JOIN sizes sb ON sb.doc_id = pairs.ib
+             |      WHERE CAST(ns AS DOUBLE) / (sa.n + sb.n - ns) >= 0.7)
+             |SELECT CAST(j6 // 50000 * 50000 AS BIGINT) AS bin_lo_e6,
+             |       count(*) AS n_pairs
+             |FROM j GROUP BY 1 ORDER BY bin_lo_e6""".stripMargin),
+      (s, d) => Dedup.nearDupPairs(documents(s, d), "doc_id", "text", 0.7)
+        .select(expr("CAST(round(jaccard * 1e6) AS BIGINT)").as("j6"))
+        .select(expr("j6 div 50000 * 50000").as("bin_lo_e6"))
+        .groupBy("bin_lo_e6").agg(count(lit(1)).as("n_pairs"))
+        .orderBy("bin_lo_e6")),
+
     // train/eval decontamination: drop every TRAIN doc that near-dups
     // an EVAL doc (doc_id % 10 = 0 stands in for the benchmark set) —
     // the leakage-removal pass a training corpus runs before any
