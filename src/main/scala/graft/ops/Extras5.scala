@@ -167,6 +167,69 @@ object Extras5 {
           .orderBy("a", "b", "c")
       }),
 
+    // last-touch attribution: each purchase credited to the user's
+    // most recent prior view — a running last-non-null over the event
+    // stream (one shuffle on user, one in-partition sort), never a
+    // per-purchase lookback join. The backbone of marketing/consent
+    // attribution at event-log scale.
+    Q("seq_attribution",
+      Some("""SELECT event_id AS purchase_id, attributed_view
+             |FROM (SELECT event_id, event_type,
+             |        last_value(CASE WHEN event_type = 'view' THEN event_id END
+             |          IGNORE NULLS) OVER (PARTITION BY user_id
+             |          ORDER BY ts, event_id
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |          AS attributed_view
+             |      FROM events) t
+             |WHERE event_type = 'purchase' ORDER BY purchase_id""".stripMargin),
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(s, d)
+          .select(col("event_id"), col("event_type"), col("user_id"), col("ts"))
+          .withColumn("attributed_view",
+            last(when(col("event_type") === "view", col("event_id")),
+              ignoreNulls = true).over(w))
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("attributed_view"))
+          .orderBy("purchase_id")
+      }),
+
+    // period-over-period growth: monthly revenue (exact cent sums) +
+    // lag + sign-split µ-scaled growth ratio — the abs/sign split
+    // keeps the floor division on a non-negative numerator, where
+    // both engines agree (negative integral division truncates in
+    // Spark but floors in DuckDB). The window runs over the ~few-dozen
+    // aggregated rows, not the fact table.
+    Q("ts_period_over_period",
+      Some("""WITH m AS (SELECT date_trunc('month', o_orderdate) AS mon,
+             |            sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_cents
+             |          FROM orders GROUP BY 1),
+             |l AS (SELECT mon, CAST(rev_cents AS BIGINT) AS rev_cents,
+             |        CAST(lag(rev_cents) OVER (ORDER BY mon) AS BIGINT) AS prev_cents
+             |      FROM m)
+             |SELECT mon, rev_cents, prev_cents,
+             |       CASE WHEN prev_cents IS NULL THEN NULL
+             |            WHEN rev_cents >= prev_cents
+             |              THEN CAST(((rev_cents - prev_cents) * 1000000) // prev_cents AS BIGINT)
+             |            ELSE CAST(-(((prev_cents - rev_cents) * 1000000) // prev_cents) AS BIGINT)
+             |       END AS growth_e6
+             |FROM l ORDER BY mon""".stripMargin),
+      (s, d) => {
+        val monthly = Tables.orders(s, d)
+          .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("mon"))
+          .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rev_cents"))
+        val w = Window.orderBy("mon")
+        monthly.withColumn("prev_cents", lag(col("rev_cents"), 1).over(w))
+          .withColumn("growth_e6", expr(
+            """CASE WHEN prev_cents IS NULL THEN NULL
+              |     WHEN rev_cents >= prev_cents
+              |       THEN ((rev_cents - prev_cents) * 1000000L) div prev_cents
+              |     ELSE -(((prev_cents - rev_cents) * 1000000L) div prev_cents)
+              |END""".stripMargin))
+          .orderBy("mon")
+      }),
+
     // deterministic array aggregation: collect_list/collect_set are
     // partitioning-order-dependent — sort_array makes the aggregate
     // reproducible at any parallelism, and the canonical string form

@@ -149,6 +149,40 @@ object Scale {
           .orderBy("l_orderkey", "l_linenumber")
       }),
 
+    // Z-order-style clustering: interleave the bits of two filter
+    // dimensions into one sort key, sort the layout by it, and rows
+    // close in EITHER dimension land in the same files — min/max
+    // footer stats then prune scans on both columns, which a
+    // single-column sort only gives one of. The z-value is plain
+    // integer arithmetic (bit i of a → 4^i, bit i of b → 2·4^i), so
+    // the oracle recomputes it exactly; the clustered write is
+    // repartitionByRange + sortWithinPartitions (total layout order,
+    // no global sort at read time).
+    Q("sink_zorder",
+      Some {
+        val terms = (0 until 5).flatMap { i =>
+          Seq(s"((c_nationkey >> $i) & 1) * ${1L << (2 * i)}",
+            s"(((c_custkey % 32) >> $i) & 1) * ${2L << (2 * i)}")
+        }.mkString(" + ")
+        s"""SELECT c_custkey, c_nationkey, CAST($terms AS BIGINT) AS zval
+           |FROM customer ORDER BY c_custkey""".stripMargin
+      },
+      (s, d) => {
+        val terms = (0 until 5).flatMap { i =>
+          Seq(s"(shiftright(c_nationkey, $i) & 1) * ${1L << (2 * i)}L",
+            s"(shiftright(c_custkey % 32, $i) & 1) * ${2L << (2 * i)}L")
+        }.mkString(" + ")
+        val path = s"${sys.props("java.io.tmpdir")}/graft_zorder_${d.replaceAll("[^A-Za-z0-9]", "_")}/customer_z"
+        Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_nationkey"), expr(terms).as("zval"))
+          .repartitionByRange(4, col("zval"))
+          .sortWithinPartitions("zval")
+          .write.mode("overwrite").parquet(path)
+        s.read.parquet(path)
+          .select("c_custkey", "c_nationkey", "zval")
+          .orderBy("c_custkey")
+      }),
+
     // salted two-phase exact COUNT(DISTINCT): the salt is derived from
     // the DISTINCT column itself (hash mod 64), so each distinct value
     // lands in exactly one (group, salt) cell — phase 1 counts
