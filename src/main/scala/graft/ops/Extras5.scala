@@ -167,6 +167,69 @@ object Extras5 {
           .orderBy("a", "b", "c")
       }),
 
+    // local-maximum peak detection: one lag + one lead over the
+    // per-type series (one shuffle, one sort, both windows share it).
+    // Strict > on verbatim doubles — no float manufacturing, so the
+    // oracle is exact.
+    Q("ts_peaks",
+      Some("""SELECT event_id, event_type, value FROM (
+             |  SELECT event_id, event_type, value,
+             |         lag(value)  OVER w AS pv,
+             |         lead(value) OVER w AS nv
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)) t
+             |WHERE pv IS NOT NULL AND nv IS NOT NULL
+             |  AND value > pv AND value > nv
+             |ORDER BY event_id""".stripMargin),
+      (s, d) => {
+        val w = Window.partitionBy("event_type").orderBy(col("ts"), col("event_id"))
+        Tables.events(s, d)
+          .select(col("event_id"), col("event_type"), col("ts"), col("value"),
+            lag(col("value"), 1).over(w).as("pv"),
+            lead(col("value"), 1).over(w).as("nv"))
+          .filter(col("pv").isNotNull && col("nv").isNotNull &&
+            col("value") > col("pv") && col("value") > col("nv"))
+          .select("event_id", "event_type", "value")
+          .orderBy("event_id")
+      }),
+
+    // robust outlier detection via median absolute deviation: two
+    // exact medians on the µ-int grid (median of BIGINTs interpolates
+    // to at worst an exact .5 — identical doubles in both engines),
+    // then |v − med| > 3·MAD. Two aggregation passes over the typed
+    // series + one broadcast-back join per pass; no sort survives to
+    // the report.
+    Q("ts_anomaly_mad",
+      Some("""WITH v AS (SELECT event_type,
+             |            CAST(round(value * 1e6) AS BIGINT) AS v6 FROM events),
+             |m AS (SELECT event_type, median(v6) AS med FROM v GROUP BY 1),
+             |dev AS (SELECT v.event_type, v.v6, m.med, abs(v.v6 - m.med) AS ad
+             |        FROM v JOIN m ON v.event_type = m.event_type),
+             |md AS (SELECT event_type, median(ad) AS mad FROM dev GROUP BY 1)
+             |SELECT dev.event_type, CAST(dev.med AS DOUBLE) AS med,
+             |       CAST(md.mad AS DOUBLE) AS mad,
+             |       CAST(count(*) FILTER (WHERE dev.ad > 3 * md.mad) AS BIGINT) AS n_outliers,
+             |       count(*) AS n
+             |FROM dev JOIN md ON dev.event_type = md.event_type
+             |GROUP BY dev.event_type, dev.med, md.mad
+             |ORDER BY dev.event_type""".stripMargin),
+      (s, d) => {
+        val v = Tables.events(s, d)
+          .select(col("event_type"), round(col("value") * 1e6).cast("long").as("v6"))
+        val m = v.groupBy("event_type").agg(median(col("v6")).as("med"))
+        val dev = v.join(broadcast(m), "event_type")
+          .withColumn("ad", abs(col("v6") - col("med")))
+        val md = dev.groupBy("event_type").agg(median(col("ad")).as("mad"))
+        dev.join(broadcast(md), "event_type")
+          .groupBy(col("event_type"), col("med"), col("mad"))
+          .agg(count(when(col("ad") > col("mad") * 3, 1)).as("n_outliers"),
+            count(lit(1)).as("n"))
+          .select(col("event_type"), col("med").cast("double").as("med"),
+            col("mad").cast("double").as("mad"),
+            col("n_outliers"), col("n"))
+          .orderBy("event_type")
+      }),
+
     // last-touch attribution: each purchase credited to the user's
     // most recent prior view — a running last-non-null over the event
     // stream (one shuffle on user, one in-partition sort), never a
