@@ -167,6 +167,67 @@ object Extras5 {
           .orderBy("a", "b", "c")
       }),
 
+    // multi-grain time rollup: year/month/day revenue in ONE pass
+    // (ROLLUP over the derived calendar hierarchy — partial aggregates
+    // feed the coarser grains, no re-scan per grain). Exact cent sums;
+    // grain labeled from grouping().
+    Q("ts_multigrain",
+      Some("""SELECT CAST(y AS BIGINT) AS y, CAST(m AS BIGINT) AS m,
+             |       CAST(d AS BIGINT) AS d,
+             |       CASE WHEN grouping(y) = 1 THEN 'all'
+             |            WHEN grouping(m) = 1 THEN 'year'
+             |            WHEN grouping(d) = 1 THEN 'month'
+             |            ELSE 'day' END AS grain,
+             |       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_cents,
+             |       count(*) AS n
+             |FROM (SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
+             |             day(o_orderdate) AS d, o_totalprice FROM orders) t
+             |GROUP BY ROLLUP (y, m, d)
+             |ORDER BY grain, y NULLS FIRST, m NULLS FIRST, d NULLS FIRST""".stripMargin),
+      (s, d) => Tables.orders(s, d)
+        .select(year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"),
+          dayofmonth(col("o_orderdate")).as("d"), col("o_totalprice"))
+        .rollup("y", "m", "d")
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rev_cents"),
+          count(lit(1)).as("n"),
+          grouping(col("y")).as("gy"), grouping(col("m")).as("gm"),
+          grouping(col("d")).as("gd"))
+        .select(col("y").cast("long").as("y"), col("m").cast("long").as("m"),
+          col("d").cast("long").as("d"),
+          when(col("gy") === 1, "all")
+            .when(col("gm") === 1, "year")
+            .when(col("gd") === 1, "month")
+            .otherwise("day").as("grain"),
+          col("rev_cents"), col("n"))
+        .orderBy(col("grain"), col("y").asc_nulls_first,
+          col("m").asc_nulls_first, col("d").asc_nulls_first)),
+
+    // customer-value deciles: per-customer exact revenue, ntile(10) on
+    // the AGGREGATED rows (the global sort sees one row per customer,
+    // never the fact table; at true lake scale swap ntile for
+    // approx-percentile cutpoints to avoid the single-partition sort),
+    // then per-decile stats.
+    Q("agg_deciles",
+      Some("""WITH r AS (SELECT o_custkey,
+             |            sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev
+             |          FROM orders GROUP BY 1),
+             |d AS (SELECT rev, ntile(10) OVER (ORDER BY rev, o_custkey) AS decile FROM r)
+             |SELECT CAST(decile AS BIGINT) AS decile, count(*) AS n_cust,
+             |       CAST(min(rev) AS BIGINT) AS min_cents,
+             |       CAST(max(rev) AS BIGINT) AS max_cents,
+             |       CAST(sum(rev) AS BIGINT) AS sum_cents
+             |FROM d GROUP BY 1 ORDER BY decile""".stripMargin),
+      (s, d) => {
+        val rev = Tables.orders(s, d).groupBy("o_custkey")
+          .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rev"))
+        val w = Window.orderBy(col("rev"), col("o_custkey"))
+        rev.withColumn("decile", ntile(10).over(w).cast("long"))
+          .groupBy("decile")
+          .agg(count(lit(1)).as("n_cust"), min(col("rev")).as("min_cents"),
+            max(col("rev")).as("max_cents"), sum(col("rev")).as("sum_cents"))
+          .orderBy("decile")
+      }),
+
     // local-maximum peak detection: one lag + one lead over the
     // per-type series (one shuffle, one sort, both windows share it).
     // Strict > on verbatim doubles — no float manufacturing, so the
