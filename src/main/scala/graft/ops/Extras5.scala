@@ -167,6 +167,27 @@ object Extras5 {
           .orderBy("a", "b", "c")
       }),
 
+    // column-level encryption roundtrip: AES-128-ECB (deterministic —
+    // no IV, so retries/re-executions produce identical bytes; GCM's
+    // random IV would break both determinism and the oracle) encrypt →
+    // decrypt returns the plaintext, and the ciphertext length is the
+    // PKCS#7-padded block count, which the oracle computes
+    // arithmetically. The codegen'd expression pair runs fused in the
+    // scan — the shape of tokenization/pseudonymization at rest.
+    Q("crypto_roundtrip",
+      Some("""SELECT doc_id,
+             |       text AS roundtrip,
+             |       CAST((length(text) // 16 + 1) * 16 AS BIGINT) AS cipher_len
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      (s, d) => {
+        Tables.documents(s, d).select(col("doc_id"),
+          expr("CAST(aes_decrypt(aes_encrypt(text, '0123456789abcdef', 'ECB'), " +
+            "'0123456789abcdef', 'ECB') AS STRING)").as("roundtrip"),
+          length(expr("aes_encrypt(text, '0123456789abcdef', 'ECB')"))
+            .cast("long").as("cipher_len"))
+          .orderBy("doc_id")
+      }),
+
     // multi-grain time rollup: year/month/day revenue in ONE pass
     // (ROLLUP over the derived calendar hierarchy — partial aggregates
     // feed the coarser grains, no re-scan per grain). Exact cent sums;

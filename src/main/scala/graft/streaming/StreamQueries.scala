@@ -29,6 +29,17 @@ object StreamQueries {
              |ORDER BY ws""".stripMargin),
       (s, d) => Streams.hourlyEventAggAppend(s, d)),
 
+    Q("stream_chained_windows",
+      Some("""WITH h AS (SELECT date_trunc('hour', ts) AS hs, count(*) AS n
+             |          FROM events GROUP BY 1),
+             |d AS (SELECT CAST(date_trunc('day', hs) AS TIMESTAMP) AS ds, max(n) AS max_hourly,
+             |             CAST(sum(n) AS BIGINT) AS total
+             |      FROM h GROUP BY 1)
+             |SELECT ds, max_hourly, total FROM d
+             |WHERE ds + INTERVAL 1 DAY <= (SELECT max(ts) - INTERVAL 1 HOUR FROM events)
+             |ORDER BY ds""".stripMargin),
+      (s, d) => Streams.chainedWindowAgg(s, d)),
+
     Q("stream_sliding_window",
       // a 1h-window/30m-slide event belongs to exactly two windows:
       // the one starting at its 30-min bucket and the one 30 min before.

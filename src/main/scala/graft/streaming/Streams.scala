@@ -85,6 +85,29 @@ object Streams {
     spark.table(name).orderBy("ws")
   }
 
+  /** Chained stateful window aggregations in ONE streaming query
+    * (Spark 3.4+): hourly counts roll into daily max/total — the
+    * second groupBy windows over the FIRST aggregation's window
+    * column, so hour state evicts into day state as the watermark
+    * advances; a day emits (append) once the watermark passes its end.
+    * The two-level streaming rollup that previously needed two jobs
+    * and an intermediate topic. */
+  def chainedWindowAgg(spark: SparkSession, dir: String): DataFrame = withStreamParallelism(spark) {
+    val name = "graft_stream_chained"
+    val q = eventsStream(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(window(col("window"), "1 day"))
+      .agg(max(col("n")).as("max_hourly"), sum(col("n")).as("total"))
+      .select(col("window.start").as("ds"), col("max_hourly"), col("total"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name).orderBy("ds")
+  }
+
   /** Sliding-window event counts per type (1h window, 30m slide). */
   def slidingEventCounts(spark: SparkSession, dir: String): DataFrame = withStreamParallelism(spark) {
     val name = "graft_stream_sliding"
