@@ -132,6 +132,54 @@ object SqlSurface {
           |                AND o.o_totalprice > 100000)
           |ORDER BY c_custkey""".stripMargin)),
 
+    // discrete percentiles (WITHIN GROUP ordered-set aggregate):
+    // percentile_disc returns an ACTUAL data value (first element at
+    // cumulative probability ≥ p), so doubles copy verbatim — exact
+    // across engines with no interpolation arithmetic at all.
+    Q("agg_percentile_disc",
+      Some("""SELECT l_returnflag,
+             |       quantile_disc(l_quantity, 0.25) AS q25,
+             |       quantile_disc(l_quantity, 0.5)  AS q50,
+             |       quantile_disc(l_quantity, 0.9)  AS q90
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+      sql(Seq("lineitem"),
+        """SELECT l_returnflag,
+          |       percentile_disc(0.25) WITHIN GROUP (ORDER BY l_quantity) AS q25,
+          |       percentile_disc(0.5)  WITHIN GROUP (ORDER BY l_quantity) AS q50,
+          |       percentile_disc(0.9)  WITHIN GROUP (ORDER BY l_quantity) AS q90
+          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // keyset-free pagination: ORDER BY + LIMIT/OFFSET (Spark 3.4+
+    // supports OFFSET). Page 3 of the price-ranked orders; the plan
+    // still prunes with a global top-(limit+offset), not a full sort.
+    Q("sql_pagination",
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey
+             |LIMIT 20 OFFSET 40""".stripMargin),
+      sql(Seq("orders"),
+        """SELECT o_orderkey, o_totalprice FROM orders
+          |ORDER BY o_totalprice DESC, o_orderkey
+          |LIMIT 20 OFFSET 40""".stripMargin)),
+
+    // SQL view definition + consumption: the reusable-query surface
+    // (a temp view of an aggregate consumed by a join) — Catalyst
+    // inlines the view, so no materialization boundary appears.
+    Q("sql_create_view",
+      Some("""WITH big_custs AS (SELECT o_custkey, count(*) AS n_orders
+             |                  FROM orders GROUP BY 1 HAVING count(*) >= 10)
+             |SELECT c.c_custkey, c.c_name, b.n_orders
+             |FROM big_custs b JOIN customer c ON c.c_custkey = b.o_custkey
+             |ORDER BY c.c_custkey""".stripMargin),
+      (s, d) => {
+        registerViews(s, d, "orders", "customer")
+        s.sql("""CREATE OR REPLACE TEMPORARY VIEW graft_big_custs AS
+                |SELECT o_custkey, count(*) AS n_orders
+                |FROM orders GROUP BY 1 HAVING count(*) >= 10""".stripMargin)
+        s.sql("""SELECT c.c_custkey, c.c_name, b.n_orders
+                |FROM graft_big_custs b JOIN customer c ON c.c_custkey = b.o_custkey
+                |ORDER BY c.c_custkey""".stripMargin)
+      }),
+
     // GROUP BY ALL / ORDER BY ALL (Spark 4 + DuckDB share the modern
     // shorthand): every non-aggregate select item groups, every output
     // column orders — the hand-written list can't drift from the

@@ -41,6 +41,17 @@ object TextAnalysis {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** Adjacent-token pairs as structs (w1, w2) from an ALREADY-split
+    * token array column; sub-2-token docs yield an empty array. The
+    * struct form (vs the joined-string bigram) keeps both words
+    * addressable for the association join in text_bigram_assoc. */
+  def bigramPairsCol(toks: Column): Column =
+    when(size(toks) >= 2,
+      transform(sequence(lit(0), size(toks) - 2), i =>
+        struct(element_at(toks, i + 1).as("w1"),
+          element_at(toks, i + 2).as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+
   /** Quality features + a composite score in [0,1]-ish range. Division
     * guards via nullif so empty docs yield NULL, never an ANSI error. */
   def qualityColumns(text: Column): Seq[(String, Column)] = {

@@ -344,6 +344,50 @@ object TextQueries {
             col("n_tokens"),
             floor((col("cum") - col("n_tokens")) / 512).as("bin_id"))
           .orderBy("doc_id", "chunk_idx")
+      }),
+
+    // bigram association strength without logs: the PMI ratio
+    // n_ab·N / (n_a·n_b) µ-scaled as exact BIGINT arithmetic —
+    // collocation mining whose scores hash-match across engines
+    // (log-PMI would rank identically but float-drift the values).
+    // Bigram counts and the two unigram legs are all map-side-combined
+    // aggregations; the unigram join legs broadcast.
+    Q("text_bigram_assoc",
+      Some("""WITH tok AS (SELECT unnest(string_split_regex(lower(trim(text)), ' +')) AS w
+             |            FROM documents),
+             |uni AS (SELECT w, count(*) AS n FROM tok GROUP BY 1),
+             |tot AS (SELECT CAST(sum(n) AS BIGINT) AS big_n FROM uni),
+             |bg AS (SELECT unnest(CASE WHEN len(toks) >= 2
+             |         THEN list_transform(range(len(toks)-1),
+             |              i -> [toks[i+1], toks[i+2]])
+             |         ELSE [] END) AS pr
+             |       FROM (SELECT string_split_regex(lower(trim(text)), ' +') AS toks
+             |             FROM documents) t),
+             |bgc AS (SELECT pr[1] AS w1, pr[2] AS w2, count(*) AS n_ab
+             |        FROM bg GROUP BY 1, 2)
+             |SELECT w1, w2, n_ab,
+             |       CAST((n_ab * big_n * 1000000) // (ua.n * ub.n) AS BIGINT) AS assoc_e6
+             |FROM bgc JOIN uni ua ON ua.w = bgc.w1
+             |JOIN uni ub ON ub.w = bgc.w2 CROSS JOIN tot
+             |WHERE n_ab >= 5
+             |ORDER BY w1, w2""".stripMargin),
+      (s, d) => {
+        val toks = documents(s, d)
+          .select(split(lower(trim(col("text"))), " +").as("toks"))
+        val uni = toks.select(explode(col("toks")).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("n"))
+        val bgc = toks
+          .select(explode(TextAnalysis.bigramPairsCol(col("toks"))).as("pr"))
+          .select(col("pr.w1").as("w1"), col("pr.w2").as("w2"))
+          .groupBy("w1", "w2").agg(count(lit(1)).as("n_ab"))
+        val ua = uni.select(col("w").as("w1"), col("n").as("na"))
+        val ub = uni.select(col("w").as("w2"), col("n").as("nb"))
+        bgc.filter(col("n_ab") >= 5)
+          .join(broadcast(ua), "w1").join(broadcast(ub), "w2")
+          .crossJoin(broadcast(uni.agg(sum(col("n")).as("big_n"))))
+          .select(col("w1"), col("w2"), col("n_ab"),
+            expr("(n_ab * big_n * 1000000L) div (na * nb)").as("assoc_e6"))
+          .orderBy("w1", "w2")
       })
   )
 }
