@@ -16,9 +16,10 @@ import org.apache.spark.sql.SparkSession
   * threads, default 4): a multi-tenant engine serves overlapping
   * queries, Spark's scheduler is built for concurrent jobs, and tiny
   * per-query fixed costs (job scheduling, AQE re-planning) overlap
-  * instead of summing. Streaming queries run serially afterwards —
-  * they scope `shuffle.partitions` around each start (see
-  * Streams.withStreamParallelism), which must not race batch planning.
+  * instead of summing. Streaming queries then run concurrently too,
+  * each on its own child session so the stream-scoped confs
+  * (`shuffle.partitions`, state store provider — see
+  * Streams.withStreamParallelism) stay session-local and race nothing.
   *
   * Reported `value` = wall-clock seconds for the whole suite;
   * per-query seconds (measured under that concurrency) and the serial
@@ -48,9 +49,9 @@ object Bench {
     // doesn't pay one-time session costs.
     spark.read.parquet(s"$sfDir/region.parquet").count()
 
-    def run(q: Q): (String, Double) = {
+    def run(q: Q, s: SparkSession): (String, Double) = {
       val t0 = System.nanoTime()
-      try q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      try q.fn(s, sfDir).write.format("noop").mode("overwrite").save()
       catch {
         case e: Throwable =>
           System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
@@ -62,10 +63,21 @@ object Bench {
     val wall0 = System.nanoTime()
     val ec = ExecutionContext.fromExecutorService(Executors.newFixedThreadPool(pool))
     val batchTimes =
-      try Await.result(Future.traverse(batchQs)(q => Future(run(q))(ec))(
+      try Await.result(Future.traverse(batchQs)(q => Future(run(q, spark))(ec))(
         implicitly, ec), Duration.Inf)
       finally ec.shutdown()
-    val streamTimes = streamQs.map(run)
+    // Streaming queries also run concurrently, each on its OWN session:
+    // the stream-scoped confs (shuffle.partitions, state store
+    // provider) are session-local there, so nothing races. Stage,
+    // checkpoint and state dirs are per-query; the one SHARED artifact
+    // (the events stage file) is created atomically.
+    val streamPool = math.min(pool, 4)
+    val ecs = ExecutionContext.fromExecutorService(
+      Executors.newFixedThreadPool(streamPool))
+    val streamTimes =
+      try Await.result(Future.traverse(streamQs)(q =>
+        Future(run(q, spark.newSession()))(ecs))(implicitly, ecs), Duration.Inf)
+      finally ecs.shutdown()
     val wall = (System.nanoTime() - wall0) / 1e9
 
     val byName = (batchTimes ++ streamTimes).toMap

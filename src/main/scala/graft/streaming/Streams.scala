@@ -42,8 +42,23 @@ object Streams {
       sys.props("java.io.tmpdir"),
       s"graft_stream_${dir.replaceAll("[^A-Za-z0-9]", "_")}")
     java.nio.file.Files.createDirectories(stageDir)
-    java.nio.file.Files.copy(src, stageDir.resolve("events.parquet"),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // stage once, atomically: concurrent stream queries (bench pool)
+    // share this dir, and a REPLACE_EXISTING copy would transiently
+    // unlink the file under a running reader. The dot-prefixed temp is
+    // invisible to the file source; ATOMIC_MOVE either wins or loses
+    // to an identical copy.
+    val target = stageDir.resolve("events.parquet")
+    if (!java.nio.file.Files.exists(target)) {
+      val tmp = java.nio.file.Files.createTempFile(stageDir, ".events", ".tmp")
+      java.nio.file.Files.copy(src, tmp,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      try java.nio.file.Files.move(tmp, target,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          java.nio.file.Files.deleteIfExists(tmp)
+      }
+    }
     spark.readStream.schema(schema).parquet(stageDir.toString)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
