@@ -167,6 +167,47 @@ object Extras5 {
           .orderBy("a", "b", "c")
       }),
 
+    // calendar-dimension join: a generated day spine (sequence — no
+    // driver loop, no calendar table to maintain) left-joins daily
+    // order stats so silent zero days SURFACE as zeros — the
+    // gap-revealing join every ops dashboard needs. Day-of-week from
+    // pure modular arithmetic on a pinned Sunday epoch (engine date
+    // kernels disagree on dow numbering; datediff % 7 cannot).
+    Q("ts_calendar_join",
+      Some("""WITH b AS (SELECT CAST(min(o_orderdate) AS DATE) AS d0,
+             |                  CAST(max(o_orderdate) AS DATE) AS d1 FROM orders),
+             |cal AS (SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+             |        FROM b),
+             |o AS (SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n,
+             |             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_cents
+             |      FROM orders GROUP BY 1)
+             |SELECT cal.day,
+             |       CAST(date_diff('day', DATE '1995-01-01', cal.day) % 7 AS BIGINT) AS dow,
+             |       date_diff('day', DATE '1995-01-01', cal.day) % 7 IN (0, 6) AS is_weekend,
+             |       CAST(coalesce(o.n, 0) AS BIGINT) AS n,
+             |       CAST(coalesce(o.rev_cents, 0) AS BIGINT) AS rev_cents
+             |FROM cal LEFT JOIN o ON o.day = cal.day
+             |ORDER BY cal.day""".stripMargin),
+      (s, d) => {
+        val orders = Tables.orders(s, d)
+        val spine = orders
+          .agg(min(col("o_orderdate").cast("date")).as("d0"),
+            max(col("o_orderdate").cast("date")).as("d1"))
+          .select(explode(sequence(col("d0"), col("d1"),
+            expr("INTERVAL 1 DAY"))).as("day"))
+        val daily = orders
+          .groupBy(col("o_orderdate").cast("date").as("day"))
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("o_totalprice") * 100).cast("long")).as("rev_cents"))
+        val dnum = datediff(col("day"), lit("1995-01-01").cast("date")) % 7
+        spine.join(daily, Seq("day"), "left")
+          .select(col("day"), dnum.cast("long").as("dow"),
+            dnum.isin(0, 6).as("is_weekend"),
+            coalesce(col("n"), lit(0L)).as("n"),
+            coalesce(col("rev_cents"), lit(0L)).as("rev_cents"))
+          .orderBy("day")
+      }),
+
     // column-level encryption roundtrip: AES-128-ECB (deterministic —
     // no IV, so retries/re-executions produce identical bytes; GCM's
     // random IV would break both determinism and the oracle) encrypt →

@@ -132,6 +132,19 @@ object SqlSurface {
           |                AND o.o_totalprice > 100000)
           |ORDER BY c_custkey""".stripMargin)),
 
+    // DISTRIBUTE BY / SORT BY: the SQL spelling of repartition +
+    // sortWithinPartitions (partition-local order without a global
+    // sort) — the layout primitive behind clustered writes. The outer
+    // ORDER BY pins the result for the oracle.
+    Q("sql_distribute_by",
+      Some("""SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem
+             |ORDER BY l_returnflag, l_orderkey, l_linenumber""".stripMargin),
+      sql(Seq("lineitem"),
+        """SELECT l_orderkey, l_linenumber, l_returnflag FROM (
+          |  SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem
+          |  DISTRIBUTE BY l_returnflag SORT BY l_returnflag, l_orderkey) t
+          |ORDER BY l_returnflag, l_orderkey, l_linenumber""".stripMargin)),
+
     // discrete percentiles (WITHIN GROUP ordered-set aggregate):
     // percentile_disc returns an ACTUAL data value (first element at
     // cumulative probability ≥ p), so doubles copy verbatim — exact
