@@ -167,6 +167,44 @@ object Extras5 {
           .orderBy("a", "b", "c")
       }),
 
+    // sketch-error CONTRACTS: approximate aggregates can't hash-match
+    // an exact oracle, but their PUBLISHED error bounds can — the
+    // query computes sketch AND exact answer and asserts the bound,
+    // so the oracle pins the contract (all-true), not the sketch bits.
+    // approx_percentile(acc=1000): rank error ≤ n/1000 (+1 slack for
+    // ties/rounding).
+    Q("agg_approx_bound",
+      Some("""SELECT l_returnflag, TRUE AS within_bound
+             |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin),
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val approx = li.groupBy("l_returnflag")
+          .agg(expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("p50a"),
+            count(lit(1)).as("n"))
+        li.join(broadcast(approx), "l_returnflag")
+          .groupBy(col("l_returnflag"), col("p50a"), col("n"))
+          .agg(count(when(col("l_extendedprice") <= col("p50a"), 1)).as("rnk"))
+          .select(col("l_returnflag"),
+            (abs(col("rnk") - col("n") / 2) <= col("n") / 1000 + 1)
+              .as("within_bound"))
+          .orderBy("l_returnflag")
+      }),
+
+    // HLL++ relative-error contract: default rsd 0.05 → assert
+    // |approx − exact| ≤ 3·rsd·exact (3σ). Same pattern: the oracle
+    // checks the GUARANTEE, the sketch stays free to vary by merge
+    // order.
+    Q("agg_hll_bound",
+      Some("""SELECT l_returnflag, TRUE AS within_bound
+             |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin),
+      (s, d) => Tables.lineitem(s, d).groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey")).as("a"),
+          count_distinct(col("l_partkey")).as("e"))
+        .select(col("l_returnflag"),
+          (abs(col("a") - col("e")).cast("double") <=
+            col("e").cast("double") * 0.15).as("within_bound"))
+        .orderBy("l_returnflag")),
+
     // calendar-dimension join: a generated day spine (sequence — no
     // driver loop, no calendar table to maintain) left-joins daily
     // order stats so silent zero days SURFACE as zeros — the
