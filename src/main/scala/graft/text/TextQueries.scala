@@ -346,6 +346,34 @@ object TextQueries {
           .orderBy("doc_id", "chunk_idx")
       }),
 
+    // feature hashing (the hashing trick): tokens bucketed into a
+    // fixed 64-dim count vector per document — unbounded vocabulary in,
+    // fixed schema out, no vocabulary table to build or broadcast. The
+    // bucket hash here is a spellable char-arithmetic one so the oracle
+    // recomputes it exactly; production swaps in xxhash64 (same shape,
+    // same fixed-width output) where cross-engine equality isn't needed.
+    Q("text_feature_hashing",
+      Some("""WITH tok AS (SELECT doc_id,
+             |          unnest(string_split_regex(lower(trim(text)), ' +')) AS w
+             |        FROM documents)
+             |SELECT doc_id,
+             |       CAST((length(w) * 31 + ord(substring(w, 1, 1)) * 7
+             |           + ord(substring(w, length(w), 1)) * 13) % 64 AS BIGINT) AS bucket,
+             |       count(*) AS n
+             |FROM tok WHERE length(w) > 0
+             |GROUP BY 1, 2 ORDER BY doc_id, bucket""".stripMargin),
+      (s, d) => documents(s, d)
+        .select(col("doc_id"),
+          explode(split(lower(trim(col("text"))), " +")).as("w"))
+        .filter(length(col("w")) > 0)
+        .select(col("doc_id"),
+          ((length(col("w")) * 31
+            + ascii(substring(col("w"), 1, 1)) * 7
+            + ascii(expr("substring(w, length(w), 1)")) * 13) % 64)
+            .cast("long").as("bucket"))
+        .groupBy("doc_id", "bucket").agg(count(lit(1)).as("n"))
+        .orderBy("doc_id", "bucket")),
+
     // bigram association strength without logs: the PMI ratio
     // n_ab·N / (n_a·n_b) µ-scaled as exact BIGINT arithmetic —
     // collocation mining whose scores hash-match across engines

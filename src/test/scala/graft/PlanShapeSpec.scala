@@ -129,6 +129,12 @@ class PlanShapeSpec extends SparkSpec {
       .findFirstIn(p).isDefined, p)
   }
 
+  test("multi-grain rollup is ONE pass (Expand, not a scan per grain)") {
+    val p = plan("ts_multigrain")
+    assert(p.contains("Expand"), p)
+    assert("FileScan parquet".r.findAllIn(p).size == 1, p)
+  }
+
   test("NOT IN plans the null-aware anti join; NOT EXISTS the plain one") {
     val p = plan("sql_not_in_nulls")
     // trailing flag on BroadcastHashJoin is isNullAwareAntiJoin
