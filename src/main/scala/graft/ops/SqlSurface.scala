@@ -132,6 +132,30 @@ object SqlSurface {
           |                AND o.o_totalprice > 100000)
           |ORDER BY c_custkey""".stripMargin)),
 
+    // explode_outer: generator that PRESERVES rows whose array is
+    // empty (as a NULL element) — the left-join flavor of explode;
+    // plain explode would silently drop short docs from the output.
+    // DuckDB spells the same semantics by substituting [NULL] for the
+    // empty list before unnesting.
+    Q("sql_explode_outer",
+      Some("""SELECT doc_id, long_tok FROM (
+             |  SELECT doc_id,
+             |         unnest(CASE WHEN len(l) = 0 THEN [NULL] ELSE l END) AS long_tok
+             |  FROM (SELECT doc_id,
+             |          list_filter(string_split_regex(lower(trim(text)), ' +'),
+             |                      t -> length(t) > 8) AS l
+             |        FROM documents) a) b
+             |ORDER BY doc_id, long_tok""".stripMargin),
+      (s, d) => {
+        registerViews(s, d, "documents")
+        s.sql("""SELECT doc_id, long_tok FROM (
+                |  SELECT doc_id,
+                |         explode_outer(filter(split(lower(trim(text)), ' +'),
+                |                              t -> length(t) > 8)) AS long_tok
+                |  FROM documents) b
+                |ORDER BY doc_id, long_tok""".stripMargin)
+      }),
+
     // DISTRIBUTE BY / SORT BY: the SQL spelling of repartition +
     // sortWithinPartitions (partition-local order without a global
     // sort) — the layout primitive behind clustered writes. The outer

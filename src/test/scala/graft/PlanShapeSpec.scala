@@ -129,6 +129,14 @@ class PlanShapeSpec extends SparkSpec {
       .findFirstIn(p).isDefined, p)
   }
 
+  test("AQE coalesces shuffle partitions at runtime") {
+    val df = SparkEntry.queries("agg_group")(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("isFinalPlan=true"), p)
+    assert(p.contains("AQEShuffleRead"), p)
+  }
+
   test("multi-grain rollup is ONE pass (Expand, not a scan per grain)") {
     val p = plan("ts_multigrain")
     assert(p.contains("Expand"), p)
