@@ -167,6 +167,26 @@ object Extras5 {
           .orderBy("a", "b", "c")
       }),
 
+    // string-manipulation battery #3: casing, splicing, character
+    // mapping, padding — all codegen'd scalars fused into the scan.
+    Q("str_funcs3",
+      Some("""SELECT c_custkey,
+             |       upper(substring(c_name, 1, 1)) ||
+             |         lower(substring(c_name, 2)) AS initcapped,
+             |       substring(c_name, 1, 9) || 'XX' ||
+             |         substring(c_name, 12) AS overlaid,
+             |       translate(c_mktsegment, 'AEIOU', 'aeiou') AS translated,
+             |       lpad(CAST(c_custkey AS VARCHAR), 12, '0') AS padded,
+             |       repeat('-', CAST(c_custkey % 5 AS INTEGER)) AS dashes
+             |FROM customer ORDER BY c_custkey""".stripMargin),
+      (s, d) => Tables.customer(s, d).select(col("c_custkey"),
+        initcap(lower(col("c_name"))).as("initcapped"),
+        overlay(col("c_name"), lit("XX"), lit(10)).as("overlaid"),
+        translate(col("c_mktsegment"), "AEIOU", "aeiou").as("translated"),
+        lpad(col("c_custkey").cast("string"), 12, "0").as("padded"),
+        expr("repeat('-', CAST(c_custkey % 5 AS INT))").as("dashes"))
+        .orderBy("c_custkey")),
+
     // sketch-error CONTRACTS: approximate aggregates can't hash-match
     // an exact oracle, but their PUBLISHED error bounds can — the
     // query computes sketch AND exact answer and asserts the bound,

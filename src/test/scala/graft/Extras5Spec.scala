@@ -23,6 +23,29 @@ class Extras5Spec extends SparkSpec {
     assert(z(3, 7) != z(4, 7) && math.abs(z(3, 7) - z(3, 8)) <= (1L << 11))
   }
 
+  test("z-value interleave is injective over the full 5+5-bit domain") {
+    def z(a: Long, b: Long): Long =
+      (0 until 5).map(i => (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1))).sum
+    val all = for (a <- 0L until 32L; b <- 0L until 32L) yield z(a, b)
+    assert(all.distinct.size == 1024 && all.min == 0L && all.max == 1023L)
+  }
+
+  test("salted join equals the plain join for every bucket count") {
+    import spark.implicits._
+    // planted skew: one hot key with 500 rows, a long tail of singletons
+    val left = ((1 to 500).map(i => (1L, i.toLong)) ++
+      (2 to 50).map(k => (k.toLong, 0L))).toDF("k", "payload")
+    val right = (1 to 50).map(k => (k.toLong, s"dim_$k")).toDF("rk", "name")
+    val expected = left.join(right, left("k") === right("rk"))
+      .select("k", "payload", "name").collect().map(_.toString).sorted.toSeq
+    for (buckets <- Seq(1, 2, 7, 16)) {
+      val got = graft.ops.Scale
+        .saltedJoin(left, right, "k", "rk", col("payload"), buckets)
+        .select("k", "payload", "name").collect().map(_.toString).sorted.toSeq
+      assert(got == expected, s"buckets=$buckets")
+    }
+  }
+
   test("streaming upsert state equals the batch latest-per-key regardless of batch split") {
     // the registered query stages evens-then-odds through
     // maxFilesPerTrigger=1; the oracle is the single-batch answer —
