@@ -16,6 +16,7 @@ object Ledger {
       "extras-3" -> ops.Extras3.queries,
       "extras-4" -> ops.Extras4.queries,
       "extras-5" -> ops.Extras5.queries,
+      "extras-6" -> ops.Extras6.queries,
       "analytics" -> ops.Analytics.queries,
       "typed/UDAF" -> ops.Typed.queries,
       "io/catalog" -> io.IoQueries.queries,

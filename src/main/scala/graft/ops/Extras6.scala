@@ -1,0 +1,238 @@
+package graft.ops
+
+import graft.Q
+import graft.io.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-4 wave-3 operators: financial-style OHLC resampling, exact
+  * rolling variance, Pareto (80/20) concentration, one-hot encoding,
+  * threshold-based quantile bucketing, inline VALUES tables, and URL
+  * canonicalization dedup. All oracled; floats leave through the
+  * µ-scaled/cents-integer door (SCALE.md policy).
+  */
+object Extras6 {
+
+  def queries: Seq[Q] = Seq(
+    // OHLC resample: per (user, day) the open/high/low/close of the
+    // event value stream. ONE aggregation pass: open/close are
+    // lexicographic min/max over struct(ts, event_id, v6) — no window,
+    // no self-join, no per-day re-scan. The oracle spells the same
+    // argmin/argmax with row_number windows. event_id breaks ts ties
+    // deterministically. (reference etl_core.py:33-41 computes only
+    // whole-frame describe(); per-bucket OHLC is the streaming-grade
+    // generalization.)
+    Q("ts_ohlc",
+      Some("""WITH e AS (SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             |                  ts, event_id, CAST(round(value * 1e6) AS BIGINT) AS v6
+             |           FROM events),
+             |r AS (SELECT *,
+             |        row_number() OVER (PARTITION BY user_id, day ORDER BY ts, event_id) AS rn_a,
+             |        row_number() OVER (PARTITION BY user_id, day ORDER BY ts DESC, event_id DESC) AS rn_z,
+             |        count(*) OVER (PARTITION BY user_id, day) AS n_events,
+             |        max(v6) OVER (PARTITION BY user_id, day) AS high6,
+             |        min(v6) OVER (PARTITION BY user_id, day) AS low6
+             |      FROM e)
+             |SELECT a.user_id, a.day, a.v6 AS open6, z.v6 AS close6,
+             |       a.high6, a.low6, a.n_events
+             |FROM r a JOIN r z ON a.user_id = z.user_id AND a.day = z.day AND z.rn_z = 1
+             |WHERE a.rn_a = 1 ORDER BY a.user_id, a.day""".stripMargin),
+      (s, d) => {
+        val e = Tables.events(s, d).select(
+          col("user_id"), date_trunc("day", col("ts")).as("day"),
+          col("ts"), col("event_id"),
+          round(col("value") * lit(1e6)).cast("long").as("v6"))
+        e.groupBy("user_id", "day")
+          .agg(min(struct(col("ts"), col("event_id"), col("v6"))).as("o"),
+            max(struct(col("ts"), col("event_id"), col("v6"))).as("c"),
+            max(col("v6")).as("high6"), min(col("v6")).as("low6"),
+            count(lit(1)).as("n_events"))
+          .select(col("user_id"), col("day"), col("o.v6").as("open6"),
+            col("c.v6").as("close6"), col("high6"), col("low6"), col("n_events"))
+          .orderBy("user_id", "day")
+      }),
+
+    // exact rolling variance: trailing 24-row frame per user, variance
+    // numerator n·Σx² − (Σx)² in cents² — pure BIGINT (cents ≤ 5.7e4,
+    // so n·Σx² ≤ ~1.9e12), associative, hash-stable in any engine. One
+    // shuffle on user_id; all three window aggregates share one sort.
+    // Trailing frame only — a (currentRow, unboundedFollowing) frame
+    // re-scans the partition per row (O(n·partition), the round-4
+    // ts_interp_linear lesson).
+    Q("window_rolling_var",
+      Some("""WITH e AS (SELECT event_id, user_id, ts,
+             |                  CAST(round(value * 100) AS BIGINT) AS cents
+             |           FROM events),
+             |w AS (SELECT event_id,
+             |        CAST(count(*) OVER f AS BIGINT) AS n,
+             |        CAST(sum(cents) OVER f AS BIGINT) AS s1,
+             |        CAST(sum(cents * cents) OVER f AS BIGINT) AS s2
+             |      FROM e
+             |      WINDOW f AS (PARTITION BY user_id ORDER BY ts, event_id
+             |               ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
+             |SELECT event_id, n, n * s2 - s1 * s1 AS var_num_cents2
+             |FROM w ORDER BY event_id""".stripMargin),
+      (s, d) => {
+        val f = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+          .rowsBetween(-23, Window.currentRow)
+        Tables.events(s, d)
+          .select(col("event_id"), col("user_id"), col("ts"),
+            round(col("value") * 100).cast("long").as("cents"))
+          .select(col("event_id"),
+            count(lit(1)).over(f).as("n"),
+            sum(col("cents")).over(f).as("s1"),
+            sum(col("cents") * col("cents")).over(f).as("s2"))
+          .select(col("event_id"), col("n"),
+            (col("n") * col("s2") - col("s1") * col("s1")).as("var_num_cents2"))
+          .orderBy("event_id")
+      }),
+
+    // Pareto / 80-20 concentration: how many top customers carry 80% of
+    // revenue. Boundary in exact integers (5·running ≥ 4·total — no
+    // float share), revenue in cents. The running sum is one global-sort
+    // window over the CUSTOMER aggregate (150k rows at sf0.1, ~N/600 of
+    // the fact table), never over raw orders; the single-partition sort
+    // is on the already-reduced side. Result is a 1-row summary.
+    Q("analytics_pareto",
+      Some("""WITH r AS (SELECT o_custkey,
+             |            sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+             |          FROM orders GROUP BY 1),
+             |k AS (SELECT cents,
+             |        row_number() OVER (ORDER BY cents DESC, o_custkey) AS rk,
+             |        CAST(sum(cents) OVER (ORDER BY cents DESC, o_custkey
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run
+             |      FROM r),
+             |t AS (SELECT CAST(sum(cents) AS BIGINT) AS total, count(*) AS n_cust FROM k)
+             |SELECT CAST(min(k.rk) AS BIGINT) AS n_top80, t.n_cust, t.total AS total_cents
+             |FROM k, t WHERE 5 * k.run >= 4 * t.total
+             |GROUP BY t.n_cust, t.total""".stripMargin),
+      (s, d) => {
+        val r = Tables.orders(s, d).groupBy("o_custkey")
+          .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+        val w = Window.orderBy(col("cents").desc, col("o_custkey"))
+        val k = r.select(col("cents"), col("o_custkey"))
+          .withColumn("rk", row_number().over(w))
+          .withColumn("run", sum(col("cents")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val t = k.agg(sum(col("cents")).as("total"), count(lit(1)).as("n_cust"))
+        k.crossJoin(broadcast(t))
+          .filter(col("run") * 5 >= col("total") * 4)
+          .groupBy("n_cust", "total")
+          .agg(min(col("rk")).cast("long").as("n_top80"))
+          .select(col("n_top80"), col("n_cust"), col("total").as("total_cents"))
+      }),
+
+    // one-hot encoding of a categorical (the feature-engineering
+    // primitive; TPC-H's five market segments). Pure map-side CASE
+    // projection — no shuffle, no pivot, codegen'd; the column set is
+    // fixed by the dictionary, so the schema is static at any scale.
+    Q("feature_onehot",
+      Some("""SELECT c_custkey,
+             |  CAST(c_mktsegment = 'AUTOMOBILE' AS BIGINT) AS seg_automobile,
+             |  CAST(c_mktsegment = 'BUILDING'   AS BIGINT) AS seg_building,
+             |  CAST(c_mktsegment = 'FURNITURE'  AS BIGINT) AS seg_furniture,
+             |  CAST(c_mktsegment = 'HOUSEHOLD'  AS BIGINT) AS seg_household,
+             |  CAST(c_mktsegment = 'MACHINERY'  AS BIGINT) AS seg_machinery
+             |FROM customer ORDER BY c_custkey""".stripMargin),
+      (s, d) => {
+        val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+        val oneHots = segs.map(g =>
+          (col("c_mktsegment") === g).cast("long").as(s"seg_${g.toLowerCase}"))
+        Tables.customer(s, d)
+          .select(col("c_custkey") +: oneHots: _*)
+          .orderBy("c_custkey")
+      }),
+
+    // quantile bucketing by THRESHOLD, not ntile: exact quartile cut
+    // points computed once on the aggregate (percentile_disc picks
+    // actual data values — no interpolation float), then every row is
+    // assigned map-side by comparison against the broadcast thresholds.
+    // Unlike agg_deciles' ntile (a global sort of all rows), this is
+    // the 100 TB spelling: O(1) boundary rows cross the cluster, the
+    // fact table never re-sorts. Bucket populations are NOT forced
+    // equal when values tie at a cut — the semantic difference vs
+    // ntile, and the reproducible one (ties land by value, not by
+    // partition order).
+    Q("feature_quantile_bucket",
+      Some("""WITH c AS (SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+             |           FROM orders),
+             |q AS (SELECT
+             |        CAST(quantile_disc(cents, 0.25) AS BIGINT) AS q1,
+             |        CAST(quantile_disc(cents, 0.50) AS BIGINT) AS q2,
+             |        CAST(quantile_disc(cents, 0.75) AS BIGINT) AS q3
+             |      FROM c),
+             |b AS (SELECT CASE WHEN cents <= q.q1 THEN 1 WHEN cents <= q.q2 THEN 2
+             |                  WHEN cents <= q.q3 THEN 3 ELSE 4 END AS bucket, cents
+             |      FROM c, q)
+             |SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n,
+             |       CAST(min(cents) AS BIGINT) AS lo_cents,
+             |       CAST(max(cents) AS BIGINT) AS hi_cents
+             |FROM b GROUP BY 1 ORDER BY bucket""".stripMargin),
+      (s, d) => {
+        val c = Tables.orders(s, d)
+          .select(col("o_orderkey"), round(col("o_totalprice") * 100).cast("long").as("cents"))
+        val q = c.agg(
+          expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY cents)").cast("long").as("q1"),
+          expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY cents)").cast("long").as("q2"),
+          expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY cents)").cast("long").as("q3"))
+        c.crossJoin(broadcast(q))
+          .select(when(col("cents") <= col("q1"), 1L)
+            .when(col("cents") <= col("q2"), 2L)
+            .when(col("cents") <= col("q3"), 3L)
+            .otherwise(4L).as("bucket"), col("cents"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n"), min(col("cents")).as("lo_cents"),
+            max(col("cents")).as("hi_cents"))
+          .orderBy("bucket")
+      }),
+
+    // inline VALUES table — literal rows as a first-class relation
+    // (lookup/dictionary joins without a file or a temp view). The
+    // 3-row side is a constant LocalRelation: Catalyst folds it and
+    // broadcast-joins; nothing shuffles at any scale.
+    Q("sql_values_inline",
+      Some("""SELECT CAST(t.k AS BIGINT) AS k, t.zone, n.n_name
+             |FROM (VALUES (0, 'AMER'), (1, 'AMER'), (2, 'APAC'))
+             |       t(k, zone)
+             |JOIN nation n ON n.n_regionkey = t.k
+             |ORDER BY k, n_name""".stripMargin),
+      (s, d) => {
+        Tables.nation(s, d).createOrReplaceTempView("nation_vi")
+        s.sql("""SELECT CAST(t.k AS BIGINT) AS k, t.zone, n.n_name
+                |FROM VALUES (0, 'AMER'), (1, 'AMER'), (2, 'APAC')
+                |       AS t(k, zone)
+                |JOIN nation_vi n ON n.n_regionkey = t.k
+                |ORDER BY k, n_name""".stripMargin)
+      }),
+
+    // URL canonicalization dedup — the web-crawl dedup primitive: strip
+    // the query string, lowercase scheme+host+path, trim the trailing
+    // slash, keep the earliest doc per canonical URL. (URLs synthesized
+    // deterministically from doc_id/source; the canonicalize+dedup
+    // plumbing is the operator under test.) One shuffle on the
+    // canonical key; the regex is map-side.
+    Q("dedup_url",
+      Some("""WITH u AS (SELECT doc_id,
+             |    'HTTPS://WWW.Example' || CAST(doc_id % 7 AS VARCHAR) ||
+             |    '.COM/' || source || '/p' || CAST(doc_id % 40 AS VARCHAR) ||
+             |    '/?utm_source=feed&ref=' || CAST(doc_id AS VARCHAR) AS url
+             |  FROM documents),
+             |c AS (SELECT doc_id,
+             |        rtrim(lower(regexp_replace(url, '\?.*$', '')), '/') AS canonical
+             |      FROM u)
+             |SELECT canonical, min(doc_id) AS keeper, count(*) AS n_dups
+             |FROM c GROUP BY 1 ORDER BY canonical""".stripMargin),
+      (s, d) => {
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            concat(lit("HTTPS://WWW.Example"), (col("doc_id") % 7).cast("string"),
+              lit(".COM/"), col("source"), lit("/p"), (col("doc_id") % 40).cast("string"),
+              lit("/?utm_source=feed&ref="), col("doc_id").cast("string")).as("url"))
+          .select(col("doc_id"),
+            rtrim(lower(regexp_replace(col("url"), "\\?.*$", "")), "/").as("canonical"))
+          .groupBy("canonical")
+          .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_dups"))
+          .orderBy("canonical")
+      })
+  )
+}
