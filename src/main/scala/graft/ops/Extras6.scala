@@ -205,6 +205,126 @@ object Extras6 {
                 |ORDER BY k, n_name""".stripMargin)
       }),
 
+    // haversine great-circle distance (geospatial-lite; coordinates
+    // synthesized from keys, the distance kernel is the operator).
+    // Pure map-side IEEE math — radians/sin/cos/asin/sqrt are the same
+    // libm-grade ops in any engine, and the metre rounding absorbs the
+    // ≤1-ulp trig divergence by ~7 orders of magnitude. No shuffle.
+    Q("geo_haversine",
+      Some("""SELECT c_custkey,
+             |  CAST(round(2 * 6371000.0 * asin(sqrt(
+             |    sin(radians((48.8566 - (c_custkey % 180 - 89.5)) / 2)) *
+             |    sin(radians((48.8566 - (c_custkey % 180 - 89.5)) / 2)) +
+             |    cos(radians(c_custkey % 180 - 89.5)) * cos(radians(48.8566)) *
+             |    sin(radians((2.3522 - (c_custkey * 7 % 360 - 179.5)) / 2)) *
+             |    sin(radians((2.3522 - (c_custkey * 7 % 360 - 179.5)) / 2))
+             |  ))) AS BIGINT) AS dist_m
+             |FROM customer ORDER BY c_custkey""".stripMargin),
+      (s, d) => {
+        Tables.customer(s, d).createOrReplaceTempView("customer_geo")
+        s.sql("""SELECT c_custkey,
+                |  CAST(round(2 * 6371000.0 * asin(sqrt(
+                |    sin(radians((48.8566 - (c_custkey % 180 - 89.5)) / 2)) *
+                |    sin(radians((48.8566 - (c_custkey % 180 - 89.5)) / 2)) +
+                |    cos(radians(c_custkey % 180 - 89.5)) * cos(radians(48.8566)) *
+                |    sin(radians((2.3522 - (c_custkey * 7 % 360 - 179.5)) / 2)) *
+                |    sin(radians((2.3522 - (c_custkey * 7 % 360 - 179.5)) / 2))
+                |  ))) AS BIGINT) AS dist_m
+                |FROM customer_geo ORDER BY c_custkey""".stripMargin)
+      }),
+
+    // CREATE TABLE AS SELECT — a managed parquet table in the session
+    // catalog (DDL surface beyond views: the lakehouse "publish"
+    // step). The table write is a normal distributed parquet job; the
+    // catalog entry is metadata-only, so this scales like any sink.
+    Q("sql_ctas",
+      Some("""SELECT n_nationkey, n_name, n_regionkey FROM nation
+             |ORDER BY n_nationkey""".stripMargin),
+      (s, d) => {
+        Tables.nation(s, d).createOrReplaceTempView("nation_ctas_src")
+        s.sql("DROP TABLE IF EXISTS graft_ctas")
+        // the in-memory catalog forgets tables across JVMs but the
+        // warehouse directory persists — clear the stale location too
+        val loc = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir") + "/graft_ctas")
+        loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
+        s.sql("""CREATE TABLE graft_ctas USING PARQUET AS
+                |SELECT n_nationkey, n_name, n_regionkey FROM nation_ctas_src""".stripMargin)
+        s.table("graft_ctas").orderBy("n_nationkey")
+      }),
+
+    // data-freshness monitor: per feed (event_type) the high-water
+    // mark, its lag behind the global high-water mark, and trailing-day
+    // volume — all in exact microseconds (unix_micros ↔ epoch_us), no
+    // float epoch. Two tiny aggregates; the global max broadcasts.
+    Q("dq_freshness",
+      Some("""WITH g AS (SELECT max(epoch_us(ts)) AS gmax FROM events),
+             |f AS (SELECT event_type, max(epoch_us(ts)) AS max_us, count(*) AS n_total
+             |      FROM events GROUP BY 1),
+             |d AS (SELECT e.event_type, count(*) AS n_last_day
+             |      FROM events e, g
+             |      WHERE epoch_us(e.ts) >= g.gmax - 86400000000 GROUP BY 1)
+             |SELECT f.event_type, f.max_us, g.gmax - f.max_us AS lag_us,
+             |       f.n_total, d.n_last_day
+             |FROM f JOIN d ON f.event_type = d.event_type, g
+             |ORDER BY f.event_type""".stripMargin),
+      (s, d) => {
+        val ev = Tables.events(s, d).select(col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        val g = ev.agg(max(col("us")).as("gmax"))
+        val f = ev.groupBy("event_type")
+          .agg(max(col("us")).as("max_us"), count(lit(1)).as("n_total"))
+        val dd = ev.crossJoin(broadcast(g))
+          .filter(col("us") >= col("gmax") - lit(86400000000L))
+          .groupBy("event_type").agg(count(lit(1)).as("n_last_day"))
+        f.join(dd, "event_type").crossJoin(broadcast(g))
+          .select(col("event_type"), col("max_us"),
+            (col("gmax") - col("max_us")).as("lag_us"),
+            col("n_total"), col("n_last_day"))
+          .orderBy("event_type")
+      }),
+
+    // exact-moment skewness + kurtosis: power sums Σx..Σx⁴ accumulate
+    // as DECIMAL(38,0) over the deci-scaled value (exact, associative —
+    // hash-stable on 1000 executors), then ONE cast to double and a
+    // closed-form population formula whose TEXT is identical in both
+    // engines (identical IEEE ops → identical bits; SCALE.md policy).
+    // Spark's skewness()/kurtosis() built-ins are the non-oracle path:
+    // DuckDB's are sample-corrected, Spark's population — the explicit
+    // formula sidesteps the convention mismatch.
+    Q("agg_skew_kurtosis",
+      Some("""WITH p AS (SELECT event_type,
+             |        CAST(count(*) AS DOUBLE) AS n,
+             |        CAST(sum(x) AS DOUBLE) AS s1, CAST(sum(x*x) AS DOUBLE) AS s2,
+             |        CAST(sum(x*x*x) AS DOUBLE) AS s3, CAST(sum(x*x*x*x) AS DOUBLE) AS s4
+             |      FROM (SELECT event_type,
+             |              CAST(round(value * 10) AS DECIMAL(38,0)) AS x FROM events) t
+             |      GROUP BY 1)
+             |SELECT event_type, CAST(n AS BIGINT) AS n_events,
+             |  CAST(round(((s3/n - 3*(s1/n)*(s2/n) + 2*(s1/n)*(s1/n)*(s1/n))
+             |    / pow(s2/n - (s1/n)*(s1/n), 1.5)) * 1e6) AS BIGINT) AS skew6,
+             |  CAST(round(((s4/n - 4*(s1/n)*(s3/n) + 6*(s1/n)*(s1/n)*(s2/n)
+             |      - 3*(s1/n)*(s1/n)*(s1/n)*(s1/n))
+             |    / ((s2/n - (s1/n)*(s1/n)) * (s2/n - (s1/n)*(s1/n))) - 3) * 1e6) AS BIGINT) AS kurt6
+             |FROM p ORDER BY event_type""".stripMargin),
+      (s, d) => {
+        Tables.events(s, d).createOrReplaceTempView("events_mom")
+        s.sql("""WITH p AS (SELECT event_type,
+                |        CAST(count(*) AS DOUBLE) AS n,
+                |        CAST(sum(x) AS DOUBLE) AS s1, CAST(sum(x*x) AS DOUBLE) AS s2,
+                |        CAST(sum(x*x*x) AS DOUBLE) AS s3, CAST(sum(x*x*x*x) AS DOUBLE) AS s4
+                |      FROM (SELECT event_type,
+                |              CAST(round(value * 10) AS DECIMAL(38,0)) AS x FROM events_mom) t
+                |      GROUP BY 1)
+                |SELECT event_type, CAST(n AS BIGINT) AS n_events,
+                |  CAST(round(((s3/n - 3*(s1/n)*(s2/n) + 2*(s1/n)*(s1/n)*(s1/n))
+                |    / pow(s2/n - (s1/n)*(s1/n), 1.5)) * 1e6) AS BIGINT) AS skew6,
+                |  CAST(round(((s4/n - 4*(s1/n)*(s3/n) + 6*(s1/n)*(s1/n)*(s2/n)
+                |      - 3*(s1/n)*(s1/n)*(s1/n)*(s1/n))
+                |    / ((s2/n - (s1/n)*(s1/n)) * (s2/n - (s1/n)*(s1/n))) - 3) * 1e6) AS BIGINT) AS kurt6
+                |FROM p ORDER BY event_type""".stripMargin)
+      }),
+
     // URL canonicalization dedup — the web-crawl dedup primitive: strip
     // the query string, lowercase scheme+host+path, trim the trailing
     // slash, keep the earliest doc per canonical URL. (URLs synthesized

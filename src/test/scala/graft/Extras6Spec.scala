@@ -93,6 +93,65 @@ class Extras6Spec extends SparkSpec {
     assert(got.head._7 == ev.length)
   }
 
+  test("haversine distances are plausible and match a scala reference") {
+    import spark.implicits._
+    val got = SparkEntry.queries("geo_haversine")(spark, sf0001)
+      .as[(Long, Long)].collect().toMap
+    // half Earth circumference bound
+    assert(got.values.forall(m => m >= 0 && m <= 20015087L))
+    def ref(ck: Long): Long = {
+      val lat1 = ck % 180 - 89.5; val lon1 = ck * 7 % 360 - 179.5
+      val dphi = math.toRadians(48.8566 - lat1)
+      val dlmb = math.toRadians(2.3522 - lon1)
+      val h = math.sin(dphi / 2) * math.sin(dphi / 2) +
+        math.cos(math.toRadians(lat1)) * math.cos(math.toRadians(48.8566)) *
+          math.sin(dlmb / 2) * math.sin(dlmb / 2)
+      math.round(2 * 6371000.0 * math.asin(math.sqrt(h)))
+    }
+    got.foreach { case (ck, m) =>
+      assert(math.abs(m - ref(ck)) <= 1L, s"custkey=$ck got=$m ref=${ref(ck)}")
+    }
+  }
+
+  test("ctas is idempotent: second run replaces, result unchanged") {
+    val a = SparkEntry.queries("sql_ctas")(spark, sf0001).collect().map(_.toString)
+    val b = SparkEntry.queries("sql_ctas")(spark, sf0001).collect().map(_.toString)
+    assert(a.nonEmpty && a.toSeq == b.toSeq)
+  }
+
+  test("freshness: freshest feed has zero lag; totals cover all events") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("dq_freshness")(spark, sf0001)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(rows.map(_._3).min == 0L)
+    assert(rows.map(_._4).sum == graft.io.Tables.events(spark, sf0001).count())
+    rows.foreach { case (t, _, lag, total, lastDay) =>
+      assert(lag >= 0 && lastDay <= total, t)
+    }
+  }
+
+  test("skew/kurtosis match an exact BigInt power-sum reference") {
+    import spark.implicits._
+    val got = SparkEntry.queries("agg_skew_kurtosis")(spark, sf0001)
+      .as[(String, Long, Long, Long)].collect()
+    val vals = graft.io.Tables.events(spark, sf0001)
+      .select(col("event_type"), round(col("value") * 10).cast("long").as("x"))
+      .as[(String, Long)].collect().groupBy(_._1)
+    got.foreach { case (et, n, skew6, kurt6) =>
+      val xs = vals(et).map(v => BigInt(v._2))
+      assert(n == xs.length)
+      val nd = xs.length.toDouble
+      val (s1, s2) = (xs.sum.toDouble / nd, xs.map(x => x * x).sum.toDouble / nd)
+      val s3 = xs.map(x => x * x * x).sum.toDouble / nd
+      val s4 = xs.map(x => x * x * x * x).sum.toDouble / nd
+      val m2 = s2 - s1 * s1
+      val skew = (s3 - 3 * s1 * s2 + 2 * s1 * s1 * s1) / math.pow(m2, 1.5)
+      val kurt = (s4 - 4 * s1 * s3 + 6 * s1 * s1 * s2 - 3 * s1 * s1 * s1 * s1) / (m2 * m2) - 3
+      assert(math.abs(skew6 - math.round(skew * 1e6)) <= 1, s"$et skew")
+      assert(math.abs(kurt6 - math.round(kurt * 1e6)) <= 1, s"$et kurt")
+    }
+  }
+
   test("url canonicalization is idempotent and drops only the query string") {
     import spark.implicits._
     val c = SparkEntry.queries("dedup_url")(spark, sf0001)
