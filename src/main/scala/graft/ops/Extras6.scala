@@ -325,6 +325,93 @@ object Extras6 {
                 |FROM p ORDER BY event_type""".stripMargin)
       }),
 
+    // repetition quality signals (the Gopher-style pretraining filters):
+    // per doc the duplicate-word ratio, top-word share, Simpson
+    // concentration index Σc²/n², and the longest consecutive-token
+    // run (gaps-and-islands over token positions). All ratios are
+    // exact µ-scaled integer divisions — no float. Tokens shuffle once
+    // on doc_id (the explode is map-side); both window passes and the
+    // run-length aggregation share that partitioning.
+    Q("text_repetition_score",
+      Some("""WITH t AS (SELECT doc_id,
+             |        generate_subscripts(string_split(text, ' '), 1) AS pos,
+             |        unnest(string_split(text, ' ')) AS w FROM documents),
+             |r AS (SELECT doc_id, pos, w,
+             |        CASE WHEN lag(w) OVER (PARTITION BY doc_id ORDER BY pos)
+             |             IS DISTINCT FROM w THEN 1 ELSE 0 END AS brk FROM t),
+             |g AS (SELECT doc_id, w, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id FROM r),
+             |runs AS (SELECT doc_id, run_id, count(*) AS rl FROM g GROUP BY 1, 2),
+             |mr AS (SELECT doc_id, max(rl) AS max_run FROM runs GROUP BY 1),
+             |wc AS (SELECT doc_id, w, count(*) AS c FROM t GROUP BY 1, 2),
+             |agg AS (SELECT doc_id, sum(c) AS n, count(*) AS nd, max(c) AS mx,
+             |               sum(c * c) AS s2 FROM wc GROUP BY 1)
+             |SELECT a.doc_id, CAST(a.n AS BIGINT) AS n_words,
+             |       CAST(a.nd AS BIGINT) AS n_distinct,
+             |       CAST((a.n - a.nd) * 1000000 // a.n AS BIGINT) AS dup6,
+             |       CAST(a.mx * 1000000 // a.n AS BIGINT) AS top6,
+             |       CAST(a.s2 * 1000000 // (a.n * a.n) AS BIGINT) AS simpson6,
+             |       CAST(mr.max_run AS BIGINT) AS max_run
+             |FROM agg a JOIN mr ON a.doc_id = mr.doc_id
+             |ORDER BY a.doc_id""".stripMargin),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val t = Tables.documents(s, d).select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+        val wOrd = Window.partitionBy("doc_id").orderBy("pos")
+        val runs = t
+          .withColumn("brk",
+            when(!(lag(col("w"), 1).over(wOrd) <=> col("w")), 1L).otherwise(0L))
+          .withColumn("run_id", sum(col("brk")).over(
+            wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy("doc_id", "run_id").agg(count(lit(1)).as("rl"))
+          .groupBy("doc_id").agg(max(col("rl")).as("max_run"))
+        val agg = t.groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id").agg(sum(col("c")).as("n"),
+            count(lit(1)).as("nd"), max(col("c")).as("mx"),
+            sum(col("c") * col("c")).as("s2"))
+        agg.join(runs, "doc_id")
+          .select(col("doc_id"), col("n").as("n_words"), col("nd").as("n_distinct"),
+            expr("((n - nd) * 1000000) div n").as("dup6"),
+            expr("(mx * 1000000) div n").as("top6"),
+            expr("(s2 * 1000000) div (n * n)").as("simpson6"),
+            col("max_run"))
+          .orderBy("doc_id")
+      }),
+
+    // deterministic corpus-mix sampling: hit a 50/30/20 target blend
+    // across source pools with hash-ranked per-pool quotas (quota =
+    // share of the TOTAL corpus → scale-invariant). The rank hash is
+    // the same Knuth multiplicative scheme as sample_stratified —
+    // stable under task retry, no RNG state. One shuffle on pool.
+    Q("corpus_mix_sample",
+      Some("""WITH p AS (SELECT doc_id,
+             |        CAST(substr(source, 4) AS INT) % 3 AS pool FROM documents),
+             |t AS (SELECT count(*) AS total FROM p),
+             |r AS (SELECT doc_id, pool,
+             |        CASE pool WHEN 0 THEN 50 WHEN 1 THEN 30 ELSE 20 END AS w,
+             |        row_number() OVER (PARTITION BY pool
+             |          ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rn
+             |      FROM p)
+             |SELECT r.doc_id, CAST(r.pool AS BIGINT) AS pool, CAST(r.rn AS BIGINT) AS rn
+             |FROM r, t WHERE r.rn <= r.w * t.total // 100
+             |ORDER BY pool, rn""".stripMargin),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val p = Tables.documents(s, d).select(col("doc_id"),
+          (substring(col("source"), 4, 10).cast("int") % 3).as("pool"))
+        val t = p.agg(count(lit(1)).as("total"))
+        val r = p
+          .withColumn("w", expr("CASE pool WHEN 0 THEN 50 WHEN 1 THEN 30 ELSE 20 END"))
+          .withColumn("rn", row_number().over(Window.partitionBy("pool")
+            .orderBy((col("doc_id") * lit(2654435761L)) % lit(4294967296L), col("doc_id"))))
+        r.crossJoin(broadcast(t))
+          .filter(col("rn") <= expr("(w * total) div 100"))
+          .select(col("doc_id"), col("pool").cast("long").as("pool"),
+            col("rn").cast("long").as("rn"))
+          .orderBy("pool", "rn")
+      }),
+
     // URL canonicalization dedup — the web-crawl dedup primitive: strip
     // the query string, lowercase scheme+host+path, trim the trailing
     // slash, keep the earliest doc per canonical URL. (URLs synthesized

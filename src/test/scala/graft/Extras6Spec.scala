@@ -152,6 +152,49 @@ class Extras6Spec extends SparkSpec {
     }
   }
 
+  test("repetition score matches a scala fold on sampled docs") {
+    import spark.implicits._
+    val got = SparkEntry.queries("text_repetition_score")(spark, sf0001)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    val docs = graft.io.Tables.documents(spark, sf0001)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(got.length == docs.size)
+    got.foreach { case (id, n, nd, dup6, top6, simp6, maxRun) =>
+      val ws = docs(id).split(" ")
+      val counts = ws.groupBy(identity).map(_._2.length.toLong)
+      assert(n == ws.length && nd == counts.size)
+      assert(dup6 == (n - nd) * 1000000L / n)
+      assert(top6 == counts.max * 1000000L / n)
+      assert(simp6 == counts.map(c => c * c).sum * 1000000L / (n * n))
+      val runs = ws.foldLeft(List.empty[(String, Long)]) {
+        case ((w, c) :: t, x) if w == x => (w, c + 1) :: t
+        case (acc, x) => (x, 1L) :: acc
+      }
+      assert(maxRun == runs.map(_._2).max, s"doc=$id")
+    }
+    // the corpus plants repeated-token runs — the signal must fire
+    assert(got.exists(_._7 >= 3))
+  }
+
+  test("corpus mix sample fills each pool to its quota") {
+    import spark.implicits._
+    val sample = SparkEntry.queries("corpus_mix_sample")(spark, sf0001)
+      .as[(Long, Long, Long)].collect()
+    val pools = graft.io.Tables.documents(spark, sf0001)
+      .select((substring(col("source"), 4, 10).cast("int") % 3).cast("long").as("p"))
+      .as[Long].collect().groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val total = pools.values.sum
+    val quota = Map(0L -> 50L * total / 100, 1L -> 30L * total / 100, 2L -> 20L * total / 100)
+    val byPool = sample.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    quota.foreach { case (p, q) =>
+      assert(byPool.getOrElse(p, 0L) == math.min(q, pools(p)), s"pool=$p")
+    }
+    // sampling is deterministic: rerun yields the identical id set
+    val again = SparkEntry.queries("corpus_mix_sample")(spark, sf0001)
+      .as[(Long, Long, Long)].collect()
+    assert(sample.map(_._1).sorted.toSeq == again.map(_._1).sorted.toSeq)
+  }
+
   test("url canonicalization is idempotent and drops only the query string") {
     import spark.implicits._
     val c = SparkEntry.queries("dedup_url")(spark, sf0001)

@@ -149,4 +149,33 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("LeftAnti, BuildRight, true"), p)
     assert(p.contains("LeftAnti, BuildRight, false"), p)
   }
+
+  test("one-hot encoding never shuffles on a hash key (map-side CASE only)") {
+    val p = plan("feature_onehot")
+    // the only exchange is the final ORDER BY's range partitioning
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("quantile bucketing broadcasts the cut points, never sorts the fact") {
+    val p = plan("feature_quantile_bucket")
+    assert(p.contains("BroadcastNestedLoopJoin"), p) // 1-row thresholds
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Window"), p) // the whole point vs ntile
+  }
+
+  test("ohlc is one aggregation pass — no window, no self-join") {
+    val p = plan("ts_ohlc")
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Join"), p)
+    // struct min/max is ordering-based → SortAggregate; what matters is
+    // the map-side combine (partial_) before the single exchange
+    assert(p.contains("partial_min") && p.contains("partial_max"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
+  test("haversine is a pure scan pipeline (zero hash exchange)") {
+    val p = plan("geo_haversine")
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
 }
