@@ -17,6 +17,7 @@ object Ledger {
       "extras-4" -> ops.Extras4.queries,
       "extras-5" -> ops.Extras5.queries,
       "extras-6" -> ops.Extras6.queries,
+      "extras-7" -> ops.Extras7.queries,
       "analytics" -> ops.Analytics.queries,
       "typed/UDAF" -> ops.Typed.queries,
       "io/catalog" -> io.IoQueries.queries,

@@ -178,4 +178,14 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan("geo_haversine")
     assert(!p.contains("Exchange hashpartitioning"), p)
   }
+
+  test("correlated lateral join decorrelates to a ranked window, not N probes") {
+    val p = plan("sql_lateral_correlated")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("REBALANCE hint plans a rebalance exchange") {
+    assert(plan("sql_rebalance_hint").contains("REBALANCE_PARTITIONS_BY_COL"))
+  }
 }
