@@ -18,6 +18,7 @@ object Ledger {
       "extras-5" -> ops.Extras5.queries,
       "extras-6" -> ops.Extras6.queries,
       "extras-7" -> ops.Extras7.queries,
+      "extras-8" -> ops.Extras8.queries,
       "analytics" -> ops.Analytics.queries,
       "typed/UDAF" -> ops.Typed.queries,
       "io/catalog" -> io.IoQueries.queries,

@@ -175,7 +175,62 @@ object SimQueries {
               |         e.vec_id
               |LIMIT 10""".stripMargin),
       (s, d) => Similarity.ivfKmeansTopK(embeddings(s, d), 10, 5, 2)
-        .select("vec_id", "label"))
+        .select("vec_id", "label")),
+
+    // signed-random-projection LSH: 16 pseudo-random hyperplanes (±1
+    // components from md5-nibble parity of "plane_dim" — deterministic
+    // and engine-portable), each vector hashed to the 16-bit sign
+    // pattern of its projections. Same-bucket vectors are cosine-ANN
+    // candidates; n_in_bucket sizes the probe cost. Integer-exact end
+    // to end: dims quantize to round(x·1000) BIGINTs before the dot
+    // products, so no float accumulation crosses the hash gate.
+    // Scale shape: one explode to dims×16 contributions feeding a
+    // partial+final sum keyed (vec, plane) — no joins; the plane
+    // "matrix" is synthesized in-expression, never materialized.
+    Q("sim_srp_buckets",
+      Some("""WITH dims AS (
+             |  SELECT vec_id,
+             |         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS q,
+             |         unnest(range(len(embedding))) AS d
+             |  FROM embeddings
+             |), contrib AS (
+             |  SELECT vec_id, p,
+             |         q * (CASE WHEN (instr('0123456789abcdef',
+             |                substr(md5(CAST(p AS VARCHAR) || '_' || CAST(d AS VARCHAR)), 1, 1)) - 1) % 2 = 1
+             |              THEN 1 ELSE -1 END) AS c
+             |  FROM dims, range(16) r(p)
+             |), bits AS (
+             |  SELECT vec_id, p, CASE WHEN sum(c) > 0 THEN 1 ELSE 0 END AS bit
+             |  FROM contrib GROUP BY vec_id, p
+             |), sig AS (
+             |  SELECT vec_id, CAST(sum(bit * CAST(pow(2, p) AS BIGINT)) AS BIGINT) AS srp_sig
+             |  FROM bits GROUP BY vec_id
+             |)
+             |SELECT vec_id, srp_sig,
+             |       CAST(count(*) OVER (PARTITION BY srp_sig) AS BIGINT) AS n_in_bucket
+             |FROM sig ORDER BY vec_id""".stripMargin),
+      (s, d) => {
+        val dims = embeddings(s, d)
+          .select(col("vec_id"), posexplode(col("embedding")))
+          .select(col("vec_id"), col("pos").as("d"),
+            expr("CAST(round(CAST(col AS DOUBLE) * 1000) AS BIGINT)").as("q"))
+        val contrib = dims
+          .select(col("vec_id"), col("q"), col("d"),
+            explode(sequence(lit(0), lit(15))).as("p"))
+          .select(col("vec_id"), col("p"),
+            expr("""q * (CASE WHEN (instr('0123456789abcdef',
+                   |       substring(md5(concat(CAST(p AS STRING), '_',
+                   |                            CAST(d AS STRING))), 1, 1)) - 1) % 2 = 1
+                   |     THEN 1 ELSE -1 END)""".stripMargin).as("c"))
+        val bits = contrib.groupBy("vec_id", "p")
+          .agg(expr("CASE WHEN sum(c) > 0 THEN 1 ELSE 0 END").as("bit"))
+        bits.groupBy("vec_id")
+          .agg(expr("CAST(sum(bit * CAST(pow(2, p) AS BIGINT)) AS BIGINT)")
+            .as("srp_sig"))
+          .withColumn("n_in_bucket",
+            count(lit(1)).over(Window.partitionBy("srp_sig")).cast("long"))
+          .orderBy("vec_id")
+      })
   )
 
   /** The exact-integer kmeans pipeline as DuckDB CTEs (shared by

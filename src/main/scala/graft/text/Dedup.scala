@@ -166,6 +166,41 @@ object Dedup {
     df.withColumn("simhash", simhashUdf(tokensCol(col(textCol))))
       .withColumn("sim_bucket", shiftrightunsigned(col("simhash"), 48))
 
+  /** Oracle-portable SimHash: 64-bit fingerprint (as 16 hex chars) built
+    * from the md5 hex digits of each DISTINCT token — every step
+    * (md5 → hex nibble → bit → ±1 sign-sum → majority bit → hex char) is
+    * plain ANSI SQL that Spark and DuckDB evaluate identically, and the
+    * arithmetic is integer-only, so the fingerprint is engine-exact
+    * (unlike the MurmurHash3 production variant above, whose hash family
+    * is JVM-specific). Scale shape: one explode to tokens×64 rows, two
+    * partial+final hash aggregations keyed by (id, bit) then id — no
+    * joins, no windows; the tokens×64 blow-up stays map-side between the
+    * explode and the first partial aggregate.
+    */
+  def simHashMd5(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      explode(array_distinct(tokensCol(col(textCol)))).as("tok"))
+    // bit j of a token's hash = bit (3 - j%4) of hex nibble j/4; sign-sum
+    // those across tokens, majority (> 0) wins; ties → 0 on both engines.
+    val bits = toks
+      .select(col("id"), md5(col("tok")).as("h"),
+        explode(sequence(lit(0), lit(63))).as("j"))
+      .select(col("id"), col("j"),
+        expr("""CASE WHEN ((instr('0123456789abcdef',
+               |             substring(h, 1 + (j div 4), 1)) - 1)
+               |        div CAST(pow(2, 3 - (j % 4)) AS INT)) % 2 = 1
+               |  THEN 1 ELSE -1 END""".stripMargin).as("sgn"))
+      .groupBy("id", "j")
+      .agg(expr("CASE WHEN sum(sgn) > 0 THEN 1 ELSE 0 END").as("bit"))
+    val nibs = bits.groupBy(col("id"), expr("j div 4").as("ni"))
+      .agg(expr("sum(bit * CAST(pow(2, 3 - (j % 4)) AS INT))").as("v"))
+      .select(col("id"), col("ni"),
+        expr("substring('0123456789abcdef', CAST(v AS INT) + 1, 1)").as("c"))
+    nibs.groupBy("id").agg(
+      array_join(transform(array_sort(collect_list(struct(col("ni"), col("c")))),
+        x => x.getField("c")), "").as("simhash_hex"))
+  }
+
   /** SimHash near-dup pairs: same 16-bit bucket AND Hamming ≤ maxDist.
     * (Production would probe multiple rotated bucketings; one prefix
     * bucket demonstrates the shape.) */

@@ -70,6 +70,85 @@ object DedupQueries {
       (s, d) => Dedup.withSimHash(documents(s, d), "text")
         .select("doc_id", "simhash", "sim_bucket").orderBy("doc_id")),
 
+    // oracle-exact SimHash: same algorithm, md5-hex hash family — every
+    // step is ANSI SQL both engines evaluate bit-identically (integer
+    // arithmetic only), so the fingerprint itself hash-matches, not just
+    // row counts. `sim_bucket` = 16-bit hex prefix (the LSH probe key).
+    Q("dedup_simhash_md5",
+      Some("""WITH tok AS (
+             |  SELECT DISTINCT doc_id, tok FROM (
+             |    SELECT doc_id,
+             |           unnest(string_split_regex(lower(trim(text)), ' +')) AS tok
+             |    FROM documents) t
+             |), b AS (
+             |  SELECT doc_id, j,
+             |         CASE WHEN sum(CASE WHEN ((instr('0123456789abcdef',
+             |                                    substr(md5(tok), 1 + (j // 4), 1)) - 1)
+             |                               // CAST(pow(2, 3 - (j % 4)) AS INT)) % 2 = 1
+             |                           THEN 1 ELSE -1 END) > 0
+             |              THEN 1 ELSE 0 END AS bit
+             |  FROM tok, range(64) r(j)
+             |  GROUP BY doc_id, j
+             |), nib AS (
+             |  SELECT doc_id, j // 4 AS ni,
+             |         sum(bit * CAST(pow(2, 3 - (j % 4)) AS INT)) AS v
+             |  FROM b GROUP BY doc_id, j // 4
+             |), fp AS (
+             |  SELECT doc_id,
+             |         string_agg(substr('0123456789abcdef', CAST(v AS INT) + 1, 1),
+             |                    '' ORDER BY ni) AS simhash_hex
+             |  FROM nib GROUP BY doc_id
+             |)
+             |SELECT doc_id, simhash_hex, substr(simhash_hex, 1, 4) AS sim_bucket
+             |FROM fp ORDER BY doc_id""".stripMargin),
+      (s, d) => Dedup.simHashMd5(documents(s, d), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("simhash_hex"),
+          substring(col("simhash_hex"), 1, 4).as("sim_bucket"))
+        .orderBy("doc_id")),
+
+    // C4-style global line dedup: a "line" here is a 16-token block
+    // (this corpus has no newlines), and a block survives only at its
+    // FIRST corpus occurrence — (doc_id, block_idx) minimal over every
+    // doc containing the same block text. Per-doc report of kept vs
+    // total blocks. Scale shape: one explode to blocks, one
+    // partial+final min-aggregation keyed by block text (Spark hashes
+    // the text key — at 100 TB swap the key for its md5 to bound
+    // shuffle width, same plan), one broadcast-free semi-join back on
+    // the (text, doc, idx) triple via the min-struct compare.
+    Q("dedup_lines",
+      Some("""WITH tok AS (SELECT doc_id, string_split_regex(lower(trim(text)), ' +') AS toks
+             |            FROM documents),
+             |blk AS (SELECT doc_id, bi,
+             |          array_to_string(toks[1 + bi*16 : (bi+1)*16], ' ') AS line
+             |        FROM tok, LATERAL unnest(range(CAST(ceil(len(toks) / 16.0) AS BIGINT))) r(bi)),
+             |firsts AS (SELECT line, min(doc_id * 1000000 + bi) AS first_key
+             |           FROM blk GROUP BY line)
+             |SELECT b.doc_id,
+             |       count(*) AS n_blocks,
+             |       CAST(sum(CASE WHEN b.doc_id * 1000000 + b.bi = f.first_key
+             |                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+             |FROM blk b JOIN firsts f USING (line)
+             |GROUP BY b.doc_id ORDER BY doc_id""".stripMargin),
+      (s, d) => {
+        val blk = documents(s, d)
+          .select(col("doc_id"), Dedup.tokensCol(col("text")).as("toks"))
+          .select(col("doc_id"),
+            posexplode(expr(
+              """transform(sequence(0, CAST(ceil(size(toks) / 16.0) AS INT) - 1),
+                |          bi -> array_join(slice(toks, 1 + bi*16, 16), ' '))"""
+                .stripMargin)))
+          .select(col("doc_id"), col("pos").cast("long").as("bi"),
+            col("col").as("line"))
+        val firsts = blk.groupBy("line")
+          .agg(min(col("doc_id") * 1000000L + col("bi")).as("first_key"))
+        blk.join(firsts, "line")
+          .groupBy("doc_id").agg(
+            count(lit(1)).as("n_blocks"),
+            sum(when(col("doc_id") * 1000000L + col("bi") === col("first_key"), 1L)
+              .otherwise(0L)).as("n_kept"))
+          .orderBy("doc_id")
+      }),
+
     // duplicate-group assignment: connected components over the
     // verified near-dup pairs (docs in no pair form their own group).
     // A pipeline picks survivors / caps group sizes from THIS table;

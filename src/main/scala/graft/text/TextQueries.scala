@@ -159,6 +159,53 @@ object TextQueries {
           .orderBy("doc_id", "rn")
       }),
 
+    // BM25 retrieval: top-20 documents for a fixed 3-term query
+    // (k1=1.2, b=0.75, Robertson-Sparck-Jones idf with the +1 floor).
+    // Per-(doc,term) scores are µ-rounded FIRST, then summed as BIGINTs
+    // per doc — integer addition is associative, so partial+final
+    // aggregation order can't perturb the total, and both engines rank
+    // on the same exact integer. Scale shape: tf/dl/df are three
+    // partial+final aggregations off one token explode; the query-term
+    // list and the (n, avgdl) scalars broadcast; top-20 plans as
+    // TakeOrderedAndProject — no global sort.
+    Q("text_bm25",
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), ' +')) AS term
+             |            FROM documents),
+             |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+             |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+             |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+             |nq AS (SELECT count(*) AS n, (SELECT CAST(sum(dl) AS DOUBLE) / count(*) FROM dl) AS avgdl
+             |       FROM documents),
+             |qt AS (SELECT unnest(['hash', 'merge', 'vector']) AS term),
+             |s AS (SELECT tf.doc_id,
+             |        CAST(round(ln((n - df + 0.5) / (df + 0.5) + 1)
+             |             * (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl))))
+             |             * 1e6) AS BIGINT) AS e6
+             |      FROM tf JOIN qt USING (term) JOIN dfq USING (term)
+             |           JOIN dl USING (doc_id), nq)
+             |SELECT doc_id, CAST(sum(e6) AS BIGINT) AS bm25_e6 FROM s
+             |GROUP BY doc_id ORDER BY bm25_e6 DESC, doc_id LIMIT 20""".stripMargin),
+      (s, d) => {
+        val docs = documents(s, d)
+        val tok = docs.select(col("doc_id"),
+          explode(split(lower(trim(col("text"))), " +")).as("term"))
+        val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+        val dfq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val nq = docs.agg(count(lit(1)).as("n"))
+          .crossJoin(dl.agg((sum("dl").cast("double") / count(lit(1))).as("avgdl")))
+        val qt = s.createDataset(Seq("hash", "merge", "vector"))(
+          org.apache.spark.sql.Encoders.STRING).toDF("term")
+        tf.join(broadcast(qt), "term").join(dfq, "term")
+          .join(dl, "doc_id").crossJoin(broadcast(nq))
+          .withColumn("e6",
+            expr("""CAST(round(ln((n - df + 0.5) / (df + 0.5) + 1)
+                   |     * (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl))))
+                   |     * 1e6) AS BIGINT)""".stripMargin))
+          .groupBy("doc_id").agg(sum("e6").as("bm25_e6"))
+          .orderBy(col("bm25_e6").desc, col("doc_id")).limit(20)
+      }),
+
     // document chunking: overlapping token windows (size 32, stride 16)
     // — the unit a training pipeline actually feeds a tokenizer. Chunk
     // starts step by the stride until the document is exhausted; the
