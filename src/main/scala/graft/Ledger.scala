@@ -19,6 +19,7 @@ object Ledger {
       "extras-6" -> ops.Extras6.queries,
       "extras-7" -> ops.Extras7.queries,
       "extras-8" -> ops.Extras8.queries,
+      "extras-9" -> ops.Extras9.queries,
       "analytics" -> ops.Analytics.queries,
       "typed/UDAF" -> ops.Typed.queries,
       "io/catalog" -> io.IoQueries.queries,
