@@ -20,6 +20,7 @@ object Ledger {
       "extras-7" -> ops.Extras7.queries,
       "extras-8" -> ops.Extras8.queries,
       "extras-9" -> ops.Extras9.queries,
+      "extras-10" -> ops.Extras10.queries,
       "analytics" -> ops.Analytics.queries,
       "typed/UDAF" -> ops.Typed.queries,
       "io/catalog" -> io.IoQueries.queries,

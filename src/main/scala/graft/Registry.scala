@@ -33,6 +33,7 @@ object Registry {
       graft.ops.Extras7.queries ++
       graft.ops.Extras8.queries ++
       graft.ops.Extras9.queries ++
+      graft.ops.Extras10.queries ++
       graft.ops.Analytics.queries ++
       graft.ops.Typed.queries ++
       graft.io.IoQueries.queries ++
