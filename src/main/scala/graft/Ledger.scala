@@ -21,6 +21,7 @@ object Ledger {
       "extras-8" -> ops.Extras8.queries,
       "extras-9" -> ops.Extras9.queries,
       "extras-10" -> ops.Extras10.queries,
+      "extras-11" -> ops.Extras11.queries,
       "analytics" -> ops.Analytics.queries,
       "typed/UDAF" -> ops.Typed.queries,
       "io/catalog" -> io.IoQueries.queries,

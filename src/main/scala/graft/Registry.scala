@@ -34,6 +34,7 @@ object Registry {
       graft.ops.Extras8.queries ++
       graft.ops.Extras9.queries ++
       graft.ops.Extras10.queries ++
+      graft.ops.Extras11.queries ++
       graft.ops.Analytics.queries ++
       graft.ops.Typed.queries ++
       graft.io.IoQueries.queries ++

@@ -116,6 +116,18 @@ object StreamQueries {
              |ORDER BY p_id, v_id""".stripMargin),
       (s, d) => Streams.purchaseViewJoin(s, d)),
 
+    // stream-stream LEFT OUTER join: unmatched purchases surface with
+    // NULL view only after watermark-driven state eviction (sentinel
+    // choreography flushes the tail — see Streams.purchaseViewLeftJoin).
+    Q("stream_stream_left_join",
+      Some("""SELECT p.event_id AS p_id, v.event_id AS v_id, p.user_id AS p_user
+             |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+             |LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+             |  ON v.user_id = p.user_id
+             | AND v.ts <= p.ts AND v.ts > p.ts - INTERVAL 1 HOUR
+             |ORDER BY p_id, v_id""".stripMargin),
+      (s, d) => Streams.purchaseViewLeftJoin(s, d)),
+
     // stream-static broadcast-enrichment join.
     Q("stream_static_join",
       Some("""SELECT e.event_id, e.user_id, c.c_name, c.c_mktsegment

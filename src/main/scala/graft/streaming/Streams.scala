@@ -391,6 +391,57 @@ object Streams {
     * time-range condition bounds the join state (views older than the
     * range + watermark are evicted — state does not grow unboundedly).
     */
+  /** Stream-stream LEFT OUTER join with watermark-driven null
+    * emission: purchases left-join the user's views in the preceding
+    * hour; a purchase with no such view emits (p_id, NULL, user) only
+    * when the watermark passes its join horizon and its buffered state
+    * evicts — the outer-join mechanic unique to streaming. A far-future
+    * sentinel pair (one purchase + one view, user −1, max(ts)+10 h)
+    * arrives as the LAST batch purely to push both watermarks past
+    * every real row, so the finite snapshot flushes exactly what a
+    * forever-running stream eventually would; sentinels are filtered
+    * from the result. State is bounded by the 1 h join horizon ×
+    * watermark delay at any scale.
+    */
+  def purchaseViewLeftJoin(spark: SparkSession, dir: String): DataFrame = withStreamParallelism(spark) {
+    val name = "graft_stream_ssjoin_left"
+    val ev = graft.io.Tables.events(spark, dir)
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+    val sentinel = spark.range(2).select(
+      (col("id") - 2).as("event_id"),
+      (lit(maxTs) + expr("INTERVAL 10 HOURS")).as("ts"),
+      lit(-1L).as("user_id"),
+      when(col("id") === 0, "purchase").otherwise("view").as("event_type"),
+      lit(0.0).as("value"),
+      lit("{}").as("props"))
+      .select(ev.columns.map(col).toSeq: _*)
+    val stageDir = stageArrivals(s"graft_stream_ssjoin_left_$tag", Seq(
+      ev -> "a_events.parquet", sentinel -> "b_tick.parquet"))
+    val schema = spark.read.parquet(stageDir).schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(stageDir)
+    val p = src.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val v = src.filter(col("event_type") === "view")
+      .select(col("event_id").as("v_id"), col("user_id").as("v_user"),
+        col("ts").as("v_ts"))
+      .withWatermark("v_ts", "2 hours")
+    val q = p.join(v,
+      col("p_user") === col("v_user") &&
+        col("v_ts") <= col("p_ts") &&
+        col("v_ts") > col("p_ts") - expr("INTERVAL 1 HOUR"),
+      "left_outer")
+      .select(col("p_id"), col("v_id"), col("p_user"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name).filter(col("p_user") >= 0).orderBy("p_id", "v_id")
+  }
+
   def purchaseViewJoin(spark: SparkSession, dir: String): DataFrame = withStreamParallelism(spark) {
     val name = "graft_stream_ssjoin"
     val p = eventsStream(spark, dir)

@@ -19,6 +19,27 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("stream-stream left outer join == batch left join incl. null-padded tail") {
+    val streamed = Streams.purchaseViewLeftJoin(spark, sf0001).collect()
+      .map(r => (r.getLong(0), Option(r.get(1)).map(_.toString), r.getLong(2)))
+      .toSet
+    val ev = io.Tables.events(spark, sf0001)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("v_id"), col("user_id").as("v_user"),
+        col("ts").as("v_ts"))
+    val batch = p.join(v,
+        col("p_user") === col("v_user") && col("v_ts") <= col("p_ts") &&
+          col("v_ts") > col("p_ts") - expr("INTERVAL 1 HOUR"), "left_outer")
+      .select("p_id", "v_id", "p_user").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)).map(_.toString), r.getLong(2)))
+      .toSet
+    assert(streamed == batch)
+    assert(batch.exists(_._2.isEmpty), "unmatched-purchase path actually fires")
+  }
+
   test("streaming dedup emits each event once") {
     val streamed = Streams.dedupedEventCounts(spark, sf0001)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
