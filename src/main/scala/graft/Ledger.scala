@@ -22,6 +22,7 @@ object Ledger {
       "extras-9" -> ops.Extras9.queries,
       "extras-10" -> ops.Extras10.queries,
       "extras-11" -> ops.Extras11.queries,
+      "extras-12" -> ops.Extras12.queries,
       "analytics" -> ops.Analytics.queries,
       "typed/UDAF" -> ops.Typed.queries,
       "io/catalog" -> io.IoQueries.queries,

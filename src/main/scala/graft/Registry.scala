@@ -35,6 +35,7 @@ object Registry {
       graft.ops.Extras9.queries ++
       graft.ops.Extras10.queries ++
       graft.ops.Extras11.queries ++
+      graft.ops.Extras12.queries ++
       graft.ops.Analytics.queries ++
       graft.ops.Typed.queries ++
       graft.io.IoQueries.queries ++
