@@ -23,6 +23,7 @@ object Ledger {
       "extras-10" -> ops.Extras10.queries,
       "extras-11" -> ops.Extras11.queries,
       "extras-12" -> ops.Extras12.queries,
+      "extras-13" -> ops.Extras13.queries,
       "analytics" -> ops.Analytics.queries,
       "typed/UDAF" -> ops.Typed.queries,
       "io/catalog" -> io.IoQueries.queries,

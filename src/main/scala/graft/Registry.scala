@@ -36,6 +36,7 @@ object Registry {
       graft.ops.Extras10.queries ++
       graft.ops.Extras11.queries ++
       graft.ops.Extras12.queries ++
+      graft.ops.Extras13.queries ++
       graft.ops.Analytics.queries ++
       graft.ops.Typed.queries ++
       graft.io.IoQueries.queries ++

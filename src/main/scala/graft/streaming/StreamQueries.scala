@@ -116,6 +116,15 @@ object StreamQueries {
              |ORDER BY p_id, v_id""".stripMargin),
       (s, d) => Streams.purchaseViewJoin(s, d)),
 
+    // un-windowed global running aggregate, complete mode: the
+    // always-current totals table (state = |distinct keys|, not
+    // history) every live dashboard sits on.
+    Q("stream_global_agg",
+      Some("""SELECT event_type, count(*) AS n,
+             |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+      (s, d) => Streams.globalTypeTotals(s, d)),
+
     // stream-stream LEFT OUTER join: unmatched purchases surface with
     // NULL view only after watermark-driven state eviction (sentinel
     // choreography flushes the tail — see Streams.purchaseViewLeftJoin).

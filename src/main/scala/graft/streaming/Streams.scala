@@ -81,6 +81,24 @@ object Streams {
     spark.table(name).orderBy("ws")
   }
 
+  /** Un-windowed GLOBAL running aggregate (complete mode): per-type
+    * totals maintained as one small always-current state table — the
+    * live-dashboard operator class (no window column at all, state
+    * size = |distinct keys| regardless of history). Cent sums keep the
+    * totals exact under any batch split. */
+  def globalTypeTotals(spark: SparkSession, dir: String): DataFrame = withStreamParallelism(spark) {
+    val name = "graft_stream_global"
+    val q = eventsStream(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(round(value * 100) AS BIGINT)")).cast("long").as("cents"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name).orderBy("event_type")
+  }
+
   /** Hourly counts in APPEND mode: a window row is emitted exactly once,
     * when the watermark passes its end (and its state is dropped) — so
     * the last, still-open windows are withheld. This is the eviction

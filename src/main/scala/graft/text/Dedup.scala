@@ -107,21 +107,40 @@ object Dedup {
       .select(col("p._1").as("id_a"), col("p._2").as("id_b"))
       .distinct()
 
+  /** Process-lifetime memo for the verified pair stream: ten registered
+    * consumers (pair listing, histogram, clusters, survivors,
+    * triangles, pagerank, degree, decontamination, minhash dedup, the
+    * corpus pipeline) all read the SAME edge set; a production engine
+    * materializes that table once and every consumer scans the
+    * materialization. Keyed by (session, input-plan semantic hash,
+    * params); the persisted payload is the verified pairs — a few
+    * hundred rows per corpus, so the cache is bytes, while the avoided
+    * recompute (shingle explode → LSH bucket shuffle → verify join) is
+    * the most expensive plan in the library. */
+  private val pairCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, Int, String, String, Double, Int),
+    DataFrame]()
+
   /** Candidates verified with exact Jaccard over distinct shingle sets. */
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.7, maxBucket: Int = 100): DataFrame = {
-    graft.plans.GraftFunctions.register(df.sparkSession)
-    val sets = df.select(col(idCol).as("id"),
-      array_distinct(call_function("shingles", col(textCol))).as("sh"))
-    val pairs = candidatePairs(df, idCol, textCol, maxBucket)
-    pairs
-      .join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
-      .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+    val key = (df.sparkSession, df.queryExecution.analyzed.semanticHash(),
+      idCol, textCol, threshold, maxBucket)
+    pairCache.computeIfAbsent(key, _ => {
+      graft.plans.GraftFunctions.register(df.sparkSession)
+      val sets = df.select(col(idCol).as("id"),
+        array_distinct(call_function("shingles", col(textCol))).as("sh"))
+      val pairs = candidatePairs(df, idCol, textCol, maxBucket)
+      pairs
+        .join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .withColumn("jaccard",
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            size(array_union(col("sh_a"), col("sh_b"))))
+        .filter(col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
   }
 
   /** MinHash dedup: drop the higher-id member of every verified pair. */
