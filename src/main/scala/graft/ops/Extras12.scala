@@ -38,10 +38,8 @@ object Extras12 {
              |FROM tf JOIN dl USING (doc_id) JOIN cf USING (term), nq
              |GROUP BY 1, 2 ORDER BY doc_id""".stripMargin),
       (s, d) => {
-        val tok = Tables.documents(s, d).select(col("doc_id"),
-          explode(split(lower(trim(col("text"))), " +")).as("term"))
-        val tf = tok.groupBy("doc_id", "term")
-          .agg(count(lit(1)).cast("long").as("tf"))
+        val tf = graft.text.TokenStats.docTermFreq(Tables.documents(s, d))
+          .select(col("doc_id"), col("term"), col("tf").cast("long").as("tf"))
         val dl = tf.groupBy("doc_id").agg(sum("tf").cast("long").as("dl"))
         val cf = tf.groupBy("term").agg(sum("tf").cast("long").as("cf"))
         val nq = cf.agg(sum("cf").cast("long").as("n"))

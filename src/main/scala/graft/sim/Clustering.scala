@@ -62,15 +62,25 @@ object Clustering {
     * vec_ids). Returns (final assignments (vec_id, cluster, dist2, v),
     * final centroids (j, c)) — both in exact grid units. */
   def kmeansFull(emb: DataFrame, k: Int): (DataFrame, DataFrame) = {
-    val vecs = emb.select(col("vec_id"), quantize(col("embedding")).as("v"))
-    val init = vecs.orderBy("vec_id").limit(k)
-      .withColumn("j",
-        (row_number().over(Window.orderBy("vec_id")) - 1).cast("long"))
-      .select(col("j"), col("v").as("c"))
-    val a1 = assign(vecs, init)
-    val c2 = update(a1)
-    (assign(vecs, c2), c2)
+    val key = (emb.sparkSession, emb.queryExecution.analyzed.semanticHash(), k)
+    kmeansCache.computeIfAbsent(key, _ => {
+      val vecs = emb.select(col("vec_id"), quantize(col("embedding")).as("v"))
+      val init = vecs.orderBy("vec_id").limit(k)
+        .withColumn("j",
+          (row_number().over(Window.orderBy("vec_id")) - 1).cast("long"))
+        .select(col("j"), col("v").as("c"))
+      val a1 = assign(vecs, init)
+      val c2 = update(a1)
+      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      (assign(vecs, c2).persist(lvl), c2.persist(lvl))
+    })
   }
+
+  /** Session-scoped memo: cluster_kmeans and the IVF-kmeans probe both
+    * run the SAME Lloyd iterations; materialize assignments + centroids
+    * once (k×dims longs + one row per vector — small). */
+  private val kmeansCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, Int, Int), (DataFrame, DataFrame)]()
 
   /** Assignment-only view: (vec_id, cluster, dist2), dist2 in squared
     * grid units, exact. */

@@ -144,9 +144,7 @@ object TextQueries {
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
         val docs = documents(s, d)
-        val tok = docs.select(col("doc_id"),
-          explode(split(lower(trim(col("text"))), " +")).as("term"))
-        val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val tf = TokenStats.docTermFreq(docs)
         val dfq = tf.groupBy("term").agg(count(lit(1)).as("df"))
         val nq = docs.agg(count(lit(1)).as("n"))
         tf.join(dfq, "term").crossJoin(broadcast(nq))
@@ -187,10 +185,8 @@ object TextQueries {
              |GROUP BY doc_id ORDER BY bm25_e6 DESC, doc_id LIMIT 20""".stripMargin),
       (s, d) => {
         val docs = documents(s, d)
-        val tok = docs.select(col("doc_id"),
-          explode(split(lower(trim(col("text"))), " +")).as("term"))
-        val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-        val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+        val tf = TokenStats.docTermFreq(docs)
+        val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
         val dfq = tf.groupBy("term").agg(count(lit(1)).as("df"))
         val nq = docs.agg(count(lit(1)).as("n"))
           .crossJoin(dl.agg((sum("dl").cast("double") / count(lit(1))).as("avgdl")))
@@ -284,9 +280,8 @@ object TextQueries {
              |ORDER BY token_id""".stripMargin),
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        documents(s, d)
-          .select(explode(split(lower(trim(col("text"))), " +")).as("word"))
-          .groupBy("word").agg(count(lit(1)).as("cnt"))
+        TokenStats.docTermFreq(documents(s, d))
+          .groupBy(col("term").as("word")).agg(sum("tf").as("cnt"))
           .filter(col("cnt") >= 5)
           .withColumn("token_id", row_number()
             .over(Window.orderBy(col("cnt").desc, col("word"))).cast("long"))
