@@ -241,33 +241,48 @@ object Dedup {
     * the join: inverted index on shingles (document-frequency cutoff
     * against stopword-like shingles), count-based Jaccard
     * |A∩B| / (|A|+|B|-|A∩B|) from groupBy counts only. */
+  /** (id_a, id_b, n_shared, na, nb) for every candidate pair sharing at
+    * least one distinct shingle (document-frequency cutoff `maxDf`
+    * against stopword-like shingles) — the common core of the
+    * count-based Jaccard and containment paths, MATERIALIZED once per
+    * (session, input, maxDf): both consumers differ only in the final
+    * ratio/filter. Set sizes come straight off the docs scan (one
+    * pass, no shuffle — deriving them from the posting table would
+    * re-aggregate |postings| rows for a per-document constant); the
+    * posting list groups per n-gram, pairs explode from the grouped
+    * list — 3 shuffles total, never a posting-table self-join. */
+  private val shingleCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, Int, String, String, Int), DataFrame]()
+
+  def sharedShinglePairs(df: DataFrame, idCol: String, textCol: String,
+      maxDf: Int = 100): DataFrame = {
+    val key = (df.sparkSession, df.queryExecution.analyzed.semanticHash(),
+      idCol, textCol, maxDf)
+    shingleCache.computeIfAbsent(key, _ => {
+      graft.plans.GraftFunctions.register(df.sparkSession)
+      val inv = df.select(col(idCol).as("id"),
+        explode(array_distinct(call_function("shingles", col(textCol)))).as("ng"))
+      val sizes = df.select(col(idCol).as("id"),
+        size(array_distinct(call_function("shingles", col(textCol)))).cast("long").as("nsh"))
+      val shared = inv.groupBy("ng").agg(collect_list(col("id")).as("ids"))
+        .filter(size(col("ids")).between(2, maxDf))
+        .select(explode(pairCombos(col("ids"))).as("p"))
+        .select(col("p._1").as("id_a"), col("p._2").as("id_b"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+      shared
+        .join(sizes.select(col("id").as("id_a"), col("nsh").as("na")), "id_a")
+        .join(sizes.select(col("id").as("id_b"), col("nsh").as("nb")), "id_b")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+  }
+
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      threshold: Double = 0.5, maxDf: Int = 100): DataFrame = {
-    graft.plans.GraftFunctions.register(df.sparkSession)
-    val inv = df.select(col(idCol).as("id"),
-      explode(array_distinct(call_function("shingles", col(textCol)))).as("ng"))
-    // set sizes straight off the docs scan (one pass, no shuffle) —
-    // deriving them from `inv` would recompute the posting table AND
-    // aggregate it: an extra shuffle of |postings| rows for a number
-    // already known per document.
-    val sizes = df.select(col(idCol).as("id"),
-      size(array_distinct(call_function("shingles", col(textCol)))).cast("long").as("nsh"))
-    // group the posting list per n-gram (df-cutoff bounds the pair
-    // explosion), emit pairs from the list, count shared n-grams per
-    // pair — 3 shuffles total, no self-join of the posting table.
-    val shared = inv.groupBy("ng").agg(collect_list(col("id")).as("ids"))
-      .filter(size(col("ids")).between(2, maxDf))
-      .select(explode(pairCombos(col("ids"))).as("p"))
-      .select(col("p._1").as("id_a"), col("p._2").as("id_b"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
-    shared
-      .join(sizes.select(col("id").as("id_a"), col("nsh").as("na")), "id_a")
-      .join(sizes.select(col("id").as("id_b"), col("nsh").as("nb")), "id_b")
+      threshold: Double = 0.5, maxDf: Int = 100): DataFrame =
+    sharedShinglePairs(df, idCol, textCol, maxDf)
       .withColumn("jaccard",
         col("n_shared").cast("double") / (col("na") + col("nb") - col("n_shared")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
-  }
 
   /** Asymmetric containment pairs: C(inner→outer) = |inner ∩ outer| /
     * |inner| ≥ threshold. Catches SUB-document duplication (a doc
@@ -278,19 +293,7 @@ object Dedup {
     * small exact integers: bit-identical in any engine. */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8, maxDf: Int = 100): DataFrame = {
-    graft.plans.GraftFunctions.register(df.sparkSession)
-    val inv = df.select(col(idCol).as("id"),
-      explode(array_distinct(call_function("shingles", col(textCol)))).as("ng"))
-    val sizes = df.select(col(idCol).as("id"),
-      size(array_distinct(call_function("shingles", col(textCol)))).cast("long").as("nsh"))
-    val shared = inv.groupBy("ng").agg(collect_list(col("id")).as("ids"))
-      .filter(size(col("ids")).between(2, maxDf))
-      .select(explode(pairCombos(col("ids"))).as("p"))
-      .select(col("p._1").as("id_a"), col("p._2").as("id_b"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
-    val withSizes = shared
-      .join(sizes.select(col("id").as("id_a"), col("nsh").as("na")), "id_a")
-      .join(sizes.select(col("id").as("id_b"), col("nsh").as("nb")), "id_b")
+    val withSizes = sharedShinglePairs(df, idCol, textCol, maxDf)
     val aInB = withSizes.select(col("id_a").as("inner_id"),
       col("id_b").as("outer_id"),
       (col("n_shared").cast("double") / col("na")).as("containment"))

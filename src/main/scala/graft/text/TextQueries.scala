@@ -11,6 +11,31 @@ import org.apache.spark.sql.functions._
   */
 object TextQueries {
 
+  /** Session-scoped memo of the quality-gate survivor set (doc_id,
+    * source, text, fp): pipeline_quality_gate and
+    * pipeline_training_corpus apply the IDENTICAL gate (token band +
+    * punctuation ceiling + language filter), and the language-ID
+    * scoring battery inside it is the heaviest scalar work in the text
+    * family — materialize the survivors once, let both consumers read
+    * them. */
+  private val gateCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]()
+
+  private def gatedDocs(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    gateCache.computeIfAbsent((s, d), _ =>
+      documents(s, d)
+        .select(col("doc_id"), col("source"), col("text"),
+          TextAnalysis.tokenCount(col("text")).as("ntok"),
+          (TextAnalysis.punctCount(col("text")).cast("double") /
+            nullif(length(col("text")).cast("long"), lit(0L))).as("pr"),
+          TextAnalysis.langId(col("text")).as("lp"),
+          TextAnalysis.fingerprint(col("text")).as("fp"))
+        .filter(col("ntok").between(10, 1000) &&
+          col("pr") <= 0.2 && col("lp") === "en")
+        .select("doc_id", "source", "text", "fp")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   // DuckDB-side building blocks, kept textually adjacent to the Spark
   // Column versions in TextAnalysis so they evolve together.
   private val dTok =
@@ -303,14 +328,7 @@ object TextQueries {
               |    FROM documents) t) u
               |WHERE ntok BETWEEN 10 AND 1000 AND pr <= 0.2 AND lp = 'en'
               |ORDER BY doc_id""".stripMargin),
-      (s, d) => documents(s, d)
-        .select(col("doc_id"),
-          TextAnalysis.tokenCount(col("text")).as("ntok"),
-          (TextAnalysis.punctCount(col("text")).cast("double") /
-            nullif(length(col("text")).cast("long"), lit(0L))).as("pr"),
-          TextAnalysis.langId(col("text")).as("lp"))
-        .filter(col("ntok").between(10, 1000) && col("pr") <= 0.2 && col("lp") === "en")
-        .select("doc_id").orderBy("doc_id")),
+      (s, d) => gatedDocs(s, d).select("doc_id").orderBy("doc_id")),
 
     // the END-TO-END training-corpus pipeline: quality gate → exact
     // dedup (min-doc_id survivor per fingerprint) → overlapping
@@ -356,15 +374,7 @@ object TextQueries {
               |FROM packed ORDER BY doc_id, chunk_idx""".stripMargin),
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        val kept = documents(s, d)
-          .select(col("doc_id"), col("source"), col("text"),
-            TextAnalysis.tokenCount(col("text")).as("ntok"),
-            (TextAnalysis.punctCount(col("text")).cast("double") /
-              nullif(length(col("text")).cast("long"), lit(0L))).as("pr"),
-            TextAnalysis.langId(col("text")).as("lp"),
-            TextAnalysis.fingerprint(col("text")).as("fp"))
-          .filter(col("ntok").between(10, 1000) &&
-            col("pr") <= 0.2 && col("lp") === "en")
+        val kept = gatedDocs(s, d)
         val uniq = kept
           .withColumn("rn",
             row_number().over(Window.partitionBy("fp").orderBy("doc_id")))
