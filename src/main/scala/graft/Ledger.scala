@@ -24,6 +24,7 @@ object Ledger {
       "extras-11" -> ops.Extras11.queries,
       "extras-12" -> ops.Extras12.queries,
       "extras-13" -> ops.Extras13.queries,
+      "extras-14" -> ops.Extras14.queries,
       "analytics" -> ops.Analytics.queries,
       "typed/UDAF" -> ops.Typed.queries,
       "io/catalog" -> io.IoQueries.queries,

@@ -37,6 +37,7 @@ object Registry {
       graft.ops.Extras11.queries ++
       graft.ops.Extras12.queries ++
       graft.ops.Extras13.queries ++
+      graft.ops.Extras14.queries ++
       graft.ops.Analytics.queries ++
       graft.ops.Typed.queries ++
       graft.io.IoQueries.queries ++
