@@ -25,6 +25,7 @@ object Ledger {
       "extras-12" -> ops.Extras12.queries,
       "extras-13" -> ops.Extras13.queries,
       "extras-14" -> ops.Extras14.queries,
+      "extras-15" -> ops.Extras15.queries,
       "analytics" -> ops.Analytics.queries,
       "typed/UDAF" -> ops.Typed.queries,
       "io/catalog" -> io.IoQueries.queries,

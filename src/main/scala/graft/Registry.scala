@@ -38,6 +38,7 @@ object Registry {
       graft.ops.Extras12.queries ++
       graft.ops.Extras13.queries ++
       graft.ops.Extras14.queries ++
+      graft.ops.Extras15.queries ++
       graft.ops.Analytics.queries ++
       graft.ops.Typed.queries ++
       graft.io.IoQueries.queries ++

@@ -29,6 +29,17 @@ object StreamQueries {
              |ORDER BY ws""".stripMargin),
       (s, d) => Streams.hourlyEventAggAppend(s, d)),
 
+    // the production FILE SINK: append-mode aggregates land as parquet
+    // with the sink's _spark_metadata transaction log; the read-back
+    // honors the log, so the write is exactly-once end to end.
+    Q("stream_file_sink",
+      Some("""SELECT ws, n FROM (
+             |  SELECT date_trunc('hour', ts) AS ws, count(*) AS n
+             |  FROM events GROUP BY 1) t
+             |WHERE ws + INTERVAL 1 HOUR <= (SELECT max(ts) - INTERVAL 1 HOUR FROM events)
+             |ORDER BY ws""".stripMargin),
+      (s, d) => Streams.fileSinkHourlyCounts(s, d)),
+
     Q("stream_chained_windows",
       Some("""WITH h AS (SELECT date_trunc('hour', ts) AS hs, count(*) AS n
              |          FROM events GROUP BY 1),

@@ -388,6 +388,37 @@ object Streams {
       .orderBy("event_type")
   }
 
+  /** Native parquet FILE SINK (append mode) — the production sink:
+    * watermarked hourly aggregates land as parquet files with the
+    * sink's own transaction log (_spark_metadata) making the write
+    * exactly-once; the read-back goes through that log, so partial
+    * files from failed batches are invisible. Only watermark-closed
+    * windows reach the sink (append mode), matching the SQL oracle's
+    * exclusion of the last open hour. */
+  def fileSinkHourlyCounts(spark: SparkSession, dir: String): DataFrame = withStreamParallelism(spark) {
+    import java.nio.file.{Files, Paths}
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val tmpRoot = sys.props("java.io.tmpdir")
+    val outPath = Paths.get(tmpRoot, s"graft_stream_fsink_out_$tag")
+    val ckpt = Paths.get(tmpRoot, s"graft_stream_fsink_ckpt_$tag")
+    Seq(outPath, ckpt).foreach { p =>
+      if (Files.exists(p))
+        org.apache.commons.io.FileUtils.deleteDirectory(p.toFile)
+    }
+    val q = eventsStream(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("n"))
+      .writeStream.outputMode("append")
+      .format("parquet")
+      .option("path", outPath.toString)
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.read.parquet(outPath.toString).orderBy("ws")
+  }
+
   /** Stream-static join: the streaming fact joins a broadcast static
     * dimension (the canonical enrichment topology — no stream state). */
   def enrichedPurchases(spark: SparkSession, dir: String): DataFrame = {
