@@ -40,6 +40,7 @@ object Registry {
       graft.ops.Extras14.queries ++
       graft.ops.Extras15.queries ++
       graft.ops.Extras16.queries ++
+      graft.ops.Extras17.queries ++
       graft.ops.Analytics.queries ++
       graft.ops.Typed.queries ++
       graft.io.IoQueries.queries ++
