@@ -28,6 +28,7 @@ object Ledger {
       "extras-15" -> ops.Extras15.queries,
       "extras-16" -> ops.Extras16.queries,
       "extras-17" -> ops.Extras17.queries,
+      "extras-18" -> ops.Extras18.queries,
       "analytics" -> ops.Analytics.queries,
       "typed/UDAF" -> ops.Typed.queries,
       "io/catalog" -> io.IoQueries.queries,

@@ -41,6 +41,7 @@ object Registry {
       graft.ops.Extras15.queries ++
       graft.ops.Extras16.queries ++
       graft.ops.Extras17.queries ++
+      graft.ops.Extras18.queries ++
       graft.ops.Analytics.queries ++
       graft.ops.Typed.queries ++
       graft.io.IoQueries.queries ++
