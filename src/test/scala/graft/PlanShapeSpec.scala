@@ -188,4 +188,33 @@ class PlanShapeSpec extends SparkSpec {
   test("REBALANCE hint plans a rebalance exchange") {
     assert(plan("sql_rebalance_hint").contains("REBALANCE_PARTITIONS_BY_COL"))
   }
+
+  test("dead-letter routing is a pure scan pipeline (no exchange at all)") {
+    // the final ORDER BY plans a range exchange; nothing else may shuffle
+    val p = plan("pipeline_dead_letter")
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("target encoding broadcasts the per-segment sums back to the fact") {
+    val p = plan("feature_target_encode")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("existence mark plans ExistenceJoin, not an outer join + distinct") {
+    val p = SparkEntry.queries("join_existence_mark")(spark, sf0001)
+      .queryExecution.optimizedPlan.toString
+    assert(p.contains("ExistenceJoin"), p)
+  }
+
+  test("sma crossover runs all frames and the lag on ONE customer-key exchange") {
+    val p = plan("ts_sma_crossover")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
+  test("late-dim resolution broadcasts the filtered dimension") {
+    val p = plan("join_late_dim")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("LeftOuter"), p)
+  }
 }
