@@ -310,6 +310,26 @@ object SqlSurface {
           |LATERAL VIEW posexplode(split(text, ' ')) t AS pos, word
           |ORDER BY doc_id, pos""".stripMargin)),
 
+    // NATURAL JOIN: the implicit equi-join on all shared column names —
+    // views expose the FK under one name, and the joined schema keeps a
+    // single copy of it (the USING/NATURAL projection rule).
+    Q("sql_natural_join",
+      Some("""WITH n AS (SELECT n_nationkey, n_name, n_regionkey AS regionkey FROM nation),
+             |r AS (SELECT r_regionkey AS regionkey, r_name FROM region)
+             |SELECT n_nationkey, n_name, regionkey, r_name
+             |FROM n NATURAL JOIN r ORDER BY n_nationkey""".stripMargin),
+      (s, d) => {
+        Tables.nation(s, d)
+          .selectExpr("n_nationkey", "n_name", "n_regionkey AS regionkey")
+          .createOrReplaceTempView("nation_nj")
+        Tables.region(s, d)
+          .selectExpr("r_regionkey AS regionkey", "r_name")
+          .createOrReplaceTempView("region_nj")
+        s.sql("""SELECT n_nationkey, n_name, regionkey, r_name
+                |FROM nation_nj NATURAL JOIN region_nj
+                |ORDER BY n_nationkey""".stripMargin)
+      }),
+
     // multi-way star join through SQL (region→nation→customer→orders).
     Q("sql_star_join",
       Some("""SELECT r.r_name, n.n_name, count(o.o_orderkey) AS n_orders

@@ -106,6 +106,34 @@ object Typed {
           .orderBy("o_orderkey")
       }),
 
+    // Dataset.reduceGroups: per-key pairwise reduction with a TOTAL
+    // comparator (quantity desc, then orderkey asc), so the chosen
+    // representative is independent of partitioning and reduce order —
+    // the associativity requirement reduceGroups imposes, made
+    // explicit. Oracle: argmax with min-key tie-break.
+    Q("typed_reduce_groups",
+      Some("""WITH m AS (SELECT l_returnflag, max(l_quantity) AS mq
+             |           FROM lineitem GROUP BY 1)
+             |SELECT m.l_returnflag, CAST(min(l.l_orderkey) AS BIGINT) AS l_orderkey,
+             |       m.mq AS l_quantity
+             |FROM m JOIN lineitem l
+             |  ON l.l_returnflag = m.l_returnflag AND l.l_quantity = m.mq
+             |GROUP BY 1, 3 ORDER BY 1""".stripMargin),
+      (s, d) => {
+        import s.implicits._
+        Tables.lineitem(s, d)
+          .select("l_orderkey", "l_quantity", "l_returnflag")
+          .as[LineRow]
+          .groupByKey(_.l_returnflag)
+          .reduceGroups((a: LineRow, b: LineRow) =>
+            if (a.l_quantity > b.l_quantity ||
+              (a.l_quantity == b.l_quantity && a.l_orderkey < b.l_orderkey)) a
+            else b)
+          .map { case (k, r) => (k, r.l_orderkey, r.l_quantity) }
+          .toDF("l_returnflag", "l_orderkey", "l_quantity")
+          .orderBy("l_returnflag")
+      }),
+
     // same-registered UDAF through the untyped/SQL surface.
     Q("typed_udaf_sql",
       Some("""SELECT l_returnflag, SUM(l_quantity) / count(*) AS avg_qty
