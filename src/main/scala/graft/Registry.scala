@@ -42,6 +42,7 @@ object Registry {
       graft.ops.Extras16.queries ++
       graft.ops.Extras17.queries ++
       graft.ops.Extras18.queries ++
+      graft.ops.Extras19.queries ++
       graft.ops.Analytics.queries ++
       graft.ops.Typed.queries ++
       graft.io.IoQueries.queries ++
