@@ -30,6 +30,7 @@ object Ledger {
       "extras-17" -> ops.Extras17.queries,
       "extras-18" -> ops.Extras18.queries,
       "extras-19" -> ops.Extras19.queries,
+      "extras-20" -> ops.Extras20.queries,
       "analytics" -> ops.Analytics.queries,
       "typed/UDAF" -> ops.Typed.queries,
       "io/catalog" -> io.IoQueries.queries,
