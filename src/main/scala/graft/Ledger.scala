@@ -31,6 +31,7 @@ object Ledger {
       "extras-18" -> ops.Extras18.queries,
       "extras-19" -> ops.Extras19.queries,
       "extras-20" -> ops.Extras20.queries,
+      "extras-21" -> ops.Extras21.queries,
       "analytics" -> ops.Analytics.queries,
       "typed/UDAF" -> ops.Typed.queries,
       "io/catalog" -> io.IoQueries.queries,
