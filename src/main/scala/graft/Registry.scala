@@ -45,6 +45,7 @@ object Registry {
       graft.ops.Extras19.queries ++
       graft.ops.Extras20.queries ++
       graft.ops.Extras21.queries ++
+      graft.ops.Extras22.queries ++
       graft.ops.Analytics.queries ++
       graft.ops.Typed.queries ++
       graft.io.IoQueries.queries ++
