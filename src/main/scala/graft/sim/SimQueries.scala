@@ -230,6 +230,48 @@ object SimQueries {
           .withColumn("n_in_bucket",
             count(lit(1)).over(Window.partitionBy("srp_sig")).cast("long"))
           .orderBy("vec_id")
+      }),
+
+    // ANN recall measurement: |IVF top-k ∩ brute-force top-k| / k —
+    // the quality metric every approximate index ships with, here
+    // computed exactly because both id lists are engine-deterministic
+    // (ranks order on distinct cosines, measure-zero ties). One row:
+    // k, overlap, recall µ-int. The brute list is the gold standard
+    // scan; the IVF list probes 2 of the label cells.
+    Q("sim_recall_report",
+      Some("""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe, vec_id AS qid
+             |           FROM embeddings ORDER BY vec_id LIMIT 1),
+             |brute AS (SELECT e.vec_id FROM embeddings e, q
+             |          WHERE e.vec_id <> q.qid
+             |          ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe)
+             |                   DESC, e.vec_id
+             |          LIMIT 10),
+             |pos AS (SELECT label, generate_subscripts(embedding, 1) AS p,
+             |               unnest(CAST(embedding AS DOUBLE[])) AS v
+             |        FROM embeddings),
+             |cent AS (SELECT label, p, avg(v) AS m FROM pos GROUP BY 1, 2),
+             |carr AS (SELECT label, list(m ORDER BY p) AS c FROM cent GROUP BY label),
+             |cells AS (SELECT label FROM carr, q
+             |          ORDER BY list_cosine_similarity(c, qe) DESC, label LIMIT 2),
+             |ivf AS (SELECT e.vec_id FROM embeddings e JOIN cells USING (label), q
+             |        WHERE e.vec_id <> q.qid
+             |        ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe)
+             |                 DESC, e.vec_id
+             |        LIMIT 10)
+             |SELECT CAST(10 AS BIGINT) AS k,
+             |       CAST((SELECT count(*) FROM brute JOIN ivf USING (vec_id)) AS BIGINT)
+             |         AS n_common,
+             |       CAST((SELECT count(*) FROM brute JOIN ivf USING (vec_id)) * 100000
+             |            AS BIGINT) AS recall_e6""".stripMargin),
+      (s, d) => {
+        val brute = Similarity.bruteForceTopK(embeddings(s, d), 10)
+          .select("vec_id")
+        val ivf = Similarity.ivfTopK(embeddings(s, d), 10, 2)
+          .select("vec_id")
+        brute.join(ivf, "vec_id")
+          .agg(count(lit(1)).cast("long").as("n_common"))
+          .select(lit(10L).as("k"), col("n_common"),
+            (col("n_common") * 100000).cast("long").as("recall_e6"))
       })
   )
 

@@ -258,6 +258,46 @@ object DedupQueries {
         docs.filter(col("doc_id") % 10 =!= 0)
           .join(contaminated, Seq("doc_id"), "left_anti")
           .select("doc_id").orderBy("doc_id")
+      }),
+
+    // CROSS-MODAL dedup agreement: every verified text near-dup pair
+    // annotated with whether the documents' EMBEDDINGS also call them
+    // similar (cosine ≥ 0.2 — the dedup_embedding threshold; margins
+    // to it are ≥ 1e-2 at every SF, far beyond float noise). The QA
+    // view that decides whether text LSH and vector similarity are
+    // telling the same story. The pair stream is the shared
+    // materialization; embeddings join by the aligned id.
+    Q("dedup_cross_modal",
+      Some(s"""$jaccardCtePrefix,
+             |e AS (SELECT ia, ib,
+             |             CAST(round(CAST(ns AS DOUBLE) / (sa.n + sb.n - ns) * 1e6) AS BIGINT)
+             |               AS jaccard_e6
+             |      FROM pairs
+             |      JOIN sizes sa ON sa.doc_id = pairs.ia
+             |      JOIN sizes sb ON sb.doc_id = pairs.ib
+             |      WHERE CAST(ns AS DOUBLE) / (sa.n + sb.n - ns) >= 0.7)
+             |SELECT e.ia AS id_a, e.ib AS id_b, e.jaccard_e6,
+             |       CAST(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+             |                                   CAST(eb.embedding AS DOUBLE[])) >= 0.2
+             |            AS BOOLEAN) AS emb_agrees
+             |FROM e JOIN embeddings ea ON ea.vec_id = e.ia
+             |       JOIN embeddings eb ON eb.vec_id = e.ib
+             |ORDER BY id_a, id_b""".stripMargin),
+      (s, d) => {
+        val pairs = Dedup.nearDupPairs(documents(s, d), "doc_id", "text", 0.7)
+          .select(col("id_a"), col("id_b"),
+            expr("CAST(round(jaccard * 1e6) AS BIGINT)").as("jaccard_e6"))
+        val emb = embeddings(s, d)
+        graft.plans.GraftFunctions.register(s)
+        pairs
+          .join(broadcast(emb.select(col("vec_id").as("id_a"),
+            col("embedding").as("ea"))), "id_a")
+          .join(broadcast(emb.select(col("vec_id").as("id_b"),
+            col("embedding").as("eb"))), "id_b")
+          .select(col("id_a"), col("id_b"), col("jaccard_e6"),
+            (call_function("cosine_sim", col("ea"), col("eb")) >= 0.2)
+              .as("emb_agrees"))
+          .orderBy("id_a", "id_b")
       })
   )
 
