@@ -33,6 +33,7 @@ object Ledger {
       "extras-20" -> ops.Extras20.queries,
       "extras-21" -> ops.Extras21.queries,
       "extras-22" -> ops.Extras22.queries,
+      "extras-23" -> ops.Extras23.queries,
       "analytics" -> ops.Analytics.queries,
       "typed/UDAF" -> ops.Typed.queries,
       "io/catalog" -> io.IoQueries.queries,

@@ -46,6 +46,7 @@ object Registry {
       graft.ops.Extras20.queries ++
       graft.ops.Extras21.queries ++
       graft.ops.Extras22.queries ++
+      graft.ops.Extras23.queries ++
       graft.ops.Analytics.queries ++
       graft.ops.Typed.queries ++
       graft.io.IoQueries.queries ++
