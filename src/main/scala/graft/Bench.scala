@@ -125,7 +125,13 @@ object Bench {
       "ts_interp_linear", "try_funcs", "sink_compact", "json_variant",
       "ts_resample", "scd2_intervals", "cluster_kmeans",
       "sim_topk_ivf_kmeans", "pipeline_quality_gate", "text_ngram_counts",
-      "text_bm25", "sim_srp_buckets", "text_bigram_assoc", "dq_profile")
+      "text_bm25", "sim_srp_buckets", "text_bigram_assoc", "dq_profile",
+      // round-4 wave additions that pay a shared-cache build or run an
+      // extra window pass — submit them early so the builds overlap
+      // the wide tail instead of straggling
+      "text_cross_entropy", "text_bigram_lm", "scd2_apply",
+      "dedup_source_report", "dedup_cross_modal", "sql_unpivot_multi",
+      "stat_spearman", "ts_sma_crossover")
     val batchQs = batchQs0.sortBy(q => if (heavyFirst(q.name)) 0 else 1)
     val wall0 = System.nanoTime()
     val headTimes = Registry.all.filter(q => headline.contains(q.name))
