@@ -34,6 +34,7 @@ object Ledger {
       "extras-21" -> ops.Extras21.queries,
       "extras-22" -> ops.Extras22.queries,
       "extras-23" -> ops.Extras23.queries,
+      "extras-24" -> ops.Extras24.queries,
       "analytics" -> ops.Analytics.queries,
       "typed/UDAF" -> ops.Typed.queries,
       "io/catalog" -> io.IoQueries.queries,
