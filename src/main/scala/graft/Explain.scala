@@ -23,7 +23,10 @@ object Explain {
         "ts_sessionize",
         // round-4 wave-2 scale-critical additions
         "join_dpp", "join_bloom_filtered", "agg_distinct_salted",
-        "ts_interp_linear")
+        "ts_interp_linear",
+        // round-4 wave scale-critical additions
+        "dedup_bloom_prefilter", "feature_target_encode",
+        "join_existence_mark", "scd2_apply", "join_pit_scd2")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

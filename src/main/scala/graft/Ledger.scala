@@ -35,6 +35,7 @@ object Ledger {
       "extras-22" -> ops.Extras22.queries,
       "extras-23" -> ops.Extras23.queries,
       "extras-24" -> ops.Extras24.queries,
+      "extras-25" -> ops.Extras25.queries,
       "analytics" -> ops.Analytics.queries,
       "typed/UDAF" -> ops.Typed.queries,
       "io/catalog" -> io.IoQueries.queries,

@@ -48,6 +48,7 @@ object Registry {
       graft.ops.Extras22.queries ++
       graft.ops.Extras23.queries ++
       graft.ops.Extras24.queries ++
+      graft.ops.Extras25.queries ++
       graft.ops.Analytics.queries ++
       graft.ops.Typed.queries ++
       graft.io.IoQueries.queries ++
