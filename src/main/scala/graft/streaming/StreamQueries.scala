@@ -148,6 +148,18 @@ object StreamQueries {
              |ORDER BY p_id, v_id""".stripMargin),
       (s, d) => Streams.purchaseViewLeftJoin(s, d)),
 
+    // stream-stream FULL OUTER join: null-padded unmatched rows from
+    // BOTH sides on watermark eviction.
+    Q("stream_stream_full_join",
+      Some("""SELECT p.event_id AS p_id, v.event_id AS v_id,
+             |       coalesce(p.user_id, v.user_id) AS u
+             |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+             |FULL JOIN (SELECT * FROM events WHERE event_type = 'view') v
+             |  ON v.user_id = p.user_id
+             | AND v.ts <= p.ts AND v.ts > p.ts - INTERVAL 1 HOUR
+             |ORDER BY p_id, v_id""".stripMargin),
+      (s, d) => Streams.purchaseViewFullJoin(s, d)),
+
     // stream-static broadcast-enrichment join.
     Q("stream_static_join",
       Some("""SELECT e.event_id, e.user_id, c.c_name, c.c_mktsegment

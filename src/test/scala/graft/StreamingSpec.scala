@@ -40,6 +40,29 @@ class StreamingSpec extends SparkSpec {
     assert(batch.exists(_._2.isEmpty), "unmatched-purchase path actually fires")
   }
 
+  test("stream-stream full outer join == batch full join, both null sides present") {
+    val streamed = Streams.purchaseViewFullJoin(spark, sf0001).collect()
+      .map(r => (Option(r.get(0)).map(_.toString),
+        Option(r.get(1)).map(_.toString), r.getLong(2))).toSet
+    val ev = io.Tables.events(spark, sf0001)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("v_id"), col("user_id").as("v_user"),
+        col("ts").as("v_ts"))
+    val batch = p.join(v,
+        col("p_user") === col("v_user") && col("v_ts") <= col("p_ts") &&
+          col("v_ts") > col("p_ts") - expr("INTERVAL 1 HOUR"), "full_outer")
+      .select(col("p_id"), col("v_id"),
+        coalesce(col("p_user"), col("v_user")).as("u")).collect()
+      .map(r => (Option(r.get(0)).map(_.toString),
+        Option(r.get(1)).map(_.toString), r.getLong(2))).toSet
+    assert(streamed == batch)
+    assert(batch.exists(_._1.isEmpty), "unmatched-view path fires")
+    assert(batch.exists(_._2.isEmpty), "unmatched-purchase path fires")
+  }
+
   test("streaming dedup emits each event once") {
     val streamed = Streams.dedupedEventCounts(spark, sf0001)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
