@@ -36,6 +36,7 @@ object Ledger {
       "extras-23" -> ops.Extras23.queries,
       "extras-24" -> ops.Extras24.queries,
       "extras-25" -> ops.Extras25.queries,
+      "extras-26" -> ops.Extras26.queries,
       "analytics" -> ops.Analytics.queries,
       "typed/UDAF" -> ops.Typed.queries,
       "io/catalog" -> io.IoQueries.queries,

@@ -49,6 +49,7 @@ object Registry {
       graft.ops.Extras23.queries ++
       graft.ops.Extras24.queries ++
       graft.ops.Extras25.queries ++
+      graft.ops.Extras26.queries ++
       graft.ops.Analytics.queries ++
       graft.ops.Typed.queries ++
       graft.io.IoQueries.queries ++
