@@ -37,6 +37,7 @@ object Ledger {
       "extras-24" -> ops.Extras24.queries,
       "extras-25" -> ops.Extras25.queries,
       "extras-26" -> ops.Extras26.queries,
+      "extras-27" -> ops.Extras27.queries,
       "analytics" -> ops.Analytics.queries,
       "typed/UDAF" -> ops.Typed.queries,
       "io/catalog" -> io.IoQueries.queries,

@@ -50,6 +50,7 @@ object Registry {
       graft.ops.Extras24.queries ++
       graft.ops.Extras25.queries ++
       graft.ops.Extras26.queries ++
+      graft.ops.Extras27.queries ++
       graft.ops.Analytics.queries ++
       graft.ops.Typed.queries ++
       graft.io.IoQueries.queries ++
