@@ -51,6 +51,7 @@ object Registry {
       graft.ops.Extras25.queries ++
       graft.ops.Extras26.queries ++
       graft.ops.Extras27.queries ++
+      graft.ops.Extras28.queries ++
       graft.ops.Analytics.queries ++
       graft.ops.Typed.queries ++
       graft.io.IoQueries.queries ++
