@@ -39,6 +39,7 @@ object Ledger {
       "extras-26" -> ops.Extras26.queries,
       "extras-27" -> ops.Extras27.queries,
       "extras-28" -> ops.Extras28.queries,
+      "extras-29" -> ops.Extras29.queries,
       "analytics" -> ops.Analytics.queries,
       "typed/UDAF" -> ops.Typed.queries,
       "io/catalog" -> io.IoQueries.queries,
