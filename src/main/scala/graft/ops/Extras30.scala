@@ -1,0 +1,110 @@
+package graft.ops
+
+import graft.Q
+import graft.io.Tables
+import org.apache.spark.sql.functions._
+
+/** Round-4 wave-28 operators: the skyline (Pareto-frontier) query, the
+  * Mann-Kendall trend test, and multiline-quoted CSV ingestion.
+  */
+object Extras30 {
+
+  def queries: Seq[Q] = Seq(
+    // skyline: customers not DOMINATED on (total spend ↑, order count
+    // ↑) — dominated means someone spends at least as much AND orders
+    // at least as often, strictly better on one axis. The classic
+    // multi-objective frontier, evaluated on the REDUCED per-customer
+    // aggregate (the only way a skyline survives scale — never on the
+    // fact); the frontier self-join compares aggregate rows only.
+    Q("analytics_skyline",
+      Some("""WITH a AS (SELECT o_custkey AS ck,
+             |             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS spend,
+             |             CAST(count(*) AS BIGINT) AS n_orders
+             |           FROM orders GROUP BY 1)
+             |SELECT ck, spend, n_orders FROM a
+             |WHERE NOT EXISTS (
+             |  SELECT 1 FROM a b
+             |  WHERE b.spend >= a.spend AND b.n_orders >= a.n_orders
+             |    AND (b.spend > a.spend OR b.n_orders > a.n_orders))
+             |ORDER BY ck""".stripMargin),
+      (s, d) => {
+        val a = Tables.orders(s, d)
+          .groupBy(col("o_custkey").as("ck"))
+          .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+            .cast("long").as("spend"),
+            count(lit(1)).cast("long").as("n_orders"))
+        val b = a.select(col("spend").as("b_spend"),
+          col("n_orders").as("b_orders"))
+        a.join(broadcast(b),
+            col("b_spend") >= col("spend") && col("b_orders") >= col("n_orders")
+              && (col("b_spend") > col("spend") || col("b_orders") > col("n_orders")),
+            "left_anti")
+          .orderBy("ck")
+      }),
+
+    // Mann-Kendall trend test per user: S = Σ sign(vⱼ − vᵢ) over all
+    // i<j pairs of the time-ordered series — the nonparametric
+    // monotone-trend statistic, an exact integer by construction. The
+    // pairwise join is keyed on the user and bounded by per-series
+    // length squared (never the table), the documented cost class of
+    // the test.
+    Q("stat_mann_kendall",
+      Some("""WITH v AS (SELECT user_id, ts, event_id,
+             |             CAST(round(value * 100) AS BIGINT) AS c,
+             |             row_number() OVER (PARTITION BY user_id
+             |                                ORDER BY ts, event_id) AS i
+             |           FROM events)
+             |SELECT a.user_id, CAST(max(a.i) AS BIGINT) AS n_i,
+             |       CAST(sum(CASE WHEN b.c > a.c THEN 1
+             |                     WHEN b.c < a.c THEN -1 ELSE 0 END) AS BIGINT) AS s_stat,
+             |       CAST(CASE WHEN sum(CASE WHEN b.c > a.c THEN 1
+             |                              WHEN b.c < a.c THEN -1 ELSE 0 END) > 0
+             |                 THEN 'up'
+             |                 WHEN sum(CASE WHEN b.c > a.c THEN 1
+             |                              WHEN b.c < a.c THEN -1 ELSE 0 END) < 0
+             |                 THEN 'down' ELSE 'flat' END AS VARCHAR) AS trend
+             |FROM v a JOIN v b ON a.user_id = b.user_id AND b.i > a.i
+             |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val v = Tables.events(s, d)
+          .select(col("user_id"),
+            expr("CAST(round(value * 100) AS BIGINT)").as("c"),
+            row_number().over(Window.partitionBy("user_id")
+              .orderBy("ts", "event_id")).as("i"))
+        val a = v.select(col("user_id"), col("c").as("ca"), col("i").as("ia"))
+        val b = v.select(col("user_id"), col("c").as("cb"), col("i").as("ib"))
+        a.join(b, Seq("user_id"))
+          .filter(col("ib") > col("ia"))
+          .groupBy("user_id")
+          .agg(max("ia").cast("long").as("n_i"),
+            sum(when(col("cb") > col("ca"), 1)
+              .when(col("cb") < col("ca"), -1).otherwise(0))
+              .cast("long").as("s_stat"))
+          .withColumn("trend",
+            when(col("s_stat") > 0, "up")
+              .when(col("s_stat") < 0, "down").otherwise("flat"))
+          .orderBy("user_id")
+      }),
+
+    // multiline-quoted CSV: fields containing embedded newlines
+    // roundtrip through a quoted write and a multiLine read — the CSV
+    // edge every hand-rolled splitter breaks on (and why multiLine
+    // files are NOT byte-range splittable; at scale land them as
+    // parquet instead).
+    Q("src_csv_multiline",
+      Some("""SELECT c_custkey, c_name || chr(10) || c_mktsegment AS note
+             |FROM customer ORDER BY c_custkey""".stripMargin),
+      (s, d) => {
+        val src = Tables.customer(s, d)
+          .select(col("c_custkey"),
+            concat(col("c_name"), lit("\n"), col("c_mktsegment")).as("note"))
+        val out = s"${sys.props("java.io.tmpdir")}/graft_src_csv_ml_" +
+          d.replaceAll("[^A-Za-z0-9]", "_")
+        src.write.mode("overwrite").option("header", "true").csv(out)
+        s.read.schema(src.schema)
+          .option("header", "true").option("multiLine", "true")
+          .csv(out)
+          .orderBy("c_custkey")
+      }))
+}
