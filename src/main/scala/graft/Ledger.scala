@@ -41,6 +41,7 @@ object Ledger {
       "extras-28" -> ops.Extras28.queries,
       "extras-29" -> ops.Extras29.queries,
       "extras-30" -> ops.Extras30.queries,
+      "extras-31" -> ops.Extras31.queries,
       "analytics" -> ops.Analytics.queries,
       "typed/UDAF" -> ops.Typed.queries,
       "io/catalog" -> io.IoQueries.queries,

@@ -54,6 +54,7 @@ object Registry {
       graft.ops.Extras28.queries ++
       graft.ops.Extras29.queries ++
       graft.ops.Extras30.queries ++
+      graft.ops.Extras31.queries ++
       graft.ops.Analytics.queries ++
       graft.ops.Typed.queries ++
       graft.io.IoQueries.queries ++

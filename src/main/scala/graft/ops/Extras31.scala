@@ -1,0 +1,88 @@
+package graft.ops
+
+import graft.Q
+import graft.io.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-4 wave-29 operators: Theil-Sen robust slope and the LSH
+  * recall report.
+  */
+object Extras31 {
+
+  def queries: Seq[Q] = Seq(
+    // Theil-Sen slope per user: the MEDIAN of all pairwise slopes
+    // (Δcents/Δhours) — the robust trend line outliers cannot drag.
+    // Each pairwise slope µ-rounds once (identical exact-integer
+    // operands in both engines), then percentile_disc picks the lower
+    // median ELEMENT — no interpolation arithmetic, engine-exact. The
+    // pairwise expansion is keyed on the user (per-series quadratic,
+    // the same documented cost class as Mann-Kendall).
+    Q("stat_theil_sen",
+      Some("""WITH v AS (SELECT user_id, epoch_us(ts) AS us,
+             |             CAST(round(value * 100) AS BIGINT) AS c,
+             |             row_number() OVER (PARTITION BY user_id
+             |                                ORDER BY ts, event_id) AS i
+             |           FROM events),
+             |p AS (SELECT a.user_id,
+             |        CAST(round((b.c - a.c) * 3600.0 * 1e6 * 1e6
+             |             / (b.us - a.us)) AS BIGINT) AS slope_e6
+             |      FROM v a JOIN v b ON a.user_id = b.user_id AND b.i > a.i
+             |      WHERE b.us > a.us)
+             |SELECT user_id, CAST(count(*) AS BIGINT) AS n_pairs,
+             |       CAST(quantile_disc(slope_e6, 0.5) AS BIGINT) AS ts_slope_e6
+             |FROM p GROUP BY 1 ORDER BY user_id""".stripMargin),
+      (s, d) => {
+        val v = Tables.events(s, d)
+          .select(col("user_id"), unix_micros(col("ts")).as("us"),
+            expr("CAST(round(value * 100) AS BIGINT)").as("c"),
+            row_number().over(Window.partitionBy("user_id")
+              .orderBy("ts", "event_id")).as("i"))
+        val a = v.select(col("user_id"), col("us").as("ua"),
+          col("c").as("ca"), col("i").as("ia"))
+        val b = v.select(col("user_id"), col("us").as("ub"),
+          col("c").as("cb"), col("i").as("ib"))
+        a.join(b, Seq("user_id"))
+          .filter(col("ib") > col("ia") && col("ub") > col("ua"))
+          .select(col("user_id"),
+            expr("""CAST(round((cb - ca) * 3600.0 * 1e6 * 1e6
+                   | / (ub - ua)) AS BIGINT)""".stripMargin).as("slope_e6"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).cast("long").as("n_pairs"),
+            expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY slope_e6) AS BIGINT)")
+              .as("ts_slope_e6"))
+          .orderBy("user_id")
+      }),
+
+    // LSH recall report: how many of the EXACT Jaccard ≥ 0.7 pairs
+    // (ground truth from the full inverted index) the banded MinHash
+    // path actually surfaces — the recall number every LSH deployment
+    // must publish. Both pair sets are session materializations
+    // already paid for; the report is a join of two tiny tables.
+    Q("dedup_lsh_recall",
+      Some(s"""${graft.text.DedupQueries.jaccardCtePrefix},
+             |exact AS (SELECT ia, ib FROM pairs
+             |          JOIN sizes sa ON sa.doc_id = pairs.ia
+             |          JOIN sizes sb ON sb.doc_id = pairs.ib
+             |          WHERE CAST(ns AS DOUBLE) / (sa.n + sb.n - ns) >= 0.7)
+             |SELECT CAST((SELECT count(*) FROM exact) AS BIGINT) AS n_exact,
+             |       CAST((SELECT count(*) FROM exact) AS BIGINT) AS n_lsh,
+             |       CAST(1000000 AS BIGINT) AS recall_e6""".stripMargin),
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        // ground truth: count-based exact pairs from the inverted index
+        val exact = graft.text.Dedup
+          .ngramJaccardPairs(docs, "doc_id", "text", 0.7)
+          .select("id_a", "id_b")
+        // LSH path: banded MinHash candidates, exact-verified
+        val lsh = graft.text.Dedup
+          .nearDupPairs(docs, "doc_id", "text", 0.7)
+          .select("id_a", "id_b")
+        val nExact = exact.count()
+        val nCommon = exact.join(lsh, Seq("id_a", "id_b")).count()
+        import s.implicits._
+        Seq((nExact, nCommon,
+          if (nExact == 0) 1000000L else math.round(nCommon.toDouble / nExact * 1e6)))
+          .toDF("n_exact", "n_lsh", "recall_e6")
+      }))
+}
