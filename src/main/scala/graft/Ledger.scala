@@ -43,6 +43,7 @@ object Ledger {
       "extras-30" -> ops.Extras30.queries,
       "extras-31" -> ops.Extras31.queries,
       "extras-32" -> ops.Extras32.queries,
+      "extras-33" -> ops.Extras33.queries,
       "analytics" -> ops.Analytics.queries,
       "typed/UDAF" -> ops.Typed.queries,
       "io/catalog" -> io.IoQueries.queries,

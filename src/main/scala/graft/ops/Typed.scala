@@ -64,6 +64,35 @@ object Typed {
 
     // typed cogroup: both sides grouped by the same key, one function
     // sees each key's two iterators (the general two-input per-key op;
+    // Dataset.mapGroups: exactly one output row per key from an
+    // arbitrary function over the group iterator — the typed surface
+    // between reduceGroups (pairwise) and flatMapGroups (0..n). The
+    // function streams the iterator (no materialization), computing
+    // the quantity span + count in one pass.
+    Q("typed_map_groups",
+      Some("""SELECT l_returnflag,
+             |       max(l_quantity) - min(l_quantity) AS qty_span,
+             |       CAST(count(*) AS BIGINT) AS n
+             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, d) => {
+        import s.implicits._
+        Tables.lineitem(s, d)
+          .select("l_orderkey", "l_quantity", "l_returnflag")
+          .as[LineRow]
+          .groupByKey(_.l_returnflag)
+          .mapGroups { (k, rows) =>
+            var mn = Double.MaxValue; var mx = Double.MinValue; var n = 0L
+            rows.foreach { r =>
+              if (r.l_quantity < mn) mn = r.l_quantity
+              if (r.l_quantity > mx) mx = r.l_quantity
+              n += 1
+            }
+            (k, mx - mn, n)
+          }
+          .toDF("l_returnflag", "qty_span", "n")
+          .orderBy("l_returnflag")
+      }),
+
     // plans as CoGroup over co-partitioned shuffles — one exchange per
     // side, no join blow-up).
     Q("typed_cogroup",
