@@ -44,6 +44,7 @@ object Ledger {
       "extras-31" -> ops.Extras31.queries,
       "extras-32" -> ops.Extras32.queries,
       "extras-33" -> ops.Extras33.queries,
+      "extras-34" -> ops.Extras34.queries,
       "analytics" -> ops.Analytics.queries,
       "typed/UDAF" -> ops.Typed.queries,
       "io/catalog" -> io.IoQueries.queries,

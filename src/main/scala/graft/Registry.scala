@@ -57,6 +57,7 @@ object Registry {
       graft.ops.Extras31.queries ++
       graft.ops.Extras32.queries ++
       graft.ops.Extras33.queries ++
+      graft.ops.Extras34.queries ++
       graft.ops.Analytics.queries ++
       graft.ops.Typed.queries ++
       graft.io.IoQueries.queries ++
