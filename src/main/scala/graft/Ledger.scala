@@ -45,6 +45,7 @@ object Ledger {
       "extras-32" -> ops.Extras32.queries,
       "extras-33" -> ops.Extras33.queries,
       "extras-34" -> ops.Extras34.queries,
+      "extras-35" -> ops.Extras35.queries,
       "analytics" -> ops.Analytics.queries,
       "typed/UDAF" -> ops.Typed.queries,
       "io/catalog" -> io.IoQueries.queries,
