@@ -46,6 +46,7 @@ object Ledger {
       "extras-33" -> ops.Extras33.queries,
       "extras-34" -> ops.Extras34.queries,
       "extras-35" -> ops.Extras35.queries,
+      "extras-36" -> ops.Extras36.queries,
       "analytics" -> ops.Analytics.queries,
       "typed/UDAF" -> ops.Typed.queries,
       "io/catalog" -> io.IoQueries.queries,

@@ -1,0 +1,40 @@
+package graft.ops
+
+import graft.Q
+import graft.io.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-4 wave-34 operator: the sequence-gap audit.
+  */
+object Extras36 {
+
+  def queries: Seq[Q] = Seq(
+    // sequence-gap audit: contiguous missing-ID ranges within the
+    // fulfilled-order key sequence (a partition of a dense global
+    // sequence has holes by construction — exactly how real feed
+    // audits look: "which invoice numbers never arrived?"). One lag
+    // window over the sorted keys; each gap reports its bounds and
+    // size. Total missing reconciles with max−min+1−count.
+    Q("dq_id_gaps",
+      Some("""WITH k AS (SELECT o_orderkey AS id,
+             |             lag(o_orderkey) OVER (ORDER BY o_orderkey) AS prev
+             |           FROM orders WHERE o_orderstatus = 'F')
+             |SELECT CAST(prev + 1 AS BIGINT) AS gap_start,
+             |       CAST(id - 1 AS BIGINT) AS gap_end,
+             |       CAST(id - prev - 1 AS BIGINT) AS n_missing
+             |FROM k WHERE prev IS NOT NULL AND id - prev > 1
+             |ORDER BY gap_start""".stripMargin),
+      (s, d) => {
+        val w = Window.orderBy("id")
+        Tables.orders(s, d)
+          .filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey").as("id"))
+          .withColumn("prev", lag("id", 1).over(w))
+          .filter(col("prev").isNotNull && col("id") - col("prev") > 1)
+          .select((col("prev") + 1).cast("long").as("gap_start"),
+            (col("id") - 1).cast("long").as("gap_end"),
+            (col("id") - col("prev") - 1).cast("long").as("n_missing"))
+          .orderBy("gap_start")
+      }))
+}
