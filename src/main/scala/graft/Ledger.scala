@@ -48,6 +48,7 @@ object Ledger {
       "extras-35" -> ops.Extras35.queries,
       "extras-36" -> ops.Extras36.queries,
       "extras-37" -> ops.Extras37.queries,
+      "extras-38" -> ops.Extras38.queries,
       "analytics" -> ops.Analytics.queries,
       "typed/UDAF" -> ops.Typed.queries,
       "io/catalog" -> io.IoQueries.queries,

@@ -61,6 +61,7 @@ object Registry {
       graft.ops.Extras35.queries ++
       graft.ops.Extras36.queries ++
       graft.ops.Extras37.queries ++
+      graft.ops.Extras38.queries ++
       graft.ops.Analytics.queries ++
       graft.ops.Typed.queries ++
       graft.io.IoQueries.queries ++
