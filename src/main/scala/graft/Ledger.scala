@@ -49,6 +49,7 @@ object Ledger {
       "extras-36" -> ops.Extras36.queries,
       "extras-37" -> ops.Extras37.queries,
       "extras-38" -> ops.Extras38.queries,
+      "extras-39" -> ops.Extras39.queries,
       "analytics" -> ops.Analytics.queries,
       "typed/UDAF" -> ops.Typed.queries,
       "io/catalog" -> io.IoQueries.queries,

@@ -62,6 +62,7 @@ object Registry {
       graft.ops.Extras36.queries ++
       graft.ops.Extras37.queries ++
       graft.ops.Extras38.queries ++
+      graft.ops.Extras39.queries ++
       graft.ops.Analytics.queries ++
       graft.ops.Typed.queries ++
       graft.io.IoQueries.queries ++
