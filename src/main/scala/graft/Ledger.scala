@@ -50,6 +50,7 @@ object Ledger {
       "extras-37" -> ops.Extras37.queries,
       "extras-38" -> ops.Extras38.queries,
       "extras-39" -> ops.Extras39.queries,
+      "extras-40" -> ops.Extras40.queries,
       "analytics" -> ops.Analytics.queries,
       "typed/UDAF" -> ops.Typed.queries,
       "io/catalog" -> io.IoQueries.queries,
