@@ -51,6 +51,7 @@ object Ledger {
       "extras-38" -> ops.Extras38.queries,
       "extras-39" -> ops.Extras39.queries,
       "extras-40" -> ops.Extras40.queries,
+      "extras-41" -> ops.Extras41.queries,
       "analytics" -> ops.Analytics.queries,
       "typed/UDAF" -> ops.Typed.queries,
       "io/catalog" -> io.IoQueries.queries,
