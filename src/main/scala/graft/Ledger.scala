@@ -53,6 +53,7 @@ object Ledger {
       "extras-40" -> ops.Extras40.queries,
       "extras-41" -> ops.Extras41.queries,
       "extras-42" -> ops.Extras42.queries,
+      "extras-43" -> ops.Extras43.queries,
       "analytics" -> ops.Analytics.queries,
       "typed/UDAF" -> ops.Typed.queries,
       "io/catalog" -> io.IoQueries.queries,

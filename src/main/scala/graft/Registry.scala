@@ -66,6 +66,7 @@ object Registry {
       graft.ops.Extras40.queries ++
       graft.ops.Extras41.queries ++
       graft.ops.Extras42.queries ++
+      graft.ops.Extras43.queries ++
       graft.ops.Analytics.queries ++
       graft.ops.Typed.queries ++
       graft.io.IoQueries.queries ++
