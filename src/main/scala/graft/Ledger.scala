@@ -54,6 +54,7 @@ object Ledger {
       "extras-41" -> ops.Extras41.queries,
       "extras-42" -> ops.Extras42.queries,
       "extras-43" -> ops.Extras43.queries,
+      "extras-44" -> ops.Extras44.queries,
       "analytics" -> ops.Analytics.queries,
       "typed/UDAF" -> ops.Typed.queries,
       "io/catalog" -> io.IoQueries.queries,
