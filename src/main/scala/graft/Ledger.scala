@@ -55,6 +55,7 @@ object Ledger {
       "extras-42" -> ops.Extras42.queries,
       "extras-43" -> ops.Extras43.queries,
       "extras-44" -> ops.Extras44.queries,
+      "extras-45" -> ops.Extras45.queries,
       "analytics" -> ops.Analytics.queries,
       "typed/UDAF" -> ops.Typed.queries,
       "io/catalog" -> io.IoQueries.queries,

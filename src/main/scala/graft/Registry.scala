@@ -68,6 +68,7 @@ object Registry {
       graft.ops.Extras42.queries ++
       graft.ops.Extras43.queries ++
       graft.ops.Extras44.queries ++
+      graft.ops.Extras45.queries ++
       graft.ops.Analytics.queries ++
       graft.ops.Typed.queries ++
       graft.io.IoQueries.queries ++
