@@ -135,7 +135,7 @@ object Bench {
       "scd2_time_in_state", "ts_sliding_batch", "src_json_corrupt",
       "join_pit_scd2", "analytics_ltv", "sink_csv_gzip", "sink_json",
       "stat_mann_kendall", "stat_theil_sen", "dedup_lsh_recall",
-      "src_csv_multiline")
+      "src_csv_multiline", "join_fuzzy_blocked")
     val batchQs = batchQs0.sortBy(q => if (heavyFirst(q.name)) 0 else 1)
     val wall0 = System.nanoTime()
     val headTimes = Registry.all.filter(q => headline.contains(q.name))

@@ -10,51 +10,104 @@ import org.apache.spark.sql.functions._
 object Extras41 {
 
   def queries: Seq[Q] = Seq(
-    // fuzzy self-join, block-and-verify: candidate pairs share a cheap
-    // blocking key (first name token) and only those pairs pay the
-    // O(len²) levenshtein verify — the standard way to keep a fuzzy
-    // join off the full cross product (n² → Σ block²). Per part:
-    // neighbor count within distance 3 and the closest neighbor
-    // (lexicographic struct-min = argmin without a second join); parts
-    // with no near-match keep -1 sentinels via the left join back.
+    // fuzzy self-join, dedup-block-verify-expand: fuzzy joins on
+    // low-cardinality text columns must NOT pay per-ROW — the name
+    // space here is 64 distinct strings behind 20k parts (dup groups
+    // of ~300), so candidate generation runs on DISTINCT names only:
+    // deletion-neighborhood blocking (each name emits one drop-word-i
+    // key per word, the PassJoin trick — any single-word edit collides
+    // on the aligned key), thresholded-levenshtein verify (O(len·3)
+    // early-exit), then the tiny verified name-pair table broadcasts
+    // back over the part table to expand to part-level neighbors. The
+    // same row-level blocking ran 50M candidate levenshteins; this
+    // shape runs 4k — and at 100 TB the expand stays one broadcast
+    // join. Per part: distinct-neighbor count within distance 3 and
+    // the closest neighbor (lexicographic struct-min = argmin); no-
+    // match parts keep -1 sentinels via the left join back.
     Q("join_fuzzy_blocked",
-      Some("""WITH p AS (SELECT p_partkey, p_name,
-             |             split_part(p_name, ' ', 1) AS blk
-             |           FROM part),
-             |m AS (SELECT a.p_partkey AS k,
-             |             CAST(count(*) AS BIGINT) AS n_matches,
-             |             min(struct_pack(
-             |               d := CAST(levenshtein(a.p_name, b.p_name) AS BIGINT),
-             |               k2 := b.p_partkey)) AS best
-             |      FROM p a JOIN p b
-             |        ON a.blk = b.blk AND a.p_partkey <> b.p_partkey
-             |      WHERE levenshtein(a.p_name, b.p_name) <= 3
-             |      GROUP BY 1)
+      Some("""WITH nm AS (SELECT DISTINCT p_name FROM part),
+             |w AS (SELECT p_name, string_split(p_name, ' ') AS ws FROM nm),
+             |keyed AS (SELECT p_name,
+             |            array_to_string(list_concat(ws[1:i], ws[i+2:]), ' ')
+             |              || '#' || CAST(i AS VARCHAR) AS bkey
+             |          FROM w, LATERAL unnest(range(len(ws))) AS u(i)),
+             |np AS (SELECT DISTINCT a.p_name AS na, b.p_name AS nb
+             |       FROM keyed a JOIN keyed b ON a.bkey = b.bkey),
+             |v AS (SELECT na, nb, CAST(levenshtein(na, nb) AS BIGINT) AS dd
+             |      FROM np WHERE na <> nb AND levenshtein(na, nb) <= 3),
+             |g1 AS (SELECT p_name, CAST(count(*) AS BIGINT) AS cnt,
+             |              min(p_partkey) AS mk1
+             |       FROM part GROUP BY 1),
+             |g2 AS (SELECT p.p_name, min(p.p_partkey) AS mk2
+             |       FROM part p JOIN g1 USING (p_name)
+             |       WHERE p.p_partkey > g1.mk1 GROUP BY 1),
+             |mo AS (SELECT v.na, CAST(sum(o.cnt) AS BIGINT) AS others,
+             |              min(struct_pack(d := v.dd, k2 := o.mk1)) AS besto
+             |       FROM v JOIN g1 o ON v.nb = o.p_name GROUP BY 1),
+             |nmap AS (SELECT g1.p_name, g1.cnt, g1.mk1, g2.mk2,
+             |                coalesce(mo.others, 0) AS others, mo.besto
+             |         FROM g1 LEFT JOIN g2 USING (p_name)
+             |                 LEFT JOIN mo ON g1.p_name = mo.na)
              |SELECT p.p_partkey,
-             |       coalesce(m.n_matches, 0) AS n_matches,
-             |       CAST(coalesce(m.best.d, -1) AS BIGINT) AS closest_d,
-             |       CAST(coalesce(m.best.k2, -1) AS BIGINT) AS closest_key
-             |FROM p LEFT JOIN m ON p.p_partkey = m.k
+             |       n.cnt - 1 + n.others AS n_matches,
+             |       CAST(CASE WHEN n.cnt > 1 THEN 0
+             |                 WHEN n.others > 0 THEN n.besto.d
+             |                 ELSE -1 END AS BIGINT) AS closest_d,
+             |       CAST(CASE WHEN n.cnt > 1 THEN
+             |                   (CASE WHEN n.mk1 = p.p_partkey THEN n.mk2
+             |                         ELSE n.mk1 END)
+             |                 WHEN n.others > 0 THEN n.besto.k2
+             |                 ELSE -1 END AS BIGINT) AS closest_key
+             |FROM part p JOIN nmap n ON p.p_name = n.p_name
              |ORDER BY p.p_partkey""".stripMargin),
       (s, d) => {
-        val p = Tables.part(s, d).select(col("p_partkey"), col("p_name"),
-          expr("split_part(p_name, ' ', 1)").as("blk"))
-        val a = p.select(col("p_partkey").as("k"), col("p_name").as("na"),
-          col("blk"))
-        val b = p.select(col("p_partkey").as("k2"), col("p_name").as("nb"),
-          col("blk"))
-        val m = a.join(b, Seq("blk"))
-          .filter(col("k") =!= col("k2") &&
-            levenshtein(col("na"), col("nb")) <= 3)
-          .groupBy("k")
-          .agg(count(lit(1)).cast("long").as("n_matches"),
-            min(struct(levenshtein(col("na"), col("nb")).cast("long").as("d"),
-              col("k2"))).as("best"))
-        p.join(m, p("p_partkey") === m("k"), "left")
+        val parts = Tables.part(s, d).select(col("p_partkey"), col("p_name"))
+        val keyed = parts.select(col("p_name")).distinct()
+          .select(col("p_name"), split(col("p_name"), " ").as("ws"))
+          .select(col("p_name"),
+            explode(expr(
+              """transform(sequence(0, size(ws) - 1), i ->
+                | concat(array_join(concat(slice(ws, 1, i),
+                |   slice(ws, i + 2, size(ws))), ' '), '#', CAST(i AS STRING)))"""
+                .stripMargin)).as("bkey"))
+        val verified = keyed.select(col("p_name").as("na"), col("bkey"))
+          .join(keyed.select(col("p_name").as("nb"), col("bkey")), Seq("bkey"))
+          .select("na", "nb").distinct()
+          .filter(col("na") =!= col("nb"))
+          .withColumn("dd", levenshtein(col("na"), col("nb"), 3).cast("long"))
+          .filter(col("dd") >= 0)
+        // name-level closed form: a part's neighbor count is (own dup
+        // group − 1) + Σ matched-group sizes, and the argmin is either
+        // the own group's min-key (min2 when p IS the min) at d=0, or
+        // the best (d, min-key) over matched names — so the per-part
+        // answer is a broadcast map over parts, never a pair expansion.
+        val g1 = parts.groupBy("p_name")
+          .agg(count(lit(1)).cast("long").as("cnt"),
+            min("p_partkey").as("mk1"))
+        val g2 = parts.join(broadcast(g1), "p_name")
+          .filter(col("p_partkey") > col("mk1"))
+          .groupBy("p_name").agg(min("p_partkey").as("mk2"))
+        val mo = verified
+          .join(broadcast(g1.select(col("p_name").as("nb"),
+            col("cnt").as("ocnt"), col("mk1").as("omk"))), "nb")
+          .groupBy(col("na"))
+          .agg(sum("ocnt").cast("long").as("others"),
+            min(struct(col("dd").as("d"), col("omk").as("k2"))).as("besto"))
+        val nmap = g1.join(g2, Seq("p_name"), "left")
+          .join(mo, g1("p_name") === mo("na"), "left")
+          .select(col("p_name"), col("cnt"), col("mk1"), col("mk2"),
+            coalesce(col("others"), lit(0L)).as("others"), col("besto"))
+        parts.join(broadcast(nmap), "p_name")
           .select(col("p_partkey"),
-            coalesce(col("n_matches"), lit(0L)).as("n_matches"),
-            coalesce(col("best.d"), lit(-1L)).as("closest_d"),
-            coalesce(col("best.k2"), lit(-1L)).as("closest_key"))
+            (col("cnt") - 1 + col("others")).as("n_matches"),
+            when(col("cnt") > 1, 0L)
+              .when(col("others") > 0, col("besto.d"))
+              .otherwise(-1L).cast("long").as("closest_d"),
+            when(col("cnt") > 1,
+              when(col("mk1") === col("p_partkey"), col("mk2"))
+                .otherwise(col("mk1")))
+              .when(col("others") > 0, col("besto.k2"))
+              .otherwise(-1L).cast("long").as("closest_key"))
           .orderBy("p_partkey")
       }),
 
