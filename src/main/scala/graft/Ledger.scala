@@ -57,6 +57,7 @@ object Ledger {
       "extras-44" -> ops.Extras44.queries,
       "extras-45" -> ops.Extras45.queries,
       "extras-46" -> ops.Extras46.queries,
+      "extras-47" -> ops.Extras47.queries,
       "analytics" -> ops.Analytics.queries,
       "typed/UDAF" -> ops.Typed.queries,
       "io/catalog" -> io.IoQueries.queries,

@@ -70,6 +70,7 @@ object Registry {
       graft.ops.Extras44.queries ++
       graft.ops.Extras45.queries ++
       graft.ops.Extras46.queries ++
+      graft.ops.Extras47.queries ++
       graft.ops.Analytics.queries ++
       graft.ops.Typed.queries ++
       graft.io.IoQueries.queries ++
