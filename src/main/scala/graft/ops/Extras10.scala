@@ -18,13 +18,13 @@ object Extras10 {
   def queries: Seq[Q] = Seq(
     // RFM segmentation: recency (days since last order), frequency
     // (order count) and monetary (cents spend) per customer, each
-    // scored into quintiles with ntile(5) under a TOTAL order
-    // (metric, custkey) so ties cannot shift buckets; score 5 = best.
-    // Scale: one partial+final aggregation on custkey reduces orders
-    // to one row per customer BEFORE the three ntile windows — the
-    // windows sort the reduced table, not the fact; at 10⁹ customers
-    // swap ntile for broadcast percentile thresholds (the
-    // feature_quantile_bucket pattern) to avoid the global sort.
+    // scored into quintiles under a TOTAL order (metric, custkey) so
+    // ties cannot shift buckets; score 5 = best. Scale: one
+    // partial+final aggregation on custkey reduces orders to one row
+    // per customer, then each quintile assignment is the EXACT
+    // ntile(5) computed by ScaleRank.withGlobalRank — range-bucketed
+    // two-phase ranking with broadcast offsets, no single-partition
+    // sort even at 10⁹ customers.
     Q("analytics_rfm",
       Some("""WITH base AS (
              |  SELECT o_custkey AS ck,
@@ -57,11 +57,17 @@ object Extras10 {
           .select(col("ck"),
             datediff(col("gmax"), col("last_d")).cast("long").as("r_days"),
             col("f"), col("m_cents"))
-        val scored = base
-          .withColumn("r_score",
-            (lit(6) - ntile(5).over(Window.orderBy("r_days", "ck"))).cast("long"))
-          .withColumn("f_score", ntile(5).over(Window.orderBy("f", "ck")).cast("long"))
-          .withColumn("m_score", ntile(5).over(Window.orderBy("m_cents", "ck")).cast("long"))
+        def quintile(df: org.apache.spark.sql.DataFrame, metric: String,
+            score: String): org.apache.spark.sql.DataFrame =
+          ScaleRank.withGlobalRank(df, metric, "ck", rkName = "__rk",
+              nName = Some("__n"))
+            .withColumn(score,
+              ScaleRank.ntileFromRank(col("__rk"), col("__n"), 5))
+            .drop("__rk", "__n")
+        val scored = quintile(quintile(quintile(base,
+            "r_days", "__r_raw"), "f", "f_score"), "m_cents", "m_score")
+          .withColumn("r_score", lit(6L) - col("__r_raw"))
+          .drop("__r_raw")
         scored.select(col("ck"), col("r_days"), col("f"), col("m_cents"),
             col("r_score"), col("f_score"), col("m_score"),
             concat(col("r_score").cast("string"), col("f_score").cast("string"),

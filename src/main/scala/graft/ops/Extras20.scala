@@ -12,21 +12,36 @@ object Extras20 {
 
   def queries: Seq[Q] = Seq(
     // population stability index between the first and second half of
-    // the timeline: values bucket into global deciles (ntile over the
-    // TOTAL (cents, id) order — deterministic in both engines), halves
-    // split at the exact µs midpoint by cross-multiplied integers, and
-    // each bucket contributes (p−q)·ln(p/q) with +1 Laplace smoothing
-    // (structural zero-proofing) µ-rounded before the associative sum.
-    // The ML-ops drift gate between a reference and a live window.
+    // the timeline: values bucket into deciles by BROADCAST threshold
+    // cutpoints (percentile_disc on exact cents — 9 tiny scalars, one
+    // partial-agg pass; NO global-sort ntile, so the bucketing is a
+    // map-side CASE at any scale), halves split at the exact µs
+    // midpoint by cross-multiplied integers, and each bucket
+    // contributes (p−q)·ln(p/q) with +1 Laplace smoothing (structural
+    // zero-proofing) µ-rounded before the associative sum. The ML-ops
+    // drift gate between a reference and a live window.
     Q("dq_psi",
-      Some("""WITH b AS (SELECT event_id, ts,
-             |             CAST(ntile(10) OVER (ORDER BY CAST(round(value * 100) AS BIGINT),
-             |                                  event_id) AS BIGINT) AS bk
-             |           FROM events),
+      Some("""WITH c0 AS (SELECT event_id, ts,
+             |              CAST(round(value * 100) AS BIGINT) AS cents
+             |            FROM events),
+             |q AS (SELECT CAST(quantile_disc(cents, 0.1) AS BIGINT) AS q1,
+             |             CAST(quantile_disc(cents, 0.2) AS BIGINT) AS q2,
+             |             CAST(quantile_disc(cents, 0.3) AS BIGINT) AS q3,
+             |             CAST(quantile_disc(cents, 0.4) AS BIGINT) AS q4,
+             |             CAST(quantile_disc(cents, 0.5) AS BIGINT) AS q5,
+             |             CAST(quantile_disc(cents, 0.6) AS BIGINT) AS q6,
+             |             CAST(quantile_disc(cents, 0.7) AS BIGINT) AS q7,
+             |             CAST(quantile_disc(cents, 0.8) AS BIGINT) AS q8,
+             |             CAST(quantile_disc(cents, 0.9) AS BIGINT) AS q9
+             |      FROM c0),
              |m AS (SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx FROM events),
-             |h AS (SELECT b.bk,
-             |        CASE WHEN epoch_us(b.ts) * 2 <= m.mn + m.mx THEN 1 ELSE 2 END AS half
-             |      FROM b CROSS JOIN m),
+             |h AS (SELECT CAST(CASE WHEN cents <= q.q1 THEN 1 WHEN cents <= q.q2 THEN 2
+             |                  WHEN cents <= q.q3 THEN 3 WHEN cents <= q.q4 THEN 4
+             |                  WHEN cents <= q.q5 THEN 5 WHEN cents <= q.q6 THEN 6
+             |                  WHEN cents <= q.q7 THEN 7 WHEN cents <= q.q8 THEN 8
+             |                  WHEN cents <= q.q9 THEN 9 ELSE 10 END AS BIGINT) AS bk,
+             |        CASE WHEN epoch_us(c0.ts) * 2 <= m.mn + m.mx THEN 1 ELSE 2 END AS half
+             |      FROM c0 CROSS JOIN q CROSS JOIN m),
              |c AS (SELECT bk,
              |        CAST(count(*) FILTER (WHERE half = 1) AS BIGINT) AS c1,
              |        CAST(count(*) FILTER (WHERE half = 2) AS BIGINT) AS c2
@@ -41,13 +56,32 @@ object Extras20 {
              |FROM c CROSS JOIN n ORDER BY bk""".stripMargin),
       (s, d) => {
         val ev = Tables.events(s, d)
-        val b = ev.select(col("event_id"), col("ts"),
-          ntile(10).over(Window.orderBy(
-            expr("CAST(round(value * 100) AS BIGINT)"), col("event_id")))
-            .cast("long").as("bk"))
+        val c0 = ev.select(col("event_id"), col("ts"),
+          round(col("value") * 100).cast("long").as("cents"))
+        val q = c0.agg(
+          expr("percentile_disc(0.1) WITHIN GROUP (ORDER BY cents)").cast("long").as("q1"),
+          expr("percentile_disc(0.2) WITHIN GROUP (ORDER BY cents)").cast("long").as("q2"),
+          expr("percentile_disc(0.3) WITHIN GROUP (ORDER BY cents)").cast("long").as("q3"),
+          expr("percentile_disc(0.4) WITHIN GROUP (ORDER BY cents)").cast("long").as("q4"),
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY cents)").cast("long").as("q5"),
+          expr("percentile_disc(0.6) WITHIN GROUP (ORDER BY cents)").cast("long").as("q6"),
+          expr("percentile_disc(0.7) WITHIN GROUP (ORDER BY cents)").cast("long").as("q7"),
+          expr("percentile_disc(0.8) WITHIN GROUP (ORDER BY cents)").cast("long").as("q8"),
+          expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY cents)").cast("long").as("q9"))
         val m = ev.agg(min(unix_micros(col("ts"))).as("mn"),
           max(unix_micros(col("ts"))).as("mx"))
-        val c = b.crossJoin(broadcast(m))
+        val c = c0.crossJoin(broadcast(q)).crossJoin(broadcast(m))
+          .withColumn("bk",
+            when(col("cents") <= col("q1"), 1L)
+              .when(col("cents") <= col("q2"), 2L)
+              .when(col("cents") <= col("q3"), 3L)
+              .when(col("cents") <= col("q4"), 4L)
+              .when(col("cents") <= col("q5"), 5L)
+              .when(col("cents") <= col("q6"), 6L)
+              .when(col("cents") <= col("q7"), 7L)
+              .when(col("cents") <= col("q8"), 8L)
+              .when(col("cents") <= col("q9"), 9L)
+              .otherwise(10L))
           .withColumn("half",
             when(unix_micros(col("ts")) * 2 <= col("mn") + col("mx"), 1)
               .otherwise(2))

@@ -13,9 +13,15 @@ object Extras36 {
     // sequence-gap audit: contiguous missing-ID ranges within the
     // fulfilled-order key sequence (a partition of a dense global
     // sequence has holes by construction — exactly how real feed
-    // audits look: "which invoice numbers never arrived?"). One lag
-    // window over the sorted keys; each gap reports its bounds and
-    // size. Total missing reconciles with max−min+1−count.
+    // audits look: "which invoice numbers never arrived?"). Scale
+    // shape: NO global-sort window over the fact. Keys bucket by
+    // floor(id/65536); lag runs per-bucket (partitioned window), and
+    // the bucket-boundary pairs come from a lag over the tiny
+    // per-bucket (min,max) aggregate — one row per non-empty bucket,
+    // bounded by id_range/65536 regardless of fact size. Every
+    // consecutive-id pair is either intra-bucket or a (prev-bucket
+    // max, next-bucket min) pair, so the union is exactly the global
+    // lag's gap set. Total missing reconciles with max−min+1−count.
     Q("dq_id_gaps",
       Some("""WITH k AS (SELECT o_orderkey AS id,
              |             lag(o_orderkey) OVER (ORDER BY o_orderkey) AS prev
@@ -26,12 +32,23 @@ object Extras36 {
              |FROM k WHERE prev IS NOT NULL AND id - prev > 1
              |ORDER BY gap_start""".stripMargin),
       (s, d) => {
-        val w = Window.orderBy("id")
-        Tables.orders(s, d)
+        val ids = Tables.orders(s, d)
           .filter(col("o_orderstatus") === "F")
           .select(col("o_orderkey").as("id"))
-          .withColumn("prev", lag("id", 1).over(w))
+          .withColumn("bkt", floor(col("id") / 65536L))
+        val wIn = Window.partitionBy("bkt").orderBy("id")
+        val inner = ids
+          .withColumn("prev", lag("id", 1).over(wIn))
           .filter(col("prev").isNotNull && col("id") - col("prev") > 1)
+          .select(col("prev"), col("id"))
+        val perBucket = ids.groupBy("bkt")
+          .agg(min("id").as("mn"), max("id").as("mx"))
+        val wB = Window.orderBy("bkt") // tiny: one row per non-empty bucket
+        val boundary = perBucket
+          .withColumn("prev", lag("mx", 1).over(wB))
+          .filter(col("prev").isNotNull && col("mn") - col("prev") > 1)
+          .select(col("prev"), col("mn").as("id"))
+        inner.unionByName(boundary)
           .select((col("prev") + 1).cast("long").as("gap_start"),
             (col("id") - 1).cast("long").as("gap_end"),
             (col("id") - col("prev") - 1).cast("long").as("n_missing"))

@@ -298,7 +298,7 @@ object Extras5 {
              |            WHEN grouping(m) = 1 THEN 'year'
              |            WHEN grouping(d) = 1 THEN 'month'
              |            ELSE 'day' END AS grain,
-             |       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_cents,
+             |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents,
              |       count(*) AS n
              |FROM (SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
              |             day(o_orderdate) AS d, o_totalprice FROM orders) t
@@ -322,11 +322,12 @@ object Extras5 {
         .orderBy(col("grain"), col("y").asc_nulls_first,
           col("m").asc_nulls_first, col("d").asc_nulls_first)),
 
-    // customer-value deciles: per-customer exact revenue, ntile(10) on
-    // the AGGREGATED rows (the global sort sees one row per customer,
-    // never the fact table; at true lake scale swap ntile for
-    // approx-percentile cutpoints to avoid the single-partition sort),
-    // then per-decile stats.
+    // customer-value deciles: per-customer exact revenue, then the
+    // EXACT ntile(10) assignment via ScaleRank.withGlobalRank — range-
+    // bucketed two-phase ranking (approx_percentile cutpoints +
+    // per-range row_number + broadcast offsets), bit-identical to the
+    // oracle's ntile but with no single-partition sort even at 10⁹
+    // customers — then per-decile stats.
     Q("agg_deciles",
       Some("""WITH r AS (SELECT o_custkey,
              |            sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev
@@ -340,8 +341,9 @@ object Extras5 {
       (s, d) => {
         val rev = Tables.orders(s, d).groupBy("o_custkey")
           .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rev"))
-        val w = Window.orderBy(col("rev"), col("o_custkey"))
-        rev.withColumn("decile", ntile(10).over(w).cast("long"))
+        ScaleRank.withGlobalRank(rev, "rev", "o_custkey", nName = Some("__n"))
+          .withColumn("decile",
+            ScaleRank.ntileFromRank(col("rk"), col("__n"), 10))
           .groupBy("decile")
           .agg(count(lit(1)).as("n_cust"), min(col("rev")).as("min_cents"),
             max(col("rev")).as("max_cents"), sum(col("rev")).as("sum_cents"))

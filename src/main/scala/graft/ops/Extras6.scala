@@ -89,10 +89,11 @@ object Extras6 {
 
     // Pareto / 80-20 concentration: how many top customers carry 80% of
     // revenue. Boundary in exact integers (5·running ≥ 4·total — no
-    // float share), revenue in cents. The running sum is one global-sort
-    // window over the CUSTOMER aggregate (150k rows at sf0.1, ~N/600 of
-    // the fact table), never over raw orders; the single-partition sort
-    // is on the already-reduced side. Result is a 1-row summary.
+    // float share), revenue in cents. Rank AND running sum come from
+    // ScaleRank.withGlobalRank (range-bucketed two-phase, descending)
+    // — exact global row_number/prefix-sum with no single-partition
+    // sort, so the plan holds at 10⁹ customers. Result is a 1-row
+    // summary.
     Q("analytics_pareto",
       Some("""WITH r AS (SELECT o_custkey,
              |            sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
@@ -109,11 +110,8 @@ object Extras6 {
       (s, d) => {
         val r = Tables.orders(s, d).groupBy("o_custkey")
           .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
-        val w = Window.orderBy(col("cents").desc, col("o_custkey"))
-        val k = r.select(col("cents"), col("o_custkey"))
-          .withColumn("rk", row_number().over(w))
-          .withColumn("run", sum(col("cents")).over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val k = ScaleRank.withGlobalRank(r, "cents", "o_custkey",
+          descending = true, runOn = Some("cents"))
         val t = k.agg(sum(col("cents")).as("total"), count(lit(1)).as("n_cust"))
         k.crossJoin(broadcast(t))
           .filter(col("run") * 5 >= col("total") * 4)

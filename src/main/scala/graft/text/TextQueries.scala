@@ -258,9 +258,12 @@ object TextQueries {
     // sequence packing: per source shard, concatenate documents in
     // doc_id order and cut at a 512-token capacity — each doc lands in
     // bin floor(running prefix / 512) (the contiguous packing real
-    // pretraining pipelines use). One window pass PARTITIONED BY the
-    // shard key (a global-order window would serialize — SCALE.md);
-    // the running sum is exact integers.
+    // pretraining pipelines use). The running sum is TWO-LEVEL
+    // (ScaleRank.partitionedRunningSum): sub-bucketed by
+    // floor(doc_id/4096) under (source, bucket) windows + broadcast
+    // per-bucket base offsets — a plain per-source window would
+    // serialize a 3-source corpus onto 3 tasks at 100 TB. Exact
+    // integers; bin ids identical to the single-window spelling.
     Q("text_pack_bins",
       Some("""SELECT doc_id, source, n_tok,
              |       CAST(floor((cum - n_tok) / 512) AS BIGINT) AS bin_id,
@@ -277,13 +280,11 @@ object TextQueries {
              |  FROM documents) t
              |ORDER BY doc_id""".stripMargin),
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy("source").orderBy("doc_id")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        documents(s, d)
+        val base = documents(s, d)
           .select(col("doc_id"), col("source"),
             TextAnalysis.tokenCount(col("text")).as("n_tok"))
-          .withColumn("cum", sum(col("n_tok")).over(w))
+        graft.ops.ScaleRank.partitionedRunningSum(base, "source",
+            Seq("doc_id"), "n_tok", floor(col("doc_id") / 4096L), "cum")
           .select(col("doc_id"), col("source"), col("n_tok"),
             floor((col("cum") - col("n_tok")) / 512).as("bin_id"),
             (col("cum") - col("n_tok") -
@@ -335,9 +336,11 @@ object TextQueries {
     // chunking (32/16) → 512-token sequence packing per source shard —
     // all ONE composed plan. Shuffle ledger: gate is a pure scan, dedup
     // is one shuffle on the 16-byte fingerprint, chunking is
-    // shuffle-free row generation, packing is one window on the shard
-    // key. Nothing materializes between stages; Catalyst fuses the
-    // scan+gate+fingerprint into a single codegen stage.
+    // shuffle-free row generation, packing is a two-level running sum
+    // on (shard, doc-bucket) with broadcast base offsets — parallelism
+    // #shards × #buckets, not #shards. Nothing materializes between
+    // stages; Catalyst fuses the scan+gate+fingerprint into a single
+    // codegen stage.
     Q("pipeline_training_corpus",
       Some(s"""WITH u AS (
               |  SELECT doc_id, source, text, $dLangCase AS lp,
@@ -389,9 +392,12 @@ object TextQueries {
               ci => slice(col("toks"), ci * 16 + 1, lit(32)))))
           .select(col("doc_id"), col("source"), col("pos").as("chunk_idx"),
             size(col("col")).cast("long").as("n_tokens"))
-        val wp = Window.partitionBy("source").orderBy("doc_id", "chunk_idx")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        chunks.withColumn("cum", sum(col("n_tokens")).over(wp))
+        // two-level running sum: bucket by floor(doc_id/4096) — rows of
+        // one doc_id share a bucket, so (doc_id, chunk_idx) order within
+        // a bucket is the global per-source order restricted to it
+        graft.ops.ScaleRank.partitionedRunningSum(chunks, "source",
+            Seq("doc_id", "chunk_idx"), "n_tokens",
+            floor(col("doc_id") / 4096L), "cum")
           .select(col("doc_id"), col("chunk_idx"), col("source"),
             col("n_tokens"),
             floor((col("cum") - col("n_tokens")) / 512).as("bin_id"))
