@@ -217,4 +217,39 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(p.contains("LeftOuter"), p)
   }
+
+  test("psi buckets by broadcast thresholds — no window at all") {
+    val p = plan("dq_psi")
+    assert(!p.contains("Window"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p) // 1-row cutpoints
+  }
+
+  test("deciles rank under range-partitioned windows, not a global ntile") {
+    val p = plan("agg_deciles")
+    assert(p.contains("approx_percentile"), p) // sketch cutpoints
+    assert(p.contains("windowspecdefinition(__rng"), p) // partitioned rank
+    assert(!p.contains("ntile(10)"), p)
+  }
+
+  test("rfm quintiles rank under range-partitioned windows (three of them)") {
+    val p = plan("analytics_rfm")
+    assert(!p.contains("ntile(5)"), p)
+    assert("windowspecdefinition\\(__rng".r.findAllIn(p).size >= 3, p)
+  }
+
+  test("pareto running sum is range-partitioned, not a global sort window") {
+    val p = plan("analytics_pareto")
+    assert(p.contains("windowspecdefinition(__rng"), p)
+    assert(!p.contains("row_number() windowspecdefinition(cents"), p)
+  }
+
+  test("id-gap lag is bucket-partitioned; global window only on the tiny aggregate") {
+    val p = plan("dq_id_gaps")
+    assert(p.contains("windowspecdefinition(bkt"), p)
+  }
+
+  test("sequence packing windows partition on (source, doc-bucket), not source alone") {
+    assert(plan("text_pack_bins").contains("__bkt"))
+    assert(plan("pipeline_training_corpus").contains("__bkt"))
+  }
 }
