@@ -219,6 +219,31 @@ object IoQueries {
               |FROM customer ORDER BY id""".stripMargin),
       (s, d) => Catalog.users(s, d).orderBy("id")),
 
+    // S3-JDBC — the catalog behind a LIVE JDBC database (reference
+    // db.py:12-14 keeps users/jobs in Postgres; this is the
+    // spark.read.jdbc / df.write.jdbc code path, exercised against
+    // embedded Derby because the sandbox has no network). Round-trips
+    // a deterministic users table through the database and returns the
+    // read-back rows — oracle-exact, not just rows-only, because the
+    // derivation is pure and the JDBC type mapping preserves it.
+    Q("catalog_users_jdbc",
+      Some(s"""SELECT CAST(n_nationkey AS BIGINT) AS id, n_name AS username,
+              |       sha256(concat(n_name, ':', 'pw')) AS password,
+              |       ${Catalog.DefaultCreatedAt} AS created_at
+              |FROM nation ORDER BY id""".stripMargin),
+      (s, d) => {
+        val url = s"jdbc:derby:${tmp(d, "derby_catalog")};create=true"
+        val users = Tables.nation(s, d).select(
+          col("n_nationkey").cast("long").as("id"),
+          col("n_name").as("username"),
+          graft.functions.Exprs.hashPassword(lit("pw"), col("n_name"))
+            .as("password"),
+          expr(Catalog.DefaultCreatedAt).as("created_at"))
+        val store = new graft.pipeline.JdbcCatalog(s, url)
+        store.writeUsers(users)
+        store.readUsers().orderBy("id")
+      }),
+
     Q("catalog_jobs",
       Some("""SELECT o_orderkey AS id,
              |       concat('file_', o_orderkey, '.csv') AS filename,

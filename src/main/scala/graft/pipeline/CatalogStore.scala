@@ -1,0 +1,147 @@
+package graft.pipeline
+
+import java.util.Properties
+
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Storage backend for the control-plane catalog (`users` / `jobs` —
+  * reference models.py:8-35). Two implementations:
+  *
+  *  - [[ParquetCatalog]]: lake-native parquet directories with
+  *    temp+swap overwrite (a failed write never truncates the table);
+  *  - [[JdbcCatalog]]: a live RDBMS via `spark.read.jdbc` /
+  *    `DataFrameWriter.jdbc` — the reference keeps these tables in
+  *    Postgres behind SQLAlchemy (reference db.py:12-14, app.py:34-36);
+  *    any JDBC url works (unit-tested against embedded Derby — no
+  *    network in the test environment).
+  *
+  * The catalog is control-plane-sized (one row per user / per job
+  * submission), so JdbcCatalog snapshots rows through the driver on
+  * write — that is what makes overwrite safe when the source of the
+  * new table version is a read of the same table (Spark plans are
+  * lazy; dropping the table mid-read would race). Data-plane tables
+  * never go through this path.
+  */
+trait CatalogStore {
+  def readUsers(): DataFrame
+  def readJobs(): DataFrame
+  def writeUsers(df: DataFrame): Unit
+  def writeJobs(df: DataFrame): Unit
+}
+
+/** Parquet-backed catalog under `catalogDir` (the engine default). */
+final class ParquetCatalog(spark: SparkSession, catalogDir: String)
+    extends CatalogStore {
+  import JobService.{JobsSchema, UsersSchema}
+
+  private val usersPath = s"$catalogDir/users"
+  private val jobsPath = s"$catalogDir/jobs"
+
+  private def readOr(path: String, schema: StructType): DataFrame =
+    if (new java.io.File(path).exists()) spark.read.parquet(path)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], schema)
+
+  private def overwrite(df: DataFrame, path: String): Unit = {
+    val tmp = s"$path.tmp"
+    df.write.mode("overwrite").parquet(tmp)
+    val target = new java.io.File(path)
+    if (target.exists()) {
+      val old = new java.io.File(s"$path.old")
+      deleteRec(old)
+      target.renameTo(old)
+    }
+    new java.io.File(tmp).renameTo(target)
+    deleteRec(new java.io.File(s"$path.old"))
+  }
+
+  private def deleteRec(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRec)
+    if (f.exists()) f.delete()
+  }
+
+  override def readUsers(): DataFrame = readOr(usersPath, UsersSchema)
+  override def readJobs(): DataFrame = readOr(jobsPath, JobsSchema)
+  override def writeUsers(df: DataFrame): Unit = overwrite(df, usersPath)
+  override def writeJobs(df: DataFrame): Unit = overwrite(df, jobsPath)
+}
+
+/** JDBC-backed catalog — point at the reference's RDS and the same
+  * JobService flows run against it unchanged. `url` is any JDBC url
+  * (`jdbc:postgresql://…`, `jdbc:derby:…;create=true`); `props`
+  * carries user/password/driver.
+  */
+final class JdbcCatalog(spark: SparkSession, url: String,
+    props: Properties = new Properties()) extends CatalogStore {
+  import JobService.{JobsSchema, UsersSchema}
+
+  if (url.startsWith("jdbc:derby")) JdbcCatalog.registerDerbyVarcharDialect()
+
+  // explicit VARCHARs: Spark's Derby dialect maps StringType to CLOB,
+  // which cannot sit in a pushed-down equality predicate
+  private val usersColTypes =
+    "username VARCHAR(255), password VARCHAR(512)"
+  private val jobsColTypes =
+    "filename VARCHAR(512), status VARCHAR(32), result_url VARCHAR(1024)"
+
+  private def readOr(table: String, schema: StructType): DataFrame =
+    try {
+      val df = spark.read.jdbc(url, table, props)
+      // align nullability/order with the canonical schema
+      df.select(schema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
+    } catch {
+      case _: Exception =>
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    }
+
+  private def overwrite(df: DataFrame, table: String,
+      colTypes: String): Unit = {
+    // snapshot through the driver: the new version usually derives from
+    // a read of the very table the overwrite is about to drop
+    val rows = df.collect().toSeq
+    val snapshot = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), df.schema)
+    snapshot.write.mode(SaveMode.Overwrite)
+      .option("createTableColumnTypes", colTypes)
+      .jdbc(url, table, props)
+  }
+
+  override def readUsers(): DataFrame = readOr("users", UsersSchema)
+  override def readJobs(): DataFrame = readOr("jobs", JobsSchema)
+  override def writeUsers(df: DataFrame): Unit =
+    overwrite(df, "users", usersColTypes)
+  override def writeJobs(df: DataFrame): Unit =
+    overwrite(df, "jobs", jobsColTypes)
+}
+
+object JdbcCatalog {
+  @volatile private var derbyDialectRegistered = false
+
+  /** Spark's built-in Derby dialect maps StringType to CLOB, and then
+    * `stmt.setNull(CLOB)` for a null string (e.g. result_url before a
+    * job completes) is rejected by Derby when the actual column is the
+    * VARCHAR we created (ERROR 22005). Register a VARCHAR-first
+    * override for `jdbc:derby:` urls only — an aggregated dialect
+    * consults it first and falls through to the built-in for every
+    * other type. Idempotent.
+    */
+  private[pipeline] def registerDerbyVarcharDialect(): Unit =
+    if (!derbyDialectRegistered) synchronized {
+      if (!derbyDialectRegistered) {
+        org.apache.spark.sql.jdbc.JdbcDialects.registerDialect(
+          new org.apache.spark.sql.jdbc.JdbcDialect {
+            override def canHandle(url: String): Boolean =
+              url.startsWith("jdbc:derby")
+            override def getJDBCType(dt: org.apache.spark.sql.types.DataType)
+                : Option[org.apache.spark.sql.jdbc.JdbcType] = dt match {
+              case org.apache.spark.sql.types.StringType =>
+                Some(org.apache.spark.sql.jdbc.JdbcType(
+                  "VARCHAR(4000)", java.sql.Types.VARCHAR))
+              case _ => None
+            }
+          })
+        derbyDialectRegistered = true
+      }
+    }
+}

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import graft.functions.Exprs
+import graft.functions.{Exprs, Scrypt}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -20,66 +20,59 @@ import org.apache.spark.sql.types._
   *  - listJobs  → ORDER BY upload_time DESC + 5-column projection +
   *                strftime formatting               (app.py:194-208)
   *
-  * State lives in parquet under `catalogDir` (stand-in for the RDS
-  * tables; swap the read/write pair for `spark.read.jdbc` /
-  * `df.write.jdbc` in production). Catalog writes go through a temp
-  * path + swap so a failed write never truncates the table.
+  * State lives behind a [[CatalogStore]]: parquet directories by
+  * default, or any JDBC database via [[JdbcCatalog]] (the reference
+  * keeps these tables in Postgres — db.py:12-14). Password storage:
+  * the engine writes its salted-SHA-256 scheme by default and ALSO
+  * verifies werkzeug `scrypt:N:r:p$salt$hex` hashes (app.py:88,102 via
+  * [[Scrypt]]), so a users table migrated verbatim from the reference
+  * logs in unchanged; pass `method = "scrypt"` to register in the
+  * reference's own format.
   */
-final class JobService(spark: SparkSession, catalogDir: String) {
+final class JobService(spark: SparkSession, store: CatalogStore) {
   import JobService._
 
-  private val usersPath = s"$catalogDir/users"
-  private val jobsPath = s"$catalogDir/jobs"
+  def this(spark: SparkSession, catalogDir: String) =
+    this(spark, new ParquetCatalog(spark, catalogDir))
 
-  private def readOr(path: String, schema: StructType): DataFrame =
-    if (new java.io.File(path).exists()) spark.read.parquet(path)
-    else spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-
-  private def overwrite(df: DataFrame, path: String): Unit = {
-    val tmp = s"$path.tmp"
-    df.write.mode("overwrite").parquet(tmp)
-    val target = new java.io.File(path)
-    if (target.exists()) {
-      val old = new java.io.File(s"$path.old")
-      deleteRec(old)
-      target.renameTo(old)
-    }
-    new java.io.File(tmp).renameTo(target)
-    deleteRec(new java.io.File(s"$path.old"))
-  }
-
-  private def deleteRec(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(deleteRec)
-    if (f.exists()) f.delete()
-  }
-
-  def users: DataFrame = readOr(usersPath, UsersSchema)
-  def jobs: DataFrame = readOr(jobsPath, JobsSchema)
+  def users: DataFrame = store.readUsers()
+  def jobs: DataFrame = store.readJobs()
 
   /** app.py:74-94 — duplicate username rejected (uniqueness probe),
-    * password stored as salted hash. */
-  def register(username: String, password: String): Boolean = {
+    * password stored as salted hash. `method`: "sha256" (engine
+    * default) or "scrypt" (werkzeug wire format, reference app.py:88).
+    */
+  def register(username: String, password: String,
+      method: String = "sha256"): Boolean = {
     val existing = users
     if (!existing.filter(col("username") === username).isEmpty) false
     else {
       val maxId = existing.agg(coalesce(max("id"), lit(0L))).head.getLong(0)
+      val hashed = method match {
+        case "scrypt" => lit(Scrypt.generate(password))
+        case _ => Exprs.hashPassword(lit(password), lit(username))
+      }
       val row = spark.range(1).select(
         lit(maxId + 1).as("id"),
         lit(username).as("username"),
-        Exprs.hashPassword(lit(password), lit(username)).as("password"),
+        hashed.as("password"),
         current_timestamp().as("created_at"))
-      overwrite(existing.unionByName(row), usersPath)
+      store.writeUsers(existing.unionByName(row))
       true
     }
   }
 
-  /** app.py:97-109 — point lookup + hash verify. */
-  def login(username: String, password: String): Boolean =
-    !users
-      .filter(col("username") === username &&
-        Exprs.checkPassword(lit(password), lit(username), col("password")))
-      .isEmpty
+  /** app.py:97-109 — point lookup + hash verify. Accepts both the
+    * engine's sha256 scheme and werkzeug scrypt hashes (a migrated
+    * reference users table verifies as-is). */
+  def login(username: String, password: String): Boolean = {
+    val stored = users.filter(col("username") === username)
+      .select("password").limit(1).collect().headOption.map(_.getString(0))
+    stored.exists { s =>
+      if (s.startsWith("scrypt:")) Scrypt.verify(s, password)
+      else s == sha256Hex(s"$username:$password")
+    }
+  }
 
   /** app.py:141-189 — job-state machine around the ETL pipeline.
     * Returns the job id; the job ends Completed (with result_url) or
@@ -97,12 +90,12 @@ final class JobService(spark: SparkSession, catalogDir: String) {
         lit(status).as("status"),
         resultUrl.map(lit(_)).getOrElse(lit(null).cast("string")).as("result_url"),
         current_timestamp().as("upload_time"), lit(userId).as("user_id"))
-    overwrite(existing.unionByName(jobRow("Processing", None)), jobsPath)
+    store.writeJobs(existing.unionByName(jobRow("Processing", None)))
     val ok = Pipelines.processData(spark, inPath, outPath, opts)
     val done =
       if (ok) jobRow("Completed", Some(outPath))
       else jobRow("Failed", None)
-    overwrite(graft.io.Catalog.mergeJobs(jobs, done), jobsPath)
+    store.writeJobs(graft.io.Catalog.mergeJobs(jobs, done))
     jobId
   }
 
@@ -128,4 +121,9 @@ object JobService {
     StructField("result_url", StringType, nullable = true),
     StructField("upload_time", TimestampType, nullable = false),
     StructField("user_id", LongType, nullable = false)))
+
+  /** Driver-side twin of Exprs.hashPassword (sha2 hex, lowercase). */
+  private[pipeline] def sha256Hex(s: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
 }

@@ -1,6 +1,7 @@
 package graft
 
 import graft.pipeline.JobService
+import org.apache.spark.sql.functions._
 
 /** End-to-end control-plane flow: the reference's API surface
   * (register → login → upload → start ETL → job history) driven
@@ -50,5 +51,59 @@ class JobServiceSpec extends SparkSpec {
     val out = graft.io.Csv.read(spark, s"$base/processed/reviews.csv")
     assert(out.columns.contains("sentiment_result"))
     assert(out.count() == 2)
+  }
+
+  test("catalog behind a live JDBC database (embedded Derby)") {
+    val base = s"${sys.props("java.io.tmpdir")}/graft_test_jdbc_${System.nanoTime()}"
+    val url = s"jdbc:derby:$base/db;create=true"
+    val svc = new JobService(spark,
+      new graft.pipeline.JdbcCatalog(spark, url))
+
+    assert(svc.register("carol", "pw1"))
+    assert(!svc.register("carol", "pw2")) // uniqueness probe via JDBC read
+    assert(svc.register("dan", "pw3"))
+    assert(svc.login("carol", "pw1"))
+    assert(!svc.login("carol", "nope"))
+
+    // rows actually live in the database, typed per the catalog schema
+    val raw = spark.read.jdbc(url, "users", new java.util.Properties())
+    assert(raw.count() == 2)
+    assert(raw.schema("id").dataType == org.apache.spark.sql.types.LongType)
+
+    // job-state machine over JDBC: Failed path (no input file)
+    val badId = svc.startEtl("carol", s"$base/missing.csv", s"$base/out")
+    val bad = svc.jobs.filter($"id" === badId).collect().head
+    assert(bad.getAs[String]("status") == "Failed")
+  }
+
+  test("a werkzeug-hashed users table logs in unchanged (scrypt interop)") {
+    val base = s"${sys.props("java.io.tmpdir")}/graft_test_scrypt_${System.nanoTime()}"
+    val svc = new JobService(spark, s"$base/catalog")
+
+    // register in the reference's own wire format (app.py:88)
+    assert(svc.register("erin", "s3cret", method = "scrypt"))
+    val stored = svc.users.filter($"username" === "erin")
+      .select("password").collect().head.getString(0)
+    assert(stored.startsWith("scrypt:32768:8:1$"))
+    assert(svc.login("erin", "s3cret"))
+    assert(!svc.login("erin", "wrong"))
+
+    // a literal hash produced by hashlib.scrypt (what werkzeug calls)
+    // dropped straight into the table verifies too
+    val migrated = "scrypt:32768:8:1$AbCdEfGhIjKlMnOp$" +
+      "b71f4f9b456a647796adb3a999d3f5999f5e719c0c13460bacbe68e3e1db9aeb" +
+      "20c889efaa807eeb5469ce3732e97dfe77829fe52d1ff97ecb44e88bde39a543"
+    val row = spark.range(1).select(
+      lit(99L).as("id"), lit("frank").as("username"),
+      lit(migrated).as("password"),
+      current_timestamp().as("created_at"))
+    new graft.pipeline.ParquetCatalog(spark, s"$base/catalog")
+      .writeUsers(svc.users.unionByName(row))
+    assert(svc.login("frank", "secret123"))
+    assert(!svc.login("frank", "secret124"))
+
+    // mixed table: sha256 users still verify alongside scrypt users
+    assert(svc.register("gail", "classic"))
+    assert(svc.login("gail", "classic"))
   }
 }
