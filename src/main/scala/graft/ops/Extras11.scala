@@ -222,8 +222,10 @@ object Extras11 {
     // order cents — the standard leakage-free categorical encoder.
     // Per-segment (Σ, n) reduce in one aggregation and BROADCAST back
     // to the fact rows; each row's code is (Σ − own)/(n − 1) — exact
-    // integer operands, one rounded division. No self-join, no window:
-    // the fact is touched exactly twice (reduce + encode) at any scale.
+    // integer operands, one rounded division (nullif-guarded: a
+    // singleton segment yields NULL in both engines rather than an
+    // engine-divergent inf/error). No self-join, no window: the fact
+    // is touched exactly twice (reduce + encode) at any scale.
     Q("feature_target_encode",
       Some("""WITH j AS (SELECT o_orderkey AS ok, c_mktsegment AS seg,
              |             CAST(round(o_totalprice * 100) AS BIGINT) AS y
@@ -232,7 +234,7 @@ object Extras11 {
              |             CAST(sum(y) AS BIGINT) AS s
              |      FROM j GROUP BY 1)
              |SELECT j.ok, j.seg, j.y,
-             |       CAST(round(CAST(g.s - j.y AS DOUBLE) / (g.n - 1)) AS BIGINT)
+             |       CAST(round(CAST(g.s - j.y AS DOUBLE) / nullif(g.n - 1, 0)) AS BIGINT)
              |         AS loo_cents
              |FROM j JOIN g ON j.seg = g.seg
              |ORDER BY j.ok""".stripMargin),
@@ -245,7 +247,7 @@ object Extras11 {
           .agg(count(lit(1)).cast("long").as("n"), sum("y").cast("long").as("s"))
         j.join(broadcast(g), "seg")
           .select(col("ok"), col("seg"), col("y"),
-            expr("CAST(round(CAST(s - y AS DOUBLE) / (n - 1)) AS BIGINT)")
+            expr("CAST(round(CAST(s - y AS DOUBLE) / nullif(n - 1, 0)) AS BIGINT)")
               .as("loo_cents"))
           .orderBy("ok")
       }),

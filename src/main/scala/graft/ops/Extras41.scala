@@ -24,6 +24,15 @@ object Extras41 {
     // join. Per part: distinct-neighbor count within distance 3 and
     // the closest neighbor (lexicographic struct-min = argmin); no-
     // match parts keep -1 sentinels via the left join back.
+    // RECALL BOUND (by design, identical in both engines): drop-one-
+    // word keys only collide for pairs whose edits fall within a
+    // single word of same-word-count names — a distance-<=3 pair whose
+    // edits span two words (or that inserts/deletes a whole word)
+    // generates no candidate and is not counted. Full distance-3
+    // recall would need per-word deletion-neighborhood keys (~len x
+    // more blocking rows); n_matches/closest_d are lower bounds
+    // w.r.t. unrestricted levenshtein, and the oracle applies the
+    // SAME blocking, so the contract is exact for what it claims.
     Q("join_fuzzy_blocked",
       Some("""WITH nm AS (SELECT DISTINCT p_name FROM part),
              |w AS (SELECT p_name, string_split(p_name, ' ') AS ws FROM nm),

@@ -1,0 +1,79 @@
+package graft.plans
+
+import java.util.concurrent.ConcurrentHashMap
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerApplicationEnd}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.storage.StorageLevel
+
+/** Session-scoped memo for materialized intermediate tables shared by
+  * several registered queries (verified near-dup pairs, the doc-term
+  * frequency table, k-means assignments, …).
+  *
+  * Identity is (session, input plan, params). The input plan is
+  * bucketed by `semanticHash()` — a 32-bit hash — and CONFIRMED with
+  * `sameResult` before reuse, mirroring Spark's own CacheManager: a
+  * hash collision between two different inputs must never return the
+  * wrong table. Entries persist MEMORY_AND_DISK on insert and are
+  * evicted (unpersisted, dropped) when their session's context ends —
+  * a listener is attached to each session on first use — or explicitly
+  * via [[evict]]/[[clearAll]] for long-lived multi-corpus drivers.
+  *
+  * `build` must only CONSTRUCT the plan (all Spark transformations are
+  * lazy); the coarse lock therefore serializes only driver-side plan
+  * assembly, never job execution.
+  */
+final class PlanMemo[P, V](persistables: V => Seq[DataFrame]) {
+
+  private val map =
+    new ConcurrentHashMap[(SparkSession, Int, P), List[(LogicalPlan, V)]]()
+  private val hooked =
+    ConcurrentHashMap.newKeySet[SparkSession]()
+
+  def getOrCompute(df: DataFrame, params: P)(build: => V): V =
+    synchronized {
+      val spark = df.sparkSession
+      val plan = df.queryExecution.analyzed
+      val key = (spark, plan.semanticHash(), params)
+      val entries = map.getOrDefault(key, Nil)
+      entries.find(_._1.sameResult(plan)) match {
+        case Some((_, v)) => v
+        case None =>
+          val v = build
+          persistables(v).foreach(_.persist(StorageLevel.MEMORY_AND_DISK))
+          map.put(key, (plan, v) :: entries)
+          hookSession(spark)
+          v
+      }
+    }
+
+  /** Drop (and unpersist) every entry belonging to `spark`. */
+  def evict(spark: SparkSession): Unit = synchronized {
+    val dead = map.keySet.asScala.filter(_._1 eq spark).toList
+    dead.foreach { k =>
+      Option(map.remove(k)).getOrElse(Nil).foreach { case (_, v) =>
+        persistables(v).foreach { d =>
+          try d.unpersist(blocking = false)
+          catch { case _: Exception => () } // context may already be down
+        }
+      }
+    }
+    hooked.remove(spark)
+  }
+
+  /** Drop every entry across all sessions (multi-dataset drivers). */
+  def clearAll(): Unit = synchronized {
+    map.keySet.asScala.map(_._1).toSet.foreach(evict)
+  }
+
+  private def hookSession(spark: SparkSession): Unit =
+    if (hooked.add(spark)) {
+      spark.sparkContext.addSparkListener(new SparkListener {
+        override def onApplicationEnd(
+            end: SparkListenerApplicationEnd): Unit = evict(spark)
+      })
+    }
+}

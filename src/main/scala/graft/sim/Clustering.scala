@@ -61,9 +61,8 @@ object Clustering {
   /** Two Lloyd iterations from a deterministic seed (the k lowest
     * vec_ids). Returns (final assignments (vec_id, cluster, dist2, v),
     * final centroids (j, c)) — both in exact grid units. */
-  def kmeansFull(emb: DataFrame, k: Int): (DataFrame, DataFrame) = {
-    val key = (emb.sparkSession, emb.queryExecution.analyzed.semanticHash(), k)
-    kmeansCache.computeIfAbsent(key, _ => {
+  def kmeansFull(emb: DataFrame, k: Int): (DataFrame, DataFrame) =
+    kmeansMemo.getOrCompute(emb, k) {
       val vecs = emb.select(col("vec_id"), quantize(col("embedding")).as("v"))
       val init = vecs.orderBy("vec_id").limit(k)
         .withColumn("j",
@@ -71,16 +70,16 @@ object Clustering {
         .select(col("j"), col("v").as("c"))
       val a1 = assign(vecs, init)
       val c2 = update(a1)
-      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-      (assign(vecs, c2).persist(lvl), c2.persist(lvl))
-    })
-  }
+      (assign(vecs, c2), c2)
+    }
 
   /** Session-scoped memo: cluster_kmeans and the IVF-kmeans probe both
     * run the SAME Lloyd iterations; materialize assignments + centroids
-    * once (k×dims longs + one row per vector — small). */
-  private val kmeansCache = new java.util.concurrent.ConcurrentHashMap[
-    (org.apache.spark.sql.SparkSession, Int, Int), (DataFrame, DataFrame)]()
+    * once (k×dims longs + one row per vector — small). Plan identity is
+    * sameResult-confirmed; entries evict on session end (PlanMemo). */
+  private val kmeansMemo =
+    new graft.plans.PlanMemo[Int, (DataFrame, DataFrame)](
+      v => Seq(v._1, v._2))
 
   /** Assignment-only view: (vec_id, cluster, dist2), dist2 in squared
     * grid units, exact. */

@@ -116,17 +116,16 @@ object Dedup {
     * params); the persisted payload is the verified pairs — a few
     * hundred rows per corpus, so the cache is bytes, while the avoided
     * recompute (shingle explode → LSH bucket shuffle → verify join) is
-    * the most expensive plan in the library. */
-  private val pairCache = new java.util.concurrent.ConcurrentHashMap[
-    (org.apache.spark.sql.SparkSession, Int, String, String, Double, Int),
-    DataFrame]()
+    * the most expensive plan in the library. Plan identity is
+    * hash-bucketed + sameResult-confirmed, and entries evict on session
+    * end (PlanMemo). */
+  private val pairMemo =
+    new graft.plans.PlanMemo[(String, String, Double, Int), DataFrame](Seq(_))
 
   /** Candidates verified with exact Jaccard over distinct shingle sets. */
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.7, maxBucket: Int = 100): DataFrame = {
-    val key = (df.sparkSession, df.queryExecution.analyzed.semanticHash(),
-      idCol, textCol, threshold, maxBucket)
-    pairCache.computeIfAbsent(key, _ => {
+    pairMemo.getOrCompute(df, (idCol, textCol, threshold, maxBucket)) {
       graft.plans.GraftFunctions.register(df.sparkSession)
       val sets = df.select(col(idCol).as("id"),
         array_distinct(call_function("shingles", col(textCol))).as("sh"))
@@ -139,8 +138,7 @@ object Dedup {
             size(array_union(col("sh_a"), col("sh_b"))))
         .filter(col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    })
+    }
   }
 
   /** MinHash dedup: drop the higher-id member of every verified pair. */
@@ -251,14 +249,12 @@ object Dedup {
     * re-aggregate |postings| rows for a per-document constant); the
     * posting list groups per n-gram, pairs explode from the grouped
     * list — 3 shuffles total, never a posting-table self-join. */
-  private val shingleCache = new java.util.concurrent.ConcurrentHashMap[
-    (org.apache.spark.sql.SparkSession, Int, String, String, Int), DataFrame]()
+  private val shingleMemo =
+    new graft.plans.PlanMemo[(String, String, Int), DataFrame](Seq(_))
 
   def sharedShinglePairs(df: DataFrame, idCol: String, textCol: String,
       maxDf: Int = 100): DataFrame = {
-    val key = (df.sparkSession, df.queryExecution.analyzed.semanticHash(),
-      idCol, textCol, maxDf)
-    shingleCache.computeIfAbsent(key, _ => {
+    shingleMemo.getOrCompute(df, (idCol, textCol, maxDf)) {
       graft.plans.GraftFunctions.register(df.sparkSession)
       val inv = df.select(col(idCol).as("id"),
         explode(array_distinct(call_function("shingles", col(textCol)))).as("ng"))
@@ -272,8 +268,7 @@ object Dedup {
       shared
         .join(sizes.select(col("id").as("id_a"), col("nsh").as("na")), "id_a")
         .join(sizes.select(col("id").as("id_b"), col("nsh").as("nb")), "id_b")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    })
+    }
   }
 
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,

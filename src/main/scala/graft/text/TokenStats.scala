@@ -15,17 +15,14 @@ import org.apache.spark.sql.functions._
   */
 object TokenStats {
 
-  private val cache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, Int, String, String), DataFrame]()
+  private val memo =
+    new graft.plans.PlanMemo[(String, String), DataFrame](Seq(_))
 
   def docTermFreq(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
-    val key = (docs.sparkSession, docs.queryExecution.analyzed.semanticHash(),
-      idCol, textCol)
-    cache.computeIfAbsent(key, _ =>
+      textCol: String = "text"): DataFrame =
+    memo.getOrCompute(docs, (idCol, textCol)) {
       docs.select(col(idCol),
           explode(split(lower(trim(col(textCol))), " +")).as("term"))
         .groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-  }
+    }
 }
