@@ -85,9 +85,53 @@ object Extras44 {
     // sequential DP no SQL window can express → Dataset typed API:
     // groupByKey(user).mapGroups runs the O(n·band) kernel per group,
     // groups spread across executors, nothing but (user, cost) rows
-    // come back. Not SQL-expressible → rows-only driver check; the
-    // spec replays the DP naively.
-    Q("ts_dtw_band", None,
+    // come back. The ORACLE replays the DP as a recursive CTE over
+    // ANTI-DIAGONALS: cells on diagonal d = i+j depend only on
+    // diagonals d−1 and d−2 (never on the diagonal being built), so
+    // each step is a pure list_transform over the previous two carried
+    // lists — the same trick that vectorizes DTW on SIMD/GPUs. Cost
+    // values derived from INF stay ≥ INF/2 and can never beat a real
+    // path in least(), so the reachable final cell is bit-identical to
+    // the kernel's.
+    Q("ts_dtw_band",
+      Some("""WITH RECURSIVE
+             |ser AS (
+             |  SELECT user_id, list(c ORDER BY us, event_id) AS cs
+             |  FROM (SELECT user_id, epoch_us(ts) AS us, event_id,
+             |               CAST(round(value * 100) AS BIGINT) AS c FROM events) t
+             |  GROUP BY user_id),
+             |ab AS (
+             |  SELECT user_id, cs2[1 : len2 // 2] AS a,
+             |         cs2[len2 // 2 + 1 : len2] AS b,
+             |         len2 // 2 AS n, len2 - len2 // 2 AS m
+             |  FROM (SELECT user_id, cs[1:64] AS cs2,
+             |               least(len(cs), 64) AS len2 FROM ser) t),
+             |dp(user_id, d, diag1, diag2) AS (
+             |  SELECT user_id, 1,
+             |         list_transform(range(0, n + 1), x -> 2305843009213693951),
+             |         list_transform(range(0, n + 1),
+             |           x -> CASE WHEN x = 0 THEN 0 ELSE 2305843009213693951 END)
+             |  FROM ab WHERE n > 0 AND m > 0
+             |  UNION ALL
+             |  SELECT dp.user_id, dp.d + 1,
+             |         list_transform(range(0, ab.n + 1), i ->
+             |           CASE WHEN i >= 1 AND dp.d + 1 - i >= 1 AND dp.d + 1 - i <= ab.m
+             |                     AND abs(2 * i - dp.d - 1) <= 8
+             |                THEN abs(ab.a[i] - ab.b[dp.d + 1 - i]) +
+             |                     least(dp.diag1[i + 1], dp.diag1[i], dp.diag2[i])
+             |                ELSE 2305843009213693951 END),
+             |         dp.diag1
+             |  FROM dp JOIN ab ON dp.user_id = ab.user_id
+             |  WHERE dp.d < ab.n + ab.m),
+             |res AS (
+             |  SELECT dp.user_id, dp.diag1[ab.n + 1] AS cost
+             |  FROM dp JOIN ab ON dp.user_id = ab.user_id
+             |  WHERE dp.d = ab.n + ab.m)
+             |SELECT ab.user_id, CAST(ab.n AS BIGINT) AS n_a,
+             |       CAST(ab.m AS BIGINT) AS n_b,
+             |       CAST(coalesce(res.cost, -1) AS BIGINT) AS dtw_cost_cents
+             |FROM ab LEFT JOIN res ON ab.user_id = res.user_id
+             |ORDER BY ab.user_id""".stripMargin),
       (s, d) => {
         import s.implicits._
         Tables.events(s, d)
