@@ -71,6 +71,7 @@ object Registry {
       graft.ops.Extras45.queries ++
       graft.ops.Extras46.queries ++
       graft.ops.Extras47.queries ++
+      graft.ops.Extras48.queries ++
       graft.ops.Analytics.queries ++
       graft.ops.Typed.queries ++
       graft.io.IoQueries.queries ++
