@@ -252,4 +252,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan("text_pack_bins").contains("__bkt"))
     assert(plan("pipeline_training_corpus").contains("__bkt"))
   }
+
+  test("knn graph blocks on the label equi-key — no cartesian product") {
+    val p = plan("sim_knn_graph")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // per-vector rank is a partitioned window
+    assert(p.contains("windowspecdefinition(ia"), p)
+  }
+
+  test("curriculum phases come from range-partitioned ranks, not global ntile") {
+    val p = plan("corpus_curriculum")
+    assert(!p.contains("ntile(4)"), p)
+    assert(p.contains("windowspecdefinition(__rng"), p)
+  }
 }
