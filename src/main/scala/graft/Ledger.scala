@@ -59,6 +59,7 @@ object Ledger {
       "extras-46" -> ops.Extras46.queries,
       "extras-47" -> ops.Extras47.queries,
       "extras-48" -> ops.Extras48.queries,
+      "extras-49" -> ops.Extras49.queries,
       "analytics" -> ops.Analytics.queries,
       "typed/UDAF" -> ops.Typed.queries,
       "io/catalog" -> io.IoQueries.queries,
