@@ -185,9 +185,13 @@ object Extras12 {
     // the pooled sample with tie-averaging carried as DOUBLED ranks
     // (2·rank + ties − 1 is always an integer), so U×2 is an exact
     // BIGINT — no float rank arithmetic at all. U₁+U₂ = n₁·n₂ is the
-    // built-in self-check. The global rank orders only the two-segment
-    // REDUCED subset; at 10⁹ rows swap in a distributed rank (per-
-    // partition counts + broadcast offsets, the sink_zorder pattern).
+    // built-in self-check. Scale shape: the engine never ranks ROWS —
+    // it reduces to one row per distinct VALUE (per-segment tie
+    // counts), takes the running pooled count from ScaleRank's
+    // range-partitioned prefix sums, and folds each value's doubled-
+    // rank contribution algebraically: every row of value v has
+    // 2·rank + tc − 1 = 2·cum + tc + 1 where cum = rows strictly
+    // below v. Identical integers to the oracle's per-row window.
     Q("stat_mann_whitney",
       Some("""WITH v AS (SELECT c_mktsegment AS seg,
              |             CAST(round(c_acctbal * 100) AS BIGINT) AS v
@@ -209,18 +213,21 @@ object Extras12 {
           .filter(col("c_mktsegment").isin("AUTOMOBILE", "HOUSEHOLD"))
           .select(col("c_mktsegment").as("seg"),
             expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("v"))
-        val r = v.select(col("seg"), col("v"),
-          rank().over(Window.orderBy("v")).cast("long").as("rk"),
-          count(lit(1)).over(Window.partitionBy("v")).cast("long").as("tc"))
-        val g = r.groupBy("seg")
-          .agg(count(lit(1)).cast("long").as("n"),
-            sum(expr("2 * rk + tc - 1")).cast("long").as("r2"))
-        val a = g.filter(col("seg") === "AUTOMOBILE")
-          .select(col("n").as("n1"), col("r2").as("ra"))
-        val b = g.filter(col("seg") === "HOUSEHOLD")
-          .select(col("n").as("n2"), col("r2").as("rb"))
-        a.crossJoin(b).select(col("n1"), col("n2"),
-          expr("CAST(ra - n1 * (n1 + 1) AS BIGINT)").as("u1_x2"),
-          expr("CAST(rb - n2 * (n2 + 1) AS BIGINT)").as("u2_x2"))
+        val pv = v.groupBy("v").agg(
+            count(when(col("seg") === "AUTOMOBILE", 1)).cast("long").as("cA"),
+            count(when(col("seg") === "HOUSEHOLD", 1)).cast("long").as("cH"))
+          .withColumn("tc", col("cA") + col("cH"))
+        val ranked = ScaleRank.withGlobalRank(pv, "v", "v",
+            runOn = Some("tc"), runName = "cumIncl")
+          .withColumn("contrib", lit(2) * (col("cumIncl") - col("tc"))
+            + col("tc") + 1)
+        ranked.agg(
+            sum(col("cA")).cast("long").as("n1"),
+            sum(col("cH")).cast("long").as("n2"),
+            sum(col("cA") * col("contrib")).cast("long").as("ra"),
+            sum(col("cH") * col("contrib")).cast("long").as("rb"))
+          .select(col("n1"), col("n2"),
+            expr("CAST(ra - n1 * (n1 + 1) AS BIGINT)").as("u1_x2"),
+            expr("CAST(rb - n2 * (n2 + 1) AS BIGINT)").as("u2_x2"))
       }))
 }

@@ -16,11 +16,14 @@ object Extras17 {
   def queries: Seq[Q] = Seq(
     // two-sample Kolmogorov-Smirnov distance between BUILDING and
     // MACHINERY balance distributions: D = max |F₁ − F₂| evaluated at
-    // every pooled observation. |cum₁·n₂ − cum₂·n₁| is an exact
+    // every distinct pooled value (CDF steps only move there — the
+    // textbook evaluation points). |cum₁·n₂ − cum₂·n₁| is an exact
     // integer (cross-multiplication instead of float CDFs), so the
-    // max is exact and only the final division is a double. One
-    // global-order window over the two-segment REDUCED subset — at
-    // 10⁹ rows swap in the distributed-rank pattern.
+    // max is exact and only the final division is a double. Scale
+    // shape: the engine reduces rows to one per distinct value first,
+    // then takes BOTH cumulative counts from ScaleRank's range-
+    // partitioned prefix sums in one window pass — no per-row global
+    // sort at any size.
     Q("stat_ks_test",
       Some("""WITH v AS (SELECT c_mktsegment AS seg,
              |             CAST(round(c_acctbal * 100) AS BIGINT) AS v
@@ -29,12 +32,14 @@ object Extras17 {
              |n AS (SELECT CAST(count(*) FILTER (WHERE seg = 'BUILDING') AS BIGINT) AS n1,
              |             CAST(count(*) FILTER (WHERE seg = 'MACHINERY') AS BIGINT) AS n2
              |      FROM v),
-             |c AS (SELECT v, seg,
-             |        CAST(sum(CASE WHEN seg = 'BUILDING' THEN 1 ELSE 0 END)
-             |          OVER (ORDER BY v, seg ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c1,
-             |        CAST(sum(CASE WHEN seg = 'MACHINERY' THEN 1 ELSE 0 END)
-             |          OVER (ORDER BY v, seg ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c2
-             |      FROM v),
+             |pv AS (SELECT v,
+             |         CAST(count(*) FILTER (WHERE seg = 'BUILDING') AS BIGINT) AS d1,
+             |         CAST(count(*) FILTER (WHERE seg = 'MACHINERY') AS BIGINT) AS d2
+             |       FROM v GROUP BY 1),
+             |c AS (SELECT v,
+             |        CAST(sum(d1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c1,
+             |        CAST(sum(d2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c2
+             |      FROM pv),
              |m AS (SELECT CAST(max(abs(c1 * n.n2 - c2 * n.n1)) AS BIGINT) AS dnum
              |      FROM c CROSS JOIN n)
              |SELECT n.n1, n.n2, m.dnum,
@@ -48,13 +53,11 @@ object Extras17 {
         val n = v.agg(
           count(when(col("seg") === "BUILDING", 1)).cast("long").as("n1"),
           count(when(col("seg") === "MACHINERY", 1)).cast("long").as("n2"))
-        val w = Window.orderBy("v", "seg")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val c = v
-          .withColumn("c1", sum(when(col("seg") === "BUILDING", 1).otherwise(0))
-            .over(w).cast("long"))
-          .withColumn("c2", sum(when(col("seg") === "MACHINERY", 1).otherwise(0))
-            .over(w).cast("long"))
+        val pv = v.groupBy("v").agg(
+          count(when(col("seg") === "BUILDING", 1)).cast("long").as("d1"),
+          count(when(col("seg") === "MACHINERY", 1)).cast("long").as("d2"))
+        val c = ScaleRank.withGlobalRanks(pv, "v", "v",
+          runOns = Seq("d1" -> "c1", "d2" -> "c2"))
         val m = c.crossJoin(broadcast(n))
           .agg(max(abs(col("c1") * col("n2") - col("c2") * col("n1")))
             .cast("long").as("dnum"))

@@ -40,6 +40,18 @@ object ScaleRank {
       descending: Boolean = false, nRanges: Int = 32,
       rkName: String = "rk",
       runOn: Option[String] = None, runName: String = "run",
+      nName: Option[String] = None): DataFrame =
+    withGlobalRanks(df, metric, key, descending, nRanges, rkName,
+      runOn.map(c => c -> runName).toSeq, nName)
+
+  /** As [[withGlobalRank]], but carrying any number of running sums in
+    * the same single partitioned window pass — `runOns` maps source
+    * column → output running-sum name (rank statistics need one
+    * cumulative count per sample). */
+  def withGlobalRanks(df: DataFrame, metric: String, key: String,
+      descending: Boolean = false, nRanges: Int = 32,
+      rkName: String = "rk",
+      runOns: Seq[(String, String)] = Nil,
       nName: Option[String] = None): DataFrame = {
     val base = df.withColumn("__sm",
       if (descending) negate(col(metric)) else col(metric))
@@ -51,33 +63,35 @@ object ScaleRank {
       .withColumn("__rng",
         expr("aggregate(__cuts, 0, (a, c) -> a + IF(__sm > c, 1, 0))"))
       .drop("__cuts")
+    val totCols = runOns.zipWithIndex.map { case ((c, _), i) =>
+      sum(col(c)).as(s"__tot$i")
+    }
     val perRange = ranged.groupBy("__rng")
-      .agg(count(lit(1)).as("__cnt"),
-        runOn.map(c => sum(col(c))).getOrElse(lit(0L)).as("__tot"))
+      .agg(count(lit(1)).as("__cnt"), totCols: _*)
     // tiny: ≤ nRanges rows — the only unpartitioned windows in the plan
     val wOff = Window.orderBy("__rng")
       .rowsBetween(Window.unboundedPreceding, -1)
     val wAll = Window.orderBy("__rng")
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val offsets = perRange.select(col("__rng"),
+    val offTotCols = runOns.indices.map(i =>
+      coalesce(sum(col(s"__tot$i")).over(wOff), lit(0L)).as(s"__offTot$i"))
+    val offsets = perRange.select(Seq(col("__rng"),
       coalesce(sum(col("__cnt")).over(wOff), lit(0L)).as("__offCnt"),
-      coalesce(sum(col("__tot")).over(wOff), lit(0L)).as("__offTot"),
-      sum(col("__cnt")).over(wAll).as("__nTot"))
+      sum(col("__cnt")).over(wAll).as("__nTot")) ++ offTotCols: _*)
     val wIn = Window.partitionBy("__rng").orderBy(col("__sm"), col(key))
+    val wRun = wIn.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val ranked = ranged.join(broadcast(offsets), "__rng")
       .withColumn(rkName, row_number().over(wIn).cast("long") + col("__offCnt"))
-    val withRun = runOn match {
-      case Some(c) => ranked.withColumn(runName,
-        sum(col(c)).over(
-          wIn.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-          + col("__offTot"))
-      case None => ranked
+    val withRun = runOns.zipWithIndex.foldLeft(ranked) {
+      case (acc, ((c, out), i)) =>
+        acc.withColumn(out, sum(col(c)).over(wRun) + col(s"__offTot$i"))
     }
     val withN = nName match {
       case Some(nm) => withRun.withColumn(nm, col("__nTot"))
       case None => withRun
     }
-    withN.drop("__sm", "__rng", "__offCnt", "__offTot", "__nTot")
+    withN.drop(Seq("__sm", "__rng", "__offCnt", "__nTot") ++
+      runOns.indices.map(i => s"__offTot$i"): _*)
   }
 
   /** Exact running sum of `value` over (PARTITION BY part ORDER BY

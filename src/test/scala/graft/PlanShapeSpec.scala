@@ -266,4 +266,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("ntile(4)"), p)
     assert(p.contains("windowspecdefinition(__rng"), p)
   }
+
+  test("rank statistics fold per distinct value under partitioned windows") {
+    val mw = plan("stat_mann_whitney")
+    assert(!mw.contains("rank() windowspecdefinition(v"), mw)
+    assert(mw.contains("windowspecdefinition(__rng"), mw)
+    val ks = plan("stat_ks_test")
+    assert(ks.contains("windowspecdefinition(__rng"), ks)
+  }
 }
