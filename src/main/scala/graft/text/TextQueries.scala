@@ -294,8 +294,9 @@ object TextQueries {
 
     // vocabulary build: corpus words with count >= 5, dense ids in
     // (count desc, word) order — the tokenizer-vocab construction pass
-    // (explode -> count -> rank; the rank window is over the tiny
-    // filtered vocab, not the corpus).
+    // (explode -> count -> rank). Ids come from ScaleRank's two-phase
+    // exact rank, so even a 10⁷-term web-corpus vocabulary never sorts
+    // on one partition.
     Q("text_vocab",
       Some("""SELECT CAST(row_number() OVER (ORDER BY cnt DESC, word) AS BIGINT) AS token_id,
              |       word, cnt FROM (
@@ -305,12 +306,13 @@ object TextQueries {
              |  GROUP BY word HAVING count(*) >= 5) v
              |ORDER BY token_id""".stripMargin),
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        TokenStats.docTermFreq(documents(s, d))
+        // dense ids via ScaleRank (cnt DESC, word): a 100 TB vocabulary
+        // is 10⁷+ terms — too big for one ranking partition
+        val vocab = TokenStats.docTermFreq(documents(s, d))
           .groupBy(col("term").as("word")).agg(sum("tf").as("cnt"))
           .filter(col("cnt") >= 5)
-          .withColumn("token_id", row_number()
-            .over(Window.orderBy(col("cnt").desc, col("word"))).cast("long"))
+        graft.ops.ScaleRank.withGlobalRank(vocab, "cnt", "word",
+            descending = true, rkName = "token_id")
           .select("token_id", "word", "cnt")
           .orderBy("token_id")
       }),
