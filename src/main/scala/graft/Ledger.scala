@@ -60,6 +60,7 @@ object Ledger {
       "extras-47" -> ops.Extras47.queries,
       "extras-48" -> ops.Extras48.queries,
       "extras-49" -> ops.Extras49.queries,
+      "extras-50" -> ops.Extras50.queries,
       "analytics" -> ops.Analytics.queries,
       "typed/UDAF" -> ops.Typed.queries,
       "io/catalog" -> io.IoQueries.queries,

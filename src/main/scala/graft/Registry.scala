@@ -73,6 +73,7 @@ object Registry {
       graft.ops.Extras47.queries ++
       graft.ops.Extras48.queries ++
       graft.ops.Extras49.queries ++
+      graft.ops.Extras50.queries ++
       graft.ops.Analytics.queries ++
       graft.ops.Typed.queries ++
       graft.io.IoQueries.queries ++
