@@ -21,6 +21,12 @@ object Scrypt {
       p: Int, dkLen: Int): Array[Byte] = {
     require(n > 1 && (n & (n - 1)) == 0, "N must be a power of two > 1")
     require(r > 0 && p > 0 && dkLen > 0, "r, p, dkLen must be positive")
+    // memory bound: 128·N·r ≤ 256 MiB keeps a hostile/corrupt stored
+    // hash from driving a multi-GB allocation or overflowing the
+    // n·blockWords Int index arithmetic (werkzeug's default is 32 MiB)
+    require(n.toLong * r <= (1L << 21),
+      s"scrypt cost too large: 128*$n*$r bytes")
+    require(p.toLong * r <= (1 << 16), "p*r too large")
     val mfLen = 128 * r
     val b = pbkdf2(password, salt, p * mfLen)
     val blockWords = mfLen / 4 // 32·r ints per MFBlock

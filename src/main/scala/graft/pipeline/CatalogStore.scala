@@ -44,16 +44,23 @@ final class ParquetCatalog(spark: SparkSession, catalogDir: String)
       spark.sparkContext.emptyRDD[Row], schema)
 
   private def overwrite(df: DataFrame, path: String): Unit = {
-    val tmp = s"$path.tmp"
+    val tmp = s"$path.tmp" // sibling of target → same filesystem rename
     df.write.mode("overwrite").parquet(tmp)
     val target = new java.io.File(path)
+    val old = new java.io.File(s"$path.old")
     if (target.exists()) {
-      val old = new java.io.File(s"$path.old")
       deleteRec(old)
-      target.renameTo(old)
+      if (!target.renameTo(old))
+        throw new IllegalStateException(
+          s"catalog swap: cannot move $path aside — table left untouched")
     }
-    new java.io.File(tmp).renameTo(target)
-    deleteRec(new java.io.File(s"$path.old"))
+    if (!new java.io.File(tmp).renameTo(target)) {
+      // roll the previous version back so a failed swap never leaves
+      // the live path missing (a later read would rebuild from empty)
+      if (old.exists()) old.renameTo(target)
+      throw new IllegalStateException(s"catalog swap failed for $path")
+    }
+    deleteRec(old)
   }
 
   private def deleteRec(f: java.io.File): Unit = {
@@ -85,15 +92,27 @@ final class JdbcCatalog(spark: SparkSession, url: String,
   private val jobsColTypes =
     "filename VARCHAR(512), status VARCHAR(32), result_url VARCHAR(1024)"
 
-  private def readOr(table: String, schema: StructType): DataFrame =
+  /** True iff `table` exists — via connection metadata, so a missing
+    * table is distinguishable from a connection failure: the latter
+    * THROWS here and must propagate (swallowing it would make the next
+    * overwrite rebuild the catalog from an empty read). */
+  private def tableExists(table: String): Boolean = {
+    val conn = java.sql.DriverManager.getConnection(url, props)
     try {
+      val rs = conn.getMetaData.getTables(null, null, "%", Array("TABLE"))
+      var found = false
+      while (!found && rs.next())
+        found = rs.getString("TABLE_NAME").equalsIgnoreCase(table)
+      found
+    } finally conn.close()
+  }
+
+  private def readOr(table: String, schema: StructType): DataFrame =
+    if (tableExists(table)) {
       val df = spark.read.jdbc(url, table, props)
       // align nullability/order with the canonical schema
       df.select(schema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
-    } catch {
-      case _: Exception =>
-        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-    }
+    } else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
 
   private def overwrite(df: DataFrame, table: String,
       colTypes: String): Unit = {

@@ -63,14 +63,20 @@ final class JobService(spark: SparkSession, store: CatalogStore) {
   }
 
   /** app.py:97-109 — point lookup + hash verify. Accepts both the
-    * engine's sha256 scheme and werkzeug scrypt hashes (a migrated
-    * reference users table verifies as-is). */
+    * engine's sha256 scheme (verified by the SAME Exprs.checkPassword
+    * expression register writes with — one source of truth) and
+    * werkzeug scrypt hashes (a migrated reference users table
+    * verifies as-is). */
   def login(username: String, password: String): Boolean = {
-    val stored = users.filter(col("username") === username)
-      .select("password").limit(1).collect().headOption.map(_.getString(0))
-    stored.exists { s =>
-      if (s.startsWith("scrypt:")) Scrypt.verify(s, password)
-      else s == sha256Hex(s"$username:$password")
+    val row = users.filter(col("username") === username)
+      .select(col("password"),
+        Exprs.checkPassword(lit(password), lit(username), col("password"))
+          .as("sha_ok"))
+      .limit(1).collect().headOption
+    row.exists { r =>
+      val stored = r.getString(0)
+      if (stored.startsWith("scrypt:")) Scrypt.verify(stored, password)
+      else r.getBoolean(1)
     }
   }
 
@@ -121,9 +127,4 @@ object JobService {
     StructField("result_url", StringType, nullable = true),
     StructField("upload_time", TimestampType, nullable = false),
     StructField("user_id", LongType, nullable = false)))
-
-  /** Driver-side twin of Exprs.hashPassword (sha2 hex, lowercase). */
-  private[pipeline] def sha256Hex(s: String): String =
-    java.security.MessageDigest.getInstance("SHA-256")
-      .digest(s.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
 }

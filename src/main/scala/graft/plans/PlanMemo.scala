@@ -18,9 +18,11 @@ import org.apache.spark.storage.StorageLevel
   * `sameResult` before reuse, mirroring Spark's own CacheManager: a
   * hash collision between two different inputs must never return the
   * wrong table. Entries persist MEMORY_AND_DISK on insert and are
-  * evicted (unpersisted, dropped) when their session's context ends —
-  * a listener is attached to each session on first use — or explicitly
-  * via [[evict]]/[[clearAll]] for long-lived multi-corpus drivers.
+  * evicted (unpersisted, dropped) when the owning SparkContext stops —
+  * one listener is attached per context on first use. Sessions sharing
+  * a context (newSession/cloneSession) are NOT individually reaped on
+  * session close; a long-lived multi-corpus driver should call
+  * [[evict]] (per session) or [[clearAll]] between corpora.
   *
   * `build` must only CONSTRUCT the plan (all Spark transformations are
   * lazy); the coarse lock therefore serializes only driver-side plan
@@ -31,7 +33,7 @@ final class PlanMemo[P, V](persistables: V => Seq[DataFrame]) {
   private val map =
     new ConcurrentHashMap[(SparkSession, Int, P), List[(LogicalPlan, V)]]()
   private val hooked =
-    ConcurrentHashMap.newKeySet[SparkSession]()
+    ConcurrentHashMap.newKeySet[org.apache.spark.SparkContext]()
 
   def getOrCompute(df: DataFrame, params: P)(build: => V): V =
     synchronized {
@@ -61,7 +63,6 @@ final class PlanMemo[P, V](persistables: V => Seq[DataFrame]) {
         }
       }
     }
-    hooked.remove(spark)
   }
 
   /** Drop every entry across all sessions (multi-dataset drivers). */
@@ -70,10 +71,10 @@ final class PlanMemo[P, V](persistables: V => Seq[DataFrame]) {
   }
 
   private def hookSession(spark: SparkSession): Unit =
-    if (hooked.add(spark)) {
+    if (hooked.add(spark.sparkContext)) { // one listener per context, ever
       spark.sparkContext.addSparkListener(new SparkListener {
         override def onApplicationEnd(
-            end: SparkListenerApplicationEnd): Unit = evict(spark)
+            end: SparkListenerApplicationEnd): Unit = clearAll()
       })
     }
 }

@@ -56,5 +56,10 @@ class ScryptSpec extends AnyFunSuite {
     assert(!Scrypt.verify("scrypt:abc$salt$00", "pw"))
     assert(!Scrypt.verify("pbkdf2:sha256$salt$00", "pw"))
     assert(!Scrypt.verify("scrypt:7:8:1$salt$00", "pw")) // N not a power of 2
+    // hostile cost parameters must be rejected, not allocated:
+    // 2^23·8 would overflow the block index; 2^31 overflows Int.parse
+    assert(!Scrypt.verify("scrypt:8388608:8:1$salt$00", "pw"))
+    assert(!Scrypt.verify("scrypt:2147483648:8:1$salt$00", "pw"))
+    assert(!Scrypt.verify("scrypt:32768:8:999999$salt$00", "pw"))
   }
 }
