@@ -86,10 +86,16 @@ object Dedup {
     }: _*)
 
   /** id-list → ordered unique pairs (bucket sizes are cut off at
-    * `maxBucket`, so the quadratic blowup is bounded per bucket). */
-  private val pairCombos = udf { ids: Seq[Long] =>
-    val s = ids.distinct.sorted
-    for (i <- s.indices; j <- (i + 1) until s.length) yield (s(i), s(j))
+    * `maxBucket`, so the quadratic blowup is bounded per bucket).
+    * Pure collection functions — sort/dedup once, then for the element
+    * at 0-based index i pair it with every later element — so the
+    * whole candidate explode stays inside codegen (this was the
+    * library's last hot-path JVM UDF). */
+  private def pairCombos(ids: Column): Column = {
+    val s = array_sort(array_distinct(ids))
+    flatten(transform(s, (x, i) =>
+      transform(slice(s, i + lit(2), size(s)), y =>
+        struct(x.as("_1"), y.as("_2")))))
   }
 
   /** Candidate pairs (idA < idB) sharing ≥1 LSH bucket. One shuffle to
