@@ -61,6 +61,7 @@ object Ledger {
       "extras-48" -> ops.Extras48.queries,
       "extras-49" -> ops.Extras49.queries,
       "extras-50" -> ops.Extras50.queries,
+      "extras-51" -> ops.Extras51.queries,
       "analytics" -> ops.Analytics.queries,
       "typed/UDAF" -> ops.Typed.queries,
       "io/catalog" -> io.IoQueries.queries,

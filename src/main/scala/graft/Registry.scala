@@ -74,6 +74,7 @@ object Registry {
       graft.ops.Extras48.queries ++
       graft.ops.Extras49.queries ++
       graft.ops.Extras50.queries ++
+      graft.ops.Extras51.queries ++
       graft.ops.Analytics.queries ++
       graft.ops.Typed.queries ++
       graft.io.IoQueries.queries ++

@@ -1,0 +1,99 @@
+package graft.ops
+
+import graft.Q
+import graft.io.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-5 wave-51 operators: the time-constrained funnel and rolling
+  * window actives.
+  */
+object Extras51 {
+
+  def queries: Seq[Q] = Seq(
+    // time-constrained funnel: view → purchase WITHIN 48h (the funnel
+    // every growth team actually ships — unconstrained conversion
+    // overcounts). Per purchase, the most recent prior view comes from
+    // the as-of union trick (one shuffle on user, no per-row probe);
+    // the 48h gate is exact integer µs. Reports viewer base, gated
+    // purchases, gated converters, and the µ-int conversion rate.
+    Q("funnel_windowed",
+      Some("""WITH a AS (
+             |  SELECT p.user_id, p.event_id, epoch_us(p.ts) -
+             |         (SELECT max(epoch_us(v.ts)) FROM events v
+             |          WHERE v.user_id = p.user_id AND v.event_type = 'view'
+             |            AND v.ts <= p.ts) AS delay_us
+             |  FROM events p WHERE p.event_type = 'purchase'),
+             |vw AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_viewers
+             |       FROM events WHERE event_type = 'view')
+             |SELECT vw.n_viewers,
+             |       CAST(count(*) FILTER (WHERE delay_us IS NOT NULL
+             |            AND delay_us <= 172800000000) AS BIGINT) AS n_purch_48h,
+             |       CAST(count(DISTINCT user_id) FILTER (WHERE delay_us IS NOT NULL
+             |            AND delay_us <= 172800000000) AS BIGINT) AS n_users_48h,
+             |       CAST(round(CAST(count(DISTINCT user_id) FILTER
+             |              (WHERE delay_us IS NOT NULL AND delay_us <= 172800000000)
+             |            AS DOUBLE) * 1e6 / vw.n_viewers) AS BIGINT) AS cvr_e6
+             |FROM a CROSS JOIN vw GROUP BY vw.n_viewers""".stripMargin),
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val p = ev.filter(col("event_type") === "purchase").select(
+          col("user_id").as("k"), col("ts").as("t"), col("event_id"),
+          lit(null).cast("timestamp").as("v_ts"), lit(1).as("is_probe"))
+        val v = ev.filter(col("event_type") === "view").select(
+          col("user_id").as("k"), col("ts").as("t"),
+          lit(null).cast("long").as("event_id"),
+          col("ts").as("v_ts"), lit(0).as("is_probe"))
+        val w = Window.partitionBy("k").orderBy(col("t"), col("is_probe"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val delays = p.unionByName(v)
+          .withColumn("last_view_ts", last("v_ts", ignoreNulls = true).over(w))
+          .filter(col("is_probe") === 1)
+          .select(col("k").as("user_id"),
+            (unix_micros(col("t")) - unix_micros(col("last_view_ts")))
+              .as("delay_us"))
+        val vw = ev.filter(col("event_type") === "view")
+          .agg(countDistinct("user_id").cast("long").as("n_viewers"))
+        val hit = col("delay_us").isNotNull &&
+          col("delay_us") <= 172800000000L
+        delays.crossJoin(broadcast(vw))
+          .groupBy("n_viewers")
+          .agg(count(when(hit, 1)).cast("long").as("n_purch_48h"),
+            countDistinct(when(hit, col("user_id"))).cast("long")
+              .as("n_users_48h"))
+          .select(col("n_viewers"), col("n_purch_48h"), col("n_users_48h"),
+            expr("CAST(round(CAST(n_users_48h AS DOUBLE) * 1e6 / n_viewers) AS BIGINT)")
+              .as("cvr_e6"))
+      }),
+
+    // rolling 7-day active users per activity day (the WAU curve):
+    // reduce to DISTINCT (user, day) first, then each active day
+    // contributes the user to the 7 windows ending on d..d+6 — a
+    // bounded 7× explode on the REDUCED activity set, never the event
+    // log — and distinct-count per window end. Windows are reported
+    // only for observed activity days. Scale: the explode and the
+    // (day, user) distinct both partition on day; no per-user state,
+    // no sliding-window shuffle per event.
+    Q("analytics_rolling_wau",
+      Some("""WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+             |           FROM events),
+             |x AS (SELECT user_id, d + CAST(k AS INTEGER) AS wd
+             |      FROM ud, LATERAL unnest(range(7)) u(k)),
+             |days AS (SELECT DISTINCT CAST(ts AS DATE) AS wd FROM events)
+             |SELECT x.wd AS day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+             |FROM x JOIN days USING (wd)
+             |GROUP BY 1 ORDER BY day""".stripMargin),
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val ud = ev.select(col("user_id"), to_date(col("ts")).as("d"))
+          .distinct()
+        val x = ud.select(col("user_id"), col("d"),
+          explode(sequence(lit(0), lit(6))).as("k"))
+          .withColumn("wd", date_add(col("d"), col("k").cast("int")))
+        val days = ev.select(to_date(col("ts")).as("wd")).distinct()
+        x.join(days, "wd")
+          .groupBy(col("wd").as("day"))
+          .agg(countDistinct("user_id").cast("long").as("wau"))
+          .orderBy("day")
+      }))
+}

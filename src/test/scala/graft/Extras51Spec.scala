@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Wave-51: windowed funnel and rolling WAU invariants. */
+class Extras51Spec extends SparkSpec {
+
+  test("windowed funnel: gated counts never exceed the unconstrained funnel") {
+    val r = SparkEntry.queries("funnel_windowed")(spark, sf0001)
+      .collect().head
+    val nViewers = r.getAs[Long]("n_viewers")
+    val nUsers = r.getAs[Long]("n_users_48h")
+    assert(nViewers > 0)
+    assert(nUsers <= nViewers)
+    assert(r.getAs[Long]("n_purch_48h") >= nUsers) // ≥1 purchase per converter
+    val cvr = r.getAs[Long]("cvr_e6")
+    assert(cvr >= 0 && cvr <= 1000000L)
+  }
+
+  test("rolling WAU: every day ≥ its DAU and ≤ total users; days observed only") {
+    val wau = SparkEntry.queries("analytics_rolling_wau")(spark, sf0001)
+    val ev = graft.io.Tables.events(spark, sf0001)
+    val dau = ev.select(to_date(col("ts")).as("day"), col("user_id"))
+      .distinct().groupBy("day").agg(countDistinct("user_id").as("dau"))
+    val total = ev.select(countDistinct("user_id")).collect().head.getLong(0)
+    val joined = wau.join(dau, "day").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val w = r.getAs[Long]("wau")
+      assert(w >= r.getAs[Long]("dau") && w <= total)
+    }
+    // the report has exactly one row per observed activity day
+    assert(wau.count() == dau.count())
+  }
+}
