@@ -26,7 +26,12 @@ object Explain {
         "ts_interp_linear",
         // round-4 wave scale-critical additions
         "dedup_bloom_prefilter", "feature_target_encode",
-        "join_existence_mark", "scd2_apply", "join_pit_scd2")
+        "join_existence_mark", "scd2_apply", "join_pit_scd2",
+        // round-5 scale-critical additions (ScaleRank two-phase
+        // ranking, windowless PSI, bucketed lag, interval sweeps)
+        "agg_deciles", "analytics_rfm", "analytics_pareto", "dq_psi",
+        "dq_id_gaps", "sim_knn_graph", "ts_max_concurrent",
+        "stat_mann_whitney")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
