@@ -95,5 +95,40 @@ object Extras51 {
           .groupBy(col("wd").as("day"))
           .agg(countDistinct("user_id").cast("long").as("wau"))
           .orderBy("day")
+      }),
+
+    // sequence pattern matching (the MATCH_RECOGNIZE niche Spark
+    // lacks): per user, count non-overlapping view→click*→purchase
+    // journeys in the event-type sequence. Event initials are distinct
+    // (c/e/p/s/v), so the per-user ordered initial string IS the
+    // sequence; the pattern 'vc*p' has a unique match length at any
+    // start, so leftmost non-overlapping counts agree across regex
+    // engines. Scale: one shuffle on user; the per-user string is
+    // bounded by that user's activity (chunk power users first at
+    // 100 TB, same caveat as any per-entity collect).
+    Q("seq_pattern_match",
+      Some("""WITH s AS (SELECT user_id,
+             |        string_agg(substr(event_type, 1, 1), ''
+             |                   ORDER BY ts, event_id) AS seq
+             |      FROM events GROUP BY 1)
+             |SELECT user_id, CAST(length(seq) AS BIGINT) AS n_events,
+             |       CAST(length(regexp_extract_all(seq, 'vc*p')) AS BIGINT)
+             |         AS n_journeys
+             |FROM s WHERE length(regexp_extract_all(seq, 'vc*p')) > 0
+             |ORDER BY user_id""".stripMargin),
+      (s, d) => {
+        val seqs = Tables.events(s, d)
+          .select(col("user_id"), struct(col("ts"), col("event_id"),
+            substring(col("event_type"), 1, 1).as("i")).as("r"))
+          .groupBy("user_id")
+          .agg(array_sort(collect_list(col("r"))).as("rs"))
+          .select(col("user_id"),
+            concat_ws("", expr("transform(rs, x -> x.i)").cast("array<string>"))
+              .as("seq"))
+        seqs.select(col("user_id"),
+            length(col("seq")).cast("long").as("n_events"),
+            expr("regexp_count(seq, 'vc*p')").cast("long").as("n_journeys"))
+          .filter(col("n_journeys") > 0)
+          .orderBy("user_id")
       }))
 }

@@ -32,4 +32,18 @@ class Extras51Spec extends SparkSpec {
     // the report has exactly one row per observed activity day
     assert(wau.count() == dau.count())
   }
+
+  test("pattern match: journey counts bounded by purchases; sequences real") {
+    val got = SparkEntry.queries("seq_pattern_match")(spark, sf0001)
+    val purchases = graft.io.Tables.events(spark, sf0001)
+      .filter(col("event_type") === "purchase")
+      .groupBy("user_id").agg(count(lit(1)).as("np"))
+    val joined = got.join(purchases, "user_id").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val nj = r.getAs[Long]("n_journeys")
+      assert(nj >= 1 && nj <= r.getAs[Long]("np")) // each journey ends in a distinct purchase
+      assert(r.getAs[Long]("n_events") >= 2 * nj)  // v…p needs ≥2 events per journey
+    }
+  }
 }
