@@ -274,4 +274,30 @@ class PlanShapeSpec extends SparkSpec {
     val ks = plan("stat_ks_test")
     assert(ks.contains("windowspecdefinition(__rng"), ks)
   }
+
+  test("13-gram decontamination broadcasts the benchmark n-gram set") {
+    val p = plan("dedup_decontaminate13")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("bootstrap is windowless: explode + two aggregations, no sort of the fact") {
+    val p = plan("stat_bootstrap_ci")
+    assert(!p.contains("Window"), p)
+    assert(p.contains("Generate explode"), p)
+  }
+
+  test("rolling WAU explodes the reduced activity set, never joins raw events") {
+    val p = plan("analytics_rolling_wau")
+    assert(p.contains("Generate explode"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("interval sweep and merge window on their entity keys only") {
+    val mc = plan("ts_max_concurrent")
+    assert(mc.contains("windowspecdefinition(pk"), mc)
+    val im = plan("ts_interval_merge")
+    assert(im.contains("windowspecdefinition(sk"), im)
+  }
 }
