@@ -130,5 +130,46 @@ object Extras51 {
             expr("regexp_count(seq, 'vc*p')").cast("long").as("n_journeys"))
           .filter(col("n_journeys") > 0)
           .orderBy("user_id")
+      }),
+
+    // equi-height histogram statistics (what ANALYZE TABLE ... FOR
+    // COLUMNS collects and a cost-based optimizer consumes): quartile
+    // bin boundaries from exact percentile_disc on cents, then per-bin
+    // row count, DISTINCT count, and min/max — broadcast thresholds +
+    // map-side CASE, one aggregation, no sort of the fact (the
+    // feature_quantile_bucket shape promoted to a stats report).
+    Q("agg_histogram_equiheight",
+      Some("""WITH c AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+             |           FROM lineitem),
+             |q AS (SELECT CAST(quantile_disc(v, 0.25) AS BIGINT) AS q1,
+             |             CAST(quantile_disc(v, 0.50) AS BIGINT) AS q2,
+             |             CAST(quantile_disc(v, 0.75) AS BIGINT) AS q3
+             |      FROM c),
+             |b AS (SELECT CAST(CASE WHEN v <= q.q1 THEN 1 WHEN v <= q.q2 THEN 2
+             |                  WHEN v <= q.q3 THEN 3 ELSE 4 END AS BIGINT) AS bin, v
+             |      FROM c CROSS JOIN q)
+             |SELECT bin, CAST(count(*) AS BIGINT) AS n_rows,
+             |       CAST(count(DISTINCT v) AS BIGINT) AS ndv,
+             |       CAST(min(v) AS BIGINT) AS lo_cents,
+             |       CAST(max(v) AS BIGINT) AS hi_cents
+             |FROM b GROUP BY 1 ORDER BY bin""".stripMargin),
+      (s, d) => {
+        val c = Tables.lineitem(s, d)
+          .select(expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("v"))
+        val q = c.agg(
+          expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY v)").cast("long").as("q1"),
+          expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY v)").cast("long").as("q2"),
+          expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY v)").cast("long").as("q3"))
+        c.crossJoin(broadcast(q))
+          .select(when(col("v") <= col("q1"), 1L)
+            .when(col("v") <= col("q2"), 2L)
+            .when(col("v") <= col("q3"), 3L)
+            .otherwise(4L).as("bin"), col("v"))
+          .groupBy("bin")
+          .agg(count(lit(1)).cast("long").as("n_rows"),
+            countDistinct("v").cast("long").as("ndv"),
+            min("v").cast("long").as("lo_cents"),
+            max("v").cast("long").as("hi_cents"))
+          .orderBy("bin")
       }))
 }

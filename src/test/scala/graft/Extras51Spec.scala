@@ -46,4 +46,21 @@ class Extras51Spec extends SparkSpec {
       assert(r.getAs[Long]("n_events") >= 2 * nj)  // v…p needs ≥2 events per journey
     }
   }
+
+  test("equi-height histogram: bins partition rows, stats consistent") {
+    val bins = SparkEntry.queries("agg_histogram_equiheight")(spark, sf0001)
+      .orderBy("bin").collect()
+    assert(bins.map(_.getAs[Long]("bin")).toSeq == Seq(1L, 2L, 3L, 4L))
+    val total = graft.io.Tables.lineitem(spark, sf0001).count()
+    assert(bins.map(_.getAs[Long]("n_rows")).sum == total)
+    bins.foreach { r =>
+      assert(r.getAs[Long]("ndv") <= r.getAs[Long]("n_rows"))
+      assert(r.getAs[Long]("lo_cents") <= r.getAs[Long]("hi_cents"))
+    }
+    // bins are value-disjoint and ordered
+    bins.sliding(2).foreach { w =>
+      if (w.length == 2)
+        assert(w(0).getAs[Long]("hi_cents") < w(1).getAs[Long]("lo_cents"))
+    }
+  }
 }
