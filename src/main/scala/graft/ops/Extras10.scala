@@ -195,7 +195,7 @@ object Extras10 {
         val w = ev.filter(expr("weekday(ts) + 1 >= 6"))
           .groupBy("event_type").agg(count(lit(1)).cast("long").as("n_we"))
         val t = a.agg(sum("n_all").cast("long").as("tot"))
-          .crossJoin(w.agg(sum("n_we").cast("long").as("tot_we")))
+          .crossJoin(broadcast(w.agg(sum("n_we").cast("long").as("tot_we"))))
         a.join(w, "event_type").crossJoin(broadcast(t))
           .select(col("event_type"), col("n_we"), col("n_all"),
             expr("CAST(round(CAST(n_we AS DOUBLE) * 1e6 / tot_we) AS BIGINT)").as("p_e6"),

@@ -96,7 +96,7 @@ object Extras49 {
         val b = r.select(col("ck"), col("rev"),
             explode(sequence(lit(0L), lit(99L))).as("bi"))
           .withColumn("h",
-            ((col("ck") * 100 + col("bi") + 1) * lit(2654435761L))
+            ((col("ck").cast("long") * 100 + col("bi") + 1) * lit(2654435761L))
               % lit(4294967296L))
         val w = b.withColumn("w",
           when(col("h") < 1580030168L, 0L)

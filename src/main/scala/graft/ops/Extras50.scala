@@ -44,8 +44,8 @@ object Extras50 {
           .select(col("l_partkey").as("pk"),
             to_date(col("l_shipdate")).as("st"),
             date_add(to_date(col("l_shipdate")),
-              ((col("l_orderkey") * 7 + col("l_linenumber")) % 25 + 1)
-                .cast("int")).as("e"))
+              ((col("l_orderkey").cast("long") * 7 + col("l_linenumber")) % 25
+                + 1).cast("int")).as("e"))
         val ev = iv.select(col("pk"), col("st").as("d"), lit(1L).as("delta"))
           .unionByName(iv.select(col("pk"), date_add(col("e"), 1).as("d"),
             lit(-1L).as("delta")))
@@ -96,8 +96,8 @@ object Extras50 {
           .select(col("l_suppkey").as("sk"),
             to_date(col("l_shipdate")).as("st"),
             date_add(to_date(col("l_shipdate")),
-              ((col("l_orderkey") * 7 + col("l_linenumber")) % 25 + 1)
-                .cast("int")).as("e"))
+              ((col("l_orderkey").cast("long") * 7 + col("l_linenumber")) % 25
+                + 1).cast("int")).as("e"))
         val wPrev = Window.partitionBy("sk").orderBy("st", "e")
           .rowsBetween(Window.unboundedPreceding, -1)
         val wRun = Window.partitionBy("sk").orderBy("st", "e")

@@ -33,7 +33,7 @@ object Extras51 {
              |            AND delay_us <= 172800000000) AS BIGINT) AS n_users_48h,
              |       CAST(round(CAST(count(DISTINCT user_id) FILTER
              |              (WHERE delay_us IS NOT NULL AND delay_us <= 172800000000)
-             |            AS DOUBLE) * 1e6 / vw.n_viewers) AS BIGINT) AS cvr_e6
+             |            AS DOUBLE) * 1e6 / nullif(vw.n_viewers, 0)) AS BIGINT) AS cvr_e6
              |FROM a CROSS JOIN vw GROUP BY vw.n_viewers""".stripMargin),
       (s, d) => {
         val ev = Tables.events(s, d)
@@ -62,7 +62,8 @@ object Extras51 {
             countDistinct(when(hit, col("user_id"))).cast("long")
               .as("n_users_48h"))
           .select(col("n_viewers"), col("n_purch_48h"), col("n_users_48h"),
-            expr("CAST(round(CAST(n_users_48h AS DOUBLE) * 1e6 / n_viewers) AS BIGINT)")
+            expr("CAST(round(CAST(n_users_48h AS DOUBLE) * 1e6" +
+                " / nullif(n_viewers, 0)) AS BIGINT)")
               .as("cvr_e6"))
       }),
 

@@ -22,7 +22,13 @@ import org.apache.spark.storage.StorageLevel
   * one listener is attached per context on first use. Sessions sharing
   * a context (newSession/cloneSession) are NOT individually reaped on
   * session close; a long-lived multi-corpus driver should call
-  * [[evict]] (per session) or [[clearAll]] between corpora.
+  * [[evict]] (per session) or [[clearAll]] between corpora. As an
+  * automatic backstop for drivers that never do, entries are LRU-capped
+  * PER CONTEXT ([[PlanMemo.MaxPerContext]]): inserting beyond the cap
+  * unpersists and drops the least-recently-used entry of that context,
+  * so a driver spawning short-lived sessions in a loop plateaus at a
+  * bounded persisted footprint instead of growing until application
+  * end.
   *
   * `build` must only CONSTRUCT the plan (all Spark transformations are
   * lazy); the coarse lock therefore serializes only driver-side plan
@@ -34,6 +40,10 @@ final class PlanMemo[P, V](persistables: V => Seq[DataFrame]) {
     new ConcurrentHashMap[(SparkSession, Int, P), List[(LogicalPlan, V)]]()
   private val hooked =
     ConcurrentHashMap.newKeySet[org.apache.spark.SparkContext]()
+  // access-ordered key list for the per-context LRU cap; guarded by
+  // the same lock as `map`
+  private val lru =
+    scala.collection.mutable.LinkedHashSet.empty[(SparkSession, Int, P)]
 
   def getOrCompute(df: DataFrame, params: P)(build: => V): V =
     synchronized {
@@ -42,20 +52,48 @@ final class PlanMemo[P, V](persistables: V => Seq[DataFrame]) {
       val key = (spark, plan.semanticHash(), params)
       val entries = map.getOrDefault(key, Nil)
       entries.find(_._1.sameResult(plan)) match {
-        case Some((_, v)) => v
+        case Some((_, v)) =>
+          lru.remove(key); lru.add(key)
+          v
         case None =>
           val v = build
           persistables(v).foreach(_.persist(StorageLevel.MEMORY_AND_DISK))
           map.put(key, (plan, v) :: entries)
+          lru.remove(key); lru.add(key)
+          capContext(spark.sparkContext, keep = key)
           hookSession(spark)
           v
       }
     }
 
+  /** Evict least-recently-used entries of `ctx` until at most
+    * [[PlanMemo.MaxPerContext]] remain (never the just-inserted
+    * `keep`). Caller holds the lock. */
+  private def capContext(ctx: org.apache.spark.SparkContext,
+      keep: (SparkSession, Int, P)): Unit = {
+    var excess = lru.count(_._1.sparkContext eq ctx) - PlanMemo.MaxPerContext
+    while (excess > 0) {
+      // LinkedHashSet iterates oldest-first
+      lru.find(k => (k._1.sparkContext eq ctx) && k != keep) match {
+        case Some(victim) =>
+          lru.remove(victim)
+          Option(map.remove(victim)).getOrElse(Nil).foreach { case (_, v) =>
+            persistables(v).foreach { d =>
+              try d.unpersist(blocking = false)
+              catch { case _: Exception => () }
+            }
+          }
+          excess -= 1
+        case None => excess = 0
+      }
+    }
+  }
+
   /** Drop (and unpersist) every entry belonging to `spark`. */
   def evict(spark: SparkSession): Unit = synchronized {
     val dead = map.keySet.asScala.filter(_._1 eq spark).toList
     dead.foreach { k =>
+      lru.remove(k)
       Option(map.remove(k)).getOrElse(Nil).foreach { case (_, v) =>
         persistables(v).foreach { d =>
           try d.unpersist(blocking = false)
@@ -77,4 +115,12 @@ final class PlanMemo[P, V](persistables: V => Seq[DataFrame]) {
             end: SparkListenerApplicationEnd): Unit = clearAll()
       })
     }
+}
+
+object PlanMemo {
+  /** Per-SparkContext entry cap (LRU beyond it). Far above the ~4
+    * memoized builds a single corpus session creates; small enough
+    * that a driver looping newSession() per corpus holds at most this
+    * many persisted intermediates instead of one set per session. */
+  val MaxPerContext = 64
 }

@@ -214,7 +214,8 @@ object TextQueries {
         val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
         val dfq = tf.groupBy("term").agg(count(lit(1)).as("df"))
         val nq = docs.agg(count(lit(1)).as("n"))
-          .crossJoin(dl.agg((sum("dl").cast("double") / count(lit(1))).as("avgdl")))
+          .crossJoin(broadcast(
+            dl.agg((sum("dl").cast("double") / count(lit(1))).as("avgdl"))))
         val qt = s.createDataset(Seq("hash", "merge", "vector"))(
           org.apache.spark.sql.Encoders.STRING).toDF("term")
         tf.join(broadcast(qt), "term").join(dfq, "term")

@@ -28,4 +28,22 @@ class PlanMemoSpec extends SparkSpec {
     memo.getOrCompute(a, 7) { builds += 1; a }
     assert(builds == 4)
   }
+
+  test("per-context LRU cap bounds entries and unpersists victims") {
+    val memo = new PlanMemo[Int, org.apache.spark.sql.DataFrame](Seq(_))
+    val base = Seq(1, 2, 3).toDF("x")
+    val built = (0 to PlanMemo.MaxPerContext).map { p =>
+      memo.getOrCompute(base, p) { base.select(($"x" + p).as("y")) }
+    }
+    // param 0 was the least-recently-used entry → evicted and unpersisted
+    assert(built.head.storageLevel ==
+      org.apache.spark.storage.StorageLevel.NONE)
+    // the newest entry is still persisted and still reused
+    assert(built.last.storageLevel !=
+      org.apache.spark.storage.StorageLevel.NONE)
+    var rebuilt = false
+    memo.getOrCompute(base, 0) { rebuilt = true; base }
+    assert(rebuilt, "evicted entry must rebuild")
+    memo.evict(spark)
+  }
 }
