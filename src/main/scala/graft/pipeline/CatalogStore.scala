@@ -16,12 +16,12 @@ import org.apache.spark.sql.types._
   *    any JDBC url works (unit-tested against embedded Derby — no
   *    network in the test environment).
   *
-  * The catalog is control-plane-sized (one row per user / per job
-  * submission), so JdbcCatalog snapshots rows through the driver on
-  * write — that is what makes overwrite safe when the source of the
-  * new table version is a read of the same table (Spark plans are
-  * lazy; dropping the table mid-read would race). Data-plane tables
-  * never go through this path.
+  * Both implementations overwrite by staging the full new version
+  * BEFORE touching the live table (the new version usually derives
+  * from a read of the very table being replaced, and Spark plans are
+  * lazy — dropping the target mid-read would race), then swapping via
+  * rename with rollback on failure. Neither path materializes rows on
+  * the driver, so either scales past control-plane sizes.
   */
 trait CatalogStore {
   def readUsers(): DataFrame
@@ -98,13 +98,16 @@ final class JdbcCatalog(spark: SparkSession, url: String,
     * overwrite rebuild the catalog from an empty read). */
   private def tableExists(table: String): Boolean = {
     val conn = java.sql.DriverManager.getConnection(url, props)
-    try {
-      val rs = conn.getMetaData.getTables(null, null, "%", Array("TABLE"))
-      var found = false
-      while (!found && rs.next())
-        found = rs.getString("TABLE_NAME").equalsIgnoreCase(table)
-      found
-    } finally conn.close()
+    try tableExistsOn(conn, table) finally conn.close()
+  }
+
+  private def tableExistsOn(conn: java.sql.Connection,
+      table: String): Boolean = {
+    val rs = conn.getMetaData.getTables(null, null, "%", Array("TABLE"))
+    var found = false
+    while (!found && rs.next())
+      found = rs.getString("TABLE_NAME").equalsIgnoreCase(table)
+    found
   }
 
   private def readOr(table: String, schema: StructType): DataFrame =
@@ -114,16 +117,44 @@ final class JdbcCatalog(spark: SparkSession, url: String,
       df.select(schema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
     } else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
 
+  /** Stage-and-swap overwrite, mirroring [[ParquetCatalog]]'s temp+swap:
+    * the new version is DISTRIBUTED-written to `<table>_stage` first
+    * (reading the live target while writing a different table races
+    * nothing), then one connection renames target→old, stage→target,
+    * rolling old back into place if the second rename throws. No
+    * `collect()` — the write path stays executor-side at any size. A
+    * hard crash between the two renames leaves `_old`/`_stage` behind
+    * (same exposure as the parquet swap); an exception rolls back.
+    */
   private def overwrite(df: DataFrame, table: String,
       colTypes: String): Unit = {
-    // snapshot through the driver: the new version usually derives from
-    // a read of the very table the overwrite is about to drop
-    val rows = df.collect().toSeq
-    val snapshot = spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, 1), df.schema)
-    snapshot.write.mode(SaveMode.Overwrite)
+    val stage = s"${table}_stage"
+    val old = s"${table}_old"
+    df.write.mode(SaveMode.Overwrite)
       .option("createTableColumnTypes", colTypes)
-      .jdbc(url, table, props)
+      .jdbc(url, stage, props)
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      val st = conn.createStatement()
+      def rename(from: String, to: String): Unit = {
+        val sql =
+          if (url.startsWith("jdbc:derby")) s"RENAME TABLE $from TO $to"
+          else s"ALTER TABLE $from RENAME TO $to"
+        st.executeUpdate(sql); ()
+      }
+      if (tableExistsOn(conn, old)) st.executeUpdate(s"DROP TABLE $old")
+      val hadTarget = tableExistsOn(conn, table)
+      if (hadTarget) rename(table, old)
+      try rename(stage, table)
+      catch { case e: Throwable =>
+        // a failed swap must never leave the live name missing — the
+        // next read would silently rebuild the catalog from empty
+        if (hadTarget) rename(old, table)
+        throw e
+      }
+      if (hadTarget) st.executeUpdate(s"DROP TABLE $old")
+      ()
+    } finally conn.close()
   }
 
   override def readUsers(): DataFrame = readOr("users", UsersSchema)

@@ -74,6 +74,19 @@ class JobServiceSpec extends SparkSpec {
     val badId = svc.startEtl("carol", s"$base/missing.csv", s"$base/out")
     val bad = svc.jobs.filter($"id" === badId).collect().head
     assert(bad.getAs[String]("status") == "Failed")
+
+    // the stage-and-swap overwrite (no driver collect) leaves only the
+    // live tables behind — every register/startEtl above was a full
+    // read-modify-overwrite cycle through the staging path
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val rs = conn.getMetaData.getTables(null, null, "%", Array("TABLE"))
+      val names = scala.collection.mutable.Set.empty[String]
+      while (rs.next()) names += rs.getString("TABLE_NAME").toLowerCase
+      assert(names.contains("users") && names.contains("jobs"))
+      assert(!names.exists(n => n.endsWith("_stage") || n.endsWith("_old")),
+        s"staging tables left behind: $names")
+    } finally conn.close()
   }
 
   test("a werkzeug-hashed users table logs in unchanged (scrypt interop)") {

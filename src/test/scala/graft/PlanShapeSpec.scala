@@ -224,22 +224,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin"), p) // 1-row cutpoints
   }
 
+  // ScaleRank's sketch/count passes run EAGERLY at plan-build time
+  // (cutpoints and offsets are literals/local tables in the final plan
+  // — no approx_percentile node, no exchange-reuse dependency), so the
+  // pins below assert the partitioned rank window on the __ck cell
+  // column and the broadcast offset join.
+
   test("deciles rank under range-partitioned windows, not a global ntile") {
     val p = plan("agg_deciles")
-    assert(p.contains("approx_percentile"), p) // sketch cutpoints
-    assert(p.contains("windowspecdefinition(__rng"), p) // partitioned rank
+    assert(p.contains("windowspecdefinition(__ck0"), p) // partitioned rank
+    assert(p.contains("BroadcastHashJoin"), p) // tiny offsets table
     assert(!p.contains("ntile(10)"), p)
   }
 
   test("rfm quintiles rank under range-partitioned windows (three of them)") {
     val p = plan("analytics_rfm")
     assert(!p.contains("ntile(5)"), p)
-    assert("windowspecdefinition\\(__rng".r.findAllIn(p).size >= 3, p)
+    assert("windowspecdefinition\\(__ck\\d".r.findAllIn(p).size >= 3, p)
   }
 
   test("pareto running sum is range-partitioned, not a global sort window") {
     val p = plan("analytics_pareto")
-    assert(p.contains("windowspecdefinition(__rng"), p)
+    assert(p.contains("windowspecdefinition(__ck0"), p)
     assert(!p.contains("row_number() windowspecdefinition(cents"), p)
   }
 
@@ -264,15 +270,15 @@ class PlanShapeSpec extends SparkSpec {
   test("curriculum phases come from range-partitioned ranks, not global ntile") {
     val p = plan("corpus_curriculum")
     assert(!p.contains("ntile(4)"), p)
-    assert(p.contains("windowspecdefinition(__rng"), p)
+    assert(p.contains("windowspecdefinition(__ck0"), p)
   }
 
   test("rank statistics fold per distinct value under partitioned windows") {
     val mw = plan("stat_mann_whitney")
     assert(!mw.contains("rank() windowspecdefinition(v"), mw)
-    assert(mw.contains("windowspecdefinition(__rng"), mw)
+    assert(mw.contains("windowspecdefinition(__ck0"), mw)
     val ks = plan("stat_ks_test")
-    assert(ks.contains("windowspecdefinition(__rng"), ks)
+    assert(ks.contains("windowspecdefinition(__ck0"), ks)
   }
 
   test("13-gram decontamination broadcasts the benchmark n-gram set") {

@@ -37,6 +37,61 @@ class ScaleRankSpec extends SparkSpec {
     }
   }
 
+  test("withGlobalRanksMulti fused == three independent global sorts") {
+    val rnd = new scala.util.Random(11)
+    val df = (1 to 700).map { i =>
+      (i.toLong, rnd.nextInt(13).toLong, rnd.nextInt(29).toLong,
+        rnd.nextInt(7).toLong)
+    }.toDF("k", "a", "b", "c")
+    def exp(m: String, desc: Boolean) = row_number().over(
+      Window.orderBy(if (desc) col(m).desc else col(m).asc, col("k")))
+      .cast("long")
+    val expected = df
+      .withColumn("ra_exp", exp("a", desc = false))
+      .withColumn("rb_exp", exp("b", desc = true))
+      .withColumn("rc_exp", exp("c", desc = false))
+    val got = ScaleRank.withGlobalRanksMulti(df, Seq(
+        ScaleRank.RankOn("a", "ra", nName = Some("n")),
+        ScaleRank.RankOn("b", "rb", descending = true),
+        ScaleRank.RankOn("c", "rc")), "k", nRanges = 8)
+    val joined = expected.select("k", "ra_exp", "rb_exp", "rc_exp")
+      .join(got, "k")
+    assert(joined.filter(col("ra") =!= col("ra_exp") ||
+      col("rb") =!= col("rb_exp") || col("rc") =!= col("rc_exp") ||
+      col("n") =!= lit(700L)).count() == 0)
+  }
+
+  test("tie-mass skew guard: 90%-tied metric balances cells, ranks unchanged") {
+    // one value carries 90% of the rows — a plain range partitioner
+    // puts 90% of the data in a single window partition
+    val n = 2000
+    val df = (1 to n).map { i =>
+      (i.toLong, if (i <= (n * 9) / 10) 42L else (i % 40).toLong, i.toLong)
+    }.toDF("k", "v", "w")
+    val w = Window.orderBy(col("v"), col("k"))
+    val expected = df
+      .withColumn("rk_exp", row_number().over(w).cast("long"))
+      .withColumn("run_exp", sum(col("w")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val got = ScaleRank.withGlobalRanksMulti(df, Seq(
+        ScaleRank.RankOn("v", "rk", runOns = Seq("w" -> "run"))),
+      "k", nRanges = 8, keepCells = true)
+    // bit-equality with the global sort
+    val joined = expected.select("k", "rk_exp", "run_exp")
+      .join(got, "k")
+    assert(joined.filter(col("rk") =!= col("rk_exp") ||
+      col("run") =!= col("run_exp")).count() == 0)
+    // balance: no cell may hold anything near the 90% tie mass; the
+    // guard sub-splits the heavy value by key hash, so the largest
+    // cell should be a small multiple of n/nRanges
+    val cellSizes = got.groupBy("__ck0").count()
+      .collect().map(_.getAs[Long]("count"))
+    assert(cellSizes.max < n / 2,
+      s"largest cell ${cellSizes.max} of $n — skew guard did not split")
+    assert(cellSizes.length > 8,
+      s"only ${cellSizes.length} cells — heavy value was not sub-split")
+  }
+
   test("ntileFromRank == ntile for every (n, b) shape incl. n < b") {
     for (n <- Seq(1, 4, 7, 10, 23, 100); b <- Seq(1, 3, 4, 5, 10)) {
       val df = (1 to n).map(_.toLong).toDF("k")
