@@ -9,11 +9,26 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.parquet carries TIMESTAMP(NANOS) which Spark's parquet
-    * reader rejects; read nanos as long (legacy flag) and convert to a
-    * microsecond timestamp (the testdata's nanos are exact µs). */
+  /** Older testdata generations wrote events.parquet with
+    * TIMESTAMP(NANOS) which Spark's parquet reader rejects; read nanos
+    * as long (legacy flag) so the scan succeeds either way. Newer
+    * generations write plain timestamp[us] — the flag is then inert. */
   def eventsNanosToTs(spark: SparkSession): Unit =
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+  /** Normalize the events `ts` column to session-zoned TimestampType
+    * regardless of which testdata generation produced the file:
+    * nano-longs (TIMESTAMP(NANOS) read under nanosAsLong) become
+    * microsecond timestamps; timestamp[us] (read as TIMESTAMP_NTZ)
+    * casts to TimestampType — identical wall-clock values under the
+    * UTC session timezone every entrypoint sets. */
+  def normalizeEventsTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+    }
 
   /** Rebalance a small scan across the cluster before compute-heavy
     * per-row work. The testdata parquet is one row group per file, so a
@@ -35,8 +50,7 @@ object Tables {
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
   def events(s: SparkSession, d: String): DataFrame = {
     eventsNanosToTs(s)
-    table(s, d, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    normalizeEventsTs(table(s, d, "events"))
   }
   // documents/embeddings feed the compute-heavy operators (minhash,
   // regex batteries, cosine scans) → rebalanced at load.

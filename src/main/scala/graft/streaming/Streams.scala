@@ -59,8 +59,8 @@ object Streams {
           java.nio.file.Files.deleteIfExists(tmp)
       }
     }
-    spark.readStream.schema(schema).parquet(stageDir.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    graft.io.Tables.normalizeEventsTs(
+      spark.readStream.schema(schema).parquet(stageDir.toString))
   }
 
   /** Hourly tumbling-window counts + value sums. Complete output mode so
