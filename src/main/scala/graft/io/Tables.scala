@@ -26,8 +26,14 @@ object Tables {
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case _ =>
+      case org.apache.spark.sql.types.TimestampType => df
+      case org.apache.spark.sql.types.TimestampNTZType =>
         df.withColumn("ts", col("ts").cast("timestamp"))
+      // anything else means a malformed/unknown generation: fail loudly
+      // rather than let a cast silently null out every timestamp.
+      case other => throw new IllegalArgumentException(
+        s"events.ts has unexpected type $other: expected nano-long " +
+          "(TIMESTAMP(NANOS) under nanosAsLong) or timestamp[us]")
     }
 
   /** Rebalance a small scan across the cluster before compute-heavy

@@ -58,7 +58,7 @@ object Extras11 {
           .select(col("n").as("n1"), col("s").as("s1"), col("ssq").as("q1"))
         val b = g.filter(col("seg") === "MACHINERY")
           .select(col("n").as("n2"), col("s").as("s2"), col("ssq").as("q2"))
-        a.crossJoin(b).select(col("n1"), col("n2"),
+        a.crossJoin(broadcast(b)).select(col("n1"), col("n2"),
           expr("""CAST(round((CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2)
                  | * 1e2) AS BIGINT)""".stripMargin).as("mdiff_e2"),
           expr("""CAST(round((CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2)

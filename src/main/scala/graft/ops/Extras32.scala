@@ -44,7 +44,7 @@ object Extras32 {
           .select(col("n").as("n1"), col("s").as("s1"), col("ssq").as("q1"))
         val b = g.filter(col("seg") === "MACHINERY")
           .select(col("n").as("n2"), col("s").as("s2"), col("ssq").as("q2"))
-        a.crossJoin(b).select(col("n1"), col("n2"),
+        a.crossJoin(broadcast(b)).select(col("n1"), col("n2"),
           expr("""CAST(round((CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2)
                  | / sqrt(((q1 - CAST(s1 AS DOUBLE) * s1 / n1)
                  |       + (q2 - CAST(s2 AS DOUBLE) * s2 / n2))

@@ -139,6 +139,8 @@ object Extras51 {
     // row count, DISTINCT count, and min/max — broadcast thresholds +
     // map-side CASE, one aggregation, no sort of the fact (the
     // feature_quantile_bucket shape promoted to a stats report).
+    // Consumed by `join_cost_advisor` below, which applies the same
+    // histogram shape to a join key to estimate join cost per bin.
     Q("agg_histogram_equiheight",
       Some("""WITH c AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v
              |           FROM lineitem),
@@ -171,6 +173,78 @@ object Extras51 {
             countDistinct("v").cast("long").as("ndv"),
             min("v").cast("long").as("lo_cents"),
             max("v").cast("long").as("hi_cents"))
+          .orderBy("bin")
+      }),
+
+    // the histogram's CONSUMER: a join-side cost advisor for the
+    // orders ⋈ customer join that `join_hinted` force-hints. The
+    // equi-height histogram of the JOIN KEY (quartile bins of
+    // o_custkey) gives per-bin fact rows + NDV; the dim side is
+    // counted into the SAME broadcast bin boundaries; the report is
+    // what a cost-based planner reads off such histograms — per-key
+    // fanout, estimated join output rows per bin (n_fact·n_dim/ndv_dim)
+    // and the broadcast-vs-shuffle_hash side recommendation from the
+    // dim total. Scale: two scans with map-side CASE binning (the
+    // thresholds broadcast), two partial+final aggregations to 4 rows
+    // each, then 4-row joins — the whole point is estimating the big
+    // join WITHOUT running it.
+    Q("join_cost_advisor",
+      Some("""WITH f AS (SELECT o_custkey AS k FROM orders),
+             |q AS (SELECT CAST(quantile_disc(k, 0.25) AS BIGINT) AS q1,
+             |             CAST(quantile_disc(k, 0.50) AS BIGINT) AS q2,
+             |             CAST(quantile_disc(k, 0.75) AS BIGINT) AS q3
+             |      FROM f),
+             |fb AS (SELECT CAST(CASE WHEN k <= q.q1 THEN 1 WHEN k <= q.q2 THEN 2
+             |                   WHEN k <= q.q3 THEN 3 ELSE 4 END AS BIGINT) AS bin, k
+             |       FROM f CROSS JOIN q),
+             |fs AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_fact,
+             |              CAST(count(DISTINCT k) AS BIGINT) AS ndv_fact
+             |       FROM fb GROUP BY 1),
+             |db AS (SELECT CAST(CASE WHEN c_custkey <= q.q1 THEN 1
+             |                   WHEN c_custkey <= q.q2 THEN 2
+             |                   WHEN c_custkey <= q.q3 THEN 3 ELSE 4 END AS BIGINT) AS bin,
+             |              c_custkey AS k
+             |       FROM customer CROSS JOIN q),
+             |ds AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_dim,
+             |              CAST(count(DISTINCT k) AS BIGINT) AS ndv_dim
+             |       FROM db GROUP BY 1),
+             |t AS (SELECT CAST(sum(n_dim) AS BIGINT) AS dim_total FROM ds)
+             |SELECT fs.bin, n_fact, ndv_fact, n_dim, ndv_dim,
+             |       CAST(round(CAST(n_fact AS DOUBLE) * 100 / ndv_fact) AS BIGINT) AS fanout_e2,
+             |       CAST(round(CAST(n_fact AS DOUBLE) * n_dim / ndv_dim) AS BIGINT) AS est_out_rows,
+             |       CASE WHEN dim_total <= 1000000 THEN 'broadcast'
+             |            ELSE 'shuffle_hash' END AS side_hint
+             |FROM fs JOIN ds ON fs.bin = ds.bin CROSS JOIN t
+             |ORDER BY fs.bin""".stripMargin),
+      (s, d) => {
+        val f = Tables.orders(s, d).select(col("o_custkey").as("k"))
+        val q = f.agg(
+          expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY k)").cast("long").as("q1"),
+          expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY k)").cast("long").as("q2"),
+          expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY k)").cast("long").as("q3"))
+        def binned(df: org.apache.spark.sql.DataFrame) = df
+          .crossJoin(broadcast(q))
+          .select(when(col("k") <= col("q1"), 1L)
+            .when(col("k") <= col("q2"), 2L)
+            .when(col("k") <= col("q3"), 3L)
+            .otherwise(4L).as("bin"), col("k"))
+        val fs = binned(f).groupBy("bin")
+          .agg(count(lit(1)).cast("long").as("n_fact"),
+            countDistinct("k").cast("long").as("ndv_fact"))
+        val ds = binned(Tables.customer(s, d).select(col("c_custkey").as("k")))
+          .groupBy("bin")
+          .agg(count(lit(1)).cast("long").as("n_dim"),
+            countDistinct("k").cast("long").as("ndv_dim"))
+        val t = ds.agg(sum("n_dim").cast("long").as("dim_total"))
+        fs.join(broadcast(ds), "bin").crossJoin(broadcast(t))
+          .select(col("bin"), col("n_fact"), col("ndv_fact"),
+            col("n_dim"), col("ndv_dim"),
+            expr("CAST(round(CAST(n_fact AS DOUBLE) * 100 / ndv_fact) AS BIGINT)")
+              .as("fanout_e2"),
+            expr("CAST(round(CAST(n_fact AS DOUBLE) * n_dim / ndv_dim) AS BIGINT)")
+              .as("est_out_rows"),
+            when(col("dim_total") <= 1000000L, "broadcast")
+              .otherwise("shuffle_hash").as("side_hint"))
           .orderBy("bin")
       }))
 }

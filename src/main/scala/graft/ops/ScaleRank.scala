@@ -109,6 +109,14 @@ object ScaleRank {
     require(ranks.nonEmpty)
     val spark = df.sparkSession
     val nM = ranks.size
+    // Pass 2 collects up to nRanges^nM joint cells to the driver. Fine
+    // at the registered call shapes (nM ≤ 3, 32³ ≈ 33k cells), but an
+    // unguarded 5-metric call at the default nRanges=32 would collect
+    // up to 33M rows — a driver OOM. Refuse upfront; callers with many
+    // metrics should lower nRanges or marginalize per metric.
+    require(math.pow(nRanges.toDouble, nM.toDouble) <= 1e6,
+      s"withGlobalRanksMulti: nRanges^nM = $nRanges^$nM exceeds the 1e6 " +
+        "joint-cell driver-collect bound; lower nRanges or split the rankings")
 
     def smName(i: Int) = s"__sm$i"
     def rngName(i: Int) = s"__rng$i"

@@ -198,10 +198,9 @@ object Stateful {
     * update-mode emission history to the final value. */
   def typeCountsTws(spark: SparkSession, dir: String): DataFrame = Streams.withStreamParallelism(spark) {
     import spark.implicits._
-    val key = "spark.sql.streaming.stateStore.providerClass"
+    val key = Streams.StateStoreKey
     val prev = spark.conf.getOption(key)
-    spark.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(key, Streams.RocksDbProvider)
     try {
       val name = "graft_stream_tws"
       val q = Streams.eventsStream(spark, dir)

@@ -24,12 +24,46 @@ object Streams {
   private[streaming] def withStreamParallelism[T](spark: SparkSession)(f: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
+    val prevStore = spark.conf.getOption(StateStoreKey)
     spark.conf.set(key, "8")
-    try f finally spark.conf.set(key, prev)
+    stateStoreProvider.foreach(spark.conf.set(StateStoreKey, _))
+    try f finally {
+      spark.conf.set(key, prev)
+      prevStore match {
+        case Some(v) => spark.conf.set(StateStoreKey, v)
+        case None => spark.conf.unset(StateStoreKey)
+      }
+    }
   }
 
-  /** File-source stream over the events snapshot (ts arrives as nano
-    * longs — see Tables.eventsNanosToTs — and is converted to µs). */
+  private[graft] val StateStoreKey =
+    "spark.sql.streaming.stateStore.providerClass"
+  private[graft] val RocksDbProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** State-store backend toggle for EVERY stateful stream in this
+    * object and [[Stateful]] (windowed/session aggs, dropDuplicates,
+    * mapGroupsWithState, stream-stream joins): set
+    * `GRAFT_STREAM_STATE_STORE=rocksdb` (env) or
+    * `graft.stream.stateStore=rocksdb` (system property, for tests) to
+    * run them on the RocksDB provider instead of the default in-heap
+    * HDFS-backed one. The logical and physical plans are IDENTICAL
+    * either way — the provider only swaps the state byte-store — so at
+    * 100 TB, where per-key state exceeds executor heap (dedup horizons,
+    * large session maps, join buffers), RocksDB spills to local SSD
+    * with changelog checkpointing and the queries themselves are
+    * untouched (StreamStateStoreSpec pins result-equality both ways).
+    * `transformWithState` (Stateful.typeCountsTws) requires RocksDB and
+    * forces it regardless of the toggle. */
+  private[graft] def stateStoreProvider: Option[String] =
+    sys.env.get("GRAFT_STREAM_STATE_STORE")
+      .orElse(sys.props.get("graft.stream.stateStore"))
+      .collect { case v if v.equalsIgnoreCase("rocksdb") => RocksDbProvider }
+
+  /** File-source stream over the events snapshot. `ts` is normalized by
+    * Tables.normalizeEventsTs, which handles BOTH testdata generations:
+    * nano-longs (TIMESTAMP(NANOS) read under nanosAsLong → µs
+    * timestamps) and plain timestamp[us]. */
   private[streaming] def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     graft.io.Tables.eventsNanosToTs(spark)
     val path = s"$dir/events.parquet"
@@ -46,12 +80,27 @@ object Streams {
     // share this dir, and a REPLACE_EXISTING copy would transiently
     // unlink the file under a running reader. The dot-prefixed temp is
     // invisible to the file source; ATOMIC_MOVE either wins or loses
-    // to an identical copy.
+    // to an identical copy. A stale stage from a PREVIOUS testdata
+    // generation (regenerated in place — different size/mtime, possibly
+    // a different ts physical type than the schema inferred above) is
+    // detected and re-staged, not reused.
     val target = stageDir.resolve("events.parquet")
+    val stale = java.nio.file.Files.exists(target) && {
+      val srcAttr = java.nio.file.Files.readAttributes(
+        src, classOf[java.nio.file.attribute.BasicFileAttributes])
+      val tgtAttr = java.nio.file.Files.readAttributes(
+        target, classOf[java.nio.file.attribute.BasicFileAttributes])
+      srcAttr.size() != tgtAttr.size() ||
+        srcAttr.lastModifiedTime().compareTo(tgtAttr.lastModifiedTime()) != 0
+    }
+    if (stale) java.nio.file.Files.deleteIfExists(target)
     if (!java.nio.file.Files.exists(target)) {
       val tmp = java.nio.file.Files.createTempFile(stageDir, ".events", ".tmp")
+      // COPY_ATTRIBUTES carries the source mtime onto the stage so the
+      // staleness check above can compare mtimes on the next run.
       java.nio.file.Files.copy(src, tmp,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.COPY_ATTRIBUTES)
       try java.nio.file.Files.move(tmp, target,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       catch {

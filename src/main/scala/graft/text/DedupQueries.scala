@@ -65,6 +65,13 @@ object DedupQueries {
         .orderBy("id_a", "id_b")),
 
     // SimHash fingerprints (+ prefix bucket) for every doc.
+    // Rows-only BY DESIGN (no oracle SQL): the production hash family is
+    // MurmurHash3 — a tight JVM loop, the right cost profile at 100 TB —
+    // and DuckDB has no ANSI-SQL spelling of MurmurHash3, so the
+    // fingerprint values cannot be cross-engine-compared. The algorithm
+    // is oracle-exact via the md5-family twin `dedup_simhash_md5` below
+    // (identical pipeline, engine-shared hash); DedupSpec pins this
+    // variant's determinism and Hamming distance behavior.
     Q("dedup_simhash",
       None,
       (s, d) => Dedup.withSimHash(documents(s, d), "text")

@@ -300,6 +300,14 @@ class PlanShapeSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("welch t / cohen's d broadcast the 1-row segment aggregates") {
+    for (name <- Seq("stat_ttest_welch", "stat_cohens_d")) {
+      val p = plan(name)
+      assert(p.contains("BroadcastNestedLoopJoin"), s"$name:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$name:\n$p")
+    }
+  }
+
   test("interval sweep and merge window on their entity keys only") {
     val mc = plan("ts_max_concurrent")
     assert(mc.contains("windowspecdefinition(pk"), mc)

@@ -61,6 +61,22 @@ class ScaleRankSpec extends SparkSpec {
       col("n") =!= lit(700L)).count() == 0)
   }
 
+  test("joint-cell driver-collect bound refuses nRanges^nM > 1e6") {
+    val df = (1 to 10).map(i =>
+      (i.toLong, i.toLong, i.toLong, i.toLong, i.toLong, i.toLong))
+      .toDF("k", "a", "b", "c", "d", "e")
+    val fiveMetrics = Seq("a", "b", "c", "d", "e")
+      .map(m => ScaleRank.RankOn(m, s"r$m"))
+    // 32^5 ≈ 33M joint cells — must refuse before any job runs
+    val ex = intercept[IllegalArgumentException] {
+      ScaleRank.withGlobalRanksMulti(df, fiveMetrics, "k")
+    }
+    assert(ex.getMessage.contains("joint-cell"))
+    // same 5 metrics are fine once nRanges keeps the cell bound: 8^5 = 32k
+    val ok = ScaleRank.withGlobalRanksMulti(df, fiveMetrics, "k", nRanges = 8)
+    assert(ok.filter(col("ra") =!= col("k")).count() == 0)
+  }
+
   test("tie-mass skew guard: 90%-tied metric balances cells, ranks unchanged") {
     // one value carries 90% of the rows — a plain range partitioner
     // puts 90% of the data in a single window partition
