@@ -90,8 +90,11 @@ object Streams {
         src, classOf[java.nio.file.attribute.BasicFileAttributes])
       val tgtAttr = java.nio.file.Files.readAttributes(
         target, classOf[java.nio.file.attribute.BasicFileAttributes])
+      // millisecond granularity: COPY_ATTRIBUTES preserves mtime only
+      // to µs on some filesystems, so an exact compare would flag the
+      // stage stale on EVERY run and re-copy (racing concurrent readers)
       srcAttr.size() != tgtAttr.size() ||
-        srcAttr.lastModifiedTime().compareTo(tgtAttr.lastModifiedTime()) != 0
+        srcAttr.lastModifiedTime().toMillis != tgtAttr.lastModifiedTime().toMillis
     }
     if (stale) java.nio.file.Files.deleteIfExists(target)
     if (!java.nio.file.Files.exists(target)) {
