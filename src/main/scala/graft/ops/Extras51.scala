@@ -159,10 +159,11 @@ object Extras51 {
       (s, d) => {
         val c = Tables.lineitem(s, d)
           .select(expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("v"))
-        val q = c.agg(
-          expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY v)").cast("long").as("q1"),
-          expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY v)").cast("long").as("q2"),
-          expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY v)").cast("long").as("q3"))
+        // exact quartiles via the distributed CDF (percentile_disc
+        // buffers the whole column per cutpoint — 4.3s serial at sf0.1
+        // and unbounded memory at scale; see ScaleRank.exactQuantilesDisc)
+        val q = ScaleRank.exactQuantilesDisc(c, "v",
+          Seq(1 -> 4, 2 -> 4, 3 -> 4), Seq("q1", "q2", "q3"))
         c.crossJoin(broadcast(q))
           .select(when(col("v") <= col("q1"), 1L)
             .when(col("v") <= col("q2"), 2L)
@@ -218,10 +219,8 @@ object Extras51 {
              |ORDER BY fs.bin""".stripMargin),
       (s, d) => {
         val f = Tables.orders(s, d).select(col("o_custkey").as("k"))
-        val q = f.agg(
-          expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY k)").cast("long").as("q1"),
-          expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY k)").cast("long").as("q2"),
-          expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY k)").cast("long").as("q3"))
+        val q = ScaleRank.exactQuantilesDisc(f, "k",
+          Seq(1 -> 4, 2 -> 4, 3 -> 4), Seq("q1", "q2", "q3"))
         def binned(df: org.apache.spark.sql.DataFrame) = df
           .crossJoin(broadcast(q))
           .select(when(col("k") <= col("q1"), 1L)

@@ -169,10 +169,11 @@ object Extras6 {
       (s, d) => {
         val c = Tables.orders(s, d)
           .select(col("o_orderkey"), round(col("o_totalprice") * 100).cast("long").as("cents"))
-        val q = c.agg(
-          expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY cents)").cast("long").as("q1"),
-          expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY cents)").cast("long").as("q2"),
-          expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY cents)").cast("long").as("q3"))
+        // distributed exact quartiles — percentile_disc's whole-column
+        // aggregate buffer is the non-scalable spelling (ScaleRank.
+        // exactQuantilesDisc doc)
+        val q = ScaleRank.exactQuantilesDisc(c, "cents",
+          Seq(1 -> 4, 2 -> 4, 3 -> 4), Seq("q1", "q2", "q3"))
         c.crossJoin(broadcast(q))
           .select(when(col("cents") <= col("q1"), 1L)
             .when(col("cents") <= col("q2"), 2L)

@@ -161,7 +161,11 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan("feature_quantile_bucket")
     assert(p.contains("BroadcastNestedLoopJoin"), p) // 1-row thresholds
     assert(!p.contains("SortMergeJoin"), p)
-    assert(!p.contains("Window"), p) // the whole point vs ntile
+    // the cut points come from exactQuantilesDisc: its window must be
+    // range-partitioned (__ck0 cells), never a global ntile/sort
+    assert(!p.contains("ntile"), p)
+    assert(p.contains("windowspecdefinition(__ck0"), p)
+    assert(!"windowspecdefinition\\(cents[,)]".r.findFirstIn(p).isDefined, p)
   }
 
   test("ohlc is one aggregation pass — no window, no self-join") {

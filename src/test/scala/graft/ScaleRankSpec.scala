@@ -61,6 +61,25 @@ class ScaleRankSpec extends SparkSpec {
       col("n") =!= lit(700L)).count() == 0)
   }
 
+  test("exactQuantilesDisc == percentile_disc, tie-heavy and distinct data") {
+    for (seed <- Seq(5L, 6L); n <- Seq(37, 500)) {
+      val df = randomDf(seed, n).select(col("v")) // values from a 17-wide domain: heavy ties
+      val fracs = Seq(1 -> 10, 1 -> 4, 1 -> 2, 3 -> 4, 9 -> 10, 1 -> 1)
+      val names = fracs.map { case (a, b) => s"q_${a}_$b" }
+      val got = ScaleRank.exactQuantilesDisc(df, "v", fracs, names,
+        nRanges = 8).head()
+      val exp = df.agg(
+        expr("CAST(percentile_disc(0.1) WITHIN GROUP (ORDER BY v) AS LONG)"),
+        expr("CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY v) AS LONG)"),
+        expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY v) AS LONG)"),
+        expr("CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY v) AS LONG)"),
+        expr("CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY v) AS LONG)"),
+        expr("CAST(percentile_disc(1.0) WITHIN GROUP (ORDER BY v) AS LONG)")).head()
+      for (i <- fracs.indices)
+        assert(got.getLong(i) == exp.getLong(i), s"seed=$seed n=$n i=$i")
+    }
+  }
+
   test("joint-cell driver-collect bound refuses nRanges^nM > 1e6") {
     val df = (1 to 10).map(i =>
       (i.toLong, i.toLong, i.toLong, i.toLong, i.toLong, i.toLong))
