@@ -31,7 +31,11 @@ object Explain {
         // ranking, windowless PSI, bucketed lag, interval sweeps)
         "agg_deciles", "analytics_rfm", "analytics_pareto", "dq_psi",
         "dq_id_gaps", "sim_knn_graph", "ts_max_concurrent",
-        "stat_mann_whitney")
+        "stat_mann_whitney",
+        // round-7 scale-critical additions (distributed exact
+        // quantiles, histogram-driven join costing)
+        "agg_histogram_equiheight", "feature_quantile_bucket",
+        "join_cost_advisor")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
