@@ -58,16 +58,11 @@ object Extras20 {
         val ev = Tables.events(s, d)
         val c0 = ev.select(col("event_id"), col("ts"),
           round(col("value") * 100).cast("long").as("cents"))
-        val q = c0.agg(
-          expr("percentile_disc(0.1) WITHIN GROUP (ORDER BY cents)").cast("long").as("q1"),
-          expr("percentile_disc(0.2) WITHIN GROUP (ORDER BY cents)").cast("long").as("q2"),
-          expr("percentile_disc(0.3) WITHIN GROUP (ORDER BY cents)").cast("long").as("q3"),
-          expr("percentile_disc(0.4) WITHIN GROUP (ORDER BY cents)").cast("long").as("q4"),
-          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY cents)").cast("long").as("q5"),
-          expr("percentile_disc(0.6) WITHIN GROUP (ORDER BY cents)").cast("long").as("q6"),
-          expr("percentile_disc(0.7) WITHIN GROUP (ORDER BY cents)").cast("long").as("q7"),
-          expr("percentile_disc(0.8) WITHIN GROUP (ORDER BY cents)").cast("long").as("q8"),
-          expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY cents)").cast("long").as("q9"))
+        // nine exact decile cutpoints via the distributed CDF — the
+        // percentile_disc spelling buffers the whole column per
+        // cutpoint (ScaleRank.exactQuantilesDisc doc)
+        val q = ScaleRank.exactQuantilesDisc(c0, "cents",
+          (1 to 9).map(_ -> 10), (1 to 9).map(i => s"q$i"))
         val m = ev.agg(min(unix_micros(col("ts"))).as("mn"),
           max(unix_micros(col("ts"))).as("mx"))
         val c = c0.crossJoin(broadcast(q)).crossJoin(broadcast(m))

@@ -222,9 +222,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("LeftOuter"), p)
   }
 
-  test("psi buckets by broadcast thresholds — no window at all") {
+  test("psi buckets by broadcast thresholds — no global window on the fact") {
     val p = plan("dq_psi")
-    assert(!p.contains("Window"), p)
+    // cutpoints now come from exactQuantilesDisc: only its range-
+    // partitioned __ck0 window may appear; never a global ntile/sort
+    assert(!p.contains("ntile"), p)
+    assert(!"windowspecdefinition\\(cents[,)]".r.findFirstIn(p).isDefined, p)
     assert(p.contains("BroadcastNestedLoopJoin"), p) // 1-row cutpoints
   }
 
