@@ -75,7 +75,7 @@ object Catalog {
     val u = updates.columns.foldLeft(updates)((df, c) =>
       df.withColumnRenamed(c, s"u_$c"))
     jobs.join(u, jobs("id") === u("u_id"), "full_outer")
-      .select(jobs.columns.map(c =>
+      .select(jobs.columns.toIndexedSeq.map(c =>
         coalesce(col(s"u_$c"), col(c)).as(c)): _*)
   }
 }

@@ -62,9 +62,13 @@ object Extras8 {
              |ORDER BY event_id""".stripMargin),
       (s, d) => {
         val ev = Tables.events(s, d)
-        val th = ev.groupBy("event_type").agg(
-          expr("percentile_disc(0.05) WITHIN GROUP (ORDER BY value)").as("lo"),
-          expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY value)").as("hi"))
+        // per-group thresholds via the distributed per-group CDF — the
+        // percentile_disc GROUP BY spelling buffers every value of the
+        // group (ScaleRank.groupedQuantilesDisc doc). Values are ~0-500
+        // doubles → floor(v) buckets the within-group windows finely.
+        val th = ScaleRank.groupedQuantilesDisc(
+          ev.select(col("event_type"), col("value")), "event_type", "value",
+          Seq(1 -> 20, 19 -> 20), Seq("lo", "hi"), v => floor(v))
         ev.join(broadcast(th), "event_type")
           .select(col("event_id"), col("event_type"),
             round(least(greatest(col("value"), col("lo")), col("hi")) * lit(1e6))

@@ -247,7 +247,7 @@ object ScaleRank {
             val minCnt = heavyVals.map(_._2).min
             val step = math.max(1L, minCnt / 2048L)
             val sampleRows = ranged
-              .filter(sm.isin(heavyVals.map(_._1): _*) &&
+              .filter(sm.isin(heavyVals.toIndexedSeq.map(_._1): _*) &&
                 pmod(xxhash64(col(key)), lit(step)) === 0)
               .groupBy(sm.as("v"))
               .agg(sort_array(collect_list(col(key))).as("ks"))
@@ -476,6 +476,41 @@ object ScaleRank {
       min(when(col("__rk") * den >= col("__n") * num, col("__v"))).as(nm)
     }
     ranked.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Per-GROUP exact discrete quantiles — [[exactQuantilesDisc]] for
+    * `percentile_disc WITHIN GROUP ... GROUP BY g`, whose per-group
+    * aggregation buffers hold every value of the group (a group at
+    * 100 TB ÷ a handful of event types does not fit an executor).
+    * Shape: reduce to the (group, value, count) table (one map-side-
+    * combined shuffle), per-group cumulative counts via
+    * [[partitionedRunningSum]] (two-level (group, bucket(value))
+    * windows — no whole-group sort task), per-group totals broadcast
+    * back, then one aggregate row per group picks min(value | run·den
+    * ≥ num·n_g). `bucket` maps the value column to a sub-bucket id —
+    * monotone in the value, ties share a bucket (floor at a width
+    * suited to the domain); balance, never correctness, depends on it.
+    *
+    * Returns one row per group: (groupCol, names...), broadcast-join
+    * it back to the fact like the aggregate it replaces.
+    */
+  def groupedQuantilesDisc(df: DataFrame, groupCol: String,
+      valueCol: String, fractions: Seq[(Int, Int)], names: Seq[String],
+      bucket: Column => Column): DataFrame = {
+    require(fractions.nonEmpty && fractions.size == names.size)
+    require(fractions.forall { case (num, den) =>
+      den > 0 && num > 0 && num <= den })
+    val vc = df.groupBy(col(groupCol).as("__g"), col(valueCol).as("__v"))
+      .agg(count(lit(1)).as("__cnt"))
+    val cum = partitionedRunningSum(vc, "__g", Seq("__v"), "__cnt",
+      bucket(col("__v")), "__run")
+    val tot = vc.groupBy("__g").agg(sum("__cnt").cast("long").as("__n"))
+    val aggs = fractions.zip(names).map { case ((num, den), nm) =>
+      min(when(col("__run") * den >= col("__n") * num, col("__v"))).as(nm)
+    }
+    cum.join(broadcast(tot), "__g")
+      .groupBy("__g").agg(aggs.head, aggs.tail: _*)
+      .withColumnRenamed("__g", groupCol)
   }
 
   /** The ntile(b) bucket of global rank `rk` among `n` rows — the

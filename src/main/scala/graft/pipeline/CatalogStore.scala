@@ -114,7 +114,7 @@ final class JdbcCatalog(spark: SparkSession, url: String,
     if (tableExists(table)) {
       val df = spark.read.jdbc(url, table, props)
       // align nullability/order with the canonical schema
-      df.select(schema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
+      df.select(schema.fieldNames.toIndexedSeq.map(org.apache.spark.sql.functions.col): _*)
     } else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
 
   /** Stage-and-swap overwrite, mirroring [[ParquetCatalog]]'s temp+swap:

@@ -47,7 +47,7 @@ final class JobService(spark: SparkSession, store: CatalogStore) {
     val existing = users
     if (!existing.filter(col("username") === username).isEmpty) false
     else {
-      val maxId = existing.agg(coalesce(max("id"), lit(0L))).head.getLong(0)
+      val maxId = existing.agg(coalesce(max("id"), lit(0L))).head().getLong(0)
       val hashed = method match {
         case "scrypt" => lit(Scrypt.generate(password))
         case _ => Exprs.hashPassword(lit(password), lit(username))
@@ -86,9 +86,9 @@ final class JobService(spark: SparkSession, store: CatalogStore) {
   def startEtl(username: String, inPath: String, outPath: String,
       opts: Pipelines.EtlOptions = Pipelines.EtlOptions()): Long = {
     val userId = users.filter(col("username") === username)
-      .select("id").head.getLong(0)
+      .select("id").head().getLong(0)
     val existing = jobs
-    val jobId = existing.agg(coalesce(max("id"), lit(0L))).head.getLong(0) + 1
+    val jobId = existing.agg(coalesce(max("id"), lit(0L))).head().getLong(0) + 1
     val fileName = inPath.split('/').last
     def jobRow(status: String, resultUrl: Option[String]) =
       spark.range(1).select(

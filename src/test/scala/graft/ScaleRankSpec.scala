@@ -80,6 +80,23 @@ class ScaleRankSpec extends SparkSpec {
     }
   }
 
+  test("groupedQuantilesDisc == per-group percentile_disc, tie-heavy") {
+    val rnd = new scala.util.Random(13)
+    val df = (1 to 900).map(i => (s"g${i % 4}", rnd.nextInt(23).toLong - 11))
+      .toDF("g", "v")
+    val got = ScaleRank.groupedQuantilesDisc(df, "g", "v",
+      Seq(1 -> 20, 1 -> 2, 19 -> 20), Seq("lo", "mid", "hi"),
+      v => floor(v / 4))
+    val exp = df.groupBy("g").agg(
+      expr("CAST(percentile_disc(0.05) WITHIN GROUP (ORDER BY v) AS LONG)").as("elo"),
+      expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY v) AS LONG)").as("emid"),
+      expr("CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY v) AS LONG)").as("ehi"))
+    val j = got.join(exp, "g")
+    assert(j.filter(col("lo") =!= col("elo") || col("mid") =!= col("emid") ||
+      col("hi") =!= col("ehi")).count() == 0)
+    assert(got.count() == 4)
+  }
+
   test("joint-cell driver-collect bound refuses nRanges^nM > 1e6") {
     val df = (1 to 10).map(i =>
       (i.toLong, i.toLong, i.toLong, i.toLong, i.toLong, i.toLong))
