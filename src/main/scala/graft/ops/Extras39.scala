@@ -90,9 +90,10 @@ object Extras39 {
         val e = Tables.events(s, d)
           .select(col("event_type"),
             expr("CAST(round(value * 100) AS BIGINT)").as("c"))
-        val f = e.groupBy("event_type")
-          .agg(expr("percentile(c, 0.25)").as("q1"),
-            expr("percentile(c, 0.75)").as("q3"))
+        // distributed per-group quartiles — exact quarter interpolation
+        // on cents (ScaleRank.groupedQuantilesCont doc)
+        val f = ScaleRank.groupedQuantilesCont(e, "event_type", "c",
+          Seq(1 -> 4, 3 -> 4), Seq("q1", "q3"), x => floor(x / 64))
         val lo = col("q1") - (col("q3") - col("q1")) * 1.5
         val hi = col("q3") + (col("q3") - col("q1")) * 1.5
         e.join(broadcast(f), "event_type")

@@ -91,9 +91,13 @@ object Extras40 {
         val o = Tables.orders(s, d)
           .select(col("o_orderkey"), col("o_orderpriority").as("pri"),
             expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("c"))
-        val f = o.groupBy("pri")
-          .agg(expr("percentile(c, 0.5)").as("med"),
-            expr("percentile(c, 0.75) - percentile(c, 0.25)").as("iqr"))
+        // distributed per-group quartiles (ScaleRank.groupedQuantilesCont
+        // doc) — quarters on integer cents interpolate FP-exactly, so
+        // iqr = q3 − q1 equals the old single-expression subtraction
+        val f = ScaleRank.groupedQuantilesCont(o.select("pri", "c"),
+            "pri", "c", Seq(1 -> 4, 1 -> 2, 3 -> 4),
+            Seq("q1", "med", "q3"), x => floor(x / 65536))
+          .select(col("pri"), col("med"), (col("q3") - col("q1")).as("iqr"))
         o.join(broadcast(f), "pri")
           .select(col("o_orderkey"),
             expr("CAST(round((c - med) / nullif(iqr, 0) * 1e6) AS BIGINT)")

@@ -83,7 +83,12 @@ object Extras43 {
         val v = Tables.orders(s, d)
           .select(col("o_orderpriority").as("pri"),
             expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("c"))
-        val med = v.groupBy("pri").agg(expr("percentile(c, 0.5)").as("m"))
+        // per-group median via the distributed per-group CDF — the
+        // percentile() GROUP BY spelling buffers every group value
+        // (ScaleRank.groupedQuantilesCont doc); halves on integer
+        // cents interpolate FP-exactly
+        val med = ScaleRank.groupedQuantilesCont(v, "pri", "c",
+          Seq(1 -> 2), Seq("m"), x => floor(x / 65536))
         val g = v.join(broadcast(med), "pri")
           .select(col("pri"),
             expr("CAST(round(abs(c - m) * 2) AS BIGINT)").as("z2"))

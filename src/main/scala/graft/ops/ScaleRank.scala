@@ -497,7 +497,59 @@ object ScaleRank {
   def groupedQuantilesDisc(df: DataFrame, groupCol: String,
       valueCol: String, fractions: Seq[(Int, Int)], names: Seq[String],
       bucket: Column => Column): DataFrame = {
-    require(fractions.nonEmpty && fractions.size == names.size)
+    val aggs = fractions.zip(names).map { case ((num, den), nm) =>
+      min(when(col("__run") * den >= col("__n") * num, col("__v"))).as(nm)
+    }
+    groupedCdfAgg(df, groupCol, valueCol, fractions, bucket, aggs)
+  }
+
+  /** Per-group exact CONTINUOUS quantiles (percentile / quantile_cont
+    * semantics: linear interpolation between the order statistics at
+    * ranks ⌊h⌋+1 and ⌈h⌉+1 where h = (n−1)·p) over the same
+    * distributed per-group CDF as [[groupedQuantilesDisc]] — replaces
+    * `percentile(x, p) ... GROUP BY g`, whose per-group buffer holds
+    * every value of the group. Rank arithmetic is exact-integer
+    * (h·den = (n−1)·num); only the final interpolation is float:
+    * v1 + (frac/den)·(v2−v1), which is EXACT (and engine-identical)
+    * whenever the values are integers and den divides a power of two
+    * (quarters/halves — the cents-grid callers here). Fractions with
+    * non-dyadic denominators over non-integer values interpolate with
+    * ordinary FP rounding — hash-gate such a caller before trusting
+    * bit-equality. */
+  def groupedQuantilesCont(df: DataFrame, groupCol: String,
+      valueCol: String, fractions: Seq[(Int, Int)], names: Seq[String],
+      bucket: Column => Column): DataFrame = {
+    val aggs = fractions.zip(names).flatMap { case ((num, den), nm) =>
+      // h·den = (n−1)·num; r1 = ⌊h⌋+1; r2 = r1 + (1 if h fractional)
+      val hnum = (col("__n") - 1) * num
+      val r1 = floor(hnum / den).cast("long") + 1
+      val fr = hnum % den
+      val r2 = r1 + when(fr > 0, 1L).otherwise(0L)
+      Seq(
+        min(when(col("__run") >= r1, col("__v"))).as(s"__lo_$nm"),
+        min(when(col("__run") >= r2, col("__v"))).as(s"__hi_$nm"),
+        // fr is group-constant; carry it out of the aggregate
+        max(fr).cast("double").as(s"__fr_$nm"))
+    }
+    val raw = groupedCdfAgg(df, groupCol, valueCol, fractions, bucket, aggs)
+    fractions.zip(names).foldLeft(raw) { case (acc, ((_, den), nm)) =>
+      acc.withColumn(nm,
+        col(s"__lo_$nm").cast("double") +
+          col(s"__fr_$nm") / den *
+            (col(s"__hi_$nm").cast("double") - col(s"__lo_$nm").cast("double")))
+        .drop(s"__lo_$nm", s"__hi_$nm", s"__fr_$nm")
+    }
+  }
+
+  /** Shared core of the grouped quantile helpers: (group, value,
+    * count) reduction, per-group cumulative counts via the two-level
+    * [[partitionedRunningSum]], per-group totals broadcast back, one
+    * output row per group from `aggs` (which see `__v`, `__run`,
+    * `__n`). */
+  private def groupedCdfAgg(df: DataFrame, groupCol: String,
+      valueCol: String, fractions: Seq[(Int, Int)],
+      bucket: Column => Column, aggs: Seq[Column]): DataFrame = {
+    require(fractions.nonEmpty && aggs.nonEmpty)
     require(fractions.forall { case (num, den) =>
       den > 0 && num > 0 && num <= den })
     val vc = df.groupBy(col(groupCol).as("__g"), col(valueCol).as("__v"))
@@ -505,9 +557,6 @@ object ScaleRank {
     val cum = partitionedRunningSum(vc, "__g", Seq("__v"), "__cnt",
       bucket(col("__v")), "__run")
     val tot = vc.groupBy("__g").agg(sum("__cnt").cast("long").as("__n"))
-    val aggs = fractions.zip(names).map { case ((num, den), nm) =>
-      min(when(col("__run") * den >= col("__n") * num, col("__v"))).as(nm)
-    }
     cum.join(broadcast(tot), "__g")
       .groupBy("__g").agg(aggs.head, aggs.tail: _*)
       .withColumnRenamed("__g", groupCol)

@@ -97,6 +97,24 @@ class ScaleRankSpec extends SparkSpec {
     assert(got.count() == 4)
   }
 
+  test("groupedQuantilesCont == per-group percentile, dyadic fractions bit-exact") {
+    val rnd = new scala.util.Random(17)
+    val df = (1 to 800).map(i => (s"g${i % 3}", rnd.nextInt(1000).toLong))
+      .toDF("g", "v")
+    val got = ScaleRank.groupedQuantilesCont(df, "g", "v",
+      Seq(1 -> 4, 1 -> 2, 3 -> 4), Seq("q1", "med", "q3"),
+      x => floor(x / 64))
+    val exp = df.groupBy("g").agg(
+      expr("percentile(v, 0.25)").as("e1"),
+      expr("percentile(v, 0.5)").as("e2"),
+      expr("percentile(v, 0.75)").as("e3"))
+    val j = got.join(exp, "g")
+    // dyadic fractions over integers: interpolation is FP-exact, so
+    // require bit-equality with the builtin, not approximate equality
+    assert(j.filter(col("q1") =!= col("e1") || col("med") =!= col("e2") ||
+      col("q3") =!= col("e3")).count() == 0)
+  }
+
   test("joint-cell driver-collect bound refuses nRanges^nM > 1e6") {
     val df = (1 to 10).map(i =>
       (i.toLong, i.toLong, i.toLong, i.toLong, i.toLong, i.toLong))
