@@ -31,20 +31,29 @@ object Extras28 {
              |WHERE rn > ceil(n * 0.1) AND rn <= n - ceil(n * 0.1)
              |GROUP BY pri ORDER BY pri""".stripMargin),
       (s, d) => {
-        val w = Window.partitionBy("pri")
-        val r = Tables.orders(s, d)
-          .select(col("o_orderpriority").as("pri"), col("o_orderkey"),
+        val src = Tables.orders(s, d)
+          .select(col("o_orderpriority").as("pri"),
             expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("c"))
-          .withColumn("rn", row_number().over(
-            Window.partitionBy("pri").orderBy("c", "o_orderkey")))
-          .withColumn("n", count(lit(1)).over(w))
-        r.filter(col("rn") > ceil(col("n") * 0.1) &&
-            col("rn") <= col("n") - ceil(col("n") * 0.1))
-          .groupBy("pri")
-          .agg(max("n").cast("long").as("n"),
-            count(lit(1)).cast("long").as("n_kept"),
-            expr("CAST(round(CAST(sum(c) AS DOUBLE) / count(*)) AS BIGINT)")
-              .as("trimmed_mean_cents"))
+        // trimmed sums straight off the distributed per-group CDF — no
+        // per-group row_number window (one whole-group sort task per
+        // priority at scale). A value's rows occupy the rank band
+        // (__run−__cnt, __run]; the kept band is (lo, n−lo] with
+        // lo = ceil(n*0.1) (same double expression as the oracle);
+        // boundary ties contribute their overlap width — every row of
+        // a tied value shares c, so the within-tie key order the
+        // oracle's row_number imposes cannot change the kept SUM or
+        // COUNT, only which equal-valued rows are "kept".
+        val lo = ceil(col("__n") * 0.1).cast("long")
+        val kept = greatest(lit(0L),
+          least(col("__run"), col("__n") - lo) -
+            greatest(lo, col("__run") - col("__cnt")))
+        val aggs = Seq(
+          max(col("__n")).cast("long").as("n"),
+          sum(kept).cast("long").as("n_kept"),
+          round(sum(col("__v") * kept).cast("double") / sum(kept))
+            .cast("long").as("trimmed_mean_cents"))
+        ScaleRank.groupedCdfAgg(src, "pri", "c",
+            x => floor(x / 65536), aggs)
           .orderBy("pri")
       }),
 

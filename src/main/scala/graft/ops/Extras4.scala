@@ -21,8 +21,10 @@ object Extras4 {
     // even-count case as lo + (hi-lo)*0.5; micro-scaling to BIGINT
     // absorbs any last-ulp divergence of that double arithmetic.
     // Scale note: median is NOT partially aggregable — Spark plans a
-    // full sort-based aggregate per group; at 100 TB prefer
-    // approx_percentile unless exactness is contractual.
+    // full sort-based aggregate per group; at 100 TB use
+    // approx_percentile, or ScaleRank.groupedQuantilesCont when
+    // exactness is contractual (this query stays on the builtin as the
+    // surface demo).
     Q("agg_median",
       Some("""SELECT o_orderpriority,
              |       CAST(round(median(o_totalprice) * 1e6) AS BIGINT) AS median_price_micro,

@@ -399,10 +399,16 @@ object Extras5 {
       (s, d) => {
         val v = Tables.events(s, d)
           .select(col("event_type"), round(col("value") * 1e6).cast("long").as("v6"))
-        val m = v.groupBy("event_type").agg(median(col("v6")).as("med"))
+        // grouped medians via the distributed per-group CDF (halves on
+        // the µ-int grid interpolate FP-exactly — see ScaleRank.
+        // groupedQuantilesCont); the builtin median buffers the group
+        val m = ScaleRank.groupedQuantilesCont(v, "event_type", "v6",
+          Seq(1 -> 2), Seq("med"), x => floor(x / 65536))
         val dev = v.join(broadcast(m), "event_type")
           .withColumn("ad", abs(col("v6") - col("med")))
-        val md = dev.groupBy("event_type").agg(median(col("ad")).as("mad"))
+        val md = ScaleRank.groupedQuantilesCont(
+          dev.select("event_type", "ad"), "event_type", "ad",
+          Seq(1 -> 2), Seq("mad"), x => floor(x / 65536))
         dev.join(broadcast(md), "event_type")
           .groupBy(col("event_type"), col("med"), col("mad"))
           .agg(count(when(col("ad") > col("mad") * 3, 1)).as("n_outliers"),

@@ -497,10 +497,18 @@ object ScaleRank {
   def groupedQuantilesDisc(df: DataFrame, groupCol: String,
       valueCol: String, fractions: Seq[(Int, Int)], names: Seq[String],
       bucket: Column => Column): DataFrame = {
+    requireFractions(fractions, names)
     val aggs = fractions.zip(names).map { case ((num, den), nm) =>
       min(when(col("__run") * den >= col("__n") * num, col("__v"))).as(nm)
     }
-    groupedCdfAgg(df, groupCol, valueCol, fractions, bucket, aggs)
+    groupedCdfAgg(df, groupCol, valueCol, bucket, aggs)
+  }
+
+  private def requireFractions(fractions: Seq[(Int, Int)],
+      names: Seq[String]): Unit = {
+    require(fractions.nonEmpty && fractions.size == names.size)
+    require(fractions.forall { case (num, den) =>
+      den > 0 && num > 0 && num <= den })
   }
 
   /** Per-group exact CONTINUOUS quantiles (percentile / quantile_cont
@@ -519,6 +527,7 @@ object ScaleRank {
   def groupedQuantilesCont(df: DataFrame, groupCol: String,
       valueCol: String, fractions: Seq[(Int, Int)], names: Seq[String],
       bucket: Column => Column): DataFrame = {
+    requireFractions(fractions, names)
     val aggs = fractions.zip(names).flatMap { case ((num, den), nm) =>
       // h·den = (n−1)·num; r1 = ⌊h⌋+1; r2 = r1 + (1 if h fractional)
       val hnum = (col("__n") - 1) * num
@@ -531,7 +540,7 @@ object ScaleRank {
         // fr is group-constant; carry it out of the aggregate
         max(fr).cast("double").as(s"__fr_$nm"))
     }
-    val raw = groupedCdfAgg(df, groupCol, valueCol, fractions, bucket, aggs)
+    val raw = groupedCdfAgg(df, groupCol, valueCol, bucket, aggs)
     fractions.zip(names).foldLeft(raw) { case (acc, ((_, den), nm)) =>
       acc.withColumn(nm,
         col(s"__lo_$nm").cast("double") +
@@ -541,17 +550,16 @@ object ScaleRank {
     }
   }
 
-  /** Shared core of the grouped quantile helpers: (group, value,
+  /** Shared core of the grouped quantile/trim helpers: (group, value,
     * count) reduction, per-group cumulative counts via the two-level
     * [[partitionedRunningSum]], per-group totals broadcast back, one
-    * output row per group from `aggs` (which see `__v`, `__run`,
-    * `__n`). */
-  private def groupedCdfAgg(df: DataFrame, groupCol: String,
-      valueCol: String, fractions: Seq[(Int, Int)],
+    * output row per group from `aggs` (which see `__v` value, `__cnt`
+    * rows at that value, `__run` cumulative rows ≤ value, `__n` group
+    * total — a row's rank band is (__run−__cnt, __run]). */
+  private[ops] def groupedCdfAgg(df: DataFrame, groupCol: String,
+      valueCol: String,
       bucket: Column => Column, aggs: Seq[Column]): DataFrame = {
-    require(fractions.nonEmpty && aggs.nonEmpty)
-    require(fractions.forall { case (num, den) =>
-      den > 0 && num > 0 && num <= den })
+    require(aggs.nonEmpty)
     val vc = df.groupBy(col(groupCol).as("__g"), col(valueCol).as("__v"))
       .agg(count(lit(1)).as("__cnt"))
     val cum = partitionedRunningSum(vc, "__g", Seq("__v"), "__cnt",
