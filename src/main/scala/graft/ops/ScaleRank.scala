@@ -466,8 +466,11 @@ object ScaleRank {
     // alone, which is all a quantile reads. A (value, count) reduction
     // first would suit heavy-tie domains but costs extra groupBy
     // shuffles per eager pass — mostly-distinct columns (prices, keys)
-    // are the common case here.
-    val ranked = withGlobalRank(df.select(col(valueCol).as("__v")),
+    // are the common case here. NULL values are ignored, matching
+    // percentile_disc (unfiltered they would sort first and shift
+    // every rank; n must also count non-null rows only).
+    val ranked = withGlobalRank(
+      df.select(col(valueCol).as("__v")).filter(col("__v").isNotNull),
       "__v", "__v", nRanges = nRanges, rkName = "__rk",
       nName = Some("__n"))
     // smallest value whose CDF ≥ num/den ⇔ value of the row at rank
@@ -555,12 +558,18 @@ object ScaleRank {
     * [[partitionedRunningSum]], per-group totals broadcast back, one
     * output row per group from `aggs` (which see `__v` value, `__cnt`
     * rows at that value, `__run` cumulative rows ≤ value, `__n` group
-    * total — a row's rank band is (__run−__cnt, __run]). */
+    * total — a row's rank band is (__run−__cnt, __run]). NULL values
+    * are dropped first (percentile semantics — nulls neither rank nor
+    * count); a group whose values are ALL null therefore yields no
+    * output row, where the builtin aggregate would yield a null — the
+    * registered callers broadcast-join the result back, so the
+    * difference surfaces as a missing (equally unusable) threshold. */
   private[ops] def groupedCdfAgg(df: DataFrame, groupCol: String,
       valueCol: String,
       bucket: Column => Column, aggs: Seq[Column]): DataFrame = {
     require(aggs.nonEmpty)
-    val vc = df.groupBy(col(groupCol).as("__g"), col(valueCol).as("__v"))
+    val vc = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol).as("__g"), col(valueCol).as("__v"))
       .agg(count(lit(1)).as("__cnt"))
     val cum = partitionedRunningSum(vc, "__g", Seq("__v"), "__cnt",
       bucket(col("__v")), "__run")

@@ -115,6 +115,23 @@ class ScaleRankSpec extends SparkSpec {
       col("q3") =!= col("e3")).count() == 0)
   }
 
+  test("quantile helpers ignore NULL values, matching the builtins") {
+    val rows: Seq[(String, java.lang.Long)] =
+      (1L to 100L).map(i => ("a", java.lang.Long.valueOf(i))) ++
+        Seq.fill(50)(("a", null: java.lang.Long)) ++
+        (1L to 60L).map(i => ("b", java.lang.Long.valueOf(i * 2)))
+    val df = rows.toDF("g", "v")
+    val gotG = ScaleRank.exactQuantilesDisc(df.filter(col("g") === "a"), "v",
+      Seq(1 -> 2), Seq("q")).head()
+    val expG = df.filter(col("g") === "a").agg(
+      expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY v) AS LONG)")).head()
+    assert(gotG.getLong(0) == expG.getLong(0)) // 50, not shifted by nulls
+    val got = ScaleRank.groupedQuantilesCont(df, "g", "v",
+      Seq(1 -> 2), Seq("med"), x => floor(x / 16))
+    val exp = df.groupBy("g").agg(expr("percentile(v, 0.5)").as("e"))
+    assert(got.join(exp, "g").filter(col("med") =!= col("e")).count() == 0)
+  }
+
   test("joint-cell driver-collect bound refuses nRanges^nM > 1e6") {
     val df = (1 to 10).map(i =>
       (i.toLong, i.toLong, i.toLong, i.toLong, i.toLong, i.toLong))
