@@ -25,19 +25,28 @@ object Streams {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
     val prevStore = spark.conf.getOption(StateStoreKey)
+    val prevClog = spark.conf.getOption(ChangelogKey)
     spark.conf.set(key, "8")
-    stateStoreProvider.foreach(spark.conf.set(StateStoreKey, _))
+    stateStoreProvider.foreach { p =>
+      spark.conf.set(StateStoreKey, p)
+      // incremental checkpoints: upload per-batch changelogs instead of
+      // a full RocksDB snapshot zip every batch — the setting that
+      // makes large state affordable to checkpoint continuously
+      spark.conf.set(ChangelogKey, "true")
+    }
     try f finally {
       spark.conf.set(key, prev)
-      prevStore match {
-        case Some(v) => spark.conf.set(StateStoreKey, v)
-        case None => spark.conf.unset(StateStoreKey)
+      Seq(StateStoreKey -> prevStore, ChangelogKey -> prevClog).foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
       }
     }
   }
 
   private[graft] val StateStoreKey =
     "spark.sql.streaming.stateStore.providerClass"
+  private[graft] val ChangelogKey =
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
   private[graft] val RocksDbProvider =
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 

@@ -66,11 +66,15 @@ class StreamStateStoreSpec extends SparkSpec {
     assert(dedupA == dedupB)
     assert(sessA == sessB)
     assert(statsA == statsB)
-    // RocksDB checkpoints are version zips (+ optional changelogs);
-    // the default provider writes .delta files. Both present → some
-    // stream under the toggle silently ran on the wrong provider.
+    // RocksDB checkpoints are version zips + changelogs (the toggle
+    // enables changelog checkpointing — incremental uploads, not a
+    // full snapshot per batch); the default provider writes .delta
+    // files. Both present → some stream under the toggle silently ran
+    // on the wrong provider.
     assert(files.exists(f => f.endsWith(".zip") || f.endsWith(".changelog")),
       s"no RocksDB state artifacts under:\n${files.take(20).mkString("\n")}")
+    assert(files.exists(_.endsWith(".changelog")),
+      s"changelog checkpointing not engaged:\n${files.take(20).mkString("\n")}")
     assert(!files.exists(_.endsWith(".delta")),
       s"default-provider delta files present under the rocksdb toggle:\n" +
         files.filter(_.endsWith(".delta")).take(10).mkString("\n"))
