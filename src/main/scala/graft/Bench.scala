@@ -131,6 +131,7 @@ object Bench {
     val heavyFirst = Set(
       "dedup_ngram", "dedup_survivors", "pipeline_training_corpus",
       "dedup_containment", "dedup_minhash_pairs", "dedup_decontaminate",
+      "dedup_incremental",
       "dedup_pair_histogram", "dedup_simhash", "dedup_simhash_md5",
       "dedup_lines", "graph_pagerank", "graph_triangles",
       "ts_interp_linear", "try_funcs", "sink_compact", "json_variant",

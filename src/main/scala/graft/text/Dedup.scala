@@ -155,6 +155,54 @@ object Dedup {
     df.join(dupIds, Seq(idCol), "left_anti")
   }
 
+  /** INCREMENTAL near-dedup — the production shape for a growing
+    * corpus: never re-dedup the base, only screen the arriving DELTA
+    * against the existing corpus. A delta document is rejected iff it
+    * is a verified near-dup (exact Jaccard ≥ threshold on the LSH
+    * candidate set) of ANY base document or of a LOWER-id delta
+    * document (the same drop-the-higher-member convention as
+    * [[dedupMinHash]]; rejection is not sequential — a rejected delta
+    * doc still blocks its own later near-dups, keeping the result
+    * order- and partitioning-independent). Returns the accepted delta
+    * rows.
+    *
+    * Scale shape: the base's band buckets ARE the dedup index — at
+    * 100 TB it is materialized once and appended to, never rebuilt
+    * (here it is recomputed because the test corpus has no persisted
+    * index); the delta probes it with a bucket equi-join, so candidate
+    * work scales with |delta| × bucket occupancy, not |corpus|².
+    * Hot buckets (> maxBucket occupants on the reference side) are
+    * dropped before pairing — the same guard as [[candidatePairs]].
+    */
+  def incrementalAccept(base: DataFrame, delta: DataFrame, idCol: String,
+      textCol: String, threshold: Double = 0.7,
+      maxBucket: Int = 100): DataFrame = {
+    graft.plans.GraftFunctions.register(base.sparkSession)
+    def buckets(df: DataFrame) = withSignature(df, idCol, textCol)
+      .select(col("id"), explode(bandsCol(col("mh_sig"))).as("bk"))
+    // reference side = the persisted index (base) + the delta itself
+    // (for intra-delta dups, lower id wins)
+    val refBk = buckets(base).select(col("id").as("id_ref"), col("bk"),
+        lit(true).as("ref_is_base"))
+      .unionByName(buckets(delta).select(col("id").as("id_ref"), col("bk"),
+        lit(false).as("ref_is_base")))
+    val hot = refBk.groupBy("bk").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxBucket).select("bk")
+    val cand = buckets(delta).join(refBk.join(hot, Seq("bk"), "left_anti"), "bk")
+      .filter(col("ref_is_base") || col("id_ref") < col("id"))
+      .select(col("id"), col("id_ref")).distinct()
+    def sets(df: DataFrame, idAs: String, shAs: String) =
+      df.select(col(idCol).as(idAs),
+        array_distinct(call_function("shingles", col(textCol))).as(shAs))
+    val rejected = cand
+      .join(sets(delta, "id", "sh_d"), "id")
+      .join(sets(base.unionByName(delta), "id_ref", "sh_r"), "id_ref")
+      .filter(size(array_intersect(col("sh_d"), col("sh_r"))).cast("double") /
+        size(array_union(col("sh_d"), col("sh_r"))) >= threshold)
+      .select(col("id").as(idCol)).distinct()
+    delta.join(rejected, Seq(idCol), "left_anti")
+  }
+
   // --- SimHash -----------------------------------------------------------
 
   /** 64-bit SimHash over tokens. A compact JVM loop beats 64 codegen'd

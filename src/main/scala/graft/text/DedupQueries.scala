@@ -64,6 +64,35 @@ object DedupQueries {
           expr("CAST(round(jaccard * 1e6) AS BIGINT)").as("jaccard_e6"))
         .orderBy("id_a", "id_b")),
 
+    // INCREMENTAL dedup: the corpus split into a BASE (doc_id % 5 ≠ 0 —
+    // yesterday's already-deduped corpus, whose band buckets are the
+    // persisted index at scale) and a DELTA (doc_id % 5 = 0 — today's
+    // arrivals). Accepted = delta docs that near-dup (J ≥ 0.7) neither
+    // any base doc nor a lower-id delta doc. Oracle equality holds for
+    // the same reason as dedup_minhash: verified-100% LSH recall on
+    // this corpus and bucket cutoffs that never fire.
+    Q("dedup_incremental",
+      Some(s"""$jaccardCtePrefix,
+             |jp AS (SELECT ia, ib FROM pairs
+             |       JOIN sizes sa ON sa.doc_id = pairs.ia
+             |       JOIN sizes sb ON sb.doc_id = pairs.ib
+             |       WHERE CAST(ns AS DOUBLE) / (sa.n + sb.n - ns) >= 0.7),
+             |rej AS (SELECT ib AS doc_id FROM jp WHERE ib % 5 = 0
+             |        UNION
+             |        SELECT ia AS doc_id FROM jp
+             |        WHERE ia % 5 = 0 AND ib % 5 <> 0)
+             |SELECT doc_id FROM documents
+             |WHERE doc_id % 5 = 0 AND doc_id NOT IN (SELECT doc_id FROM rej)
+             |ORDER BY doc_id""".stripMargin),
+      (s, d) => {
+        val docs = documents(s, d)
+        Dedup.incrementalAccept(
+            docs.filter(col("doc_id") % 5 =!= 0),
+            docs.filter(col("doc_id") % 5 === 0),
+            "doc_id", "text")
+          .select("doc_id").orderBy("doc_id")
+      }),
+
     // SimHash fingerprints (+ prefix bucket) for every doc.
     // Rows-only BY DESIGN (no oracle SQL): the production hash family is
     // MurmurHash3 — a tight JVM loop, the right cost profile at 100 TB —

@@ -27,6 +27,31 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(1L, 3L, 4L))
   }
 
+  test("incremental accept: base dups and lower-id delta dups reject; novel docs land") {
+    // base: docs 1, 3. delta: 2 (near-dup of base 1 → reject),
+    // 4 (novel → accept), 5 (exact dup of base 1 → reject),
+    // 6 (near-dup of delta 4 only, higher id → reject),
+    // plus 0 (novel → accept; also checks id 0 handling).
+    val base = corpus.filter(col("doc_id").isin(1L, 3L))
+    val delta = Seq(
+      (0L, "entirely novel text about mountain weather patterns and snowfall records"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank tonight"),
+      (4L, "completely different content about databases and storage formats parquet"),
+      (5L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (6L, "completely different content about databases and storage formats orc")
+    ).toDF("doc_id", "text")
+    val accepted = Dedup.incrementalAccept(base, delta, "doc_id", "text",
+      threshold = 0.5).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(accepted == Set(0L, 4L))
+    // base is never screened against itself: an empty delta accepts nothing,
+    // and a delta equal to base's own docs rejects all of them
+    assert(Dedup.incrementalAccept(base, delta.limit(0), "doc_id", "text")
+      .count() == 0)
+    val echoed = base.withColumn("doc_id", col("doc_id") + 100)
+    assert(Dedup.incrementalAccept(base, echoed, "doc_id", "text",
+      threshold = 0.5).count() == 0)
+  }
+
   test("dedup is idempotent") {
     val once = Dedup.dedupMinHash(corpus, "doc_id", "text", threshold = 0.5)
     val twice = Dedup.dedupMinHash(once, "doc_id", "text", threshold = 0.5)
