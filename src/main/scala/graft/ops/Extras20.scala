@@ -124,16 +124,21 @@ object Extras20 {
           col("ts").as("v_ts"), lit(0).as("is_probe"))
         val w = Window.partitionBy("k").orderBy(col("t"), col("is_probe"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        p.unionByName(v)
+        val delays = p.unionByName(v)
           .withColumn("last_view_ts", last("v_ts", ignoreNulls = true).over(w))
           .filter(col("is_probe") === 1 && col("last_view_ts").isNotNull)
           .select((unix_micros(col("t")) - unix_micros(col("last_view_ts")))
             .as("delay_us"))
+        // med/p90 via the distributed CDF (ScaleRank.exactQuantilesDisc
+        // doc — the percentile_disc aggregate buffers every delay);
+        // discrete quantiles pick elements, so any fraction is exact
+        val q = ScaleRank.exactQuantilesDisc(delays, "delay_us",
+          Seq(1 -> 2, 9 -> 10), Seq("med_us", "p90_us"))
+        delays
           .agg(count(col("delay_us")).cast("long").as("n_converted"),
-            expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY delay_us) AS BIGINT)")
-              .as("med_us"),
-            expr("CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY delay_us) AS BIGINT)")
-              .as("p90_us"),
             max("delay_us").cast("long").as("max_us"))
+          .crossJoin(broadcast(q))
+          .select(col("n_converted"), col("med_us").cast("long").as("med_us"),
+            col("p90_us").cast("long").as("p90_us"), col("max_us"))
       }))
 }
