@@ -13,9 +13,10 @@ object Extras20 {
   def queries: Seq[Q] = Seq(
     // population stability index between the first and second half of
     // the timeline: values bucket into deciles by BROADCAST threshold
-    // cutpoints (percentile_disc on exact cents — 9 tiny scalars, one
-    // partial-agg pass; NO global-sort ntile, so the bucketing is a
-    // map-side CASE at any scale), halves split at the exact µs
+    // cutpoints (exact deciles off the distributed CDF — 9 tiny
+    // scalars; NO global-sort ntile and no whole-column percentile
+    // buffer, so the bucketing is a map-side CASE at any scale),
+    // halves split at the exact µs
     // midpoint by cross-multiplied integers, and each bucket
     // contributes (p−q)·ln(p/q) with +1 Laplace smoothing (structural
     // zero-proofing) µ-rounded before the associative sum. The ML-ops
