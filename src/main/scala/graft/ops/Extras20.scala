@@ -130,16 +130,27 @@ object Extras20 {
           .filter(col("is_probe") === 1 && col("last_view_ts").isNotNull)
           .select((unix_micros(col("t")) - unix_micros(col("last_view_ts")))
             .as("delay_us"))
-        // med/p90 via the distributed CDF (ScaleRank.exactQuantilesDisc
-        // doc — the percentile_disc aggregate buffers every delay);
-        // discrete quantiles pick elements, so any fraction is exact
-        val q = ScaleRank.exactQuantilesDisc(delays, "delay_us",
-          Seq(1 -> 2, 9 -> 10), Seq("med_us", "p90_us"))
-        delays
-          .agg(count(col("delay_us")).cast("long").as("n_converted"),
-            max("delay_us").cast("long").as("max_us"))
-          .crossJoin(broadcast(q))
-          .select(col("n_converted"), col("med_us").cast("long").as("med_us"),
-            col("p90_us").cast("long").as("p90_us"), col("max_us"))
+        // everything — count, discrete med/p90 (element-picking, so any
+        // fraction is exact), max — off ONE pass over the delay
+        // pipeline: the constant-group CDF core reduces to
+        // (delay, count), cumulates under (group, bucket) windows, and
+        // a single aggregate row reads all four figures (__n is the
+        // non-null count, max(__v) the max). The percentile_disc
+        // spelling buffered every delay in one aggregation buffer; an
+        // eager-quantile spelling would re-execute the union+window
+        // delays pipeline per driver pass. (Zero converted rows would
+        // yield no row here where the ungrouped oracle yields a null
+        // row — the documented empty-group edge; the funnel data
+        // always converts.)
+        val aggs = Seq(
+          max(col("__n")).cast("long").as("n_converted"),
+          min(when(col("__run") * 2 >= col("__n"), col("__v")))
+            .cast("long").as("med_us"),
+          min(when(col("__run") * 10 >= col("__n") * 9, col("__v")))
+            .cast("long").as("p90_us"),
+          max(col("__v")).cast("long").as("max_us"))
+        ScaleRank.groupedCdfAgg(delays.withColumn("__grp", lit(1)),
+            "__grp", "delay_us", x => floor(x / 67108864L), aggs)
+          .select("n_converted", "med_us", "p90_us", "max_us")
       }))
 }

@@ -54,6 +54,11 @@ object Extras28 {
             .cast("long").as("trimmed_mean_cents"))
         ScaleRank.groupedCdfAgg(src, "pri", "c",
             x => floor(x / 65536), aggs)
+          // a group too small to keep any rows (n ≤ 2 ⇒ empty kept
+          // band) is ABSENT from the oracle (its rows all fail the rn
+          // filter before GROUP BY) — drop it here too rather than
+          // emit a (pri, n, 0, null) row
+          .filter(col("n_kept") > 0)
           .orderBy("pri")
       }),
 

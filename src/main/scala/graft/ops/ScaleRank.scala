@@ -466,9 +466,15 @@ object ScaleRank {
     // alone, which is all a quantile reads. A (value, count) reduction
     // first would suit heavy-tie domains but costs extra groupBy
     // shuffles per eager pass — mostly-distinct columns (prices, keys)
-    // are the common case here. NULL values are ignored, matching
-    // percentile_disc (unfiltered they would sort first and shift
-    // every rank; n must also count non-null rows only).
+    // are the common case here. NOTE: with key == metric, the tie-skew
+    // guard cannot sub-split a heavy tied value (all its key samples
+    // are identical), so a value carrying a large row share still
+    // lands in one window cell — for tie-HEAVY columns prefer
+    // groupedQuantilesDisc with a constant group, which reduces tie
+    // mass to one (value, count) row before any window. NULL values
+    // are ignored, matching percentile_disc (unfiltered they would
+    // sort first and shift every rank; n must also count non-null
+    // rows only).
     val ranked = withGlobalRank(
       df.select(col(valueCol).as("__v")).filter(col("__v").isNotNull),
       "__v", "__v", nRanges = nRanges, rkName = "__rk",

@@ -43,6 +43,9 @@ object Streams {
     }
   }
 
+  /** Serializes the events-stage staleness check + re-stage. */
+  private val stageLock = new Object
+
   private[graft] val StateStoreKey =
     "spark.sql.streaming.stateStore.providerClass"
   private[graft] val ChangelogKey =
@@ -92,32 +95,39 @@ object Streams {
     // to an identical copy. A stale stage from a PREVIOUS testdata
     // generation (regenerated in place — different size/mtime, possibly
     // a different ts physical type than the schema inferred above) is
-    // detected and re-staged, not reused.
+    // detected and re-staged, not reused. The whole check+delete+
+    // restage sequence runs under a JVM-wide lock: without it, two
+    // threads could both judge the OLD file stale and the second
+    // delete would unlink the first's fresh re-stage under a reader
+    // that already started (the bench pool is single-JVM, so a JVM
+    // lock fully serializes the writers).
     val target = stageDir.resolve("events.parquet")
-    val stale = java.nio.file.Files.exists(target) && {
-      val srcAttr = java.nio.file.Files.readAttributes(
-        src, classOf[java.nio.file.attribute.BasicFileAttributes])
-      val tgtAttr = java.nio.file.Files.readAttributes(
-        target, classOf[java.nio.file.attribute.BasicFileAttributes])
-      // millisecond granularity: COPY_ATTRIBUTES preserves mtime only
-      // to µs on some filesystems, so an exact compare would flag the
-      // stage stale on EVERY run and re-copy (racing concurrent readers)
-      srcAttr.size() != tgtAttr.size() ||
-        srcAttr.lastModifiedTime().toMillis != tgtAttr.lastModifiedTime().toMillis
-    }
-    if (stale) java.nio.file.Files.deleteIfExists(target)
-    if (!java.nio.file.Files.exists(target)) {
-      val tmp = java.nio.file.Files.createTempFile(stageDir, ".events", ".tmp")
-      // COPY_ATTRIBUTES carries the source mtime onto the stage so the
-      // staleness check above can compare mtimes on the next run.
-      java.nio.file.Files.copy(src, tmp,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-        java.nio.file.StandardCopyOption.COPY_ATTRIBUTES)
-      try java.nio.file.Files.move(tmp, target,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          java.nio.file.Files.deleteIfExists(tmp)
+    stageLock.synchronized {
+      val stale = java.nio.file.Files.exists(target) && {
+        val srcAttr = java.nio.file.Files.readAttributes(
+          src, classOf[java.nio.file.attribute.BasicFileAttributes])
+        val tgtAttr = java.nio.file.Files.readAttributes(
+          target, classOf[java.nio.file.attribute.BasicFileAttributes])
+        // millisecond granularity: COPY_ATTRIBUTES preserves mtime only
+        // to µs on some filesystems, so an exact compare would flag the
+        // stage stale on EVERY run and re-copy (racing concurrent readers)
+        srcAttr.size() != tgtAttr.size() ||
+          srcAttr.lastModifiedTime().toMillis != tgtAttr.lastModifiedTime().toMillis
+      }
+      if (stale) java.nio.file.Files.deleteIfExists(target)
+      if (!java.nio.file.Files.exists(target)) {
+        val tmp = java.nio.file.Files.createTempFile(stageDir, ".events", ".tmp")
+        // COPY_ATTRIBUTES carries the source mtime onto the stage so the
+        // staleness check above can compare mtimes on the next run.
+        java.nio.file.Files.copy(src, tmp,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.COPY_ATTRIBUTES)
+        try java.nio.file.Files.move(tmp, target,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException =>
+            java.nio.file.Files.deleteIfExists(tmp)
+        }
       }
     }
     graft.io.Tables.normalizeEventsTs(

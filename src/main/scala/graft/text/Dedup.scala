@@ -173,6 +173,10 @@ object Dedup {
     * work scales with |delta| × bucket occupancy, not |corpus|².
     * Hot buckets (> maxBucket occupants on the reference side) are
     * dropped before pairing — the same guard as [[candidatePairs]].
+    * The delta-side kernels (minhash signature, shingles) appear in
+    * two plan branches (probe + reference / verify) and so evaluate
+    * twice per run — bounded by the SMALL side; persist the delta
+    * frames if the delta stops being small relative to the base.
     */
   def incrementalAccept(base: DataFrame, delta: DataFrame, idCol: String,
       textCol: String, threshold: Double = 0.7,
