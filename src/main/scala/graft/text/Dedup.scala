@@ -155,39 +155,59 @@ object Dedup {
     df.join(dupIds, Seq(idCol), "left_anti")
   }
 
-  /** INCREMENTAL near-dedup — the production shape for a growing
-    * corpus: never re-dedup the base, only screen the arriving DELTA
-    * against the existing corpus. A delta document is rejected iff it
-    * is a verified near-dup (exact Jaccard ≥ threshold on the LSH
-    * candidate set) of ANY base document or of a LOWER-id delta
-    * document (the same drop-the-higher-member convention as
-    * [[dedupMinHash]]; rejection is not sequential — a rejected delta
-    * doc still blocks its own later near-dups, keeping the result
-    * order- and partitioning-independent). Returns the accepted delta
-    * rows.
-    *
-    * Scale shape: the base's band buckets ARE the dedup index — at
-    * 100 TB it is materialized once and appended to, never rebuilt
-    * (here it is recomputed because the test corpus has no persisted
-    * index); the delta probes it with a bucket equi-join, so candidate
-    * work scales with |delta| × bucket occupancy, not |corpus|².
-    * Hot buckets (> maxBucket occupants on the reference side) are
-    * dropped before pairing — the same guard as [[candidatePairs]].
-    * The delta-side kernels (minhash signature, shingles) appear in
-    * two plan branches (probe + reference / verify) and so evaluate
-    * twice per run — bounded by the SMALL side; persist the delta
-    * frames if the delta stops being small relative to the base.
+  /** The PERSISTED dedup-index row for [[incrementalAcceptIndexed]]:
+    * one row per already-accepted corpus document carrying everything
+    * a delta screen needs — the 16 LSH band keys (the probe index) and
+    * the distinct shingle set (the exact-Jaccard verify reference) —
+    * computed in ONE projection pass over the corpus (no join, no
+    * shuffle). At 100 TB this table is written once when the corpus is
+    * first deduped and APPENDED per delta (the accepted rows' own
+    * index rows); a delta run reads it as parquet and never touches
+    * base corpus text. Per-row payload is ~|shingles| strings + 16
+    * band hashes — a small constant factor of the text it replaces.
     */
-  def incrementalAccept(base: DataFrame, delta: DataFrame, idCol: String,
-      textCol: String, threshold: Double = 0.7,
+  def buildIndex(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.plans.GraftFunctions.register(df.sparkSession)
+    df.select(col(idCol).as("id"),
+        call_function("minhash_signature", col(textCol)).as("mh_sig"),
+        array_distinct(call_function("shingles", col(textCol))).as("sh"))
+      .select(col("id"), bandsCol(col("mh_sig")).as("bands"), col("sh"))
+  }
+
+  /** INCREMENTAL near-dedup against a PERSISTED index — the production
+    * shape for a growing corpus: never re-dedup (or even re-read) the
+    * base, only screen the arriving DELTA against the [[buildIndex]]
+    * artifact. A delta document is rejected iff it is a verified
+    * near-dup (exact Jaccard ≥ threshold on the LSH candidate set) of
+    * ANY indexed document or of a LOWER-id delta document (the same
+    * drop-the-higher-member convention as [[dedupMinHash]]; rejection
+    * is not sequential — a rejected delta doc still blocks its own
+    * later near-dups, keeping the result order- and
+    * partitioning-independent). Returns the accepted delta rows.
+    *
+    * Scale shape: the recurring per-delta cost touches the index (a
+    * columnar scan of band arrays + candidate shingle sets) and the
+    * delta ONLY — raw base text is read zero times, so the O(|corpus|)
+    * re-shingle pass of a naive respelling never recurs. The delta
+    * probes the index with a bucket equi-join; candidate work scales
+    * with |delta| × bucket occupancy, not |corpus|². Hot buckets
+    * (> maxBucket occupants on the reference side) are dropped before
+    * pairing — the same guard as [[candidatePairs]]. The delta-side
+    * kernels (minhash signature, shingles) appear in two plan branches
+    * (probe + reference / verify) and so evaluate twice per run —
+    * bounded by the SMALL side; persist the delta frames if the delta
+    * stops being small relative to the base.
+    */
+  def incrementalAcceptIndexed(index: DataFrame, delta: DataFrame,
+      idCol: String, textCol: String, threshold: Double = 0.7,
       maxBucket: Int = 100): DataFrame = {
-    graft.plans.GraftFunctions.register(base.sparkSession)
+    graft.plans.GraftFunctions.register(delta.sparkSession)
     def buckets(df: DataFrame) = withSignature(df, idCol, textCol)
       .select(col("id"), explode(bandsCol(col("mh_sig"))).as("bk"))
-    // reference side = the persisted index (base) + the delta itself
+    // reference side = the persisted index + the delta itself
     // (for intra-delta dups, lower id wins)
-    val refBk = buckets(base).select(col("id").as("id_ref"), col("bk"),
-        lit(true).as("ref_is_base"))
+    val refBk = index.select(col("id").as("id_ref"),
+        explode(col("bands")).as("bk"), lit(true).as("ref_is_base"))
       .unionByName(buckets(delta).select(col("id").as("id_ref"), col("bk"),
         lit(false).as("ref_is_base")))
     val hot = refBk.groupBy("bk").agg(count(lit(1)).as("__n"))
@@ -198,14 +218,28 @@ object Dedup {
     def sets(df: DataFrame, idAs: String, shAs: String) =
       df.select(col(idCol).as(idAs),
         array_distinct(call_function("shingles", col(textCol))).as(shAs))
+    // verify reference shingle sets: the index's persisted `sh` for
+    // indexed docs, the delta's own for intra-delta candidates
+    val refSets = index.select(col("id").as("id_ref"), col("sh").as("sh_r"))
+      .unionByName(sets(delta, "id_ref", "sh_r"))
     val rejected = cand
       .join(sets(delta, "id", "sh_d"), "id")
-      .join(sets(base.unionByName(delta), "id_ref", "sh_r"), "id_ref")
+      .join(refSets, "id_ref")
       .filter(size(array_intersect(col("sh_d"), col("sh_r"))).cast("double") /
         size(array_union(col("sh_d"), col("sh_r"))) >= threshold)
       .select(col("id").as(idCol)).distinct()
     delta.join(rejected, Seq(idCol), "left_anti")
   }
+
+  /** [[incrementalAcceptIndexed]] with the index built inline from the
+    * base frame — the one-shot spelling for a corpus with no persisted
+    * index yet (tests, first-time dedup). Bit-identical results; the
+    * production boundary is the indexed variant. */
+  def incrementalAccept(base: DataFrame, delta: DataFrame, idCol: String,
+      textCol: String, threshold: Double = 0.7,
+      maxBucket: Int = 100): DataFrame =
+    incrementalAcceptIndexed(buildIndex(base, idCol, textCol), delta,
+      idCol, textCol, threshold, maxBucket)
 
   // --- SimHash -----------------------------------------------------------
 

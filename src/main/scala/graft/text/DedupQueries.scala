@@ -64,13 +64,45 @@ object DedupQueries {
           expr("CAST(round(jaccard * 1e6) AS BIGINT)").as("jaccard_e6"))
         .orderBy("id_a", "id_b")),
 
-    // INCREMENTAL dedup: the corpus split into a BASE (doc_id % 5 ≠ 0 —
-    // yesterday's already-deduped corpus, whose band buckets are the
-    // persisted index at scale) and a DELTA (doc_id % 5 = 0 — today's
-    // arrivals). Accepted = delta docs that near-dup (J ≥ 0.7) neither
-    // any base doc nor a lower-id delta doc. Oracle equality holds for
-    // the same reason as dedup_minhash: verified-100% LSH recall on
-    // this corpus and bucket cutoffs that never fire.
+    // PHASE 1 of the incremental-dedup pair: build & persist the base
+    // corpus's dedup index (doc_id % 5 ≠ 0 — yesterday's
+    // already-deduped corpus) as parquet — per doc the 16 LSH band
+    // keys AND the distinct shingle set (Dedup.buildIndex), staged
+    // once per testdata generation. The registered output is the
+    // index's verifiable content: per doc the shingle count and an
+    // md5 fingerprint of the SORTED shingle set, which the oracle
+    // recomputes from raw text — so the persisted artifact's payload
+    // (not just its row count) is hash-gated. One projection pass
+    // over the base, no shuffle; at 100 TB this runs once and is
+    // appended to, never rebuilt.
+    Q("dedup_index_build",
+      Some("""WITH d AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
+             |    THEN list_transform(range(len(toks)-2),
+             |         i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])
+             |    ELSE [array_to_string(toks, ' ')] END) AS sh
+             |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), ' +') AS toks
+             |        FROM documents WHERE doc_id % 5 <> 0) t)
+             |SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_shingles,
+             |       md5(array_to_string(list_sort(sh), chr(31))) AS sh_fp,
+             |       CAST(16 AS BIGINT) AS n_bands
+             |FROM d ORDER BY doc_id""".stripMargin),
+      (s, d) => s.read.parquet(stagedIndexPath(s, d))
+        .select(col("id").as("doc_id"),
+          size(col("sh")).cast("long").as("n_shingles"),
+          md5(concat_ws("\u001f", array_sort(col("sh")))).as("sh_fp"),
+          size(col("bands")).cast("long").as("n_bands"))
+        .orderBy("doc_id")),
+
+    // PHASE 2 — INCREMENTAL dedup: screen the DELTA (doc_id % 5 = 0 —
+    // today's arrivals) against the PERSISTED index from phase 1: the
+    // probe plan reads the index parquet + the delta rows and touches
+    // raw base text zero times (DedupSpec pins that plan property),
+    // so the recurring per-delta cost is delta-side work + an index
+    // scan — never an O(|corpus|) re-shingle. Accepted = delta docs
+    // that near-dup (J ≥ 0.7) neither any indexed doc nor a lower-id
+    // delta doc. Oracle equality holds for the same reason as
+    // dedup_minhash: verified-100% LSH recall on this corpus and
+    // bucket cutoffs that never fire.
     Q("dedup_incremental",
       Some(s"""$jaccardCtePrefix,
              |jp AS (SELECT ia, ib FROM pairs
@@ -84,14 +116,11 @@ object DedupQueries {
              |SELECT doc_id FROM documents
              |WHERE doc_id % 5 = 0 AND doc_id NOT IN (SELECT doc_id FROM rej)
              |ORDER BY doc_id""".stripMargin),
-      (s, d) => {
-        val docs = documents(s, d)
-        Dedup.incrementalAccept(
-            docs.filter(col("doc_id") % 5 =!= 0),
-            docs.filter(col("doc_id") % 5 === 0),
-            "doc_id", "text")
-          .select("doc_id").orderBy("doc_id")
-      }),
+      (s, d) => Dedup.incrementalAcceptIndexed(
+          s.read.parquet(stagedIndexPath(s, d)),
+          documents(s, d).filter(col("doc_id") % 5 === 0),
+          "doc_id", "text")
+        .select("doc_id").orderBy("doc_id")),
 
     // SimHash fingerprints (+ prefix bucket) for every doc.
     // Rows-only BY DESIGN (no oracle SQL): the production hash family is
@@ -336,6 +365,59 @@ object DedupQueries {
           .orderBy("id_a", "id_b")
       })
   )
+
+  /** Serializes index staging within this JVM (cross-process safety
+    * comes from the create-only ATOMIC_MOVE below). */
+  private val indexLock = new Object
+
+  /** Stages the base-corpus dedup index (Dedup.buildIndex over
+    * doc_id % 5 ≠ 0) as parquet ONCE per testdata generation and
+    * returns its path — the persisted artifact both `dedup_index_build`
+    * (phase 1, content check) and `dedup_incremental` (phase 2, delta
+    * probe) read, so the probe plan scans the index file, never base
+    * text. The path is VERSIONED by the source file's (size, mtime):
+    * a regenerated testdata gets a fresh directory instead of a
+    * delete+restage of a shared one, so concurrent JVMs can never
+    * unlink each other's copy — the same scheme as the streaming
+    * events stage. Publication is write-to-temp + create-only atomic
+    * rename: losers of the race delete their temp and use the
+    * winner's identical artifact. Stale generations linger in tmp
+    * (bytes, reaped with the tmpdir).
+    */
+  private[graft] def stagedIndexPath(s: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val src = Paths.get(dir, "documents.parquet")
+    val attr = Files.readAttributes(src,
+      classOf[java.nio.file.attribute.BasicFileAttributes])
+    val target = Paths.get(sys.props("java.io.tmpdir"),
+      "graft_dedup_index_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
+        s"_${attr.size}_${attr.lastModifiedTime.toMillis}")
+    indexLock.synchronized {
+      if (!Files.exists(target)) {
+        val tmp = Files.createTempDirectory(
+          Paths.get(sys.props("java.io.tmpdir")), ".graft_dedup_ix_")
+        val staged = tmp.resolve("ix")
+        Dedup.buildIndex(
+            documents(s, dir).filter(col("doc_id") % 5 =!= 0),
+            "doc_id", "text")
+          .write.mode("overwrite").parquet(staged.toString)
+        try Files.move(staged, target, StandardCopyOption.ATOMIC_MOVE)
+        catch {
+          // another process published the identical artifact first
+          case _: java.nio.file.FileAlreadyExistsException |
+               _: java.nio.file.DirectoryNotEmptyException |
+               _: java.nio.file.AccessDeniedException => ()
+        }
+        // reap whatever of the temp shell remains (the staged dir if
+        // we lost the publish race, else just the empty shell)
+        import scala.jdk.CollectionConverters._
+        Files.walk(tmp).iterator().asScala.toSeq.reverse
+          .foreach(p => Files.deleteIfExists(p))
+      }
+    }
+    target.toString
+  }
 
   /** Shared DuckDB CTE prefix: exact distinct-3-shingle sets, inverted
     * index, shared-shingle pair counts, set sizes — the same

@@ -52,6 +52,36 @@ class DedupSpec extends SparkSpec {
       threshold = 0.5).count() == 0)
   }
 
+  test("indexed incremental: persisted index == inline build; probe plan never scans base text") {
+    val base = corpus.filter(col("doc_id").isin(1L, 3L))
+    val delta = Seq(
+      (0L, "entirely novel text about mountain weather patterns and snowfall records"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank tonight"),
+      (4L, "completely different content about databases and storage formats parquet"),
+      (5L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (6L, "completely different content about databases and storage formats orc")
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ix_spec").toString
+    Dedup.buildIndex(base, "doc_id", "text")
+      .write.mode("overwrite").parquet(dir)
+    val viaIndex = Dedup.incrementalAcceptIndexed(
+      spark.read.parquet(dir), delta, "doc_id", "text", threshold = 0.5)
+    // same acceptance set as the inline-build spelling
+    assert(viaIndex.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      Dedup.incrementalAccept(base, delta, "doc_id", "text", threshold = 0.5)
+        .select("doc_id").collect().map(_.getLong(0)).toSet)
+    // the production boundary: every FILE relation in the probe plan is
+    // the index parquet — base raw text (a file scan in production) is
+    // never re-read; the delta here is a local relation.
+    val rels = viaIndex.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+    }
+    assert(rels.nonEmpty)
+    assert(rels.forall(_.relation.asInstanceOf[
+      org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+      .location.rootPaths.forall(_.toString.contains(dir))))
+  }
+
   test("dedup is idempotent") {
     val once = Dedup.dedupMinHash(corpus, "doc_id", "text", threshold = 0.5)
     val twice = Dedup.dedupMinHash(once, "doc_id", "text", threshold = 0.5)
