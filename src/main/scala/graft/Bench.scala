@@ -19,13 +19,16 @@ import org.apache.spark.sql.SparkSession
   * cold page cache on freshly-written parquet (rounds 5/6 both recorded
   * 3–6× artifacts on text_tfidf/dedup_clusters that never reproduced
   * under SPARK_GRAFT_BENCH_ONLY; see SERIAL.md). Min-of-two bounds that
-  * noise to one repeat. Both raw timings go to stderr for adjudication.
-  * For the memo-backed headline queries (dedup_minhash, text_tfidf,
-  * pipeline_training_corpus, sim_topk_ivf_kmeans) run 1 also builds
-  * the session materialization (PlanMemo), so the reported min is the
-  * STEADY-STATE cost with the shared materialization in place — the
+  * noise to one repeat. Both raw timings go to stderr AND to the
+  * parsed JSON's `runs` key ([run1, run2] per headliner), so the
+  * cold-cost column survives into the machine-readable artifact.
+  * For the memo/stage-backed headline queries (dedup_minhash,
+  * text_tfidf, pipeline_training_corpus, sim_topk_ivf_kmeans,
+  * dedup_incremental) run 1 also builds the session materialization
+  * (PlanMemo) or stages the persisted dedup index, so the reported min
+  * is the STEADY-STATE cost with the shared artifact in place — the
   * architecture's operating point, matching what BENCH_ONLY repeat
-  * passes measure; the build cost stays visible as run1 on stderr.
+  * passes measure; the build cost is the `runs` pair's first element.
   * The remaining batch
   * queries then run CONCURRENTLY (SPARK_GRAFT_BENCH_POOL submitter
   * threads), heaviest families submitted first (LPT — no straggler
@@ -117,15 +120,17 @@ object Bench {
     // tail then runs pooled — per-query inflation there is acceptable
     // because only the suite wall-clock and these serial numbers are
     // reported.
-    // 14 queries spanning the operator categories, including two of the
-    // genuinely heavy families (full training-corpus pipeline, IVF-kmeans
-    // ANN) so the serially-measured set covers the expensive paths, not
-    // just the fast ones.
+    // 15 queries spanning the operator categories, including three of
+    // the genuinely heavy families (full training-corpus pipeline,
+    // IVF-kmeans ANN, incremental dedup against the persisted index) so
+    // the serially-measured set covers the expensive paths, not just
+    // the fast ones.
     val headline = Vector(
       "agg_group", "join_fk", "topk", "agg_cube", "join_asof",
       "dedup_minhash", "dedup_clusters", "sim_topk_brute", "text_tfidf",
       "pipeline_full_etl", "src_parquet", "stream_window_agg",
-      "pipeline_training_corpus", "sim_topk_ivf_kmeans")
+      "pipeline_training_corpus", "sim_topk_ivf_kmeans",
+      "dedup_incremental")
     val (streamQs, batchQs0) = Registry.all
       .filterNot(q => headline.contains(q.name))
       .partition(_.name.startsWith("stream_"))
@@ -137,7 +142,7 @@ object Bench {
     val heavyFirst = Set(
       "dedup_ngram", "dedup_survivors",
       "dedup_containment", "dedup_minhash_pairs", "dedup_decontaminate",
-      "dedup_incremental",
+      "dedup_index_build",
       "dedup_pair_histogram", "dedup_simhash", "dedup_simhash_md5",
       "dedup_lines", "graph_pagerank", "graph_triangles",
       "ts_interp_linear", "try_funcs", "sink_compact", "json_variant",
@@ -159,14 +164,20 @@ object Bench {
     // Each headline query runs twice back-to-back; the reported figure is
     // the min. Raw pairs go to stderr so a drifted run can be adjudicated
     // from the bench log alone.
-    val headTimes = Registry.all.filter(q => headline.contains(q.name))
+    // Both raw runs ALSO go into the parsed JSON (`runs` key): for the
+    // memo/stage-backed headliners run1 carries the cold build cost
+    // (session materialization, persisted-index staging) that the min
+    // hides — an adjudicator comparing against a cold baseline needs
+    // both columns in the machine-readable artifact, not just stderr.
+    val headRuns = Registry.all.filter(q => headline.contains(q.name))
       .map { q =>
         def once() =
           run(q, if (q.name.startsWith("stream_")) spark.newSession() else spark)._2
         val t1 = once(); val t2 = once()
         System.err.println(f"[bench-headline] ${q.name} run1=$t1%.3f run2=$t2%.3f")
-        q.name -> math.min(t1, t2)
+        (q.name, t1, t2)
       }
+    val headTimes = headRuns.map { case (n, t1, t2) => n -> math.min(t1, t2) }
     val ec = ExecutionContext.fromExecutorService(Executors.newFixedThreadPool(pool))
     val batchTimes =
       try Await.result(Future.traverse(batchQs)(q => Future(run(q, spark))(ec))(
@@ -196,14 +207,20 @@ object Bench {
     // 172-entry map (~4.5 KB) on stdout gets truncated mid-line and
     // the whole bench reads as unparseable (rounds 1-3 all did).
     System.err.println("[bench-full] " + jsonMap(results))
-    // Stdout gets a COMPACT line (<1 KB): totals + the serially-timed
-    // headline subset spanning the operator categories.
+    // Stdout gets a COMPACT line (must stay well under the driver's
+    // ~2000-char stdout tail): totals + the serially-timed headline
+    // subset (min), plus the raw [run1, run2] pair per headliner at
+    // centisecond precision (~35 chars/query — the whole line stays
+    // ~1.1 KB at 15 headliners).
     val qs = jsonMap(headTimes)
+    val runsJson = headRuns
+      .map { case (n, t1, t2) => "\"" + n + f"\":[$t1%.2f,$t2%.2f]" }
+      .mkString("{", ",", "}")
     // Stop Spark BEFORE printing so nothing (shutdown logging included)
     // can land on stdout after the json line — the driver parses the
     // last line of stdout.
     spark.stop()
     println(
-      f"""{"metric":"total","value":$wall%.3f,"unit":"sec","pool":$pool,"serial_sum":$serialSum%.3f,"n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}""")
+      f"""{"metric":"total","value":$wall%.3f,"unit":"sec","pool":$pool,"serial_sum":$serialSum%.3f,"n_queries":${results.size},"queries":$qs,"runs":$runsJson,"sf":"$sfDir"}""")
   }
 }
