@@ -48,6 +48,12 @@ object Extras31 {
             expr("""CAST(round((cb - ca) * 3600.0 * 1e6 * 1e6
                    | / (ub - ua)) AS BIGINT)""".stripMargin).as("slope_e6"))
           .groupBy("user_id")
+          // percentile_disc's per-group buffer is FINE here: the group
+          // is one user's slope pairs, bounded by per-user activity
+          // (k events → k·(k−1)/2 pairs, k capped by the session
+          // horizon) — never a whole-column buffer. SCALE.md round-7
+          // bounded-group policy; do not rework onto the distributed
+          // CDF, which would add two shuffles for a buffer that fits.
           .agg(count(lit(1)).cast("long").as("n_pairs"),
             expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY slope_e6) AS BIGINT)")
               .as("ts_slope_e6"))

@@ -109,6 +109,11 @@ object Extras49 {
         w.groupBy("bi")
           .agg(expr("CAST(round(CAST(sum(w * rev) AS DOUBLE) / nullif(sum(w), 0)) AS BIGINT)")
             .as("mean_cents"))
+          // percentile_disc's buffer is FINE here: the input is the
+          // 100 bootstrap replicate means — a fixed REPLICATE count
+          // independent of data scale, so the buffer is 100 longs at
+          // any SF. SCALE.md round-7 bounded-group policy; not a
+          // distributed-CDF candidate.
           .agg(count(col("mean_cents")).cast("long").as("n_reps"),
             expr("CAST(percentile_disc(0.025) WITHIN GROUP (ORDER BY mean_cents) AS BIGINT)")
               .as("lo_cents"),

@@ -84,41 +84,31 @@ object Streams {
     // single parquet file → stage it into a temp dir once (a production
     // stream reads an arriving-files directory anyway).
     val src = java.nio.file.Paths.get(path)
+    // The stage dir is VERSIONED by the source's (size, ms-mtime): a
+    // testdata generation regenerated in place (different size/mtime,
+    // possibly a different ts physical type than the schema inferred
+    // above) gets a FRESH directory instead of a delete+restage of a
+    // shared one — so no writer, in this JVM or another (the dir layout
+    // is cross-process-shared), can ever unlink a file under a running
+    // reader; the scheme is create-only. Millisecond mtime granularity
+    // in the key because COPY_ATTRIBUTES preserves mtime only to µs on
+    // some filesystems. Stale generations linger in tmp (one snapshot
+    // copy each, reaped with the tmpdir). Within a generation the copy
+    // is staged once, atomically: the dot-prefixed temp is invisible
+    // to the file source; ATOMIC_MOVE either wins or loses to an
+    // identical copy. The JVM lock just saves concurrent bench-pool
+    // threads from redundant copies; correctness is the rename's.
+    val srcAttr = java.nio.file.Files.readAttributes(
+      src, classOf[java.nio.file.attribute.BasicFileAttributes])
     val stageDir = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"),
-      s"graft_stream_${dir.replaceAll("[^A-Za-z0-9]", "_")}")
+      s"graft_stream_${dir.replaceAll("[^A-Za-z0-9]", "_")}" +
+        s"_${srcAttr.size()}_${srcAttr.lastModifiedTime().toMillis}")
     java.nio.file.Files.createDirectories(stageDir)
-    // stage once, atomically: concurrent stream queries (bench pool)
-    // share this dir, and a REPLACE_EXISTING copy would transiently
-    // unlink the file under a running reader. The dot-prefixed temp is
-    // invisible to the file source; ATOMIC_MOVE either wins or loses
-    // to an identical copy. A stale stage from a PREVIOUS testdata
-    // generation (regenerated in place — different size/mtime, possibly
-    // a different ts physical type than the schema inferred above) is
-    // detected and re-staged, not reused. The whole check+delete+
-    // restage sequence runs under a JVM-wide lock: without it, two
-    // threads could both judge the OLD file stale and the second
-    // delete would unlink the first's fresh re-stage under a reader
-    // that already started (the bench pool is single-JVM, so a JVM
-    // lock fully serializes the writers).
     val target = stageDir.resolve("events.parquet")
     stageLock.synchronized {
-      val stale = java.nio.file.Files.exists(target) && {
-        val srcAttr = java.nio.file.Files.readAttributes(
-          src, classOf[java.nio.file.attribute.BasicFileAttributes])
-        val tgtAttr = java.nio.file.Files.readAttributes(
-          target, classOf[java.nio.file.attribute.BasicFileAttributes])
-        // millisecond granularity: COPY_ATTRIBUTES preserves mtime only
-        // to µs on some filesystems, so an exact compare would flag the
-        // stage stale on EVERY run and re-copy (racing concurrent readers)
-        srcAttr.size() != tgtAttr.size() ||
-          srcAttr.lastModifiedTime().toMillis != tgtAttr.lastModifiedTime().toMillis
-      }
-      if (stale) java.nio.file.Files.deleteIfExists(target)
       if (!java.nio.file.Files.exists(target)) {
         val tmp = java.nio.file.Files.createTempFile(stageDir, ".events", ".tmp")
-        // COPY_ATTRIBUTES carries the source mtime onto the stage so the
-        // staleness check above can compare mtimes on the next run.
         java.nio.file.Files.copy(src, tmp,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING,
           java.nio.file.StandardCopyOption.COPY_ATTRIBUTES)
