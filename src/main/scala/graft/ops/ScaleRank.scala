@@ -456,35 +456,35 @@ object ScaleRank {
   def exactQuantilesDisc(df: DataFrame, valueCol: String,
       fractions: Seq[(Int, Int)], names: Seq[String],
       nRanges: Int = 32): DataFrame = {
-    require(fractions.nonEmpty && fractions.size == names.size)
-    require(fractions.forall { case (num, den) =>
-      den > 0 && num > 0 && num <= den })
-    // Rank ROWS directly (the agg_deciles shape — one range-partitioned
-    // window, two eager sketch/count passes). The key is the value
-    // itself: rank order among TIED values is then arbitrary, but the
-    // VALUE at any rank position is determined by the sorted multiset
-    // alone, which is all a quantile reads. A (value, count) reduction
-    // first would suit heavy-tie domains but costs extra groupBy
-    // shuffles per eager pass — mostly-distinct columns (prices, keys)
-    // are the common case here. NOTE: with key == metric, the tie-skew
-    // guard cannot sub-split a heavy tied value (all its key samples
-    // are identical), so a value carrying a large row share still
-    // lands in one window cell — for tie-HEAVY columns prefer
-    // groupedQuantilesDisc with a constant group, which reduces tie
-    // mass to one (value, count) row before any window. NULL values
-    // are ignored, matching percentile_disc (unfiltered they would
-    // sort first and shift every rank; n must also count non-null
-    // rows only).
-    val ranked = withGlobalRank(
-      df.select(col(valueCol).as("__v")).filter(col("__v").isNotNull),
-      "__v", "__v", nRanges = nRanges, rkName = "__rk",
-      nName = Some("__n"))
-    // smallest value whose CDF ≥ num/den ⇔ value of the row at rank
-    // ⌈num·n/den⌉ ⇔ min value among ranks with rk·den ≥ num·n
+    requireFractions(fractions, names)
+    // Reduce to the domain-bounded (value, count) table FIRST (one
+    // map-side-combined shuffle), then rank the DISTINCT values and
+    // carry the cumulative ROW count as a running sum of the counts in
+    // the same window pass. Ranking rows directly would be one shuffle
+    // cheaper on mostly-distinct columns, but with key == metric the
+    // tie-skew guard cannot sub-split a heavy tied value (all its key
+    // samples are identical), so a value carrying a 30% row share
+    // would land in ONE window cell — the single-task-sort bottleneck
+    // this helper exists to avoid, and nothing stops a caller passing
+    // such a column. After the reduction ties cannot exist by
+    // construction (a heavy value is one row), so the hazard is gone
+    // for every caller instead of documented in a NOTE; the extra
+    // shuffle is map-side combined and at most the distinct-value
+    // width. NULL values are dropped first, matching percentile_disc
+    // (unfiltered they would sort first and shift every rank; n counts
+    // non-null rows only).
+    val vc = df.select(col(valueCol).as("__v")).filter(col("__v").isNotNull)
+      .groupBy("__v").agg(count(lit(1)).as("__cnt"))
+    val ranked = withGlobalRanks(vc, "__v", "__v", nRanges = nRanges,
+      rkName = "__vrk", runOns = Seq("__cnt" -> "__run"))
+    val tot = vc.agg(sum("__cnt").cast("long").as("__n"))
+    // smallest value whose CDF ≥ num/den ⇔ min value whose cumulative
+    // row count reaches ⌈num·n/den⌉ ⇔ min(v | run·den ≥ num·n) — the
+    // CDF comparison in exact integers
     val aggs = fractions.zip(names).map { case ((num, den), nm) =>
-      min(when(col("__rk") * den >= col("__n") * num, col("__v"))).as(nm)
+      min(when(col("__run") * den >= col("__n") * num, col("__v"))).as(nm)
     }
-    ranked.agg(aggs.head, aggs.tail: _*)
+    ranked.crossJoin(broadcast(tot)).agg(aggs.head, aggs.tail: _*)
   }
 
   /** Per-GROUP exact discrete quantiles — [[exactQuantilesDisc]] for
