@@ -33,6 +33,40 @@ class Extras51Spec extends SparkSpec {
     assert(wau.count() == dau.count())
   }
 
+  test("join cost advisor: recommendation matches the executed join strategy") {
+    val sf001 = "/root/testdata/sf0.01"
+    val advisor = SparkEntry.queries("join_cost_advisor")(spark, sf001).collect()
+    // the side recommendation derives from the global dim total, so all
+    // bins agree; at sf0.01 (1500 customers ≤ the 1e6-row threshold)
+    // it must say broadcast
+    val hints = advisor.map(_.getAs[String]("side_hint")).distinct
+    assert(hints.toSeq == Seq("broadcast"))
+    def executed(hint: String): String = {
+      val df = graft.io.Tables.orders(spark, sf001)
+        .join(graft.io.Tables.customer(spark, sf001).hint(hint),
+          col("o_custkey") === col("c_custkey"))
+        .select("o_orderkey", "c_name")
+      df.write.format("noop").mode("overwrite").save()
+      df.queryExecution.executedPlan.toString
+    }
+    // the advisor's recommendation, applied as the join hint, is what
+    // the engine actually executes...
+    assert(executed(hints.head).contains("BroadcastHashJoin"))
+    // ...and the channel is causal: the opposite recommendation flips
+    // the executed strategy (the shuffle_hash join_hinted forces)
+    val sh = executed("shuffle_hash")
+    assert(sh.contains("ShuffledHashJoin") && !sh.contains("BroadcastHashJoin"))
+    // AQE's own unhinted final plan agrees with the advisor here — the
+    // advisor predicts, from the histogram alone, the strategy the
+    // runtime picks with full statistics
+    val un = graft.io.Tables.orders(spark, sf001)
+      .join(graft.io.Tables.customer(spark, sf001),
+        col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey", "c_name")
+    un.write.format("noop").mode("overwrite").save()
+    assert(un.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+  }
+
   test("pattern match: journey counts bounded by purchases; sequences real") {
     val got = SparkEntry.queries("seq_pattern_match")(spark, sf0001)
     val purchases = graft.io.Tables.events(spark, sf0001)
