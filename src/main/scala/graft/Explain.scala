@@ -35,7 +35,10 @@ object Explain {
         // round-7 scale-critical additions (distributed exact
         // quantiles, histogram-driven join costing)
         "agg_histogram_equiheight", "feature_quantile_bucket",
-        "join_cost_advisor")
+        "join_cost_advisor",
+        // round-8 scale-critical additions (persisted-index
+        // incremental dedup pair)
+        "dedup_index_build", "dedup_incremental")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
