@@ -166,6 +166,10 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("ntile"), p)
     assert(p.contains("windowspecdefinition(__ck0"), p)
     assert(!"windowspecdefinition\\(cents[,)]".r.findFirstIn(p).isDefined, p)
+    // and the tie-proof reduction must precede the ranking: the window
+    // rides the DISTINCT (value, count) table (a __v-keyed aggregate
+    // shuffle), so a heavy tied value can never be a heavy window cell
+    assert("hashpartitioning\\(__v#".r.findFirstIn(p).isDefined, p)
   }
 
   test("ohlc is one aggregation pass — no window, no self-join") {
