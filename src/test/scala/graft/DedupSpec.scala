@@ -82,6 +82,46 @@ class DedupSpec extends SparkSpec {
       .location.rootPaths.forall(_.toString.contains(dir))))
   }
 
+  test("multi-day cycle: appending accepted rows' index entries composes") {
+    // the production contract SCALE.md claims: day N screens against
+    // index(base) ∪ index(accepted day 1) ∪ … — per-generation index
+    // parquets APPEND (buildIndex is per-row, so row-wise union IS the
+    // grown corpus's index), and rejected docs never enter the index.
+    val base = corpus.filter(col("doc_id").isin(1L, 3L))
+    val delta1 = Seq(
+      (0L, "entirely novel text about mountain weather patterns and snowfall records"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank tonight"),
+      (4L, "completely different content about databases and storage formats parquet")
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ix_cycle").toString
+    Dedup.buildIndex(base, "doc_id", "text").write.mode("overwrite").parquet(dir)
+    // day 1: screen, then append ONLY the accepted rows' index entries
+    val acc1 = Dedup.incrementalAcceptIndexed(
+      spark.read.parquet(dir), delta1, "doc_id", "text", threshold = 0.5)
+    assert(acc1.select("doc_id").collect().map(_.getLong(0)).toSet == Set(0L, 4L))
+    Dedup.buildIndex(acc1, "doc_id", "text").write.mode("append").parquet(dir)
+    // the grown index holds exactly base + accepted — never the rejected
+    assert(spark.read.parquet(dir).select("id").collect().map(_.getLong(0)).toSet
+      == Set(1L, 3L, 0L, 4L))
+    // day 2: novel doc accepted; near-dups of the ORIGINAL base and of a
+    // day-1 ACCEPTED doc both rejected
+    val delta2 = Seq(
+      (10L, "fresh unrelated prose on orchestral music theory and harmonic motion"),
+      (11L, "the quick brown fox jumps over the lazy dog near the river bank yesterday"),
+      (12L, "entirely novel text about mountain weather patterns and snowfall totals")
+    ).toDF("doc_id", "text")
+    val got = Dedup.incrementalAcceptIndexed(
+      spark.read.parquet(dir), delta2, "doc_id", "text", threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(10L))
+    // and the appended index is indistinguishable from rebuilding over
+    // the grown corpus — the append path loses nothing
+    val rebuilt = Dedup.incrementalAccept(base.unionByName(acc1), delta2,
+      "doc_id", "text", threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == rebuilt)
+  }
+
   test("dedup is idempotent") {
     val once = Dedup.dedupMinHash(corpus, "doc_id", "text", threshold = 0.5)
     val twice = Dedup.dedupMinHash(once, "doc_id", "text", threshold = 0.5)
