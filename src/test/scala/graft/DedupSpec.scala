@@ -122,6 +122,32 @@ class DedupSpec extends SparkSpec {
     assert(got == rebuilt)
   }
 
+  test("staged index is versioned by source generation; old artifact survives") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    // test-local dataset dir so the regeneration can rewrite the source
+    val ds = Files.createTempDirectory("graft_ix_gen").toString
+    Files.copy(Paths.get("/root/testdata/sf0.001/documents.parquet"),
+      Paths.get(s"$ds/documents.parquet"))
+    val p1 = graft.text.DedupQueries.stagedIndexPath(spark, ds)
+    assert(Files.exists(Paths.get(p1)))
+    val n1 = spark.read.parquet(p1).count()
+    // regenerate in place: fewer docs, different size/mtime
+    val out = Files.createTempDirectory("graft_ix_regen").toString
+    spark.read.parquet(s"$ds/documents.parquet")
+      .filter(col("doc_id") % 2 === 0).coalesce(1)
+      .write.mode("overwrite").parquet(out)
+    val part = Files.list(Paths.get(out)).toArray.map(_.toString)
+      .filter(_.endsWith(".parquet")).head
+    Files.move(Paths.get(part), Paths.get(s"$ds/documents.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val p2 = graft.text.DedupQueries.stagedIndexPath(spark, ds)
+    // a fresh artifact serves the new generation; the old one is intact
+    // (create-only scheme — no delete path exists to race a reader)
+    assert(p2 != p1 && Files.exists(Paths.get(p2)))
+    assert(Files.exists(Paths.get(p1)))
+    assert(spark.read.parquet(p2).count() < n1)
+  }
+
   test("dedup is idempotent") {
     val once = Dedup.dedupMinHash(corpus, "doc_id", "text", threshold = 0.5)
     val twice = Dedup.dedupMinHash(once, "doc_id", "text", threshold = 0.5)
