@@ -193,37 +193,42 @@ object Dedup {
     * with |delta| × bucket occupancy, not |corpus|². Hot buckets
     * (> maxBucket occupants on the reference side) are dropped before
     * pairing — the same guard as [[candidatePairs]]. The delta-side
-    * kernels (minhash signature, shingles) appear in two plan branches
-    * (probe + reference / verify) and so evaluate twice per run —
-    * bounded by the SMALL side; persist the delta frames if the delta
-    * stops being small relative to the base.
+    * kernels (minhash signature, shingles) feed FIVE plan branches
+    * (probe, reference union, two verify sides, final anti-join), so
+    * the delta's own index frame is memoized per (session, delta plan)
+    * — a session-persisted [[buildIndex]] projection the branches all
+    * read, making the expensive kernels evaluate ONCE per delta (the
+    * same PlanMemo machinery as the verified-pair stream; payload is
+    * one row per DELTA doc — small by definition).
     */
+  private val deltaIxMemo =
+    new graft.plans.PlanMemo[(String, String), DataFrame](Seq(_))
+
   def incrementalAcceptIndexed(index: DataFrame, delta: DataFrame,
       idCol: String, textCol: String, threshold: Double = 0.7,
       maxBucket: Int = 100): DataFrame = {
     graft.plans.GraftFunctions.register(delta.sparkSession)
-    def buckets(df: DataFrame) = withSignature(df, idCol, textCol)
-      .select(col("id"), explode(bandsCol(col("mh_sig"))).as("bk"))
+    val dIx = deltaIxMemo.getOrCompute(delta, (idCol, textCol)) {
+      buildIndex(delta, idCol, textCol)
+    }
+    def deltaBuckets = dIx.select(col("id"), explode(col("bands")).as("bk"))
     // reference side = the persisted index + the delta itself
     // (for intra-delta dups, lower id wins)
     val refBk = index.select(col("id").as("id_ref"),
         explode(col("bands")).as("bk"), lit(true).as("ref_is_base"))
-      .unionByName(buckets(delta).select(col("id").as("id_ref"), col("bk"),
+      .unionByName(deltaBuckets.select(col("id").as("id_ref"), col("bk"),
         lit(false).as("ref_is_base")))
     val hot = refBk.groupBy("bk").agg(count(lit(1)).as("__n"))
       .filter(col("__n") > maxBucket).select("bk")
-    val cand = buckets(delta).join(refBk.join(hot, Seq("bk"), "left_anti"), "bk")
+    val cand = deltaBuckets.join(refBk.join(hot, Seq("bk"), "left_anti"), "bk")
       .filter(col("ref_is_base") || col("id_ref") < col("id"))
       .select(col("id"), col("id_ref")).distinct()
-    def sets(df: DataFrame, idAs: String, shAs: String) =
-      df.select(col(idCol).as(idAs),
-        array_distinct(call_function("shingles", col(textCol))).as(shAs))
     // verify reference shingle sets: the index's persisted `sh` for
     // indexed docs, the delta's own for intra-delta candidates
     val refSets = index.select(col("id").as("id_ref"), col("sh").as("sh_r"))
-      .unionByName(sets(delta, "id_ref", "sh_r"))
+      .unionByName(dIx.select(col("id").as("id_ref"), col("sh").as("sh_r")))
     val rejected = cand
-      .join(sets(delta, "id", "sh_d"), "id")
+      .join(dIx.select(col("id"), col("sh").as("sh_d")), "id")
       .join(refSets, "id_ref")
       .filter(size(array_intersect(col("sh_d"), col("sh_r"))).cast("double") /
         size(array_union(col("sh_d"), col("sh_r"))) >= threshold)
