@@ -41,7 +41,9 @@ import org.apache.spark.sql.SparkSession
   * session-local and race nothing.
   *
   * Reported `value` = wall-clock seconds for the whole suite
-  * (warm-up excluded); `queries` = the serial headline seconds; the
+  * (warm-up excluded); `walls` = the per-phase split (serial-headline /
+  * batch-pool / stream-pool) so a contended run is adjudicable from
+  * the artifact alone; `queries` = the serial headline seconds; the
   * full per-query map (pool-concurrent, so inflated) goes to stderr.
   */
 object Bench {
@@ -142,7 +144,7 @@ object Bench {
     val heavyFirst = Set(
       "dedup_ngram", "dedup_survivors",
       "dedup_containment", "dedup_minhash_pairs", "dedup_decontaminate",
-      "dedup_index_build",
+      "dedup_index_build", "dedup_index_append",
       "dedup_pair_histogram", "dedup_simhash", "dedup_simhash_md5",
       "dedup_lines", "graph_pagerank", "graph_triangles",
       "ts_interp_linear", "try_funcs", "sink_compact", "json_variant",
@@ -178,11 +180,13 @@ object Bench {
         (q.name, t1, t2)
       }
     val headTimes = headRuns.map { case (n, t1, t2) => n -> math.min(t1, t2) }
+    val wallHead = (System.nanoTime() - wall0) / 1e9
     val ec = ExecutionContext.fromExecutorService(Executors.newFixedThreadPool(pool))
     val batchTimes =
       try Await.result(Future.traverse(batchQs)(q => Future(run(q, spark))(ec))(
         implicitly, ec), Duration.Inf)
       finally ec.shutdown()
+    val wallBatch = (System.nanoTime() - wall0) / 1e9 - wallHead
     // Streaming queries also run concurrently, each on its OWN session:
     // the stream-scoped confs (shuffle.partitions, state store
     // provider) are session-local there, so nothing races. Stage,
@@ -196,6 +200,7 @@ object Bench {
         Future(run(q, spark.newSession()))(ecs))(implicitly, ecs), Duration.Inf)
       finally ecs.shutdown()
     val wall = (System.nanoTime() - wall0) / 1e9
+    val wallStream = wall - wallHead - wallBatch
 
     val byName = (headTimes ++ batchTimes ++ streamTimes).toMap
     val results = Registry.all.map(q => q.name -> byName(q.name))
@@ -220,7 +225,15 @@ object Bench {
     // can land on stdout after the json line — the driver parses the
     // last line of stdout.
     spark.stop()
+    // Per-phase walls make the artifact SELF-ADJUDICATING under machine
+    // contention: the serial-headline phase measures the engine alone,
+    // so a run whose pooled phases balloon while `walls.headline` (and
+    // the per-query serial mins) stay flat is a contended machine, not
+    // a code regression — decidable from this JSON without a re-run
+    // (the r8 adjudication needed exactly this split).
+    val wallsJson =
+      f"""{"headline":$wallHead%.1f,"batch_pool":$wallBatch%.1f,"stream_pool":$wallStream%.1f}"""
     println(
-      f"""{"metric":"total","value":$wall%.3f,"unit":"sec","pool":$pool,"serial_sum":$serialSum%.3f,"n_queries":${results.size},"queries":$qs,"runs":$runsJson,"sf":"$sfDir"}""")
+      f"""{"metric":"total","value":$wall%.3f,"unit":"sec","pool":$pool,"serial_sum":$serialSum%.3f,"n_queries":${results.size},"walls":$wallsJson,"queries":$qs,"runs":$runsJson,"sf":"$sfDir"}""")
   }
 }

@@ -174,6 +174,84 @@ object Dedup {
       .select(col("id"), bandsCol(col("mh_sig")).as("bands"), col("sh"))
   }
 
+  /** Probe-side postings derived from a [[buildIndex]] frame: one row
+    * per (band key, doc) — the exploded spelling the delta's candidate
+    * equi-join reads, persisted so the probe never re-explodes the
+    * per-doc band arrays. */
+  def indexPostings(ixDocs: DataFrame): DataFrame =
+    ixDocs.select(col("id"), explode(col("bands")).as("bk"))
+
+  /** Per-bucket occupancy derived from postings — the hot-bucket
+    * sidecar. MERGEABLE partial-aggregate semantics: the table may
+    * hold several rows per bucket (one per append generation); every
+    * consumer sums per bucket, so appending a delta's partial counts
+    * composes without rewriting corpus-wide stats. */
+  def indexBucketStats(postings: DataFrame): DataFrame =
+    postings.groupBy("bk").agg(count(lit(1)).as("n"))
+
+  /** Writes the full three-part persisted index under `root`:
+    * `root/ix` (per-doc band arrays + shingle sets — the verify
+    * reference and content-of-record), `root/post` (bucket postings —
+    * the candidate-join probe side), `root/bk` (per-bucket occupancy —
+    * the hot-bucket stats sidecar). `post`/`bk` are derived from the
+    * WRITTEN `ix` parquet, so the three artifacts cannot drift. At
+    * 100 TB this runs once per corpus and is APPENDED to
+    * ([[appendIndex]]), never rebuilt. */
+  def writeIndex(df: DataFrame, idCol: String, textCol: String,
+      root: String): Unit = {
+    val s = df.sparkSession
+    buildIndex(df, idCol, textCol).write.mode("overwrite").parquet(s"$root/ix")
+    indexPostings(s.read.parquet(s"$root/ix"))
+      .write.mode("overwrite").parquet(s"$root/post")
+    indexBucketStats(s.read.parquet(s"$root/post"))
+      .write.mode("overwrite").parquet(s"$root/bk")
+  }
+
+  /** Appends the accepted delta rows' index entries to a persisted
+    * index: their per-doc rows to `ix`, their postings to `post`, and
+    * their PARTIAL per-bucket counts to `bk` (the stats sidecar is a
+    * mergeable partial aggregate — see [[indexBucketStats]]). The
+    * recurring cost is delta-sized on all three artifacts; the corpus
+    * side is never rewritten.
+    *
+    * The delta's index rows are materialized to a scratch parquet
+    * FIRST and all three appends read those written files. This cuts
+    * the plan lineage on purpose: `accepted` is typically the lazy
+    * output of [[incrementalAcceptIndexed]] over the very index being
+    * grown, and each append's refresh-by-path invalidates any cached
+    * intermediate, so a lineage-carrying append would re-screen the
+    * delta against the half-grown index (its own rows now indexed →
+    * everything self-rejects → later appends write empty). Snapshot
+    * semantics, not an implementation nicety. */
+  def appendIndex(root: String, accepted: DataFrame, idCol: String,
+      textCol: String): Unit = {
+    val s = accepted.sparkSession
+    val scratch = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(sys.props("java.io.tmpdir")),
+      ".graft_ix_append_")
+    try {
+      val sd = scratch.resolve("ixd").toString
+      buildIndex(accepted, idCol, textCol)
+        .write.mode("overwrite").parquet(sd)
+      s.read.parquet(sd).write.mode("append").parquet(s"$root/ix")
+      val post = indexPostings(s.read.parquet(sd))
+      post.write.mode("append").parquet(s"$root/post")
+      indexBucketStats(indexPostings(s.read.parquet(sd)))
+        .write.mode("append").parquet(s"$root/bk")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(scratch).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  /** Opens a persisted three-part index written by [[writeIndex]] /
+    * grown by [[appendIndex]]. */
+  def readIndex(s: org.apache.spark.sql.SparkSession,
+      root: String): DedupIndex =
+    DedupIndex(s.read.parquet(s"$root/ix"), s.read.parquet(s"$root/post"),
+      s.read.parquet(s"$root/bk"))
+
   /** INCREMENTAL near-dedup against a PERSISTED index — the production
     * shape for a growing corpus: never re-dedup (or even re-read) the
     * base, only screen the arriving DELTA against the [[buildIndex]]
@@ -185,12 +263,16 @@ object Dedup {
     * later near-dups, keeping the result order- and
     * partitioning-independent). Returns the accepted delta rows.
     *
-    * Scale shape: the recurring per-delta cost touches the index (a
-    * columnar scan of band arrays + candidate shingle sets) and the
-    * delta ONLY — raw base text is read zero times, so the O(|corpus|)
-    * re-shingle pass of a naive respelling never recurs. The delta
-    * probes the index with a bucket equi-join; candidate work scales
-    * with |delta| × bucket occupancy, not |corpus|². Hot buckets
+    * Scale shape: the recurring per-delta cost touches the index's
+    * PRE-DERIVED probe artifacts and the delta ONLY — raw base text is
+    * read zero times, so the O(|corpus|) re-shingle pass of a naive
+    * respelling never recurs, and the per-doc band arrays are never
+    * re-exploded or re-grouped at probe time (the candidate join reads
+    * the persisted postings; hot-bucket stats combine the persisted
+    * |buckets|-row occupancy sidecar with the delta's own counts — the
+    * only probe-time aggregation over index-derived rows is that
+    * |buckets|-row sum). Candidate work scales with |delta| × bucket
+    * occupancy, not |corpus|². Hot buckets
     * (> maxBucket occupants on the reference side) are dropped before
     * pairing — the same guard as [[candidatePairs]]. The delta-side
     * kernels (minhash signature, shingles) feed FIVE plan branches
@@ -204,7 +286,7 @@ object Dedup {
   private val deltaIxMemo =
     new graft.plans.PlanMemo[(String, String), DataFrame](Seq(_))
 
-  def incrementalAcceptIndexed(index: DataFrame, delta: DataFrame,
+  def incrementalAcceptIndexed(index: DedupIndex, delta: DataFrame,
       idCol: String, textCol: String, threshold: Double = 0.7,
       maxBucket: Int = 100): DataFrame = {
     graft.plans.GraftFunctions.register(delta.sparkSession)
@@ -212,20 +294,28 @@ object Dedup {
       buildIndex(delta, idCol, textCol)
     }
     def deltaBuckets = dIx.select(col("id"), explode(col("bands")).as("bk"))
-    // reference side = the persisted index + the delta itself
+    // hot-bucket stats: the index side contributes its PRE-AGGREGATED
+    // |buckets|-row occupancy sidecar (possibly several partial rows
+    // per bucket after appends); only the delta's own postings are
+    // counted at probe time. The combined sum is identical to grouping
+    // index ∪ delta postings, without ever re-aggregating the index.
+    val hot = index.bucketStats.select(col("bk"), col("n"))
+      .unionByName(deltaBuckets.groupBy("bk").agg(count(lit(1)).as("n")))
+      .groupBy("bk").agg(sum("n").as("__n"))
+      .filter(col("__n") > maxBucket).select("bk")
+    // reference side = the persisted postings + the delta's own
     // (for intra-delta dups, lower id wins)
-    val refBk = index.select(col("id").as("id_ref"),
-        explode(col("bands")).as("bk"), lit(true).as("ref_is_base"))
+    val refBk = index.postings.select(col("id").as("id_ref"), col("bk"),
+        lit(true).as("ref_is_base"))
       .unionByName(deltaBuckets.select(col("id").as("id_ref"), col("bk"),
         lit(false).as("ref_is_base")))
-    val hot = refBk.groupBy("bk").agg(count(lit(1)).as("__n"))
-      .filter(col("__n") > maxBucket).select("bk")
     val cand = deltaBuckets.join(refBk.join(hot, Seq("bk"), "left_anti"), "bk")
       .filter(col("ref_is_base") || col("id_ref") < col("id"))
       .select(col("id"), col("id_ref")).distinct()
     // verify reference shingle sets: the index's persisted `sh` for
-    // indexed docs, the delta's own for intra-delta candidates
-    val refSets = index.select(col("id").as("id_ref"), col("sh").as("sh_r"))
+    // indexed docs, the delta's own for intra-delta candidates — the
+    // ONLY branch that touches the per-doc `ix` table at probe time.
+    val refSets = index.docs.select(col("id").as("id_ref"), col("sh").as("sh_r"))
       .unionByName(dIx.select(col("id").as("id_ref"), col("sh").as("sh_r")))
     val rejected = cand
       .join(dIx.select(col("id"), col("sh").as("sh_d")), "id")
@@ -238,12 +328,14 @@ object Dedup {
 
   /** [[incrementalAcceptIndexed]] with the index built inline from the
     * base frame — the one-shot spelling for a corpus with no persisted
-    * index yet (tests, first-time dedup). Bit-identical results; the
-    * production boundary is the indexed variant. */
+    * index yet (tests, first-time dedup; the probe artifacts are
+    * derived in-plan instead of read from parquet). Bit-identical
+    * results; the production boundary is the indexed variant. */
   def incrementalAccept(base: DataFrame, delta: DataFrame, idCol: String,
       textCol: String, threshold: Double = 0.7,
       maxBucket: Int = 100): DataFrame =
-    incrementalAcceptIndexed(buildIndex(base, idCol, textCol), delta,
+    incrementalAcceptIndexed(
+      DedupIndex.fromDocs(buildIndex(base, idCol, textCol)), delta,
       idCol, textCol, threshold, maxBucket)
 
   // --- SimHash -----------------------------------------------------------
@@ -400,5 +492,32 @@ object Dedup {
     val dupIds = ngramJaccardPairs(df, idCol, textCol, threshold)
       .select(col("id_b").as(idCol)).distinct()
     df.join(dupIds, Seq(idCol), "left_anti")
+  }
+}
+
+/** A dedup index as the probe consumes it — three co-staged tables
+  * ([[Dedup.writeIndex]] layout):
+  *
+  *  - `docs(id, bands, sh)`     per-doc record of truth; probe reads
+  *                              ONLY (id, sh) to verify candidates
+  *  - `postings(id, bk)`        exploded band keys; the candidate
+  *                              equi-join's reference side
+  *  - `bucketStats(bk, n)`      per-bucket occupancy, mergeable
+  *                              partials — the hot-bucket guard reads
+  *                              this |buckets|-row sidecar instead of
+  *                              re-grouping the corpus's band arrays
+  *                              on every delta
+  */
+final case class DedupIndex(docs: DataFrame, postings: DataFrame,
+    bucketStats: DataFrame)
+
+object DedupIndex {
+  /** Derives the probe-side tables in-plan from a per-doc index frame —
+    * the spelling for an index that is not (yet) persisted. A staged
+    * index should be read with [[Dedup.readIndex]] so the probe scans
+    * the pre-derived parquet artifacts instead. */
+  def fromDocs(docs: DataFrame): DedupIndex = {
+    val post = Dedup.indexPostings(docs)
+    DedupIndex(docs, post, Dedup.indexBucketStats(post))
   }
 }

@@ -86,7 +86,7 @@ object DedupQueries {
              |       md5(array_to_string(list_sort(sh), chr(31))) AS sh_fp,
              |       CAST(16 AS BIGINT) AS n_bands
              |FROM d ORDER BY doc_id""".stripMargin),
-      (s, d) => s.read.parquet(stagedIndexPath(s, d))
+      (s, d) => s.read.parquet(stagedIndexPath(s, d) + "/ix")
         .select(col("id").as("doc_id"),
           size(col("sh")).cast("long").as("n_shingles"),
           md5(concat_ws("\u001f", array_sort(col("sh")))).as("sh_fp"),
@@ -117,10 +117,63 @@ object DedupQueries {
              |WHERE doc_id % 5 = 0 AND doc_id NOT IN (SELECT doc_id FROM rej)
              |ORDER BY doc_id""".stripMargin),
       (s, d) => Dedup.incrementalAcceptIndexed(
-          s.read.parquet(stagedIndexPath(s, d)),
+          Dedup.readIndex(s, stagedIndexPath(s, d)),
           documents(s, d).filter(col("doc_id") % 5 === 0),
           "doc_id", "text")
         .select("doc_id").orderBy("doc_id")),
+
+    // MULTI-DAY INDEX APPEND cycle on testdata — the production
+    // lifecycle of the persisted index end-to-end: day 0 builds the
+    // index over the doc_id % 3 = 0 corpus (writeIndex: per-doc rows +
+    // postings + bucket-occupancy sidecar); day 1's delta
+    // (doc_id % 3 = 1) is screened against it and ONLY the accepted
+    // rows' index entries are APPENDED (appendIndex: delta-sized
+    // appends to all three artifacts — the corpus side is never
+    // rewritten); day 2's delta (doc_id % 3 = 2) probes the GROWN
+    // index. Output = both days' accepted doc_ids; day 1's membership
+    // is read back FROM the appended parquet (ix rows with id % 3 = 1),
+    // so the oracle gates the persisted artifact's content, the
+    // append-composes semantics, and the day-2 probe at once. Oracle:
+    // exact all-pairs Jaccard with the same acceptance rules (a day's
+    // doc is rejected iff it near-dups an indexed doc — base or a
+    // PRIOR day's accepted doc — or a lower-id same-day doc; rejected
+    // same-day docs still block, rejected prior-day docs don't, since
+    // they never enter the index). Oracle-exact for the dedup_minhash
+    // reasons: verified-100% LSH recall, cutoffs never fire.
+    Q("dedup_index_append",
+      Some(s"""$jaccardCtePrefix,
+             |jp AS (SELECT ia, ib FROM pairs
+             |       JOIN sizes sa ON sa.doc_id = pairs.ia
+             |       JOIN sizes sb ON sb.doc_id = pairs.ib
+             |       WHERE CAST(ns AS DOUBLE) / (sa.n + sb.n - ns) >= 0.7),
+             |e AS (SELECT ia AS a, ib AS b FROM jp
+             |      UNION SELECT ib AS a, ia AS b FROM jp),
+             |rej1 AS (SELECT DISTINCT a AS doc_id FROM e
+             |         WHERE a % 3 = 1
+             |           AND (b % 3 = 0 OR (b % 3 = 1 AND b < a))),
+             |acc1 AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 1
+             |         AND doc_id NOT IN (SELECT doc_id FROM rej1)),
+             |rej2 AS (SELECT DISTINCT a AS doc_id FROM e
+             |         WHERE a % 3 = 2
+             |           AND (b % 3 = 0
+             |                OR b IN (SELECT doc_id FROM acc1)
+             |                OR (b % 3 = 2 AND b < a))),
+             |acc2 AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 2
+             |         AND doc_id NOT IN (SELECT doc_id FROM rej2))
+             |SELECT doc_id, CAST(1 AS BIGINT) AS day FROM acc1
+             |UNION ALL
+             |SELECT doc_id, CAST(2 AS BIGINT) AS day FROM acc2
+             |ORDER BY day, doc_id""".stripMargin),
+      (s, d) => {
+        val ix = Dedup.readIndex(s, stagedAppendPath(s, d))
+        val day1 = ix.docs.filter(col("id") % 3 === 1)
+          .select(col("id").as("doc_id"), lit(1L).as("day"))
+        val day2 = Dedup.incrementalAcceptIndexed(ix,
+            documents(s, d).filter(col("doc_id") % 3 === 2),
+            "doc_id", "text")
+          .select(col("doc_id"), lit(2L).as("day"))
+        day1.unionByName(day2).orderBy("day", "doc_id")
+      }),
 
     // SimHash fingerprints (+ prefix bucket) for every doc.
     // Rows-only BY DESIGN (no oracle SQL): the production hash family is
@@ -370,38 +423,63 @@ object DedupQueries {
     * comes from the create-only ATOMIC_MOVE below). */
   private val indexLock = new Object
 
-  /** Stages the base-corpus dedup index (Dedup.buildIndex over
-    * doc_id % 5 ≠ 0) as parquet ONCE per testdata generation and
-    * returns its path — the persisted artifact both `dedup_index_build`
-    * (phase 1, content check) and `dedup_incremental` (phase 2, delta
-    * probe) read, so the probe plan scans the index file, never base
-    * text. The path is VERSIONED by the source file's (size, mtime):
-    * a regenerated testdata gets a fresh directory instead of a
-    * delete+restage of a shared one, so concurrent JVMs can never
-    * unlink each other's copy — the same scheme as the streaming
-    * events stage. Publication is write-to-temp + create-only atomic
-    * rename: losers of the race delete their temp and use the
-    * winner's identical artifact. Stale generations linger in tmp
-    * (bytes, reaped with the tmpdir).
+  /** Stages the base-corpus dedup index (Dedup.writeIndex over
+    * doc_id % 5 ≠ 0 — per-doc `ix`, postings `post`, bucket-stats
+    * sidecar `bk`) ONCE per testdata generation and returns its root —
+    * the persisted artifact both `dedup_index_build` (phase 1, content
+    * check of `ix`) and `dedup_incremental` (phase 2, delta probe over
+    * all three parts) read, so the probe plan scans the index
+    * artifacts, never base text. Versioning/publication/reaping are
+    * stageOnce's (see there and SCALE.md "staged-artifact lifecycle").
     */
   private[graft] def stagedIndexPath(s: org.apache.spark.sql.SparkSession,
-      dir: String): String = {
+      dir: String): String =
+    stageOnce("graft_dedup_index2_", dir) { root =>
+      Dedup.writeIndex(
+        documents(s, dir).filter(col("doc_id") % 5 =!= 0),
+        "doc_id", "text", root)
+    }
+
+  /** Stages the `dedup_index_append` multi-day artifact once per
+    * testdata generation: day-0 index over doc_id % 3 = 0, then day-1
+    * delta (doc_id % 3 = 1) screened and its ACCEPTED rows' index
+    * entries appended via [[Dedup.appendIndex]] — so the published
+    * artifact is a genuinely grown index (parquet appends on all
+    * three parts, bucket stats as mergeable partials), which the
+    * registered query's day-2 probe then reads. Same
+    * versioned-by-generation, create-only publication as the base
+    * index stage. */
+  private[graft] def stagedAppendPath(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    stageOnce("graft_dedup_append_", dir) { root =>
+      val docs = documents(s, dir)
+      Dedup.writeIndex(docs.filter(col("doc_id") % 3 === 0),
+        "doc_id", "text", root)
+      val acc1 = Dedup.incrementalAcceptIndexed(Dedup.readIndex(s, root),
+        docs.filter(col("doc_id") % 3 === 1), "doc_id", "text")
+      Dedup.appendIndex(root, acc1, "doc_id", "text")
+    }
+
+  /** Generation-versioned, create-only staging shared by the dedup
+    * index artifacts: `build` populates a temp dir, which is published
+    * under a name keyed by the source parquet's (size, mtime) via
+    * atomic rename; losers of the cross-process race keep the winner's
+    * identical artifact. */
+  private def stageOnce(prefix: String, dir: String)(
+      build: String => Unit): String = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val src = Paths.get(dir, "documents.parquet")
     val attr = Files.readAttributes(src,
       classOf[java.nio.file.attribute.BasicFileAttributes])
     val target = Paths.get(sys.props("java.io.tmpdir"),
-      "graft_dedup_index_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
+      prefix + dir.replaceAll("[^A-Za-z0-9]", "_") +
         s"_${attr.size}_${attr.lastModifiedTime.toMillis}")
     indexLock.synchronized {
       if (!Files.exists(target)) {
         val tmp = Files.createTempDirectory(
-          Paths.get(sys.props("java.io.tmpdir")), ".graft_dedup_ix_")
-        val staged = tmp.resolve("ix")
-        Dedup.buildIndex(
-            documents(s, dir).filter(col("doc_id") % 5 =!= 0),
-            "doc_id", "text")
-          .write.mode("overwrite").parquet(staged.toString)
+          Paths.get(sys.props("java.io.tmpdir")), "." + prefix)
+        val staged = tmp.resolve("root")
+        build(staged.toString)
         try Files.move(staged, target, StandardCopyOption.ATOMIC_MOVE)
         catch {
           // another process published the identical artifact first

@@ -62,17 +62,16 @@ class DedupSpec extends SparkSpec {
       (6L, "completely different content about databases and storage formats orc")
     ).toDF("doc_id", "text")
     val dir = java.nio.file.Files.createTempDirectory("graft_ix_spec").toString
-    Dedup.buildIndex(base, "doc_id", "text")
-      .write.mode("overwrite").parquet(dir)
+    Dedup.writeIndex(base, "doc_id", "text", dir)
     val viaIndex = Dedup.incrementalAcceptIndexed(
-      spark.read.parquet(dir), delta, "doc_id", "text", threshold = 0.5)
+      Dedup.readIndex(spark, dir), delta, "doc_id", "text", threshold = 0.5)
     // same acceptance set as the inline-build spelling
     assert(viaIndex.select("doc_id").collect().map(_.getLong(0)).toSet ==
       Dedup.incrementalAccept(base, delta, "doc_id", "text", threshold = 0.5)
         .select("doc_id").collect().map(_.getLong(0)).toSet)
     // the production boundary: every FILE relation in the probe plan is
-    // the index parquet — base raw text (a file scan in production) is
-    // never re-read; the delta here is a local relation.
+    // a staged index artifact — base raw text (a file scan in
+    // production) is never re-read; the delta here is a local relation.
     val rels = viaIndex.queryExecution.optimizedPlan.collect {
       case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
     }
@@ -80,6 +79,27 @@ class DedupSpec extends SparkSpec {
     assert(rels.forall(_.relation.asInstanceOf[
       org.apache.spark.sql.execution.datasources.HadoopFsRelation]
       .location.rootPaths.forall(_.toString.contains(dir))))
+    // no file-backed explode: every Generate (shingle/band explode) in
+    // the probe plan works on the delta's local relation — the index's
+    // per-doc band arrays are never re-exploded at probe time (the
+    // candidate join reads the persisted postings instead).
+    val fileBackedGenerates = viaIndex.queryExecution.optimizedPlan.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate
+          if g.collectLeaves().exists(
+            _.isInstanceOf[org.apache.spark.sql.execution.datasources.LogicalRelation]) => g
+    }
+    assert(fileBackedGenerates.isEmpty)
+    // the per-doc `ix` table is scanned exactly ONCE — the columnar
+    // (id, sh) projection feeding the verify join; probe/stats read
+    // the postings and bucket-stats sidecars.
+    val scans = viaIndex.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    def scansOf(part: String) = scans.filter(
+      _.relation.location.rootPaths.exists(_.toString.endsWith(part)))
+    assert(scansOf("/ix").size == 1)
+    assert(scansOf("/ix").head.requiredSchema.fieldNames.toSet == Set("id", "sh"))
+    assert(scansOf("/post").nonEmpty && scansOf("/bk").nonEmpty)
   }
 
   test("multi-day cycle: appending accepted rows' index entries composes") {
@@ -94,15 +114,29 @@ class DedupSpec extends SparkSpec {
       (4L, "completely different content about databases and storage formats parquet")
     ).toDF("doc_id", "text")
     val dir = java.nio.file.Files.createTempDirectory("graft_ix_cycle").toString
-    Dedup.buildIndex(base, "doc_id", "text").write.mode("overwrite").parquet(dir)
+    Dedup.writeIndex(base, "doc_id", "text", dir)
     // day 1: screen, then append ONLY the accepted rows' index entries
     val acc1 = Dedup.incrementalAcceptIndexed(
-      spark.read.parquet(dir), delta1, "doc_id", "text", threshold = 0.5)
+      Dedup.readIndex(spark, dir), delta1, "doc_id", "text", threshold = 0.5)
     assert(acc1.select("doc_id").collect().map(_.getLong(0)).toSet == Set(0L, 4L))
-    Dedup.buildIndex(acc1, "doc_id", "text").write.mode("append").parquet(dir)
+    Dedup.appendIndex(dir, acc1, "doc_id", "text")
     // the grown index holds exactly base + accepted — never the rejected
-    assert(spark.read.parquet(dir).select("id").collect().map(_.getLong(0)).toSet
+    val grown = Dedup.readIndex(spark, dir)
+    assert(grown.docs.select("id").collect().map(_.getLong(0)).toSet
       == Set(1L, 3L, 0L, 4L))
+    // the appended sidecars stay consistent with the per-doc table:
+    // postings == re-derived postings, and summed bucket-stat partials
+    // == occupancy recomputed from scratch
+    val derived = graft.text.DedupIndex.fromDocs(grown.docs)
+    def postSet(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id"), col("bk.band"), col("bk.bh"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(postSet(grown.postings) == postSet(derived.postings))
+    def statsMap(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("bk").agg(sum("n").as("n"))
+        .select(col("bk.band"), col("bk.bh"), col("n"))
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(statsMap(grown.bucketStats) == statsMap(derived.bucketStats))
     // day 2: novel doc accepted; near-dups of the ORIGINAL base and of a
     // day-1 ACCEPTED doc both rejected
     val delta2 = Seq(
@@ -111,7 +145,7 @@ class DedupSpec extends SparkSpec {
       (12L, "entirely novel text about mountain weather patterns and snowfall totals")
     ).toDF("doc_id", "text")
     val got = Dedup.incrementalAcceptIndexed(
-      spark.read.parquet(dir), delta2, "doc_id", "text", threshold = 0.5)
+      grown, delta2, "doc_id", "text", threshold = 0.5)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(got == Set(10L))
     // and the appended index is indistinguishable from rebuilding over
@@ -130,7 +164,10 @@ class DedupSpec extends SparkSpec {
       Paths.get(s"$ds/documents.parquet"))
     val p1 = graft.text.DedupQueries.stagedIndexPath(spark, ds)
     assert(Files.exists(Paths.get(p1)))
-    val n1 = spark.read.parquet(p1).count()
+    // all three parts of the layout published atomically together
+    Seq("ix", "post", "bk").foreach(part =>
+      assert(Files.exists(Paths.get(s"$p1/$part"))))
+    val n1 = spark.read.parquet(s"$p1/ix").count()
     // regenerate in place: fewer docs, different size/mtime
     val out = Files.createTempDirectory("graft_ix_regen").toString
     spark.read.parquet(s"$ds/documents.parquet")
@@ -145,7 +182,7 @@ class DedupSpec extends SparkSpec {
     // (create-only scheme — no delete path exists to race a reader)
     assert(p2 != p1 && Files.exists(Paths.get(p2)))
     assert(Files.exists(Paths.get(p1)))
-    assert(spark.read.parquet(p2).count() < n1)
+    assert(spark.read.parquet(s"$p2/ix").count() < n1)
   }
 
   test("dedup is idempotent") {
