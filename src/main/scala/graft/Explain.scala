@@ -38,7 +38,9 @@ object Explain {
         "join_cost_advisor",
         // round-8 scale-critical additions (persisted-index
         // incremental dedup pair)
-        "dedup_index_build", "dedup_incremental")
+        "dedup_index_build", "dedup_incremental",
+        // round-9: the multi-day append cycle probing the grown index
+        "dedup_index_append")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
