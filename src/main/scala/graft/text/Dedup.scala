@@ -252,6 +252,47 @@ object Dedup {
     DedupIndex(s.read.parquet(s"$root/ix"), s.read.parquet(s"$root/post"),
       s.read.parquet(s"$root/bk"))
 
+  /** Compacts the bucket-stats sidecar back to one row per bucket.
+    * Each [[appendIndex]] adds a partial row-set, and every consumer
+    * sums per bucket, so correctness never degrades — but after many
+    * append generations the sidecar's row count creeps from |buckets|
+    * toward |appends|·|buckets|, and the probe's stats sum pays for
+    * the history. Compaction is the maintenance half of the mergeable-
+    * partials contract: sum once, rewrite. Results are bit-identical
+    * before/after (the probe sums either way).
+    *
+    * Same single-writer assumption as [[appendIndex]] (the owner of
+    * the generation runs maintenance between delta cycles; concurrent
+    * appends were never safe against each other). The summed stats
+    * are fully written to scratch BEFORE the old sidecar is replaced
+    * (the lineage reads `bk`, so writing in place is impossible
+    * anyway), keeping the on-disk artifact complete at every step. */
+  def compactIndexStats(s: org.apache.spark.sql.SparkSession,
+      root: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    val scratch = Files.createTempDirectory(
+      Paths.get(sys.props("java.io.tmpdir")), ".graft_ix_compact_")
+    try {
+      val sd = scratch.resolve("bk").toString
+      s.read.parquet(s"$root/bk").groupBy("bk").agg(sum("n").as("n"))
+        .write.mode("overwrite").parquet(sd)
+      import scala.jdk.CollectionConverters._
+      val old = Paths.get(root, "bk")
+      Files.walk(old).iterator().asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+      Files.move(scratch.resolve("bk"), old)
+      // a Spark write would refresh the shared file-status cache
+      // itself; after manual file surgery it must be told, or later
+      // reads resolve the pre-compaction listing and fail on the
+      // deleted parts
+      s.catalog.refreshByPath(old.toString)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      Files.walk(scratch).iterator().asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+    }
+  }
+
   /** INCREMENTAL near-dedup against a PERSISTED index — the production
     * shape for a growing corpus: never re-dedup (or even re-read) the
     * base, only screen the arriving DELTA against the [[buildIndex]]

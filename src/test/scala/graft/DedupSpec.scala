@@ -156,6 +156,49 @@ class DedupSpec extends SparkSpec {
     assert(got == rebuilt)
   }
 
+  test("bucket-stats compaction: one row per bucket, probe bit-identical") {
+    val base = corpus.filter(col("doc_id").isin(1L, 3L))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ix_compact").toString
+    Dedup.writeIndex(base, "doc_id", "text", dir)
+    // two append generations → bk holds three partial row-sets
+    val day1 = Seq((20L, "entirely novel text about mountain weather patterns and snowfall records"))
+      .toDF("doc_id", "text")
+    // day 2 carries the EXACT day-1 text under a new id (an operator
+    // force-adding a known duplicate — appendIndex doesn't judge), so
+    // its 16 band keys all collide with day 1's: the partial rows are
+    // genuinely mergeable, and compaction must shrink the sidecar.
+    val day2 = Seq((21L, "entirely novel text about mountain weather patterns and snowfall records"))
+      .toDF("doc_id", "text")
+    Dedup.appendIndex(dir, day1, "doc_id", "text")
+    Dedup.appendIndex(dir, day2, "doc_id", "text")
+    val before = Dedup.readIndex(spark, dir)
+    def stats(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("bk").agg(sum("n").as("n"))
+        .select(col("bk.band"), col("bk.bh"), col("n"))
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val statsBefore = stats(before.bucketStats)
+    val nRowsBefore = before.bucketStats.count()
+    val delta = Seq(
+      (30L, "entirely novel text about mountain weather patterns and snowfall totals"),
+      (31L, "some text the index has never seen about gardening in arid climates")
+    ).toDF("doc_id", "text")
+    val accBefore = Dedup.incrementalAcceptIndexed(before, delta,
+      "doc_id", "text", threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    Dedup.compactIndexStats(spark, dir)
+    val after = Dedup.readIndex(spark, dir)
+    // summed stats identical, now exactly one row per bucket
+    assert(stats(after.bucketStats) == statsBefore)
+    assert(after.bucketStats.count() ==
+      after.bucketStats.select("bk").distinct().count())
+    assert(after.bucketStats.count() < nRowsBefore)
+    // and the probe's acceptance set is bit-identical post-compaction
+    val accAfter = Dedup.incrementalAcceptIndexed(after, delta,
+      "doc_id", "text", threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(accAfter == accBefore)
+  }
+
   test("staged index is versioned by source generation; old artifact survives") {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     // test-local dataset dir so the regeneration can rewrite the source
