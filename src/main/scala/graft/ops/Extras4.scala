@@ -221,22 +221,32 @@ object Extras4 {
     // AND min-max normalization in one window pass. All moments are
     // exact cent-integers; the closed forms (v·n−s)/√(n·s2−s²) and
     // (v−min)/(max−min) make the only float ops a final √/÷ evaluated
-    // identically in both engines, reported on the 1e-6 grid.
+    // identically in both engines, reported on the 1e-6 grid. The
+    // moment sums and the variance term n·s2−s² are 128-bit exact
+    // integers (Spark DECIMAL(38,0), DuckDB HUGEINT — sum(BIGINT) is
+    // already HUGEINT there): in 64-bit, n·s2−s² overflows once a
+    // segment's cent-sum passes ~3e9 (≈30k customers — hit at the 10×
+    // spot-bench, guaranteed at 100 TB) and the s2 sum itself dies at
+    // ~1e7 rows/segment, while 128 bits hold s² to ~1e13 rows/segment
+    // (≫ a 100 TB customer table). The only narrowing is the final
+    // cast to double feeding √/÷ — identical rounding both engines
+    // (exact under 2^53; round-to-nearest of the same integer above).
     Q("feature_scale",
       Some("""WITH m AS (
              |  SELECT c_custkey, c_mktsegment,
              |         CAST(round(c_acctbal * 100) AS BIGINT) AS v,
              |         count(*) OVER w AS n,
-             |         CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) OVER w AS BIGINT) AS s,
-             |         CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)
-             |                  * CAST(round(c_acctbal * 100) AS BIGINT)) OVER w AS BIGINT) AS s2,
+             |         sum(CAST(round(c_acctbal * 100) AS BIGINT)) OVER w AS s,
+             |         sum(CAST(round(c_acctbal * 100) AS BIGINT)
+             |             * CAST(round(c_acctbal * 100) AS BIGINT)) OVER w AS s2,
              |         min(CAST(round(c_acctbal * 100) AS BIGINT)) OVER w AS vmin,
              |         max(CAST(round(c_acctbal * 100) AS BIGINT)) OVER w AS vmax
              |  FROM customer
              |  WINDOW w AS (PARTITION BY c_mktsegment))
              |SELECT c_custkey, c_mktsegment,
-             |       CAST(round((v * n - s)
-             |            / sqrt(CAST(n * s2 - s * s AS DOUBLE)) * 1e6) AS BIGINT) AS z_micro,
+             |       CAST(round(CAST(v * n - s AS DOUBLE)
+             |            / sqrt(CAST(CAST(n AS HUGEINT) * s2 - s * s
+             |                        AS DOUBLE)) * 1e6) AS BIGINT) AS z_micro,
              |       CAST(round(CAST(v - vmin AS DOUBLE)
              |            / (vmax - vmin) * 1e6) AS BIGINT) AS mm_micro
              |FROM m ORDER BY c_custkey""".stripMargin),
@@ -244,16 +254,19 @@ object Extras4 {
         import org.apache.spark.sql.expressions.Window
         val w = Window.partitionBy("c_mktsegment")
         val v = round(col("c_acctbal") * 100).cast("long")
+        val dec = "decimal(38,0)"
         Tables.customer(s, d)
           .select(col("c_custkey"), col("c_mktsegment"), v.as("v"))
           .withColumn("n", count(lit(1)).over(w))
-          .withColumn("s", sum(col("v")).over(w))
-          .withColumn("s2", sum(col("v") * col("v")).over(w))
+          .withColumn("s", sum(col("v").cast(dec)).over(w))
+          .withColumn("s2", sum(col("v").cast(dec) * col("v").cast(dec)).over(w))
           .withColumn("vmin", min(col("v")).over(w))
           .withColumn("vmax", max(col("v")).over(w))
           .select(col("c_custkey"), col("c_mktsegment"),
-            round((col("v") * col("n") - col("s")) /
-              sqrt((col("n") * col("s2") - col("s") * col("s")).cast("double"))
+            round((col("v").cast(dec) * col("n").cast(dec) - col("s"))
+              .cast("double") /
+              sqrt((col("n").cast(dec) * col("s2") -
+                col("s") * col("s")).cast("double"))
               * 1e6).cast("long").as("z_micro"),
             round((col("v") - col("vmin")).cast("double") /
               (col("vmax") - col("vmin")) * 1e6).cast("long").as("mm_micro"))

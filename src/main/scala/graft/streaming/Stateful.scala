@@ -93,17 +93,31 @@ object Stateful {
     * order-independent, retry-safe, and bit-comparable to a batch
     * expanding-window computation. z = (v·n − s) / √(n·s2 − s²) — the
     * closed form keeps every intermediate an exact integer; only the
-    * final √/÷ are floats, reported on the 1e-6 grid. */
+    * final √/÷ are floats, reported on the 1e-6 grid.
+    *
+    * The variance term n·s2 − s² is computed in BigInt: JVM Long
+    * arithmetic WRAPS SILENTLY (no ANSI check like the SQL engines),
+    * and with an expanding window the products cross 2⁶³ at ~3·10⁵
+    * events per key for 1e4-cent values — silent wrong z-scores, the
+    * worst failure mode (the batch feature_scale twin hit the same
+    * cliff at the 10× spot-bench, loudly, because Spark SQL is ANSI).
+    * The BigInt cost is three allocations per event on a path that
+    * already sorts the batch. The state's own Σv² stays a Long —
+    * exact to ~9·10⁶ events/key at 1e6-cent values, ~9·10¹⁰ at
+    * 1e4-cent — two orders of magnitude past the den2 cliff this
+    * removes; a key hotter than that needs a windowed, not expanding,
+    * score (stream_zscore's contract is expanding-from-genesis). */
   def scoreExpanding(id: Long, events: Iterator[EventVal],
       state: GroupState[ZState]): Iterator[ZOut] = {
     val sorted = events.toArray.sortBy(e => (e.ts.getTime, e.event_id))
     var st = state.getOption.getOrElse(ZState(0L, 0L, 0L))
     val out = sorted.iterator.map { e =>
       val v = math.round(e.value * 100) // cents — exact for 2-dp values
-      val den2 = st.n * st.s2 - st.s * st.s
+      val den2 = BigInt(st.n) * BigInt(st.s2) - BigInt(st.s) * BigInt(st.s)
       val z =
         if (st.n >= 2 && den2 > 0) {
-          val raw = (v * st.n - st.s).toDouble / math.sqrt(den2.toDouble)
+          val num = BigInt(v) * BigInt(st.n) - BigInt(st.s)
+          val raw = num.toDouble / math.sqrt(den2.toDouble)
           // HALF_UP = away from zero, matching DuckDB round()
           Some(java.math.BigDecimal.valueOf(raw * 1e6)
             .setScale(0, java.math.RoundingMode.HALF_UP).longValue())

@@ -135,4 +135,32 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(got == batch)
   }
+
+  test("expanding z-score survives moment products past 2^63 (no silent Long wrap)") {
+    import graft.streaming.Stateful.{EventVal, ZState}
+    // a hot key deep into its history: n·s2 and s·s both exceed
+    // Long.MaxValue (1.68e25 / 1.6e25); den2 = 8e23 needs 128 bits.
+    // JVM Long arithmetic wraps SILENTLY here to 1.6e18 — ~500×
+    // small, i.e. a plausible-looking but ~22×-inflated z-score, the
+    // worst failure mode. This pins that the score path computes the
+    // true 128-bit value instead.
+    val st = ZState(n = 4000000L, s = 4000000000000L, s2 = 4200000000000000000L)
+    val den2 = BigInt(st.n) * BigInt(st.s2) - BigInt(st.s) * BigInt(st.s)
+    assert(BigInt(st.n * st.s2 - st.s * st.s) != den2) // the silent wrap pinned away
+    val state = org.apache.spark.sql.streaming.TestGroupState.create[ZState](
+      org.apache.spark.api.java.Optional.of(st),
+      org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout(),
+      0L, org.apache.spark.api.java.Optional.empty[Long](),
+      hasTimedOut = false)
+    val ev = EventVal(7L, 1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 12000.00)
+    val out = graft.streaming.Stateful.scoreExpanding(7L, Iterator(ev), state).toVector
+    val expected = java.math.BigDecimal.valueOf(
+      (BigInt(1200000L) * BigInt(st.n) - BigInt(st.s)).toDouble /
+        math.sqrt(den2.toDouble) * 1e6)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+    assert(out.map(_.z_micro) == Vector(Some(expected)))
+    // and the updated state is the exact next moment triple
+    assert(state.get == ZState(st.n + 1, st.s + 1200000L,
+      st.s2 + 1200000L * 1200000L))
+  }
 }
