@@ -13,6 +13,40 @@ class Extras4Spec extends SparkSpec {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  test("feature_scale's z moments survive segments past the 64-bit cliff") {
+    // 35k rows of ~1e6-cent values in ONE segment: the cent-sum s ≈
+    // 3.5e10, so s² ≈ 1.2e21 and n·s2 ≈ 3.7e22 — both far past
+    // Long.MaxValue (the 10× spot-bench hit exactly this, as an ANSI
+    // ARITHMETIC_OVERFLOW). The registered query must run the real
+    // code path on such a segment and produce finite micro-grid
+    // z-scores that match a BigDecimal reference on a spot row.
+    val dir = java.nio.file.Files.createTempDirectory("graft_fs_ovf").toString
+    val n = 35000
+    spark.range(n).select(
+        (col("id") + 1).as("c_custkey"),
+        concat(lit("Customer#"), col("id")).as("c_name"),
+        (col("id") % 25).as("c_nationkey"),
+        // 2-dp values spread over ~[0, 20000.00] — cents up to 2e6
+        ((col("id") % 2000000L).cast("double") / 100.0).as("c_acctbal"),
+        lit("BUILDING").as("c_mktsegment"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val q = graft.ops.Extras4.queries.find(_.name == "feature_scale").get
+    val rows = q.fn(spark, dir).collect()
+    assert(rows.length == n)
+    val zs = rows.map(_.getLong(2))
+    assert(zs.forall(z => math.abs(z) < 4000000L)) // |z| < 4 on the µ-grid
+    // spot-check the first row against an independent BigInt reference
+    val vs = (0 until n).map(i => BigInt(i % 2000000))
+    val s1 = vs.sum; val s2 = vs.map(v => v * v).sum
+    val v0 = vs.head
+    val den = (BigInt(n) * s2 - s1 * s1).toDouble
+    val expected = java.math.BigDecimal.valueOf(
+      (v0 * n - s1).toDouble / math.sqrt(den) * 1e6)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+    val first = rows.find(_.getLong(0) == 1L).get
+    assert(first.getLong(2) == expected)
+  }
+
   test("bitmap distinct-count equals exact count distinct across buckets") {
     // keys straddle the 32768-bit bitmap bucket boundary on purpose
     val df = Seq(1L, 2L, 32768L, 32769L, 32769L, 70000L, 1L)
