@@ -199,6 +199,39 @@ class DedupSpec extends SparkSpec {
     assert(accAfter == accBefore)
   }
 
+  test("four-day production cycle on testdata: staged index ≡ inline replay, compaction mid-cycle") {
+    // the full lifecycle on REAL documents (sf0.001): day-0 build over
+    // ~43% of the corpus, then four daily deltas, each screened
+    // against the PERSISTED index and its accepted rows appended;
+    // bucket stats compacted after day 2 (mid-cycle — later appends
+    // land partials on top of a compacted sidecar). Reference = the
+    // inline spelling replayed sequentially over growing in-memory
+    // corpora. Acceptance must match day by day.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val base = docs.filter(col("doc_id") % 7 <= 2)
+    def slice(k: Int) = docs.filter(col("doc_id") % 7 === k)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ix_days").toString
+    Dedup.writeIndex(base, "doc_id", "text", dir)
+    var refCorpus = base
+    (3 to 6).foreach { k =>
+      val delta = slice(k)
+      val staged = Dedup.incrementalAcceptIndexed(
+        Dedup.readIndex(spark, dir), delta, "doc_id", "text")
+      val inline = Dedup.incrementalAccept(refCorpus, delta, "doc_id", "text")
+      val stagedIds = staged.select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(stagedIds ==
+        inline.select("doc_id").collect().map(_.getLong(0)).toSet,
+        s"day ${k - 2} acceptance diverged")
+      Dedup.appendIndex(dir, staged, "doc_id", "text")
+      refCorpus = refCorpus.unionByName(
+        delta.filter(col("doc_id").isin(stagedIds.toSeq: _*)))
+      if (k == 4) Dedup.compactIndexStats(spark, dir)
+    }
+    // the grown artifact's doc set is exactly base + all accepted rows
+    assert(Dedup.readIndex(spark, dir).docs.count() == refCorpus.count())
+  }
+
   test("staged index is versioned by source generation; old artifact survives") {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     // test-local dataset dir so the regeneration can rewrite the source
