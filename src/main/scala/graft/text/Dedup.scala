@@ -266,7 +266,12 @@ object Dedup {
     * appends were never safe against each other). The summed stats
     * are fully written to scratch BEFORE the old sidecar is replaced
     * (the lineage reads `bk`, so writing in place is impossible
-    * anyway), keeping the on-disk artifact complete at every step. */
+    * anyway). The delete-then-move swap has a crash window with no
+    * `bk` on disk — acceptable because the sidecar is a DERIVED
+    * artifact: recovery is one aggregation,
+    * `indexBucketStats(postings)` re-written over `root/bk`, never a
+    * corpus re-read. The record-of-truth parts (`ix`, `post`) are
+    * append-only and untouched here. */
   def compactIndexStats(s: org.apache.spark.sql.SparkSession,
       root: String): Unit = {
     import java.nio.file.{Files, Paths}
