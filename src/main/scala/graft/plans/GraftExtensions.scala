@@ -20,7 +20,11 @@ object GraftFunctions {
       org.apache.spark.sql.catalyst.expressions.Expression)] = Seq(
     "cosine_sim" -> (exprs => CosineSimilarity(exprs(0), exprs(1))),
     "minhash_signature" -> (exprs => MinHashSignature(exprs.head)),
-    "shingles" -> (exprs => Shingles(exprs.head)))
+    "shingles" -> (exprs => Shingles(exprs.head)),
+    // cap must be a foldable literal (it sizes aggregation buffers);
+    // the analyzer wraps the bare AggregateFunction itself
+    "capped_collect_longs" -> (exprs => CappedCollectLongs(exprs(0),
+      exprs(1).eval(null).asInstanceOf[Number].intValue)))
 
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit =
@@ -38,7 +42,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private val exprClass = Map(
     "cosine_sim" -> classOf[CosineSimilarity].getName,
     "minhash_signature" -> classOf[MinHashSignature].getName,
-    "shingles" -> classOf[Shingles].getName)
+    "shingles" -> classOf[Shingles].getName,
+    "capped_collect_longs" -> classOf[CappedCollectLongs].getName)
 
   override def apply(e: SparkSessionExtensions): Unit =
     GraftFunctions.Functions.foreach { case (name, builder) =>

@@ -102,16 +102,24 @@ object Dedup {
     * group the bucket, pairs exploded from the grouped id-list (no
     * self-join). Buckets larger than `maxBucket` are dropped — a hot
     * bucket (e.g. the empty-doc bucket) would otherwise explode
-    * quadratically at 100 TB. */
+    * quadratically at 100 TB. The list aggregation is the capped
+    * native aggregate ([[graft.plans.CappedCollectLongs]]), so the
+    * hot bucket never materializes in an aggregation buffer either —
+    * every buffer is ≤ maxBucket+1 longs and the size filter's
+    * semantics are bit-identical. */
   def candidatePairs(df: DataFrame, idCol: String, textCol: String,
-      maxBucket: Int = 100): DataFrame =
+      maxBucket: Int = 100): DataFrame = {
+    graft.plans.GraftFunctions.register(df.sparkSession)
     withSignature(df, idCol, textCol)
       .select(col("id"), explode(bandsCol(col("mh_sig"))).as("bk"))
-      .groupBy(col("bk")).agg(collect_list(col("id")).as("ids"))
+      .groupBy(col("bk"))
+      .agg(call_function("capped_collect_longs", col("id"),
+        lit(maxBucket)).as("ids"))
       .filter(size(col("ids")).between(2, maxBucket))
       .select(explode(pairCombos(col("ids"))).as("p"))
       .select(col("p._1").as("id_a"), col("p._2").as("id_b"))
       .distinct()
+  }
 
   /** Process-lifetime memo for the verified pair stream: ten registered
     * consumers (pair listing, histogram, clusters, survivors,
@@ -495,7 +503,12 @@ object Dedup {
         explode(array_distinct(call_function("shingles", col(textCol)))).as("ng"))
       val sizes = df.select(col(idCol).as("id"),
         size(array_distinct(call_function("shingles", col(textCol)))).cast("long").as("nsh"))
-      val shared = inv.groupBy("ng").agg(collect_list(col("id")).as("ids"))
+      // capped native aggregate: a stopword-like shingle with df ~10⁷
+      // never materializes its posting list in a buffer (see
+      // CappedCollectLongs) — the df cutoff's semantics are unchanged
+      val shared = inv.groupBy("ng")
+        .agg(call_function("capped_collect_longs", col("id"),
+          lit(maxDf)).as("ids"))
         .filter(size(col("ids")).between(2, maxDf))
         .select(explode(pairCombos(col("ids"))).as("p"))
         .select(col("p._1").as("id_a"), col("p._2").as("id_b"))
