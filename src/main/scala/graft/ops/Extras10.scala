@@ -266,7 +266,10 @@ object Extras10 {
                  | / count(*)) AS BIGINT)""".stripMargin).as("mean6"))
         val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ev.join(broadcast(m), "user_id")
+        // per-user means SCALE with users — unhinted: the shuffled
+        // join on user_id co-partitions with the window right below,
+        // so at scale it is one reused exchange, not a broadcast
+        ev.join(m, "user_id")
           .withColumn("cusum6",
             sum(expr("CAST(round(value * 1e6) AS BIGINT)") - col("mean6"))
               .over(w).cast("long"))

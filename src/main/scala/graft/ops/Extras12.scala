@@ -69,8 +69,10 @@ object Extras12 {
              |       CAST(round(sumsq / (CAST(tot AS DOUBLE) * tot) * 1e6) AS BIGINT) AS hhi_e6
              |FROM g ORDER BY nk""".stripMargin),
       (s, d) => {
+        // supplier SCALES with the corpus — no pinned broadcast;
+        // stats/AQE broadcast it while it fits (SCALE.md r9 policy)
         val r = Tables.lineitem(s, d)
-          .join(broadcast(Tables.supplier(s, d)),
+          .join(Tables.supplier(s, d),
             col("l_suppkey") === col("s_suppkey"))
           .groupBy(col("s_nationkey").as("nk"), col("l_suppkey").as("sk"))
           .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))

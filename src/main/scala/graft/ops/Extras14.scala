@@ -36,7 +36,8 @@ object Extras14 {
         val ak = Tables.customer(s, d)
           .filter(col("c_acctbal") > 0).select("c_custkey")
         def check(name: String, dim: org.apache.spark.sql.DataFrame) =
-          o.join(broadcast(dim), col("o_custkey") === col("c_custkey"), "left")
+          // customer keys SCALE with the corpus — unhinted (r9 policy)
+          o.join(dim, col("o_custkey") === col("c_custkey"), "left")
             .agg(count(lit(1)).cast("long").as("n_rows"),
               count(when(col("c_custkey").isNull, 1)).cast("long").as("n_orphans"))
             .select(lit(name).as("relationship"), col("n_rows"), col("n_orphans"))

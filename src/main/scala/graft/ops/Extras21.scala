@@ -79,11 +79,13 @@ object Extras21 {
         val docs = Tables.documents(s, d)
         val src = docs.select(col("doc_id"), col("source"))
         val e = graft.text.Dedup.nearDupPairs(docs, "doc_id", "text", 0.7)
+        // the doc-metadata side SCALES with the corpus — unhinted;
+        // the verified-pair side is the small one, AQE builds on it
         val lab = e
-          .join(broadcast(src.select(col("doc_id").as("id_a"),
-            col("source").as("sa"))), "id_a")
-          .join(broadcast(src.select(col("doc_id").as("id_b"),
-            col("source").as("sb"))), "id_b")
+          .join(src.select(col("doc_id").as("id_a"),
+            col("source").as("sa")), "id_a")
+          .join(src.select(col("doc_id").as("id_b"),
+            col("source").as("sb")), "id_b")
         val within = lab.filter(col("sa") === col("sb"))
           .groupBy(col("sa").as("source")).agg(count(lit(1)).as("n_within"))
         val cross = lab.filter(col("sa") =!= col("sb"))

@@ -8,7 +8,12 @@ import org.apache.spark.sql.functions._
 /** Join operators (SURVEY.md §2.1 J1/J2 + §2.2 extensions).
   *
   * Scale notes baked into each plan:
-  *  - dimension sides are `broadcast()`-hinted (no shuffle of the fact);
+  *  - FIXED-cardinality dimensions (region/nation, literal frames,
+  *    1-row aggregates) may be `broadcast()`-hinted; corpus-SCALING
+  *    sides (customer, supplier, per-user/doc projections) are left
+  *    unhinted so stats/AQE broadcast them only while they fit —
+  *    a pinned broadcast on a scaling side is an executor-OOM at
+  *    100 TB (SCALE.md round-9 broadcast-hint policy);
   *  - semi/anti joins never materialize right-side payload columns;
   *  - the as-of join is ONE shuffle: union both inputs, hash-partition by
   *    key, sort within partition, window `last(ignoreNulls)` — the
@@ -19,7 +24,13 @@ object Joins {
 
   def queries: Seq[Q] = Seq(
     // J1 — FK equi-join, 1-N (reference models.py:17,32: jobs.user_id →
-    // users.id). customer is the dimension → broadcast hash join.
+    // users.id). No broadcast hint on purpose: customer SCALES with the
+    // corpus (unlike region/nation), so a pinned broadcast is an
+    // executor-OOM at 100 TB — stats/AQE pick the broadcast join
+    // whenever the dim actually fits (they do at every test SF; plan
+    // spec pins it) and degrade to a shuffled join when it doesn't.
+    // `join_hinted` is the explicit-hint demo; `join_cost_advisor`
+    // makes this choice from measured fanout.
     Q("join_fk",
       Some("""SELECT o.o_orderkey, o.o_totalprice, c.c_name, c.c_mktsegment
              |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
@@ -27,7 +38,7 @@ object Joins {
       (s, d) => {
         val o = orders(s, d)
         val c = customer(s, d)
-        o.join(broadcast(c), o("o_custkey") === c("c_custkey"), "inner")
+        o.join(c, o("o_custkey") === c("c_custkey"), "inner")
           .select(o("o_orderkey"), o("o_totalprice"), c("c_name"), c("c_mktsegment"))
           .orderBy("o_orderkey")
       }),

@@ -407,11 +407,13 @@ object DedupQueries {
             expr("CAST(round(jaccard * 1e6) AS BIGINT)").as("jaccard_e6"))
         val emb = embeddings(s, d)
         graft.plans.GraftFunctions.register(s)
+        // embeddings SCALE with the corpus — unhinted; the verified
+        // pair table is the small side, AQE builds on it (r9 policy)
         pairs
-          .join(broadcast(emb.select(col("vec_id").as("id_a"),
-            col("embedding").as("ea"))), "id_a")
-          .join(broadcast(emb.select(col("vec_id").as("id_b"),
-            col("embedding").as("eb"))), "id_b")
+          .join(emb.select(col("vec_id").as("id_a"),
+            col("embedding").as("ea")), "id_a")
+          .join(emb.select(col("vec_id").as("id_b"),
+            col("embedding").as("eb")), "id_b")
           .select(col("id_a"), col("id_b"), col("jaccard_e6"),
             (call_function("cosine_sim", col("ea"), col("eb")) >= 0.2)
               .as("emb_agrees"))

@@ -472,7 +472,9 @@ object TextQueries {
         val ua = uni.select(col("w").as("w1"), col("n").as("na"))
         val ub = uni.select(col("w").as("w2"), col("n").as("nb"))
         bgc.filter(col("n_ab") >= 5)
-          .join(broadcast(ua), "w1").join(broadcast(ub), "w2")
+          // the unigram vocabulary grows with the corpus (Heaps'
+          // law) — unhinted; AQE broadcasts while it fits
+          .join(ua, "w1").join(ub, "w2")
           .crossJoin(broadcast(uni.agg(sum(col("n")).as("big_n"))))
           .select(col("w1"), col("w2"), col("n_ab"),
             expr("(n_ab * big_n * 1000000L) div (na * nb)").as("assoc_e6"))

@@ -8,7 +8,11 @@ class PlanShapeSpec extends SparkSpec {
     SparkEntry.queries(name)(spark, sf0001)
       .queryExecution.executedPlan.toString
 
-  test("join_fk broadcasts the dimension") {
+  test("join_fk broadcasts the dimension while it fits (stats-driven, unhinted)") {
+    // deliberately NO broadcast() hint in the query: customer scales
+    // with the corpus, so the broadcast must come from size stats/AQE
+    // (it does at every test SF) and degrade to a shuffled join at
+    // 100 TB instead of OOMing on a pinned hint
     assert(plan("join_fk").contains("BroadcastHashJoin"))
   }
 
