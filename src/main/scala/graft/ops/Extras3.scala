@@ -252,7 +252,7 @@ object Extras3 {
         val edges = graft.text.Dedup.nearDupPairs(
           graft.io.Tables.documents(s, d), "doc_id", "text", 0.7)
           .select("id_a", "id_b")
-        val cc = Graph.connectedComponents(edges, 4)
+        val cc = Graph.connectedComponents(edges)
           .withColumnRenamed("id", "doc_id")
         val assigned = docs.select("doc_id", "n_chars")
           .join(cc, Seq("doc_id"), "left")

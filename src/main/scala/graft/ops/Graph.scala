@@ -10,24 +10,30 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
-  /** Connected components by iterative min-label propagation: every
-    * node starts labeled with its own id; each round replaces a node's
-    * label with the minimum over itself and its neighbors. After k
-    * rounds every node within graph distance k of its component's
-    * minimum carries that minimum — `iterations` therefore only needs
-    * to cover the component DIAMETER (near-dup clusters are near-clique
-    * bundles of a handful of documents, so small k converges; the
-    * O(log n) alternating large-star/small-star variant is the path for
-    * adversarial long-chain graphs).
+  /** Connected components by min-label propagation WITH pointer
+    * jumping: every node starts labeled with its own id; each round
+    * (1) replaces a node's label with the minimum over itself and its
+    * neighbors, then (2) jumps — label ← min(label, label[label]).
+    * The jump composes labelings, so the distance a minimum has
+    * propagated roughly DOUBLES per round instead of growing by one:
+    * convergence needs O(log diameter) rounds, and the default cap of
+    * 20 covers diameters past 10⁶ — no realistic near-dup graph
+    * (near-clique bundles, occasional paraphrase chains) gets close.
+    * The convergence probe stops the loop at the fixed point, so
+    * well-clustered corpora still pay only 2-3 rounds; the cap is a
+    * runaway backstop, not a correctness parameter. (The previous
+    * one-hop-per-round spelling converged in diameter rounds — a
+    * SILENTLY-wrong labeling for any component deeper than the cap,
+    * the failure mode this round removes.)
     *
-    * Each round is one aggregation on `dst` plus a broadcast-or-shuffle
-    * join back to the labels — no driver-side state, no collect; edges
-    * are reused across rounds so Spark caches the exchange.
+    * Each round is one aggregation on `dst`, a join back to the
+    * labels, and a labels⋈labels jump join (|V|-sized — cheap next to
+    * the edge join) — no driver-side state, no collect.
     *
     * @param edges two-column DataFrame (src, dst), undirected pairs
     * @return (id, component) — component = min node id reachable
     */
-  def connectedComponents(edges: DataFrame, iterations: Int = 6): DataFrame = {
+  def connectedComponents(edges: DataFrame, iterations: Int = 20): DataFrame = {
     val cols = edges.columns
     val e = edges.select(col(cols(0)).as("src"), col(cols(1)).as("dst"))
     // Truncate lineage with localCheckpoint on the edge list and every
@@ -53,10 +59,24 @@ object Graph {
     while (round < iterations && !converged) {
       val nbrMin = bi.join(labels, bi("dst") === labels("id"))
         .groupBy(col("src")).agg(min(col("component")).as("nbr_min"))
-      labels = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
+      val stepped = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
         .select(labels("id"), labels("component").as("old"),
           least(col("component"), coalesce(col("nbr_min"), col("component")))
             .as("component"))
+      // pointer jump: follow my label's label. A label always names a
+      // lower-or-equal-id node of the SAME component (it arrived over
+      // edges), so the composition stays in-component while the
+      // covered distance doubles; the fixed point is unchanged — the
+      // component minimum. Every label value IS some node's id, so
+      // the lookup always hits (`left` is belt-and-braces).
+      val jumped = stepped
+        .join(stepped.select(col("id").as("j_id"),
+          col("component").as("j_comp")), col("component") === col("j_id"),
+          "left")
+        .select(col("id"), col("old"),
+          least(col("component"), coalesce(col("j_comp"), col("component")))
+            .as("component"))
+      labels = jumped
         .select(col("id"), col("component"),
           (col("component") =!= col("old")).as("changed"))
         .localCheckpoint()

@@ -282,7 +282,7 @@ object DedupQueries {
         val docs = documents(s, d)
         val edges = Dedup.nearDupPairs(docs, "doc_id", "text", 0.7)
           .select("id_a", "id_b")
-        val cc = graft.ops.Graph.connectedComponents(edges, 4)
+        val cc = graft.ops.Graph.connectedComponents(edges)
           .withColumnRenamed("id", "doc_id")
         docs.select("doc_id").join(cc, Seq("doc_id"), "left")
           .select(col("doc_id"),

@@ -50,15 +50,21 @@ class Extras3Spec extends SparkSpec {
       10L -> 10L, 11L -> 10L))
   }
 
-  test("connectedComponents propagates one hop per iteration") {
-    // chain 1-2-3-4-5: with 1 iteration node 5 only sees neighbor 4
-    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+  test("connectedComponents converges on chains far deeper than the round cap") {
+    // a 60-node path: diameter 59 ≫ the default 20-round cap, so the
+    // old one-hop-per-round spelling would exit the cap with a
+    // SILENTLY wrong labeling. Pointer jumping covers ~2^k distance
+    // in k rounds — the whole chain must collapse to component 1,
+    // and well under the cap (8 rounds ≥ log2(59) with margin).
+    val chain = (1L until 60L).map(i => (i, i + 1)).toDF("a", "b")
+    val got = Graph.connectedComponents(chain, iterations = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 60 && got.values.forall(_ == 1L))
+    // and one round still means one neighbor+jump pass, not a fixpoint:
+    // the far end cannot have reached the minimum yet
     val one = Graph.connectedComponents(chain, iterations = 1)
-      .filter(col("id") === 5L).head().getLong(1)
-    assert(one == 4L)
-    val enough = Graph.connectedComponents(chain, iterations = 4)
-      .filter(col("id") === 5L).head().getLong(1)
-    assert(enough == 1L)
+      .filter(col("id") === 60L).head().getLong(1)
+    assert(one != 1L)
   }
 
   test("dedup_clusters assigns every doc a cluster and min-id labels") {
