@@ -124,13 +124,19 @@ object SimQueries {
             .as(s"d$i")): _*)
         .orderBy("vec_id")),
 
+    // the hot-bucket guard (occupancy ≤ 100 before pairing — the
+    // engine's degenerate-bucket survival contract) is mirrored in the
+    // oracle; it never fires on this data (max occupancy 2 at every SF,
+    // checked), so the cutoff is plan armor, not a semantics change.
     Q("dedup_embedding",
       Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
              |  list_sum(list_transform(range(16),
              |    i -> CASE WHEN embedding[i+1] > 0 THEN 1<<i ELSE 0 END)) AS bucket
              |  FROM embeddings),
+             |ok AS (SELECT bucket FROM e GROUP BY bucket HAVING count(*) <= 100),
+             |e2 AS (SELECT e.* FROM e JOIN ok USING (bucket)),
              |dup AS (SELECT DISTINCT b.vec_id AS ib
-             |        FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+             |        FROM e2 a JOIN e2 b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
              |        WHERE list_cosine_similarity(a.emb, b.emb) >= 0.2)
              |SELECT vec_id FROM embeddings
              |WHERE vec_id NOT IN (SELECT ib FROM dup) ORDER BY vec_id""".stripMargin),

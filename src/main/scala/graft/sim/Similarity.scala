@@ -136,12 +136,23 @@ object Similarity {
   }
 
   /** Embedding-cosine near-dup pairs: bucket by sign-LSH, verify cosine
-    * within buckets only. */
-  def nearDupPairs(emb: DataFrame, threshold: Double = 0.95): DataFrame = {
+    * within buckets only. Buckets with more than `maxBucket` occupants
+    * are dropped BEFORE the self-join — the same hot-bucket guard as
+    * the text-LSH path: a degenerate bucket (dead all-zero embeddings,
+    * a model whose first 16 dims are positive-biased) would otherwise
+    * pair quadratically with full embedding payloads crossing the
+    * join. The guard is a count aggregation (constant-size buffers) +
+    * an equi-join, so the hot bucket's rows are discarded at the join,
+    * never materialized as pairs. */
+  def nearDupPairs(emb: DataFrame, threshold: Double = 0.95,
+      maxBucket: Int = 100): DataFrame = {
     val h = emb.select(col("vec_id"), col("embedding"),
       signBucket(col("embedding")).as("bucket"))
-    val a = h.select(col("bucket"), col("vec_id").as("id_a"), col("embedding").as("e_a"))
-    val b = h.select(col("bucket"), col("vec_id").as("id_b"), col("embedding").as("e_b"))
+    val ok = h.groupBy("bucket").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxBucket).select("bucket")
+    val hh = h.join(ok, "bucket")
+    val a = hh.select(col("bucket"), col("vec_id").as("id_a"), col("embedding").as("e_a"))
+    val b = hh.select(col("bucket"), col("vec_id").as("id_b"), col("embedding").as("e_b"))
     a.join(b, "bucket").filter(col("id_a") < col("id_b"))
       .withColumn("cos_sim", cosFast(emb)(col("e_a"), col("e_b")))
       .filter(col("cos_sim") >= threshold)
@@ -149,8 +160,10 @@ object Similarity {
   }
 
   /** Embedding near-dedup → kept corpus. */
-  def dedupEmbeddings(emb: DataFrame, threshold: Double = 0.95): DataFrame = {
-    val dupIds = nearDupPairs(emb, threshold).select(col("id_b").as("vec_id")).distinct()
+  def dedupEmbeddings(emb: DataFrame, threshold: Double = 0.95,
+      maxBucket: Int = 100): DataFrame = {
+    val dupIds = nearDupPairs(emb, threshold, maxBucket)
+      .select(col("id_b").as("vec_id")).distinct()
     emb.join(dupIds, Seq("vec_id"), "left_anti")
   }
 }

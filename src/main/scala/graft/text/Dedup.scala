@@ -465,11 +465,17 @@ object Dedup {
     * (Production would probe multiple rotated bucketings; one prefix
     * bucket demonstrates the shape.) */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxDist: Int = 3): DataFrame = {
+      maxDist: Int = 3, maxBucket: Int = 100): DataFrame = {
     val h = withSimHash(df, textCol)
       .select(col(idCol).as("id"), col("simhash"), col("sim_bucket"))
-    val a = h.select(col("sim_bucket"), col("id").as("id_a"), col("simhash").as("sh_a"))
-    val b = h.select(col("sim_bucket"), col("id").as("id_b"), col("simhash").as("sh_b"))
+    // hot-bucket guard before the self-join (same as the LSH paths):
+    // a mega exact-dup cluster shares one simhash → one bucket →
+    // unguarded quadratic pairing
+    val ok = h.groupBy("sim_bucket").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxBucket).select("sim_bucket")
+    val hh = h.join(ok, "sim_bucket")
+    val a = hh.select(col("sim_bucket"), col("id").as("id_a"), col("simhash").as("sh_a"))
+    val b = hh.select(col("sim_bucket"), col("id").as("id_b"), col("simhash").as("sh_b"))
     a.join(b, "sim_bucket").filter(col("id_a") < col("id_b"))
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .filter(col("hamming") <= maxDist)

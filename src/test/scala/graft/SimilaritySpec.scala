@@ -49,6 +49,24 @@ class SimilaritySpec extends SparkSpec {
     assert(kept == Set(0L, 2L))
   }
 
+  test("embedding near-dup drops a degenerate hot bucket before pairing") {
+    // 150 identical vectors share one sign-LSH bucket (> maxBucket=100):
+    // the guard must discard the bucket BEFORE the self-join — no pair
+    // from the clique survives (recall sacrificed for survival, the
+    // documented contract) — while a small bucket still pairs normally.
+    val hot = (0L until 150L).map(i => (i, Array.fill(16)(1.0f)))
+    val pairA = Seq((1000L, (Array.fill(15)(-1.0f) :+ 1.0f)),
+      (1001L, (Array.fill(15)(-1.0f) :+ 1.0f)))
+    val emb = (hot ++ pairA).toDF("vec_id", "embedding")
+    val pairs = Similarity.nearDupPairs(emb, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1000L, 1001L)))
+    // and with the cutoff raised past the clique, the pairs reappear —
+    // the guard, not the verify, removed them
+    val all = Similarity.nearDupPairs(emb, threshold = 0.9, maxBucket = 200)
+    assert(all.count() == 150L * 149 / 2 + 1)
+  }
+
   test("sim on real embeddings: brute-force and ivf overlap on top hits") {
     val emb = io.Tables.embeddings(spark, sf0001)
     val brute = Similarity.bruteForceTopK(emb, 10).collect().map(_.getLong(0)).toSet
