@@ -14,8 +14,21 @@ object Extras30 {
     // ↑) — dominated means someone spends at least as much AND orders
     // at least as often, strictly better on one axis. The classic
     // multi-objective frontier, evaluated on the REDUCED per-customer
-    // aggregate (the only way a skyline survives scale — never on the
-    // fact); the frontier self-join compares aggregate rows only.
+    // aggregate, GRID-PRUNED before the quadratic part (r9): spend is
+    // coarsened into ≤256 ranges, each range's max order-count rolls
+    // into a strictly-higher-range prefix max (a ≤256-row window —
+    // bounded, never a global data window), and a point whose
+    // n_orders ≤ that prefix max is PROVABLY dominated (some point
+    // with strictly greater spend has ≥ its orders) and dropped
+    // before pairing. Dominators of survivors are themselves
+    // survivors (same-range dominator inherits the same prefix max;
+    // higher-range dominator would have pruned the point), so the
+    // exact dominance anti-join over the surviving near-frontier band
+    // — typically ~frontier-sized; worst case (fully anti-correlated
+    // data) degenerates to the full set, the skyline's inherent worst
+    // case — is result-identical to the naive all-pairs spelling.
+    // The broadcast sides are the 1-row range, the ≤256-row prefix
+    // table, and the pruned band — none scales with the corpus.
     Q("analytics_skyline",
       Some("""WITH a AS (SELECT o_custkey AS ck,
              |             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS spend,
@@ -33,9 +46,21 @@ object Extras30 {
           .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
             .cast("long").as("spend"),
             count(lit(1)).cast("long").as("n_orders"))
-        val b = a.select(col("spend").as("b_spend"),
+        val rng = a.agg(min("spend").as("mn"), max("spend").as("mx"))
+        val ab = a.crossJoin(broadcast(rng))
+          .withColumn("bk", ((col("spend") - col("mn")) * 256L /
+            (col("mx") - col("mn") + 1)).cast("long"))
+        val pref = ab.groupBy("bk").agg(max("n_orders").as("bm"))
+          .withColumn("pmh", max(col("bm")).over(
+            org.apache.spark.sql.expressions.Window.orderBy(col("bk").desc)
+              .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)))
+          .select("bk", "pmh")
+        val cand = ab.join(broadcast(pref), Seq("bk"), "left")
+          .filter(col("pmh").isNull || col("n_orders") > col("pmh"))
+          .select("ck", "spend", "n_orders")
+        val b = cand.select(col("spend").as("b_spend"),
           col("n_orders").as("b_orders"))
-        a.join(broadcast(b),
+        cand.join(broadcast(b),
             col("b_spend") >= col("spend") && col("b_orders") >= col("n_orders")
               && (col("b_spend") > col("spend") || col("b_orders") > col("n_orders")),
             "left_anti")
