@@ -464,19 +464,34 @@ object Dedup {
   /** SimHash near-dup pairs: same 16-bit bucket AND Hamming ≤ maxDist.
     * (Production would probe multiple rotated bucketings; one prefix
     * bucket demonstrates the shape.) */
+  /** SimHash near-dup pairs by 4×16-bit BAND probing: each fingerprint
+    * contributes four (band index, band value) keys; candidates share
+    * ≥1 band, then verify by full Hamming distance. COMPLETE for
+    * maxDist ≤ 3 by pigeonhole — 3 differing bits touch at most 3 of
+    * the 4 bands, so one band is always intact and the pair always
+    * collides (the previous prefix-only probe silently missed pairs
+    * whose differing bits fell in the top 16). Per-band hot buckets
+    * (> maxBucket occupants — a mega exact-dup cluster shares all four
+    * bands) are dropped before the self-join, same guard as every
+    * bucketed pairing path; a multi-band collision dedups through
+    * `distinct` before the verify. */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
       maxDist: Int = 3, maxBucket: Int = 100): DataFrame = {
+    require(maxDist <= 3, s"4x16 banding is complete only to Hamming 3, got $maxDist")
     val h = withSimHash(df, textCol)
-      .select(col(idCol).as("id"), col("simhash"), col("sim_bucket"))
-    // hot-bucket guard before the self-join (same as the LSH paths):
-    // a mega exact-dup cluster shares one simhash → one bucket →
-    // unguarded quadratic pairing
-    val ok = h.groupBy("sim_bucket").agg(count(lit(1)).as("__n"))
-      .filter(col("__n") <= maxBucket).select("sim_bucket")
-    val hh = h.join(ok, "sim_bucket")
-    val a = hh.select(col("sim_bucket"), col("id").as("id_a"), col("simhash").as("sh_a"))
-    val b = hh.select(col("sim_bucket"), col("id").as("id_b"), col("simhash").as("sh_b"))
-    a.join(b, "sim_bucket").filter(col("id_a") < col("id_b"))
+      .select(col(idCol).as("id"), col("simhash"))
+    val bands = h.select(col("id"), col("simhash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftrightunsigned(col("simhash"), b * 16)
+            .bitwiseAND(lit(0xFFFFL)).as("bv"))): _*)).as("bk"))
+    val ok = bands.groupBy("bk").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxBucket).select("bk")
+    val bb = bands.join(ok, "bk")
+    val a = bb.select(col("bk"), col("id").as("id_a"), col("simhash").as("sh_a"))
+    val b = bb.select(col("bk"), col("id").as("id_b"), col("simhash").as("sh_b"))
+    a.join(b, "bk").filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b").distinct()
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .filter(col("hamming") <= maxDist)
       .select("id_a", "id_b", "hamming")

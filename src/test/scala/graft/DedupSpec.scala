@@ -294,6 +294,35 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((1L, 5L)))
   }
 
+  test("simhash band probing is COMPLETE to Hamming 3 (matches brute force)") {
+    // 40 single-token variants of one sentence: many fingerprints land
+    // within a few bits of each other, with differing bits scattered
+    // across the whole 64-bit word — exactly the pairs the old
+    // prefix-only probe missed whenever the difference touched the low
+    // 16 bits' complement. The banded probe must find EXACTLY the
+    // brute-force Hamming ≤ 3 pair set, no more, no less.
+    val docs = (0 until 40).map(i =>
+      (i.toLong, s"the quick brown fox jumps over the lazy dog near the river bank tok$i"))
+      .toDF("doc_id", "text")
+    val fps = Dedup.withSimHash(docs, "text")
+      .select("doc_id", "simhash").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val want = (for {
+      (ia, fa) <- fps; (ib, fb) <- fps if ia < ib
+      if java.lang.Long.bitCount(fa ^ fb) <= 3
+    } yield (ia, ib)).toSet
+    assert(want.nonEmpty) // the corpus genuinely exercises the probe
+    // and at least one wanted pair differs inside the OLD probe's
+    // prefix band (bits 48-63, the sim_bucket key), i.e. landed in
+    // different prefix buckets and was MISSED before banding
+    val fpOf = fps.toMap
+    assert(want.exists { case (ia, ib) =>
+      ((fpOf(ia) ^ fpOf(ib)) >>> 48) != 0L })
+    val got = Dedup.simHashPairs(docs, "doc_id", "text", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+  }
+
   test("minhash signature is deterministic across evaluations") {
     val a = corpus.select(Dedup.signatureCol(col("text"))).collect().map(_.getSeq[Long](0))
     val b = corpus.select(Dedup.signatureCol(col("text"))).collect().map(_.getSeq[Long](0))
