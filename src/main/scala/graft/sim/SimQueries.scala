@@ -143,6 +143,49 @@ object SimQueries {
       (s, d) => Similarity.dedupEmbeddings(embeddings(s, d), 0.2)
         .select("vec_id").orderBy("vec_id")),
 
+    // BANDED sign-LSH near-dedup, exact-integer verify — the
+    // multi-probe recall upgrade over dedup_embedding's single 16-bit
+    // bucket (one flipped sign kills the single probe; two 8-bit
+    // bands still collide on the untouched half), and the threshold
+    // compare is ENGINE-EXACT: embeddings quantize to a 1e-6 grid
+    // (round-half-away identical in both engines) and cos ≥ 1/5 is
+    // decided as dot ≥ 0 ∧ 25·dot² ≥ |a|²·|b|² in 128-bit integers —
+    // no float margin analysis needed (the banded candidate set has
+    // pairs within 2e-5 of the threshold, where raw-cosine comparison
+    // would be a cross-engine coin flip). Same per-band hot-bucket
+    // guard (never fires on this data).
+    Q("dedup_embedding_banded",
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+             |          FROM embeddings),
+             |q AS (SELECT vec_id,
+             |        list_transform(emb, x -> CAST(round(x * 1e6) AS BIGINT)) AS qe
+             |      FROM e),
+             |k AS (SELECT e.vec_id, b AS band,
+             |        list_sum(list_transform(range(8),
+             |          i -> CASE WHEN emb[b*8+i+1] > 0 THEN 1<<i ELSE 0 END)) AS mask
+             |      FROM e, LATERAL unnest([0, 1]) AS u(b)),
+             |ok AS (SELECT band, mask FROM k GROUP BY band, mask
+             |       HAVING count(*) <= 100),
+             |k2 AS (SELECT k.* FROM k JOIN ok USING (band, mask)),
+             |p AS (SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib
+             |      FROM k2 a JOIN k2 b ON a.band = b.band AND a.mask = b.mask
+             |                         AND a.vec_id < b.vec_id),
+             |d AS (SELECT ia, ib,
+             |        list_sum(list_transform(range(len(qa.qe)),
+             |          i -> qa.qe[i+1] * qb.qe[i+1])) AS dot,
+             |        list_sum(list_transform(qa.qe, x -> x * x)) AS na,
+             |        list_sum(list_transform(qb.qe, x -> x * x)) AS nb
+             |      FROM p JOIN q qa ON qa.vec_id = p.ia
+             |             JOIN q qb ON qb.vec_id = p.ib),
+             |dup AS (SELECT DISTINCT ib FROM d
+             |        WHERE dot >= 0
+             |          AND CAST(dot AS HUGEINT) * dot * 25 >=
+             |              CAST(na AS HUGEINT) * nb)
+             |SELECT vec_id FROM embeddings
+             |WHERE vec_id NOT IN (SELECT ib FROM dup) ORDER BY vec_id""".stripMargin),
+      (s, d) => Similarity.dedupEmbeddingsBandedExact(embeddings(s, d), 1, 5)
+        .select("vec_id").orderBy("vec_id")),
+
     // exact-arithmetic k-means (2 Lloyd iterations, k=5, seeded from
     // the 5 lowest vec_ids): coordinates quantized to a 1e-7 integer
     // grid → every distance and centroid mean is exact BIGINT math,

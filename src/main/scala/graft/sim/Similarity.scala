@@ -166,4 +166,57 @@ object Similarity {
       .select(col("id_b").as("vec_id")).distinct()
     emb.join(dupIds, Seq("vec_id"), "left_anti")
   }
+
+  /** TWO 8-bit sign bands (dims 1-8 and 9-16): a pair collides when
+    * EITHER half's sign pattern matches exactly — the multi-probe
+    * recall upgrade over the single 16-bit [[signBucket]] (one
+    * flipped sign among 16 kills the single-bucket probe; with two
+    * bands it still collides on the untouched half). */
+  def signBandKeys(emb: Column): Column =
+    array((0 until 2).map { b =>
+      struct(lit(b).as("band"),
+        aggregate(
+          zip_with(slice(emb, b * 8 + 1, 8),
+            array((0 until 8).map(i => lit(1L << i)): _*),
+            (x, w) => when(x > 0f, w).otherwise(lit(0L))),
+          lit(0L), (acc, v) => acc + v).as("mask"))
+    }: _*)
+
+  /** Banded embedding near-dedup with an EXACT-integer threshold
+    * compare: embeddings quantize to a 1e-6 grid (round half away
+    * from zero — identical in both engines), and cos ≥ num/den is
+    * decided as dot ≥ 0 ∧ den²·dot² ≥ num²·|a|²·|b|² in 128-bit
+    * integer arithmetic (DECIMAL(38,0); dot ≤ d·(2e6)² ≈ 2.6e14 at
+    * d=64, dot² ≈ 7e28 — comfortably inside 38 digits). Raw-cosine
+    * thresholding is margin-fragile cross-engine — the banded
+    * candidate set on this corpus has pairs within 2e-5 of any
+    * plausible threshold — so the compare is made exact instead of
+    * hoping for a margin (the repo float policy). Same per-band
+    * hot-bucket guard as every bucketed pairing path; kept corpus
+    * drops the higher vec_id of each verified pair. */
+  def dedupEmbeddingsBandedExact(emb: DataFrame, num: Int, den: Int,
+      maxBucket: Int = 100): DataFrame = {
+    val dec = "decimal(38,0)"
+    val qe = transform(col("embedding"),
+      x => round(x.cast("double") * 1e6).cast("long"))
+    val h = emb.select(col("vec_id"), qe.as("qe"),
+      explode(signBandKeys(col("embedding"))).as("bk"))
+    val ok = h.groupBy("bk").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxBucket).select("bk")
+    val bb = h.join(ok, "bk")
+    val cand = bb.select(col("bk"), col("vec_id").as("id_a"), col("qe").as("qa"))
+      .join(bb.select(col("bk"), col("vec_id").as("id_b"), col("qe").as("qb")), "bk")
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "qa", "qb").distinct()
+    def sumLong(c: Column) = aggregate(c, lit(0L), (s, v) => s + v)
+    val dup = cand
+      .withColumn("dot", sumLong(zip_with(col("qa"), col("qb"), (a, b) => a * b)))
+      .withColumn("na", sumLong(transform(col("qa"), a => a * a)))
+      .withColumn("nb", sumLong(transform(col("qb"), b => b * b)))
+      .filter(col("dot") >= 0 &&
+        col("dot").cast(dec) * col("dot").cast(dec) * lit(den.toLong * den) >=
+          col("na").cast(dec) * col("nb").cast(dec) * lit(num.toLong * num))
+      .select(col("id_b").as("vec_id")).distinct()
+    emb.join(dup, Seq("vec_id"), "left_anti")
+  }
 }

@@ -67,6 +67,24 @@ class SimilaritySpec extends SparkSpec {
     assert(all.count() == 150L * 149 / 2 + 1)
   }
 
+  test("banded near-dedup finds a one-sign-flip pair the single bucket misses") {
+    // vectors 0/1: nearly identical (cosine ≈ 0.996) but dim 3's sign
+    // flips — the single 16-bit sign bucket differs, so the unbanded
+    // probe NEVER pairs them; band 1 (dims 9-16) is untouched, so the
+    // banded probe must catch and drop the higher id. Vector 2 is far
+    // from both (negative cosine) and must survive.
+    val base = Array.tabulate(16)(i => 1.0f + i * 0.1f)
+    val flipped = base.clone(); flipped(2) = -0.05f
+    val emb = Seq((0L, base), (1L, flipped),
+      (2L, Array.tabulate(16)(i => if (i % 2 == 0) -1.0f else 1.0f)))
+      .toDF("vec_id", "embedding")
+    // unbanded probe is blind to the pair
+    assert(Similarity.nearDupPairs(emb, threshold = 0.2).count() == 0)
+    val kept = Similarity.dedupEmbeddingsBandedExact(emb, 1, 5)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L, 2L))
+  }
+
   test("sim on real embeddings: brute-force and ivf overlap on top hits") {
     val emb = io.Tables.embeddings(spark, sf0001)
     val brute = Similarity.bruteForceTopK(emb, 10).collect().map(_.getLong(0)).toSet
