@@ -27,8 +27,12 @@ object Extras30 {
     // — typically ~frontier-sized; worst case (fully anti-correlated
     // data) degenerates to the full set, the skyline's inherent worst
     // case — is result-identical to the naive all-pairs spelling.
-    // The broadcast sides are the 1-row range, the ≤256-row prefix
-    // table, and the pruned band — none scales with the corpus.
+    // Pinned broadcasts only on the fixed-cardinality sides (1-row
+    // range, ≤256-row prefix table); the pruned band is LEFT TO
+    // stats/AQE because its size is data-dependent — on that same
+    // anti-correlated worst case it degenerates to the full
+    // per-customer aggregate, exactly the scaling-side pinned
+    // broadcast the r9 policy removed elsewhere.
     Q("analytics_skyline",
       Some("""WITH a AS (SELECT o_custkey AS ck,
              |             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS spend,
@@ -60,7 +64,7 @@ object Extras30 {
           .select("ck", "spend", "n_orders")
         val b = cand.select(col("spend").as("b_spend"),
           col("n_orders").as("b_orders"))
-        cand.join(broadcast(b),
+        cand.join(b,
             col("b_spend") >= col("spend") && col("b_orders") >= col("n_orders")
               && (col("b_spend") > col("spend") || col("b_orders") > col("n_orders")),
             "left_anti")

@@ -57,19 +57,33 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // Every local goes through ctx.freshName: two cosine_sim calls can
+      // land in ONE generated function (a two-centroid projection, a
+      // fused filter+project), and literal names would collide there —
+      // Janino rejects the redefinition and Spark silently falls back
+      // to interpreted eval, exactly the allocation-pressure path this
+      // expression exists to avoid.
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val i = ctx.freshName("i")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      val denom = ctx.freshName("denom")
       s"""
-         |int n = Math.min($a.numElements(), $b.numElements());
-         |double dot = 0.0, na = 0.0, nb = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  double x = (double) $a.getFloat(i);
-         |  double y = (double) $b.getFloat(i);
-         |  dot += x * y; na += x * x; nb += y * y;
+         |int $n = Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = (double) $a.getFloat($i);
+         |  double $y = (double) $b.getFloat($i);
+         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
          |}
-         |double denom = Math.sqrt(na) * Math.sqrt(nb);
-         |if (denom == 0.0) {
+         |double $denom = Math.sqrt($na) * Math.sqrt($nb);
+         |if ($denom == 0.0) {
          |  ${ev.isNull} = true;
          |} else {
-         |  ${ev.value} = dot / denom;
+         |  ${ev.value} = $dot / $denom;
          |}
        """.stripMargin
     })

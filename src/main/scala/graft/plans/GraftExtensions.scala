@@ -22,9 +22,32 @@ object GraftFunctions {
     "minhash_signature" -> (exprs => MinHashSignature(exprs.head)),
     "shingles" -> (exprs => Shingles(exprs.head)),
     // cap must be a foldable literal (it sizes aggregation buffers);
-    // the analyzer wraps the bare AggregateFunction itself
-    "capped_collect_longs" -> (exprs => CappedCollectLongs(exprs(0),
-      exprs(1).eval(null).asInstanceOf[Number].intValue)))
+    // the analyzer wraps the bare AggregateFunction itself. Validated
+    // here so a bad call fails with a named AnalysisException instead
+    // of an opaque NPE/ClassCast out of eval(null).
+    "capped_collect_longs" -> (exprs => {
+      import org.apache.spark.sql.AnalysisException
+      if (exprs.length != 2)
+        throw new AnalysisException(
+          errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          messageParameters = Map(
+            "functionName" -> "`capped_collect_longs`",
+            "expectedNum" -> "2", "actualNum" -> exprs.length.toString,
+            "docroot" -> "https://spark.apache.org/docs/latest"))
+      if (!exprs(1).foldable)
+        throw new AnalysisException(
+          errorClass = "NON_FOLDABLE_ARGUMENT",
+          messageParameters = Map(
+            "funcName" -> "`capped_collect_longs`",
+            "paramName" -> "`cap`", "paramType" -> "\"INT\""))
+      exprs(1).eval(null) match {
+        case n: Number => CappedCollectLongs(exprs(0), n.intValue)
+        case _ => throw new AnalysisException(
+          errorClass = "SECOND_FUNCTION_ARGUMENT_NOT_INTEGER",
+          messageParameters = Map(
+            "functionName" -> "capped_collect_longs"))
+      }
+    }))
 
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit =

@@ -215,12 +215,37 @@ object Dedup {
       .write.mode("overwrite").parquet(s"$root/bk")
   }
 
+  /** Resolves the LIVE generation of the bucket-stats sidecar: `bk`
+    * (generation 0, written by [[writeIndex]]) or the highest-numbered
+    * `bk.g<N>` published by a later [[compactIndexStats]]. Generations
+    * are create-only — a compaction publishes the next one with a
+    * single same-filesystem ATOMIC_MOVE and only then reaps older ones
+    * — so some complete generation exists at every instant and
+    * "highest number" is always the freshest complete one (a crash
+    * between publish and reap leaves a stale LOWER generation behind,
+    * which the next compaction reaps). */
+  private[graft] def bkLivePath(root: String): java.nio.file.Path = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val r = Paths.get(root)
+    val gens = Files.list(r).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect {
+        case "bk" => 0L
+        case n if n.startsWith("bk.g") && n.drop(4).forall(_.isDigit) =>
+          n.drop(4).toLong
+      }.toSeq
+    require(gens.nonEmpty, s"no bk sidecar generation under $root")
+    val g = gens.max
+    if (g == 0L) r.resolve("bk") else r.resolve(s"bk.g$g")
+  }
+
   /** Appends the accepted delta rows' index entries to a persisted
-    * index: their per-doc rows to `ix`, their postings to `post`, and
-    * their PARTIAL per-bucket counts to `bk` (the stats sidecar is a
-    * mergeable partial aggregate — see [[indexBucketStats]]). The
-    * recurring cost is delta-sized on all three artifacts; the corpus
-    * side is never rewritten.
+    * index: their postings to `post`, their PARTIAL per-bucket counts
+    * to the live `bk` generation (the stats sidecar is a mergeable
+    * partial aggregate — see [[indexBucketStats]]), and their per-doc
+    * rows to `ix`. The recurring cost is delta-sized on all three
+    * artifacts; the corpus side is never rewritten.
     *
     * The delta's index rows are materialized to a scratch parquet
     * FIRST and all three appends read those written files. This cuts
@@ -230,7 +255,25 @@ object Dedup {
     * intermediate, so a lineage-carrying append would re-screen the
     * delta against the half-grown index (its own rows now indexed →
     * everything self-rejects → later appends write empty). Snapshot
-    * semantics, not an implementation nicety. */
+    * semantics, not an implementation nicety.
+    *
+    * Crash contract: the three appends are sequential and non-atomic,
+    * and `ix` — the record of truth the verify join reads — goes LAST.
+    * A crash mid-append can therefore leave only DERIVED rows (post/
+    * bk) for docs absent from `ix`; those are conservative garbage,
+    * never a correctness hole: orphan postings produce candidates that
+    * fail the inner join against `ix` docs (so the probe behaves as if
+    * the torn delta was never indexed — correct, since `ix` is the
+    * membership record), and orphan bk counts only make buckets look
+    * HOTTER (more dropping, fewer candidates — the guard's safe
+    * direction). Re-running the append restores `ix`; the duplicated
+    * derived rows stay harmless (pairing dedups through `distinct`,
+    * stats inflation stays conservative) until the next
+    * [[compactIndexStats]]. The reversed order is what makes a torn
+    * append recoverable-by-retry instead of silently wrong: with `ix`
+    * first, a crash would leave docs IN the membership record but
+    * invisible to the probe — later near-dups of them would be
+    * silently accepted. */
   def appendIndex(root: String, accepted: DataFrame, idCol: String,
       textCol: String): Unit = {
     val s = accepted.sparkSession
@@ -241,11 +284,11 @@ object Dedup {
       val sd = scratch.resolve("ixd").toString
       buildIndex(accepted, idCol, textCol)
         .write.mode("overwrite").parquet(sd)
-      s.read.parquet(sd).write.mode("append").parquet(s"$root/ix")
       val post = indexPostings(s.read.parquet(sd))
       post.write.mode("append").parquet(s"$root/post")
       indexBucketStats(indexPostings(s.read.parquet(sd)))
-        .write.mode("append").parquet(s"$root/bk")
+        .write.mode("append").parquet(bkLivePath(root).toString)
+      s.read.parquet(sd).write.mode("append").parquet(s"$root/ix")
     } finally {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(scratch).iterator().asScala.toSeq.reverse
@@ -254,11 +297,11 @@ object Dedup {
   }
 
   /** Opens a persisted three-part index written by [[writeIndex]] /
-    * grown by [[appendIndex]]. */
+    * grown by [[appendIndex]] / maintained by [[compactIndexStats]]. */
   def readIndex(s: org.apache.spark.sql.SparkSession,
       root: String): DedupIndex =
     DedupIndex(s.read.parquet(s"$root/ix"), s.read.parquet(s"$root/post"),
-      s.read.parquet(s"$root/bk"))
+      s.read.parquet(bkLivePath(root).toString))
 
   /** Compacts the bucket-stats sidecar back to one row per bucket.
     * Each [[appendIndex]] adds a partial row-set, and every consumer
@@ -271,38 +314,58 @@ object Dedup {
     *
     * Same single-writer assumption as [[appendIndex]] (the owner of
     * the generation runs maintenance between delta cycles; concurrent
-    * appends were never safe against each other). The summed stats
-    * are fully written to scratch BEFORE the old sidecar is replaced
-    * (the lineage reads `bk`, so writing in place is impossible
-    * anyway). The delete-then-move swap has a crash window with no
-    * `bk` on disk — acceptable because the sidecar is a DERIVED
-    * artifact: recovery is one aggregation,
-    * `indexBucketStats(postings)` re-written over `root/bk`, never a
-    * corpus re-read. The record-of-truth parts (`ix`, `post`) are
-    * append-only and untouched here. */
+    * appends were never safe against each other). The swap is the same
+    * create-only generation pattern the stream stages use: the summed
+    * stats are fully written to a scratch dir created UNDER `root`
+    * (same filesystem — a tmpdir scratch would make the publish rename
+    * cross-device and fail with EXDEV on the common tmpfs-/tmp +
+    * data-disk split), then published as the NEXT `bk.g<N>` generation
+    * with a single ATOMIC_MOVE, and only then are older generations
+    * reaped. There is no instant with zero live sidecar on disk: a
+    * crash before the move leaves the old generation live (the scratch
+    * is dot-prefixed and never resolved), a crash between move and
+    * reap leaves two complete generations and [[bkLivePath]] picks the
+    * newer (the next compaction reaps the stale one). The
+    * record-of-truth parts (`ix`, `post`) are append-only and
+    * untouched here. */
   def compactIndexStats(s: org.apache.spark.sql.SparkSession,
       root: String): Unit = {
-    import java.nio.file.{Files, Paths}
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+    val live = bkLivePath(root)
+    val liveGen =
+      if (live.getFileName.toString == "bk") 0L
+      else live.getFileName.toString.drop(4).toLong
     val scratch = Files.createTempDirectory(
-      Paths.get(sys.props("java.io.tmpdir")), ".graft_ix_compact_")
+      Paths.get(root), ".bk_compact_")
     try {
       val sd = scratch.resolve("bk").toString
-      s.read.parquet(s"$root/bk").groupBy("bk").agg(sum("n").as("n"))
+      s.read.parquet(live.toString).groupBy("bk").agg(sum("n").as("n"))
         .write.mode("overwrite").parquet(sd)
-      import scala.jdk.CollectionConverters._
-      val old = Paths.get(root, "bk")
-      Files.walk(old).iterator().asScala.toSeq.reverse
-        .foreach(p => Files.deleteIfExists(p))
-      Files.move(scratch.resolve("bk"), old)
+      val next = Paths.get(root, s"bk.g${liveGen + 1}")
+      Files.move(scratch.resolve("bk"), next,
+        StandardCopyOption.ATOMIC_MOVE)
+      // reap every older generation — only after the new one is live
+      Files.list(Paths.get(root)).iterator().asScala
+        .filter { p =>
+          val n = p.getFileName.toString
+          n == "bk" ||
+            (n.startsWith("bk.g") && n.drop(4).forall(_.isDigit) &&
+              n.drop(4).toLong <= liveGen)
+        }
+        .foreach { gen =>
+          Files.walk(gen).iterator().asScala.toSeq.reverse
+            .foreach(p => Files.deleteIfExists(p))
+          s.catalog.refreshByPath(gen.toString)
+        }
       // a Spark write would refresh the shared file-status cache
-      // itself; after manual file surgery it must be told, or later
-      // reads resolve the pre-compaction listing and fail on the
-      // deleted parts
-      s.catalog.refreshByPath(old.toString)
+      // itself; after manual file surgery it must be told, or a read
+      // that cached the path pre-publish resolves a stale listing
+      s.catalog.refreshByPath(next.toString)
     } finally {
-      import scala.jdk.CollectionConverters._
-      Files.walk(scratch).iterator().asScala.toSeq.reverse
-        .foreach(p => Files.deleteIfExists(p))
+      if (Files.exists(scratch))
+        Files.walk(scratch).iterator().asScala.toSeq.reverse
+          .foreach(p => Files.deleteIfExists(p))
     }
   }
 

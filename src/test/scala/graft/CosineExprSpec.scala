@@ -26,6 +26,36 @@ class CosineExprSpec extends SparkSpec {
     }
   }
 
+  test("two cosine_sim calls in ONE projection survive codegen " +
+    "(fallback disabled) and stay bit-identical to the declarative kernel") {
+    GraftFunctions.register(spark)
+    // Pre-freshName, the generated Java hardcoded locals (i, n, dot…),
+    // so a function containing the expression twice failed Janino
+    // compilation and SILENTLY fell back to interpreted eval — meaning
+    // the bit-equality pin above never actually exercised codegen.
+    // fallback=false turns that silent downgrade into a hard failure,
+    // so this test proves the codegen path compiles AND matches.
+    val prevFallback = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val emb = io.Tables.embeddings(spark, sf0001)
+      val q = Similarity.queryVector(emb)
+      val rows = emb.crossJoin(broadcast(q))
+        .select(
+          GraftFunctions.cosineSim(col("embedding"), col("q_emb")).as("c1"),
+          GraftFunctions.cosineSim(col("q_emb"), col("embedding")).as("c2"),
+          Similarity.cosine(col("embedding"), col("q_emb")).as("decl"))
+        .collect()
+      assert(rows.length > 0)
+      rows.foreach { r =>
+        val c1 = java.lang.Double.doubleToLongBits(r.getDouble(0))
+        val c2 = java.lang.Double.doubleToLongBits(r.getDouble(1))
+        val d = java.lang.Double.doubleToLongBits(r.getDouble(2))
+        assert(c1 == d && c2 == d)
+      }
+    } finally spark.conf.set("spark.sql.codegen.fallback", prevFallback)
+  }
+
   test("null and zero-norm contracts") {
     GraftFunctions.register(spark)
     val df = Seq(

@@ -199,6 +199,49 @@ class DedupSpec extends SparkSpec {
     assert(accAfter == accBefore)
   }
 
+  test("sidecar compaction is create-only generational: no zero-bk instant, stale gens reaped") {
+    import java.nio.file.{Files, Paths}
+    val base = corpus.filter(col("doc_id").isin(1L, 3L))
+    val dir = Files.createTempDirectory("graft_ix_gens").toString
+    Dedup.writeIndex(base, "doc_id", "text", dir)
+    assert(Dedup.bkLivePath(dir) == Paths.get(dir, "bk"))
+    // compaction publishes bk.g1 and reaps gen 0 — never the reverse
+    Dedup.compactIndexStats(spark, dir)
+    assert(Files.exists(Paths.get(dir, "bk.g1")))
+    assert(!Files.exists(Paths.get(dir, "bk")))
+    assert(Dedup.bkLivePath(dir) == Paths.get(dir, "bk.g1"))
+    // appends land their partials on the LIVE generation
+    val g1Before = spark.read.parquet(s"$dir/bk.g1").count()
+    val day = Seq((40L, "entirely novel text about glacier melt rates and alpine hydrology"))
+      .toDF("doc_id", "text")
+    Dedup.appendIndex(dir, day, "doc_id", "text")
+    assert(spark.read.parquet(s"$dir/bk.g1").count() > g1Before)
+    // simulate a crash BETWEEN publish and reap: a stale lower
+    // generation left on disk. The resolver must pick the newer one,
+    // and the next compaction must reap the stale dir.
+    import scala.jdk.CollectionConverters._
+    val live = Paths.get(dir, "bk.g1")
+    val stale = Paths.get(dir, "bk")
+    Files.walk(live).iterator().asScala.toSeq.foreach { p =>
+      val t = stale.resolve(live.relativize(p).toString)
+      if (Files.isDirectory(p)) Files.createDirectories(t)
+      else Files.copy(p, t)
+    }
+    assert(Dedup.bkLivePath(dir) == live)
+    val statsLive = Dedup.readIndex(spark, dir).bucketStats
+      .groupBy("bk").agg(sum("n").as("n"))
+      .collect().map(r => r.get(0) -> r.getLong(1)).toMap
+    Dedup.compactIndexStats(spark, dir)
+    assert(!Files.exists(stale) && !Files.exists(live))
+    assert(Files.exists(Paths.get(dir, "bk.g2")))
+    // the doubled stale rows were never summed in: post-compaction
+    // stats equal the pre-compaction LIVE generation's
+    val statsAfter = Dedup.readIndex(spark, dir).bucketStats
+      .groupBy("bk").agg(sum("n").as("n"))
+      .collect().map(r => r.get(0) -> r.getLong(1)).toMap
+    assert(statsAfter == statsLive)
+  }
+
   test("four-day production cycle on testdata: staged index ≡ inline replay, compaction mid-cycle") {
     // the full lifecycle on REAL documents (sf0.001): day-0 build over
     // ~43% of the corpus, then four daily deltas, each screened
