@@ -321,7 +321,71 @@ object SimQueries {
           .agg(count(lit(1)).cast("long").as("n_common"))
           .select(lit(10L).as("k"), col("n_common"),
             (col("n_common") * 100000).cast("long").as("recall_e6"))
-      })
+      }),
+
+    // candidate recall of the embedding LSH probes against the EXACT
+    // threshold-pair set (the same 128-bit integer cos ≥ 1/5 verify as
+    // dedup_embedding_banded, so the gold standard is engine-exact and
+    // the report hash-matches instead of being a float estimate):
+    // single 16-bit sign bucket vs two 8-bit bands. Quantifies what
+    // the banded multi-probe buys — the measurement dedup_lsh_recall /
+    // sim_recall_report provide for the text-LSH and IVF families. The
+    // gold standard is inherently all-pairs O(n²·d); at 100 TB it runs
+    // on a uniform sample (recall is a ratio), while both candidate
+    // sets stay bucket-joined like the production paths. The absolute
+    // recalls are LOW here (~0.01%/2.5% single/banded) because the
+    // corpus's demo threshold 0.2 is loose — random-ish pairs at
+    // cos≈0.2 share few sign bits; at a production near-dup threshold
+    // (≥0.95) sign-LSH recall approaches 1. The measurement's point is
+    // the ~170× banded-over-single ratio, which is threshold-robust.
+    Q("emb_band_recall",
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+             |          FROM embeddings),
+             |q AS (SELECT vec_id,
+             |        list_transform(emb, x -> CAST(round(x * 1e6) AS BIGINT)) AS qe
+             |      FROM e),
+             |t0 AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+             |         list_sum(list_transform(range(len(a.qe)),
+             |           i -> a.qe[i+1] * b.qe[i+1])) AS dot,
+             |         list_sum(list_transform(a.qe, x -> x * x)) AS na,
+             |         list_sum(list_transform(b.qe, x -> x * x)) AS nb
+             |       FROM q a JOIN q b ON a.vec_id < b.vec_id),
+             |t AS (SELECT ia, ib FROM t0
+             |      WHERE dot >= 0
+             |        AND CAST(dot AS HUGEINT) * dot * 25 >=
+             |            CAST(na AS HUGEINT) * nb),
+             |s AS (SELECT vec_id,
+             |        list_sum(list_transform(range(16),
+             |          i -> CASE WHEN emb[i+1] > 0 THEN 1<<i ELSE 0 END)) AS bucket
+             |      FROM e),
+             |ok1 AS (SELECT bucket FROM s GROUP BY bucket
+             |        HAVING count(*) <= 100),
+             |s2 AS (SELECT s.* FROM s JOIN ok1 USING (bucket)),
+             |c1 AS (SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib
+             |       FROM s2 a JOIN s2 b ON a.bucket = b.bucket
+             |                          AND a.vec_id < b.vec_id),
+             |k AS (SELECT e.vec_id, b AS band,
+             |        list_sum(list_transform(range(8),
+             |          i -> CASE WHEN emb[b*8+i+1] > 0 THEN 1<<i ELSE 0 END)) AS mask
+             |      FROM e, LATERAL unnest([0, 1]) AS u(b)),
+             |ok2 AS (SELECT band, mask FROM k GROUP BY band, mask
+             |        HAVING count(*) <= 100),
+             |k2 AS (SELECT k.* FROM k JOIN ok2 USING (band, mask)),
+             |c2 AS (SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib
+             |       FROM k2 a JOIN k2 b ON a.band = b.band AND a.mask = b.mask
+             |                          AND a.vec_id < b.vec_id)
+             |SELECT CAST((SELECT count(*) FROM t) AS BIGINT) AS n_true,
+             |       CAST((SELECT count(*) FROM t JOIN c1 USING (ia, ib)) AS BIGINT)
+             |         AS n_single,
+             |       CAST((SELECT count(*) FROM t JOIN c2 USING (ia, ib)) AS BIGINT)
+             |         AS n_banded,
+             |       CAST((SELECT count(*) FROM t JOIN c1 USING (ia, ib)) * 1000000
+             |            // greatest((SELECT count(*) FROM t), 1) AS BIGINT)
+             |         AS recall_single_e6,
+             |       CAST((SELECT count(*) FROM t JOIN c2 USING (ia, ib)) * 1000000
+             |            // greatest((SELECT count(*) FROM t), 1) AS BIGINT)
+             |         AS recall_banded_e6""".stripMargin),
+      (s, d) => Similarity.bandRecallReport(embeddings(s, d), 1, 5))
   )
 
   /** The exact-integer kmeans pipeline as DuckDB CTEs (shared by

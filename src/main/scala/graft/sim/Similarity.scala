@@ -219,4 +219,65 @@ object Similarity {
       .select(col("id_b").as("vec_id")).distinct()
     emb.join(dup, Seq("vec_id"), "left_anti")
   }
+
+  /** Candidate-recall report for the embedding LSH probes: how much of
+    * the EXACT threshold-pair set (cos ≥ num/den decided in the same
+    * 128-bit integer arithmetic as [[dedupEmbeddingsBandedExact]], so
+    * engine-exact) each probe's candidate set covers — the single
+    * 16-bit [[signBucket]] vs the two 8-bit [[signBandKeys]] bands.
+    * One row: n_true, per-probe hit counts, µ-int recalls. This is the
+    * measurement that justifies the banded variant: one flipped sign
+    * among 16 kills the single probe, while the banded probe still
+    * collides on the untouched half.
+    *
+    * Scale shape: the gold standard is inherently all-pairs O(n²·d) —
+    * at 100 TB it runs on a SAMPLE of the corpus (recall is a ratio;
+    * a uniform sample estimates it), while the two candidate sets
+    * stay bucket-joined like the production dedup paths. The exact
+    * side here is the same integer verify kernel, so the report is
+    * hash-exact against the oracle rather than a float estimate. */
+  def bandRecallReport(emb: DataFrame, num: Int, den: Int,
+      maxBucket: Int = 100): DataFrame = {
+    val dec = "decimal(38,0)"
+    val qeCol = transform(col("embedding"),
+      x => round(x.cast("double") * 1e6).cast("long"))
+    val q = emb.select(col("vec_id"), qeCol.as("qe"))
+    def sumLong(c: Column) = aggregate(c, lit(0L), (s, v) => s + v)
+    val truePairs = q.select(col("vec_id").as("id_a"), col("qe").as("qa"))
+      .join(q.select(col("vec_id").as("id_b"), col("qe").as("qb")),
+        col("id_a") < col("id_b"))
+      .withColumn("dot", sumLong(zip_with(col("qa"), col("qb"), (a, b) => a * b)))
+      .withColumn("na", sumLong(transform(col("qa"), a => a * a)))
+      .withColumn("nb", sumLong(transform(col("qb"), b => b * b)))
+      .filter(col("dot") >= 0 &&
+        col("dot").cast(dec) * col("dot").cast(dec) * lit(den.toLong * den) >=
+          col("na").cast(dec) * col("nb").cast(dec) * lit(num.toLong * num))
+      .select("id_a", "id_b")
+    val h1 = emb.select(col("vec_id"), signBucket(col("embedding")).as("bucket"))
+    val ok1 = h1.groupBy("bucket").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxBucket).select("bucket")
+    val hh1 = h1.join(ok1, "bucket")
+    val c1 = hh1.select(col("bucket"), col("vec_id").as("id_a"))
+      .join(hh1.select(col("bucket"), col("vec_id").as("id_b")), "bucket")
+      .filter(col("id_a") < col("id_b")).select("id_a", "id_b").distinct()
+    val h2 = emb.select(col("vec_id"),
+      explode(signBandKeys(col("embedding"))).as("bk"))
+    val ok2 = h2.groupBy("bk").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxBucket).select("bk")
+    val hh2 = h2.join(ok2, "bk")
+    val c2 = hh2.select(col("bk"), col("vec_id").as("id_a"))
+      .join(hh2.select(col("bk"), col("vec_id").as("id_b")), "bk")
+      .filter(col("id_a") < col("id_b")).select("id_a", "id_b").distinct()
+    val keys = Seq("id_a", "id_b")
+    truePairs.agg(count(lit(1)).cast("long").as("n_true"))
+      .crossJoin(truePairs.join(c1, keys, "left_semi")
+        .agg(count(lit(1)).cast("long").as("n_single")))
+      .crossJoin(truePairs.join(c2, keys, "left_semi")
+        .agg(count(lit(1)).cast("long").as("n_banded")))
+      .select(col("n_true"), col("n_single"), col("n_banded"),
+        expr("CAST(n_single * 1000000 DIV GREATEST(n_true, 1) AS BIGINT)")
+          .as("recall_single_e6"),
+        expr("CAST(n_banded * 1000000 DIV GREATEST(n_true, 1) AS BIGINT)")
+          .as("recall_banded_e6"))
+  }
 }
