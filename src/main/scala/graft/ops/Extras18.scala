@@ -158,7 +158,13 @@ object Extras18 {
     // item change, addition, or reorder changes the shard hash. The
     // per-shard fold is one aggregation; the deterministic order comes
     // from sorting the collected (id, md5) structs, not from row
-    // arrival.
+    // arrival. Buffer bound: one (id, 32-char md5) struct per shard
+    // MEMBER — bounded by shard construction, not the corpus (a
+    // WebDataset-style shard is sized to ~10⁴ items / ~1 GB by the
+    // packing step; doc_id % 8 stands in for that shard key here). A
+    // manifest is inherently a function of every member, so the right
+    // control is shard sizing, not a collect cap that would silently
+    // hash a subset.
     Q("mm_manifest",
       Some("""SELECT doc_id % 8 AS shard,
              |       CAST(count(*) AS BIGINT) AS n_items,

@@ -251,7 +251,9 @@ object Extras2 {
         .orderBy(col("seg_n").desc_nulls_last, col("c_custkey"))),
 
     // ordered string aggregation (LISTAGG shape): deterministic via an
-    // explicit sort of the collected list.
+    // explicit sort of the collected list. Buffer bound: the group is a
+    // region and the values are nation names — dimension-table
+    // cardinality (25 rows total), never the fact stream.
     Q("agg_stringagg",
       Some("""SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations
              |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin),

@@ -243,7 +243,12 @@ object ScaleRank {
                 .map { case (c, (n, t)) => (c, n, t) })
           } else {
             // deterministic key sample per heavy value, sorted by
-            // SPARK's ordering (sort_array) so the driver only indexes
+            // SPARK's ordering (sort_array) so the driver only indexes.
+            // Buffer bound: the hash-mod filter keeps an expected
+            // ≤ ~2048·(cnt/minCnt) keys per heavy value (heavy values
+            // are themselves ≤ the range count), so the collected
+            // sample is a driver-sized cut-point payload, never the
+            // column.
             val minCnt = heavyVals.map(_._2).min
             val step = math.max(1L, minCnt / 2048L)
             val sampleRows = ranged

@@ -46,7 +46,9 @@ object Clustering {
 
   /** Recompute centroids as exact floor-division means per dimension.
     * (s - s % n) / n is an exact integer for positive s — identical in
-    * any engine, no float rounding to disagree on. */
+    * any engine, no float rounding to disagree on. The collect_list
+    * buffer re-assembling the centroid is one (pos, cv) struct per
+    * DIMENSION (64) — bounded by dimensionality, not rows. */
   private def update(assigned: DataFrame): DataFrame =
     assigned.select(col("cluster"), posexplode(col("v")))
       .groupBy(col("cluster"), col("pos"))

@@ -77,7 +77,9 @@ object Similarity {
       .select(col("vec_id"), col("label"))
 
   /** Element-wise mean vector per label — the IVF coarse centroids.
-    * posexplode → per-(label,pos) avg → re-assemble ordered array. */
+    * posexplode → per-(label,pos) avg → re-assemble ordered array.
+    * The collect_list buffer is one (pos, mean) struct per embedding
+    * DIMENSION (64 here) — bounded by dimensionality, not rows. */
   def labelCentroids(emb: DataFrame): DataFrame =
     emb.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .groupBy("label", "pos").agg(avg(col("v")).as("m"))

@@ -519,6 +519,8 @@ object Dedup {
       .agg(expr("sum(bit * CAST(pow(2, 3 - (j % 4)) AS INT))").as("v"))
       .select(col("id"), col("ni"),
         expr("substring('0123456789abcdef', CAST(v AS INT) + 1, 1)").as("c"))
+    // buffer bound: exactly 16 (nibble-index, hex-char) structs per
+    // doc — a constant, never the token stream
     nibs.groupBy("id").agg(
       array_join(transform(array_sort(collect_list(struct(col("ni"), col("c")))),
         x => x.getField("c")), "").as("simhash_hex"))
