@@ -284,7 +284,7 @@ object Streams {
     * modification times force the file-source admission order (oldest
     * first), re-set on every run so a stale stage dir can't flip it.
     * Returns the stage directory path. */
-  private def stageArrivals(stageName: String,
+  private[streaming] def stageArrivals(stageName: String,
       files: Seq[(DataFrame, String)]): String = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     import java.nio.file.attribute.FileTime
