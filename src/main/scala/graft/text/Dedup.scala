@@ -215,29 +215,84 @@ object Dedup {
       .write.mode("overwrite").parquet(s"$root/bk")
   }
 
-  /** Resolves the LIVE generation of the bucket-stats sidecar: `bk`
-    * (generation 0, written by [[writeIndex]]) or the highest-numbered
-    * `bk.g<N>` published by a later [[compactIndexStats]]. Generations
-    * are create-only — a compaction publishes the next one with a
-    * single same-filesystem ATOMIC_MOVE and only then reaps older ones
-    * — so some complete generation exists at every instant and
-    * "highest number" is always the freshest complete one (a crash
-    * between publish and reap leaves a stale LOWER generation behind,
-    * which the next compaction reaps). */
-  private[graft] def bkLivePath(root: String): java.nio.file.Path = {
+  /** Resolves the LIVE generation of a derived index artifact (`post`
+    * or `bk`): the plain name (generation 0, written by
+    * [[writeIndex]]) or the highest-numbered `<base>.g<N>` published
+    * by a later maintenance op ([[compactIndexStats]],
+    * [[repairIndex]]). Generations are create-only — maintenance
+    * publishes the next one with a single same-filesystem ATOMIC_MOVE
+    * and only then reaps older ones — so some complete generation
+    * exists at every instant and "highest number" is always the
+    * freshest complete one (a crash between publish and reap leaves a
+    * stale LOWER generation behind, which the next maintenance pass
+    * reaps). `ix` is append-only record-of-truth and never
+    * generation-swapped. */
+  private[graft] def livePath(root: String,
+      base: String): java.nio.file.Path = {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
     val r = Paths.get(root)
+    val pre = base + ".g"
     val gens = Files.list(r).iterator().asScala
       .map(_.getFileName.toString)
       .collect {
-        case "bk" => 0L
-        case n if n.startsWith("bk.g") && n.drop(4).forall(_.isDigit) =>
-          n.drop(4).toLong
+        case `base` => 0L
+        case n if n.startsWith(pre) && n.length > pre.length &&
+            n.drop(pre.length).forall(_.isDigit) =>
+          n.drop(pre.length).toLong
       }.toSeq
-    require(gens.nonEmpty, s"no bk sidecar generation under $root")
+    require(gens.nonEmpty, s"no $base artifact generation under $root")
     val g = gens.max
-    if (g == 0L) r.resolve("bk") else r.resolve(s"bk.g$g")
+    if (g == 0L) r.resolve(base) else r.resolve(s"$base.g$g")
+  }
+
+  private[graft] def bkLivePath(root: String): java.nio.file.Path =
+    livePath(root, "bk")
+
+  /** Publishes the NEXT create-only generation of `base` under `root`:
+    * `build` writes the full parquet to a scratch dir created under
+    * the index root (same filesystem — a tmpdir scratch would make the
+    * publish rename EXDEV-fail on a tmpfs/data-disk split), a single
+    * ATOMIC_MOVE makes it live, and only then are older generations
+    * reaped (each reaped path refresh-invalidated, plus the new one).
+    * See [[livePath]] for the crash contract. */
+  private def publishNextGen(s: org.apache.spark.sql.SparkSession,
+      root: String, base: String)(build: String => Unit): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+    val live = livePath(root, base)
+    val liveGen =
+      if (live.getFileName.toString == base) 0L
+      else live.getFileName.toString.drop(base.length + 2).toLong
+    val scratch = Files.createTempDirectory(
+      Paths.get(root), s".${base}_stage_")
+    try {
+      build(scratch.resolve(base).toString)
+      val next = Paths.get(root, s"$base.g${liveGen + 1}")
+      Files.move(scratch.resolve(base), next,
+        StandardCopyOption.ATOMIC_MOVE)
+      val pre = base + ".g"
+      Files.list(Paths.get(root)).iterator().asScala
+        .filter { p =>
+          val n = p.getFileName.toString
+          n == base ||
+            (n.startsWith(pre) && n.drop(pre.length).forall(_.isDigit) &&
+              n.drop(pre.length).toLong <= liveGen)
+        }
+        .foreach { gen =>
+          Files.walk(gen).iterator().asScala.toSeq.reverse
+            .foreach(p => Files.deleteIfExists(p))
+          s.catalog.refreshByPath(gen.toString)
+        }
+      // a Spark write would refresh the shared file-status cache
+      // itself; after manual file surgery it must be told, or a read
+      // that cached the path pre-publish resolves a stale listing
+      s.catalog.refreshByPath(next.toString)
+    } finally {
+      if (Files.exists(scratch))
+        Files.walk(scratch).iterator().asScala.toSeq.reverse
+          .foreach(p => Files.deleteIfExists(p))
+    }
   }
 
   /** Appends the accepted delta rows' index entries to a persisted
@@ -268,8 +323,10 @@ object Dedup {
     * HOTTER (more dropping, fewer candidates — the guard's safe
     * direction). Re-running the append restores `ix`; the duplicated
     * derived rows stay harmless (pairing dedups through `distinct`,
-    * stats inflation stays conservative) until the next
-    * [[compactIndexStats]]. The reversed order is what makes a torn
+    * stats inflation stays conservative) until [[repairIndex]] — the
+    * maintenance op that DETECTS either inconsistency (post must hold
+    * exactly Bands rows per ix doc) and re-derives post/bk from `ix`
+    * — restores the invariant. The reversed order is what makes a torn
     * append recoverable-by-retry instead of silently wrong: with `ix`
     * first, a crash would leave docs IN the membership record but
     * invisible to the probe — later near-dups of them would be
@@ -285,9 +342,9 @@ object Dedup {
       buildIndex(accepted, idCol, textCol)
         .write.mode("overwrite").parquet(sd)
       val post = indexPostings(s.read.parquet(sd))
-      post.write.mode("append").parquet(s"$root/post")
+      post.write.mode("append").parquet(livePath(root, "post").toString)
       indexBucketStats(indexPostings(s.read.parquet(sd)))
-        .write.mode("append").parquet(bkLivePath(root).toString)
+        .write.mode("append").parquet(livePath(root, "bk").toString)
       s.read.parquet(sd).write.mode("append").parquet(s"$root/ix")
     } finally {
       import scala.jdk.CollectionConverters._
@@ -300,8 +357,9 @@ object Dedup {
     * grown by [[appendIndex]] / maintained by [[compactIndexStats]]. */
   def readIndex(s: org.apache.spark.sql.SparkSession,
       root: String): DedupIndex =
-    DedupIndex(s.read.parquet(s"$root/ix"), s.read.parquet(s"$root/post"),
-      s.read.parquet(bkLivePath(root).toString))
+    DedupIndex(s.read.parquet(s"$root/ix"),
+      s.read.parquet(livePath(root, "post").toString),
+      s.read.parquet(livePath(root, "bk").toString))
 
   /** Compacts the bucket-stats sidecar back to one row per bucket.
     * Each [[appendIndex]] adds a partial row-set, and every consumer
@@ -330,43 +388,57 @@ object Dedup {
     * untouched here. */
   def compactIndexStats(s: org.apache.spark.sql.SparkSession,
       root: String): Unit = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    import scala.jdk.CollectionConverters._
-    val live = bkLivePath(root)
-    val liveGen =
-      if (live.getFileName.toString == "bk") 0L
-      else live.getFileName.toString.drop(4).toLong
-    val scratch = Files.createTempDirectory(
-      Paths.get(root), ".bk_compact_")
-    try {
-      val sd = scratch.resolve("bk").toString
-      s.read.parquet(live.toString).groupBy("bk").agg(sum("n").as("n"))
+    val live = livePath(root, "bk").toString
+    publishNextGen(s, root, "bk") { sd =>
+      s.read.parquet(live).groupBy("bk").agg(sum("n").as("n"))
         .write.mode("overwrite").parquet(sd)
-      val next = Paths.get(root, s"bk.g${liveGen + 1}")
-      Files.move(scratch.resolve("bk"), next,
-        StandardCopyOption.ATOMIC_MOVE)
-      // reap every older generation — only after the new one is live
-      Files.list(Paths.get(root)).iterator().asScala
-        .filter { p =>
-          val n = p.getFileName.toString
-          n == "bk" ||
-            (n.startsWith("bk.g") && n.drop(4).forall(_.isDigit) &&
-              n.drop(4).toLong <= liveGen)
-        }
-        .foreach { gen =>
-          Files.walk(gen).iterator().asScala.toSeq.reverse
-            .foreach(p => Files.deleteIfExists(p))
-          s.catalog.refreshByPath(gen.toString)
-        }
-      // a Spark write would refresh the shared file-status cache
-      // itself; after manual file surgery it must be told, or a read
-      // that cached the path pre-publish resolves a stale listing
-      s.catalog.refreshByPath(next.toString)
-    } finally {
-      if (Files.exists(scratch))
-        Files.walk(scratch).iterator().asScala.toSeq.reverse
-          .foreach(p => Files.deleteIfExists(p))
     }
+  }
+
+  /** Detects and repairs a TORN [[appendIndex]]: the three per-delta
+    * appends are sequential (postings → bucket-stats → `ix` last), so
+    * a crash mid-append leaves DERIVED rows for docs that never
+    * reached the `ix` membership record (or, after a retry, duplicate
+    * partial rows for docs that did). Neither is a correctness hole —
+    * orphan postings fail the verify join, stats inflation is
+    * conservative (see [[appendIndex]]'s crash contract) — but both
+    * waste probe work, so this is the maintenance op that restores the
+    * invariant.
+    *
+    * Detection is exact and cheap: `post` must hold exactly
+    * [[Bands]] rows per `ix` doc — a full-outer count compare over
+    * (id → posting count), one aggregation each side. On mismatch,
+    * both derived artifacts are re-derived FROM `ix` (the record of
+    * truth they are functions of — the same derivation
+    * [[writeIndex]] runs at build time) and published as next
+    * create-only generations ([[publishNextGen]]: no instant without
+    * a live artifact, crash-safe, EXDEV-safe). `bk` is re-derived from
+    * the freshly PUBLISHED postings so the two cannot drift. Returns
+    * true iff a repair was performed; a second call is a detected
+    * no-op. Cost when torn: one corpus-index-sized derivation — never
+    * a corpus TEXT re-read. Same single-writer assumption as every
+    * index maintenance op. */
+  def repairIndex(s: org.apache.spark.sql.SparkSession,
+      root: String): Boolean = {
+    val ixIds = s.read.parquet(s"$root/ix")
+      .select(col("id")).withColumn("__want", lit(Bands.toLong))
+    val have = s.read.parquet(livePath(root, "post").toString)
+      .groupBy("id").agg(count(lit(1)).as("__have"))
+    val torn = ixIds.join(have, Seq("id"), "full_outer")
+      .filter(col("__want").isNull || col("__have").isNull ||
+        col("__want") =!= col("__have"))
+      .limit(1).count() > 0
+    if (torn) {
+      publishNextGen(s, root, "post") { sd =>
+        indexPostings(s.read.parquet(s"$root/ix"))
+          .write.mode("overwrite").parquet(sd)
+      }
+      publishNextGen(s, root, "bk") { sd =>
+        indexBucketStats(s.read.parquet(livePath(root, "post").toString))
+          .write.mode("overwrite").parquet(sd)
+      }
+    }
+    torn
   }
 
   /** INCREMENTAL near-dedup against a PERSISTED index — the production

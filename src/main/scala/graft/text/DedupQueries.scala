@@ -175,6 +175,54 @@ object DedupQueries {
         day1.unionByName(day2).orderBy("day", "doc_id")
       }),
 
+    // TORN-APPEND REPAIR lifecycle on testdata (the crash-recovery
+    // half of the append contract): the staged artifact is an index
+    // over doc_id % 4 ∈ {0,1} that suffered a SIMULATED mid-append
+    // crash (the % 4 = 2 delta's postings + bucket partials landed,
+    // its ix rows did not — the only tear shape appendIndex's ix-last
+    // ordering permits) and was then repaired by Dedup.repairIndex
+    // (tear detected via the postings-per-doc invariant; post/bk
+    // re-derived from ix as next create-only generations; second call
+    // a detected no-op — all three require()d at stage time). Output
+    // part 1 audits the REPAIR-SENSITIVE invariant from the published
+    // artifact itself — exactly Bands=16 postings per BASE doc, the
+    // torn delta's orphans gone (without repair these rows would show
+    // the % 4 = 2 ids too); part 2 probes the repaired index with the
+    // % 4 = 3 delta through the generation-resolved artifacts
+    // (post.g1/bk.g1), acceptance oracled the dedup_incremental way.
+    Q("dedup_index_repair",
+      Some(s"""$jaccardCtePrefix,
+             |jp AS (SELECT ia, ib FROM pairs
+             |       JOIN sizes sa ON sa.doc_id = pairs.ia
+             |       JOIN sizes sb ON sb.doc_id = pairs.ib
+             |       WHERE CAST(ns AS DOUBLE) / (sa.n + sb.n - ns) >= 0.7),
+             |e AS (SELECT ia AS a, ib AS b FROM jp
+             |      UNION SELECT ib AS a, ia AS b FROM jp),
+             |rej AS (SELECT DISTINCT a AS doc_id FROM e
+             |        WHERE a % 4 = 3
+             |          AND (b % 4 IN (0, 1) OR (b % 4 = 3 AND b < a))),
+             |acc AS (SELECT doc_id FROM documents WHERE doc_id % 4 = 3
+             |        AND doc_id NOT IN (SELECT doc_id FROM rej))
+             |SELECT CAST(1 AS BIGINT) AS part, doc_id,
+             |       CAST(16 AS BIGINT) AS n
+             |FROM documents WHERE doc_id % 4 IN (0, 1)
+             |UNION ALL
+             |SELECT CAST(2 AS BIGINT) AS part, doc_id, CAST(0 AS BIGINT) AS n
+             |FROM acc
+             |ORDER BY part, doc_id""".stripMargin),
+      (s, d) => {
+        val ix = Dedup.readIndex(s, stagedRepairPath(s, d))
+        val postAudit = ix.postings
+          .groupBy(col("id").as("doc_id"))
+          .agg(count(lit(1)).as("n"))
+          .select(lit(1L).as("part"), col("doc_id"), col("n"))
+        val acc = Dedup.incrementalAcceptIndexed(ix,
+            documents(s, d).filter(col("doc_id") % 4 === 3),
+            "doc_id", "text")
+          .select(lit(2L).as("part"), col("doc_id"), lit(0L).as("n"))
+        postAudit.unionByName(acc).orderBy("part", "doc_id")
+      }),
+
     // SimHash fingerprints (+ prefix bucket) for every doc.
     // Rows-only BY DESIGN (no oracle SQL): the production hash family is
     // MurmurHash3 — a tight JVM loop, the right cost profile at 100 TB —
@@ -460,6 +508,38 @@ object DedupQueries {
       val acc1 = Dedup.incrementalAcceptIndexed(Dedup.readIndex(s, root),
         docs.filter(col("doc_id") % 3 === 1), "doc_id", "text")
       Dedup.appendIndex(root, acc1, "doc_id", "text")
+    }
+
+  /** Stages the `dedup_index_repair` artifact once per testdata
+    * generation: index over doc_id % 4 ∈ {0,1}, then a SIMULATED torn
+    * append of the % 4 = 2 delta — the two DERIVED appends (postings,
+    * bucket-stat partials) land, the crash hits before the `ix`
+    * append, which is exactly the tear [[Dedup.appendIndex]]'s
+    * ix-last ordering confines a real crash to — then
+    * [[Dedup.repairIndex]], which must detect the tear (postings ≠
+    * Bands rows per ix doc), re-derive post/bk from `ix` as next
+    * create-only generations, and be a detected no-op on a second
+    * call. The published artifact is the REPAIRED index; the
+    * registered query audits its postings invariant and probes it. */
+  private[graft] def stagedRepairPath(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    stageOnce("graft_dedup_repair_", dir) { root =>
+      val docs = documents(s, dir)
+      Dedup.writeIndex(docs.filter(col("doc_id") % 4 <= 1),
+        "doc_id", "text", root)
+      val delta1 = docs.filter(col("doc_id") % 4 === 2)
+      // the torn-append simulation writes the derived frames straight
+      // from the delta's plan — no scratch snapshot needed, because
+      // unlike a real appendIndex input this delta reads the SOURCE
+      // parquet, not the index being grown (no lineage trap)
+      val ixd = Dedup.buildIndex(delta1, "doc_id", "text")
+      Dedup.indexPostings(ixd).write.mode("append").parquet(s"$root/post")
+      Dedup.indexBucketStats(Dedup.indexPostings(ixd))
+        .write.mode("append").parquet(s"$root/bk")
+      require(Dedup.repairIndex(s, root),
+        "repair stage: torn append not detected")
+      require(!Dedup.repairIndex(s, root),
+        "repair stage: repair not idempotent")
     }
 
   /** Generation-versioned, create-only staging shared by the dedup

@@ -304,6 +304,59 @@ class DedupSpec extends SparkSpec {
     assert(spark.read.parquet(s"$p2/ix").count() < n1)
   }
 
+  test("repairIndex: torn append detected and healed; retry-duplication too; no-op when consistent") {
+    import java.nio.file.{Files, Paths}
+    val base = corpus.filter(col("doc_id").isin(1L, 3L))
+    val dir = Files.createTempDirectory("graft_ix_repair").toString
+    Dedup.writeIndex(base, "doc_id", "text", dir)
+    // consistent index → detected no-op
+    assert(!Dedup.repairIndex(spark, dir))
+    // torn append: derived artifacts landed, ix did not (the only tear
+    // shape appendIndex's ix-last ordering permits)
+    val delta = Seq(
+      (7L, "entirely novel text about tidal currents and coastal sediment transport"))
+      .toDF("doc_id", "text")
+    val ixd = Dedup.buildIndex(delta, "doc_id", "text")
+    Dedup.indexPostings(ixd).write.mode("append").parquet(s"$dir/post")
+    Dedup.indexBucketStats(Dedup.indexPostings(ixd))
+      .write.mode("append").parquet(s"$dir/bk")
+    // the tear is conservative even before repair: a near-dup of the
+    // torn doc is ACCEPTED (doc 7 never reached the membership record)
+    val probe = Seq(
+      (8L, "entirely novel text about tidal currents and coastal sediment movement"))
+      .toDF("doc_id", "text")
+    val accTorn = Dedup.incrementalAcceptIndexed(
+      Dedup.readIndex(spark, dir), probe, "doc_id", "text", threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(accTorn == Set(8L))
+    // repair: detected, post/bk re-derived from ix as next generations
+    assert(Dedup.repairIndex(spark, dir))
+    assert(Files.exists(Paths.get(dir, "post.g1")) &&
+      !Files.exists(Paths.get(dir, "post")))
+    assert(Files.exists(Paths.get(dir, "bk.g1")))
+    val healed = Dedup.readIndex(spark, dir)
+    assert(healed.postings.select("id").distinct()
+      .collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+    assert(healed.postings.count() == 2 * Dedup.Bands)
+    // same acceptance after repair, and a second call is a no-op
+    val accHealed = Dedup.incrementalAcceptIndexed(healed, probe,
+      "doc_id", "text", threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(accHealed == accTorn)
+    assert(!Dedup.repairIndex(spark, dir))
+    // retry-duplication tear: a real append lands, then its derived
+    // appends are repeated (crash-after-post retry) → per-doc posting
+    // counts exceed Bands → detected and healed to exactly Bands each
+    Dedup.appendIndex(dir, delta, "doc_id", "text")
+    Dedup.indexPostings(ixd).write.mode("append")
+      .parquet(Dedup.livePath(dir, "post").toString)
+    assert(Dedup.repairIndex(spark, dir))
+    val healed2 = Dedup.readIndex(spark, dir)
+    assert(healed2.postings.count() == 3 * Dedup.Bands)
+    assert(healed2.postings.groupBy("id").count()
+      .filter(col("count") =!= Dedup.Bands).count() == 0)
+  }
+
   test("dedup is idempotent") {
     val once = Dedup.dedupMinHash(corpus, "doc_id", "text", threshold = 0.5)
     val twice = Dedup.dedupMinHash(once, "doc_id", "text", threshold = 0.5)
