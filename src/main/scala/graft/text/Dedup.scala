@@ -233,7 +233,8 @@ object Dedup {
     import scala.jdk.CollectionConverters._
     val r = Paths.get(root)
     val pre = base + ".g"
-    val gens = Files.list(r).iterator().asScala
+    val ls = Files.list(r)
+    val gens = try ls.iterator().asScala
       .map(_.getFileName.toString)
       .collect {
         case `base` => 0L
@@ -241,6 +242,7 @@ object Dedup {
             n.drop(pre.length).forall(_.isDigit) =>
           n.drop(pre.length).toLong
       }.toSeq
+    finally ls.close()
     require(gens.nonEmpty, s"no $base artifact generation under $root")
     val g = gens.max
     if (g == 0L) r.resolve(base) else r.resolve(s"$base.g$g")
@@ -272,26 +274,33 @@ object Dedup {
       Files.move(scratch.resolve(base), next,
         StandardCopyOption.ATOMIC_MOVE)
       val pre = base + ".g"
-      Files.list(Paths.get(root)).iterator().asScala
+      val ls = Files.list(Paths.get(root))
+      val stale = try ls.iterator().asScala
         .filter { p =>
           val n = p.getFileName.toString
           n == base ||
             (n.startsWith(pre) && n.drop(pre.length).forall(_.isDigit) &&
               n.drop(pre.length).toLong <= liveGen)
-        }
-        .foreach { gen =>
-          Files.walk(gen).iterator().asScala.toSeq.reverse
-            .foreach(p => Files.deleteIfExists(p))
-          s.catalog.refreshByPath(gen.toString)
-        }
+        }.toSeq
+      finally ls.close()
+      stale.foreach { gen =>
+        val w = Files.walk(gen)
+        try w.iterator().asScala.toSeq.reverse
+          .foreach(p => Files.deleteIfExists(p))
+        finally w.close()
+        s.catalog.refreshByPath(gen.toString)
+      }
       // a Spark write would refresh the shared file-status cache
       // itself; after manual file surgery it must be told, or a read
       // that cached the path pre-publish resolves a stale listing
       s.catalog.refreshByPath(next.toString)
     } finally {
-      if (Files.exists(scratch))
-        Files.walk(scratch).iterator().asScala.toSeq.reverse
+      if (Files.exists(scratch)) {
+        val w = Files.walk(scratch)
+        try w.iterator().asScala.toSeq.reverse
           .foreach(p => Files.deleteIfExists(p))
+        finally w.close()
+      }
     }
   }
 
