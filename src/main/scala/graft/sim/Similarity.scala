@@ -243,14 +243,18 @@ object Similarity {
     val dec = "decimal(38,0)"
     val qeCol = transform(col("embedding"),
       x => round(x.cast("double") * 1e6).cast("long"))
+    // squared norms are per-VECTOR: computed once on the n-row side
+    // and joined in, not re-folded on every one of the n² pairs (the
+    // dot product is the only inherently per-pair fold)
     val q = emb.select(col("vec_id"), qeCol.as("qe"))
     def sumLong(c: Column) = aggregate(c, lit(0L), (s, v) => s + v)
-    val truePairs = q.select(col("vec_id").as("id_a"), col("qe").as("qa"))
-      .join(q.select(col("vec_id").as("id_b"), col("qe").as("qb")),
-        col("id_a") < col("id_b"))
+    val qn = q.select(col("vec_id"), col("qe"),
+      sumLong(transform(col("qe"), a => a * a)).as("nn"))
+    val truePairs = qn.select(col("vec_id").as("id_a"), col("qe").as("qa"),
+        col("nn").as("na"))
+      .join(qn.select(col("vec_id").as("id_b"), col("qe").as("qb"),
+        col("nn").as("nb")), col("id_a") < col("id_b"))
       .withColumn("dot", sumLong(zip_with(col("qa"), col("qb"), (a, b) => a * b)))
-      .withColumn("na", sumLong(transform(col("qa"), a => a * a)))
-      .withColumn("nb", sumLong(transform(col("qb"), b => b * b)))
       .filter(col("dot") >= 0 &&
         col("dot").cast(dec) * col("dot").cast(dec) * lit(den.toLong * den) >=
           col("na").cast(dec) * col("nb").cast(dec) * lit(num.toLong * num))
@@ -270,12 +274,18 @@ object Similarity {
     val c2 = hh2.select(col("bk"), col("vec_id").as("id_a"))
       .join(hh2.select(col("bk"), col("vec_id").as("id_b")), "bk")
       .filter(col("id_a") < col("id_b")).select("id_a", "id_b").distinct()
+    // ONE evaluation of the expensive all-pairs side: both candidate
+    // sets (distinct pairs, so the left joins cannot fan out) are
+    // marked onto it and all three counts fall out of a single
+    // aggregation — the naive three-branch spelling re-ran the O(n²·d)
+    // scan once per count.
     val keys = Seq("id_a", "id_b")
-    truePairs.agg(count(lit(1)).cast("long").as("n_true"))
-      .crossJoin(truePairs.join(c1, keys, "left_semi")
-        .agg(count(lit(1)).cast("long").as("n_single")))
-      .crossJoin(truePairs.join(c2, keys, "left_semi")
-        .agg(count(lit(1)).cast("long").as("n_banded")))
+    truePairs
+      .join(c1.withColumn("__c1", lit(1L)), keys, "left")
+      .join(c2.withColumn("__c2", lit(1L)), keys, "left")
+      .agg(count(lit(1)).cast("long").as("n_true"),
+        count(col("__c1")).cast("long").as("n_single"),
+        count(col("__c2")).cast("long").as("n_banded"))
       .select(col("n_true"), col("n_single"), col("n_banded"),
         expr("CAST(n_single * 1000000 DIV GREATEST(n_true, 1) AS BIGINT)")
           .as("recall_single_e6"),
