@@ -330,9 +330,13 @@ object SimQueries {
     // single 16-bit sign bucket vs two 8-bit bands. Quantifies what
     // the banded multi-probe buys — the measurement dedup_lsh_recall /
     // sim_recall_report provide for the text-LSH and IVF families. The
-    // gold standard is inherently all-pairs O(n²·d); at 100 TB it runs
-    // on a uniform sample (recall is a ratio), while both candidate
-    // sets stay bucket-joined like the production paths. The absolute
+    // gold standard is inherently all-pairs O(n²·d), so the WHOLE
+    // measurement runs on a bounded deterministic sample — the 2000
+    // lowest vec_ids, a no-op at the driver-gate SFs (≤500 vectors)
+    // and a corpus-size-independent constant beyond (uncapped, the
+    // exact side alone measured ~470 s at a 50k-vector corpus); the
+    // dedup paths being measured stay bucket-joined over the full
+    // corpus. The absolute
     // recalls are LOW here (~0.01%/2.5% single/banded) because the
     // corpus's demo threshold 0.2 is loose — random-ish pairs at
     // cos≈0.2 share few sign bits; at a production near-dup threshold
@@ -340,7 +344,7 @@ object SimQueries {
     // the ~170× banded-over-single ratio, which is threshold-robust.
     Q("emb_band_recall",
       Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
-             |          FROM embeddings),
+             |          FROM embeddings ORDER BY vec_id LIMIT 2000),
              |q AS (SELECT vec_id,
              |        list_transform(emb, x -> CAST(round(x * 1e6) AS BIGINT)) AS qe
              |      FROM e),

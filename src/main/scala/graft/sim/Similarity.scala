@@ -232,15 +232,30 @@ object Similarity {
     * among 16 kills the single probe, while the banded probe still
     * collides on the untouched half.
     *
-    * Scale shape: the gold standard is inherently all-pairs O(n²·d) —
-    * at 100 TB it runs on a SAMPLE of the corpus (recall is a ratio;
-    * a uniform sample estimates it), while the two candidate sets
-    * stay bucket-joined like the production dedup paths. The exact
-    * side here is the same integer verify kernel, so the report is
-    * hash-exact against the oracle rather than a float estimate. */
-  def bandRecallReport(emb: DataFrame, num: Int, den: Int,
-      maxBucket: Int = 100): DataFrame = {
+    * Scale shape: the gold standard is inherently all-pairs O(n²·d),
+    * so the whole measurement runs on a bounded DETERMINISTIC sample —
+    * the `sampleCap` lowest vec_ids (identical in both engines; at the
+    * driver-gate SFs the cap exceeds the corpus, so every vector is
+    * in and the cap is invisible). The cap makes the report's cost
+    * O(sampleCap²·d) — a CONSTANT in the corpus size — which is the
+    * production shape: recall is a ratio and a sample estimates it,
+    * while the dedup paths being MEASURED stay bucket-joined over the
+    * full corpus. Measured uncapped at a 50k-vector corpus the exact
+    * side alone is ~470 s (100.2× the 500-vector pair space); capped
+    * it is the sample cost forever. The exact side is the same
+    * integer verify kernel, so the report is hash-exact against the
+    * oracle rather than a float estimate. */
+  def bandRecallReport(emb0: DataFrame, num: Int, den: Int,
+      maxBucket: Int = 100, sampleCap: Int = 2000): DataFrame = {
     val dec = "decimal(38,0)"
+    // the limit materializes on ONE partition (TakeOrderedAndProject),
+    // and the sample is byte-tiny, so AQE would coalesce a plain
+    // repartition right back to one partition — serializing the
+    // quadratic pair join on a single core (measured 14× slower). An
+    // EXPLICIT partition count is user-fixed, which AQE honors: the
+    // n² work downstream is what needs the parallelism, not the bytes.
+    val emb = emb0.orderBy("vec_id").limit(sampleCap)
+      .repartition(32, col("vec_id"))
     val qeCol = transform(col("embedding"),
       x => round(x.cast("double") * 1e6).cast("long"))
     // squared norms are per-VECTOR: computed once on the n-row side

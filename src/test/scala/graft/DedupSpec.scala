@@ -339,10 +339,19 @@ class DedupSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet == Set(1L, 3L))
     assert(healed.postings.count() == 2 * Dedup.Bands)
     // same acceptance after repair, and a second call is a no-op
-    val accHealed = Dedup.incrementalAcceptIndexed(healed, probe,
+    val healedProbe = Dedup.incrementalAcceptIndexed(healed, probe,
       "doc_id", "text", threshold = 0.5)
-      .select("doc_id").collect().map(_.getLong(0)).toSet
-    assert(accHealed == accTorn)
+    assert(healedProbe.select("doc_id").collect().map(_.getLong(0)).toSet
+      == accTorn)
+    // the probe PLAN reads the generation-resolved artifacts — the
+    // published post.g1/bk.g1, never the reaped plain dirs
+    val scanRoots = healedProbe.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.relation.location.rootPaths.map(_.toString)
+    }.flatten
+    assert(scanRoots.exists(_.endsWith("/post.g1")))
+    assert(scanRoots.exists(_.endsWith("/bk.g1")))
+    assert(!scanRoots.exists(p => p.endsWith("/post") || p.endsWith("/bk")))
     assert(!Dedup.repairIndex(spark, dir))
     // retry-duplication tear: a real append lands, then its derived
     // appends are repeated (crash-after-post retry) → per-doc posting
