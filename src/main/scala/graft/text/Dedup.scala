@@ -279,7 +279,8 @@ object Dedup {
         .filter { p =>
           val n = p.getFileName.toString
           n == base ||
-            (n.startsWith(pre) && n.drop(pre.length).forall(_.isDigit) &&
+            (n.startsWith(pre) && n.length > pre.length &&
+              n.drop(pre.length).forall(_.isDigit) &&
               n.drop(pre.length).toLong <= liveGen)
         }.toSeq
       finally ls.close()
