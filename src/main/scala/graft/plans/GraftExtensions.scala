@@ -21,6 +21,7 @@ object GraftFunctions {
     "cosine_sim" -> (exprs => CosineSimilarity(exprs(0), exprs(1))),
     "minhash_signature" -> (exprs => MinHashSignature(exprs.head)),
     "shingles" -> (exprs => Shingles(exprs.head)),
+    "simhash64" -> (exprs => SimHash64(exprs.head)),
     // cap must be a foldable literal (it sizes aggregation buffers);
     // the analyzer wraps the bare AggregateFunction itself. Validated
     // here so a bad call fails with a named AnalysisException instead
@@ -66,6 +67,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     "cosine_sim" -> classOf[CosineSimilarity].getName,
     "minhash_signature" -> classOf[MinHashSignature].getName,
     "shingles" -> classOf[Shingles].getName,
+    "simhash64" -> classOf[SimHash64].getName,
     "capped_collect_longs" -> classOf[CappedCollectLongs].getName)
 
   override def apply(e: SparkSessionExtensions): Unit =

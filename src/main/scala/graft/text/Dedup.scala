@@ -539,37 +539,25 @@ object Dedup {
 
   // --- SimHash -----------------------------------------------------------
 
-  /** 64-bit SimHash over tokens. A compact JVM loop beats 64 codegen'd
-    * array traversals here; the UDF is deterministic and
-    * partition-parallel. */
-  private def hash64(s: String): Long = {
-    val h1 = scala.util.hashing.MurmurHash3.stringHash(s, 0x9747b28c)
-    val h2 = scala.util.hashing.MurmurHash3.stringHash(s, 0x85ebca6b)
-    (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
-  }
+  /** 64-bit SimHash over tokens — delegates to the shared
+    * [[graft.plans.SimHashKernel]] (a compact JVM loop beats 64
+    * codegen'd array traversals; every token OCCURRENCE contributes).
+    * Kept as the Seq API for specs/interop; plans go through the
+    * native `simhash64` expression below. */
+  def simhash64(tokens: Seq[String]): Long =
+    graft.plans.SimHashKernel.simhashTokens(tokens)
 
-  def simhash64(tokens: Seq[String]): Long = {
-    val acc = new Array[Int](64)
-    tokens.foreach { t =>
-      val h = hash64(t)
-      var i = 0
-      while (i < 64) {
-        if (((h >>> i) & 1L) == 1L) acc(i) += 1 else acc(i) -= 1
-        i += 1
-      }
-    }
-    var fp = 0L
-    var i = 0
-    while (i < 64) { if (acc(i) > 0) fp |= (1L << i); i += 1 }
-    fp
-  }
-
-  private val simhashUdf = udf((toks: Seq[String]) => simhash64(toks))
-
-  /** doc → (simhash fingerprint, 16-bit prefix bucket). */
-  def withSimHash(df: DataFrame, textCol: String): DataFrame =
-    df.withColumn("simhash", simhashUdf(tokensCol(col(textCol))))
+  /** doc → (simhash fingerprint, 16-bit prefix bucket). The
+    * fingerprint is the native [[graft.plans.SimHash64]] expression —
+    * one static call on the raw text column (formerly a Scala UDF
+    * over the token array, which paid an ArrayData→Seq conversion per
+    * row and broke the scan's codegen span; bit-identical, spec-
+    * pinned). */
+  def withSimHash(df: DataFrame, textCol: String): DataFrame = {
+    graft.plans.GraftFunctions.register(df.sparkSession)
+    df.withColumn("simhash", call_function("simhash64", col(textCol)))
       .withColumn("sim_bucket", shiftrightunsigned(col("simhash"), 48))
+  }
 
   /** Oracle-portable SimHash: 64-bit fingerprint (as 16 hex chars) built
     * from the md5 hex digits of each DISTINCT token — every step
