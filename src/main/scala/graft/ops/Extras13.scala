@@ -12,15 +12,21 @@ object Extras13 {
   def queries: Seq[Q] = Seq(
     // EXACT fingerprint decontamination with a bloom pre-filter: train
     // docs whose normalized-text md5 appears in the eval set (doc_id %
-    // 10 == 0) are removed. The bloom filter over eval fingerprints
-    // (built by one tiny aggregation, ~KB) broadcasts to the train
-    // scan and splits it map-side: definite-misses pass straight
-    // through (the common case — no shuffle for them at ANY corpus
-    // size), possible-hits go through the exact anti join. False
-    // positives only enlarge the verified slice, so the result is
-    // bit-identical to the plain anti join the oracle runs — the bloom
-    // is pure shuffle avoidance, the 100 TB pattern for "new data vs
-    // reference corpus" checks.
+    // 10 == 0) are removed. The bloom filter over eval fingerprints is
+    // built DISTRIBUTEDLY by Spark's own BloomFilterAggregate (map-side
+    // partials over XXH64-hashed keys, surfaced as `bloom_agg`); the
+    // ~KB sketch is collected once and inlined as a LITERAL into the
+    // codegen'd `bloom_might_contain` predicate (the same
+    // constant-bloom contract Spark's InjectRuntimeFilter uses — and
+    // the whole train-scan probe stays inside whole-stage codegen,
+    // where the former might-contain UDF broke the span and boxed a
+    // string per row). The probe splits the scan map-side:
+    // definite-misses pass straight through (the common case — no
+    // shuffle for them at ANY corpus size), possible-hits go through
+    // the exact anti join. False positives only enlarge the verified
+    // slice, so the result is bit-identical to the plain anti join the
+    // oracle runs — the bloom is pure shuffle avoidance, the 100 TB
+    // pattern for "new data vs reference corpus" checks.
     Q("dedup_bloom_prefilter",
       Some("""WITH ev AS (SELECT DISTINCT md5(lower(trim(text))) AS fp
              |           FROM documents WHERE doc_id % 10 = 0)
@@ -29,14 +35,17 @@ object Extras13 {
              |  AND md5(lower(trim(text))) NOT IN (SELECT fp FROM ev)
              |ORDER BY doc_id""".stripMargin),
       (s, d) => {
+        graft.plans.GraftFunctions.register(s)
         val docs = Tables.documents(s, d)
           .withColumn("fp", md5(lower(trim(col("text")))))
         val eval = docs.filter(col("doc_id") % 10 === 0).select("fp").distinct()
-        val bf = eval.stat.bloomFilter("fp", 10000L, 0.03)
-        val bfB = s.sparkContext.broadcast(bf)
-        val might = udf((fp: String) => bfB.value.mightContain(fp))
+        // n=10000, fpp=0.03 → optimal bits = ceil(-n·ln p / ln²2)
+        val bfBytes = eval.agg(call_function("bloom_agg", col("fp"),
+            lit(10000L), lit(72985L)).as("bf"))
+          .head().getAs[Array[Byte]](0)
         val train = docs.filter(col("doc_id") % 10 =!= 0)
-          .withColumn("hit", might(col("fp")))
+          .withColumn("hit",
+            call_function("bloom_might_contain", lit(bfBytes), col("fp")))
         val misses = train.filter(!col("hit")).select("doc_id", "fp")
         val verified = train.filter(col("hit")).select("doc_id", "fp")
           .join(eval, Seq("fp"), "left_anti")

@@ -22,6 +22,21 @@ object GraftFunctions {
     "minhash_signature" -> (exprs => MinHashSignature(exprs.head)),
     "shingles" -> (exprs => Shingles(exprs.head)),
     "simhash64" -> (exprs => SimHash64(exprs.head)),
+    // Spark's internal runtime-filter pair surfaced as functions (no
+    // public Column API exists): the aggregate builds the sketch
+    // DISTRIBUTEDLY with map-side partials over XXH64-hashed keys; the
+    // probe is a codegen'd predicate over a FOLDABLE sketch (inline the
+    // collected ~KB binary as a literal — BloomFilterMightContain
+    // requires a constant bloom side, same as InjectRuntimeFilter's
+    // scalar subquery). Replaces the boxed might-contain UDF.
+    "bloom_agg" -> (exprs =>
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(exprs(0)), 42L),
+        exprs(1), exprs(2))),
+    "bloom_might_contain" -> (exprs =>
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        exprs(0),
+        org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(exprs(1)), 42L))),
     // cap must be a foldable literal (it sizes aggregation buffers);
     // the analyzer wraps the bare AggregateFunction itself. Validated
     // here so a bad call fails with a named AnalysisException instead
@@ -68,6 +83,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     "minhash_signature" -> classOf[MinHashSignature].getName,
     "shingles" -> classOf[Shingles].getName,
     "simhash64" -> classOf[SimHash64].getName,
+    "bloom_agg" -> classOf[
+      org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+    "bloom_might_contain" -> classOf[
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
     "capped_collect_longs" -> classOf[CappedCollectLongs].getName)
 
   override def apply(e: SparkSessionExtensions): Unit =
