@@ -160,7 +160,11 @@ object Bench {
       "scd2_time_in_state", "ts_sliding_batch", "src_json_corrupt",
       "join_pit_scd2", "analytics_ltv", "sink_csv_gzip", "sink_json",
       "stat_mann_kendall", "stat_theil_sen", "dedup_lsh_recall",
-      "src_csv_multiline", "join_fuzzy_blocked")
+      "src_csv_multiline", "join_fuzzy_blocked",
+      // round-10 additions: the sampled all-pairs recall report and
+      // the repair lifecycle's one-time stage — both heavy enough to
+      // straggle if submitted last
+      "emb_band_recall", "dedup_index_repair", "dedup_embedding_banded")
     val batchQs = batchQs0.sortBy(q => if (heavyFirst(q.name)) 0 else 1)
     val wall0 = System.nanoTime()
     // Each headline query runs twice back-to-back; the reported figure is

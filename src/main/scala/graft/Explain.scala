@@ -40,7 +40,11 @@ object Explain {
         // incremental dedup pair)
         "dedup_index_build", "dedup_incremental",
         // round-9: the multi-day append cycle probing the grown index
-        "dedup_index_append")
+        "dedup_index_append",
+        // round-10: generation-resolved repair probe, banded embedding
+        // dedup, the sampled recall report, the native bloom prefilter
+        "dedup_index_repair", "dedup_embedding_banded",
+        "emb_band_recall", "dedup_bloom_prefilter")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
