@@ -72,9 +72,11 @@ object SidecarAb {
       as(r) = a; bs(r) = b
       System.err.println(f"[ab] rep=${r + 1} sidecar=$a%.3f derive=$b%.3f")
     }
-    // warm = min over reps 2..n (rep 1 carries memo/IO warmup)
-    val aw = as.drop(1).min
-    val bw = bs.drop(1).min
+    // warm = min over reps 2..n (rep 1 carries memo/IO warmup);
+    // a single-rep invocation reports that one rep rather than
+    // crashing on empty.min
+    val aw = (if (reps > 1) as.drop(1) else as).min
+    val bw = (if (reps > 1) bs.drop(1) else bs).min
     spark.stop()
     println(f"""{"sf":"$dir","sidecar_warm":$aw%.3f,"derive_warm":$bw%.3f,""" +
       f""""share_pct":${100.0 * (bw - aw) / bw}%.1f}""")

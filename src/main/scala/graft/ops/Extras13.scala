@@ -44,13 +44,22 @@ object Extras13 {
             lit(10000L), lit(72985L)).as("bf"))
           .head().getAs[Array[Byte]](0)
         val train = docs.filter(col("doc_id") % 10 =!= 0)
-          .withColumn("hit",
+        if (bfBytes == null) {
+          // BloomFilterAggregate yields NULL for an EMPTY eval set
+          // (verified against the 4.1.2 jar); an empty reference
+          // corpus means nothing can be contaminated — pass the train
+          // set straight through rather than probing a null sketch
+          // (which would fail analysis / null out both branches)
+          train.select("doc_id").orderBy("doc_id")
+        } else {
+          val probed = train.withColumn("hit",
             call_function("bloom_might_contain", lit(bfBytes), col("fp")))
-        val misses = train.filter(!col("hit")).select("doc_id", "fp")
-        val verified = train.filter(col("hit")).select("doc_id", "fp")
-          .join(eval, Seq("fp"), "left_anti")
-        misses.select("doc_id").union(verified.select("doc_id"))
-          .orderBy("doc_id")
+          val misses = probed.filter(!col("hit")).select("doc_id", "fp")
+          val verified = probed.filter(col("hit")).select("doc_id", "fp")
+            .join(eval, Seq("fp"), "left_anti")
+          misses.select("doc_id").union(verified.select("doc_id"))
+            .orderBy("doc_id")
+        }
       }),
 
     // existence-mark join: every customer row annotated with a boolean

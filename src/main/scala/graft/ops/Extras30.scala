@@ -28,11 +28,17 @@ object Extras30 {
     // data) degenerates to the full set, the skyline's inherent worst
     // case — is result-identical to the naive all-pairs spelling.
     // Pinned broadcasts only on the fixed-cardinality sides (1-row
-    // range, ≤256-row prefix table); the pruned band is LEFT TO
-    // stats/AQE because its size is data-dependent — on that same
-    // anti-correlated worst case it degenerates to the full
-    // per-customer aggregate, exactly the scaling-side pinned
-    // broadcast the r9 policy removed elsewhere.
+    // range, ≤256-row prefix table). The dominance anti-join itself
+    // has NO equi keys, and Spark's only physical strategy for a
+    // non-equi LEFT ANTI join is BroadcastNestedLoopJoin building the
+    // right side — so the band is broadcast REGARDLESS of hints or
+    // stats; dropping the former broadcast() pin removes the explicit
+    // endorsement, not the behavior. The actual 100 TB safety valve is
+    // the grid pruning above it: the broadcast side is the
+    // NEAR-FRONTIER band, typically ~frontier-sized, degenerating to
+    // the full per-customer aggregate only on fully anti-correlated
+    // data — the skyline's inherent worst case, where every algorithm
+    // returns (and must somewhere hold) the whole set.
     Q("analytics_skyline",
       Some("""WITH a AS (SELECT o_custkey AS ck,
              |             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS spend,

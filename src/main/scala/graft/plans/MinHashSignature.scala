@@ -38,9 +38,15 @@ object MinHashKernel {
   }
 
   /** Mirrors Dedup.shinglesCol: tokens = lower.trim split " +";
-    * docs shorter than k collapse to one whole-text shingle. */
+    * docs shorter than k collapse to one whole-text shingle.
+    * Lower/trim delegate to UTF8String's own methods so the
+    * tokenization is bit-identical to the Column spelling on every
+    * JVM (String.toLowerCase is locale-sensitive — tr-TR maps ASCII
+    * 'I' to dotless 'ı' where Spark's ASCII fast path yields 'i' —
+    * and String.trim strips all ≤ 0x20 where Spark trims spaces
+    * only). */
   def shingleHashes(text: UTF8String): Array[Long] = {
-    val toks = text.toString.toLowerCase.trim.split(" +")
+    val toks = text.trim.toLowerCase.toString.split(" +")
     if (toks.length >= ShingleK) {
       val out = new Array[Long](toks.length - ShingleK + 1)
       var i = 0
@@ -55,7 +61,7 @@ object MinHashKernel {
   /** The shingle STRINGS (for exact-Jaccard verify / inverted index) —
     * same tokenization as [[shingleHashes]]. */
   def shingles(text: UTF8String): ArrayData = {
-    val toks = text.toString.toLowerCase.trim.split(" +")
+    val toks = text.trim.toLowerCase.toString.split(" +")
     val out: Array[AnyRef] =
       if (toks.length >= ShingleK)
         Array.tabulate(toks.length - ShingleK + 1)(i =>

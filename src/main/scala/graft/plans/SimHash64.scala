@@ -46,9 +46,16 @@ object SimHashKernel {
 
   /** text → fingerprint in one pass (tokenization identical to
     * [[MinHashKernel.shingleHashes]]'s token step and to the Column
-    * spelling `split(lower(trim(text)), " +")`). */
+    * spelling `split(lower(trim(text)), " +")`). Lower/trim go through
+    * UTF8String's OWN methods, not java.lang.String's: Spark's
+    * `lower()` uses an ASCII fast path plus default-locale slow path
+    * and `trim()` strips spaces only, while String.toLowerCase is
+    * locale-sensitive even for ASCII (tr-TR maps 'I'→dotless 'ı') and
+    * String.trim strips all ≤ 0x20 — delegating makes the kernel
+    * bit-identical to the Column spelling on EVERY JVM by
+    * construction, not just on corpora without the divergent cases. */
   def simhash(text: UTF8String): Long =
-    simhashTokens(text.toString.toLowerCase.trim.split(" +").toSeq)
+    simhashTokens(text.trim.toLowerCase.toString.split(" +").toSeq)
 }
 
 /** Native simhash64 expression: BIGINT fingerprint per document,

@@ -37,6 +37,11 @@ object StreamStateProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // recentProgress retains only the last N updates (default 100);
+    // a finer replay than that would silently truncate the state
+    // table and understate the peak — size the buffer to the replay
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates",
+      (slices + 8).toString)
 
     val ev = graft.io.Tables.events(spark, dir)
     val n = ev.count()
@@ -44,9 +49,11 @@ object StreamStateProbe {
     // chronological slices: global (ts, event_id) rank → equal-count
     // contiguous time ranges, so each micro-batch advances event time
     // (and thus the watermark) like a live stream would
+    // rank is IntegerType; widen BEFORE multiplying — Int·Int wraps at
+    // ~268M events (slices=8), silently dropping rows from every slice
     val ranked = ev.withColumn("__rn",
       row_number().over(org.apache.spark.sql.expressions.Window
-        .orderBy("ts", "event_id")))
+        .orderBy("ts", "event_id")).cast("long"))
     val sliceDfs = (0 until slices).map { i =>
       ranked.filter(col("__rn") * slices > lit(i.toLong * n) &&
           col("__rn") * slices <= lit((i + 1).toLong * n))

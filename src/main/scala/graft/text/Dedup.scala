@@ -251,6 +251,20 @@ object Dedup {
   private[graft] def bkLivePath(root: String): java.nio.file.Path =
     livePath(root, "bk")
 
+  /** Depth-first recursive delete (stream-closed, children before
+    * parents, missing entries tolerated) — the one spelling of the
+    * delete-tree idiom the staging/maintenance paths share. */
+  private[graft] def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    import scala.jdk.CollectionConverters._
+    if (Files.exists(p)) {
+      val w = Files.walk(p)
+      try w.iterator().asScala.toSeq.reverse
+        .foreach(x => Files.deleteIfExists(x))
+      finally w.close()
+    }
+  }
+
   /** Publishes the NEXT create-only generation of `base` under `root`:
     * `build` writes the full parquet to a scratch dir created under
     * the index root (same filesystem — a tmpdir scratch would make the
@@ -285,24 +299,14 @@ object Dedup {
         }.toSeq
       finally ls.close()
       stale.foreach { gen =>
-        val w = Files.walk(gen)
-        try w.iterator().asScala.toSeq.reverse
-          .foreach(p => Files.deleteIfExists(p))
-        finally w.close()
+        deleteRecursively(gen)
         s.catalog.refreshByPath(gen.toString)
       }
       // a Spark write would refresh the shared file-status cache
       // itself; after manual file surgery it must be told, or a read
       // that cached the path pre-publish resolves a stale listing
       s.catalog.refreshByPath(next.toString)
-    } finally {
-      if (Files.exists(scratch)) {
-        val w = Files.walk(scratch)
-        try w.iterator().asScala.toSeq.reverse
-          .foreach(p => Files.deleteIfExists(p))
-        finally w.close()
-      }
-    }
+    } finally deleteRecursively(scratch)
   }
 
   /** Appends the accepted delta rows' index entries to a persisted
@@ -356,11 +360,7 @@ object Dedup {
       indexBucketStats(indexPostings(s.read.parquet(sd)))
         .write.mode("append").parquet(livePath(root, "bk").toString)
       s.read.parquet(sd).write.mode("append").parquet(s"$root/ix")
-    } finally {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(scratch).iterator().asScala.toSeq.reverse
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
-    }
+    } finally deleteRecursively(scratch)
   }
 
   /** Opens a persisted three-part index written by [[writeIndex]] /
@@ -416,21 +416,31 @@ object Dedup {
     * invariant.
     *
     * Detection is exact and cheap: `post` must hold exactly
-    * [[Bands]] rows per `ix` doc — a full-outer count compare over
-    * (id → posting count), one aggregation each side. On mismatch,
-    * both derived artifacts are re-derived FROM `ix` (the record of
-    * truth they are functions of — the same derivation
-    * [[writeIndex]] runs at build time) and published as next
-    * create-only generations ([[publishNextGen]]: no instant without
-    * a live artifact, crash-safe, EXDEV-safe). `bk` is re-derived from
-    * the freshly PUBLISHED postings so the two cannot drift. Returns
-    * true iff a repair was performed; a second call is a detected
-    * no-op. Cost when torn: one corpus-index-sized derivation — never
-    * a corpus TEXT re-read. Same single-writer assumption as every
-    * index maintenance op. */
+    * [[Bands]] rows per DISTINCT `ix` doc — a full-outer count
+    * compare over (id → posting count), one aggregation each side. On
+    * mismatch, both derived artifacts are re-derived FROM the
+    * distinct-by-id `ix` rows (the record of truth they are functions
+    * of — the same derivation [[writeIndex]] runs at build time) and
+    * published as next create-only generations ([[publishNextGen]]:
+    * no instant without a live artifact, crash-safe, EXDEV-safe).
+    * `bk` is re-derived from the freshly PUBLISHED postings so the
+    * two cannot drift. Returns true iff a repair was performed; a
+    * second call is a detected no-op — INCLUDING after the
+    * double-retry tear (a crash after the final `ix` append followed
+    * by a full re-append duplicates a delta's `ix` rows): deriving
+    * from raw duplicated rows would emit 2·Bands postings per such
+    * doc and re-trip detection forever, so both detection and
+    * derivation normalize to one row per id first. Duplicate `ix`
+    * rows themselves are tolerated, not rewritten (`ix` stays
+    * append-only): they are exact copies (deterministic functions of
+    * the doc text), membership semantics are unchanged, and every
+    * probe consumer dedups through `distinct`. Cost when torn: one
+    * corpus-index-sized derivation — never a corpus TEXT re-read.
+    * Same single-writer assumption as every index maintenance op. */
   def repairIndex(s: org.apache.spark.sql.SparkSession,
       root: String): Boolean = {
-    val ixIds = s.read.parquet(s"$root/ix")
+    def ixDocs = s.read.parquet(s"$root/ix").dropDuplicates("id")
+    val ixIds = ixDocs
       .select(col("id")).withColumn("__want", lit(Bands.toLong))
     val have = s.read.parquet(livePath(root, "post").toString)
       .groupBy("id").agg(count(lit(1)).as("__have"))
@@ -440,8 +450,7 @@ object Dedup {
       .limit(1).count() > 0
     if (torn) {
       publishNextGen(s, root, "post") { sd =>
-        indexPostings(s.read.parquet(s"$root/ix"))
-          .write.mode("overwrite").parquet(sd)
+        indexPostings(ixDocs).write.mode("overwrite").parquet(sd)
       }
       publishNextGen(s, root, "bk") { sd =>
         indexBucketStats(s.read.parquet(livePath(root, "post").toString))

@@ -571,9 +571,7 @@ object DedupQueries {
         }
         // reap whatever of the temp shell remains (the staged dir if
         // we lost the publish race, else just the empty shell)
-        import scala.jdk.CollectionConverters._
-        Files.walk(tmp).iterator().asScala.toSeq.reverse
-          .foreach(p => Files.deleteIfExists(p))
+        Dedup.deleteRecursively(tmp)
       }
     }
     target.toString

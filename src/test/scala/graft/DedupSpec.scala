@@ -364,6 +364,24 @@ class DedupSpec extends SparkSpec {
     assert(healed2.postings.count() == 3 * Dedup.Bands)
     assert(healed2.postings.groupBy("id").count()
       .filter(col("count") =!= Dedup.Bands).count() == 0)
+    assert(!Dedup.repairIndex(spark, dir))
+    // double-retry tear: the FULL append repeats (ix rows included) —
+    // duplicated ix rows must not trap repair in a torn-forever loop
+    // (derivation from raw duplicates would emit 2·Bands postings per
+    // doc and re-trip detection on every call)
+    ixd.write.mode("append").parquet(s"$dir/ix")
+    Dedup.indexPostings(ixd).write.mode("append")
+      .parquet(Dedup.livePath(dir, "post").toString)
+    assert(Dedup.repairIndex(spark, dir))
+    assert(!Dedup.repairIndex(spark, dir)) // CONVERGES despite dup ix rows
+    val healed3 = Dedup.readIndex(spark, dir)
+    assert(healed3.postings.groupBy("id").count()
+      .filter(col("count") =!= Dedup.Bands).count() == 0)
+    // membership semantics unchanged: doc 7 entered the index via the
+    // real append above, so its near-dup probe doc is now REJECTED —
+    // the duplicated ix rows neither hide nor double the membership
+    assert(Dedup.incrementalAcceptIndexed(healed3, probe,
+      "doc_id", "text", threshold = 0.5).count() == 0)
   }
 
   test("dedup is idempotent") {
