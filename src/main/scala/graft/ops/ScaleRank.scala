@@ -140,13 +140,25 @@ object ScaleRank {
       else cutsRow.getSeq[Any](i).filter(_ != null)
     }
 
-    def rangeOf(sm: Column, cuts: Seq[Any]): Column =
-      cuts.foldLeft(lit(0)) { (acc, c) =>
+    def rangeOf(sm: Column, cuts: Seq[Any], nullsLast: Boolean): Column = {
+      val byCuts = cuts.foldLeft(lit(0)) { (acc, c) =>
         acc + when(sm > lit(c), 1).otherwise(0)
       }
+      // NULL metrics: Spark orders them FIRST under ASC — which the
+      // comparisons above already produce (every `sm > c` is NULL →
+      // otherwise(0) → range 0) — but LAST under DESC. For descending
+      // rankings NULLs therefore get their own TERMINAL range, so
+      // their ranks follow every non-null row, matching
+      // `ORDER BY m DESC` default NULLS LAST (previously they ranked
+      // FIRST — divergent from the window spelling this helper claims
+      // bit-identity with).
+      if (nullsLast) when(sm.isNull, lit(cuts.size + 1)).otherwise(byCuts)
+      else byCuts
+    }
 
     val ranged = (0 until nM).foldLeft(base) { (acc, i) =>
-      acc.withColumn(rngName(i), rangeOf(col(smName(i)), cutsOf(i)))
+      acc.withColumn(rngName(i),
+        rangeOf(col(smName(i)), cutsOf(i), ranks(i).descending))
     }
 
     // ---- pass 2 (fused): per-(joint range) counts + running-sum
@@ -287,7 +299,10 @@ object ScaleRank {
             // alternating residual / per-value sub-cells, globally
             // monotone in (__sm, key)
             var next = 0
-            val perRangeExprs = (0 to cutsOf(i).size).map { rng =>
+            // descending metrics carry an extra terminal NULL range
+            val maxRng =
+              cutsOf(i).size + (if (r.descending) 1 else 0)
+            val perRangeExprs = (0 to maxRng).map { rng =>
               splitsByRange.get(rng) match {
                 case None =>
                   val e = lit(next); next += 1; (rng, e)
@@ -332,14 +347,21 @@ object ScaleRank {
         frame = frame.withColumn(ckName(i), cellCol)
 
       // ---- driver prefix offsets → tiny broadcast table ----
+      // per runOn, each cell also carries __op = "every PRIOR cell's
+      // total was null" — the flag that lets the final expression
+      // reproduce the global window's null semantics exactly (sum
+      // ignores nulls; the result is null only when the WHOLE prefix
+      // is null, which cell-local state alone cannot decide)
       var runCnt = 0L
       val runTots = Array.fill[Any](r.runOns.size)(null)
       val offRows = stats.map { case (cell, cnt, tots) =>
+        val offVals = r.runOns.indices.map { j =>
+          if (runTots(j) == null && tots(j) != null) zeroLike(tots(j))
+          else runTots(j)
+        }
+        val priorNull = r.runOns.indices.map(j => runTots(j) == null)
         val row = Row.fromSeq(
-          cell +: (runCnt +: r.runOns.indices.map { j =>
-            if (runTots(j) == null && tots(j) != null) zeroLike(tots(j))
-            else runTots(j)
-          }))
+          (cell +: runCnt +: offVals) ++ priorNull)
         runCnt += cnt
         r.runOns.indices.foreach(j =>
           runTots(j) = addAny(runTots(j), tots(j)))
@@ -357,10 +379,12 @@ object ScaleRank {
         }
       }
       val offSchema = StructType(
-        StructField(ckName(i), IntegerType) +:
+        (StructField(ckName(i), IntegerType) +:
           StructField(s"__oc$i", LongType) +:
           r.runOns.indices.map(j =>
-            StructField(s"__ot_${i}_$j", sumTypes(j))))
+            StructField(s"__ot_${i}_$j", sumTypes(j)))) ++
+          r.runOns.indices.map(j =>
+            StructField(s"__op_${i}_$j", BooleanType)))
       val offsets = spark.createDataFrame(
         new java.util.ArrayList[Row](scala.jdk.CollectionConverters
           .SeqHasAsJava(offRows).asJava), offSchema)
@@ -379,8 +403,17 @@ object ScaleRank {
       out = out.withColumn(r.rkName,
         row_number().over(wIn).cast("long") + col(s"__oc$i"))
       r.runOns.zipWithIndex.foreach { case ((src, outName), j) =>
+        // exact global-window null parity: the within-cell prefix sum
+        // is null for an all-null local prefix, but the GLOBAL running
+        // sum is null only when no non-null value precedes anywhere —
+        // i.e. local prefix all-null AND every prior cell total null
+        // (__op). A plain local+offset addition would null out rows
+        // whose prior cells carried real totals.
+        val local = sum(col(src)).over(wRun)
+        val off = col(s"__ot_${i}_$j")
         out = out.withColumn(outName,
-          sum(col(src)).over(wRun) + col(s"__ot_${i}_$j"))
+          when(local.isNull && col(s"__op_${i}_$j"), local)
+            .otherwise(coalesce(local, lit(0)) + coalesce(off, lit(0))))
       }
       r.nName.foreach(nm => out = out.withColumn(nm, lit(nTotal)))
     }
@@ -389,7 +422,8 @@ object ScaleRank {
     val drop = (0 until nM).flatMap { i =>
       Seq(smName(i), rngName(i), s"__oc$i") ++
         (if (keepCells) Nil else Seq(ckName(i))) ++
-        ranks(i).runOns.indices.map(j => s"__ot_${i}_$j")
+        ranks(i).runOns.indices.flatMap(j =>
+          Seq(s"__ot_${i}_$j", s"__op_${i}_$j"))
     }
     out.drop(drop: _*)
   }
@@ -432,8 +466,12 @@ object ScaleRank {
       .rowsBetween(Window.unboundedPreceding, -1)
     val offs = perB.select(col("__p"), col("__b"),
       coalesce(sum(col("__tot")).over(wOff), lit(0L)).as("__base"))
+    // null-safe equality: a NULL partition key (or NULL-keyed bucket)
+    // forms its own window partition exactly like PARTITION BY does —
+    // plain === would evaluate NULL for those rows and the inner join
+    // would silently DROP them from the output
     b.join(broadcast(offs),
-        col(part) === col("__p") && col("__bkt") === col("__b"))
+        col(part) <=> col("__p") && col("__bkt") <=> col("__b"))
       .withColumn(cumName, sum(col(value)).over(wIn) + col("__base"))
       .drop("__p", "__b", "__bkt", "__base")
   }
@@ -543,9 +581,14 @@ object ScaleRank {
       bucket: Column => Column): DataFrame = {
     requireFractions(fractions, names)
     val aggs = fractions.zip(names).flatMap { case ((num, den), nm) =>
-      // h·den = (n−1)·num; r1 = ⌊h⌋+1; r2 = r1 + (1 if h fractional)
+      // h·den = (n−1)·num; r1 = ⌊h⌋+1; r2 = r1 + (1 if h fractional).
+      // ⌊h⌋ via [[longDiv]] (SQL's `div`, exact 64-bit) — `/` is
+      // double division, whose rounding past 2^53 could shift r1 by
+      // one on a huge group, silently picking the wrong order
+      // statistic (the width-cliff class the SCALE audit tracks; fr's
+      // `%` was always exact integer)
       val hnum = (col("__n") - 1) * num
-      val r1 = floor(hnum / den).cast("long") + 1
+      val r1 = longDiv(hnum, lit(den.toLong)) + 1
       val fr = hnum % den
       val r2 = r1 + when(fr > 0, 1L).otherwise(0L)
       Seq(
@@ -585,21 +628,39 @@ object ScaleRank {
     val cum = partitionedRunningSum(vc, "__g", Seq("__v"), "__cnt",
       bucket(col("__v")), "__run")
     val tot = vc.groupBy("__g").agg(sum("__cnt").cast("long").as("__n"))
-    cum.join(broadcast(tot), "__g")
+    // null-safe totals join: a NULL group key is a real group for
+    // GROUP BY (and for the builtin percentile aggregates this helper
+    // replaces); a USING join would drop it
+    cum.join(broadcast(tot.withColumnRenamed("__g", "__g0")),
+        col("__g") <=> col("__g0"))
+      .drop("__g0")
       .groupBy("__g").agg(aggs.head, aggs.tail: _*)
       .withColumnRenamed("__g", groupCol)
   }
 
+  /** Exact ⌊a/b⌋ for non-negative longs as a pure Column. The public
+    * Column API only spells `/` — DOUBLE division, whose rounding past
+    * 2^53 is a silent off-by-one on exact-integer rank arithmetic
+    * (and SQL's exact `div` operator has no Column form; the internal
+    * IntegralDivide is private[sql]). Spelling: subtract the exact
+    * `%` remainder, then divide the now-exactly-divisible numerator in
+    * DECIMAL — decimal arithmetic is exact, and the integer quotient
+    * fits the result type's 17 integer digits up to ~1e17, four
+    * orders beyond the 100 TB row count (`/` would go wrong at 9e15). */
+  private def longDiv(a: Column, b: Column): Column =
+    ((a - pmod(a, b)).cast("decimal(38,0)") / b).cast("long")
+
   /** The ntile(b) bucket of global rank `rk` among `n` rows — the
     * exact SQL-standard assignment (first n%b buckets get one extra
-    * row). Pure integer arithmetic, map-side.
+    * row). Pure integer arithmetic, map-side ([[longDiv]], not `/` —
+    * double rounding past 2^53 would misassign buckets).
     */
   def ntileFromRank(rk: Column, n: Column, b: Int): Column = {
-    val q = floor(n / b).cast("long")
+    val q = longDiv(n, lit(b.toLong))
     val r = n - q * b
     val qq = q + lit(1L)
-    when(rk <= qq * r, floor((rk - lit(1L)) / qq).cast("long") + lit(1L))
-      .otherwise(r + floor((rk - lit(1L) - qq * r)
-        / greatest(q, lit(1L))).cast("long") + lit(1L))
+    when(rk <= qq * r, longDiv(rk - lit(1L), qq) + lit(1L))
+      .otherwise(r + longDiv(rk - lit(1L) - qq * r,
+        greatest(q, lit(1L))) + lit(1L))
   }
 }

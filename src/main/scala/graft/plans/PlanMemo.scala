@@ -108,13 +108,23 @@ final class PlanMemo[P, V](persistables: V => Seq[DataFrame]) {
     map.keySet.asScala.map(_._1).toSet.foreach(evict)
   }
 
-  private def hookSession(spark: SparkSession): Unit =
-    if (hooked.add(spark.sparkContext)) { // one listener per context, ever
-      spark.sparkContext.addSparkListener(new SparkListener {
+  private def hookSession(spark: SparkSession): Unit = {
+    val ctx = spark.sparkContext
+    if (hooked.add(ctx)) { // one listener per context lifetime
+      ctx.addSparkListener(new SparkListener {
         override def onApplicationEnd(
-            end: SparkListenerApplicationEnd): Unit = clearAll()
+            end: SparkListenerApplicationEnd): Unit = {
+          clearAll()
+          // un-pin the stopped context: leaving it in `hooked` would
+          // strongly retain every cycled SparkContext (and its object
+          // graph) for the process lifetime in a driver that stops and
+          // recreates contexts; the listener itself dies with the
+          // context's bus
+          hooked.remove(ctx)
+        }
       })
     }
+  }
 }
 
 object PlanMemo {

@@ -146,23 +146,28 @@ object Stateful {
     spark.table(name).as[ZOut]
   }
 
-  /** foreachBatch sink bridge: each microbatch lands as a batch parquet
-    * append — the escape hatch for sinks without a native streaming
-    * writer. With a checkpoint dir, restarts resume from the last
-    * committed offset (exactly-once into the sink for already-seen
-    * files). Returns the landed row count. */
+  /** foreachBatch sink bridge: each microbatch lands as its OWN
+    * parquet dir, OVERWRITTEN keyed by batchId — the canonical
+    * idempotent-foreachBatch pattern, and the escape hatch for sinks
+    * without a native streaming writer. A checkpoint dir makes
+    * restarts resume from the last committed offset; the batchId-keyed
+    * overwrite is what upgrades that from at-least-once to
+    * effectively-exactly-once — a crash BETWEEN the batch write and
+    * the offset commit replays the same batchId, which overwrites the
+    * same dir instead of double-appending (a blind `append` here is
+    * the classic foreachBatch dup bug). Read the landed set with
+    * [[readForeachBatchSink]]. Returns the landed row count. */
   def sinkViaForeachBatch(spark: SparkSession, dir: String, outPath: String,
       checkpoint: Option[String] = None): Long = {
     val writer = Streams.eventsStream(spark, dir)
       .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("append").parquet(outPath)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        batch.write.mode("overwrite").parquet(s"$outPath/batch_$bid")
       }
     checkpoint.foreach(writer.option("checkpointLocation", _))
     val q = writer.trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    if (new java.io.File(outPath).exists()) spark.read.parquet(outPath).count()
-    else 0L
+    readForeachBatchSink(spark, outPath).map(_.count()).getOrElse(0L)
   }
 
   /** Like sinkViaForeachBatch but over an arbitrary source directory of
@@ -173,14 +178,27 @@ object Stateful {
     val schema = spark.read.parquet(srcDir).schema
     val q = spark.readStream.schema(schema).parquet(srcDir)
       .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("append").parquet(outPath)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        batch.write.mode("overwrite").parquet(s"$outPath/batch_$bid")
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    if (new java.io.File(outPath).exists()) spark.read.parquet(outPath).count()
-    else 0L
+    readForeachBatchSink(spark, outPath).map(_.count()).getOrElse(0L)
+  }
+
+  /** Reads the union of a foreachBatch sink's per-batch dirs (None if
+    * nothing landed yet). The glob keeps the batch id out of the
+    * schema — unlike a k=v partition layout, whose inferred column
+    * would leak into every consumer. */
+  def readForeachBatchSink(spark: SparkSession,
+      outPath: String): Option[DataFrame] = {
+    val root = new java.io.File(outPath)
+    val dirs = Option(root.listFiles())
+      .map(_.filter(f => f.isDirectory && f.getName.startsWith("batch_")))
+      .getOrElse(Array.empty)
+    if (dirs.isEmpty) None
+    else Some(spark.read.parquet(dirs.map(_.getPath).toIndexedSeq: _*))
   }
 
   final case class TypeCount(event_type: String, n: Long)

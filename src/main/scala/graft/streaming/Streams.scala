@@ -444,7 +444,7 @@ object Streams {
     Stateful.sinkDirViaForeachBatch(spark, srcDir, outPath.toString, ckpt.toString)
     // restart with the same checkpoint and no new files: must be a no-op
     Stateful.sinkDirViaForeachBatch(spark, srcDir, outPath.toString, ckpt.toString)
-    spark.read.parquet(outPath.toString)
+    Stateful.readForeachBatchSink(spark, outPath.toString).get
       .groupBy("event_type").agg(count(lit(1)).as("n"))
       .orderBy("event_type")
   }

@@ -37,6 +37,52 @@ class ScaleRankSpec extends SparkSpec {
     }
   }
 
+  test("NULL metrics rank like the window spelling: FIRST asc, LAST desc; NULL-prefix running sums match") {
+    // nulls scattered through a tied domain, including the very first
+    // rows of several range cells — the shapes where the old behavior
+    // ranked DESC nulls FIRST and nulled-out running sums whose prior
+    // cells carried real totals
+    val rnd = new scala.util.Random(7)
+    val df = (1 to 400).map { i =>
+      val v: java.lang.Long =
+        if (rnd.nextInt(5) == 0) null else java.lang.Long.valueOf(rnd.nextInt(11).toLong - 5)
+      (i.toLong, v)
+    }.toDF("k", "v")
+    for (desc <- Seq(false, true)) {
+      val w = Window.orderBy(if (desc) col("v").desc else col("v").asc, col("k"))
+      val expected = df
+        .withColumn("rk_exp", row_number().over(w).cast("long"))
+        .withColumn("run_exp", sum(col("v")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val got = ScaleRank.withGlobalRank(df, "v", "k", descending = desc,
+        nRanges = 8, runOn = Some("v"))
+      val joined = expected.join(got.withColumnRenamed("v", "v2"), "k")
+      assert(joined.filter(col("rk") =!= col("rk_exp") ||
+        !(col("run") <=> col("run_exp"))).count() == 0, s"desc=$desc")
+    }
+  }
+
+  test("NULL partition/group keys survive partitionedRunningSum and grouped quantiles") {
+    val df = Seq[(java.lang.Long, Long, Long)](
+      (null, 1L, 10L), (null, 2L, 20L), (1L, 3L, 5L), (1L, 4L, 7L),
+      (null, 5L, 30L), (2L, 6L, 9L))
+      .toDF("g", "ord", "x")
+    val got = ScaleRank.partitionedRunningSum(df, "g", Seq("ord"), "x",
+      floor(col("ord") / 2), "cum")
+    // every input row survives — the old === join dropped NULL keys
+    assert(got.count() == 6)
+    val w = Window.partitionBy("g").orderBy("ord")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val exp = df.withColumn("cum_exp", sum(col("x")).over(w))
+    assert(got.join(exp.select(col("ord"), col("cum_exp")), "ord")
+      .filter(col("cum") =!= col("cum_exp")).count() == 0)
+    // grouped quantiles emit a row for the NULL group like GROUP BY does
+    val q = ScaleRank.groupedQuantilesDisc(df, "g", "x",
+      Seq((1, 2)), Seq("med"), v => floor(v / 16))
+    assert(q.count() == 3)
+    assert(q.filter(col("g").isNull).select("med").head().getLong(0) == 20L)
+  }
+
   test("withGlobalRanksMulti fused == three independent global sorts") {
     val rnd = new scala.util.Random(11)
     val df = (1 to 700).map { i =>

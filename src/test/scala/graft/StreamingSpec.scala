@@ -79,6 +79,28 @@ class StreamingSpec extends SparkSpec {
     assert(landed == expected)
   }
 
+  test("foreachBatch sink is idempotent under batch REPLAY (crash between write and offset commit)") {
+    import java.nio.file.{Files, Paths}
+    val base = s"${sys.props("java.io.tmpdir")}/graft_test_febr_${System.nanoTime()}"
+    val src = s"$base/src"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
+    Files.createDirectories(Paths.get(src))
+    Files.copy(Paths.get(s"$sf0001/events.parquet"),
+      Paths.get(s"$src/events_1.parquet"))
+    val n1 = graft.streaming.Stateful.sinkDirViaForeachBatch(spark, src, out, ckpt)
+    assert(n1 == 1000L)
+    // simulate the at-least-once crash window: the stream dies AFTER
+    // batch 0's write but BEFORE its offset commit, so the restart
+    // re-executes the SAME batchId. With the old blind append this
+    // double-landed the rows; the batchId-keyed overwrite makes the
+    // replayed write a no-op on the landed set.
+    spark.read.parquet(s"$src/events_1.parquet")
+      .write.mode("overwrite").parquet(s"$out/batch_0")
+    spark.catalog.refreshByPath(out)
+    val landed = graft.streaming.Stateful.readForeachBatchSink(spark, out)
+      .get.count()
+    assert(landed == 1000L, s"replayed batch double-landed: $landed")
+  }
+
   test("flatMapGroupsWithState sessions: per-user session count matches session_window") {
     val flat = graft.streaming.Stateful.userSessions(spark, sf0001)
       .groupBy("user_id").count().collect()
