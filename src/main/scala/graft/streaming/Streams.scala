@@ -278,32 +278,40 @@ object Streams {
     * mode, so each emitted window is final.
     */
   /** Stage a sequence of DataFrames as single parquet files in one
-    * stream-source directory, in arrival order: the dir is CLEARED
-    * first (a stale extra file would change the batch structure the
-    * semantics depend on), each file is written via coalesce(1), and
-    * modification times force the file-source admission order (oldest
-    * first), re-set on every run so a stale stage dir can't flip it.
-    * Returns the stage directory path. */
+    * FRESH stream-source directory, in arrival order: each invocation
+    * gets its own `Files.createTempDirectory` (unique suffix), each
+    * file is written via coalesce(1), and modification times force the
+    * file-source admission order (oldest first). Returns the stage
+    * directory path.
+    *
+    * Per-invocation isolation is the correctness mechanism, not a
+    * convenience: the previous fixed-path spelling CLEARED and rewrote
+    * a shared cross-process dir, so a concurrent run of the same query
+    * (another JVM's bench/spec against the same sf dir) unlinked files
+    * under a running stream and re-set mtimes mid-admission — the
+    * delete-under-reader hazard the events stage's create-only
+    * versioned scheme exists to prevent. A fresh dir per run shares
+    * NOTHING (there was no effective reuse to lose — the old path
+    * rewrote every file each call anyway); stale stage dirs linger in
+    * tmp under the same reaping policy as every staged artifact
+    * (SCALE.md "staged-artifact lifecycle"). */
   private[streaming] def stageArrivals(stageName: String,
       files: Seq[(DataFrame, String)]): String = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     import java.nio.file.attribute.FileTime
     val tmpRoot = sys.props("java.io.tmpdir")
-    val stageDir = Paths.get(tmpRoot, stageName)
-    Files.createDirectories(stageDir)
-    locally {
-      val ls = Files.list(stageDir)
-      try ls.forEach(p => Files.deleteIfExists(p)) finally ls.close()
-    }
+    val stageDir = Files.createTempDirectory(
+      Paths.get(tmpRoot), stageName + "_")
     val now = System.currentTimeMillis()
     files.zipWithIndex.foreach { case ((df, fileName), i) =>
-      val outDir = Paths.get(tmpRoot, s"${stageName}_build_$fileName")
+      val outDir = stageDir.resolve(s".build_$fileName")
       df.coalesce(1).write.mode("overwrite").parquet(outDir.toString)
       val ls = Files.list(outDir)
       val part = try ls.filter(p => p.getFileName.toString.startsWith("part-"))
         .findFirst().get() finally ls.close()
       Files.move(part, stageDir.resolve(fileName),
         StandardCopyOption.REPLACE_EXISTING)
+      graft.text.Dedup.deleteRecursively(outDir)
       Files.setLastModifiedTime(stageDir.resolve(fileName),
         FileTime.fromMillis(now - (files.size - 1 - i) * 60000L))
     }
