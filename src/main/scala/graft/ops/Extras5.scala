@@ -240,8 +240,8 @@ object Extras5 {
              |             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_cents
              |      FROM orders GROUP BY 1)
              |SELECT cal.day,
-             |       CAST(date_diff('day', DATE '1995-01-01', cal.day) % 7 AS BIGINT) AS dow,
-             |       date_diff('day', DATE '1995-01-01', cal.day) % 7 IN (0, 6) AS is_weekend,
+             |       CAST(((date_diff('day', DATE '1995-01-01', cal.day) % 7) + 7) % 7 AS BIGINT) AS dow,
+             |       ((date_diff('day', DATE '1995-01-01', cal.day) % 7) + 7) % 7 IN (0, 6) AS is_weekend,
              |       CAST(coalesce(o.n, 0) AS BIGINT) AS n,
              |       CAST(coalesce(o.rev_cents, 0) AS BIGINT) AS rev_cents
              |FROM cal LEFT JOIN o ON o.day = cal.day
@@ -257,7 +257,12 @@ object Extras5 {
           .groupBy(col("o_orderdate").cast("date").as("day"))
           .agg(count(lit(1)).as("n"),
             sum(round(col("o_totalprice") * 100).cast("long")).as("rev_cents"))
-        val dnum = datediff(col("day"), lit("1995-01-01").cast("date")) % 7
+        // floored modulus: both engines' % truncates toward zero, so a
+        // day BEFORE the pinned epoch would yield dow = -1..-6 and
+        // silently drop its weekend flag; pmod keeps dow in [0,6] for
+        // any date range, not just the current corpus's (min happens
+        // to equal the epoch today — one earlier row would flip flags)
+        val dnum = pmod(datediff(col("day"), lit("1995-01-01").cast("date")), lit(7))
         spine.join(daily, Seq("day"), "left")
           .select(col("day"), dnum.cast("long").as("dow"),
             dnum.isin(0, 6).as("is_weekend"),
@@ -271,12 +276,15 @@ object Extras5 {
     // random IV would break both determinism and the oracle) encrypt →
     // decrypt returns the plaintext, and the ciphertext length is the
     // PKCS#7-padded block count, which the oracle computes
-    // arithmetically. The codegen'd expression pair runs fused in the
-    // scan — the shape of tokenization/pseudonymization at rest.
+    // arithmetically — over the UTF-8 BYTE length (strlen), not the
+    // character count: AES pads the encoded bytes, so length(text)
+    // would silently diverge on the first non-ASCII document. The
+    // codegen'd expression pair runs fused in the scan — the shape of
+    // tokenization/pseudonymization at rest.
     Q("crypto_roundtrip",
       Some("""SELECT doc_id,
              |       text AS roundtrip,
-             |       CAST((length(text) // 16 + 1) * 16 AS BIGINT) AS cipher_len
+             |       CAST((strlen(text) // 16 + 1) * 16 AS BIGINT) AS cipher_len
              |FROM documents ORDER BY doc_id""".stripMargin),
       (s, d) => {
         Tables.documents(s, d).select(col("doc_id"),
@@ -713,11 +721,18 @@ object Extras5 {
         val e = graft.text.Dedup
           .nearDupPairs(Tables.documents(s, d), "doc_id", "text", 0.7)
           .select(col("id_a").as("a"), col("id_b").as("b"))
+        // localCheckpoint, not cache(): the CacheManager pins cached
+        // frames until an explicit unpersist (which a lazily-returned
+        // query has no post-collect hook to issue), so repeated runs in
+        // one JVM would accumulate edge/degree blocks for the context
+        // lifetime. Checkpoint blocks are ContextCleaner-reclaimed once
+        // the frames become unreachable — same eager-materialize reuse
+        // across the 4 iterations, zero leak.
         val sym = e.select(col("a").as("src"), col("b").as("dst"))
           .union(e.select(col("b").as("src"), col("a").as("dst")))
-          .cache()
+          .localCheckpoint()
         val deg = sym.groupBy(col("src").as("node"))
-          .agg(count(lit(1)).as("deg")).cache()
+          .agg(count(lit(1)).as("deg")).localCheckpoint()
         var ranks = deg.select(col("node"), lit(1000000L).as("r"))
         for (_ <- 1 to 4) {
           val contrib = ranks.join(deg, "node")

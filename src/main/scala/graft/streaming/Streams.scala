@@ -522,42 +522,9 @@ object Streams {
     * watermark delay at any scale.
     */
   def purchaseViewLeftJoin(spark: SparkSession, dir: String): DataFrame = withStreamParallelism(spark) {
-    val name = "graft_stream_ssjoin_left"
-    val ev = graft.io.Tables.events(spark, dir)
-    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
-    val sentinel = spark.range(2).select(
-      (col("id") - 2).as("event_id"),
-      (lit(maxTs) + expr("INTERVAL 10 HOURS")).as("ts"),
-      lit(-1L).as("user_id"),
-      when(col("id") === 0, "purchase").otherwise("view").as("event_type"),
-      lit(0.0).as("value"),
-      lit("{}").as("props"))
-      .select(ev.columns.map(col).toSeq: _*)
-    val stageDir = stageArrivals(s"graft_stream_ssjoin_left_$tag", Seq(
-      ev -> "a_events.parquet", sentinel -> "b_tick.parquet"))
-    val schema = spark.read.parquet(stageDir).schema
-    val src = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", 1).parquet(stageDir)
-    val p = src.filter(col("event_type") === "purchase")
-      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
-        col("ts").as("p_ts"))
-      .withWatermark("p_ts", "1 hour")
-    val v = src.filter(col("event_type") === "view")
-      .select(col("event_id").as("v_id"), col("user_id").as("v_user"),
-        col("ts").as("v_ts"))
-      .withWatermark("v_ts", "2 hours")
-    val q = p.join(v,
-      col("p_user") === col("v_user") &&
-        col("v_ts") <= col("p_ts") &&
-        col("v_ts") > col("p_ts") - expr("INTERVAL 1 HOUR"),
-      "left_outer")
-      .select(col("p_id"), col("v_id"), col("p_user"))
-      .writeStream.outputMode("append")
-      .format("memory").queryName(name)
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    spark.table(name).filter(col("p_user") >= 0).orderBy("p_id", "v_id")
+    purchaseViewOuterJoin(spark, dir, "left_outer", "graft_stream_ssjoin_left")(
+      _.select(col("p_id"), col("v_id"), col("p_user")))
+      .filter(col("p_user") >= 0).orderBy("p_id", "v_id")
   }
 
   /** Stream-stream FULL OUTER join: unmatched rows from BOTH sides
@@ -566,7 +533,24 @@ object Streams {
     * preceded a purchase. Same sentinel choreography as the left
     * variant flushes the tail of a finite replay. */
   def purchaseViewFullJoin(spark: SparkSession, dir: String): DataFrame = withStreamParallelism(spark) {
-    val name = "graft_stream_ssjoin_full"
+    purchaseViewOuterJoin(spark, dir, "full_outer", "graft_stream_ssjoin_full")(
+      _.select(col("p_id"), col("v_id"),
+        coalesce(col("p_user"), col("v_user")).as("u")))
+      .filter(col("u") >= 0).orderBy("p_id", "v_id")
+  }
+
+  /** The sentinel choreography shared by the two stream-stream OUTER
+    * joins — it exists ONCE so the left and full variants cannot
+    * drift: stage events + a far-future sentinel pair (user −1,
+    * max(ts)+10 h) as ordered arrivals, watermark purchases 1 h /
+    * views 2 h, join on same-user views in the purchase's preceding
+    * hour with the caller's join type, run to completion in append
+    * mode, and return the memory-sink table (sentinels NOT yet
+    * filtered — the caller projects, so only it knows which emitted
+    * columns carry the user id). */
+  private def purchaseViewOuterJoin(spark: SparkSession, dir: String,
+      joinType: String, name: String)(
+      project: DataFrame => DataFrame): DataFrame = {
     val ev = graft.io.Tables.events(spark, dir)
     val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
     val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
@@ -578,7 +562,7 @@ object Streams {
       lit(0.0).as("value"),
       lit("{}").as("props"))
       .select(ev.columns.map(col).toSeq: _*)
-    val stageDir = stageArrivals(s"graft_stream_ssjoin_full_$tag", Seq(
+    val stageDir = stageArrivals(s"${name}_$tag", Seq(
       ev -> "a_events.parquet", sentinel -> "b_tick.parquet"))
     val schema = spark.read.parquet(stageDir).schema
     val src = spark.readStream.schema(schema)
@@ -591,18 +575,17 @@ object Streams {
       .select(col("event_id").as("v_id"), col("user_id").as("v_user"),
         col("ts").as("v_ts"))
       .withWatermark("v_ts", "2 hours")
-    val q = p.join(v,
+    val joined = p.join(v,
       col("p_user") === col("v_user") &&
         col("v_ts") <= col("p_ts") &&
         col("v_ts") > col("p_ts") - expr("INTERVAL 1 HOUR"),
-      "full_outer")
-      .select(col("p_id"), col("v_id"),
-        coalesce(col("p_user"), col("v_user")).as("u"))
+      joinType)
+    val q = project(joined)
       .writeStream.outputMode("append")
       .format("memory").queryName(name)
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    spark.table(name).filter(col("u") >= 0).orderBy("p_id", "v_id")
+    spark.table(name)
   }
 
   def purchaseViewJoin(spark: SparkSession, dir: String): DataFrame = withStreamParallelism(spark) {

@@ -41,6 +41,23 @@ object TextAnalysis {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** Overlapping token windows (size [[ChunkSize]], stride
+    * [[ChunkStride]]) over an ALREADY-split token array: window i
+    * covers toks[i·stride+1 .. i·stride+size]; starts step by the
+    * stride until the document is exhausted, and the final partial
+    * window is kept. ONE definition shared by the standalone
+    * text_chunks op and the composed pipeline_training_corpus so the
+    * two cannot drift (a size/stride/partial-window change edits one
+    * builder, not two inlined copies). */
+  val ChunkSize = 32
+  val ChunkStride = 16
+  def chunkWindowsCol(toks: Column): Column =
+    transform(
+      sequence(lit(0),
+        ceil(greatest(size(toks) - ChunkSize, lit(0)) / ChunkStride.toDouble)
+          .cast("int")),
+      ci => slice(toks, ci * ChunkStride + 1, lit(ChunkSize)))
+
   /** Adjacent-token pairs as structs (w1, w2) from an ALREADY-split
     * token array column; sub-2-token docs yield an empty array. The
     * struct form (vs the joined-string bigram) keeps both words

@@ -11,30 +11,61 @@ import org.apache.spark.sql.functions._
   */
 object TextQueries {
 
-  /** Session-scoped memo of the quality-gate survivor set (doc_id,
-    * source, text, fp): pipeline_quality_gate and
-    * pipeline_training_corpus apply the IDENTICAL gate (token band +
-    * punctuation ceiling + language filter), and the language-ID
-    * scoring battery inside it is the heaviest scalar work in the text
-    * family — materialize the survivors once, let both consumers read
-    * them. */
-  private val gateCache = new java.util.concurrent.ConcurrentHashMap[
-    (org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]()
+  /** Memo of the quality-gate survivor set (doc_id, source, text, fp):
+    * pipeline_quality_gate and pipeline_training_corpus apply the
+    * IDENTICAL gate (token band + punctuation ceiling + language
+    * filter), and the language-ID scoring battery inside it is the
+    * heaviest scalar work in the text family — materialize the
+    * survivors once, let both consumers read them.
+    *
+    * SINGLE-slot, data-versioned — two defects of the old unbounded
+    * (session, dir)-keyed map designed out: (1) replacing the slot
+    * unpersists the prior survivor set, so a suite that opens a fresh
+    * SparkSession per spec no longer pins one persisted frame (plus the
+    * session the key retained) per spec for the JVM lifetime — the
+    * steady state is exactly one live entry; (2) the key carries a
+    * part-file (name, size, mtime) signature, so a documents.parquet
+    * rewritten in place is a cache MISS, not a stale hit (the same
+    * versioning contract as the events stream staging). An unpersist
+    * under a concurrently-running consumer is safe: blocks drop, the
+    * running job recomputes from lineage. */
+  private final case class GateKey(
+      session: org.apache.spark.sql.SparkSession, dir: String, sig: String)
+  private var gateSlot: Option[(GateKey, org.apache.spark.sql.DataFrame)] = None
+
+  private def docsSig(d: String): String = {
+    val f = new java.io.File(d, "documents.parquet")
+    if (f.isFile) s"${f.length}:${f.lastModified}"
+    else Option(f.listFiles()).map(_.sortBy(_.getName)
+      .map(c => s"${c.getName}:${c.length}:${c.lastModified}")
+      .mkString("|")).getOrElse("absent")
+  }
 
   private def gatedDocs(s: org.apache.spark.sql.SparkSession,
-      d: String): org.apache.spark.sql.DataFrame =
-    gateCache.computeIfAbsent((s, d), _ =>
-      documents(s, d)
-        .select(col("doc_id"), col("source"), col("text"),
-          TextAnalysis.tokenCount(col("text")).as("ntok"),
-          (TextAnalysis.punctCount(col("text")).cast("double") /
-            nullif(length(col("text")).cast("long"), lit(0L))).as("pr"),
-          TextAnalysis.langId(col("text")).as("lp"),
-          TextAnalysis.fingerprint(col("text")).as("fp"))
-        .filter(col("ntok").between(10, 1000) &&
-          col("pr") <= 0.2 && col("lp") === "en")
-        .select("doc_id", "source", "text", "fp")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      d: String): org.apache.spark.sql.DataFrame = synchronized {
+    val key = GateKey(s, d, docsSig(d))
+    gateSlot match {
+      case Some((k, df)) if k == key => df
+      case prev =>
+        val built = documents(s, d)
+          .select(col("doc_id"), col("source"), col("text"),
+            TextAnalysis.tokenCount(col("text")).as("ntok"),
+            (TextAnalysis.punctCount(col("text")).cast("double") /
+              nullif(length(col("text")).cast("long"), lit(0L))).as("pr"),
+            TextAnalysis.langId(col("text")).as("lp"),
+            TextAnalysis.fingerprint(col("text")).as("fp"))
+          .filter(col("ntok").between(10, 1000) &&
+            col("pr") <= 0.2 && col("lp") === "en")
+          .select("doc_id", "source", "text", "fp")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        prev.foreach { case (_, old) =>
+          try old.unpersist(blocking = false)
+          catch { case scala.util.control.NonFatal(_) => () } // stopped session
+        }
+        gateSlot = Some((key, built))
+        built
+    }
+  }
 
   // DuckDB-side building blocks, kept textually adjacent to the Spark
   // Column versions in TextAnalysis so they evolve together.
@@ -246,10 +277,7 @@ object TextQueries {
         documents(s, d)
           .select(col("doc_id"), toks.as("toks"))
           .select(col("doc_id"),
-            posexplode(transform(
-              sequence(lit(0),
-                ceil(greatest(size(col("toks")) - 32, lit(0)) / 16.0).cast("int")),
-              ci => slice(col("toks"), ci * 16 + 1, lit(32)))))
+            posexplode(TextAnalysis.chunkWindowsCol(col("toks"))))
           .select(col("doc_id"), col("pos").as("chunk_idx"),
             concat_ws(" ", col("col")).as("chunk_text"),
             size(col("col")).cast("long").as("n_tokens"))
@@ -389,10 +417,7 @@ object TextQueries {
         val chunks = uniq
           .select(col("doc_id"), col("source"), toks.as("toks"))
           .select(col("doc_id"), col("source"),
-            posexplode(transform(
-              sequence(lit(0),
-                ceil(greatest(size(col("toks")) - 32, lit(0)) / 16.0).cast("int")),
-              ci => slice(col("toks"), ci * 16 + 1, lit(32)))))
+            posexplode(TextAnalysis.chunkWindowsCol(col("toks"))))
           .select(col("doc_id"), col("source"), col("pos").as("chunk_idx"),
             size(col("col")).cast("long").as("n_tokens"))
         // two-level running sum: bucket by floor(doc_id/4096) — rows of
@@ -455,7 +480,7 @@ object TextQueries {
              |bgc AS (SELECT pr[1] AS w1, pr[2] AS w2, count(*) AS n_ab
              |        FROM bg GROUP BY 1, 2)
              |SELECT w1, w2, n_ab,
-             |       CAST((n_ab * big_n * 1000000) // (ua.n * ub.n) AS BIGINT) AS assoc_e6
+             |       CAST((CAST(n_ab AS HUGEINT) * big_n * 1000000) // (CAST(ua.n AS HUGEINT) * ub.n) AS BIGINT) AS assoc_e6
              |FROM bgc JOIN uni ua ON ua.w = bgc.w1
              |JOIN uni ub ON ub.w = bgc.w2 CROSS JOIN tot
              |WHERE n_ab >= 5
@@ -477,7 +502,15 @@ object TextQueries {
           .join(ua, "w1").join(ub, "w2")
           .crossJoin(broadcast(uni.agg(sum(col("n")).as("big_n"))))
           .select(col("w1"), col("w2"), col("n_ab"),
-            expr("(n_ab * big_n * 1000000L) div (na * nb)").as("assoc_e6"))
+            // numerator in DECIMAL(38,0)/HUGEINT: at ~2e13 corpus
+            // tokens even n_ab = 5 puts n_ab·N·1e6 at 1e20 ≫ 2⁶³ —
+            // the same width cliff the r9 audit fixed in
+            // feature_scale. The QUOTIENT stays in long range
+            // (≤ N·1e6/5 ≈ 4e18 at that N) so the BIGINT result
+            // column is safe where the intermediate was not.
+            expr("""CAST((CAST(n_ab AS DECIMAL(38,0)) * big_n * 1000000)
+                   |     DIV (CAST(na AS DECIMAL(38,0)) * nb) AS BIGINT)"""
+              .stripMargin).as("assoc_e6"))
           .orderBy("w1", "w2")
       })
   )
