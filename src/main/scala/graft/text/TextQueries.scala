@@ -512,6 +512,122 @@ object TextQueries {
                    |     DIV (CAST(na AS DECIMAL(38,0)) * nb) AS BIGINT)"""
               .stripMargin).as("assoc_e6"))
           .orderBy("w1", "w2")
-      })
+      }),
+
+    // PII detection + redaction: emails, dashed phone numbers, IPv4
+    // addresses found and masked in one scan — the scrub every
+    // training corpus runs before anything else sees the text. The
+    // pinned corpus is PII-free synthetic prose, so the query first
+    // injects deterministic PII-shaped spans DERIVED FROM doc_id
+    // (emails on doc_id≡0 mod 3, phone+IP on ≡1, the rest untouched;
+    // the oracle builds the identical fixture) — the operator under
+    // test is the detect/redact mechanics, which would act on organic
+    // text the same way. Patterns use the Java∩RE2 regex subset
+    // (classes, bounded repeats, \b) so both engines match the same
+    // spans; replacement order (email → phone → IP) is part of the
+    // contract since redaction output feeds the next pattern. Pure
+    // per-row codegen'd scalar work — no shuffle, no UDF.
+    Q("text_pii_redact",
+      Some(s"""SELECT doc_id,
+              |       CAST(len(regexp_extract_all(aug, '$PiiEmailRe')) AS BIGINT) AS n_emails,
+              |       CAST(len(regexp_extract_all(aug, '$PiiPhoneRe')) AS BIGINT) AS n_phones,
+              |       CAST(len(regexp_extract_all(aug, '$PiiIpRe')) AS BIGINT) AS n_ips,
+              |       regexp_replace(regexp_replace(regexp_replace(aug,
+              |         '$PiiEmailRe', '<EMAIL>', 'g'),
+              |         '$PiiPhoneRe', '<PHONE>', 'g'),
+              |         '$PiiIpRe', '<IP>', 'g') AS redacted
+              |FROM ($piiAugSql) ORDER BY doc_id""".stripMargin),
+      (s, d) => piiAugmented(documents(s, d)).select(
+        col("doc_id"),
+        size(regexp_extract_all(col("aug"), lit(PiiEmailRe), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all(col("aug"), lit(PiiPhoneRe), lit(0)))
+          .cast("long").as("n_phones"),
+        size(regexp_extract_all(col("aug"), lit(PiiIpRe), lit(0)))
+          .cast("long").as("n_ips"),
+        regexp_replace(regexp_replace(regexp_replace(col("aug"),
+          PiiEmailRe, "<EMAIL>"),
+          PiiPhoneRe, "<PHONE>"),
+          PiiIpRe, "<IP>").as("redacted"))
+        .orderBy("doc_id")),
+
+    // corpus-level PII incidence: per source shard, how many docs
+    // carry each PII class and the overall hit rate (µ-int exact, no
+    // float drift). The report a curation run publishes before/after
+    // the scrub; one map-side-combined aggregation over the same
+    // detection columns as text_pii_redact.
+    Q("text_pii_report",
+      Some(s"""SELECT source,
+              |       CAST(count(*) AS BIGINT) AS n_docs,
+              |       CAST(sum(CASE WHEN ne > 0 OR np > 0 OR ni > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
+              |       CAST(sum(ne) AS BIGINT) AS n_emails,
+              |       CAST(sum(np) AS BIGINT) AS n_phones,
+              |       CAST(sum(ni) AS BIGINT) AS n_ips,
+              |       CAST(sum(CASE WHEN ne > 0 OR np > 0 OR ni > 0 THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS pii_rate_e6
+              |FROM (SELECT source,
+              |        len(regexp_extract_all(aug, '$PiiEmailRe')) AS ne,
+              |        len(regexp_extract_all(aug, '$PiiPhoneRe')) AS np,
+              |        len(regexp_extract_all(aug, '$PiiIpRe')) AS ni
+              |      FROM ($piiAugSql)) t
+              |GROUP BY source ORDER BY source""".stripMargin),
+      (s, d) => piiAugmented(documents(s, d)).select(
+        col("source"),
+        size(regexp_extract_all(col("aug"), lit(PiiEmailRe), lit(0)))
+          .cast("long").as("ne"),
+        size(regexp_extract_all(col("aug"), lit(PiiPhoneRe), lit(0)))
+          .cast("long").as("np"),
+        size(regexp_extract_all(col("aug"), lit(PiiIpRe), lit(0)))
+          .cast("long").as("ni"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("ne") > 0 || col("np") > 0 || col("ni") > 0, 1L)
+            .otherwise(0L)).as("docs_with_pii"),
+          sum("ne").as("n_emails"),
+          sum("np").as("n_phones"),
+          sum("ni").as("n_ips"))
+        .select(col("source"), col("n_docs"), col("docs_with_pii"),
+          col("n_emails"), col("n_phones"), col("n_ips"),
+          expr("(docs_with_pii * 1000000L) div n_docs").as("pii_rate_e6"))
+        .orderBy("source"))
   )
+
+  /** Java∩RE2 PII patterns (shared verbatim by both engines): no
+    * backrefs, no lookaround, only classes/bounded repeats/\b — the
+    * subset where java.util.regex and RE2 agree on every span. */
+  private val PiiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PiiPhoneRe = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+  private val PiiIpRe =
+    "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** The deterministic PII fixture, DuckDB spelling (subquery body):
+    * doc_id≡0 (mod 3) gains an email, ≡1 gains a phone + an IPv4,
+    * ≡2 stays clean. Escaped \\. in the patterns above survive the
+    * SQL string literal because DuckDB strings are not
+    * backslash-processed. NOTE: this body is interpolated into query
+    * strings that apply their OWN stripMargin, so no line here may
+    * begin with `|` — a line-leading `||` concat would lose a pipe
+    * and bind as bitwise-or (hence the trailing-|| line breaks). */
+  private def piiAugSql: String =
+    """SELECT doc_id, source,
+      |  CASE WHEN doc_id % 3 = 0
+      |       THEN text || ' contact u' || CAST(doc_id AS VARCHAR) || '@ex-mail.org now'
+      |       WHEN doc_id % 3 = 1
+      |       THEN text || ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+      |            ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.99'
+      |       ELSE text END AS aug
+      |FROM documents""".stripMargin
+
+  /** The same fixture, Spark spelling. */
+  private def piiAugmented(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"), col("source"),
+      when(col("doc_id") % 3 === 0,
+        concat(col("text"), lit(" contact u"),
+          col("doc_id").cast("string"), lit("@ex-mail.org now")))
+        .when(col("doc_id") % 3 === 1,
+          concat(col("text"), lit(" call +1-555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+            lit(" from 10."), (col("doc_id") % 256).cast("string"),
+            lit(".0.99")))
+        .otherwise(col("text")).as("aug"))
 }

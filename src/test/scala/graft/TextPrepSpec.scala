@@ -50,4 +50,43 @@ class TextPrepSpec extends SparkSpec {
     case _ => ()
     }
   }
+
+  test("text_pii_redact: redaction is complete, counted, and clean-doc-preserving") {
+    val red = Registry.all.find(_.name == "text_pii_redact").get
+      .fn(spark, sf0001)
+    // the fixture plants exactly one email on doc_id≡0 (mod 3), one
+    // phone + one IP on ≡1, nothing on ≡2 — counts must match it
+    val wrongCounts = red.filter(
+      when(col("doc_id") % 3 === 0,
+        col("n_emails") =!= 1 || col("n_phones") =!= 0 || col("n_ips") =!= 0)
+        .when(col("doc_id") % 3 === 1,
+          col("n_emails") =!= 0 || col("n_phones") =!= 1 || col("n_ips") =!= 1)
+        .otherwise(col("n_emails") + col("n_phones") + col("n_ips") =!= 0))
+    assert(wrongCounts.count() == 0,
+      wrongCounts.limit(5).collect().mkString("; "))
+    // post-redaction text must carry ZERO residual matches of any
+    // pattern (the whole point of the scrub) and the placeholder
+    // exactly where a span was found
+    val residual = red.filter(
+      size(regexp_extract_all(col("redacted"),
+        lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"), lit(0))) > 0 ||
+      size(regexp_extract_all(col("redacted"),
+        lit("\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"), lit(0))) > 0 ||
+      size(regexp_extract_all(col("redacted"),
+        lit("\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"),
+        lit(0))) > 0)
+    assert(residual.count() == 0)
+    val misplaced = red.filter(
+      (col("n_emails") > 0) =!= col("redacted").contains("<EMAIL>") ||
+        (col("n_phones") > 0) =!= col("redacted").contains("<PHONE>") ||
+        (col("n_ips") > 0) =!= col("redacted").contains("<IP>"))
+    assert(misplaced.count() == 0)
+    // clean docs pass through BYTE-identical (redaction must never
+    // touch non-PII text)
+    val docs = io.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text"))
+    val mutated = red.filter(col("doc_id") % 3 === 2).join(docs, "doc_id")
+      .filter(col("redacted") =!= col("text"))
+    assert(mutated.count() == 0)
+  }
 }
