@@ -322,7 +322,6 @@ object Extras10 {
              |FROM o WHERE prev IS NOT NULL
              |ORDER BY ck, ok""".stripMargin),
       (s, d) => {
-        val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
         Tables.orders(s, d)
           .select(col("o_custkey").as("ck"), col("o_orderkey").as("ok"),
             expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("p"),

@@ -455,7 +455,15 @@ object Extras3 {
              |       CAST(sum(l_quantity) AS BIGINT) AS qty_sum
              |FROM lineitem""".stripMargin),
       (s, d) => {
-        val path = s"${sys.props("java.io.tmpdir")}/graft_io_${d.replaceAll("[^A-Za-z0-9]", "_")}/lineitem_compact"
+        // per-invocation temp dir, NOT a fixed shared path: a second
+        // process compacting the same sf dir would otherwise
+        // overwrite-delete these files mid-scan of a concurrent reader
+        // (the delete-under-reader class the stream stages fixed the
+        // same way); stale dirs follow the SCALE.md staged-artifact
+        // reaping policy
+        val path = java.nio.file.Files.createTempDirectory(
+          java.nio.file.Paths.get(sys.props("java.io.tmpdir")),
+          s"graft_io_compact_").resolve("lineitem_compact").toString
         Tables.lineitem(s, d).repartition(4)
           .write.mode("overwrite").parquet(path)
         s.read.parquet(path).select(

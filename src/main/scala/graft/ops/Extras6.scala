@@ -13,6 +13,40 @@ import org.apache.spark.sql.functions._
   */
 object Extras6 {
 
+  /** The previous sql_ctas generation created by THIS JVM (unique
+    * UUID name — no other process ever references it), dropped once a
+    * newer generation exists. */
+  @volatile private var lastCtasTable: Option[String] = None
+
+  /** Shared-text SQL (oracle AND engine parse the same bytes; see the
+    * identical-IEEE-ops policy in SCALE.md). */
+  private val HaversineSql =
+    """SELECT c_custkey,
+      |  CAST(round(2 * 6371000.0 * asin(sqrt(
+      |    sin(radians((48.8566 - (c_custkey % 180 - 89.5)) / 2)) *
+      |    sin(radians((48.8566 - (c_custkey % 180 - 89.5)) / 2)) +
+      |    cos(radians(c_custkey % 180 - 89.5)) * cos(radians(48.8566)) *
+      |    sin(radians((2.3522 - (c_custkey * 7 % 360 - 179.5)) / 2)) *
+      |    sin(radians((2.3522 - (c_custkey * 7 % 360 - 179.5)) / 2))
+      |  ))) AS BIGINT) AS dist_m
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
+  private val SkewKurtosisSql =
+    """WITH p AS (SELECT event_type,
+      |        CAST(count(*) AS DOUBLE) AS n,
+      |        CAST(sum(x) AS DOUBLE) AS s1, CAST(sum(x*x) AS DOUBLE) AS s2,
+      |        CAST(sum(x*x*x) AS DOUBLE) AS s3, CAST(sum(x*x*x*x) AS DOUBLE) AS s4
+      |      FROM (SELECT event_type,
+      |              CAST(round(value * 10) AS DECIMAL(38,0)) AS x FROM events) t
+      |      GROUP BY 1)
+      |SELECT event_type, CAST(n AS BIGINT) AS n_events,
+      |  CAST(round(((s3/n - 3*(s1/n)*(s2/n) + 2*(s1/n)*(s1/n)*(s1/n))
+      |    / pow(s2/n - (s1/n)*(s1/n), 1.5)) * 1e6) AS BIGINT) AS skew6,
+      |  CAST(round(((s4/n - 4*(s1/n)*(s3/n) + 6*(s1/n)*(s1/n)*(s2/n)
+      |      - 3*(s1/n)*(s1/n)*(s1/n)*(s1/n))
+      |    / ((s2/n - (s1/n)*(s1/n)) * (s2/n - (s1/n)*(s1/n))) - 3) * 1e6) AS BIGINT) AS kurt6
+      |FROM p ORDER BY event_type""".stripMargin
+
   def queries: Seq[Q] = Seq(
     // OHLC resample: per (user, day) the open/high/low/close of the
     // event value stream. ONE aggregation pass: open/close are
@@ -112,7 +146,10 @@ object Extras6 {
           .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
         val k = ScaleRank.withGlobalRank(r, "cents", "o_custkey",
           descending = true, runOn = Some("cents"))
-        val t = k.agg(sum(col("cents")).as("total"), count(lit(1)).as("n_cust"))
+        // totals from the CHEAP pre-rank aggregate: ranking never
+        // changes sum/count, and aggregating k instead would execute
+        // the whole ScaleRank plan (range join + windows) a second time
+        val t = r.agg(sum(col("cents")).as("total"), count(lit(1)).as("n_cust"))
         k.crossJoin(broadcast(t))
           .filter(col("run") * 5 >= col("total") * 4)
           .groupBy("n_cust", "total")
@@ -210,26 +247,14 @@ object Extras6 {
     // libm-grade ops in any engine, and the metre rounding absorbs the
     // ≤1-ulp trig divergence by ~7 orders of magnitude. No shuffle.
     Q("geo_haversine",
-      Some("""SELECT c_custkey,
-             |  CAST(round(2 * 6371000.0 * asin(sqrt(
-             |    sin(radians((48.8566 - (c_custkey % 180 - 89.5)) / 2)) *
-             |    sin(radians((48.8566 - (c_custkey % 180 - 89.5)) / 2)) +
-             |    cos(radians(c_custkey % 180 - 89.5)) * cos(radians(48.8566)) *
-             |    sin(radians((2.3522 - (c_custkey * 7 % 360 - 179.5)) / 2)) *
-             |    sin(radians((2.3522 - (c_custkey * 7 % 360 - 179.5)) / 2))
-             |  ))) AS BIGINT) AS dist_m
-             |FROM customer ORDER BY c_custkey""".stripMargin),
+      Some(HaversineSql),
+      // ONE formula string for both engines (registerViews names the
+      // Spark temp view `customer`, same as the DuckDB table) — the
+      // identical-text contract IS the bit-exactness argument, so it
+      // must not live in two copies that can drift
       (s, d) => {
-        Tables.customer(s, d).createOrReplaceTempView("customer_geo")
-        s.sql("""SELECT c_custkey,
-                |  CAST(round(2 * 6371000.0 * asin(sqrt(
-                |    sin(radians((48.8566 - (c_custkey % 180 - 89.5)) / 2)) *
-                |    sin(radians((48.8566 - (c_custkey % 180 - 89.5)) / 2)) +
-                |    cos(radians(c_custkey % 180 - 89.5)) * cos(radians(48.8566)) *
-                |    sin(radians((2.3522 - (c_custkey * 7 % 360 - 179.5)) / 2)) *
-                |    sin(radians((2.3522 - (c_custkey * 7 % 360 - 179.5)) / 2))
-                |  ))) AS BIGINT) AS dist_m
-                |FROM customer_geo ORDER BY c_custkey""".stripMargin)
+        SqlSurface.registerViews(s, d, "customer")
+        s.sql(HaversineSql)
       }),
 
     // CREATE TABLE AS SELECT — a managed parquet table in the session
@@ -240,16 +265,25 @@ object Extras6 {
       Some("""SELECT n_nationkey, n_name, n_regionkey FROM nation
              |ORDER BY n_nationkey""".stripMargin),
       (s, d) => {
+        // create-only generation naming, no shared fixed table: the old
+        // fixed `graft_ctas` DELETE of the warehouse location raced a
+        // concurrent JVM sharing the same warehouse dir (each JVM's
+        // in-memory catalog is blind to the other's table, so the
+        // guard-delete always fired — under a running scan). A unique
+        // name per invocation shares nothing; THIS JVM's previous
+        // generation (no longer readable by anyone else by
+        // construction) is dropped after the new one exists.
         Tables.nation(s, d).createOrReplaceTempView("nation_ctas_src")
-        s.sql("DROP TABLE IF EXISTS graft_ctas")
-        // the in-memory catalog forgets tables across JVMs but the
-        // warehouse directory persists — clear the stale location too
-        val loc = new org.apache.hadoop.fs.Path(
-          s.conf.get("spark.sql.warehouse.dir") + "/graft_ctas")
-        loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
-        s.sql("""CREATE TABLE graft_ctas USING PARQUET AS
-                |SELECT n_nationkey, n_name, n_regionkey FROM nation_ctas_src""".stripMargin)
-        s.table("graft_ctas").orderBy("n_nationkey")
+        val tbl = s"graft_ctas_g${java.util.UUID.randomUUID.toString.replace("-", "")}"
+        s.sql(s"""CREATE TABLE $tbl USING PARQUET AS
+                 |SELECT n_nationkey, n_name, n_regionkey FROM nation_ctas_src""".stripMargin)
+        Extras6.synchronized {
+          lastCtasTable.foreach(prev =>
+            try s.sql(s"DROP TABLE IF EXISTS $prev")
+            catch { case scala.util.control.NonFatal(_) => () })
+          lastCtasTable = Some(tbl)
+        }
+        s.table(tbl).orderBy("n_nationkey")
       }),
 
     // data-freshness monitor: per feed (event_type) the high-water
@@ -264,8 +298,8 @@ object Extras6 {
              |      FROM events e, g
              |      WHERE epoch_us(e.ts) >= g.gmax - 86400000000 GROUP BY 1)
              |SELECT f.event_type, f.max_us, g.gmax - f.max_us AS lag_us,
-             |       f.n_total, d.n_last_day
-             |FROM f JOIN d ON f.event_type = d.event_type, g
+             |       f.n_total, CAST(coalesce(d.n_last_day, 0) AS BIGINT) AS n_last_day
+             |FROM f LEFT JOIN d ON f.event_type = d.event_type, g
              |ORDER BY f.event_type""".stripMargin),
       (s, d) => {
         val ev = Tables.events(s, d).select(col("event_type"),
@@ -276,10 +310,15 @@ object Extras6 {
         val dd = ev.crossJoin(broadcast(g))
           .filter(col("us") >= col("gmax") - lit(86400000000L))
           .groupBy("event_type").agg(count(lit(1)).as("n_last_day"))
-        f.join(dd, "event_type").crossJoin(broadcast(g))
+        // LEFT join + coalesce(0): a feed silent for >24h has no
+        // trailing-day row, and an inner join would drop it from the
+        // report — the exact stale feed a freshness monitor exists to
+        // surface (lag_us large, n_last_day 0)
+        f.join(dd, Seq("event_type"), "left").crossJoin(broadcast(g))
           .select(col("event_type"), col("max_us"),
             (col("gmax") - col("max_us")).as("lag_us"),
-            col("n_total"), col("n_last_day"))
+            col("n_total"),
+            coalesce(col("n_last_day"), lit(0L)).as("n_last_day"))
           .orderBy("event_type")
       }),
 
@@ -292,36 +331,12 @@ object Extras6 {
     // DuckDB's are sample-corrected, Spark's population — the explicit
     // formula sidesteps the convention mismatch.
     Q("agg_skew_kurtosis",
-      Some("""WITH p AS (SELECT event_type,
-             |        CAST(count(*) AS DOUBLE) AS n,
-             |        CAST(sum(x) AS DOUBLE) AS s1, CAST(sum(x*x) AS DOUBLE) AS s2,
-             |        CAST(sum(x*x*x) AS DOUBLE) AS s3, CAST(sum(x*x*x*x) AS DOUBLE) AS s4
-             |      FROM (SELECT event_type,
-             |              CAST(round(value * 10) AS DECIMAL(38,0)) AS x FROM events) t
-             |      GROUP BY 1)
-             |SELECT event_type, CAST(n AS BIGINT) AS n_events,
-             |  CAST(round(((s3/n - 3*(s1/n)*(s2/n) + 2*(s1/n)*(s1/n)*(s1/n))
-             |    / pow(s2/n - (s1/n)*(s1/n), 1.5)) * 1e6) AS BIGINT) AS skew6,
-             |  CAST(round(((s4/n - 4*(s1/n)*(s3/n) + 6*(s1/n)*(s1/n)*(s2/n)
-             |      - 3*(s1/n)*(s1/n)*(s1/n)*(s1/n))
-             |    / ((s2/n - (s1/n)*(s1/n)) * (s2/n - (s1/n)*(s1/n))) - 3) * 1e6) AS BIGINT) AS kurt6
-             |FROM p ORDER BY event_type""".stripMargin),
+      Some(SkewKurtosisSql),
+      // same single-copy contract as HaversineSql: the closed-form
+      // moment formula's TEXT must be identical in both engines
       (s, d) => {
-        Tables.events(s, d).createOrReplaceTempView("events_mom")
-        s.sql("""WITH p AS (SELECT event_type,
-                |        CAST(count(*) AS DOUBLE) AS n,
-                |        CAST(sum(x) AS DOUBLE) AS s1, CAST(sum(x*x) AS DOUBLE) AS s2,
-                |        CAST(sum(x*x*x) AS DOUBLE) AS s3, CAST(sum(x*x*x*x) AS DOUBLE) AS s4
-                |      FROM (SELECT event_type,
-                |              CAST(round(value * 10) AS DECIMAL(38,0)) AS x FROM events_mom) t
-                |      GROUP BY 1)
-                |SELECT event_type, CAST(n AS BIGINT) AS n_events,
-                |  CAST(round(((s3/n - 3*(s1/n)*(s2/n) + 2*(s1/n)*(s1/n)*(s1/n))
-                |    / pow(s2/n - (s1/n)*(s1/n), 1.5)) * 1e6) AS BIGINT) AS skew6,
-                |  CAST(round(((s4/n - 4*(s1/n)*(s3/n) + 6*(s1/n)*(s1/n)*(s2/n)
-                |      - 3*(s1/n)*(s1/n)*(s1/n)*(s1/n))
-                |    / ((s2/n - (s1/n)*(s1/n)) * (s2/n - (s1/n)*(s1/n))) - 3) * 1e6) AS BIGINT) AS kurt6
-                |FROM p ORDER BY event_type""".stripMargin)
+        SqlSurface.registerViews(s, d, "events")
+        s.sql(SkewKurtosisSql)
       }),
 
     // repetition quality signals (the Gopher-style pretraining filters):

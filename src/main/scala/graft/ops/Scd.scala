@@ -26,8 +26,12 @@ object Scd {
   def buildScd2(df: DataFrame, key: Column, attr: Column, ts: Column,
       tie: Column): DataFrame = {
     val byTime = Window.partitionBy(key).orderBy(ts, tie)
-    val changed = lag(attr, 1).over(byTime).isNull ||
-      (lag(attr, 1).over(byTime) =!= attr)
+    // null-safe: mirrors the oracles' `lag(attr) IS DISTINCT FROM attr`
+    // exactly. The old `isNull || =!=` spelling diverged on NULL
+    // attributes (x→NULL never opened a version — =!= yields NULL —
+    // while NULL→NULL opened one per row); the helper is generic over
+    // CDC attributes, so the nullable case is part of its contract.
+    val changed = !(lag(attr, 1).over(byTime) <=> attr)
     val versioned = df.select(
       key.as("key"), attr.as("attr"), ts.as("ts"),
       sum(when(changed, 1L).otherwise(0L)).over(byTime).as("version"))

@@ -21,41 +21,36 @@ object SqlSurface {
   private def sql(views: Seq[String], q: String): (SparkSession, String) => DataFrame =
     (s, d) => { registerViews(s, d, views: _*); s.sql(q) }
 
+  /** Oracle text == engine text: ONE SQL string registered for both —
+    * DuckDB gets it as the oracle, Spark parses the same bytes. The
+    * nine queries below had byte-identical copies in both positions;
+    * a single-copy helper removes ~130 duplicated lines and the
+    * maintain-two-copies drift hazard (an edit to one copy read as a
+    * cross-engine failure instead of a compile-visible change). */
+  private def sameSql(name: String, views: Seq[String], q: String): Q =
+    Q(name, Some(q), sql(views, q))
+
   def queries: Seq[Q] = Seq(
     // TPC-H Q6-shaped filtered aggregate through the SQL parser;
     // predicate reaches the parquet scan as PushedFilters.
-    Q("sql_filtered_agg",
-      Some("""SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4)))
+    sameSql("sql_filtered_agg", Seq("lineitem"),
+      """SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4)))
              |            AS DOUBLE) AS revenue,
              |       count(*) AS n
              |FROM lineitem
              |WHERE l_discount >= 0.05 AND l_quantity < 24""".stripMargin),
-      sql(Seq("lineitem"),
-        """SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4)))
-          |            AS DOUBLE) AS revenue,
-          |       count(*) AS n
-          |FROM lineitem
-          |WHERE l_discount >= 0.05 AND l_quantity < 24""".stripMargin)),
 
     // named WINDOW clause: one window definition shared by several
     // functions — parsed once, planned as ONE Window operator (one
     // shuffle+sort on the partition key, not three).
-    Q("sql_named_window",
-      Some("""SELECT o_custkey, o_orderkey,
+    sameSql("sql_named_window", Seq("orders"),
+      """SELECT o_custkey, o_orderkey,
              |       CAST(row_number() OVER w AS BIGINT) AS rn,
              |       CAST(rank() OVER w AS BIGINT) AS rk,
              |       lag(o_totalprice) OVER w AS prev_price
              |FROM orders
              |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
              |ORDER BY o_custkey, o_orderkey""".stripMargin),
-      sql(Seq("orders"),
-        """SELECT o_custkey, o_orderkey,
-          |       CAST(row_number() OVER w AS BIGINT) AS rn,
-          |       CAST(rank() OVER w AS BIGINT) AS rk,
-          |       lag(o_totalprice) OVER w AS prev_price
-          |FROM orders
-          |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-          |ORDER BY o_custkey, o_orderkey""".stripMargin)),
 
     // Spark 4 collations: case-insensitive compare + sort via the
     // UTF8_LCASE collation (a property of the comparison, pushed into
@@ -94,43 +89,33 @@ object SqlSurface {
              |UNION ALL
              |SELECT c_custkey, 'nation', CAST(c_nationkey AS DOUBLE) FROM customer
              |ORDER BY c_custkey, metric""".stripMargin),
+      // INCLUDE NULLS spelled out: the oracle's UNION ALL keeps NULL
+      // values, and Spark's UNPIVOT default (EXCLUDE NULLS) would
+      // silently drop those rows the first time the column is nullable
       sql(Seq("customer"),
         """SELECT c_custkey, metric, val FROM customer
-          |UNPIVOT (val FOR metric IN (c_acctbal AS bal, c_nationkey AS nation))
+          |UNPIVOT INCLUDE NULLS (val FOR metric IN (c_acctbal AS bal, c_nationkey AS nation))
           |ORDER BY c_custkey, metric""".stripMargin)),
 
     // correlated LATERAL subquery with per-row LIMIT — top-2 orders per
     // customer written as the dependent join it is; Catalyst decorrelates
     // to a ranked window, not a per-row re-execution. DuckDB runs the
     // identical SQL.
-    Q("sql_lateral_topn",
-      Some("""SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+    sameSql("sql_lateral_topn", Seq("customer", "orders"),
+      """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
              |FROM customer c, LATERAL (
              |  SELECT o_orderkey, o_totalprice FROM orders o
              |  WHERE o.o_custkey = c.c_custkey
              |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
              |ORDER BY c_custkey, o_orderkey""".stripMargin),
-      sql(Seq("customer", "orders"),
-        """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
-          |FROM customer c, LATERAL (
-          |  SELECT o_orderkey, o_totalprice FROM orders o
-          |  WHERE o.o_custkey = c.c_custkey
-          |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
-          |ORDER BY c_custkey, o_orderkey""".stripMargin)),
 
     // correlated EXISTS subquery → planned as a semi join.
-    Q("sql_exists_subquery",
-      Some("""SELECT c_custkey, c_name FROM customer c
+    sameSql("sql_exists_subquery", Seq("customer", "orders"),
+      """SELECT c_custkey, c_name FROM customer c
              |WHERE EXISTS (SELECT 1 FROM orders o
              |              WHERE o.o_custkey = c.c_custkey
              |                AND o.o_totalprice > 100000)
              |ORDER BY c_custkey""".stripMargin),
-      sql(Seq("customer", "orders"),
-        """SELECT c_custkey, c_name FROM customer c
-          |WHERE EXISTS (SELECT 1 FROM orders o
-          |              WHERE o.o_custkey = c.c_custkey
-          |                AND o.o_totalprice > 100000)
-          |ORDER BY c_custkey""".stripMargin)),
 
     // explode_outer: generator that PRESERVES rows whose array is
     // empty (as a NULL element) — the left-join flavor of explode;
@@ -189,14 +174,10 @@ object SqlSurface {
     // keyset-free pagination: ORDER BY + LIMIT/OFFSET (Spark 3.4+
     // supports OFFSET). Page 3 of the price-ranked orders; the plan
     // still prunes with a global top-(limit+offset), not a full sort.
-    Q("sql_pagination",
-      Some("""SELECT o_orderkey, o_totalprice FROM orders
+    sameSql("sql_pagination", Seq("orders"),
+      """SELECT o_orderkey, o_totalprice FROM orders
              |ORDER BY o_totalprice DESC, o_orderkey
              |LIMIT 20 OFFSET 40""".stripMargin),
-      sql(Seq("orders"),
-        """SELECT o_orderkey, o_totalprice FROM orders
-          |ORDER BY o_totalprice DESC, o_orderkey
-          |LIMIT 20 OFFSET 40""".stripMargin)),
 
     // SQL view definition + consumption: the reusable-query surface
     // (a temp view of an aggregate consumed by a join) — Catalyst
@@ -221,14 +202,10 @@ object SqlSurface {
     // shorthand): every non-aggregate select item groups, every output
     // column orders — the hand-written list can't drift from the
     // projection.
-    Q("sql_group_by_all",
-      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+    sameSql("sql_group_by_all", Seq("lineitem"),
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
              |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
              |FROM lineitem GROUP BY ALL ORDER BY ALL""".stripMargin),
-      sql(Seq("lineitem"),
-        """SELECT l_returnflag, l_linestatus, count(*) AS n,
-          |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
-          |FROM lineitem GROUP BY ALL ORDER BY ALL""".stripMargin)),
 
     // parameterized SQL: named parameter markers bound server-side
     // (spark.sql(text, args)) — the injection-safe form of the
@@ -252,8 +229,8 @@ object SqlSurface {
     // zero rows (Spark plans the null-aware anti join to honor this);
     // NOT EXISTS is null-safe and returns the real complement. Both
     // branches in one query so the contrast is pinned by the oracle.
-    Q("sql_not_in_nulls",
-      Some("""WITH dim AS (SELECT CASE WHEN c_nationkey = 5 THEN c_custkey END AS k
+    sameSql("sql_not_in_nulls", Seq("customer", "orders"),
+      """WITH dim AS (SELECT CASE WHEN c_nationkey = 5 THEN c_custkey END AS k
              |            FROM customer)
              |SELECT 'not_in' AS variant, count(*) AS n FROM orders
              |WHERE o_custkey NOT IN (SELECT k FROM dim)
@@ -261,29 +238,14 @@ object SqlSurface {
              |SELECT 'not_exists', count(*) FROM orders o
              |WHERE NOT EXISTS (SELECT 1 FROM dim WHERE dim.k = o.o_custkey)
              |ORDER BY variant""".stripMargin),
-      sql(Seq("customer", "orders"),
-        """WITH dim AS (SELECT CASE WHEN c_nationkey = 5 THEN c_custkey END AS k
-          |            FROM customer)
-          |SELECT 'not_in' AS variant, count(*) AS n FROM orders
-          |WHERE o_custkey NOT IN (SELECT k FROM dim)
-          |UNION ALL
-          |SELECT 'not_exists', count(*) FROM orders o
-          |WHERE NOT EXISTS (SELECT 1 FROM dim WHERE dim.k = o.o_custkey)
-          |ORDER BY variant""".stripMargin)),
 
     // scalar subquery (uncorrelated) + IN subquery.
-    Q("sql_scalar_in_subquery",
-      Some("""SELECT o_orderkey, o_totalprice FROM orders
+    sameSql("sql_scalar_in_subquery", Seq("customer", "orders"),
+      """SELECT o_orderkey, o_totalprice FROM orders
              |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders) * 1.5
              |  AND o_custkey IN (SELECT c_custkey FROM customer
              |                    WHERE c_mktsegment = 'BUILDING')
              |ORDER BY o_orderkey""".stripMargin),
-      sql(Seq("customer", "orders"),
-        """SELECT o_orderkey, o_totalprice FROM orders
-          |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders) * 1.5
-          |  AND o_custkey IN (SELECT c_custkey FROM customer
-          |                    WHERE c_mktsegment = 'BUILDING')
-          |ORDER BY o_orderkey""".stripMargin)),
 
     // explicit GROUPING SETS (beyond cube/rollup).
     Q("sql_grouping_sets",
@@ -331,21 +293,13 @@ object SqlSurface {
       }),
 
     // multi-way star join through SQL (region→nation→customer→orders).
-    Q("sql_star_join",
-      Some("""SELECT r.r_name, n.n_name, count(o.o_orderkey) AS n_orders
+    sameSql("sql_star_join", Seq("region", "nation", "customer", "orders"),
+      """SELECT r.r_name, n.n_name, count(o.o_orderkey) AS n_orders
              |FROM region r
              |JOIN nation n ON n.n_regionkey = r.r_regionkey
              |JOIN customer c ON c.c_nationkey = n.n_nationkey
              |JOIN orders o ON o.o_custkey = c.c_custkey
              |GROUP BY r.r_name, n.n_name
-             |ORDER BY r.r_name, n.n_name""".stripMargin),
-      sql(Seq("region", "nation", "customer", "orders"),
-        """SELECT r.r_name, n.n_name, count(o.o_orderkey) AS n_orders
-          |FROM region r
-          |JOIN nation n ON n.n_regionkey = r.r_regionkey
-          |JOIN customer c ON c.c_nationkey = n.n_nationkey
-          |JOIN orders o ON o.o_custkey = c.c_custkey
-          |GROUP BY r.r_name, n.n_name
-          |ORDER BY r.r_name, n.n_name""".stripMargin))
+             |ORDER BY r.r_name, n.n_name""".stripMargin)
   )
 }

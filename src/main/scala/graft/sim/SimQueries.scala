@@ -116,9 +116,9 @@ object SimQueries {
              |      FROM embeddings) t
              |ORDER BY vec_id""".stripMargin),
       (s, d) => embeddings(s, d)
-        .withColumn("nrm", sqrt(aggregate(
-          transform(col("embedding"), x => x.cast("double") * x.cast("double")),
-          lit(0.0), (acc, v) => acc + v)))
+        // Similarity.norm IS the bit-exactness contract for this fold
+        // order — one definition, not an inline copy that could drift
+        .withColumn("nrm", Similarity.norm(col("embedding")))
         .select(col("vec_id") +: (1 to 4).map(i =>
           expr(s"CAST(round(CAST(element_at(embedding, $i) AS DOUBLE) / nrm * 1e6) AS BIGINT)")
             .as(s"d$i")): _*)

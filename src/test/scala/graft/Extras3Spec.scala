@@ -33,6 +33,24 @@ class Extras3Spec extends SparkSpec {
     assert(k1(0).getLong(5) == 2L)
   }
 
+  test("buildScd2 treats NULL attributes with IS DISTINCT FROM semantics") {
+    // x → NULL opens a version; NULL → NULL does NOT (one collapsed
+    // run); NULL → x opens again — mirrors the oracles' lag(attr)
+    // IS DISTINCT FROM attr. The old isNull|| =!= spelling missed the
+    // x→NULL boundary and split NULL runs row-by-row.
+    val df = Seq(
+      (1L, Some("x"), ts("2024-01-01 00:00:00"), 1L),
+      (1L, None, ts("2024-01-01 01:00:00"), 2L),
+      (1L, None, ts("2024-01-01 02:00:00"), 3L),
+      (1L, Some("x"), ts("2024-01-01 03:00:00"), 4L)
+    ).toDF("k", "v", "t", "id")
+    val out = Scd.buildScd2(df, col("k"), col("v"), col("t"), col("id"))
+      .orderBy("version").collect()
+    assert(out.map(r => (r.getLong(1),
+      if (r.isNullAt(2)) null else r.getString(2), r.getLong(5))).toSeq ==
+      Seq((1L, "x", 1L), (2L, null, 2L), (3L, "x", 1L)))
+  }
+
   test("buildScd2 breaks timestamp ties by the tie column") {
     val t0 = ts("2024-01-01 00:00:00")
     val df = Seq((1L, "b", t0, 2L), (1L, "a", t0, 1L)).toDF("k", "v", "t", "id")
