@@ -170,18 +170,16 @@ object IoQueries {
         java.nio.file.Files.writeString(
           java.nio.file.Paths.get(path, "bad.csv"),
           "n_nationkey,n_name,n_regionkey\nnot_an_int,BROKEN,9\n777,SHORT_ROW\n")
-        val schema = org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("n_nationkey",
-            org.apache.spark.sql.types.IntegerType),
-          org.apache.spark.sql.types.StructField("n_name",
-            org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField("n_regionkey",
-            org.apache.spark.sql.types.IntegerType)))
-        // cache() before touching _corrupt_record: with column pruning
-        // the parser only parses projected fields, so corruption in an
-        // unprojected field would go undetected (documented Spark
-        // caveat — the cache forces one full-row parse).
-        val df = Csv.readPermissive(s, path, schema).cache()
+        val schema = org.apache.spark.sql.types.StructType.fromDDL(
+          "n_nationkey INT, n_name STRING, n_regionkey INT")
+        // materialize before touching _corrupt_record: with column
+        // pruning the parser only parses projected fields, so
+        // corruption in an unprojected field would go undetected
+        // (documented Spark caveat — this forces one full-row parse).
+        // localCheckpoint, not cache(): CacheManager pins cached plans
+        // until an explicit unpersist a lazily-returned query can never
+        // issue; checkpoint blocks are ContextCleaner-reclaimed.
+        val df = Csv.readPermissive(s, path, schema).localCheckpoint()
         df.agg(count(lit(1)).as("n_total"),
           count(when(col("_corrupt_record").isNull, 1)).as("n_good"),
           count(col("_corrupt_record")).as("n_corrupt"),

@@ -22,15 +22,22 @@ object Extras {
         expr("percentile(o_totalprice, 0.9)").as("p90"))
         .orderBy("o_orderpriority")),
 
-    // arg-min/arg-max (min_by/max_by).
+    // arg-min/arg-max via lexicographic struct min/max: min_by/max_by
+    // (and DuckDB's arg_min/arg_max) pick an ARBITRARY row on value
+    // ties — partition-merge order decides — so the tiebreak is pinned
+    // into the ordering key itself: (price, orderkey). Equal prices
+    // resolve to the smallest/largest orderkey deterministically in
+    // both engines; same single-pass aggregation, no window.
     Q("agg_argminmax",
       Some("""SELECT o_orderpriority,
-             |       arg_min(o_orderkey, o_totalprice) AS cheapest_order,
-             |       arg_max(o_orderkey, o_totalprice) AS priciest_order
+             |       (min({'p': o_totalprice, 'k': o_orderkey})).k AS cheapest_order,
+             |       (max({'p': o_totalprice, 'k': o_orderkey})).k AS priciest_order
              |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
       (s, d) => orders(s, d).groupBy("o_orderpriority").agg(
-        min_by(col("o_orderkey"), col("o_totalprice")).as("cheapest_order"),
-        max_by(col("o_orderkey"), col("o_totalprice")).as("priciest_order"))
+        min(struct(col("o_totalprice").as("p"), col("o_orderkey").as("k")))
+          .getField("k").as("cheapest_order"),
+        max(struct(col("o_totalprice").as("p"), col("o_orderkey").as("k")))
+          .getField("k").as("priciest_order"))
         .orderBy("o_orderpriority")),
 
     // moment statistics — partition-merge order perturbs low bits →

@@ -125,7 +125,7 @@ object Extras11 {
              |       CAST(round((CAST(x1 AS DOUBLE) / n1 - CAST(x2 AS DOUBLE) / n2)
              |            / sqrt((CAST(x1 + x2 AS DOUBLE) / (n1 + n2))
              |                 * (1 - CAST(x1 + x2 AS DOUBLE) / (n1 + n2))
-             |                 * (1.0 / n1 + 1.0 / n2)) * 1e6) AS BIGINT) AS z_e6
+             |                 * (CAST(1 AS DOUBLE) / n1 + CAST(1 AS DOUBLE) / n2)) * 1e6) AS BIGINT) AS z_e6
              |FROM g""".stripMargin),
       (s, d) => Tables.orders(s, d)
         .agg(
@@ -141,7 +141,7 @@ object Extras11 {
           expr("""CAST(round((CAST(x1 AS DOUBLE) / n1 - CAST(x2 AS DOUBLE) / n2)
                  | / sqrt((CAST(x1 + x2 AS DOUBLE) / (n1 + n2))
                  |      * (1 - CAST(x1 + x2 AS DOUBLE) / (n1 + n2))
-                 |      * (1.0 / n1 + 1.0 / n2)) * 1e6) AS BIGINT)""".stripMargin)
+                 |      * (CAST(1 AS DOUBLE) / n1 + CAST(1 AS DOUBLE) / n2)) * 1e6) AS BIGINT)""".stripMargin)
             .as("z_e6"))),
 
     // hour-of-day seasonal index: each hour's mean event cents vs the
@@ -256,7 +256,9 @@ object Extras11 {
     // yet (here: customers still at non-positive balance) resolve to an
     // explicit UNKNOWN member instead of dropping or nulling — the
     // left join keeps fact conservation, the flag drives reprocessing.
-    // The filtered dim broadcasts; the fact never shuffles.
+    // The filtered dim is UNHINTED (r9 policy: customer scales with
+    // the corpus — a pinned broadcast is an executor OOM at 100 TB);
+    // stats/AQE broadcast it while it fits, else the join shuffles.
     Q("join_late_dim",
       Some("""SELECT o.o_orderkey AS ok, o.o_custkey AS ck,
              |       coalesce(c.c_mktsegment, 'UNKNOWN') AS seg,
@@ -268,7 +270,7 @@ object Extras11 {
       (s, d) => {
         val dim = Tables.customer(s, d).filter(col("c_acctbal") > 0)
         Tables.orders(s, d)
-          .join(broadcast(dim), col("o_custkey") === col("c_custkey"), "left")
+          .join(dim, col("o_custkey") === col("c_custkey"), "left")
           .select(col("o_orderkey").as("ok"), col("o_custkey").as("ck"),
             coalesce(col("c_mktsegment"), lit("UNKNOWN")).as("seg"),
             col("c_custkey").isNull.as("late_dim"))

@@ -302,13 +302,20 @@ object Extras4 {
     // requires NO sort or window — a pure codegen'd filter, the only
     // sampling that's free at 100 TB (sample_stratified is the
     // per-group-exact-k counterpart).
+    // the Knuth product computes in DECIMAL(38,0)/HUGEINT: in int64 it
+    // wraps at key ≈ 3.47e9 (well inside a 100 TB keyspace), where
+    // Spark's non-ANSI multiply goes silently negative and the
+    // sign-preserving % then ADMITS every wrapped row (~3× the rate
+    // over the high-key range) while DuckDB errors on the same input —
+    // the pmod/width-cliff class again. Still a pure codegen'd filter;
+    // results bit-identical below the wrap point.
     Q("sample_bernoulli",
       Some("""SELECT c_custkey, c_mktsegment FROM customer
-             |WHERE (c_custkey * 2654435761) % 4294967296 < 858993459
+             |WHERE (CAST(c_custkey AS HUGEINT) * 2654435761) % 4294967296 < 858993459
              |ORDER BY c_custkey""".stripMargin),
       (s, d) => {
         Tables.customer(s, d)
-          .filter((col("c_custkey") * lit(2654435761L)) % lit(4294967296L)
+          .filter(expr("(CAST(c_custkey AS DECIMAL(38,0)) * 2654435761) % 4294967296")
             < lit(858993459L))
           .select("c_custkey", "c_mktsegment")
           .orderBy("c_custkey")

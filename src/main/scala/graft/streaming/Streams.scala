@@ -488,14 +488,18 @@ object Streams {
     spark.read.parquet(outPath.toString).orderBy("ws")
   }
 
-  /** Stream-static join: the streaming fact joins a broadcast static
-    * dimension (the canonical enrichment topology — no stream state). */
+  /** Stream-static join: the streaming fact joins a static dimension
+    * (the canonical enrichment topology — no stream state). The dim is
+    * UNHINTED per the r9 broadcast policy: customer scales with the
+    * corpus, so stats/AQE broadcast it per microbatch while it fits
+    * and degrade to a shuffled join when it doesn't — a pinned
+    * broadcast(cust) is an executor OOM at 100 TB. */
   def enrichedPurchases(spark: SparkSession, dir: String): DataFrame = {
     val name = "graft_stream_enrich"
     val cust = spark.read.parquet(s"$dir/customer.parquet")
     val q = eventsStream(spark, dir)
       .filter(col("event_type") === "purchase")
-      .join(broadcast(cust), col("user_id") === col("c_custkey"), "left")
+      .join(cust, col("user_id") === col("c_custkey"), "left")
       .select(col("event_id"), col("user_id"), col("c_name"), col("c_mktsegment"))
       .writeStream.outputMode("append")
       .format("memory").queryName(name)
