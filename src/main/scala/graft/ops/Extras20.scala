@@ -59,25 +59,14 @@ object Extras20 {
         val ev = Tables.events(s, d)
         val c0 = ev.select(col("event_id"), col("ts"),
           round(col("value") * 100).cast("long").as("cents"))
-        // nine exact decile cutpoints via the distributed CDF — the
-        // percentile_disc spelling buffers the whole column per
-        // cutpoint (ScaleRank.exactQuantilesDisc doc)
-        val q = ScaleRank.exactQuantilesDisc(c0, "cents",
-          (1 to 9).map(_ -> 10), (1 to 9).map(i => s"q$i"))
+        // nine exact decile cutpoints via the distributed CDF + the
+        // shared CASE ladder — the percentile_disc spelling buffers
+        // the whole column per cutpoint (ScaleRank.exactQuantilesDisc
+        // doc)
         val m = ev.agg(min(unix_micros(col("ts"))).as("mn"),
           max(unix_micros(col("ts"))).as("mx"))
-        val c = c0.crossJoin(broadcast(q)).crossJoin(broadcast(m))
-          .withColumn("bk",
-            when(col("cents") <= col("q1"), 1L)
-              .when(col("cents") <= col("q2"), 2L)
-              .when(col("cents") <= col("q3"), 3L)
-              .when(col("cents") <= col("q4"), 4L)
-              .when(col("cents") <= col("q5"), 5L)
-              .when(col("cents") <= col("q6"), 6L)
-              .when(col("cents") <= col("q7"), 7L)
-              .when(col("cents") <= col("q8"), 8L)
-              .when(col("cents") <= col("q9"), 9L)
-              .otherwise(10L))
+        val c = ScaleRank.binByQuantiles(c0, "cents", 10, "bk")
+          .crossJoin(broadcast(m))
           .withColumn("half",
             when(unix_micros(col("ts")) * 2 <= col("mn") + col("mx"), 1)
               .otherwise(2))

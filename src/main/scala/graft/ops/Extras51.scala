@@ -37,18 +37,7 @@ object Extras51 {
              |FROM a CROSS JOIN vw GROUP BY vw.n_viewers""".stripMargin),
       (s, d) => {
         val ev = Tables.events(s, d)
-        val p = ev.filter(col("event_type") === "purchase").select(
-          col("user_id").as("k"), col("ts").as("t"), col("event_id"),
-          lit(null).cast("timestamp").as("v_ts"), lit(1).as("is_probe"))
-        val v = ev.filter(col("event_type") === "view").select(
-          col("user_id").as("k"), col("ts").as("t"),
-          lit(null).cast("long").as("event_id"),
-          col("ts").as("v_ts"), lit(0).as("is_probe"))
-        val w = Window.partitionBy("k").orderBy(col("t"), col("is_probe"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val delays = p.unionByName(v)
-          .withColumn("last_view_ts", last("v_ts", ignoreNulls = true).over(w))
-          .filter(col("is_probe") === 1)
+        val delays = Joins.asOfViews(ev, Seq("last_view_ts" -> false))
           .select(col("k").as("user_id"),
             (unix_micros(col("t")) - unix_micros(col("last_view_ts")))
               .as("delay_us"))
@@ -159,16 +148,11 @@ object Extras51 {
       (s, d) => {
         val c = Tables.lineitem(s, d)
           .select(expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("v"))
-        // exact quartiles via the distributed CDF (percentile_disc
-        // buffers the whole column per cutpoint — 4.3s serial at sf0.1
-        // and unbounded memory at scale; see ScaleRank.exactQuantilesDisc)
-        val q = ScaleRank.exactQuantilesDisc(c, "v",
-          Seq(1 -> 4, 2 -> 4, 3 -> 4), Seq("q1", "q2", "q3"))
-        c.crossJoin(broadcast(q))
-          .select(when(col("v") <= col("q1"), 1L)
-            .when(col("v") <= col("q2"), 2L)
-            .when(col("v") <= col("q3"), 3L)
-            .otherwise(4L).as("bin"), col("v"))
+        // exact quartiles via the distributed CDF + shared CASE ladder
+        // (percentile_disc buffers the whole column per cutpoint —
+        // 4.3s serial at sf0.1 and unbounded memory at scale; see
+        // ScaleRank.exactQuantilesDisc)
+        ScaleRank.binByQuantiles(c, "v", 4, "bin")
           .groupBy("bin")
           .agg(count(lit(1)).cast("long").as("n_rows"),
             countDistinct("v").cast("long").as("ndv"),
@@ -219,14 +203,11 @@ object Extras51 {
              |ORDER BY fs.bin""".stripMargin),
       (s, d) => {
         val f = Tables.orders(s, d).select(col("o_custkey").as("k"))
-        val q = ScaleRank.exactQuantilesDisc(f, "k",
-          Seq(1 -> 4, 2 -> 4, 3 -> 4), Seq("q1", "q2", "q3"))
-        def binned(df: org.apache.spark.sql.DataFrame) = df
-          .crossJoin(broadcast(q))
-          .select(when(col("k") <= col("q1"), 1L)
-            .when(col("k") <= col("q2"), 2L)
-            .when(col("k") <= col("q3"), 3L)
-            .otherwise(4L).as("bin"), col("k"))
+        // cuts computed ONCE from the fact side; both frames bin
+        // against the same boundaries (that's the histogram contract)
+        val q = ScaleRank.quantileCuts(f, "k", 4)
+        def binned(df: org.apache.spark.sql.DataFrame) =
+          ScaleRank.binByCuts(df, "k", 4, "bin", q)
         val fs = binned(f).groupBy("bin")
           .agg(count(lit(1)).cast("long").as("n_fact"),
             countDistinct("k").cast("long").as("ndv_fact"))

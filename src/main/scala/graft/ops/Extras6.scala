@@ -206,16 +206,11 @@ object Extras6 {
       (s, d) => {
         val c = Tables.orders(s, d)
           .select(col("o_orderkey"), round(col("o_totalprice") * 100).cast("long").as("cents"))
-        // distributed exact quartiles — percentile_disc's whole-column
-        // aggregate buffer is the non-scalable spelling (ScaleRank.
-        // exactQuantilesDisc doc)
-        val q = ScaleRank.exactQuantilesDisc(c, "cents",
-          Seq(1 -> 4, 2 -> 4, 3 -> 4), Seq("q1", "q2", "q3"))
-        c.crossJoin(broadcast(q))
-          .select(when(col("cents") <= col("q1"), 1L)
-            .when(col("cents") <= col("q2"), 2L)
-            .when(col("cents") <= col("q3"), 3L)
-            .otherwise(4L).as("bucket"), col("cents"))
+        // distributed exact quartiles + shared CASE ladder —
+        // percentile_disc's whole-column aggregate buffer is the
+        // non-scalable spelling (ScaleRank.exactQuantilesDisc doc)
+        ScaleRank.binByQuantiles(c, "cents", 4, "bucket")
+          .select(col("bucket"), col("cents"))
           .groupBy("bucket")
           .agg(count(lit(1)).as("n"), min(col("cents")).as("lo_cents"),
             max(col("cents")).as("hi_cents"))

@@ -136,24 +136,10 @@ object Extras9 {
              |          AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR) AS last_view_ts
              |FROM events p WHERE p.event_type = 'purchase'
              |ORDER BY p.event_id""".stripMargin),
-      (s, d) => {
-        val ev = Tables.events(s, d)
-        val p = ev.filter(col("event_type") === "purchase").select(
-          col("user_id").as("k"), col("ts").as("t"), col("event_id"),
-          lit(null).cast("timestamp").as("v_ts"), lit(1).as("is_probe"))
-        val v = ev.filter(col("event_type") === "view").select(
-          col("user_id").as("k"), col("ts").as("t"),
-          lit(null).cast("long").as("event_id"),
-          col("ts").as("v_ts"), lit(0).as("is_probe"))
-        val w = Window.partitionBy("k").orderBy(col("t"), col("is_probe"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        p.unionByName(v)
-          .withColumn("lv", last("v_ts", ignoreNulls = true).over(w))
-          .filter(col("is_probe") === 1)
-          .select(col("event_id"), col("k").as("user_id"), col("t").as("ts"),
-            when(expr("lv >= t - INTERVAL 1 HOUR"), col("lv")).as("last_view_ts"))
-          .orderBy("event_id")
-      }),
+      (s, d) => Joins.asOfViews(Tables.events(s, d), Seq("lv" -> false))
+        .select(col("event_id"), col("k").as("user_id"), col("t").as("ts"),
+          when(expr("lv >= t - INTERVAL 1 HOUR"), col("lv")).as("last_view_ts"))
+        .orderBy("event_id")),
 
     // weighted median quantity per return flag, weighted by price cents:
     // the smallest q with 2·cumweight ≥ totalweight — the threshold

@@ -22,6 +22,46 @@ import org.apache.spark.sql.functions._
   */
 object Joins {
 
+  /** The union-as-of kernel shared by EVERY as-of variant (backward,
+    * forward, nearest, tolerance, and Extras51's funnel): purchases
+    * (probes) and views (candidates) unioned into one frame, ONE hash
+    * shuffle on the user key, in-partition sort by (t, is_probe) —
+    * candidates sort before probes at equal timestamps, which encodes
+    * the "<=" semantics (">=" when descending) — then a running
+    * last(ignoreNulls) carries the matched view timestamp onto each
+    * probe row. `dirs` adds one output column per (name, descending)
+    * pair; all windows share the partitionBy("k") exchange, so the
+    * nearest join's two directions ride one shuffle (two in-partition
+    * sorts). The tie-ordering convention lives HERE and nowhere else —
+    * it used to be copy-pasted at five sites, where a fix to one copy
+    * could silently miss the others (each site has its own oracle, so
+    * a missed copy = a latent divergence, not a loud failure).
+    *
+    * Returns probe rows (event_id, k, t, dirs...); callers rename. */
+  def asOfViews(ev: org.apache.spark.sql.DataFrame,
+      dirs: Seq[(String, Boolean)]): org.apache.spark.sql.DataFrame = {
+    val p = ev.filter(col("event_type") === "purchase").select(
+      col("user_id").as("k"), col("ts").as("t"), col("event_id"),
+      lit(null).cast("timestamp").as("v_ts"), lit(1).as("is_probe"))
+    val v = ev.filter(col("event_type") === "view").select(
+      col("user_id").as("k"), col("ts").as("t"),
+      lit(null).cast("long").as("event_id"),
+      col("ts").as("v_ts"), lit(0).as("is_probe"))
+    val out = dirs.foldLeft(p.unionByName(v)) { case (df, (name, desc)) =>
+      val ord = if (desc) col("t").desc else col("t").asc
+      // unboundedPreceding→currentRow evaluates incrementally (O(n)
+      // per partition); the mirrored descending sort keeps the forward
+      // direction on the same frame shape (a following frame would be
+      // re-evaluated per row — O(n²) on a hot key)
+      val w = Window.partitionBy("k").orderBy(ord, col("is_probe"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      df.withColumn(name, last("v_ts", ignoreNulls = true).over(w))
+    }
+    out.filter(col("is_probe") === 1)
+      .select(col("event_id") +: col("k") +: col("t") +:
+        dirs.map(d => col(d._1)): _*)
+  }
+
   def queries: Seq[Q] = Seq(
     // J1 — FK equi-join, 1-N (reference models.py:17,32: jobs.user_id →
     // users.id). No broadcast hint on purpose: customer SCALES with the
@@ -81,25 +121,10 @@ object Joins {
              |          AND v.ts <= p.ts) AS last_view_ts
              |FROM events p WHERE p.event_type = 'purchase'
              |ORDER BY p.event_id""".stripMargin),
-      (s, d) => {
-        val ev = events(s, d)
-        val p = ev.filter(col("event_type") === "purchase").select(
-          col("user_id").as("k"), col("ts").as("t"), col("event_id"),
-          lit(null).cast("timestamp").as("v_ts"), lit(1).as("is_probe"))
-        val v = ev.filter(col("event_type") === "view").select(
-          col("user_id").as("k"), col("ts").as("t"),
-          lit(null).cast("long").as("event_id"),
-          col("ts").as("v_ts"), lit(0).as("is_probe"))
-        // views sort before purchases at equal timestamps → "<=" semantics
-        val w = Window.partitionBy("k").orderBy(col("t"), col("is_probe"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        p.unionByName(v)
-          .withColumn("last_view_ts", last("v_ts", ignoreNulls = true).over(w))
-          .filter(col("is_probe") === 1)
-          .select(col("event_id"), col("k").as("user_id"), col("t").as("ts"),
-            col("last_view_ts"))
-          .orderBy("event_id")
-      }),
+      (s, d) => asOfViews(events(s, d), Seq("last_view_ts" -> false))
+        .select(col("event_id"), col("k").as("user_id"), col("t").as("ts"),
+          col("last_view_ts"))
+        .orderBy("event_id")),
 
     // forward as-of join — for each purchase, the user's EARLIEST view
     // at or after it. Same union + one-shuffle formulation as the
@@ -115,25 +140,10 @@ object Joins {
              |          AND v.ts >= p.ts) AS next_view_ts
              |FROM events p WHERE p.event_type = 'purchase'
              |ORDER BY p.event_id""".stripMargin),
-      (s, d) => {
-        val ev = events(s, d)
-        val p = ev.filter(col("event_type") === "purchase").select(
-          col("user_id").as("k"), col("ts").as("t"), col("event_id"),
-          lit(null).cast("timestamp").as("v_ts"), lit(1).as("is_probe"))
-        val v = ev.filter(col("event_type") === "view").select(
-          col("user_id").as("k"), col("ts").as("t"),
-          lit(null).cast("long").as("event_id"),
-          col("ts").as("v_ts"), lit(0).as("is_probe"))
-        // descending time; views sort before probes at equal t → ">="
-        val w = Window.partitionBy("k").orderBy(col("t").desc, col("is_probe"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        p.unionByName(v)
-          .withColumn("next_view_ts", last("v_ts", ignoreNulls = true).over(w))
-          .filter(col("is_probe") === 1)
-          .select(col("event_id"), col("k").as("user_id"), col("t").as("ts"),
-            col("next_view_ts"))
-          .orderBy("event_id")
-      }),
+      (s, d) => asOfViews(events(s, d), Seq("next_view_ts" -> true))
+        .select(col("event_id"), col("k").as("user_id"), col("t").as("ts"),
+          col("next_view_ts"))
+        .orderBy("event_id")),
 
     // nearest as-of join — for each purchase, the user's view event
     // CLOSEST in time, either direction (ties → the earlier one). Both
@@ -157,22 +167,7 @@ object Joins {
              |FROM p JOIN b USING (event_id) JOIN f USING (event_id)
              |ORDER BY event_id""".stripMargin),
       (s, d) => {
-        val ev = events(s, d)
-        val p = ev.filter(col("event_type") === "purchase").select(
-          col("user_id").as("k"), col("ts").as("t"), col("event_id"),
-          lit(null).cast("timestamp").as("v_ts"), lit(1).as("is_probe"))
-        val v = ev.filter(col("event_type") === "view").select(
-          col("user_id").as("k"), col("ts").as("t"),
-          lit(null).cast("long").as("event_id"),
-          col("ts").as("v_ts"), lit(0).as("is_probe"))
-        val wb = Window.partitionBy("k").orderBy(col("t"), col("is_probe"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val wf = Window.partitionBy("k").orderBy(col("t").desc, col("is_probe"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        p.unionByName(v)
-          .withColumn("bt", last("v_ts", ignoreNulls = true).over(wb))
-          .withColumn("ft", last("v_ts", ignoreNulls = true).over(wf))
-          .filter(col("is_probe") === 1)
+        asOfViews(events(s, d), Seq("bt" -> false, "ft" -> true))
           .withColumn("nearest_view_ts",
             when(col("bt").isNull, col("ft"))
               .when(col("ft").isNull, col("bt"))

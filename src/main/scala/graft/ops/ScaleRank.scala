@@ -530,6 +530,38 @@ object ScaleRank {
     ranked.crossJoin(broadcast(tot)).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** The 1-row equi-height cutpoint table for `nBins` bins of
+    * `valueCol` (columns q1..q(nBins−1)) — [[exactQuantilesDisc]] with
+    * the (i, nBins) fractions spelled once. Pair with [[binByCuts]];
+    * compute the cuts separately when several frames must bin against
+    * the SAME boundaries (join_cost_advisor bins fact and dim sides
+    * into one histogram). */
+  def quantileCuts(df: DataFrame, valueCol: String, nBins: Int): DataFrame =
+    exactQuantilesDisc(df, valueCol,
+      (1 until nBins).map(_ -> nBins), (1 until nBins).map(i => s"q$i"))
+
+  /** Adds `binCol` ∈ 1..nBins to `df` by the broadcast when-chain over
+    * a [[quantileCuts]] table: bin i ⇔ value ≤ qi (last bin catches
+    * the rest) — the ONE spelling of the CASE ladder every equi-height
+    * consumer (quantile buckets, histograms, PSI deciles, the join
+    * cost advisor) previously hand-rolled, each needing to stay in
+    * lockstep with its oracle's CASE text. Map-side only: the cuts
+    * broadcast, the chain is codegen'd, no shuffle. */
+  def binByCuts(df: DataFrame, valueCol: String, nBins: Int,
+      binCol: String, cuts: DataFrame): DataFrame = {
+    val first = when(col(valueCol) <= col("q1"), 1L)
+    val chain = (2 until nBins).foldLeft(first)((acc, i) =>
+      acc.when(col(valueCol) <= col(s"q$i"), i.toLong))
+    df.crossJoin(broadcast(cuts))
+      .withColumn(binCol, chain.otherwise(nBins.toLong))
+      .drop((1 until nBins).map(i => s"q$i"): _*)
+  }
+
+  /** [[quantileCuts]] + [[binByCuts]] in one call (single-frame case). */
+  def binByQuantiles(df: DataFrame, valueCol: String, nBins: Int,
+      binCol: String): DataFrame =
+    binByCuts(df, valueCol, nBins, binCol, quantileCuts(df, valueCol, nBins))
+
   /** Per-GROUP exact discrete quantiles — [[exactQuantilesDisc]] for
     * `percentile_disc WITHIN GROUP ... GROUP BY g`, whose per-group
     * aggregation buffers hold every value of the group (a group at

@@ -274,24 +274,28 @@ object DedupQueries {
 
     // C4-style global line dedup: a "line" here is a 16-token block
     // (this corpus has no newlines), and a block survives only at its
-    // FIRST corpus occurrence — (doc_id, block_idx) minimal over every
-    // doc containing the same block text. Per-doc report of kept vs
-    // total blocks. Scale shape: one explode to blocks, one
-    // partial+final min-aggregation keyed by block text (Spark hashes
-    // the text key — at 100 TB swap the key for its md5 to bound
-    // shuffle width, same plan), one broadcast-free semi-join back on
-    // the (text, doc, idx) triple via the min-struct compare.
+    // FIRST corpus occurrence — (doc_id, block_idx) lexicographically
+    // minimal over every occurrence of the same block text, compared
+    // as a STRUCT (the old packed doc_id*1e6+bi key silently collided
+    // for any document with ≥1e6 blocks — the width-cliff class, and
+    // the oracle shared the formula so the harness was blind to it).
+    // Scale shape: ONE explode of the corpus into a (line, doc)-grain
+    // aggregate that is locally checkpointed — the dedup working set a
+    // C4 pipeline materializes anyway — then the global-first
+    // aggregation and the join back both read that materialization
+    // instead of re-scanning and re-tokenizing the corpus (the
+    // previous plan's two blk subtrees each paid the full scan).
     Q("dedup_lines",
       Some("""WITH tok AS (SELECT doc_id, string_split_regex(lower(trim(text)), ' +') AS toks
              |            FROM documents),
              |blk AS (SELECT doc_id, bi,
              |          array_to_string(toks[1 + bi*16 : (bi+1)*16], ' ') AS line
              |        FROM tok, LATERAL unnest(range(CAST(ceil(len(toks) / 16.0) AS BIGINT))) r(bi)),
-             |firsts AS (SELECT line, min(doc_id * 1000000 + bi) AS first_key
+             |firsts AS (SELECT line, min({'d': doc_id, 'b': bi}) AS fk
              |           FROM blk GROUP BY line)
              |SELECT b.doc_id,
              |       count(*) AS n_blocks,
-             |       CAST(sum(CASE WHEN b.doc_id * 1000000 + b.bi = f.first_key
+             |       CAST(sum(CASE WHEN b.doc_id = (f.fk).d AND b.bi = (f.fk).b
              |                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
              |FROM blk b JOIN firsts f USING (line)
              |GROUP BY b.doc_id ORDER BY doc_id""".stripMargin),
@@ -305,13 +309,20 @@ object DedupQueries {
                 .stripMargin)))
           .select(col("doc_id"), col("pos").cast("long").as("bi"),
             col("col").as("line"))
-        val firsts = blk.groupBy("line")
-          .agg(min(col("doc_id") * 1000000L + col("bi")).as("first_key"))
-        blk.join(firsts, "line")
+        // (line, doc) grain: occurrence count + first position within
+        // the doc. Lexicographic min over (doc_id, min_bi) equals the
+        // occurrence-level min, so the rollup loses nothing.
+        val g1 = blk.groupBy("line", "doc_id")
+          .agg(count(lit(1)).as("n_occ"), min(col("bi")).as("min_bi"))
+          .localCheckpoint()
+        val firsts = g1.groupBy("line")
+          .agg(min(struct(col("doc_id").as("d"), col("min_bi").as("b")))
+            .as("fk"))
+        g1.join(firsts, "line")
           .groupBy("doc_id").agg(
-            count(lit(1)).as("n_blocks"),
-            sum(when(col("doc_id") * 1000000L + col("bi") === col("first_key"), 1L)
-              .otherwise(0L)).as("n_kept"))
+            sum(col("n_occ")).as("n_blocks"),
+            sum(when(col("doc_id") === col("fk.d") &&
+              col("min_bi") === col("fk.b"), 1L).otherwise(0L)).as("n_kept"))
           .orderBy("doc_id")
       }),
 
@@ -560,18 +571,24 @@ object DedupQueries {
       if (!Files.exists(target)) {
         val tmp = Files.createTempDirectory(
           Paths.get(sys.props("java.io.tmpdir")), "." + prefix)
-        val staged = tmp.resolve("root")
-        build(staged.toString)
-        try Files.move(staged, target, StandardCopyOption.ATOMIC_MOVE)
-        catch {
-          // another process published the identical artifact first
-          case _: java.nio.file.FileAlreadyExistsException |
-               _: java.nio.file.DirectoryNotEmptyException |
-               _: java.nio.file.AccessDeniedException => ()
-        }
-        // reap whatever of the temp shell remains (the staged dir if
-        // we lost the publish race, else just the empty shell)
-        Dedup.deleteRecursively(tmp)
+        // finally-reap: a build() failure (executor loss mid-write)
+        // must not orphan the partially-written scratch index; the
+        // other staging paths (appendIndex, publishNextGen) carry the
+        // same guarantee
+        try {
+          val staged = tmp.resolve("root")
+          build(staged.toString)
+          try Files.move(staged, target, StandardCopyOption.ATOMIC_MOVE)
+          catch {
+            // another process published the identical artifact first
+            case _: java.nio.file.FileAlreadyExistsException |
+                 _: java.nio.file.DirectoryNotEmptyException |
+                 _: java.nio.file.AccessDeniedException => ()
+          }
+        } finally
+          // reap whatever of the temp shell remains (the staged dir if
+          // we lost the publish race or build threw, else the shell)
+          Dedup.deleteRecursively(tmp)
       }
     }
     target.toString
