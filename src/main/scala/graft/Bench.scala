@@ -48,6 +48,11 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    // the JSON line is built with f-interpolators (java String.format
+    // under the DEFAULT locale): on a comma-decimal locale (de_DE, …)
+    // "%.3f" renders 58,123 and the driver's json-parse of the last
+    // stdout line fails — pin the whole process to ROOT
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
@@ -94,15 +99,27 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT", "1").toInt
 
-    def run(q: Q, s: SparkSession): (String, Double) = {
+    // Failed queries are RECORDED in the parsed JSON (`failed` count +
+    // names), not just on stderr: a query that throws 0.3s in would
+    // otherwise be indistinguishable from a fast success in the
+    // machine-readable artifact — and the headline min-of-two would
+    // actively SELECT the failure time as the official number.
+    val failedQueries =
+      java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    def runChecked(q: Q, s: SparkSession): (Double, Boolean) = {
       val t0 = System.nanoTime()
-      try q.fn(s, sfDir).write.format("noop").mode("overwrite").save()
-      catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
-      }
-      q.name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { q.fn(s, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch {
+          case e: Throwable =>
+            failedQueries.add(q.name)
+            System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
+            false
+        }
+      ((System.nanoTime() - t0) / 1e9, ok)
     }
+    def run(q: Q, s: SparkSession): (String, Double) =
+      q.name -> runChecked(q, s)._1
 
     only.foreach { names =>
       (1 to repeats).foreach { i =>
@@ -177,13 +194,17 @@ object Bench {
     // both columns in the machine-readable artifact, not just stderr.
     val headRuns = Registry.all.filter(q => headline.contains(q.name))
       .map { q =>
-        def once() =
-          run(q, if (q.name.startsWith("stream_")) spark.newSession() else spark)._2
-        val t1 = once(); val t2 = once()
+        // a failed run must not win the min (a 0.3s throw would record
+        // a bogus 100x speedup) — prefer the min over SUCCESSFUL runs
+        def once(): (Double, Boolean) = runChecked(q,
+          if (q.name.startsWith("stream_")) spark.newSession() else spark)
+        val (t1, ok1) = once(); val (t2, ok2) = once()
         System.err.println(f"[bench-headline] ${q.name} run1=$t1%.3f run2=$t2%.3f")
-        (q.name, t1, t2)
+        val best = (Seq(t1 -> ok1, t2 -> ok2).collect { case (t, true) => t }
+          match { case Nil => Seq(t1, t2); case oks => oks }).min
+        (q.name, t1, t2, best)
       }
-    val headTimes = headRuns.map { case (n, t1, t2) => n -> math.min(t1, t2) }
+    val headTimes = headRuns.map { case (n, _, _, best) => n -> best }
     val wallHead = (System.nanoTime() - wall0) / 1e9
     val ec = ExecutionContext.fromExecutorService(Executors.newFixedThreadPool(pool))
     val batchTimes =
@@ -223,7 +244,7 @@ object Bench {
     // ~1.1 KB at 15 headliners).
     val qs = jsonMap(headTimes)
     val runsJson = headRuns
-      .map { case (n, t1, t2) => "\"" + n + f"\":[$t1%.2f,$t2%.2f]" }
+      .map { case (n, t1, t2, _) => "\"" + n + f"\":[$t1%.2f,$t2%.2f]" }
       .mkString("{", ",", "}")
     // Stop Spark BEFORE printing so nothing (shutdown logging included)
     // can land on stdout after the json line — the driver parses the
@@ -237,7 +258,17 @@ object Bench {
     // (the r8 adjudication needed exactly this split).
     val wallsJson =
       f"""{"headline":$wallHead%.1f,"batch_pool":$wallBatch%.1f,"stream_pool":$wallStream%.1f}"""
+    // failed queries surface IN the artifact (count + up to 10 names,
+    // bounded so the stdout line stays under the driver's tail limit);
+    // normally "failed":0 — any other value means the timings beside
+    // it are not all real successes
+    val failedJson = {
+      import scala.jdk.CollectionConverters._
+      val names = failedQueries.asScala.toSeq.sorted
+      f""""failed":${names.size},"failed_queries":${
+        names.take(10).map("\"" + _ + "\"").mkString("[", ",", "]")}"""
+    }
     println(
-      f"""{"metric":"total","value":$wall%.3f,"unit":"sec","pool":$pool,"serial_sum":$serialSum%.3f,"n_queries":${results.size},"walls":$wallsJson,"queries":$qs,"runs":$runsJson,"sf":"$sfDir"}""")
+      f"""{"metric":"total","value":$wall%.3f,"unit":"sec","pool":$pool,"serial_sum":$serialSum%.3f,"n_queries":${results.size},$failedJson,"walls":$wallsJson,"queries":$qs,"runs":$runsJson,"sf":"$sfDir"}""")
   }
 }

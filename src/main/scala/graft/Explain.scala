@@ -42,9 +42,10 @@ object Explain {
         // round-9: the multi-day append cycle probing the grown index
         "dedup_index_append",
         // round-10: generation-resolved repair probe, banded embedding
-        // dedup, the sampled recall report, the native bloom prefilter
+        // dedup, the sampled recall report (dedup_bloom_prefilter
+        // already audited in the round-4 block above)
         "dedup_index_repair", "dedup_embedding_banded",
-        "emb_band_recall", "dedup_bloom_prefilter")
+        "emb_band_recall")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

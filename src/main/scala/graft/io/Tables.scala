@@ -25,7 +25,13 @@ object Tables {
   def normalizeEventsTs(df: DataFrame): DataFrame =
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        // FLOOR division, not `div` (which truncates toward zero): a
+        // pre-epoch nano value like -1500 must become -2 µs, not -1 —
+        // `div` would read such a row 1 µs later than DuckDB reads the
+        // same file. (ts - pmod(ts, 1000)) is exactly divisible, so
+        // the remaining div is floor for any sign.
+        df.withColumn("ts",
+          expr("timestamp_micros((ts - pmod(ts, 1000)) div 1000)"))
       case org.apache.spark.sql.types.TimestampType => df
       case org.apache.spark.sql.types.TimestampNTZType =>
         df.withColumn("ts", col("ts").cast("timestamp"))

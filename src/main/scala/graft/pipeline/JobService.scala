@@ -43,7 +43,15 @@ final class JobService(spark: SparkSession, store: CatalogStore) {
     * default) or "scrypt" (werkzeug wire format, reference app.py:88).
     */
   def register(username: String, password: String,
-      method: String = "sha256"): Boolean = {
+      method: String = "sha256"): Boolean = synchronized {
+    // synchronized: register/startEtl are read-modify-write cycles
+    // (max(id)+1 allocation + full-table rewrite from the read) — two
+    // unserialized calls would mint the same id and the second write
+    // would drop the first's row (last-writer-wins). The lock makes
+    // THIS service single-writer, matching the CatalogStore contract
+    // (one writer per store, like the reference's DB session; a
+    // multi-process deployment uses JdbcCatalog where the database
+    // serializes).
     val existing = users
     if (!existing.filter(col("username") === username).isEmpty) false
     else {
@@ -85,25 +93,46 @@ final class JobService(spark: SparkSession, store: CatalogStore) {
     * Failed. */
   def startEtl(username: String, inPath: String, outPath: String,
       opts: Pipelines.EtlOptions = Pipelines.EtlOptions()): Long = {
+    // fail like the reference's auth check (an error naming the input),
+    // not with an opaque NoSuchElementException off an empty head()
     val userId = users.filter(col("username") === username)
-      .select("id").head().getLong(0)
-    val existing = jobs
-    val jobId = existing.agg(coalesce(max("id"), lit(0L))).head().getLong(0) + 1
+      .select("id").limit(1).collect().headOption
+      .getOrElse(throw new IllegalArgumentException(
+        s"startEtl: unknown user '$username'"))
+      .getLong(0)
     val fileName = inPath.split('/').last
-    def jobRow(status: String, resultUrl: Option[String]) =
-      spark.range(1).select(
-        lit(jobId).as("id"), lit(fileName).as("filename"),
-        lit(status).as("status"),
-        resultUrl.map(lit(_)).getOrElse(lit(null).cast("string")).as("result_url"),
-        current_timestamp().as("upload_time"), lit(userId).as("user_id"))
-    store.writeJobs(existing.unionByName(jobRow("Processing", None)))
+    // insert (id allocation + Processing row) under the single-writer
+    // lock; the pipeline itself runs OUTSIDE it
+    val jobId = synchronized {
+      val existing = jobs
+      val id = existing.agg(coalesce(max("id"), lit(0L))).head().getLong(0) + 1
+      store.writeJobs(existing.unionByName(
+        jobRow(id, fileName, userId, "Processing", None, insert = true)))
+      id
+    }
     val ok = Pipelines.processData(spark, inPath, outPath, opts)
     val done =
-      if (ok) jobRow("Completed", Some(outPath))
-      else jobRow("Failed", None)
-    store.writeJobs(graft.io.Catalog.mergeJobs(jobs, done))
+      if (ok) jobRow(jobId, fileName, userId, "Completed", Some(outPath),
+        insert = false)
+      else jobRow(jobId, fileName, userId, "Failed", None, insert = false)
+    synchronized { store.writeJobs(graft.io.Catalog.mergeJobs(jobs, done)) }
     jobId
   }
+
+  /** One job row. The completion update (insert = false) carries a
+    * NULL upload_time so mergeJobs' coalesce KEEPS the insert-time
+    * value — the reference sets upload_time once at insert and never
+    * updates it (a fresh current_timestamp() here silently rewrote it
+    * to the completion time and reordered listJobs). */
+  private def jobRow(jobId: Long, fileName: String, userId: Long,
+      status: String, resultUrl: Option[String], insert: Boolean) =
+    spark.range(1).select(
+      lit(jobId).as("id"), lit(fileName).as("filename"),
+      lit(status).as("status"),
+      resultUrl.map(lit(_)).getOrElse(lit(null).cast("string")).as("result_url"),
+      (if (insert) current_timestamp()
+       else lit(null).cast("timestamp")).as("upload_time"),
+      lit(userId).as("user_id"))
 
   /** app.py:194-208 — history listing: desc sort, 5-col projection,
     * formatted timestamp. */

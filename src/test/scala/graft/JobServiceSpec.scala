@@ -51,6 +51,30 @@ class JobServiceSpec extends SparkSpec {
     val out = graft.io.Csv.read(spark, s"$base/processed/reviews.csv")
     assert(out.columns.contains("sentiment_result"))
     assert(out.count() == 2)
+
+    // unknown user fails with a NAMED error, not an opaque
+    // NoSuchElementException off an empty head()
+    val err = intercept[IllegalArgumentException] {
+      svc.startEtl("nosuchuser", in, s"$base/out3")
+    }
+    assert(err.getMessage.contains("nosuchuser"))
+  }
+
+  test("completion merge keeps the insert-time upload_time (reference parity)") {
+    // the mechanism startEtl relies on: a completion update carrying a
+    // NULL upload_time must coalesce to the ORIGINAL insert value —
+    // the reference sets upload_time once at insert and never updates
+    // it (a fresh current_timestamp() in the update row would rewrite
+    // it to the completion time and reorder listJobs)
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    val jobs = Seq((1L, "f.csv", "Processing", null: String, t0, 7L))
+      .toDF("id", "filename", "status", "result_url", "upload_time", "user_id")
+    val done = Seq((1L, "f.csv", "Completed", "out/f.csv", null: java.sql.Timestamp, 7L))
+      .toDF("id", "filename", "status", "result_url", "upload_time", "user_id")
+    val merged = graft.io.Catalog.mergeJobs(jobs, done).collect().head
+    assert(merged.getAs[String]("status") == "Completed")
+    assert(merged.getAs[java.sql.Timestamp]("upload_time") == t0)
+    assert(merged.getAs[String]("result_url") == "out/f.csv")
   }
 
   test("catalog behind a live JDBC database (embedded Derby)") {
