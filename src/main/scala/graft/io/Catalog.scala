@@ -66,11 +66,15 @@ object Catalog {
   def insertJobs(jobs: DataFrame, newJobs: DataFrame): DataFrame =
     jobs.unionByName(newJobs)
 
-  /** MERGE/upsert: apply an updates batch to the catalog — matching ids
-    * take the update row, unmatched update rows insert, everything else
-    * passes through. At 100 TB this is the per-batch catalog commit
-    * (one shuffle on id), replacing the reference's row-at-a-time
-    * UPDATE+COMMIT. */
+  /** MERGE/upsert: apply an updates batch to the catalog — on matching
+    * ids each column takes the update's value WHERE NON-NULL and keeps
+    * the original otherwise (per-column coalesce, NOT whole-row
+    * replacement: an update row cannot null out a field — this is
+    * load-bearing for JobService, whose completion rows carry a NULL
+    * upload_time precisely so the insert-time value survives).
+    * Unmatched update rows insert, everything else passes through. At
+    * 100 TB this is the per-batch catalog commit (one shuffle on id),
+    * replacing the reference's row-at-a-time UPDATE+COMMIT. */
   def mergeJobs(jobs: DataFrame, updates: DataFrame): DataFrame = {
     val u = updates.columns.foldLeft(updates)((df, c) =>
       df.withColumnRenamed(c, s"u_$c"))

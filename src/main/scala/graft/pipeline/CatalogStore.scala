@@ -30,42 +30,75 @@ trait CatalogStore {
   def writeJobs(df: DataFrame): Unit
 }
 
-/** Parquet-backed catalog under `catalogDir` (the engine default). */
+/** Parquet-backed catalog under `catalogDir` (the engine default).
+  *
+  * All filesystem surgery goes through the Hadoop FileSystem of the
+  * path — bare local dirs, `file:/`, `hdfs://`, `s3a://` all behave
+  * (the old java.io.File spelling silently read EVERY URI-form path as
+  * "absent", turning an existing remote catalog into an empty one).
+  *
+  * Crash safety: a crash between the two swap renames leaves the data
+  * only in `.old`. Readers fall back to `.old` when the live path is
+  * missing (also covering the in-flight swap window of a concurrent
+  * writer — they see the previous version, never an empty table), and
+  * the next WRITE restores `.old` to the live name before staging, so
+  * the backup is never dropped while it is the only copy. */
 final class ParquetCatalog(spark: SparkSession, catalogDir: String)
     extends CatalogStore {
   import JobService.{JobsSchema, UsersSchema}
+  import org.apache.hadoop.fs.Path
 
   private val usersPath = s"$catalogDir/users"
   private val jobsPath = s"$catalogDir/jobs"
 
-  private def readOr(path: String, schema: StructType): DataFrame =
-    if (new java.io.File(path).exists()) spark.read.parquet(path)
-    else spark.createDataFrame(
-      spark.sparkContext.emptyRDD[Row], schema)
+  private def fsOf(p: Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def readOr(path: String, schema: StructType): DataFrame = {
+    val live = new Path(path); val old = new Path(s"$path.old")
+    val f = fsOf(live)
+    if (f.exists(live)) spark.read.parquet(path)
+    // mid-swap window or post-crash: the previous version IS the
+    // table; reading it (not renaming — readers must not mutate under
+    // a concurrent writer) keeps logins working instead of silently
+    // answering from an empty frame
+    else if (f.exists(old)) spark.read.parquet(s"$path.old")
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+  }
 
   private def overwrite(df: DataFrame, path: String): Unit = {
-    val tmp = s"$path.tmp" // sibling of target → same filesystem rename
-    df.write.mode("overwrite").parquet(tmp)
-    val target = new java.io.File(path)
-    val old = new java.io.File(s"$path.old")
-    if (target.exists()) {
-      deleteRec(old)
-      if (!target.renameTo(old))
+    val live = new Path(path)
+    val old = new Path(s"$path.old")
+    val stage = new Path(s"$path.tmp") // sibling → same-filesystem rename
+    val f = fsOf(live)
+    // The stage write EXECUTES df's lazy plan, and in the post-crash
+    // state that plan reads `.old` (readOr's fallback) — so `.old`
+    // must not be touched until the stage is materialized (renaming it
+    // first made the staged write read files out from under itself —
+    // the lineage trap this repo keeps designing out). Recovery then
+    // needs no explicit step: `.old` is only deleted AFTER the new
+    // live (derived from reading it) is published, so it is never
+    // dropped while it is the only copy, and a failed publish rolls it
+    // back into the live name.
+    df.write.mode("overwrite").parquet(stage.toString)
+    if (f.exists(live)) {
+      if (f.exists(old) && !f.delete(old, true))
+        throw new IllegalStateException(
+          s"catalog swap: cannot clear stale $path.old — table untouched")
+      if (!f.rename(live, old))
         throw new IllegalStateException(
           s"catalog swap: cannot move $path aside — table left untouched")
     }
-    if (!new java.io.File(tmp).renameTo(target)) {
+    if (!f.rename(stage, live)) {
       // roll the previous version back so a failed swap never leaves
       // the live path missing (a later read would rebuild from empty)
-      if (old.exists()) old.renameTo(target)
+      if (f.exists(old)) f.rename(old, live)
       throw new IllegalStateException(s"catalog swap failed for $path")
     }
-    deleteRec(old)
-  }
-
-  private def deleteRec(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(deleteRec)
-    if (f.exists()) f.delete()
+    if (f.exists(old) && !f.delete(old, true))
+      throw new IllegalStateException(
+        s"catalog swap: could not remove $path.old after publish " +
+          "(next overwrite would fail on the stale backup)")
   }
 
   override def readUsers(): DataFrame = readOr(usersPath, UsersSchema)
@@ -101,21 +134,33 @@ final class JdbcCatalog(spark: SparkSession, url: String,
     try tableExistsOn(conn, table) finally conn.close()
   }
 
+  /** Probes by NAME pattern (exact, upper, lower — dialects differ in
+    * identifier folding) instead of scanning the whole database's
+    * metadata with "%": one indexed lookup per variant, and a
+    * same-named table in an unrelated schema can no longer shadow the
+    * probe for the common case of thousands of foreign relations. */
   private def tableExistsOn(conn: java.sql.Connection,
       table: String): Boolean = {
-    val rs = conn.getMetaData.getTables(null, null, "%", Array("TABLE"))
-    var found = false
-    while (!found && rs.next())
-      found = rs.getString("TABLE_NAME").equalsIgnoreCase(table)
-    found
+    val md = conn.getMetaData
+    Seq(table, table.toUpperCase, table.toLowerCase).distinct.exists { pat =>
+      val rs = md.getTables(null, null, pat, Array("TABLE"))
+      try rs.next() finally rs.close()
+    }
   }
 
-  private def readOr(table: String, schema: StructType): DataFrame =
-    if (tableExists(table)) {
-      val df = spark.read.jdbc(url, table, props)
+  private def readOr(table: String, schema: StructType): DataFrame = {
+    def aligned(name: String) = {
+      val df = spark.read.jdbc(url, name, props)
       // align nullability/order with the canonical schema
       df.select(schema.fieldNames.toIndexedSeq.map(org.apache.spark.sql.functions.col): _*)
-    } else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    }
+    if (tableExists(table)) aligned(table)
+    // post-crash / mid-swap: `<table>_old` holds the previous version —
+    // answer from it rather than from an empty frame (the writer's next
+    // overwrite restores it to the live name)
+    else if (tableExists(s"${table}_old")) aligned(s"${table}_old")
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+  }
 
   /** Stage-and-swap overwrite, mirroring [[ParquetCatalog]]'s temp+swap:
     * the new version is DISTRIBUTED-written to `<table>_stage` first
@@ -142,17 +187,23 @@ final class JdbcCatalog(spark: SparkSession, url: String,
           else s"ALTER TABLE $from RENAME TO $to"
         st.executeUpdate(sql); ()
       }
-      if (tableExistsOn(conn, old)) st.executeUpdate(s"DROP TABLE $old")
+      // `_old` is dropped ONLY while the live table exists (a stale
+      // backup) or after the new version is published — never while it
+      // is the only copy (post-crash state: the stage above was built
+      // from reading it, and publishing the stage IS the recovery)
       val hadTarget = tableExistsOn(conn, table)
-      if (hadTarget) rename(table, old)
+      if (hadTarget) {
+        if (tableExistsOn(conn, old)) st.executeUpdate(s"DROP TABLE $old")
+        rename(table, old)
+      }
       try rename(stage, table)
       catch { case e: Throwable =>
         // a failed swap must never leave the live name missing — the
         // next read would silently rebuild the catalog from empty
-        if (hadTarget) rename(old, table)
+        if (tableExistsOn(conn, old)) rename(old, table)
         throw e
       }
-      if (hadTarget) st.executeUpdate(s"DROP TABLE $old")
+      if (tableExistsOn(conn, old)) st.executeUpdate(s"DROP TABLE $old")
       ()
     } finally conn.close()
   }

@@ -47,8 +47,12 @@ object Pipelines {
       Csv.writeSingle(cleanAi(Csv.read(spark, inPath), opts), outPath)
       true
     } catch {
-      case e: Throwable =>
-        System.err.println(s"[pipeline] process_data failed: ${e.getMessage}")
+      // NonFatal only: an OutOfMemoryError/NoClassDefFoundError must
+      // crash, not convert into a quiet `Failed` job on a broken JVM;
+      // full stack trace because getMessage is often null
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[pipeline] process_data failed: $e")
+        e.printStackTrace()
         false
     }
 }

@@ -44,17 +44,19 @@ object Clustering {
         col("m").getField("d2").as("dist2"), col("v"))
   }
 
-  /** Recompute centroids as exact floor-division means per dimension.
-    * (s - s % n) / n is an exact integer for positive s — identical in
-    * any engine, no float rounding to disagree on. The collect_list
+  /** Recompute centroids as exact truncating-division means per
+    * dimension: (s − s % n) is exactly divisible, and the division
+    * runs as INTEGRAL `div` — `/` is double division, which rounds
+    * once the per-cluster sum passes 2⁵³ (a ~6e8-member cluster at
+    * this grid), where the long cast would truncate to a different
+    * grid unit than the oracle's CAST rounds to. The collect_list
     * buffer re-assembling the centroid is one (pos, cv) struct per
     * DIMENSION (64) — bounded by dimensionality, not rows. */
   private def update(assigned: DataFrame): DataFrame =
     assigned.select(col("cluster"), posexplode(col("v")))
       .groupBy(col("cluster"), col("pos"))
       .agg(sum("col").as("s"), count(lit(1)).as("n"))
-      .withColumn("cv",
-        ((col("s") - col("s") % col("n")) / col("n")).cast("long"))
+      .withColumn("cv", expr("(s - s % n) div n"))
       .groupBy("cluster")
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
         x => x.getField("cv")).as("c"))

@@ -417,7 +417,7 @@ object SimQueries {
              |  SELECT a1.j, d.i, CAST(sum(d.v) AS BIGINT) AS s, count(*) AS n
              |  FROM a1 JOIN dims d ON a1.vec_id = d.vec_id
              |  WHERE a1.rn = 1 GROUP BY 1, 2),
-             |cent2 AS (SELECT j, i, CAST((s - s % n) / n AS BIGINT) AS cv FROM upd),
+             |cent2 AS (SELECT j, i, CAST((s - s % n) // n AS BIGINT) AS cv FROM upd),
              |d2t AS (
              |  SELECT d.vec_id, c.j,
              |         CAST(sum((d.v - c.cv) * (d.v - c.cv)) AS BIGINT) AS d2

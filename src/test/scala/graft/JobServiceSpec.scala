@@ -60,6 +60,29 @@ class JobServiceSpec extends SparkSpec {
     assert(err.getMessage.contains("nosuchuser"))
   }
 
+  test("parquet catalog survives a crash between the two swap renames") {
+    // simulate a writer that died after rename(live -> old): the live
+    // path is missing and `.old` holds the only copy. A read must
+    // answer from `.old` (not an empty frame), and the next write must
+    // RESTORE it rather than drop the last surviving copy.
+    val base = s"${sys.props("java.io.tmpdir")}/graft_test_ctcrash_${System.nanoTime()}"
+    val store = new pipeline.ParquetCatalog(spark, s"$base/catalog")
+    val svc = new JobService(spark, store)
+    assert(svc.register("carol", "pw"))
+    val usersPath = java.nio.file.Paths.get(s"$base/catalog/users")
+    java.nio.file.Files.move(usersPath,
+      java.nio.file.Paths.get(s"$base/catalog/users.old"))
+    // read-side fallback: the previous version is still the table
+    assert(svc.login("carol", "pw"))
+    // write-side recovery: the register rewrites users FROM the
+    // recovered copy — carol must survive, dave must join
+    assert(svc.register("dave", "pw2"))
+    assert(svc.login("carol", "pw") && svc.login("dave", "pw2"))
+    assert(java.nio.file.Files.exists(usersPath))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$base/catalog/users.old")))
+  }
+
   test("completion merge keeps the insert-time upload_time (reference parity)") {
     // the mechanism startEtl relies on: a completion update carrying a
     // NULL upload_time must coalesce to the ORIGINAL insert value —
