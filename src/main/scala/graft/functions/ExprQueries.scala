@@ -104,7 +104,10 @@ object ExprQueries {
         lower(col("c_name")).as("name_lc"),
         upper(col("c_mktsegment")).as("seg_uc"),
         substring(col("c_name"), 1, 8).as("name_prefix"),
-        regexp_replace(col("c_name"), "#", "-").as("name_dash"),
+        // literal replace (matches the oracle's replace() semantics —
+        // regexp_replace compiles the search string as a regex, which
+        // only coincides while it contains no metacharacters)
+        expr("replace(c_name, '#', '-')").as("name_dash"),
         trim(concat(lit(" "), col("c_name"), lit(" "))).as("name_trim"),
         concat_ws("|", col("c_name"), col("c_mktsegment")).as("name_seg"),
         length(col("c_name")).cast("long").as("name_len"))

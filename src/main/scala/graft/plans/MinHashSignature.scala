@@ -45,13 +45,24 @@ object MinHashKernel {
     * 'I' to dotless 'ı' where Spark's ASCII fast path yields 'i' —
     * and String.trim strips all ≤ 0x20 where Spark trims spaces
     * only). */
+  // shingle text built by a ShingleK-driven join (not a hardcoded
+  // 3-token interpolation): the arrays above size by ShingleK, so a
+  // constant change would have thrown (k=2: toks(i+2) OOB) or silently
+  // built wrong-width shingles (k=4) while Dedup.shinglesCol moved
+  private def shingleAt(toks: Array[String], i: Int): String = {
+    val sb = new java.lang.StringBuilder(toks(i))
+    var j = 1
+    while (j < ShingleK) { sb.append(' ').append(toks(i + j)); j += 1 }
+    sb.toString
+  }
+
   def shingleHashes(text: UTF8String): Array[Long] = {
     val toks = text.trim.toLowerCase.toString.split(" +")
     if (toks.length >= ShingleK) {
       val out = new Array[Long](toks.length - ShingleK + 1)
       var i = 0
       while (i < out.length) {
-        out(i) = hashShingle(s"${toks(i)} ${toks(i + 1)} ${toks(i + 2)}")
+        out(i) = hashShingle(shingleAt(toks, i))
         i += 1
       }
       out
@@ -65,7 +76,7 @@ object MinHashKernel {
     val out: Array[AnyRef] =
       if (toks.length >= ShingleK)
         Array.tabulate(toks.length - ShingleK + 1)(i =>
-          UTF8String.fromString(s"${toks(i)} ${toks(i + 1)} ${toks(i + 2)}"))
+          UTF8String.fromString(shingleAt(toks, i)))
       else Array(UTF8String.fromString(toks.mkString(" ")))
     new GenericArrayData(out)
   }

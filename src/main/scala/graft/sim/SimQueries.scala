@@ -178,7 +178,7 @@ object SimQueries {
              |      FROM p JOIN q qa ON qa.vec_id = p.ia
              |             JOIN q qb ON qb.vec_id = p.ib),
              |dup AS (SELECT DISTINCT ib FROM d
-             |        WHERE dot >= 0
+             |        WHERE na > 0 AND nb > 0 AND dot >= 0
              |          AND CAST(dot AS HUGEINT) * dot * 25 >=
              |              CAST(na AS HUGEINT) * nb)
              |SELECT vec_id FROM embeddings
@@ -355,7 +355,7 @@ object SimQueries {
              |         list_sum(list_transform(b.qe, x -> x * x)) AS nb
              |       FROM q a JOIN q b ON a.vec_id < b.vec_id),
              |t AS (SELECT ia, ib FROM t0
-             |      WHERE dot >= 0
+             |      WHERE na > 0 AND nb > 0 AND dot >= 0
              |        AND CAST(dot AS HUGEINT) * dot * 25 >=
              |            CAST(na AS HUGEINT) * nb),
              |s AS (SELECT vec_id,

@@ -215,7 +215,12 @@ object Similarity {
       .withColumn("dot", sumLong(zip_with(col("qa"), col("qb"), (a, b) => a * b)))
       .withColumn("na", sumLong(transform(col("qa"), a => a * a)))
       .withColumn("nb", sumLong(transform(col("qb"), b => b * b)))
-      .filter(col("dot") >= 0 &&
+      // na/nb > 0: a zero-norm vector (dead/underflow embedding — the
+      // degenerate case the hot-bucket comment names) has an UNDEFINED
+      // cosine; without the guard 0 ≥ 0 marks it a duplicate of every
+      // bucket-mate, where the float kernel's nullif correctly yields
+      // null
+      .filter(col("na") > 0 && col("nb") > 0 && col("dot") >= 0 &&
         col("dot").cast(dec) * col("dot").cast(dec) * lit(den.toLong * den) >=
           col("na").cast(dec) * col("nb").cast(dec) * lit(num.toLong * num))
       .select(col("id_b").as("vec_id")).distinct()
@@ -270,7 +275,9 @@ object Similarity {
       .join(qn.select(col("vec_id").as("id_b"), col("qe").as("qb"),
         col("nn").as("nb")), col("id_a") < col("id_b"))
       .withColumn("dot", sumLong(zip_with(col("qa"), col("qb"), (a, b) => a * b)))
-      .filter(col("dot") >= 0 &&
+      // same zero-norm guard as dedupEmbeddingsBandedExact: an
+      // undefined cosine is not a true pair
+      .filter(col("na") > 0 && col("nb") > 0 && col("dot") >= 0 &&
         col("dot").cast(dec) * col("dot").cast(dec) * lit(den.toLong * den) >=
           col("na").cast(dec) * col("nb").cast(dec) * lit(num.toLong * num))
       .select("id_a", "id_b")

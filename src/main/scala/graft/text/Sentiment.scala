@@ -48,13 +48,27 @@ object Sentiment {
       .otherwise("NEUTRAL")
   }
 
-  /** Scala-side scorer, shared by the batched client and the tests. */
-  private val posRe = "\\b(fast|clean|good|great|best|win)\\b".r
-  private val negRe = "\\b(slow|dup|bad|error|worst|broken)\\b".r
+  /** Scala-side scorer, shared by the batched client and the tests.
+    * Derived from the SAME pattern constants as [[sentimentCol]] and
+    * [[oracleCaseSql]] — the lexicon exists once; a re-typed copy here
+    * previously meant an edit to one spelling silently split the three
+    * paths. */
+  private val posRe = PositivePattern.r
+  private val negRe = NegativePattern.r
   def score(text: String): String = {
     if (text == null || text.trim.isEmpty) "NEUTRAL"
     else {
-      val t = text.substring(0, math.min(text.length, MaxChars)).toLowerCase
+      // truncate on CODEPOINTS (and never mid-surrogate) to match
+      // Spark/DuckDB substring semantics — Java substring counts
+      // UTF-16 units, which cuts astral-character texts earlier than
+      // the Column path and can split an emoji in half. ROOT-locale
+      // lowercase: a tr-TR default JVM folds I to dotless ı, which the
+      // \bwin\b class never matches, silently flipping labels vs the
+      // oracle.
+      val cut =
+        if (text.codePointCount(0, text.length) <= MaxChars) text
+        else text.substring(0, text.offsetByCodePoints(0, MaxChars))
+      val t = cut.toLowerCase(java.util.Locale.ROOT)
       val p = posRe.findAllMatchIn(t).size
       val n = negRe.findAllMatchIn(t).size
       if (p > n) "POSITIVE"
@@ -93,9 +107,24 @@ object Sentiment {
     df.mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
         val texts = batch.map(r => if (r.isNullAt(idx)) null else r.getString(idx))
+        // NonFatal only: OOM / task-kill interrupts must propagate,
+        // not be persisted as "ERROR" data labels on a task that then
+        // refuses to die. A client answering with the WRONG number of
+        // labels is also a batch failure (zip would silently DROP the
+        // unmatched rows — a vanished input row, the worst outcome for
+        // an enrichment operator), mapped to ERROR like the reference's
+        // per-row except.
         val labels =
-          try client.detectBatch(texts)
-          catch { case _: Throwable => texts.map(_ => "ERROR") }
+          try {
+            val ls = client.detectBatch(texts)
+            if (ls.size == texts.size) ls
+            else {
+              System.err.println(s"[sentiment] client returned ${ls.size} " +
+                s"labels for ${texts.size} texts — batch marked ERROR")
+              texts.map(_ => "ERROR")
+            }
+          }
+          catch { case scala.util.control.NonFatal(_) => texts.map(_ => "ERROR") }
         batch.zip(labels).map { case (r, label) =>
           Row.fromSeq(r.toSeq :+ label)
         }
@@ -107,8 +136,8 @@ object Sentiment {
     * column named `text` (kept here so Spark + oracle stay in sync). */
   def oracleCaseSql(textExpr: String): String = {
     val t = s"lower(substring($textExpr, 1, $MaxChars))"
-    val p = s"len(regexp_extract_all($t, '\\b(fast|clean|good|great|best|win)\\b'))"
-    val n = s"len(regexp_extract_all($t, '\\b(slow|dup|bad|error|worst|broken)\\b'))"
+    val p = s"len(regexp_extract_all($t, '$PositivePattern'))"
+    val n = s"len(regexp_extract_all($t, '$NegativePattern'))"
     s"""CASE WHEN $textExpr IS NULL OR trim($textExpr) = '' THEN 'NEUTRAL'
         WHEN $p > $n THEN 'POSITIVE'
         WHEN $n > $p THEN 'NEGATIVE'
