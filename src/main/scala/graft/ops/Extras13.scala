@@ -39,9 +39,18 @@ object Extras13 {
         val docs = Tables.documents(s, d)
           .withColumn("fp", md5(lower(trim(col("text")))))
         val eval = docs.filter(col("doc_id") % 10 === 0).select("fp").distinct()
-        // n=10000, fpp=0.03 → optimal bits = ceil(-n·ln p / ln²2)
+        // capacity sized from the ACTUAL eval cardinality (one cheap
+        // count — the sketch collect right after is a driver action
+        // anyway): a hardcoded n saturates when the eval set outgrows
+        // it (10% of the corpus scales; at 5x the capacity the fpp is
+        // ~85% and nearly every train row pays the exact anti join the
+        // prefilter exists to avoid). bits = ceil(-n ln p / ln²2) at
+        // fpp=0.03 ≈ 7.3 bits/item.
+        val nEval = math.max(1L, eval.count())
+        val nBits = math.ceil(
+          -nEval * math.log(0.03) / (math.log(2) * math.log(2))).toLong
         val bfBytes = eval.agg(call_function("bloom_agg", col("fp"),
-            lit(10000L), lit(72985L)).as("bf"))
+            lit(nEval), lit(nBits)).as("bf"))
           .head().getAs[Array[Byte]](0)
         val train = docs.filter(col("doc_id") % 10 =!= 0)
         if (bfBytes == null) {

@@ -105,7 +105,7 @@ object Extras14 {
           .createOrReplaceTempView("li_cents")
         s.sql("""SELECT l_orderkey, l_linenumber, grp, v1_e2, v2_e2
                 |FROM li_cents
-                |UNPIVOT ((v1_e2, v2_e2) FOR grp IN ((q, ep) AS qty_price,
+                |UNPIVOT INCLUDE NULLS ((v1_e2, v2_e2) FOR grp IN ((q, ep) AS qty_price,
                 |                                    (dc, tx) AS disc_tax))
                 |ORDER BY l_orderkey, l_linenumber, grp""".stripMargin)
       }),

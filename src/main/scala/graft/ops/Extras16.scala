@@ -20,7 +20,7 @@ object Extras16 {
     // \x01 marker — then split on the marker; identical row sets.)
     Q("text_sentences",
       Some("""WITH m AS (SELECT doc_id,
-             |  string_split(regexp_replace(text, '([.!?])\s+', '\1' || chr(1), 'g'),
+             |  string_split(regexp_replace(text, '([.!?])[ \t\n\r\f]+', '\1' || chr(1), 'g'),
              |               chr(1)) AS ss
              |  FROM documents)
              |SELECT doc_id,
@@ -32,7 +32,8 @@ object Extras16 {
       (s, d) => Tables.documents(s, d)
         .select(col("doc_id"),
           posexplode(split(
-            regexp_replace(col("text"), "([.!?])\\s+", "$1\u0001"), "\u0001")))
+            regexp_replace(col("text"), "([.!?])[ \\t\\n\\r\\f]+", "$1\u0001"),
+            "\u0001")))
         .select(col("doc_id"), col("pos").cast("long").as("sent_idx"),
           col("col").as("sentence"),
           length(col("col")).cast("long").as("n_chars"))

@@ -99,13 +99,17 @@ object Extras17 {
           .select(col("l_returnflag").as("rf"),
             expr("CAST(l_quantity AS BIGINT)").as("x"),
             expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("y"))
+        // rank() is IntegerType: cast to long BEFORE the *2 (the int
+        // multiply wraps past ~1.07e9 rows per flag group — the
+        // scale-audit width-cliff class; the oracle's 2*rank() is
+        // BIGINT and would silently diverge)
         val r = v.select(col("rf"),
-          (rank().over(Window.partitionBy("rf").orderBy("x")) * 2
+          (rank().over(Window.partitionBy("rf").orderBy("x")).cast("long") * 2
             + count(lit(1)).over(Window.partitionBy("rf", "x")) - 1)
-            .cast("long").as("rx"),
-          (rank().over(Window.partitionBy("rf").orderBy("y")) * 2
+            .as("rx"),
+          (rank().over(Window.partitionBy("rf").orderBy("y")).cast("long") * 2
             + count(lit(1)).over(Window.partitionBy("rf", "y")) - 1)
-            .cast("long").as("ry"))
+            .as("ry"))
         r.groupBy("rf")
           .agg(count(lit(1)).cast("long").as("n"),
             sum("rx").cast("long").as("sx"), sum("ry").cast("long").as("sy"),

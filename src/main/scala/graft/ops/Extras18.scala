@@ -25,7 +25,7 @@ object Extras18 {
              |         CAST(round(value * 100) AS BIGINT) AS cents,
              |         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
              |  FROM (SELECT *, row_number() OVER (PARTITION BY event_id
-             |                                     ORDER BY ts, user_id) AS rn
+             |                                     ORDER BY ts, user_id, value, props) AS rn
              |        FROM events) t
              |  WHERE rn = 1)
              |SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
@@ -36,8 +36,13 @@ object Extras18 {
              |FROM silver GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin),
       (s, d) => {
         val silver = Tables.events(s, d)
+          // the dedupe ORDER BY is a TOTAL order over the payload
+          // (ts, user, value, props): duplicate event_ids tying on
+          // (ts, user) but differing in payload would otherwise keep
+          // an engine/partitioning-dependent survivor
           .withColumn("rn", row_number().over(
-            Window.partitionBy("event_id").orderBy("ts", "user_id")))
+            Window.partitionBy("event_id")
+              .orderBy("ts", "user_id", "value", "props")))
           .filter(col("rn") === 1)
           .select(col("ts"), col("user_id"), col("event_type"),
             expr("CAST(round(value * 100) AS BIGINT)").as("cents"),

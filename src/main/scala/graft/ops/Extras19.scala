@@ -58,8 +58,13 @@ object Extras19 {
         val byTime = Window.partitionBy("key").orderBy("ts", "tie")
         val run = byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val isl = pseudo.unionByName(deltaRows)
-          .withColumn("chg", when(lag(col("attr"), 1).over(byTime).isNull ||
-            lag(col("attr"), 1).over(byTime) =!= col("attr"), 1L).otherwise(0L))
+          // null-safe <=>, same as Scd.buildScd2: the delta pass must
+          // detect changes EXACTLY like the full recompute (IS
+          // DISTINCT FROM) or a NULL attribute breaks the query's
+          // incremental == full contract
+          .withColumn("chg",
+            when(!(lag(col("attr"), 1).over(byTime) <=> col("attr")), 1L)
+              .otherwise(0L))
           .withColumn("island", sum("chg").over(run))
         val rec = isl.groupBy("key", "island")
           .agg(min("attr").as("attr"), min("ts").as("valid_from"),
