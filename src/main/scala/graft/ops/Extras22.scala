@@ -46,7 +46,12 @@ object Extras22 {
         val probes = ev.filter(col("event_type") === "purchase")
           .select(col("user_id").as("k"), col("ts").as("t"), col("event_id"),
             lit(null).cast("long").as("v"), lit(1).as("is_probe"))
-        val w = Window.partitionBy("k").orderBy(col("t"), col("is_probe"))
+        // `v` tiebreaker: two SCD-2 versions sharing a valid_from
+        // (same-user same-ts events) both sort as (t, 0); without it
+        // last("v") picks an arbitrary version while the oracle takes
+        // the max — probes are null-v so their slot is unaffected
+        val w = Window.partitionBy("k")
+          .orderBy(col("t"), col("is_probe"), col("v"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         starts.unionByName(probes)
           .withColumn("version_at", last("v", ignoreNulls = true).over(w))

@@ -84,10 +84,16 @@ object Extras24 {
       (s, d) => {
         val tf = graft.text.TokenStats.docTermFreq(Tables.documents(s, d))
         val cf = tf.groupBy("term").agg(sum("tf").cast("long").as("cf"))
-        val r = cf.select(
-          expr("""CAST(round(ln(CAST(row_number() OVER (ORDER BY cf DESC, term)
-                 | AS DOUBLE)) * 1e6) AS BIGINT)""".stripMargin).as("x6"),
-          expr("CAST(round(ln(CAST(cf AS DOUBLE)) * 1e6) AS BIGINT)").as("y6"))
+        // global (cf DESC, term) rank via ScaleRank — an unpartitioned
+        // row_number() window would sort the ENTIRE vocabulary (Heaps'
+        // law: billions of distinct terms at 100 TB) in one task, the
+        // single-partition shape ScaleRank exists to remove; the
+        // range-bucketed rank is the identical total order
+        val r = ScaleRank
+          .withGlobalRank(cf, "cf", "term", descending = true)
+          .select(
+            expr("CAST(round(ln(CAST(rk AS DOUBLE)) * 1e6) AS BIGINT)").as("x6"),
+            expr("CAST(round(ln(CAST(cf AS DOUBLE)) * 1e6) AS BIGINT)").as("y6"))
         r.agg(count(lit(1)).cast("long").as("n"),
             sum("x6").cast("long").as("sx"), sum("y6").cast("long").as("sy"),
             expr("CAST(sum(CAST(x6 AS DECIMAL(38,0)) * y6) AS DOUBLE)").as("sxy"),

@@ -49,10 +49,10 @@ object Extras26 {
              |               AS u272
              |           FROM orders),
              |k AS (SELECT o_orderkey, wt,
-             |        ln(CAST(u272 AS DOUBLE) / 272) / wt AS akey
+             |        CAST(round(ln(CAST(u272 AS DOUBLE) / 272) / wt * 1e12) AS BIGINT) AS akey12
              |      FROM w)
              |SELECT o_orderkey, wt FROM k
-             |ORDER BY akey DESC, o_orderkey LIMIT 50""".stripMargin),
+             |ORDER BY akey12 DESC, o_orderkey LIMIT 50""".stripMargin),
       (s, d) => Tables.orders(s, d)
         .select(col("o_orderkey"),
           expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("wt"),
@@ -61,8 +61,14 @@ object Extras26 {
                  |+ CAST(instr('0123456789abcdef',
                  |  substring(md5(CAST(o_orderkey AS STRING)), 2, 1)) AS BIGINT)"""
             .stripMargin).as("u272"))
-        .withColumn("akey", expr("ln(CAST(u272 AS DOUBLE) / 272) / wt"))
-        .orderBy(col("akey").desc, col("o_orderkey"))
+        // the A-Res key is mu-rounded to a 1e-12 grid before it becomes
+        // the cross-engine sort key (repo float policy): a raw libm ln()
+        // differs by an ulp between JVM and DuckDB, enough to flip two
+        // near-equal keys at the rank-50 boundary and diverge the
+        // hash-gated sample set
+        .withColumn("akey12",
+          expr("CAST(round(ln(CAST(u272 AS DOUBLE) / 272) / wt * 1e12) AS BIGINT)"))
+        .orderBy(col("akey12").desc, col("o_orderkey"))
         .limit(50)
         .select("o_orderkey", "wt")))
 }

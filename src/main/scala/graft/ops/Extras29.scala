@@ -73,19 +73,18 @@ object Extras29 {
           .toJSON.write.mode("overwrite").text(dir.toString)
         Files.write(dir.resolve("zz_bad.txt"),
           "{not json at all\ngarbage line ,,,\n{\"event_id\":}".getBytes("UTF-8"))
-        val schema = org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("event_id",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("user_id",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("event_type",
-            org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField("_corrupt_record",
-            org.apache.spark.sql.types.StringType)))
+        val schema = org.apache.spark.sql.types.StructType.fromDDL(
+          "event_id BIGINT, user_id BIGINT, event_type STRING, " +
+            "_corrupt_record STRING")
+        // localCheckpoint (not cache): the full-row materialization is
+        // still required before projecting only _corrupt_record (Spark
+        // restriction), but checkpoint blocks are ContextCleaner-
+        // reclaimed — a cache entry per (session, corpus dir) would
+        // pin executor storage until application end
         val read = s.read.schema(schema)
           .option("mode", "PERMISSIVE")
           .option("columnNameOfCorruptRecord", "_corrupt_record")
-          .json(dir.toString).cache()
+          .json(dir.toString).localCheckpoint()
         read.agg(
           count(when(col("_corrupt_record").isNull, 1)).cast("long").as("n_good"),
           count(col("_corrupt_record")).cast("long").as("n_corrupt"))
