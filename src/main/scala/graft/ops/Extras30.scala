@@ -9,6 +9,28 @@ import org.apache.spark.sql.functions._
   */
 object Extras30 {
 
+  /** Per-user ordered self-pair frame shared by the pairwise trend
+    * statistics (Mann-Kendall S here, Theil-Sen slopes in Extras31 —
+    * previously two verbatim 15-line scaffolds that had to evolve in
+    * lockstep): rank each user's events by (ts, event_id), self-join
+    * on the user, keep i_b > i_a. Each (column, name) in `values`
+    * surfaces as <name>a / <name>b alongside ia / ib. O(k²) pairs per
+    * user, bounded by per-user activity (the documented cost class of
+    * both statistics). */
+  private[ops] def userPairs(ev: org.apache.spark.sql.DataFrame,
+      values: Seq[(org.apache.spark.sql.Column, String)])
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = ev.select(col("user_id") +:
+      (values.map { case (c, n) => c.as(n) } :+
+        row_number().over(Window.partitionBy("user_id")
+          .orderBy("ts", "event_id")).cast("long").as("i")): _*)
+    val names = values.map(_._2) :+ "i"
+    val a = v.select(col("user_id") +: names.map(n => col(n).as(s"${n}a")): _*)
+    val b = v.select(col("user_id") +: names.map(n => col(n).as(s"${n}b")): _*)
+    a.join(b, Seq("user_id")).filter(col("ib") > col("ia"))
+  }
+
   def queries: Seq[Q] = Seq(
     // skyline: customers not DOMINATED on (total spend ↑, order count
     // ↑) — dominated means someone spends at least as much AND orders
@@ -101,16 +123,8 @@ object Extras30 {
              |FROM v a JOIN v b ON a.user_id = b.user_id AND b.i > a.i
              |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin),
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val v = Tables.events(s, d)
-          .select(col("user_id"),
-            expr("CAST(round(value * 100) AS BIGINT)").as("c"),
-            row_number().over(Window.partitionBy("user_id")
-              .orderBy("ts", "event_id")).as("i"))
-        val a = v.select(col("user_id"), col("c").as("ca"), col("i").as("ia"))
-        val b = v.select(col("user_id"), col("c").as("cb"), col("i").as("ib"))
-        a.join(b, Seq("user_id"))
-          .filter(col("ib") > col("ia"))
+        userPairs(Tables.events(s, d),
+          Seq(expr("CAST(round(value * 100) AS BIGINT)") -> "c"))
           .groupBy("user_id")
           .agg(max("ia").cast("long").as("n_i"),
             sum(when(col("cb") > col("ca"), 1)

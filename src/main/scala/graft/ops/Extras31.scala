@@ -25,28 +25,28 @@ object Extras31 {
              |                                ORDER BY ts, event_id) AS i
              |           FROM events),
              |p AS (SELECT a.user_id,
-             |        CAST(round((b.c - a.c) * 3600.0 * 1e6 * 1e6
-             |             / (b.us - a.us)) AS BIGINT) AS slope_e6
+             |        CAST(least(greatest(round((b.c - a.c) * 3600.0 * 1e6 * 1e6
+             |             / (b.us - a.us)), -9e18), 9e18) AS BIGINT) AS slope_e6
              |      FROM v a JOIN v b ON a.user_id = b.user_id AND b.i > a.i
              |      WHERE b.us > a.us)
              |SELECT user_id, CAST(count(*) AS BIGINT) AS n_pairs,
              |       CAST(quantile_disc(slope_e6, 0.5) AS BIGINT) AS ts_slope_e6
              |FROM p GROUP BY 1 ORDER BY user_id""".stripMargin),
       (s, d) => {
-        val v = Tables.events(s, d)
-          .select(col("user_id"), unix_micros(col("ts")).as("us"),
-            expr("CAST(round(value * 100) AS BIGINT)").as("c"),
-            row_number().over(Window.partitionBy("user_id")
-              .orderBy("ts", "event_id")).as("i"))
-        val a = v.select(col("user_id"), col("us").as("ua"),
-          col("c").as("ca"), col("i").as("ia"))
-        val b = v.select(col("user_id"), col("us").as("ub"),
-          col("c").as("cb"), col("i").as("ib"))
-        a.join(b, Seq("user_id"))
-          .filter(col("ib") > col("ia") && col("ub") > col("ua"))
+        Extras30.userPairs(Tables.events(s, d),
+            Seq(unix_micros(col("ts")) -> "u",
+              expr("CAST(round(value * 100) AS BIGINT)") -> "c"))
+          .filter(col("ub") > col("ua"))
           .select(col("user_id"),
-            expr("""CAST(round((cb - ca) * 3600.0 * 1e6 * 1e6
-                   | / (ub - ua)) AS BIGINT)""".stripMargin).as("slope_e6"))
+            // saturate at ±9e18: an adjacent-microsecond pair with a
+            // >25.6-unit value delta yields a slope past BIGINT range,
+            // and the unclamped CAST kills the whole run (ANSI/DuckDB
+            // conversion error). The MEDIAN is unaffected unless more
+            // than half of a user's pairs saturate — saturation keeps
+            // the extreme tail's ORDER, which is all a median needs.
+            expr("""CAST(least(greatest(round((cb - ca) * 3600.0 * 1e6 * 1e6
+                   | / (ub - ua)), -9e18), 9e18) AS BIGINT)""".stripMargin)
+              .as("slope_e6"))
           .groupBy("user_id")
           // percentile_disc's per-group buffer is FINE here: the group
           // is one user's slope pairs, bounded by per-user activity
@@ -65,6 +65,14 @@ object Extras31 {
     // path actually surfaces — the recall number every LSH deployment
     // must publish. Both pair sets are session materializations
     // already paid for; the report is a join of two tiny tables.
+    // DATA-COUPLED oracle: the constant recall_e6 = 1e6 asserts 100%
+    // recall, which holds on the pinned corpora (checked at all three
+    // SFs and the 10x replica) because the 4x16 banding's per-pair
+    // miss probability at J ≥ 0.8-1.0 is ≤ 2e-4 and every true pair
+    // here sits well above the threshold. On a REGENERATED corpus with
+    // near-threshold pairs a single banding miss fails this row loudly
+    // (engine < oracle) — a measurement disagreement to re-pin, not a
+    // silent wrongness.
     Q("dedup_lsh_recall",
       Some(s"""${graft.text.DedupQueries.jaccardCtePrefix},
              |exact AS (SELECT ia, ib FROM pairs

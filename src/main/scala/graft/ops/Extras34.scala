@@ -21,31 +21,46 @@ object Extras34 {
              |           FROM orders),
              |g AS (SELECT pri, CAST(count(*) AS BIGINT) AS n,
              |             CAST(sum(c) AS BIGINT) AS s,
-             |             CAST(sum(CAST(c AS HUGEINT) * c) AS DOUBLE) AS ssq
+             |             sum(CAST(c AS HUGEINT) * c) AS ssq
              |      FROM v GROUP BY 1),
              |t AS (SELECT CAST(sum(n) AS BIGINT) AS nt, CAST(sum(s) AS BIGINT) AS st,
-             |             CAST(sum(ssq) AS DOUBLE) AS ssqt,
-             |             CAST(sum(CAST(s AS DOUBLE) * s / n) AS DOUBLE) AS sgrp
+             |             sum(ssq) * 1000000 AS ssqt6,
+             |             sum((CAST(s AS HUGEINT) * s * 1000000) // n) AS sgrp6
              |      FROM g)
              |SELECT nt,
-             |       CAST(round((1 - (ssqt - sgrp)
-             |            / (ssqt - CAST(st AS DOUBLE) * st / nt)) * 1e6) AS BIGINT)
+             |       CAST(round((1 - CAST(ssqt6 - sgrp6 AS DOUBLE)
+             |            / CAST(ssqt6 - (CAST(st AS HUGEINT) * st * 1000000) // nt AS DOUBLE))
+             |            * 1e6) AS BIGINT)
              |         AS eta2_e6
              |FROM t""".stripMargin),
       (s, d) => {
+        // every cross-group accumulator is an EXACT integer (ssq in
+        // DECIMAL(38,0); the s²/n terms µ-scaled and integrally
+        // divided) — the old DOUBLE sums of ssq/sgrp were
+        // partition-merge-order dependent past 2^53, a flaky
+        // cross-engine ulp at the rounding boundary
         val g = Tables.orders(s, d)
           .select(col("o_orderpriority").as("pri"),
             expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("c"))
           .groupBy("pri")
           .agg(count(lit(1)).cast("long").as("n"),
             sum("c").cast("long").as("s"),
-            expr("CAST(sum(CAST(c AS DECIMAL(38,0)) * c) AS DOUBLE)").as("ssq"))
+            expr("sum(CAST(c AS DECIMAL(38,0)) * c)").as("ssq"))
         g.agg(sum("n").cast("long").as("nt"), sum("s").cast("long").as("st"),
-            sum("ssq").as("ssqt"),
-            sum(expr("CAST(s AS DOUBLE) * s / n")).as("sgrp"))
+            expr("sum(ssq) * 1000000").as("ssqt6"),
+            // subtract-remainder-then-decimal-divide (the longDiv
+            // spelling, result kept DECIMAL): SQL DIV returns LONG,
+            // which the ~1e26 quotient outgrows at the 100 TB design
+            // point; the exactly-divisible decimal division is exact
+            // with 32 integral digits
+            expr("""sum((CAST(s AS DECIMAL(38,0)) * s * 1000000
+                   |     - (CAST(s AS DECIMAL(38,0)) * s * 1000000) % n) / n)"""
+              .stripMargin).as("sgrp6"))
           .select(col("nt"),
-            expr("""CAST(round((1 - (ssqt - sgrp)
-                   | / (ssqt - CAST(st AS DOUBLE) * st / nt)) * 1e6) AS BIGINT)"""
+            expr("""CAST(round((1 - CAST(ssqt6 - sgrp6 AS DOUBLE)
+                   | / CAST(ssqt6 - (CAST(st AS DECIMAL(38,0)) * st * 1000000
+                   |                 - (CAST(st AS DECIMAL(38,0)) * st * 1000000) % nt) / nt
+                   |        AS DOUBLE)) * 1e6) AS BIGINT)"""
               .stripMargin).as("eta2_e6"))
       }),
 

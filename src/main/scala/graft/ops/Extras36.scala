@@ -43,12 +43,27 @@ object Extras36 {
           .select(col("prev"), col("id"))
         val perBucket = ids.groupBy("bkt")
           .agg(min("id").as("mn"), max("id").as("mx"))
-        val wB = Window.orderBy("bkt") // tiny: one row per non-empty bucket
-        val boundary = perBucket
-          .withColumn("prev", lag("mx", 1).over(wB))
+        // boundary gaps BETWEEN buckets, themselves two-leveled: the
+        // bucket table is max_id/2^16 rows (scales with the id domain
+        // — an unpartitioned lag over it is the single-task sort this
+        // query exists to avoid), so lag within super-buckets of 2^16
+        // buckets and stitch super-boundaries with a window over the
+        // ≤ max_id/2^32-row super table (≈ 232 rows at 1e12 ids)
+        val pb = perBucket.withColumn("sb", floor(col("bkt") / 65536L))
+        val wS = Window.partitionBy("sb").orderBy("bkt")
+        val innerB = pb
+          .withColumn("prev", lag("mx", 1).over(wS))
           .filter(col("prev").isNotNull && col("mn") - col("prev") > 1)
           .select(col("prev"), col("mn").as("id"))
-        inner.unionByName(boundary)
+        val perSuper = pb.groupBy("sb")
+          .agg(min(struct(col("bkt"), col("mn"))).getField("mn").as("smn"),
+            max(struct(col("bkt"), col("mx"))).getField("mx").as("smx"))
+        val wSS = Window.orderBy("sb") // ≤ max_id/2^32 rows — truly tiny
+        val boundaryS = perSuper
+          .withColumn("prev", lag("smx", 1).over(wSS))
+          .filter(col("prev").isNotNull && col("smn") - col("prev") > 1)
+          .select(col("prev"), col("smn").as("id"))
+        inner.unionByName(innerB).unionByName(boundaryS)
           .select((col("prev") + 1).cast("long").as("gap_start"),
             (col("id") - 1).cast("long").as("gap_end"),
             (col("id") - col("prev") - 1).cast("long").as("n_missing"))

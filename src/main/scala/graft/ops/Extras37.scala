@@ -36,10 +36,18 @@ object Extras37 {
              |GROUP BY 1 ORDER BY doc_id""".stripMargin),
       (s, d) => {
         graft.plans.GraftFunctions.register(s)
+        // localCheckpoint: inv feeds BOTH the ownership aggregate and
+        // the join probe side, and Spark does not reuse the scan
+        // across the two subtrees — without the materialization the
+        // corpus's most expensive projection (tokenize + shingle
+        // explode) runs twice (the dedup_lines lesson; the
+        // materialized set is the inverted index a pipeline persists
+        // anyway)
         val inv = Tables.documents(s, d)
           .select(col("doc_id"),
             explode(array_distinct(call_function("shingles", col("text"))))
               .as("ng"))
+          .localCheckpoint()
         val own = inv.groupBy("ng")
           .agg(min("doc_id").cast("long").as("first_doc"))
         inv.join(own, "ng")

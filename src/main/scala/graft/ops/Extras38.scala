@@ -60,11 +60,11 @@ object Extras38 {
              |       LATERAL unnest(range(CAST(ceil(greatest(len(toks) - 32, 0) / 16.0)
              |                            AS BIGINT) + 1)) u(ci)),
              |keep AS (SELECT md5(chunk_text) AS fp,
-             |                CAST(min(doc_id * 100000 + chunk_idx) AS BIGINT) AS first_slot,
+             |                min({'d': doc_id, 'c': chunk_idx}) AS fs,
              |                CAST(count(*) AS BIGINT) AS n_copies
              |         FROM chunks GROUP BY 1)
-             |SELECT CAST(first_slot // 100000 AS BIGINT) AS doc_id,
-             |       CAST(first_slot % 100000 AS BIGINT) AS chunk_idx,
+             |SELECT CAST((fs).d AS BIGINT) AS doc_id,
+             |       CAST((fs).c AS BIGINT) AS chunk_idx,
              |       n_copies
              |FROM keep ORDER BY doc_id, chunk_idx""".stripMargin),
       (s, d) => {
@@ -72,18 +72,20 @@ object Extras38 {
         Tables.documents(s, d)
           .select(col("doc_id"), toks.as("toks"))
           .select(col("doc_id"),
-            posexplode(transform(
-              sequence(lit(0),
-                ceil(greatest(size(col("toks")) - 32, lit(0)) / 16.0).cast("int")),
-              ci => slice(col("toks"), ci * 16 + 1, lit(32)))))
+            // the ONE chunk-window definition (TextAnalysis) — and the
+            // first-occurrence key is a lexicographic STRUCT min, not
+            // the old doc_id*100000+chunk_idx packing, which silently
+            // collided for documents with ≥1e5 chunks (~10 MB of text)
+            // and overflowed for doc_id past 9.2e13 — with the oracle
+            // sharing the formula, so the gate was blind to it
+            posexplode(graft.text.TextAnalysis.chunkWindowsCol(col("toks"))))
           .select(col("doc_id"), col("pos").as("chunk_idx"),
             md5(concat_ws(" ", col("col"))).as("fp"))
           .groupBy("fp")
-          .agg(min(col("doc_id") * 100000 + col("chunk_idx")).cast("long")
-            .as("first_slot"),
+          .agg(min(struct(col("doc_id").as("d"),
+            col("chunk_idx").cast("long").as("c"))).as("fs"),
             count(lit(1)).cast("long").as("n_copies"))
-          .select(expr("CAST(first_slot DIV 100000 AS BIGINT)").as("doc_id"),
-            (col("first_slot") % 100000).cast("long").as("chunk_idx"),
+          .select(col("fs.d").as("doc_id"), col("fs.c").as("chunk_idx"),
             col("n_copies"))
           .orderBy("doc_id", "chunk_idx")
       }))

@@ -22,17 +22,17 @@ object Extras39 {
              |           FROM orders),
              |g AS (SELECT pri, CAST(count(*) AS BIGINT) AS n,
              |             CAST(sum(c) AS BIGINT) AS s,
-             |             CAST(sum(CAST(c AS HUGEINT) * c) AS DOUBLE) AS ssq
+             |             sum(CAST(c AS HUGEINT) * c) AS ssq
              |      FROM v GROUP BY 1),
              |t AS (SELECT CAST(sum(n) AS BIGINT) AS nt,
              |             CAST(count(*) AS BIGINT) AS k,
              |             CAST(sum(s) AS BIGINT) AS st,
-             |             CAST(sum(ssq) AS DOUBLE) AS ssqt,
-             |             CAST(sum(CAST(s AS DOUBLE) * s / n) AS DOUBLE) AS sgrp
+             |             sum(ssq) * 1000000 AS ssqt6,
+             |             sum((CAST(s AS HUGEINT) * s * 1000000) // n) AS sgrp6
              |      FROM g)
              |SELECT nt, k, k - 1 AS df_between, nt - k AS df_within,
-             |       CAST(round(((sgrp - CAST(st AS DOUBLE) * st / nt) / (k - 1))
-             |            / ((ssqt - sgrp) / (nt - k)) * 1e6) AS BIGINT) AS f_e6
+             |       CAST(round((CAST(sgrp6 - (CAST(st AS HUGEINT) * st * 1000000) // nt AS DOUBLE) / (k - 1))
+             |            / (CAST(ssqt6 - sgrp6 AS DOUBLE) / (nt - k)) * 1e6) AS BIGINT) AS f_e6
              |FROM t""".stripMargin),
       (s, d) => {
         val g = Tables.orders(s, d)
@@ -41,17 +41,25 @@ object Extras39 {
           .groupBy("pri")
           .agg(count(lit(1)).cast("long").as("n"),
             sum("c").cast("long").as("s"),
-            expr("CAST(sum(CAST(c AS DECIMAL(38,0)) * c) AS DOUBLE)").as("ssq"))
+            // exact cross-group accumulation (same rework as
+            // stat_eta_squared: double sums were merge-order dependent)
+            expr("sum(CAST(c AS DECIMAL(38,0)) * c)").as("ssq"))
         g.agg(sum("n").cast("long").as("nt"),
             count(lit(1)).cast("long").as("k"),
             sum("s").cast("long").as("st"),
-            sum("ssq").as("ssqt"),
-            sum(expr("CAST(s AS DOUBLE) * s / n")).as("sgrp"))
+            expr("sum(ssq) * 1000000").as("ssqt6"),
+            // longDiv spelling with a DECIMAL result (SQL DIV returns
+            // LONG, too narrow for the ~1e26 quotient at scale)
+            expr("""sum((CAST(s AS DECIMAL(38,0)) * s * 1000000
+                   |     - (CAST(s AS DECIMAL(38,0)) * s * 1000000) % n) / n)"""
+              .stripMargin).as("sgrp6"))
           .select(col("nt"), col("k"),
             (col("k") - 1).cast("long").as("df_between"),
             (col("nt") - col("k")).cast("long").as("df_within"),
-            expr("""CAST(round(((sgrp - CAST(st AS DOUBLE) * st / nt) / (k - 1))
-                   | / ((ssqt - sgrp) / (nt - k)) * 1e6) AS BIGINT)"""
+            expr("""CAST(round((CAST(sgrp6 - (CAST(st AS DECIMAL(38,0)) * st * 1000000
+                   |                  - (CAST(st AS DECIMAL(38,0)) * st * 1000000) % nt) / nt
+                   |        AS DOUBLE) / (k - 1))
+                   | / (CAST(ssqt6 - sgrp6 AS DOUBLE) / (nt - k)) * 1e6) AS BIGINT)"""
               .stripMargin).as("f_e6"))
       }),
 

@@ -47,14 +47,18 @@ object Extras7 {
     // Shannon entropy of each feed's hour-of-day profile, exactly:
     // H = ln(n) − Σ c·ln(c) / n. Every ln(c) is µ-rounded per TERM
     // (integer c → identical double → identical round in any engine),
-    // so the Σ c·ln6(c) accumulator is an exact BIGINT — associative,
-    // partition-order-free. Only the final closed form (identical
+    // so the Σ c·ln6(c) accumulator is exact integer arithmetic —
+    // associative, partition-order-free — and accumulates in
+    // DECIMAL(38,0)/HUGEINT (a 64-bit sum crosses 2⁶³ near ~4e11 rows
+    // per type; the exported BIGINT column then overflows LOUDLY and
+    // identically in both engines instead of mid-aggregation
+    // divergence). Only the final closed form (identical
     // text both sides) touches floats. Two tiny aggregations.
     Q("agg_entropy",
       Some("""WITH h AS (SELECT event_type, hour(ts) AS hh, count(*) AS c
              |           FROM events GROUP BY 1, 2),
              |a AS (SELECT event_type, sum(c) AS n, count(*) AS n_buckets,
-             |             sum(c * CAST(round(ln(c) * 1e6) AS BIGINT)) AS cln6
+             |             sum(CAST(c AS HUGEINT) * CAST(round(ln(c) * 1e6) AS BIGINT)) AS cln6
              |      FROM h GROUP BY 1)
              |SELECT event_type, CAST(n AS BIGINT) AS n_events,
              |       CAST(n_buckets AS BIGINT) AS n_buckets,
@@ -66,7 +70,7 @@ object Extras7 {
         s.sql("""WITH h AS (SELECT event_type, hour(ts) AS hh, count(*) AS c
                 |           FROM events_ent GROUP BY 1, 2),
                 |a AS (SELECT event_type, sum(c) AS n, count(*) AS n_buckets,
-                |             sum(c * CAST(round(ln(c) * 1e6) AS BIGINT)) AS cln6
+                |             sum(CAST(c AS DECIMAL(38,0)) * CAST(round(ln(c) * 1e6) AS BIGINT)) AS cln6
                 |      FROM h GROUP BY 1)
                 |SELECT event_type, CAST(n AS BIGINT) AS n_events,
                 |       CAST(n_buckets AS BIGINT) AS n_buckets,

@@ -64,11 +64,17 @@ object Extras8 {
         val ev = Tables.events(s, d)
         // per-group thresholds via the distributed per-group CDF — the
         // percentile_disc GROUP BY spelling buffers every value of the
-        // group (ScaleRank.groupedQuantilesDisc doc). Values are ~0-500
-        // doubles → floor(v) buckets the within-group windows finely.
+        // group (ScaleRank.groupedQuantilesDisc doc). The bucket fn is
+        // floor(v*1024), NOT floor(v): values are continuous doubles in
+        // ~[0,500], so whole-unit cells cap the within-group window
+        // parallelism at ~500 tasks whose distinct-value width grows
+        // linearly with the data (~n/500 rows sorted per task at 1e12
+        // events — the width-cliff class); 1/1024-unit cells keep each
+        // window sort bounded by local value density. Cutpoints are
+        // bucket-fn-independent (the CDF is exact).
         val th = ScaleRank.groupedQuantilesDisc(
           ev.select(col("event_type"), col("value")), "event_type", "value",
-          Seq(1 -> 20, 19 -> 20), Seq("lo", "hi"), v => floor(v))
+          Seq(1 -> 20, 19 -> 20), Seq("lo", "hi"), v => floor(v * 1024))
         ev.join(broadcast(th), "event_type")
           .select(col("event_id"), col("event_type"),
             round(least(greatest(col("value"), col("lo")), col("hi")) * lit(1e6))
