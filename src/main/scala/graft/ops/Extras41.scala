@@ -93,12 +93,15 @@ object Extras41 {
         val g1 = parts.groupBy("p_name")
           .agg(count(lit(1)).cast("long").as("cnt"),
             min("p_partkey").as("mk1"))
-        val g2 = parts.join(broadcast(g1), "p_name")
+        val g2 = parts.join(g1, "p_name")
           .filter(col("p_partkey") > col("mk1"))
           .groupBy("p_name").agg(min("p_partkey").as("mk2"))
         val mo = verified
-          .join(broadcast(g1.select(col("p_name").as("nb"),
-            col("cnt").as("ocnt"), col("mk1").as("omk"))), "nb")
+          // name-keyed frames are UNHINTED (r9 policy): distinct
+          // p_name grows with the part table unless the data model
+          // caps it — stats/AQE broadcast while the frame actually fits
+          .join(g1.select(col("p_name").as("nb"),
+            col("cnt").as("ocnt"), col("mk1").as("omk")), "nb")
           .groupBy(col("na"))
           .agg(sum("ocnt").cast("long").as("others"),
             min(struct(col("dd").as("d"), col("omk").as("k2"))).as("besto"))
@@ -106,7 +109,7 @@ object Extras41 {
           .join(mo, g1("p_name") === mo("na"), "left")
           .select(col("p_name"), col("cnt"), col("mk1"), col("mk2"),
             coalesce(col("others"), lit(0L)).as("others"), col("besto"))
-        parts.join(broadcast(nmap), "p_name")
+        parts.join(nmap, "p_name")
           .select(col("p_partkey"),
             (col("cnt") - 1 + col("others")).as("n_matches"),
             when(col("cnt") > 1, 0L)
@@ -138,8 +141,8 @@ object Extras41 {
              |             CAST(count(DISTINCT seg) AS BIGINT) AS r,
              |             CAST(count(DISTINCT st) AS BIGINT) AS c FROM obs),
              |x AS (SELECT t.tot, t.r, t.c,
-             |             sum(CAST(CAST(obs.cnt * t.tot - rt.r_tot * ct.c_tot AS HUGEINT)
-             |                      * (obs.cnt * t.tot - rt.r_tot * ct.c_tot) AS DOUBLE)
+             |             sum(CAST((CAST(obs.cnt AS HUGEINT) * t.tot - CAST(rt.r_tot AS HUGEINT) * ct.c_tot)
+             |                      * (CAST(obs.cnt AS HUGEINT) * t.tot - CAST(rt.r_tot AS HUGEINT) * ct.c_tot) AS DOUBLE)
              |                 / (CAST(t.tot AS DOUBLE) * rt.r_tot * ct.c_tot)) AS chi2
              |      FROM obs JOIN rt USING (seg) JOIN ct USING (st) CROSS JOIN t
              |      GROUP BY 1, 2, 3)
@@ -161,9 +164,12 @@ object Extras41 {
         obs.join(broadcast(rt), "seg").join(broadcast(ct), "st")
           .crossJoin(broadcast(t))
           .groupBy("tot", "r", "c")
+          // operands widen BEFORE the multiply: cnt·tot ~ tot²/15
+          // crosses 2⁶³ near 1.2e10 orders — casting the already-
+          // overflowed 64-bit product was the class-1 width cliff
           .agg(sum(expr(
-            """CAST(CAST(cnt * tot - r_tot * c_tot AS DECIMAL(38,0))
-              | * (cnt * tot - r_tot * c_tot) AS DOUBLE)
+            """CAST((CAST(cnt AS DECIMAL(38,0)) * tot - CAST(r_tot AS DECIMAL(38,0)) * c_tot)
+              | * (CAST(cnt AS DECIMAL(38,0)) * tot - CAST(r_tot AS DECIMAL(38,0)) * c_tot) AS DOUBLE)
               | / (CAST(tot AS DOUBLE) * r_tot * c_tot)""".stripMargin))
             .as("chi2"))
           .select(col("tot"), col("r"), col("c"),

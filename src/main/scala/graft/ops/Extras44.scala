@@ -140,7 +140,21 @@ object Extras44 {
           .as[(Long, Long, Long, Long)]
           .groupByKey(_._1)
           .mapGroups { (u, it) =>
-            val cs = it.toArray.sortBy(r => (r._2, r._3)).map(_._4).take(64)
+            // bounded 64-element selection WHILE streaming the group
+            // iterator: it.toArray would buffer a power user's entire
+            // stream on one task (the unbounded-per-group-buffer class
+            // the r9 audit pinned out everywhere else) when only the
+            // 64 earliest (us, event_id) rows are ever used — a size-64
+            // max-heap keeps memory O(64) at any activity level
+            val ord = Ordering.by[(Long, Long, Long), (Long, Long)](e =>
+              (e._1, e._2))
+            val pq = scala.collection.mutable.PriorityQueue.empty(ord)
+            it.foreach { r =>
+              val e = (r._2, r._3, r._4)
+              if (pq.size < 64) pq.enqueue(e)
+              else if (ord.lt(e, pq.head)) { pq.dequeue(); pq.enqueue(e) }
+            }
+            val cs = pq.toArray.sortBy(e => (e._1, e._2)).map(_._3)
             val (a, b) = cs.splitAt(cs.length / 2)
             (u, a.length.toLong, b.length.toLong,
               if (a.isEmpty || b.isEmpty) -1L else dtwBand(a, b, 8))

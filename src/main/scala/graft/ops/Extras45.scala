@@ -35,11 +35,11 @@ object Extras45 {
              |        CAST(coalesce(sum(v) FILTER (WHERE vec_id % 2 = 1), 0) AS BIGINT) AS sb
              |      FROM q GROUP BY 1, 2),
              |x AS (SELECT d.label, n.na, n.nb,
-             |        CAST(sum(CAST(sa * nb - sb * na AS HUGEINT)
-             |                 * (sa * nb - sb * na)) AS DOUBLE) AS ss
+             |        CAST(sum((CAST(sa AS HUGEINT) * nb - CAST(sb AS HUGEINT) * na)
+             |                 * (CAST(sa AS HUGEINT) * nb - CAST(sb AS HUGEINT) * na)) AS DOUBLE) AS ss
              |      FROM d JOIN n USING (label) GROUP BY 1, 2, 3)
              |SELECT label, na, nb,
-             |       CAST(round(sqrt(ss) / (CAST(na AS DOUBLE) * nb) * 100)
+             |       CAST(round(sqrt(ss) / nullif(CAST(na AS DOUBLE) * nb, 0) * 100)
              |            AS BIGINT) AS shift_e6
              |FROM x ORDER BY label""".stripMargin),
       (s, d) => {
@@ -58,10 +58,16 @@ object Extras45 {
             .cast("long").as("sb"))
         dd.join(broadcast(n), "label")
           .groupBy("label", "na", "nb")
-          .agg(expr("""CAST(sum(CAST(sa * nb - sb * na AS DECIMAL(38,0))
-                      | * (sa * nb - sb * na)) AS DOUBLE)""".stripMargin).as("ss"))
+          // widen BEFORE multiplying (sa ~ na·1e4, so sa·nb crosses
+          // 2⁶³ near 3e7 vectors per label half)
+          .agg(expr("""CAST(sum((CAST(sa AS DECIMAL(38,0)) * nb - CAST(sb AS DECIMAL(38,0)) * na)
+                      | * (CAST(sa AS DECIMAL(38,0)) * nb - CAST(sb AS DECIMAL(38,0)) * na)) AS DOUBLE)"""
+            .stripMargin).as("ss"))
           .select(col("label"), col("na"), col("nb"),
-            expr("""CAST(round(sqrt(ss) / (CAST(na AS DOUBLE) * nb) * 100)
+            // nullif: a one-parity label (single-vector label) has
+            // na·nb = 0 and an undefined shift — NULL in both engines,
+            // never a NaN whose long cast the engines disagree on
+            expr("""CAST(round(sqrt(ss) / nullif(CAST(na AS DOUBLE) * nb, 0) * 100)
                    | AS BIGINT)""".stripMargin).as("shift_e6"))
           .orderBy("label")
       }),

@@ -63,7 +63,7 @@ object Extras48 {
              |       FROM embeddings),
              |n AS (SELECT vec_id, label, q,
              |        CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS n2
-             |      FROM qv),
+             |      FROM qv WHERE list_sum(list_transform(q, x -> x * x)) > 0),
              |p AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
              |        CAST(list_sum(list_transform(range(len(a.q)),
              |               i -> a.q[i + 1] * b.q[i + 1])) AS BIGINT) AS dot,
@@ -85,8 +85,13 @@ object Extras48 {
         val qv = Tables.embeddings(s, d).select(col("vec_id"), col("label"),
           expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 16384) AS BIGINT))")
             .as("q"))
+        // zero-norm vectors (all dims below the quantization grid)
+        // have an undefined cosine — excluded in BOTH engines (their
+        // NaN would cast to 0 in Spark but NULL in DuckDB, and the two
+        // sort differently under the rank window)
         val n = qv.withColumn("n2",
           expr("aggregate(transform(q, x -> x * x), 0L, (acc, x) -> acc + x)"))
+          .filter(col("n2") > 0)
         val p = n.as("a").join(n.as("b"),
             col("a.label") === col("b.label") &&
               col("a.vec_id") =!= col("b.vec_id"))

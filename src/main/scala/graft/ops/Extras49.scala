@@ -35,12 +35,17 @@ object Extras49 {
              |GROUP BY 1 ORDER BY doc_id""".stripMargin),
       (s, d) => {
         val toks = split(lower(trim(col("text"))), " +")
+        // localCheckpoint: grams feeds BOTH the eval-distinct side and
+        // the train probe — without it the corpus scan + 13-gram
+        // explode (the plan's dominant cost) runs twice (the
+        // dedup_lines/text_novelty lesson)
         val grams = Tables.documents(s, d)
           .select(col("doc_id"), toks.as("toks"))
           .filter(size(col("toks")) >= 13)
           .select(col("doc_id"),
             explode(transform(sequence(lit(0), size(col("toks")) - 13),
               i => array_join(slice(col("toks"), i + 1, lit(13)), " "))).as("ng"))
+          .localCheckpoint()
         val ev = grams.filter(col("doc_id") % 10 === 0)
           .select("ng").distinct()
         grams.filter(col("doc_id") % 10 =!= 0)
@@ -69,7 +74,7 @@ object Extras49 {
              |                 AS BIGINT) AS rev
              |          FROM orders GROUP BY 1),
              |b AS (SELECT ck, rev, CAST(bi AS BIGINT) AS bi,
-             |        ((ck * 100 + bi + 1) * 2654435761) % 4294967296 AS h
+             |        (CAST(ck * 100 + bi + 1 AS HUGEINT) * 2654435761) % 4294967296 AS h
              |      FROM r, LATERAL unnest(range(100)) u(bi)),
              |w AS (SELECT bi, rev,
              |        CASE WHEN h < 1580030168 THEN 0
@@ -95,9 +100,13 @@ object Extras49 {
             .cast("long").as("rev"))
         val b = r.select(col("ck"), col("rev"),
             explode(sequence(lit(0L), lit(99L))).as("bi"))
+          // Knuth product in DECIMAL(38,0)/HUGEINT: the 64-bit
+          // product wraps at ck ≈ 3.47e7 (≈ SF 230), where the
+          // sign-preserving % would zero the weight of every high-ck
+          // customer while DuckDB errors (the sample_bernoulli class)
           .withColumn("h",
-            ((col("ck").cast("long") * 100 + col("bi") + 1) * lit(2654435761L))
-              % lit(4294967296L))
+            expr("""(CAST(ck * 100 + bi + 1 AS DECIMAL(38,0)) * 2654435761)
+                   | % 4294967296""".stripMargin))
         val w = b.withColumn("w",
           when(col("h") < 1580030168L, 0L)
             .when(col("h") < 3160060337L, 1L)
