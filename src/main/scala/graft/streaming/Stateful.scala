@@ -188,17 +188,23 @@ object Stateful {
   }
 
   /** Reads the union of a foreachBatch sink's per-batch dirs (None if
-    * nothing landed yet). The glob keeps the batch id out of the
-    * schema — unlike a k=v partition layout, whose inferred column
-    * would leak into every consumer. */
+    * nothing landed yet). The explicit dir list keeps the batch id out
+    * of the schema — unlike a k=v partition layout, whose inferred
+    * column would leak into every consumer. Listing goes through the
+    * Hadoop FileSystem of the sink path itself: a production sink
+    * lives on HDFS/S3, where the old java.io.File spelling silently
+    * listed nothing and reported an empty sink. */
   def readForeachBatchSink(spark: SparkSession,
       outPath: String): Option[DataFrame] = {
-    val root = new java.io.File(outPath)
-    val dirs = Option(root.listFiles())
-      .map(_.filter(f => f.isDirectory && f.getName.startsWith("batch_")))
-      .getOrElse(Array.empty)
+    val root = new org.apache.hadoop.fs.Path(outPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs =
+      if (!fs.exists(root)) Array.empty[String]
+      else fs.listStatus(root)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_"))
+        .map(_.getPath.toString)
     if (dirs.isEmpty) None
-    else Some(spark.read.parquet(dirs.map(_.getPath).toIndexedSeq: _*))
+    else Some(spark.read.parquet(dirs.toIndexedSeq: _*))
   }
 
   final case class TypeCount(event_type: String, n: Long)

@@ -215,40 +215,68 @@ object Dedup {
       .write.mode("overwrite").parquet(s"$root/bk")
   }
 
-  /** Resolves the LIVE generation of a derived index artifact (`post`
-    * or `bk`): the plain name (generation 0, written by
-    * [[writeIndex]]) or the highest-numbered `<base>.g<N>` published
-    * by a later maintenance op ([[compactIndexStats]],
-    * [[repairIndex]]). Generations are create-only — maintenance
-    * publishes the next one with a single same-filesystem ATOMIC_MOVE
-    * and only then reaps older ones — so some complete generation
-    * exists at every instant and "highest number" is always the
-    * freshest complete one (a crash between publish and reap leaves a
-    * stale LOWER generation behind, which the next maintenance pass
-    * reaps). `ix` is append-only record-of-truth and never
-    * generation-swapped. */
-  private[graft] def livePath(root: String,
-      base: String): java.nio.file.Path = {
-    import java.nio.file.{Files, Paths}
-    import scala.jdk.CollectionConverters._
-    val r = Paths.get(root)
-    val pre = base + ".g"
-    val ls = Files.list(r)
-    val gens = try ls.iterator().asScala
-      .map(_.getFileName.toString)
-      .collect {
-        case `base` => 0L
-        case n if n.startsWith(pre) && n.length > pre.length &&
-            n.drop(pre.length).forall(_.isDigit) =>
-          n.drop(pre.length).toLong
-      }.toSeq
-    finally ls.close()
-    require(gens.nonEmpty, s"no $base artifact generation under $root")
-    val g = gens.max
-    if (g == 0L) r.resolve(base) else r.resolve(s"$base.g$g")
+  // ── persisted-index filesystem machinery ───────────────────────────
+  // All index-root surgery goes through the Hadoop FileSystem resolved
+  // from the root path ITSELF, so an index root can live on any Hadoop
+  // filesystem — local disk in tests, HDFS/S3A on a real cluster. (The
+  // previous java.nio spelling resolved only OS-local paths: at 100 TB
+  // the index root is shared/object storage, where java.nio paths do
+  // not exist. Same portability contract as pipeline.CatalogStore.)
+  private def hadoopFs(root: String):
+      (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    val conf = org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    (p.getFileSystem(conf), p)
   }
 
-  private[graft] def bkLivePath(root: String): java.nio.file.Path =
+  private case class Gen(gen: Long, path: org.apache.hadoop.fs.Path,
+      complete: Boolean)
+
+  /** Every on-disk generation of `base` under `root`: the plain name
+    * (generation 0, written by [[writeIndex]] — complete by
+    * construction) and each `<base>.g<N>` published by a maintenance
+    * op. A numbered generation is COMPLETE iff the Spark committer's
+    * `_SUCCESS` marker is inside — the marker lands after every task
+    * commit, so a crash mid-publish (or a non-atomic object-store
+    * copy) can only ever leave a marker-less torn dir, never a
+    * marker-bearing partial one. */
+  private def listGens(fs: org.apache.hadoop.fs.FileSystem,
+      r: org.apache.hadoop.fs.Path, base: String): Seq[Gen] = {
+    val pre = base + ".g"
+    fs.listStatus(r).toSeq.map(_.getPath).flatMap { p =>
+      val n = p.getName
+      if (n == base) Some(Gen(0L, p, complete = true))
+      else if (n.startsWith(pre) && n.length > pre.length &&
+          n.drop(pre.length).forall(_.isDigit))
+        Some(Gen(n.drop(pre.length).toLong, p,
+          complete = fs.exists(
+            new org.apache.hadoop.fs.Path(p, "_SUCCESS"))))
+      else None
+    }
+  }
+
+  /** Resolves the LIVE generation of a derived index artifact (`post`
+    * or `bk`): the highest-numbered COMPLETE generation (see
+    * [[listGens]]). Generations are create-only — maintenance writes
+    * the next one in place via the Spark committer and only then reaps
+    * older ones — so some complete generation exists at every instant:
+    * a crash mid-publish leaves a marker-less torn dir this resolver
+    * skips, a crash between publish and reap leaves a stale LOWER
+    * complete generation behind; the next maintenance pass reaps
+    * either. `ix` is append-only record-of-truth and never
+    * generation-swapped. */
+  private[graft] def livePath(root: String,
+      base: String): org.apache.hadoop.fs.Path = {
+    val (fs, r) = hadoopFs(root)
+    val complete = listGens(fs, r, base).filter(_.complete)
+    require(complete.nonEmpty,
+      s"no complete $base artifact generation under $root")
+    complete.maxBy(_.gen).path
+  }
+
+  private[graft] def bkLivePath(root: String): org.apache.hadoop.fs.Path =
     livePath(root, "bk")
 
   /** Depth-first recursive delete (stream-closed, children before
@@ -266,47 +294,40 @@ object Dedup {
   }
 
   /** Publishes the NEXT create-only generation of `base` under `root`:
-    * `build` writes the full parquet to a scratch dir created under
-    * the index root (same filesystem — a tmpdir scratch would make the
-    * publish rename EXDEV-fail on a tmpfs/data-disk split), a single
-    * ATOMIC_MOVE makes it live, and only then are older generations
-    * reaped (each reaped path refresh-invalidated, plus the new one).
-    * See [[livePath]] for the crash contract. */
+    * `build` writes the full parquet DIRECTLY into the next
+    * `<base>.g<N>` dir via the Spark committer, whose `_SUCCESS`
+    * marker lands only after every task commit — so the dir resolves
+    * as live ([[livePath]]) exactly when it is complete, with no
+    * rename step at all (rename-free publish is what makes this
+    * correct on object stores, where a directory rename is a
+    * non-atomic file-by-file copy; on HDFS/POSIX it simply skips a
+    * step the marker gate makes redundant). Only after the marker is
+    * verified are older generations — stale completes AND torn
+    * leftovers — reaped, each path refresh-invalidated. The next
+    * generation number sits above every EXISTING dir, torn ones
+    * included, so a retry after a mid-build crash never writes into a
+    * half-built dir. See [[livePath]] for the crash contract. */
   private def publishNextGen(s: org.apache.spark.sql.SparkSession,
       root: String, base: String)(build: String => Unit): Unit = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    import scala.jdk.CollectionConverters._
-    val live = livePath(root, base)
-    val liveGen =
-      if (live.getFileName.toString == base) 0L
-      else live.getFileName.toString.drop(base.length + 2).toLong
-    val scratch = Files.createTempDirectory(
-      Paths.get(root), s".${base}_stage_")
-    try {
-      build(scratch.resolve(base).toString)
-      val next = Paths.get(root, s"$base.g${liveGen + 1}")
-      Files.move(scratch.resolve(base), next,
-        StandardCopyOption.ATOMIC_MOVE)
-      val pre = base + ".g"
-      val ls = Files.list(Paths.get(root))
-      val stale = try ls.iterator().asScala
-        .filter { p =>
-          val n = p.getFileName.toString
-          n == base ||
-            (n.startsWith(pre) && n.length > pre.length &&
-              n.drop(pre.length).forall(_.isDigit) &&
-              n.drop(pre.length).toLong <= liveGen)
-        }.toSeq
-      finally ls.close()
-      stale.foreach { gen =>
-        deleteRecursively(gen)
-        s.catalog.refreshByPath(gen.toString)
-      }
-      // a Spark write would refresh the shared file-status cache
-      // itself; after manual file surgery it must be told, or a read
-      // that cached the path pre-publish resolves a stale listing
-      s.catalog.refreshByPath(next.toString)
-    } finally deleteRecursively(scratch)
+    val (fs, r) = hadoopFs(root)
+    val gens = listGens(fs, r, base)
+    require(gens.exists(_.complete),
+      s"no complete $base artifact generation under $root")
+    val next = new org.apache.hadoop.fs.Path(
+      r, s"$base.g${gens.map(_.gen).max + 1}")
+    build(next.toString)
+    require(fs.exists(new org.apache.hadoop.fs.Path(next, "_SUCCESS")),
+      s"no _SUCCESS marker under $next — generation resolution " +
+        "requires the committer's success markers " +
+        "(mapreduce.fileoutputcommitter.marksuccessfuljobs=true)")
+    gens.foreach { g =>
+      fs.delete(g.path, true)
+      // a Spark write refreshes the shared file-status cache itself;
+      // after manual file surgery it must be told, or a read that
+      // cached the path pre-publish resolves a stale listing
+      s.catalog.refreshByPath(g.path.toString)
+    }
+    s.catalog.refreshByPath(next.toString)
   }
 
   /** Appends the accepted delta rows' index entries to a persisted
@@ -348,11 +369,17 @@ object Dedup {
   def appendIndex(root: String, accepted: DataFrame, idCol: String,
       textCol: String): Unit = {
     val s = accepted.sparkSession
-    val scratch = java.nio.file.Files.createTempDirectory(
-      java.nio.file.Paths.get(sys.props("java.io.tmpdir")),
-      ".graft_ix_append_")
+    // The scratch snapshot lives on the index root's OWN filesystem:
+    // executors write it and all three appends read it back, so a
+    // driver-local tmpdir would work only in local mode — on a real
+    // cluster each executor would land its task files on its own
+    // disk and the read-back would see the driver's (empty) path.
+    // Dot-prefixed → invisible to Spark's directory listings.
+    val (fs, r) = hadoopFs(root)
+    val scratch = new org.apache.hadoop.fs.Path(
+      r, s".ix_append_${java.util.UUID.randomUUID().toString.take(13)}")
     try {
-      val sd = scratch.resolve("ixd").toString
+      val sd = new org.apache.hadoop.fs.Path(scratch, "ixd").toString
       buildIndex(accepted, idCol, textCol)
         .write.mode("overwrite").parquet(sd)
       val post = indexPostings(s.read.parquet(sd))
@@ -360,7 +387,7 @@ object Dedup {
       indexBucketStats(indexPostings(s.read.parquet(sd)))
         .write.mode("append").parquet(livePath(root, "bk").toString)
       s.read.parquet(sd).write.mode("append").parquet(s"$root/ix")
-    } finally deleteRecursively(scratch)
+    } finally fs.delete(scratch, true)
   }
 
   /** Opens a persisted three-part index written by [[writeIndex]] /
@@ -382,20 +409,17 @@ object Dedup {
     *
     * Same single-writer assumption as [[appendIndex]] (the owner of
     * the generation runs maintenance between delta cycles; concurrent
-    * appends were never safe against each other). The swap is the same
-    * create-only generation pattern the stream stages use: the summed
-    * stats are fully written to a scratch dir created UNDER `root`
-    * (same filesystem — a tmpdir scratch would make the publish rename
-    * cross-device and fail with EXDEV on the common tmpfs-/tmp +
-    * data-disk split), then published as the NEXT `bk.g<N>` generation
-    * with a single ATOMIC_MOVE, and only then are older generations
-    * reaped. There is no instant with zero live sidecar on disk: a
-    * crash before the move leaves the old generation live (the scratch
-    * is dot-prefixed and never resolved), a crash between move and
-    * reap leaves two complete generations and [[bkLivePath]] picks the
-    * newer (the next compaction reaps the stale one). The
-    * record-of-truth parts (`ix`, `post`) are append-only and
-    * untouched here. */
+    * appends were never safe against each other). The swap is the
+    * create-only generation publish of [[publishNextGen]]: the summed
+    * stats are committer-written directly into the NEXT `bk.g<N>` dir,
+    * whose `_SUCCESS` marker is what makes it live, and only then are
+    * older generations reaped. There is no instant with zero live
+    * sidecar on disk: a crash mid-write leaves a marker-less torn dir
+    * the resolver skips (old generation stays live), a crash between
+    * publish and reap leaves two complete generations and
+    * [[bkLivePath]] picks the newer (the next maintenance pass reaps
+    * the rest). The record-of-truth parts (`ix`, `post`) are
+    * append-only and untouched here. */
   def compactIndexStats(s: org.apache.spark.sql.SparkSession,
       root: String): Unit = {
     val live = livePath(root, "bk").toString
@@ -422,7 +446,7 @@ object Dedup {
     * distinct-by-id `ix` rows (the record of truth they are functions
     * of — the same derivation [[writeIndex]] runs at build time) and
     * published as next create-only generations ([[publishNextGen]]:
-    * no instant without a live artifact, crash-safe, EXDEV-safe).
+    * no instant without a live artifact, crash-safe, rename-free).
     * `bk` is re-derived from the freshly PUBLISHED postings so the
     * two cannot drift. Returns true iff a repair was performed; a
     * second call is a detected no-op — INCLUDING after the

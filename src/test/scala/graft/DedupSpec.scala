@@ -204,12 +204,12 @@ class DedupSpec extends SparkSpec {
     val base = corpus.filter(col("doc_id").isin(1L, 3L))
     val dir = Files.createTempDirectory("graft_ix_gens").toString
     Dedup.writeIndex(base, "doc_id", "text", dir)
-    assert(Dedup.bkLivePath(dir) == Paths.get(dir, "bk"))
+    assert(Dedup.bkLivePath(dir).toUri.getPath == s"$dir/bk")
     // compaction publishes bk.g1 and reaps gen 0 — never the reverse
     Dedup.compactIndexStats(spark, dir)
     assert(Files.exists(Paths.get(dir, "bk.g1")))
     assert(!Files.exists(Paths.get(dir, "bk")))
-    assert(Dedup.bkLivePath(dir) == Paths.get(dir, "bk.g1"))
+    assert(Dedup.bkLivePath(dir).toUri.getPath == s"$dir/bk.g1")
     // appends land their partials on the LIVE generation
     val g1Before = spark.read.parquet(s"$dir/bk.g1").count()
     val day = Seq((40L, "entirely novel text about glacier melt rates and alpine hydrology"))
@@ -227,7 +227,7 @@ class DedupSpec extends SparkSpec {
       if (Files.isDirectory(p)) Files.createDirectories(t)
       else Files.copy(p, t)
     }
-    assert(Dedup.bkLivePath(dir) == live)
+    assert(Dedup.bkLivePath(dir).toUri.getPath == live.toString)
     val statsLive = Dedup.readIndex(spark, dir).bucketStats
       .groupBy("bk").agg(sum("n").as("n"))
       .collect().map(r => r.get(0) -> r.getLong(1)).toMap
