@@ -592,88 +592,6 @@ object Streams {
     spark.table(name)
   }
 
-  /** One micro-batch's state-store reading from a
-    * [[outerJoinStateProgress]] run. */
-  final case class StateProgressRow(batchId: Long, inputRows: Long,
-      stateRowsTotal: Long, stateRowsRemoved: Long, watermark: String)
-
-  /** MEASUREMENT HARNESS (not a registered query): replays the events
-    * table through the exact stream-stream outer-join topology of
-    * [[purchaseViewLeftJoin]]/[[purchaseViewFullJoin]] — same
-    * watermarks (purchases 1 h, views 2 h), same preceding-hour join
-    * condition, same far-future sentinel flush — but staged as
-    * `chunks` time-ordered arrival files (`maxFilesPerTrigger=1` → one
-    * micro-batch each) instead of one, so the watermark advances batch
-    * over batch and the state store's eviction behavior becomes
-    * OBSERVABLE: the returned per-batch `numRowsTotal` must plateau at
-    * O(rows inside the watermark+join horizon), not grow with stream
-    * length. That plateau is the 100 TB claim the outer joins' docs
-    * make — this harness is what measures it (SERIAL.md). Output goes
-    * to a noop sink: the subject is state, not results (result parity
-    * is the registered queries' oracle-checked job).
-    *
-    * The time-ordered chunking uses a global-sort `ntile` — a
-    * single-partition window, acceptable ONLY because this is a
-    * measurement stage (a production replay would already arrive in
-    * time order). */
-  def outerJoinStateProgress(spark: SparkSession, dir: String,
-      joinType: String, chunks: Int): Seq[StateProgressRow] = withStreamParallelism(spark) {
-    import org.apache.spark.sql.expressions.Window
-    val ev = graft.io.Tables.events(spark, dir)
-    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
-    val sentinel = spark.range(2).select(
-      (col("id") - 2).as("event_id"),
-      (lit(maxTs) + expr("INTERVAL 10 HOURS")).as("ts"),
-      lit(-1L).as("user_id"),
-      when(col("id") === 0, "purchase").otherwise("view").as("event_type"),
-      lit(0.0).as("value"),
-      lit("{}").as("props"))
-      .select(ev.columns.map(col).toSeq: _*)
-    val chunked = ev.withColumn("chunk",
-      ntile(chunks).over(Window.orderBy(col("ts"), col("event_id"))))
-    val files = (1 to chunks).map(i =>
-      chunked.filter(col("chunk") === i).drop("chunk") ->
-        f"c$i%03d.parquet") :+ (sentinel -> "z_tick.parquet")
-    val stageDir = stageArrivals(s"graft_stream_ssprobe_${joinType}_$tag", files)
-    val schema = spark.read.parquet(stageDir).schema
-    val src = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", 1).parquet(stageDir)
-    val p = src.filter(col("event_type") === "purchase")
-      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
-        col("ts").as("p_ts"))
-      .withWatermark("p_ts", "1 hour")
-    val v = src.filter(col("event_type") === "view")
-      .select(col("event_id").as("v_id"), col("user_id").as("v_user"),
-        col("ts").as("v_ts"))
-      .withWatermark("v_ts", "2 hours")
-    val joined = p.join(v,
-      col("p_user") === col("v_user") &&
-        col("v_ts") <= col("p_ts") &&
-        col("v_ts") > col("p_ts") - expr("INTERVAL 1 HOUR"),
-      joinType)
-    val prevKeep = spark.conf.getOption(
-      "spark.sql.streaming.numRecentProgressUpdates")
-    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "512")
-    try {
-      val q = joined.writeStream.outputMode("append")
-        .format("noop")
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      q.recentProgress.toIndexedSeq.map { pr =>
-        val st = pr.stateOperators
-        StateProgressRow(pr.batchId, pr.numInputRows,
-          st.map(_.numRowsTotal).sum, st.map(_.numRowsRemoved).sum,
-          Option(pr.eventTime.get("watermark")).getOrElse("-"))
-      }
-    } finally prevKeep match {
-      case Some(k) => spark.conf.set(
-        "spark.sql.streaming.numRecentProgressUpdates", k)
-      case None => spark.conf.unset(
-        "spark.sql.streaming.numRecentProgressUpdates")
-    }
-  }
-
   def purchaseViewJoin(spark: SparkSession, dir: String): DataFrame = withStreamParallelism(spark) {
     val name = "graft_stream_ssjoin"
     val p = eventsStream(spark, dir)
