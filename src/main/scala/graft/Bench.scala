@@ -181,7 +181,10 @@ object Bench {
       // round-10 additions: the sampled all-pairs recall report and
       // the repair lifecycle's one-time stage — both heavy enough to
       // straggle if submitted last
-      "emb_band_recall", "dedup_index_repair", "dedup_embedding_banded")
+      "emb_band_recall", "dedup_index_repair", "dedup_embedding_banded",
+      // session-5 addition: first of the PQ pair pays the shared
+      // codebook materialization
+      "sim_topk_pq")
     val batchQs = batchQs0.sortBy(q => if (heavyFirst(q.name)) 0 else 1)
     val wall0 = System.nanoTime()
     // Each headline query runs twice back-to-back; the reported figure is

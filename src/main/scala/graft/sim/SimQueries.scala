@@ -342,6 +342,42 @@ object SimQueries {
     // cos≈0.2 share few sign bits; at a production near-dup threshold
     // (≥0.95) sign-LSH recall approaches 1. The measurement's point is
     // the ~170× banded-over-single ratio, which is threshold-robust.
+    // product-quantization ADC top-k — the memory-compression half of
+    // FAISS's IVF-PQ, closing the ANN ladder (graft.sim.Pq). Exact
+    // integer end-to-end (grid quantize → integer Lloyd → integer ADC
+    // sums), so unlike the cosine queries the DISTANCE ITSELF is
+    // reported and hash-checked, not just the ranks.
+    Q("sim_topk_pq",
+      Some(s"""WITH $pqCte,
+              |qd AS (SELECT c.sub, c.j,
+              |         CAST(sum((d.v - c.cv) * (d.v - c.cv)) AS BIGINT) AS qd2
+              |       FROM d JOIN cent2 c ON d.sub = c.sub AND d.i = c.i
+              |       WHERE d.vec_id = (SELECT min(vec_id) FROM embeddings)
+              |       GROUP BY 1, 2),
+              |adc AS (SELECT codes.vec_id, CAST(sum(qd.qd2) AS BIGINT) AS approx_d2
+              |        FROM codes JOIN qd ON codes.sub = qd.sub AND codes.code = qd.j
+              |        WHERE codes.vec_id <> (SELECT min(vec_id) FROM embeddings)
+              |        GROUP BY 1)
+              |SELECT CAST(row_number() OVER (ORDER BY approx_d2, vec_id) AS BIGINT)
+              |         AS rank,
+              |       a.vec_id, e.label, a.approx_d2
+              |FROM adc a JOIN embeddings e USING (vec_id)
+              |ORDER BY rank LIMIT 10""".stripMargin),
+      (s, d) => Pq.topK(embeddings(s, d), 10)),
+
+    // per-subspace PQ quantization distortion — the quality companion
+    // every PQ index ships with (sim_recall_report's counterpart for
+    // the compressed path). Exact: the corpus-scaling distortion sum is
+    // decimal-widened before accumulating, the mean is a truncating
+    // integer division in both engines.
+    Q("sim_pq_distortion",
+      Some(s"""WITH $pqCte
+              |SELECT sub, CAST(count(*) AS BIGINT) AS n,
+              |       CAST((sum(d2) - sum(d2) % count(*)) // count(*) AS BIGINT)
+              |         AS avg_d2
+              |FROM codes GROUP BY sub ORDER BY sub""".stripMargin),
+      (s, d) => Pq.distortion(embeddings(s, d))),
+
     Q("emb_band_recall",
       Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
              |          FROM embeddings ORDER BY vec_id LIMIT 2000),
@@ -391,6 +427,46 @@ object SimQueries {
              |         AS recall_banded_e6""".stripMargin),
       (s, d) => Similarity.bandRecallReport(embeddings(s, d), 1, 5))
   )
+
+  /** The exact-integer PQ pipeline as DuckDB CTEs (shared by
+    * sim_topk_pq and sim_pq_distortion — one spelling, mirroring
+    * graft.sim.Pq): grid-quantized dims with their subspace → per-
+    * subspace seeded codebooks (one exact Lloyd update; sums stay
+    * HUGEINT = the Spark side's DECIMAL(38,0) widening) → per-vector
+    * codes with their exact encoding distortion. */
+  private val pqCte =
+    """dims AS (
+             |  SELECT vec_id, generate_subscripts(embedding, 1) AS ii,
+             |         CAST(round(unnest(embedding) * 1e7) AS BIGINT) + 10000000 AS v
+             |  FROM embeddings),
+             |d AS (SELECT vec_id, CAST((ii - 1) // 16 AS BIGINT) AS sub, ii AS i, v
+             |      FROM dims),
+             |seeds AS (SELECT vec_id,
+             |            CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS j
+             |          FROM embeddings ORDER BY vec_id LIMIT 4),
+             |init AS (SELECT d.sub, s.j, d.i, d.v AS cv
+             |         FROM d JOIN seeds s USING (vec_id)),
+             |a1d AS (SELECT d.vec_id, d.sub, c.j,
+             |          CAST(sum((d.v - c.cv) * (d.v - c.cv)) AS BIGINT) AS d2
+             |        FROM d JOIN init c ON d.sub = c.sub AND d.i = c.i
+             |        GROUP BY 1, 2, 3),
+             |a1 AS (SELECT vec_id, sub, j FROM (
+             |         SELECT vec_id, sub, j,
+             |           row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, j) AS rn
+             |         FROM a1d) t WHERE rn = 1),
+             |upd AS (SELECT a1.sub, a1.j, d.i, sum(d.v) AS s, count(*) AS n
+             |        FROM a1 JOIN d ON a1.vec_id = d.vec_id AND a1.sub = d.sub
+             |        GROUP BY 1, 2, 3),
+             |cent2 AS (SELECT sub, j, i, CAST((s - s % n) // n AS BIGINT) AS cv
+             |          FROM upd),
+             |encd AS (SELECT d.vec_id, d.sub, c.j,
+             |          CAST(sum((d.v - c.cv) * (d.v - c.cv)) AS BIGINT) AS d2
+             |        FROM d JOIN cent2 c ON d.sub = c.sub AND d.i = c.i
+             |        GROUP BY 1, 2, 3),
+             |codes AS (SELECT vec_id, sub, j AS code, d2 FROM (
+             |            SELECT *,
+             |              row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, j) AS rn
+             |            FROM encd) t WHERE rn = 1)""".stripMargin
 
   /** The exact-integer kmeans pipeline as DuckDB CTEs (shared by
     * cluster_kmeans and sim_topk_ivf_kmeans): quantized dims → seeded
