@@ -182,9 +182,9 @@ object Bench {
       // the repair lifecycle's one-time stage — both heavy enough to
       // straggle if submitted last
       "emb_band_recall", "dedup_index_repair", "dedup_embedding_banded",
-      // session-5 addition: first of the PQ pair pays the shared
+      // session-5 additions: first of the PQ family pays the shared
       // codebook materialization
-      "sim_topk_pq")
+      "sim_topk_pq", "sim_topk_ivfpq")
     val batchQs = batchQs0.sortBy(q => if (heavyFirst(q.name)) 0 else 1)
     val wall0 = System.nanoTime()
     // Each headline query runs twice back-to-back; the reported figure is

@@ -103,8 +103,33 @@ object Pq {
     * engine-noisy and never output — see SimQueries' header). */
   def topK(emb: DataFrame, k: Int): DataFrame = {
     val (cent, codes) = codebookAndCodes(emb)
+    adcTopK(emb, cent, codes, k)
+  }
+
+  /** IVF-PQ — the full FAISS structure: the kmeans coarse quantizer
+    * ([[Clustering.kmeansFull]], shared with cluster_kmeans /
+    * sim_topk_ivf_kmeans) routes the query to its `nprobe` nearest
+    * cells ([[Similarity.probeCells]] — the ONE probe spelling), and
+    * ADC runs only over the probed cells' members. At 100 TB this is
+    * the operating point: the scan touches |corpus|·nprobe/kCells
+    * code rows, none of the raw vectors. */
+  def topKIvfPq(emb: DataFrame, k: Int, kClusters: Int,
+      nprobe: Int): DataFrame = {
+    val (assigned, kcents) = Clustering.kmeansFull(emb, kClusters)
+    val cells = Similarity.probeCells(emb, kcents, nprobe)
+    val cand = assigned.select("vec_id", "cluster")
+      .join(broadcast(cells), Seq("cluster")).select("vec_id")
+    val (cent, codes) = codebookAndCodes(emb)
+    adcTopK(emb, cent, codes.join(cand, "vec_id"), k)
+  }
+
+  /** The shared ADC ranking: exact M×K query-to-codebook distance
+    * table (≤16 rows, broadcast) → per-vector lookup-sum over the
+    * given code rows → TakeOrderedAndProject top-k, ties on vec_id,
+    * query vector excluded. */
+  private def adcTopK(emb: DataFrame, cent: DataFrame, codes: DataFrame,
+      k: Int): DataFrame = {
     val q1 = Similarity.queryVector(emb).select("q_id")
-    // M×K exact query-to-centroid subspace distances (≤16 rows)
     val qd = dims(emb)
       .join(broadcast(q1), col("vec_id") === col("q_id"))
       .join(broadcast(cent), Seq("sub", "i"))

@@ -349,21 +349,30 @@ object SimQueries {
     // reported and hash-checked, not just the ranks.
     Q("sim_topk_pq",
       Some(s"""WITH $pqCte,
-              |qd AS (SELECT c.sub, c.j,
-              |         CAST(sum((d.v - c.cv) * (d.v - c.cv)) AS BIGINT) AS qd2
-              |       FROM d JOIN cent2 c ON d.sub = c.sub AND d.i = c.i
-              |       WHERE d.vec_id = (SELECT min(vec_id) FROM embeddings)
-              |       GROUP BY 1, 2),
-              |adc AS (SELECT codes.vec_id, CAST(sum(qd.qd2) AS BIGINT) AS approx_d2
-              |        FROM codes JOIN qd ON codes.sub = qd.sub AND codes.code = qd.j
-              |        WHERE codes.vec_id <> (SELECT min(vec_id) FROM embeddings)
-              |        GROUP BY 1)
-              |SELECT CAST(row_number() OVER (ORDER BY approx_d2, vec_id) AS BIGINT)
-              |         AS rank,
-              |       a.vec_id, e.label, a.approx_d2
-              |FROM adc a JOIN embeddings e USING (vec_id)
-              |ORDER BY rank LIMIT 10""".stripMargin),
+              |cand AS (SELECT vec_id FROM embeddings),
+              |$pqAdcTail""".stripMargin),
       (s, d) => Pq.topK(embeddings(s, d), 10)),
+
+    // IVF-PQ — the two structures composed exactly as FAISS ships
+    // them: the kmeans coarse quantizer (same exact-integer training
+    // as cluster_kmeans, same probe spelling as sim_topk_ivf_kmeans)
+    // routes the query to its 2 nearest cells, and the ADC scan runs
+    // only over the probed cells' code rows. The 100 TB operating
+    // point of the ANN ladder: |corpus|·nprobe/kCells code lookups,
+    // no raw vectors touched after encode.
+    Q("sim_topk_ivfpq",
+      Some(s"""WITH $pqCte,
+              |$kmeansCtePrefixed,
+              |qcell AS (SELECT c.j,
+              |            CAST(sum((qv.v - c.cv) * (qv.v - c.cv)) AS BIGINT) AS kd2
+              |          FROM km_cent2 c JOIN km_dims qv ON c.i = qv.i
+              |          WHERE qv.vec_id = (SELECT min(vec_id) FROM embeddings)
+              |          GROUP BY 1),
+              |probe AS (SELECT j FROM qcell ORDER BY kd2, j LIMIT 2),
+              |cand AS (SELECT vec_id FROM km_a2
+              |         WHERE rn = 1 AND j IN (SELECT j FROM probe)),
+              |$pqAdcTail""".stripMargin),
+      (s, d) => Pq.topKIvfPq(embeddings(s, d), 10, 5, 2)),
 
     // per-subspace PQ quantization distortion — the quality companion
     // every PQ index ships with (sim_recall_report's counterpart for
@@ -467,6 +476,37 @@ object SimQueries {
              |            SELECT *,
              |              row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, j) AS rn
              |            FROM encd) t WHERE rn = 1)""".stripMargin
+
+  /** The ADC tail shared by sim_topk_pq and sim_topk_ivfpq — ONE
+    * spelling of the distance-table + lookup-sum + top-10, so the flat
+    * and IVF-routed variants can only differ in the `cand` candidate
+    * CTE each prepends (all vectors vs the probed cells' members). */
+  private val pqAdcTail =
+    """qd AS (SELECT c.sub, c.j,
+             |         CAST(sum((d.v - c.cv) * (d.v - c.cv)) AS BIGINT) AS qd2
+             |       FROM d JOIN cent2 c ON d.sub = c.sub AND d.i = c.i
+             |       WHERE d.vec_id = (SELECT min(vec_id) FROM embeddings)
+             |       GROUP BY 1, 2),
+             |adc AS (SELECT codes.vec_id, CAST(sum(qd.qd2) AS BIGINT) AS approx_d2
+             |        FROM codes JOIN cand USING (vec_id)
+             |                   JOIN qd ON codes.sub = qd.sub AND codes.code = qd.j
+             |        WHERE codes.vec_id <> (SELECT min(vec_id) FROM embeddings)
+             |        GROUP BY 1)
+             |SELECT CAST(row_number() OVER (ORDER BY approx_d2, vec_id) AS BIGINT)
+             |         AS rank,
+             |       a.vec_id, e.label, a.approx_d2
+             |FROM adc a JOIN embeddings e USING (vec_id)
+             |ORDER BY rank LIMIT 10""".stripMargin
+
+  /** [[kmeansCte]] with every CTE name km_-prefixed, so the coarse
+    * quantizer composes with [[pqCte]] inside ONE WITH clause
+    * (sim_topk_ivfpq needs both; the names dims/init/a1/upd/cent2
+    * would collide). The rename is mechanical over the SINGLE kmeans
+    * spelling — the training text itself cannot drift from
+    * cluster_kmeans / sim_topk_ivf_kmeans. */
+  private lazy val kmeansCtePrefixed =
+    Seq("dims", "init", "d1", "a1", "upd", "cent2", "d2t", "a2")
+      .foldLeft(kmeansCte)((s, n) => s.replaceAll(s"\\b$n\\b", "km_" + n))
 
   /** The exact-integer kmeans pipeline as DuckDB CTEs (shared by
     * cluster_kmeans and sim_topk_ivf_kmeans): quantized dims → seeded

@@ -111,13 +111,8 @@ object Similarity {
       nprobe: Int = 2): DataFrame = {
     val (assigned, cents) = Clustering.kmeansFull(emb, kClusters)
     val q = broadcast(emb.orderBy("vec_id").limit(1)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        Clustering.quantize(col("embedding")).as("q_v")))
-    val d2 = aggregate(
-      zip_with(col("c"), col("q_v"), (a, b) => (a - b) * (a - b)),
-      lit(0L), (acc, e) => acc + e)
-    val cells = cents.crossJoin(q).select(col("j").as("cluster"), d2.as("d2"))
-      .orderBy("d2", "cluster").limit(nprobe).select("cluster")
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")))
+    val cells = probeCells(emb, cents, nprobe)
     assigned.select("vec_id", "cluster")
       .join(broadcast(cells), Seq("cluster"))
       .join(emb, Seq("vec_id"))
@@ -126,6 +121,22 @@ object Similarity {
       .select(col("vec_id"), col("label"),
         cosFast(emb)(col("embedding"), col("q_emb")).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id")).limit(k)
+  }
+
+  /** The `nprobe` kmeans cells nearest the query vector in EXACT grid
+    * distance, ties to the lowest cell id — the ONE probe spelling
+    * shared by IVF-Flat ([[ivfKmeansTopK]]) and IVF-PQ
+    * ([[Pq.topKIvfPq]]), so the two structures can never drift on
+    * cell choice. Returns a ≤nprobe-row (cluster) frame. */
+  private[sim] def probeCells(emb: DataFrame, cents: DataFrame,
+      nprobe: Int): DataFrame = {
+    val q = broadcast(emb.orderBy("vec_id").limit(1)
+      .select(Clustering.quantize(col("embedding")).as("q_v")))
+    val d2 = aggregate(
+      zip_with(col("c"), col("q_v"), (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, e) => acc + e)
+    cents.crossJoin(q).select(col("j").as("cluster"), d2.as("d2"))
+      .orderBy("d2", "cluster").limit(nprobe).select("cluster")
   }
 
   /** 16-bit sign-LSH bucket from the first 16 dimensions. */

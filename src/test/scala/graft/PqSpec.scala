@@ -47,6 +47,19 @@ class PqSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Long]("avg_d2") >= 0))
   }
 
+  test("IVF-PQ is PQ restricted to the probed cells") {
+    // every IVF-PQ hit must carry the SAME approximate distance the
+    // flat ADC scan assigns it, and the candidate restriction can only
+    // drop results, never change a surviving distance
+    val flat = Pq.topK(emb, emb.count().toInt).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("approx_d2")).toMap
+    val ivf = Pq.topKIvfPq(emb, 10, 5, 2).collect()
+    assert(ivf.length == 10)
+    assert(ivf.forall(r =>
+      flat(r.getAs[Long]("vec_id")) == r.getAs[Long]("approx_d2")))
+    assert(ivf.map(_.getAs[Long]("rank")).toSeq == (1L to 10L))
+  }
+
   test("bit-identical across partitionings (integer arithmetic is order-free)") {
     // a different input partitioning produces a different plan → memo
     // miss → full recompute; the exact-integer contract says the
