@@ -55,6 +55,47 @@ object Multimodal {
       * decoded frame tensors here). */
     def sampleFrames(bytes: Array[Byte]): Seq[Long] =
       bytes.indices.by(FrameStride).map(i => (bytes(i) & 0xff).toLong)
+    /** Resample stub for the resize path: sum of every stride-th byte
+      * (stride = max(1, n/16) → ≤17 samples per payload). */
+    def strideChecksum(bytes: Array[Byte]): Long = {
+      if (bytes.isEmpty) 0L
+      else {
+        val stride = math.max(1, bytes.length / 16)
+        bytes.indices.by(stride).foldLeft(0L)((a, i) => a + (bytes(i) & 0xff))
+      }
+    }
+  }
+
+  final case class ResizedMedia(
+      doc_id: Long, width: Long, height: Long,
+      out_w: Long, out_h: Long, n_out_bytes: Long, checksum: Long)
+
+  /** Image resize (vision-model preprocessing): aspect-preserving fit
+    * into a `target`×`target` box with exact integer math (long side →
+    * target, short side → floor(short·target/long), floored at 1 —
+    * deterministic across engines, no float scale factor), then the
+    * stubbed resample pass over the payload. The resample stub reads
+    * every stride-th byte (stride = max(1, n_bytes/16)) and checksums
+    * them — standing in for a real bilinear kernel over decoded
+    * pixels; a real decoder swaps in at [[StubDecoder]] with the
+    * mapPartitions batch shape unchanged. */
+  def resizeImages(spark: SparkSession, docs: DataFrame,
+      target: Int = 224): Dataset[ResizedMedia] = {
+    import spark.implicits._
+    withMediaColumns(docs)
+      .filter(col("media_type") === "image")
+      .select(col("doc_id"), col("width"), col("height"), col("payload"))
+      .as[(Long, Long, Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val dec = StubDecoder // one decoder per partition
+        rows.map { case (id, w, h, bytes) =>
+          val (ow, oh) =
+            if (w >= h) (target.toLong, math.max(1L, h * target / w))
+            else (math.max(1L, w * target / h), target.toLong)
+          ResizedMedia(id, w, h, ow, oh, ow * oh,
+            dec.strideChecksum(bytes))
+        }
+      }
   }
 
   /** Feature extraction over binary payloads: partition-parallel

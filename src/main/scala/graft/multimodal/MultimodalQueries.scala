@@ -55,6 +55,36 @@ object MultimodalQueries {
       (s, d) => Multimodal.sampleFrames(s, documents(s, d))
         .toDF().orderBy("doc_id")),
 
+    // aspect-preserving image resize (vision-preprocessing plumbing):
+    // exact integer target dims + the stubbed stride-resample checksum
+    // through the same mapPartitions batch shape a real bilinear
+    // kernel would use. Oracle-able for the same reason as
+    // mm_features: the corpus is pure ASCII, so ord(text[i]) IS the
+    // payload byte, and every other quantity is integer math.
+    Q("mm_resize",
+      Some("""WITH m AS (SELECT doc_id, text,
+             |             CAST(n_chars % 640 + 1 AS BIGINT) AS width,
+             |             CAST(doc_id % 480 + 1 AS BIGINT) AS height,
+             |             length(text) AS nb
+             |           FROM documents WHERE doc_id % 3 = 0),
+             |r AS (SELECT doc_id, text, width, height, nb,
+             |        CASE WHEN width >= height THEN CAST(224 AS BIGINT)
+             |             ELSE GREATEST(1, width * 224 // height) END AS out_w,
+             |        CASE WHEN width >= height
+             |             THEN GREATEST(1, height * 224 // width)
+             |             ELSE CAST(224 AS BIGINT) END AS out_h
+             |      FROM m)
+             |SELECT doc_id, width, height, out_w, out_h,
+             |       CAST(out_w * out_h AS BIGINT) AS n_out_bytes,
+             |       CAST(CASE WHEN nb = 0 THEN 0 ELSE
+             |         list_aggregate(list_transform(
+             |           range((nb + GREATEST(1, nb // 16) - 1) // GREATEST(1, nb // 16)),
+             |           i -> ord(text[i * GREATEST(1, nb // 16) + 1])), 'sum')
+             |       END AS BIGINT) AS checksum
+             |FROM r ORDER BY doc_id""".stripMargin),
+      (s, d) => Multimodal.resizeImages(s, documents(s, d))
+        .toDF().orderBy("doc_id")),
+
     // content-addressed binary dedup: group payloads by sha2-256 —
     // the multimodal dedup primitive (image/audio blobs dedup by
     // content hash, never by byte comparison). The shuffle key is the

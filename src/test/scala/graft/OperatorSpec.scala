@@ -71,6 +71,22 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("multimodal resize: aspect preserved, long side = target, checksum deterministic") {
+    val docs = io.Tables.documents(spark, sf0001).limit(30)
+    val r1 = Multimodal.resizeImages(spark, docs).collect().sortBy(_.doc_id)
+    val r2 = Multimodal.resizeImages(spark, docs).collect().sortBy(_.doc_id)
+    assert(r1.toSeq == r2.toSeq)
+    assert(r1.nonEmpty)
+    r1.foreach { m =>
+      assert(math.max(m.out_w, m.out_h) == 224)
+      assert(m.out_w >= 1 && m.out_h >= 1)
+      // floor scaling never flips the orientation
+      assert((m.width >= m.height) == (m.out_w >= m.out_h))
+      assert(m.n_out_bytes == m.out_w * m.out_h)
+      assert(m.checksum > 0) // ASCII payloads: every sampled byte > 0
+    }
+  }
+
   test("csv round-trip preserves data (header+inferSchema parity)") {
     val path = s"${sys.props("java.io.tmpdir")}/graft_test_csv"
     val df = Seq((1, "a,b", "x"), (2, "q\"uote", "y")).toDF("id", "s1", "s2")
