@@ -71,6 +71,12 @@ object Pq {
     * codebook. Both queries below read the same materialization. */
   def codebookAndCodes(emb: DataFrame): (DataFrame, DataFrame) =
     pqMemo.getOrCompute(emb, (M, K)) {
+      // `d` feeds four subtrees of the ONE-TIME build (seed join,
+      // first assign, mean update, encode), so the explode re-runs per
+      // subtree — the same trade [[Clustering.kmeansFull]] makes:
+      // re-scanning a column-pruned parquet projection beats pinning
+      // |corpus|·64 exploded longs, and the memoized OUTPUT (codes +
+      // 256-row codebook) is what every query-time consumer reads.
       val d = dims(emb)
       val seeds = emb.orderBy("vec_id").limit(K)
         .withColumn("j",
