@@ -184,7 +184,10 @@ object Bench {
       "emb_band_recall", "dedup_index_repair", "dedup_embedding_banded",
       // session-5 additions: first of the PQ family pays the shared
       // codebook materialization
-      "sim_topk_pq", "sim_topk_ivfpq")
+      "sim_topk_pq", "sim_topk_ivfpq",
+      // session-6: semantic dedup pays the shared kmeans build when it
+      // runs before the other coarse-quantizer consumers
+      "dedup_semantic")
     val batchQs = batchQs0.sortBy(q => if (heavyFirst(q.name)) 0 else 1)
     val wall0 = System.nanoTime()
     // Each headline query runs twice back-to-back; the reported figure is

@@ -45,7 +45,8 @@ object Explain {
         // dedup, the sampled recall report (dedup_bloom_prefilter
         // already audited in the round-4 block above)
         "dedup_index_repair", "dedup_embedding_banded",
-        "emb_band_recall", "sim_topk_pq", "sim_topk_ivfpq")
+        "emb_band_recall", "sim_topk_pq", "sim_topk_ivfpq",
+        "dedup_semantic")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -186,6 +186,52 @@ object SimQueries {
       (s, d) => Similarity.dedupEmbeddingsBandedExact(embeddings(s, d), 1, 5)
         .select("vec_id").orderBy("vec_id")),
 
+    // SemDeDup-style semantic dedup (arXiv:2303.09540): the exact-
+    // integer kmeans coarse quantizer (ONE spelling, shared with
+    // cluster_kmeans / sim_topk_ivf_kmeans / sim_topk_ivfpq) blocks
+    // candidates by semantic cell; within a cell the two 8-bit sign
+    // bands sub-block the pairing (SemDeDup's own work bound is the
+    // cell size — the paper scales k with the corpus; the band
+    // sub-block keeps fixed-k cells off the O(cell²) cliff); the
+    // same 128-bit-integer cos ≥ 1/5 verify decides each pair. The
+    // cell conjunction is the IVF routing win applied to dedup:
+    // band collisions across semantic cells never become candidates.
+    Q("dedup_semantic",
+      Some(s"""WITH $kmeansCtePrefixed,
+              |asg AS (SELECT vec_id, j AS cluster FROM km_a2 WHERE rn = 1),
+              |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+              |      FROM embeddings),
+              |q AS (SELECT vec_id,
+              |        list_transform(emb, x -> CAST(round(x * 1e6) AS BIGINT)) AS qe
+              |      FROM e),
+              |k AS (SELECT e.vec_id, a.cluster, b AS band,
+              |        list_sum(list_transform(range(8),
+              |          i -> CASE WHEN emb[b*8+i+1] > 0 THEN 1<<i ELSE 0 END)) AS mask
+              |      FROM e JOIN asg a USING (vec_id),
+              |           LATERAL unnest([0, 1]) AS u(b)),
+              |ok AS (SELECT cluster, band, mask FROM k GROUP BY 1, 2, 3
+              |       HAVING count(*) <= 100),
+              |kk AS (SELECT k.* FROM k JOIN ok USING (cluster, band, mask)),
+              |p AS (SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib
+              |      FROM kk a JOIN kk b ON a.cluster = b.cluster
+              |                         AND a.band = b.band AND a.mask = b.mask
+              |                         AND a.vec_id < b.vec_id),
+              |pd AS (SELECT ia, ib,
+              |        list_sum(list_transform(range(len(qa.qe)),
+              |          i -> qa.qe[i+1] * qb.qe[i+1])) AS dot,
+              |        list_sum(list_transform(qa.qe, x -> x * x)) AS na,
+              |        list_sum(list_transform(qb.qe, x -> x * x)) AS nb
+              |      FROM p JOIN q qa ON qa.vec_id = p.ia
+              |             JOIN q qb ON qb.vec_id = p.ib),
+              |dup AS (SELECT DISTINCT ib FROM pd
+              |        WHERE na > 0 AND nb > 0 AND dot >= 0
+              |          AND CAST(dot AS HUGEINT) * dot * 25 >=
+              |              CAST(na AS HUGEINT) * nb)
+              |SELECT vec_id FROM embeddings
+              |WHERE vec_id NOT IN (SELECT ib FROM dup) ORDER BY vec_id""".stripMargin),
+      (s, d) => Similarity.dedupSemantic(embeddings(s, d), 1, 5, 5)
+        .select("vec_id").orderBy("vec_id")),
+
     // exact-arithmetic k-means (2 Lloyd iterations, k=5, seeded from
     // the 5 lowest vec_ids): coordinates quantized to a 1e-7 integer
     // grid → every distance and centroid mean is exact BIGINT math,

@@ -207,9 +207,23 @@ object Similarity {
     * hoping for a margin (the repo float policy). Same per-band
     * hot-bucket guard as every bucketed pairing path; kept corpus
     * drops the higher vec_id of each verified pair. */
+  /** The ONE spelling of the exact-integer threshold verify, shared by
+    * every embedding-dedup path: over columns `dot`, `na`, `nb` (1e-6
+    * grid integer dot product and squared norms), cos ≥ num/den decided
+    * as dot ≥ 0 ∧ den²·dot² ≥ num²·na·nb in DECIMAL(38,0) — dot ≤
+    * d·(2e6)² ≈ 2.6e14 at d=64, dot² ≈ 7e28, inside 38 digits. The
+    * na/nb > 0 guard: a zero-norm vector (dead/underflow embedding) has
+    * an UNDEFINED cosine; without it 0 ≥ 0 marks it a duplicate of
+    * every bucket-mate, where the float kernel's nullif yields null. */
+  private def exactCosAtLeast(num: Int, den: Int): Column = {
+    val dec = "decimal(38,0)"
+    col("na") > 0 && col("nb") > 0 && col("dot") >= 0 &&
+      col("dot").cast(dec) * col("dot").cast(dec) * lit(den.toLong * den) >=
+        col("na").cast(dec) * col("nb").cast(dec) * lit(num.toLong * num)
+  }
+
   def dedupEmbeddingsBandedExact(emb: DataFrame, num: Int, den: Int,
       maxBucket: Int = 100): DataFrame = {
-    val dec = "decimal(38,0)"
     val qe = transform(col("embedding"),
       x => round(x.cast("double") * 1e6).cast("long"))
     val h = emb.select(col("vec_id"), qe.as("qe"),
@@ -226,14 +240,67 @@ object Similarity {
       .withColumn("dot", sumLong(zip_with(col("qa"), col("qb"), (a, b) => a * b)))
       .withColumn("na", sumLong(transform(col("qa"), a => a * a)))
       .withColumn("nb", sumLong(transform(col("qb"), b => b * b)))
-      // na/nb > 0: a zero-norm vector (dead/underflow embedding — the
-      // degenerate case the hot-bucket comment names) has an UNDEFINED
-      // cosine; without the guard 0 ≥ 0 marks it a duplicate of every
-      // bucket-mate, where the float kernel's nullif correctly yields
-      // null
-      .filter(col("na") > 0 && col("nb") > 0 && col("dot") >= 0 &&
-        col("dot").cast(dec) * col("dot").cast(dec) * lit(den.toLong * den) >=
-          col("na").cast(dec) * col("nb").cast(dec) * lit(num.toLong * num))
+      .filter(exactCosAtLeast(num, den))
+      .select(col("id_b").as("vec_id")).distinct()
+    emb.join(dup, Seq("vec_id"), "left_anti")
+  }
+
+  /** Semantic (cluster-blocked) embedding near-dedup — the SemDeDup
+    * shape (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication", arXiv:2303.09540):
+    * instead of hashing into LSH buckets, candidates are blocked by
+    * the k-means cell of the SAME exact-integer coarse quantizer the
+    * ANN ladder uses ([[Clustering.kmeansFull]], shared with
+    * cluster_kmeans / sim_topk_ivf_kmeans / sim_topk_ivfpq — memoized,
+    * so in a suite run the quantizer trains once). Within a cell,
+    * pairing is sub-blocked by the two 8-bit [[signBandKeys]] sign
+    * bands, and every candidate pair is verified by the shared
+    * 128-bit-integer threshold kernel ([[exactCosAtLeast]]).
+    *
+    * Scale shape: SemDeDup's own work bound is the cell size — the
+    * paper scales k with the corpus so cells stay O(corpus/k). The
+    * band sub-block keeps within-cell pairing off the O(cell²) cliff
+    * even at fixed k (work per (cell, band, mask) key is guarded at
+    * maxBucket², same policy as every bucketed pairing path), at the
+    * recall cost the banded probe already quantifies
+    * (`emb_band_recall`). Relative to [[dedupEmbeddingsBandedExact]],
+    * the cell conjunction is blocking precision: band-colliding pairs
+    * in DIFFERENT semantic cells are never even candidates — at 100 TB
+    * that is the IVF routing win applied to dedup (candidate volume
+    * drops by ~1/k for random band collisions while true near-dups,
+    * which the quantizer co-locates, survive). One guard asymmetry:
+    * because the hot-bucket guard runs at the FINER (cell, band, mask)
+    * key, a band bucket too hot for the banded path can split across
+    * cells into guardable pieces here — the cell structure rescuing
+    * pairing inside hot buckets is SemDeDup's tractability argument in
+    * miniature, and the one case where this path can drop an id the
+    * banded path kept.
+    * Kept corpus drops the higher vec_id of each verified pair. */
+  def dedupSemantic(emb: DataFrame, num: Int, den: Int, kCells: Int,
+      maxBucket: Int = 100): DataFrame = {
+    val assigned = Clustering.kmeansFull(emb, kCells)._1
+      .select(col("vec_id"), col("cluster"))
+    val qe = transform(col("embedding"),
+      x => round(x.cast("double") * 1e6).cast("long"))
+    val h = emb.select(col("vec_id"), qe.as("qe"),
+        explode(signBandKeys(col("embedding"))).as("bk"))
+      .join(assigned, "vec_id")
+      .select(col("vec_id"), col("qe"),
+        struct(col("cluster"), col("bk")).as("key"))
+    val ok = h.groupBy("key").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxBucket).select("key")
+    val bb = h.join(ok, "key")
+    val cand = bb.select(col("key"), col("vec_id").as("id_a"), col("qe").as("qa"))
+      .join(bb.select(col("key"), col("vec_id").as("id_b"), col("qe").as("qb")),
+        "key")
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "qa", "qb").distinct()
+    def sumLong(c: Column) = aggregate(c, lit(0L), (s, v) => s + v)
+    val dup = cand
+      .withColumn("dot", sumLong(zip_with(col("qa"), col("qb"), (a, b) => a * b)))
+      .withColumn("na", sumLong(transform(col("qa"), a => a * a)))
+      .withColumn("nb", sumLong(transform(col("qb"), b => b * b)))
+      .filter(exactCosAtLeast(num, den))
       .select(col("id_b").as("vec_id")).distinct()
     emb.join(dup, Seq("vec_id"), "left_anti")
   }
@@ -263,7 +330,6 @@ object Similarity {
     * oracle rather than a float estimate. */
   def bandRecallReport(emb0: DataFrame, num: Int, den: Int,
       maxBucket: Int = 100, sampleCap: Int = 2000): DataFrame = {
-    val dec = "decimal(38,0)"
     // the limit materializes on ONE partition (TakeOrderedAndProject),
     // and the sample is byte-tiny, so AQE would coalesce a plain
     // repartition right back to one partition — serializing the
@@ -286,11 +352,7 @@ object Similarity {
       .join(qn.select(col("vec_id").as("id_b"), col("qe").as("qb"),
         col("nn").as("nb")), col("id_a") < col("id_b"))
       .withColumn("dot", sumLong(zip_with(col("qa"), col("qb"), (a, b) => a * b)))
-      // same zero-norm guard as dedupEmbeddingsBandedExact: an
-      // undefined cosine is not a true pair
-      .filter(col("na") > 0 && col("nb") > 0 && col("dot") >= 0 &&
-        col("dot").cast(dec) * col("dot").cast(dec) * lit(den.toLong * den) >=
-          col("na").cast(dec) * col("nb").cast(dec) * lit(num.toLong * num))
+      .filter(exactCosAtLeast(num, den))
       .select("id_a", "id_b")
     val h1 = emb.select(col("vec_id"), signBucket(col("embedding")).as("bucket"))
     val ok1 = h1.groupBy("bucket").agg(count(lit(1)).as("__n"))

@@ -85,6 +85,35 @@ class SimilaritySpec extends SparkSpec {
     assert(kept == Set(0L, 2L))
   }
 
+  test("semantic dedup drops the higher id of a same-cell near-dup pair") {
+    // identical vectors share the kmeans cell AND both sign bands, so
+    // the semantic path must verify and drop the higher id; vector 2
+    // is far from both and survives.
+    val base = Array.tabulate(16)(i => (i + 1).toFloat / 16f)
+    val emb = Seq((0L, base), (1L, base.clone()),
+      (2L, Array.tabulate(16)(i => if (i % 2 == 0) -1.0f else 1.0f)))
+      .toDF("vec_id", "embedding")
+    val kept = Similarity.dedupSemantic(emb, 1, 5, 5)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L, 2L))
+  }
+
+  test("semantic survivors are a superset of banded survivors (cell " +
+      "conjunction is pure blocking precision)") {
+    // dedup_semantic's candidate set is dedup_embedding_banded's
+    // intersected with same-cell, so with the same verify it drops
+    // FEWER ids — on this data, where no hot-bucket guard fires (the
+    // finer-keyed semantic guard could otherwise reactivate pairing
+    // inside a band bucket the banded guard excluded).
+    val emb = io.Tables.embeddings(spark, sf0001)
+    val banded = Similarity.dedupEmbeddingsBandedExact(emb, 1, 5)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val semantic = Similarity.dedupSemantic(emb, 1, 5, 5)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(banded.subsetOf(semantic))
+    assert(semantic.size <= emb.count())
+  }
+
   test("sim on real embeddings: brute-force and ivf overlap on top hits") {
     val emb = io.Tables.embeddings(spark, sf0001)
     val brute = Similarity.bruteForceTopK(emb, 10).collect().map(_.getLong(0)).toSet
