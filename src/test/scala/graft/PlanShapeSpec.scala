@@ -329,4 +329,15 @@ class PlanShapeSpec extends SparkSpec {
     val im = plan("ts_interval_merge")
     assert(im.contains("windowspecdefinition(sk"), im)
   }
+
+  test("semantic dedup pairs on the bucket key; the only nested-loop " +
+      "joins carry the broadcast centroid/seed frames") {
+    // the pair join must be a shuffled equi-join on the (cell, band,
+    // mask) key — never a cartesian over the corpus; the kmeans
+    // subtree's BroadcastNestedLoopJoins carry the fixed-cardinality
+    // (≤ k-row) centroid frames by POLICY and are the only ones
+    val p = plan("dedup_semantic")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+  }
 }
