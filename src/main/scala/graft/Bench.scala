@@ -187,7 +187,10 @@ object Bench {
       "sim_topk_pq", "sim_topk_ivfpq",
       // session-6: semantic dedup pays the shared kmeans build when it
       // runs before the other coarse-quantizer consumers
-      "dedup_semantic")
+      "dedup_semantic",
+      // session-7: density clustering runs an iterative CC on top of
+      // the banded pair kernel — multi-job, so never last
+      "cluster_dbscan")
     val batchQs = batchQs0.sortBy(q => if (heavyFirst(q.name)) 0 else 1)
     val wall0 = System.nanoTime()
     // Each headline query runs twice back-to-back; the reported figure is

@@ -46,7 +46,7 @@ object Explain {
         // already audited in the round-4 block above)
         "dedup_index_repair", "dedup_embedding_banded",
         "emb_band_recall", "sim_topk_pq", "sim_topk_ivfpq",
-        "dedup_semantic")
+        "dedup_semantic", "cluster_dbscan")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

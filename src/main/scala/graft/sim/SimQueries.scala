@@ -246,6 +246,77 @@ object SimQueries {
               |FROM a2 WHERE rn = 1 ORDER BY vec_id""".stripMargin),
       (s, d) => Clustering.kmeans(embeddings(s, d), k = 5)),
 
+    // DBSCAN over the banded-LSH ε-graph (Ester et al. 1996; the
+    // neighborhood relation is the SAME verified pair set
+    // dedup_embedding_banded reads — bandedVerifiedPairs, band-blocked
+    // + 128-bit-integer cos ≥ 1/5 verify, so the whole clustering is
+    // engine-exact). minPts=3: core ⟺ ε-neighborhood (self included)
+    // ≥ 3; cores cluster by connected components over core–core edges
+    // (min-core-id label); borders take the min-labeled core
+    // neighbor's cluster (the order-free spelling of textbook
+    // DBSCAN's scan-order-dependent border rule); noise = -1. Oracle:
+    // identical band/verify CTEs + transitive-closure reachability
+    // for the CC (the dedup_clusters recursive-CTE pattern). All
+    // three roles non-empty at every SF (335/85/80 n/c/b at
+    // sf0.001, 214/1444/342 at sf0.1 — checked).
+    Q("cluster_dbscan",
+      Some("""WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+             |          FROM embeddings),
+             |q AS (SELECT vec_id,
+             |        list_transform(emb, x -> CAST(round(x * 1e6) AS BIGINT)) AS qe
+             |      FROM e),
+             |k AS (SELECT e.vec_id, b AS band,
+             |        list_sum(list_transform(range(8),
+             |          i -> CASE WHEN emb[b*8+i+1] > 0 THEN 1<<i ELSE 0 END)) AS mask
+             |      FROM e, LATERAL unnest([0, 1]) AS u(b)),
+             |ok AS (SELECT band, mask FROM k GROUP BY band, mask
+             |       HAVING count(*) <= 100),
+             |k2 AS (SELECT k.* FROM k JOIN ok USING (band, mask)),
+             |p AS (SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib
+             |      FROM k2 a JOIN k2 b ON a.band = b.band AND a.mask = b.mask
+             |                         AND a.vec_id < b.vec_id),
+             |pd AS (SELECT ia, ib,
+             |        list_sum(list_transform(range(len(qa.qe)),
+             |          i -> qa.qe[i+1] * qb.qe[i+1])) AS dot,
+             |        list_sum(list_transform(qa.qe, x -> x * x)) AS na,
+             |        list_sum(list_transform(qb.qe, x -> x * x)) AS nb
+             |      FROM p JOIN q qa ON qa.vec_id = p.ia
+             |             JOIN q qb ON qb.vec_id = p.ib),
+             |vp AS (SELECT ia, ib FROM pd
+             |       WHERE na > 0 AND nb > 0 AND dot >= 0
+             |         AND CAST(dot AS HUGEINT) * dot * 25 >=
+             |             CAST(na AS HUGEINT) * nb),
+             |nbrs AS (SELECT ia AS id, ib AS nb FROM vp
+             |         UNION ALL SELECT ib, ia FROM vp),
+             |deg AS (SELECT id, count(*) AS deg FROM nbrs GROUP BY id),
+             |core AS (SELECT id FROM deg WHERE deg + 1 >= 3),
+             |ce AS (SELECT v.ia AS a, v.ib AS b FROM vp v
+             |       JOIN core ca ON ca.id = v.ia JOIN core cb ON cb.id = v.ib),
+             |edges AS (SELECT a, b FROM ce UNION SELECT b, a FROM ce),
+             |reach AS (SELECT a AS s, b AS t FROM edges
+             |          UNION SELECT r.s, e2.b FROM reach r
+             |                JOIN edges e2 ON r.t = e2.a),
+             |cl AS (SELECT s AS id, least(s, min(t)) AS cluster_id
+             |       FROM reach GROUP BY s),
+             |corelab AS (SELECT c.id, coalesce(cl.cluster_id, c.id) AS cluster_id
+             |            FROM core c LEFT JOIN cl ON cl.id = c.id),
+             |border AS (SELECT n.id, min(corelab.cluster_id) AS cluster_id
+             |           FROM nbrs n JOIN corelab ON corelab.id = n.nb
+             |           WHERE n.id NOT IN (SELECT id FROM core)
+             |           GROUP BY n.id)
+             |SELECT em.vec_id,
+             |       CASE WHEN corelab.id IS NOT NULL THEN 'core'
+             |            WHEN border.id IS NOT NULL THEN 'border'
+             |            ELSE 'noise' END AS role,
+             |       CAST(coalesce(corelab.cluster_id, border.cluster_id, -1)
+             |            AS BIGINT) AS cluster_id
+             |FROM embeddings em
+             |LEFT JOIN corelab ON corelab.id = em.vec_id
+             |LEFT JOIN border ON border.id = em.vec_id
+             |ORDER BY em.vec_id""".stripMargin),
+      (s, d) => Similarity.dbscanBanded(embeddings(s, d), 1, 5, 3)
+        .orderBy("vec_id")),
+
     // IVF-Flat with kmeans-trained cells (the structure FAISS ships):
     // cell choice = exact-integer distance to the trained centroids
     // (deterministic), in-cell ranking = brute cosine over only the

@@ -222,7 +222,14 @@ object Similarity {
         col("na").cast(dec) * col("nb").cast(dec) * lit(num.toLong * num)
   }
 
-  def dedupEmbeddingsBandedExact(emb: DataFrame, num: Int, den: Int,
+  /** The banded candidate-generation + exact verify, factored to ONE
+    * spelling: (id_a, id_b) with id_a < id_b, every pair band-colliding
+    * (either 8-bit sign band, hot buckets guarded at `maxBucket`) AND
+    * verified cos ≥ num/den by [[exactCosAtLeast]]. This relation is
+    * the ε-neighbor graph both consumers read — the kept-corpus dedup
+    * ([[dedupEmbeddingsBandedExact]]) and the density clustering
+    * ([[dbscanBanded]]). */
+  def bandedVerifiedPairs(emb: DataFrame, num: Int, den: Int,
       maxBucket: Int = 100): DataFrame = {
     val qe = transform(col("embedding"),
       x => round(x.cast("double") * 1e6).cast("long"))
@@ -236,13 +243,81 @@ object Similarity {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b", "qa", "qb").distinct()
     def sumLong(c: Column) = aggregate(c, lit(0L), (s, v) => s + v)
-    val dup = cand
+    cand
       .withColumn("dot", sumLong(zip_with(col("qa"), col("qb"), (a, b) => a * b)))
       .withColumn("na", sumLong(transform(col("qa"), a => a * a)))
       .withColumn("nb", sumLong(transform(col("qb"), b => b * b)))
       .filter(exactCosAtLeast(num, den))
+      .select("id_a", "id_b")
+  }
+
+  def dedupEmbeddingsBandedExact(emb: DataFrame, num: Int, den: Int,
+      maxBucket: Int = 100): DataFrame = {
+    val dup = bandedVerifiedPairs(emb, num, den, maxBucket)
       .select(col("id_b").as("vec_id")).distinct()
     emb.join(dup, Seq("vec_id"), "left_anti")
+  }
+
+  /** DBSCAN (Ester et al. 1996, KDD) over the banded-LSH ε-graph: the
+    * neighborhood relation is [[bandedVerifiedPairs]] — band-blocked
+    * candidates verified cos ≥ num/den in exact integer arithmetic —
+    * so "ε-reachable" means reachable through pairs the probe SEES,
+    * the standard LSH-DBSCAN approximation (exact DBSCAN's
+    * neighborhood query is the all-pairs problem; at 100 TB the
+    * bucketed graph IS the tractable definition, and
+    * `emb_band_recall` quantifies what the probe misses).
+    *
+    * Classic roles, made deterministic: a point is CORE when its
+    * ε-neighborhood (self included) has ≥ minPts members; core points
+    * cluster by connected components over core–core edges
+    * ([[graft.ops.Graph.connectedComponents]] — pointer-jumping
+    * min-label, O(log diameter) rounds), labeled by the minimum core
+    * id; a non-core point with a core neighbor is BORDER and joins
+    * its minimum-labeled core neighbor's cluster (textbook DBSCAN
+    * leaves border assignment scan-order-dependent — min-label is the
+    * order-free spelling); everything else is NOISE with the
+    * conventional -1 label.
+    *
+    * Scale shape: degree/core are count aggregations on the pair
+    * relation (constant-size buffers), the CC edge set is a subset of
+    * the guarded pair relation, and border assignment is one
+    * aggregation over the neighbor list — nothing materializes a
+    * neighborhood beyond the maxBucket² per-bucket pair bound. The
+    * pair relation feeds three consumers, so it is localCheckpoint-ed
+    * once (same policy as the CC loop's label generations).
+    *
+    * @return (vec_id, role ∈ {core,border,noise}, cluster_id; -1 for noise)
+    */
+  def dbscanBanded(emb: DataFrame, num: Int, den: Int, minPts: Int,
+      maxBucket: Int = 100): DataFrame = {
+    val pairs = bandedVerifiedPairs(emb, num, den, maxBucket).localCheckpoint()
+    val nbrs = pairs.select(col("id_a").as("id"), col("id_b").as("nb"))
+      .unionByName(pairs.select(col("id_b").as("id"), col("id_a").as("nb")))
+    val deg = nbrs.groupBy("id").agg(count(lit(1)).as("deg"))
+    val cores = deg.filter(col("deg") + 1 >= minPts).select("id")
+    val coreEdges = pairs
+      .join(cores.select(col("id").as("id_a")), "id_a")
+      .join(cores.select(col("id").as("id_b")), "id_b")
+      .select("id_a", "id_b")
+    val cc = graft.ops.Graph.connectedComponents(coreEdges)
+    // isolated cores (≥ minPts-1 border neighbors, no core neighbor)
+    // have no CC row — they seed their own singleton cluster
+    val coreLab = cores.join(cc, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("cluster_id"))
+    val borderLab = nbrs
+      .join(coreLab.select(col("id").as("nb"), col("cluster_id")), "nb")
+      .join(cores, Seq("id"), "left_anti")
+      .groupBy("id").agg(min("cluster_id").as("cluster_id"))
+    emb.select(col("vec_id"))
+      .join(coreLab.select(col("id").as("vec_id"),
+        col("cluster_id").as("c_core")), Seq("vec_id"), "left")
+      .join(borderLab.select(col("id").as("vec_id"),
+        col("cluster_id").as("c_border")), Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        when(col("c_core").isNotNull, lit("core"))
+          .when(col("c_border").isNotNull, lit("border"))
+          .otherwise(lit("noise")).as("role"),
+        coalesce(col("c_core"), col("c_border"), lit(-1L)).as("cluster_id"))
   }
 
   /** Semantic (cluster-blocked) embedding near-dedup — the SemDeDup

@@ -340,4 +340,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
   }
+
+  test("banded ε-pair kernel joins on the band key — never cartesian " +
+      "(shared by dedup_embedding_banded and cluster_dbscan)") {
+    // cluster_dbscan's final plan hides the pair stage behind a
+    // localCheckpoint scan, so the pin goes on the shared kernel
+    // itself: candidate pairing must be an equi-join on bk. At
+    // sf0.001 stats legitimately BROADCAST the tiny guarded side, so
+    // the pin is "hash equi-join machinery, no nested loop" — the
+    // strategy choice (broadcast vs shuffle) is left to stats/AQE by
+    // the r9 hint policy
+    val p = graft.sim.Similarity.bandedVerifiedPairs(
+        graft.io.Tables.embeddings(spark, sf0001), 1, 5)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+  }
 }

@@ -114,6 +114,51 @@ class SimilaritySpec extends SparkSpec {
     assert(semantic.size <= emb.count())
   }
 
+  test("dbscan roles on a constructed star: center core, leaves border, " +
+      "far point noise") {
+    // All of v0..v2 share band-1 mask 0 (dims 9-16 non-positive), so
+    // every pair is a candidate; verified ε-neighbors (cos ≥ 0.2) are
+    // exactly {v0,v1} and {v0,v2} (cos = 1/√8 ≈ 0.354; cos(v1,v2)=0).
+    // With minPts=3: v0 has ε-neighborhood {v0,v1,v2} → core, its own
+    // singleton-CC cluster 0; v1/v2 are non-core with a core neighbor
+    // → border in cluster 0; v3 collides with nothing → noise, -1.
+    val z8 = Array.fill(8)(0.0f)
+    val emb = Seq(
+      (0L, Array.fill(8)(1.0f) ++ z8),
+      (1L, (1.0f +: Array.fill(7)(0.0f)) ++ z8),
+      (2L, (Array.fill(7)(0.0f) :+ 1.0f) ++ z8),
+      (3L, Array.fill(8)(-1.0f) ++ Array.fill(8)(1.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.dbscanBanded(emb, 1, 5, minPts = 3)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(0L) == ("core", 0L), out)
+    assert(out(1L) == ("border", 0L), out)
+    assert(out(2L) == ("border", 0L), out)
+    assert(out(3L) == ("noise", -1L), out)
+  }
+
+  test("dbscan on real embeddings: role partition pinned, labels are " +
+      "minimum member ids") {
+    val emb = io.Tables.embeddings(spark, sf0001)
+    val out = Similarity.dbscanBanded(emb, 1, 5, minPts = 3).cache()
+    // pinned at sf0.001 (deterministic: integer verify + min-label CC)
+    val roles = out.groupBy("role").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(roles == Map("noise" -> 335L, "core" -> 85L, "border" -> 80L), roles)
+    assert(out.filter(col("cluster_id") >= 0).select("cluster_id")
+      .distinct().count() == 40)
+    // every cluster's label IS its minimum CORE member id (borders may
+    // sit below it — the min-core-id contract, not min-member)
+    val badLabel = out.filter(col("role") === "core")
+      .groupBy("cluster_id").agg(min("vec_id").as("lo"))
+      .filter(col("cluster_id") =!= col("lo")).count()
+    assert(badLabel == 0)
+    // noise ⟺ cluster_id = -1
+    assert(out.filter((col("role") === "noise") =!= (col("cluster_id") === -1))
+      .count() == 0)
+    out.unpersist()
+  }
+
   test("sim on real embeddings: brute-force and ivf overlap on top hits") {
     val emb = io.Tables.embeddings(spark, sf0001)
     val brute = Similarity.bruteForceTopK(emb, 10).collect().map(_.getLong(0)).toSet
