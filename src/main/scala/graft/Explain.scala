@@ -46,7 +46,10 @@ object Explain {
         // already audited in the round-4 block above)
         "dedup_index_repair", "dedup_embedding_banded",
         "emb_band_recall", "sim_topk_pq", "sim_topk_ivfpq",
-        "dedup_semantic", "cluster_dbscan")
+        "dedup_semantic", "cluster_dbscan",
+        // round-10 session 8: Gopher n-gram gate (doc-keyed explode
+        // aggregations) and DSIR weights (64-bucket broadcast join)
+        "text_repetition_ngram", "corpus_dsir_weight")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

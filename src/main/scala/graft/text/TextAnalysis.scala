@@ -69,6 +69,17 @@ object TextAnalysis {
           element_at(toks, i + 2).as("w2"))))
       .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
 
+  /** Word trigrams ("a b c" strings) from an ALREADY-split token
+    * array; sub-3-token docs yield an empty array. The `when` guard
+    * matters: Spark's `sequence(0, size-3)` on a 2-token doc would be
+    * sequence(0, -1) — a DESCENDING two-element range, not empty. */
+  def trigramsCol(toks: Column): Column =
+    when(size(toks) >= 3,
+      transform(sequence(lit(0), size(toks) - 3), i =>
+        concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2),
+          element_at(toks, i + 3))))
+      .otherwise(array().cast("array<string>"))
+
   /** Quality features + a composite score in [0,1]-ish range. Division
     * guards via nullif so empty docs yield NULL, never an ANSI error. */
   def qualityColumns(text: Column): Seq[(String, Column)] = {

@@ -588,7 +588,171 @@ object TextQueries {
         .select(col("source"), col("n_docs"), col("docs_with_pii"),
           col("n_emails"), col("n_phones"), col("n_ips"),
           expr("(docs_with_pii * 1000000L) div n_docs").as("pii_rate_e6"))
-        .orderBy("source"))
+        .orderBy("source")),
+
+    // N-GRAM repetition signals (Rae et al. 2021, "Scaling Language
+    // Models: Methods, Analysis & Insights from Training Gopher",
+    // §A1.1: repetitious documents are low-quality): per-doc
+    // top-bigram occupancy, top-trigram occupancy, and
+    // duplicated-trigram mass, each µ-scaled by exact integer
+    // division so both engines hash-match. Complements the WORD-level
+    // sibling `text_repetition_score` (Extras6 — dup-word fraction,
+    // Simpson concentration, max consecutive run): Gopher's gate uses
+    // both families, and the line/paragraph twins are degenerate here
+    // (the corpus has no newlines). keep = all three inside the gate —
+    // thresholds chosen to split this corpus non-trivially (~66% at
+    // every SF). Scale shape: both aggregations are keyed by doc_id
+    // (+gram) — group sizes are bounded by DOCUMENT length, not
+    // corpus size, so map-side partials absorb the explode and
+    // nothing skews; the two signal frames co-shuffle on doc_id for
+    // the final join.
+    Q("text_repetition_ngram",
+      Some("""WITH t AS (SELECT doc_id,
+             |            string_split_regex(lower(trim(text)), ' +') AS toks
+             |          FROM documents),
+             |bg AS (SELECT doc_id, unnest(list_transform(range(len(toks)-1),
+             |         i -> toks[i+1] || ' ' || toks[i+2])) AS g FROM t),
+             |bgc AS (SELECT doc_id, g, count(*) AS n FROM bg GROUP BY 1, 2),
+             |b2 AS (SELECT doc_id,
+             |         CAST(max(n) * 1000000 // sum(n) AS BIGINT) AS top2_e6
+             |       FROM bgc GROUP BY 1),
+             |tg AS (SELECT doc_id, unnest(list_transform(range(len(toks)-2),
+             |         i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS g
+             |       FROM t),
+             |tgc AS (SELECT doc_id, g, count(*) AS n FROM tg GROUP BY 1, 2),
+             |t3 AS (SELECT doc_id,
+             |         CAST(max(n) * 1000000 // sum(n) AS BIGINT) AS top3_e6,
+             |         CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) * 1000000
+             |              // sum(n) AS BIGINT) AS dup3_e6
+             |       FROM tgc GROUP BY 1)
+             |SELECT doc_id, top2_e6, top3_e6, dup3_e6,
+             |       (top2_e6 <= 60000 AND top3_e6 <= 30000
+             |        AND dup3_e6 <= 20000) AS keep
+             |FROM b2 JOIN t3 USING (doc_id)
+             |ORDER BY doc_id""".stripMargin),
+      (s, d) => {
+        val t = documents(s, d).select(col("doc_id"),
+          split(lower(trim(col("text"))), " +").as("toks"))
+        val b2 = t.select(col("doc_id"),
+            explode(TextAnalysis.bigramPairsCol(col("toks"))).as("pr"))
+          .select(col("doc_id"),
+            concat_ws(" ", col("pr.w1"), col("pr.w2")).as("g"))
+          .groupBy("doc_id", "g").agg(count(lit(1)).as("n"))
+          .groupBy("doc_id")
+          .agg(expr("CAST((max(n) * 1000000) DIV sum(n) AS BIGINT)")
+            .as("top2_e6"))
+        val t3 = t.select(col("doc_id"),
+            explode(TextAnalysis.trigramsCol(col("toks"))).as("g"))
+          .groupBy("doc_id", "g").agg(count(lit(1)).as("n"))
+          .groupBy("doc_id")
+          .agg(expr("CAST((max(n) * 1000000) DIV sum(n) AS BIGINT)")
+            .as("top3_e6"),
+            expr("""CAST((sum(CASE WHEN n > 1 THEN n ELSE 0 END) * 1000000)
+                   |     DIV sum(n) AS BIGINT)""".stripMargin)
+              .as("dup3_e6"))
+        b2.join(t3, "doc_id")
+          .withColumn("keep", col("top2_e6") <= 60000 &&
+            col("top3_e6") <= 30000 && col("dup3_e6") <= 20000)
+          .orderBy("doc_id")
+      }),
+
+    // DSIR importance weights (Xie et al. 2023, "Data Selection for
+    // Language Models via Importance Resampling", NeurIPS — hashed
+    // n-gram features, weight = Σ_f n_f(doc)·log(p_target(f)/p_raw(f))):
+    // features are word bigrams hashed into 64 buckets with the same
+    // arithmetic hash text_feature_hashing ships; the target
+    // distribution is the en-labeled slice (the trusted-domain proxy),
+    // the proposal is the whole corpus, both Laplace-smoothed over the
+    // 64 buckets. Exactness: each log is quantized to µ-units
+    // independently (round(ln·1e6) — the agg_entropy idiom) and the
+    // per-doc weight is an INTEGER sum of n_b·lr6(b), so accumulation
+    // order cannot drift the hash. keep = weight ≥ discrete p75 (the
+    // resampling cut; percentile_disc picks a corpus element, no
+    // interpolation float). Scale shape: bucket stats are two
+    // 64-row aggregates (map-side combined); the per-doc sum joins
+    // doc-bucket counts against the 64-row ratio table — broadcast by
+    // stats at any corpus size since |buckets| is FIXED; the p75
+    // scalar cross-joins as one row. No global sort, no window.
+    Q("corpus_dsir_weight",
+      Some("""WITH t AS (SELECT doc_id, lang,
+             |            string_split_regex(lower(trim(text)), ' +') AS toks
+             |          FROM documents),
+             |bf AS (SELECT doc_id, lang,
+             |         unnest(list_transform(range(len(toks)-1),
+             |           i -> toks[i+1] || ' ' || toks[i+2])) AS f FROM t),
+             |bb AS (SELECT doc_id, lang,
+             |         CAST((length(f) * 31 + ord(substring(f, 1, 1)) * 7
+             |             + ord(substring(f, length(f), 1)) * 13) % 64
+             |           AS BIGINT) AS bucket
+             |       FROM bf),
+             |db AS (SELECT doc_id, bucket, count(*) AS n FROM bb GROUP BY 1, 2),
+             |raw AS (SELECT bucket, count(*) AS c_r FROM bb GROUP BY 1),
+             |tgt AS (SELECT bucket, count(*) AS c_t FROM bb
+             |        WHERE lang = 'en' GROUP BY 1),
+             |tot AS (SELECT (SELECT sum(c_r) FROM raw) AS big_r,
+             |               (SELECT coalesce(sum(c_t), 0) FROM tgt) AS big_t),
+             |lr AS (SELECT raw.bucket,
+             |         CAST(round(ln(coalesce(tgt.c_t, 0) + 1) * 1e6) AS BIGINT)
+             |         - CAST(round(ln(big_t + 64) * 1e6) AS BIGINT)
+             |         - CAST(round(ln(raw.c_r + 1) * 1e6) AS BIGINT)
+             |         + CAST(round(ln(big_r + 64) * 1e6) AS BIGINT) AS lr6
+             |       FROM raw LEFT JOIN tgt ON tgt.bucket = raw.bucket
+             |       CROSS JOIN tot),
+             |w AS (SELECT db.doc_id,
+             |        CAST(sum(db.n * lr.lr6) AS BIGINT) AS w6
+             |      FROM db JOIN lr ON lr.bucket = db.bucket GROUP BY 1),
+             |cut AS (SELECT quantile_disc(w6, 0.75) AS p75 FROM w)
+             |SELECT doc_id, w6, (w6 >= p75) AS keep
+             |FROM w CROSS JOIN cut ORDER BY doc_id""".stripMargin),
+      (s, d) => {
+        val bb = documents(s, d).select(col("doc_id"), col("lang"),
+            explode(TextAnalysis.bigramPairsCol(
+              split(lower(trim(col("text"))), " +"))).as("pr"))
+          .select(col("doc_id"), col("lang"),
+            concat_ws(" ", col("pr.w1"), col("pr.w2")).as("f"))
+          .select(col("doc_id"), col("lang"),
+            ((length(col("f")) * 31
+              + ascii(substring(col("f"), 1, 1)) * 7
+              + ascii(expr("substring(f, length(f), 1)")) * 13) % 64)
+              .cast("long").as("bucket"))
+        // ONE exploded shuffle: doc_id determines lang, so grouping by
+        // (doc_id, lang, bucket) has the same cardinality as
+        // (doc_id, bucket) — and deriving raw/target bucket stats FROM
+        // this frame means the corpus is scanned and exploded ONCE.
+        // localCheckpoint (the multi-consumer idiom the banded-pair
+        // kernel uses): column pruning specializes each consumer's
+        // scan subtree, so ReuseExchange would NOT collapse them —
+        // without the cut the three consumers re-scan + re-explode
+        // the corpus three times.
+        val db2 = bb.groupBy("doc_id", "lang", "bucket")
+          .agg(count(lit(1)).as("n")).localCheckpoint()
+        val db = db2.select("doc_id", "bucket", "n")
+        val raw = db2.groupBy("bucket").agg(sum("n").as("c_r"))
+        val tgt = db2.filter(col("lang") === "en")
+          .groupBy("bucket").agg(sum("n").as("c_t"))
+        val tot = raw.agg(sum("c_r").as("big_r")).crossJoin(
+          tgt.agg(coalesce(sum("c_t"), lit(0L)).as("big_t")))
+        // 64-row fixed-cardinality frames: broadcast() allowed by the
+        // r9 hint policy (|buckets| does not scale with the corpus)
+        val lr = raw.join(tgt, Seq("bucket"), "left")
+          .crossJoin(broadcast(tot))
+          .select(col("bucket"),
+            (round(log(coalesce(col("c_t"), lit(0L)) + 1) * 1e6).cast("long")
+              - round(log(col("big_t") + 64) * 1e6).cast("long")
+              - round(log(col("c_r") + 1) * 1e6).cast("long")
+              + round(log(col("big_r") + 64) * 1e6).cast("long")).as("lr6"))
+        // w feeds two consumers (the p75 cut and the final projection);
+        // checkpoint once so the bucket join + per-doc sum run once
+        val w = db.join(broadcast(lr), "bucket")
+          .groupBy("doc_id")
+          .agg(sum(col("n") * col("lr6")).cast("long").as("w6"))
+          .localCheckpoint()
+        val cut = w.select(expr(
+          "percentile_disc(0.75) WITHIN GROUP (ORDER BY w6)").as("p75"))
+        w.crossJoin(broadcast(cut))
+          .select(col("doc_id"), col("w6"), (col("w6") >= col("p75")).as("keep"))
+          .orderBy("doc_id")
+      })
   )
 
   /** Java∩RE2 PII patterns (shared verbatim by both engines): no

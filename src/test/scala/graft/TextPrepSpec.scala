@@ -89,4 +89,77 @@ class TextPrepSpec extends SparkSpec {
       .filter(col("redacted") =!= col("text"))
     assert(mutated.count() == 0)
   }
+
+  test("text_repetition_ngram: hand-computed signals on constructed docs") {
+    import spark.implicits._
+    // doc 0: "a b" × 4 — bigrams ab×4 ba×3 (top 4/7), trigrams aba×3
+    // bab×3 (top 3/6, dup mass 6/6) → repetitious.
+    // doc 1: 20 distinct words — every bigram unique (top 1/19),
+    // every trigram unique (top 1/18, dup mass 0) → clean.
+    val docs = Seq(
+      (0L, "a b a b a b a b"),
+      (1L, (0 until 20).map(i => s"w$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    // the registered fn reads the real corpus; the fixture pins the
+    // signal math through the SAME shared helpers + integer spellings:
+    val t = docs.select(col("doc_id"),
+      split(lower(trim(col("text"))), " +").as("toks"))
+    val b2 = t.select(col("doc_id"),
+        explode(text.TextAnalysis.bigramPairsCol(col("toks"))).as("pr"))
+      .select(col("doc_id"), concat_ws(" ", col("pr.w1"), col("pr.w2")).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("n"))
+      .groupBy("doc_id")
+      .agg(expr("CAST((max(n) * 1000000) DIV sum(n) AS BIGINT)").as("top2_e6"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(b2 == Map(0L -> 571428L, 1L -> 52631L), b2)
+    val t3 = t.select(col("doc_id"),
+        explode(text.TextAnalysis.trigramsCol(col("toks"))).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("n"))
+      .groupBy("doc_id")
+      .agg(expr("CAST((max(n) * 1000000) DIV sum(n) AS BIGINT)").as("top3_e6"),
+        expr("""CAST((sum(CASE WHEN n > 1 THEN n ELSE 0 END) * 1000000)
+               |     DIV sum(n) AS BIGINT)""".stripMargin).as("dup3_e6"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(t3 == Map(0L -> (500000L, 1000000L), 1L -> (55555L, 0L)), t3)
+    // trigram guard: a 2-token doc yields an EMPTY array, not a
+    // descending sequence()
+    val twoTok = Seq((9L, "x y")).toDF("doc_id", "text")
+      .select(size(text.TextAnalysis.trigramsCol(
+        split(col("text"), " "))).as("n")).collect()
+    assert(twoTok.head.getInt(0) == 0)
+    // registered query on the real corpus: keep ⟺ all three gates,
+    // and the gate splits the corpus non-trivially
+    val out = text.TextQueries.queries.find(_.name == "text_repetition_ngram")
+      .get.fn(spark, sf0001).cache()
+    val bad = out.filter(col("keep") =!=
+      (col("top2_e6") <= 60000 && col("top3_e6") <= 30000 &&
+        col("dup3_e6") <= 20000))
+    assert(bad.count() == 0)
+    val kept = out.filter(col("keep")).count()
+    assert(kept > 0 && kept < out.count(), s"kept=$kept")
+    out.unpersist()
+  }
+
+  test("corpus_dsir_weight: target-like content outranks off-target " +
+      "regardless of its own label") {
+    val out = Registry.all.find(_.name == "corpus_dsir_weight").get
+      .fn(spark, sf0001).cache()
+    // every doc scored exactly once, keep is the p75 cut (≥ 25% kept,
+    // and keep ⟺ w6 ≥ min kept weight)
+    val n = out.count()
+    assert(n == io.Tables.documents(spark, sf0001).count())
+    val kept = out.filter(col("keep")).count()
+    assert(kept >= n / 4 && kept < n, s"kept=$kept n=$n")
+    val minKept = out.filter(col("keep")).agg(min("w6")).head().getLong(0)
+    assert(out.filter(!col("keep") && col("w6") >= minKept).count() == 0)
+    // content-based, not label-based: en docs' MEAN weight exceeds the
+    // non-en mean (the en slice defines the target distribution, so
+    // its own n-gram mass must score above the proposal average)
+    val docs = io.Tables.documents(spark, sf0001).select("doc_id", "lang")
+    val means = out.join(docs, "doc_id").groupBy(col("lang") === "en")
+      .agg(avg("w6")).collect()
+      .map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(means(true) > means(false), means)
+    out.unpersist()
+  }
 }
