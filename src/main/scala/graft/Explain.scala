@@ -48,8 +48,9 @@ object Explain {
         "emb_band_recall", "sim_topk_pq", "sim_topk_ivfpq",
         "dedup_semantic", "cluster_dbscan",
         // round-10 session 8: Gopher n-gram gate (doc-keyed explode
-        // aggregations) and DSIR weights (64-bucket broadcast join)
-        "text_repetition_ngram", "corpus_dsir_weight")
+        // aggregations), DSIR weights (64-bucket broadcast join), and
+        // the ExactSubstr span trimmer (rolling-window groupBy)
+        "text_repetition_ngram", "corpus_dsir_weight", "dedup_span_trim")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -477,6 +477,93 @@ object DedupQueries {
             (call_function("cosine_sim", col("ea"), col("eb")) >= 0.2)
               .as("emb_agrees"))
           .orderBy("id_a", "id_b")
+      }),
+
+    // Duplicated-SPAN trimming (Lee et al. 2021, "Deduplicating
+    // Training Data Makes Language Models Better", arXiv:2107.06499 —
+    // ExactSubstr): remove every ≥k-token span whose text occurs
+    // elsewhere in the corpus, keeping ONE copy. The paper's suffix
+    // array is a single-machine structure; the distributed spelling is
+    // rolling k-token windows at EVERY offset (vs dedup_lines' strided
+    // blocks) → group by window text → the globally-first occurrence
+    // (min (doc_id, pos), order-free determinism) is the kept copy;
+    // every other occurrence marks its k positions for removal, and
+    // overlapping marked windows merge into maximal cut spans
+    // implicitly via the position-set union. Output per doc: token
+    // count, tokens cut, and the TRIMMED text (kept tokens rejoined in
+    // order) — the artifact a training pipeline feeds downstream.
+    // Scale shape: the window explode is k rows per token (linear in
+    // corpus tokens, the cost the paper's suffix array also pays in
+    // construction); the window groupBy is map-side combinable; the
+    // covered-position set is ≤ k·dup_occurrences with per-doc bounded
+    // groups; the trimmed-text rebuild sorts ≤ |doc| tokens per group
+    // (bounded-buffer policy: per-doc arrays are document-length-
+    // bounded, the same bound text_chunks/text_pack_bins carry).
+    Q("dedup_span_trim",
+      Some("""WITH t AS (SELECT doc_id,
+             |            string_split_regex(lower(trim(text)), ' +') AS toks
+             |          FROM documents),
+             |w AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             |        array_to_string(toks[i+1 : i+8], ' ') AS g
+             |      FROM t, LATERAL unnest(range(len(toks) - 7)) r(i)),
+             |f AS (SELECT g, count(*) AS c,
+             |        min({'d': doc_id, 'p': pos}) AS fst FROM w GROUP BY g),
+             |dup AS (SELECT w.doc_id, w.pos FROM w JOIN f USING (g)
+             |        WHERE f.c > 1
+             |          AND NOT (w.doc_id = (f.fst).d AND w.pos = (f.fst).p)),
+             |cov AS (SELECT DISTINCT doc_id, pos + u AS cp
+             |        FROM dup, LATERAL unnest(range(8)) r(u)),
+             |tok AS (SELECT doc_id, CAST(i AS BIGINT) AS p, toks[i+1] AS tk
+             |        FROM t, LATERAL unnest(range(len(toks))) r(i)),
+             |kept AS (SELECT tok.doc_id, tok.p, tok.tk FROM tok
+             |         LEFT JOIN cov ON cov.doc_id = tok.doc_id
+             |                      AND cov.cp = tok.p
+             |         WHERE cov.doc_id IS NULL),
+             |ka AS (SELECT doc_id, count(*) AS n_kept,
+             |         string_agg(tk, ' ' ORDER BY p) AS trimmed
+             |       FROM kept GROUP BY doc_id)
+             |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tok,
+             |       CAST(len(t.toks) - coalesce(ka.n_kept, 0) AS BIGINT) AS n_cut,
+             |       coalesce(ka.trimmed, '') AS trimmed
+             |FROM t LEFT JOIN ka ON ka.doc_id = t.doc_id
+             |ORDER BY t.doc_id""".stripMargin),
+      (s, d) => {
+        val k = 8
+        val t = documents(s, d)
+          .select(col("doc_id"), Dedup.tokensCol(col("text")).as("toks"))
+        val w = t.filter(size(col("toks")) >= k)
+          .select(col("doc_id"),
+            posexplode(transform(sequence(lit(0), size(col("toks")) - k),
+              i => array_join(slice(col("toks"), i + 1, lit(k)), " "))))
+          .select(col("doc_id"), col("pos").cast("long").as("pos"),
+            col("col").as("g"))
+        val f = w.groupBy("g").agg(count(lit(1)).as("c"),
+          min(struct(col("doc_id").as("d"), col("pos").as("p"))).as("fst"))
+        val dup = w.join(f, "g")
+          .filter(col("c") > 1 &&
+            !(col("doc_id") === col("fst.d") && col("pos") === col("fst.p")))
+          .select(col("doc_id"), col("pos"))
+        val cov = dup
+          .select(col("doc_id"),
+            explode(sequence(col("pos"), col("pos") + (k - 1))).as("cp"))
+          .distinct()
+        val tok = t.select(col("doc_id"),
+            posexplode(col("toks")).as(Seq("p", "tk")))
+          .select(col("doc_id"), col("p").cast("long").as("p"), col("tk"))
+        val ka = tok.join(cov,
+            tok("doc_id") === cov("doc_id") && tok("p") === cov("cp"),
+            "left_anti")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_kept"),
+            array_join(transform(
+              array_sort(collect_list(struct(col("p"), col("tk")))),
+              x => x.getField("tk")), " ").as("trimmed"))
+        t.join(ka, Seq("doc_id"), "left")
+          .select(col("doc_id"), size(col("toks")).cast("long").as("n_tok"),
+            (size(col("toks")).cast("long") -
+              coalesce(col("n_kept"), lit(0L))).as("n_cut"),
+            coalesce(col("trimmed"), lit("")).as("trimmed"))
+          .orderBy("doc_id")
       })
   )
 

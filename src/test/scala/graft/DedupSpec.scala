@@ -451,4 +451,37 @@ class DedupSpec extends SparkSpec {
     val b = corpus.select(Dedup.signatureCol(col("text"))).collect().map(_.getSeq[Long](0))
     assert(a.zip(b).forall { case (x, y) => x == y })
   }
+
+  test("dedup_span_trim: first occurrence kept, later spans cut, " +
+      "overlapping dup windows merge") {
+    import spark.implicits._
+    // doc 0: 20 distinct tokens t0..t19 — the GLOBAL FIRST for every
+    //        shared window; must come through untouched.
+    // doc 1: doc 0's tokens t5..t12 (ONE 8-window) + 10 unique fillers
+    //        → exactly that span cut (8 tokens), fillers kept.
+    // doc 2: doc 0's t5..t13 (9 tokens = TWO overlapping dup windows
+    //        at pos 0 and 1) + unique fillers → the merged 9-token
+    //        span cut, not 16.
+    // doc 3: 7 tokens (< k) — no window at all, untouched.
+    val t = (0 until 20).map(i => s"t$i")
+    val docs = Seq(
+      (0L, t.mkString(" ")),
+      (1L, (t.slice(5, 13) ++ (0 until 10).map(i => s"u$i")).mkString(" ")),
+      (2L, (t.slice(5, 14) ++ (0 until 10).map(i => s"v$i")).mkString(" ")),
+      (3L, (0 until 7).map(i => s"w$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("spantrim").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Registry.all.find(_.name == "dedup_span_trim").get
+      .fn(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+    assert(out(0L) == ((20L, 0L, t.mkString(" "))), out(0L))
+    assert(out(1L) == ((18L, 8L, (0 until 10).map(i => s"u$i").mkString(" "))),
+      out(1L))
+    assert(out(2L) == ((19L, 9L, (0 until 10).map(i => s"v$i").mkString(" "))),
+      out(2L))
+    assert(out(3L) == ((7L, 0L, (0 until 7).map(i => s"w$i").mkString(" "))),
+      out(3L))
+  }
 }
