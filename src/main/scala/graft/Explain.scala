@@ -50,7 +50,8 @@ object Explain {
         // round-10 session 8: Gopher n-gram gate (doc-keyed explode
         // aggregations), DSIR weights (64-bucket broadcast join), and
         // the ExactSubstr span trimmer (rolling-window groupBy)
-        "text_repetition_ngram", "corpus_dsir_weight", "dedup_span_trim")
+        "text_repetition_ngram", "corpus_dsir_weight", "dedup_span_trim",
+        "sim_hard_negatives")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

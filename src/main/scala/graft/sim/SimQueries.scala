@@ -317,6 +317,56 @@ object SimQueries {
       (s, d) => Similarity.dbscanBanded(embeddings(s, d), 1, 5, 3)
         .orderBy("vec_id")),
 
+    // Hard-negative mining (DPR, Karpukhin et al. 2020 / SimCSE): per
+    // anchor, the 3 most-similar DIFFERENT-label vectors among its
+    // banded sign-LSH candidates — the contrastive-training pair
+    // generator. Shares bandedCandidateStats with the dedup/dbscan
+    // family; similarity is the µ-rounded cosine over exact integer
+    // dot/norms (both engines compute the identical IEEE chain), ties
+    // break on neg_id. Oracle mirrors the bands + the rank window.
+    Q("sim_hard_negatives",
+      Some("""WITH e AS (SELECT vec_id, label,
+             |            CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+             |q AS (SELECT vec_id,
+             |        list_transform(emb, x -> CAST(round(x * 1e6) AS BIGINT)) AS qe
+             |      FROM e),
+             |k AS (SELECT e.vec_id, b AS band,
+             |        list_sum(list_transform(range(8),
+             |          i -> CASE WHEN emb[b*8+i+1] > 0 THEN 1<<i ELSE 0 END)) AS mask
+             |      FROM e, LATERAL unnest([0, 1]) AS u(b)),
+             |ok AS (SELECT band, mask FROM k GROUP BY band, mask
+             |       HAVING count(*) <= 100),
+             |k2 AS (SELECT k.* FROM k JOIN ok USING (band, mask)),
+             |p AS (SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib
+             |      FROM k2 a JOIN k2 b ON a.band = b.band AND a.mask = b.mask
+             |                         AND a.vec_id < b.vec_id),
+             |pd AS (SELECT ia, ib,
+             |        list_sum(list_transform(range(len(qa.qe)),
+             |          i -> qa.qe[i+1] * qb.qe[i+1])) AS dot,
+             |        list_sum(list_transform(qa.qe, x -> x * x)) AS na,
+             |        list_sum(list_transform(qb.qe, x -> x * x)) AS nb
+             |      FROM p JOIN q qa ON qa.vec_id = p.ia
+             |             JOIN q qb ON qb.vec_id = p.ib),
+             |c AS (SELECT ia, ib,
+             |        CAST(round(CAST(dot AS DOUBLE)
+             |             / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+             |             * 1e6) AS BIGINT) AS cos_e6
+             |      FROM pd WHERE na > 0 AND nb > 0),
+             |sym AS (SELECT ia AS anchor, ib AS neg_id, cos_e6 FROM c
+             |        UNION ALL SELECT ib, ia, cos_e6 FROM c),
+             |x AS (SELECT sym.anchor, la.label AS anchor_label,
+             |        sym.neg_id, lb.label AS neg_label, sym.cos_e6
+             |      FROM sym JOIN e la ON la.vec_id = sym.anchor
+             |               JOIN e lb ON lb.vec_id = sym.neg_id
+             |      WHERE la.label <> lb.label)
+             |SELECT anchor AS vec_id, anchor_label,
+             |       CAST(rn AS BIGINT) AS rn, neg_id, neg_label, cos_e6
+             |FROM (SELECT x.*, row_number() OVER (PARTITION BY anchor
+             |        ORDER BY cos_e6 DESC, neg_id) AS rn FROM x) t
+             |WHERE rn <= 3 ORDER BY vec_id, rn""".stripMargin),
+      (s, d) => Similarity.hardNegativesBanded(embeddings(s, d), 3)
+        .orderBy("vec_id", "rn")),
+
     // IVF-Flat with kmeans-trained cells (the structure FAISS ships):
     // cell choice = exact-integer distance to the trained centroids
     // (deterministic), in-cell ranking = brute cosine over only the

@@ -229,8 +229,13 @@ object Similarity {
     * the ε-neighbor graph both consumers read — the kept-corpus dedup
     * ([[dedupEmbeddingsBandedExact]]) and the density clustering
     * ([[dbscanBanded]]). */
-  def bandedVerifiedPairs(emb: DataFrame, num: Int, den: Int,
-      maxBucket: Int = 100): DataFrame = {
+  /** The banded candidate stage alone: (id_a < id_b, dot, na, nb) for
+    * every band-colliding pair (either 8-bit sign band, hot buckets
+    * guarded at `maxBucket`), with the 1e-6-grid integer dot product
+    * and squared norms attached — the shared input of the threshold
+    * verify ([[bandedVerifiedPairs]]) and the cross-label ranking
+    * ([[hardNegativesBanded]]). */
+  def bandedCandidateStats(emb: DataFrame, maxBucket: Int = 100): DataFrame = {
     val qe = transform(col("embedding"),
       x => round(x.cast("double") * 1e6).cast("long"))
     val h = emb.select(col("vec_id"), qe.as("qe"),
@@ -247,8 +252,54 @@ object Similarity {
       .withColumn("dot", sumLong(zip_with(col("qa"), col("qb"), (a, b) => a * b)))
       .withColumn("na", sumLong(transform(col("qa"), a => a * a)))
       .withColumn("nb", sumLong(transform(col("qb"), b => b * b)))
+      .select("id_a", "id_b", "dot", "na", "nb")
+  }
+
+  def bandedVerifiedPairs(emb: DataFrame, num: Int, den: Int,
+      maxBucket: Int = 100): DataFrame =
+    bandedCandidateStats(emb, maxBucket)
       .filter(exactCosAtLeast(num, den))
       .select("id_a", "id_b")
+
+  /** Hard-negative mining for contrastive training (the in-batch /
+    * mined-negative recipe of DPR, Karpukhin et al. 2020, and SimCSE):
+    * for every anchor vector, the `k` most similar vectors with a
+    * DIFFERENT label — "hard" because they sit close in embedding
+    * space yet must be pushed apart. Candidates come from the banded
+    * sign-LSH probe ([[bandedCandidateStats]] — the scale path: pair
+    * work stays inside guarded buckets, never corpus²), similarity is
+    * the µ-rounded cosine over the exact integer dot/norms (identical
+    * in both engines — the sim_knn_graph float policy), zero-norm
+    * vectors are excluded (undefined cosine), and ties break on
+    * neighbor id so ranks cannot drift. Per-anchor ranking is a
+    * rank-window over the symmetrized pair relation — group sizes are
+    * bounded by the bucket guard (≤ 2·bands·maxBucket rows per
+    * anchor), not the corpus. */
+  def hardNegativesBanded(emb: DataFrame, k: Int,
+      maxBucket: Int = 100): DataFrame = {
+    val stats = bandedCandidateStats(emb, maxBucket)
+      .filter(col("na") > 0 && col("nb") > 0)
+      .withColumn("cos_e6",
+        expr("""CAST(round(CAST(dot AS DOUBLE)
+               | / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+               | * 1e6) AS BIGINT)""".stripMargin))
+    val sym = stats.select(col("id_a").as("anchor"),
+        col("id_b").as("neg_id"), col("cos_e6"))
+      .unionByName(stats.select(col("id_b").as("anchor"),
+        col("id_a").as("neg_id"), col("cos_e6")))
+    val lab = emb.select(col("vec_id"), col("label"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("anchor").orderBy(col("cos_e6").desc, col("neg_id"))
+    sym
+      .join(lab.select(col("vec_id").as("anchor"),
+        col("label").as("anchor_label")), "anchor")
+      .join(lab.select(col("vec_id").as("neg_id"),
+        col("label").as("neg_label")), "neg_id")
+      .filter(col("anchor_label") =!= col("neg_label"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("anchor").as("vec_id"), col("anchor_label"), col("rn"),
+        col("neg_id"), col("neg_label"), col("cos_e6"))
   }
 
   def dedupEmbeddingsBandedExact(emb: DataFrame, num: Int, den: Int,

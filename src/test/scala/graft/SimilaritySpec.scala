@@ -159,6 +159,34 @@ class SimilaritySpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("hard negatives on a constructed fixture: cross-label only, " +
+      "ranked by cosine, tie-broken by id") {
+    import spark.implicits._
+    // same band geometry as the dbscan star: v0/v1/v2 share band-1
+    // mask 0 (dims 9-16 non-positive) so all three pairs are
+    // candidates; v3 collides with nothing. cos(v0,v1)=cos(v0,v2)
+    // =1/√8 → 353553 µ-cos; cos(v1,v2)=0. Labels: v0,v1 → 0; v2 → 1.
+    val z8 = Array.fill(8)(0.0f)
+    val emb = Seq(
+      (0L, Array.fill(8)(1.0f) ++ z8, 0),
+      (1L, (1.0f +: Array.fill(7)(0.0f)) ++ z8, 0),
+      (2L, (Array.fill(7)(0.0f) :+ 1.0f) ++ z8, 1),
+      (3L, Array.fill(8)(-1.0f) ++ Array.fill(8)(1.0f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardNegativesBanded(emb, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) ->
+        (r.getLong(3), r.getLong(5))).toMap
+    // v0 (label 0): v1 is same-label (excluded) → only v2 at 353553
+    // v1 (label 0): only v2, at cos 0
+    // v2 (label 1): v0 (353553) outranks v1 (0)
+    // v3: no candidates → absent
+    assert(out == Map(
+      (0L, 1L) -> ((2L, 353553L)),
+      (1L, 1L) -> ((2L, 0L)),
+      (2L, 1L) -> ((0L, 353553L)),
+      (2L, 2L) -> ((1L, 0L))), out)
+  }
+
   test("sim on real embeddings: brute-force and ivf overlap on top hits") {
     val emb = io.Tables.embeddings(spark, sf0001)
     val brute = Similarity.bruteForceTopK(emb, 10).collect().map(_.getLong(0)).toSet
