@@ -277,12 +277,16 @@ object Similarity {
     * anchor), not the corpus. */
   def hardNegativesBanded(emb: DataFrame, k: Int,
       maxBucket: Int = 100): DataFrame = {
+    // the symmetrize union consumes this twice — checkpoint so the
+    // banded candidate join runs ONCE (the multi-consumer idiom)
     val stats = bandedCandidateStats(emb, maxBucket)
       .filter(col("na") > 0 && col("nb") > 0)
       .withColumn("cos_e6",
         expr("""CAST(round(CAST(dot AS DOUBLE)
                | / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
                | * 1e6) AS BIGINT)""".stripMargin))
+      .select("id_a", "id_b", "cos_e6")
+      .localCheckpoint()
     val sym = stats.select(col("id_a").as("anchor"),
         col("id_b").as("neg_id"), col("cos_e6"))
       .unionByName(stats.select(col("id_b").as("anchor"),
