@@ -51,8 +51,13 @@ object Bench {
     // the JSON line is built with f-interpolators (java String.format
     // under the DEFAULT locale): on a comma-decimal locale (de_DE, …)
     // "%.3f" renders 58,123 and the driver's json-parse of the last
-    // stdout line fails — pin the whole process to ROOT
-    java.util.Locale.setDefault(java.util.Locale.ROOT)
+    // stdout line fails — pin the whole process to a dot-decimal
+    // locale. US, NOT ROOT: Locale.ROOT has an EMPTY language code and
+    // embedded Derby validates the default locale at database-create
+    // ("XBM0X: Supplied locale description '' is invalid"), which
+    // silently failed catalog_users_jdbc in every bench run between
+    // the original ROOT pin and this fix.
+    java.util.Locale.setDefault(java.util.Locale.US)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)

@@ -100,6 +100,28 @@ class JobServiceSpec extends SparkSpec {
     assert(merged.getAs[String]("result_url") == "out/f.csv")
   }
 
+  test("bench locale pin must be a REAL locale: US satisfies both the " +
+      "dot-decimal JSON contract and Derby database creation") {
+    // regression for the ROOT-pin defect: Locale.ROOT has an empty
+    // language code and Derby validates the DEFAULT locale at
+    // database-create ("XBM0X: Supplied locale description '' is
+    // invalid") — so the original Bench pin silently failed
+    // catalog_users_jdbc in every bench run while Verify (no pin)
+    // kept passing. Pin both halves of the contract under US.
+    val saved = java.util.Locale.getDefault
+    try {
+      java.util.Locale.setDefault(java.util.Locale.US)
+      assert(f"${1234.5678}%.3f" == "1234.568") // the JSON-line half
+      val base =
+        s"${sys.props("java.io.tmpdir")}/graft_test_jdbc_loc_${System.nanoTime()}"
+      val cat = new graft.pipeline.JdbcCatalog(spark,
+        s"jdbc:derby:$base/db;create=true")
+      cat.writeUsers(Seq((1L, "u", "p", new java.sql.Timestamp(0)))
+        .toDF("id", "username", "password", "created_at"))
+      assert(cat.readUsers().count() == 1) // the Derby half
+    } finally java.util.Locale.setDefault(saved)
+  }
+
   test("catalog behind a live JDBC database (embedded Derby)") {
     val base = s"${sys.props("java.io.tmpdir")}/graft_test_jdbc_${System.nanoTime()}"
     val url = s"jdbc:derby:$base/db;create=true"
