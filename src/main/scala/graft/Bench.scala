@@ -195,7 +195,11 @@ object Bench {
       "dedup_semantic",
       // session-7: density clustering runs an iterative CC on top of
       // the banded pair kernel — multi-job, so never last
-      "cluster_dbscan")
+      "cluster_dbscan",
+      // session-8: the span trimmer's window explode + anti-join and
+      // the hard-negative miner's checkpointed pair stage both sit in
+      // the 2-3 s band at sf0.1 — straggler risk if submitted last
+      "dedup_span_trim", "sim_hard_negatives")
     val batchQs = batchQs0.sortBy(q => if (heavyFirst(q.name)) 0 else 1)
     val wall0 = System.nanoTime()
     // Each headline query runs twice back-to-back; the reported figure is

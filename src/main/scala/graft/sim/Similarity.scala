@@ -180,17 +180,23 @@ object Similarity {
     emb.join(dupIds, Seq("vec_id"), "left_anti")
   }
 
-  /** TWO 8-bit sign bands (dims 1-8 and 9-16): a pair collides when
-    * EITHER half's sign pattern matches exactly — the multi-probe
-    * recall upgrade over the single 16-bit [[signBucket]] (one
-    * flipped sign among 16 kills the single-bucket probe; with two
-    * bands it still collides on the untouched half). */
-  def signBandKeys(emb: Column): Column =
+  /** TWO sign bands of `bits` dims each (default 8: dims 1-8 and
+    * 9-16): a pair collides when EITHER band's sign pattern matches
+    * exactly — the multi-probe recall upgrade over the single 16-bit
+    * [[signBucket]] (one flipped sign among 16 kills the
+    * single-bucket probe; with two bands it still collides on the
+    * untouched half). `bits` is the CORPUS-SIZE knob: bucket
+    * occupancy ~ n/2^bits per band, so when the corpus grows past
+    * maxBucket·2^bits the hot-bucket guard starts dropping everything
+    * and the probe goes blind — widen the bands as the corpus grows
+    * (measured at the 100× corpus: 8-bit bands keep 2/512 buckets,
+    * 12-bit bands restore discrimination; see SERIAL.md). */
+  def signBandKeys(emb: Column, bits: Int = 8): Column =
     array((0 until 2).map { b =>
       struct(lit(b).as("band"),
         aggregate(
-          zip_with(slice(emb, b * 8 + 1, 8),
-            array((0 until 8).map(i => lit(1L << i)): _*),
+          zip_with(slice(emb, b * bits + 1, bits),
+            array((0 until bits).map(i => lit(1L << i)): _*),
             (x, w) => when(x > 0f, w).otherwise(lit(0L))),
           lit(0L), (acc, v) => acc + v).as("mask"))
     }: _*)
@@ -235,11 +241,12 @@ object Similarity {
     * and squared norms attached — the shared input of the threshold
     * verify ([[bandedVerifiedPairs]]) and the cross-label ranking
     * ([[hardNegativesBanded]]). */
-  def bandedCandidateStats(emb: DataFrame, maxBucket: Int = 100): DataFrame = {
+  def bandedCandidateStats(emb: DataFrame, maxBucket: Int = 100,
+      bandBits: Int = 8): DataFrame = {
     val qe = transform(col("embedding"),
       x => round(x.cast("double") * 1e6).cast("long"))
     val h = emb.select(col("vec_id"), qe.as("qe"),
-      explode(signBandKeys(col("embedding"))).as("bk"))
+      explode(signBandKeys(col("embedding"), bandBits)).as("bk"))
     val ok = h.groupBy("bk").agg(count(lit(1)).as("__n"))
       .filter(col("__n") <= maxBucket).select("bk")
     val bb = h.join(ok, "bk")
@@ -256,8 +263,8 @@ object Similarity {
   }
 
   def bandedVerifiedPairs(emb: DataFrame, num: Int, den: Int,
-      maxBucket: Int = 100): DataFrame =
-    bandedCandidateStats(emb, maxBucket)
+      maxBucket: Int = 100, bandBits: Int = 8): DataFrame =
+    bandedCandidateStats(emb, maxBucket, bandBits)
       .filter(exactCosAtLeast(num, den))
       .select("id_a", "id_b")
 
@@ -276,10 +283,10 @@ object Similarity {
     * bounded by the bucket guard (≤ 2·bands·maxBucket rows per
     * anchor), not the corpus. */
   def hardNegativesBanded(emb: DataFrame, k: Int,
-      maxBucket: Int = 100): DataFrame = {
+      maxBucket: Int = 100, bandBits: Int = 8): DataFrame = {
     // the symmetrize union consumes this twice — checkpoint so the
     // banded candidate join runs ONCE (the multi-consumer idiom)
-    val stats = bandedCandidateStats(emb, maxBucket)
+    val stats = bandedCandidateStats(emb, maxBucket, bandBits)
       .filter(col("na") > 0 && col("nb") > 0)
       .withColumn("cos_e6",
         expr("""CAST(round(CAST(dot AS DOUBLE)
