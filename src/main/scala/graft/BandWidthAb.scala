@@ -24,6 +24,9 @@ import org.apache.spark.sql.functions._
   */
 object BandWidthAb {
   def main(args: Array[String]): Unit = {
+    // %.3f summary lines must parse on comma-decimal machines — same
+    // pin as Bench (US, not ROOT: Derby validates the default locale)
+    java.util.Locale.setDefault(java.util.Locale.US)
     val dir = args(0)
     val bitsList = (if (args.length > 1) args(1) else "8,12")
       .split(",").map(_.trim.toInt).toSeq

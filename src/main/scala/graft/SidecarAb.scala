@@ -26,6 +26,9 @@ import org.apache.spark.sql.functions._
   */
 object SidecarAb {
   def main(args: Array[String]): Unit = {
+    // %.3f summary lines must parse on comma-decimal machines — same
+    // pin as Bench (US, not ROOT: Derby validates the default locale)
+    java.util.Locale.setDefault(java.util.Locale.US)
     val dir = args(0)
     val reps = if (args.length > 1) args(1).toInt else 3
     val spark = SparkSession.builder()

@@ -75,7 +75,8 @@ object Scrypt {
             try {
               val dk = scrypt(password.getBytes("UTF-8"),
                 salt.getBytes("UTF-8"), ns.toInt, rs.toInt, ps.toInt, 64)
-              MessageDigest.isEqual(toHex(dk).getBytes, hex.getBytes)
+              MessageDigest.isEqual(toHex(dk).getBytes("UTF-8"),
+                hex.getBytes("UTF-8"))
             } catch { case _: IllegalArgumentException | _: NumberFormatException => false }
           case _ => false
         }
