@@ -535,6 +535,10 @@ object DedupQueries {
         // k-token string — identical grouping (the dedup_fingerprint
         // md5-identity precedent), ~3× fewer shuffle bytes on this
         // corpus and more on real prose (fixed 16 bytes vs k tokens)
+        // consumed twice (the first-occurrence groupBy and the dup
+        // join) — checkpoint so the scan + window-fingerprint explode
+        // runs once; at 26 B/row the materialization is smaller than
+        // the token text it derives from
         val w = t.filter(size(col("toks")) >= k)
           .select(col("doc_id"),
             posexplode(transform(sequence(lit(0), size(col("toks")) - k),
@@ -542,6 +546,7 @@ object DedupQueries {
                 array_join(slice(col("toks"), i + 1, lit(k)), " ")), 1, 16))))
           .select(col("doc_id"), col("pos").cast("long").as("pos"),
             col("col").as("g"))
+          .localCheckpoint()
         val f = w.groupBy("g").agg(count(lit(1)).as("c"),
           min(struct(col("doc_id").as("d"), col("pos").as("p"))).as("fst"))
         val dup = w.join(f, "g")
