@@ -314,8 +314,8 @@ object Similarity {
   }
 
   def dedupEmbeddingsBandedExact(emb: DataFrame, num: Int, den: Int,
-      maxBucket: Int = 100): DataFrame = {
-    val dup = bandedVerifiedPairs(emb, num, den, maxBucket)
+      maxBucket: Int = 100, bandBits: Int = 8): DataFrame = {
+    val dup = bandedVerifiedPairs(emb, num, den, maxBucket, bandBits)
       .select(col("id_b").as("vec_id")).distinct()
     emb.join(dup, Seq("vec_id"), "left_anti")
   }
@@ -351,8 +351,9 @@ object Similarity {
     * @return (vec_id, role ∈ {core,border,noise}, cluster_id; -1 for noise)
     */
   def dbscanBanded(emb: DataFrame, num: Int, den: Int, minPts: Int,
-      maxBucket: Int = 100): DataFrame = {
-    val pairs = bandedVerifiedPairs(emb, num, den, maxBucket).localCheckpoint()
+      maxBucket: Int = 100, bandBits: Int = 8): DataFrame = {
+    val pairs = bandedVerifiedPairs(emb, num, den, maxBucket, bandBits)
+      .localCheckpoint()
     val nbrs = pairs.select(col("id_a").as("id"), col("id_b").as("nb"))
       .unionByName(pairs.select(col("id_b").as("id"), col("id_a").as("nb")))
     val deg = nbrs.groupBy("id").agg(count(lit(1)).as("deg"))
