@@ -747,8 +747,14 @@ object TextQueries {
           .groupBy("doc_id")
           .agg(sum(col("n") * col("lr6")).cast("long").as("w6"))
           .localCheckpoint()
-        val cut = w.select(expr(
-          "percentile_disc(0.75) WITHIN GROUP (ORDER BY w6)").as("p75"))
+        // exact p75 via ScaleRank's windowless quantile (reduce to the
+        // (value, count) table, rank distinct values, integer CDF
+        // compare) — percentile_disc's single aggregation buffer holds
+        // every value and becomes the one non-distributed piece of
+        // this query at billions of docs; semantics are identical
+        // (smallest value with CDF ≥ 3/4)
+        val cut = graft.ops.ScaleRank.exactQuantilesDisc(
+          w, "w6", Seq(3 -> 4), Seq("p75"))
         w.crossJoin(broadcast(cut))
           .select(col("doc_id"), col("w6"), (col("w6") >= col("p75")).as("keep"))
           .orderBy("doc_id")
