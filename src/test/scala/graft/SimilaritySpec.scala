@@ -187,6 +187,26 @@ class SimilaritySpec extends SparkSpec {
       (2L, 2L) -> ((1L, 0L))), out)
   }
 
+  test("band width is the saturation knob: saturated narrow bands find " +
+      "nothing, wider bands restore the pairs") {
+    import spark.implicits._
+    // 240 8-dim vectors in 8 sign-groups of 30 over dims 1-3 (group g
+    // = sign pattern of g's three bits; dims 4-8 all positive), guard
+    // at 40. bits=2 → band0 (dims 1-2) has 4 patterns × 60 occupants,
+    // band1 (dims 3-4) has 2 patterns × 120 — every bucket over the
+    // guard, the probe is blind. bits=4 → band0 (dims 1-4) has 8
+    // patterns × 30 ≤ 40 (kept), band1 (dims 5-8) stays one saturated
+    // bucket of 240 — candidates = within-group pairs = 8·C(30,2)
+    // = 3480. The miniature of the 100× BandWidthAb table.
+    val emb = (0 until 240).map { i =>
+      val g = i % 8
+      val d13 = (0 until 3).map(b => if (((g >> b) & 1) == 1) 1.0f else -1.0f)
+      (i.toLong, (d13 ++ Seq.fill(5)(1.0f)).toArray)
+    }.toDF("vec_id", "embedding")
+    assert(Similarity.bandedCandidateStats(emb, 40, 2).count() == 0L)
+    assert(Similarity.bandedCandidateStats(emb, 40, 4).count() == 3480L)
+  }
+
   test("sim on real embeddings: brute-force and ivf overlap on top hits") {
     val emb = io.Tables.embeddings(spark, sf0001)
     val brute = Similarity.bruteForceTopK(emb, 10).collect().map(_.getLong(0)).toSet
