@@ -21,12 +21,20 @@ import org.apache.spark.sql.functions._
   * saturated band space).
   *
   * Usage: runMain graft.BandWidthAb <sfDir> [bits,bits,...] [reps]
+  * (bits value 0 = the AutoBandBits sizing rule — the row proving the
+  * registered defaults survive the corpus with zero configuration)
   */
 object BandWidthAb {
   def main(args: Array[String]): Unit = {
     // %.3f summary lines must parse on comma-decimal machines — same
     // pin as Bench (US, not ROOT: Derby validates the default locale)
     java.util.Locale.setDefault(java.util.Locale.US)
+    if (args.isEmpty) {
+      System.err.println(
+        "usage: runMain graft.BandWidthAb <sfDir> [bits,bits,...] [reps]" +
+          " (bits 0 = auto)")
+      sys.exit(2)
+    }
     val dir = args(0)
     val bitsList = (if (args.length > 1) args(1) else "8,12")
       .split(",").map(_.trim.toInt).toSeq
@@ -42,14 +50,22 @@ object BandWidthAb {
     spark.sparkContext.setLogLevel("WARN")
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
 
-    bitsList.foreach { bits =>
-      // surviving postings under the guard at this width
+    bitsList.foreach { bits0 =>
+      // 0 = the registered defaults' auto rule (resolved off the same
+      // corpus count the entry points use); print the resolution
+      val bits = if (bits0 == Similarity.AutoBandBits)
+        Similarity.autoBandBits(emb.count()) else bits0
+      if (bits0 == Similarity.AutoBandBits)
+        System.err.println(s"[ab] auto resolved bits=$bits")
+      // surviving postings under the guard at this width; coalesce the
+      // sums — on an EMPTY embeddings input they come back null
       val h = emb.select(
         explode(Similarity.signBandKeys(col("embedding"), bits)).as("bk"))
       val occ = h.groupBy("bk").agg(count(lit(1)).as("n"))
       val Array(buckets, small, kept) = occ.agg(
-        count(lit(1)), sum(when(col("n") <= 100, 1L).otherwise(0L)),
-        sum(when(col("n") <= 100, col("n")).otherwise(0L)))
+        count(lit(1)),
+        coalesce(sum(when(col("n") <= 100, 1L).otherwise(0L)), lit(0L)),
+        coalesce(sum(when(col("n") <= 100, col("n")).otherwise(0L)), lit(0L)))
         .collect().head.toSeq.map(v => v.asInstanceOf[Long]).toArray
       val walls = (1 to reps).map { r =>
         val t0 = System.nanoTime()

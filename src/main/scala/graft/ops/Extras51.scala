@@ -90,12 +90,20 @@ object Extras51 {
     // sequence pattern matching (the MATCH_RECOGNIZE niche Spark
     // lacks): per user, count non-overlapping view→click*→purchase
     // journeys in the event-type sequence. Event initials are distinct
-    // (c/e/p/s/v), so the per-user ordered initial string IS the
-    // sequence; the pattern 'vc*p' has a unique match length at any
-    // start, so leftmost non-overlapping counts agree across regex
-    // engines. Scale: one shuffle on user; the per-user string is
-    // bounded by that user's activity (chunk power users first at
-    // 100 TB, same caveat as any per-entity collect).
+    // (c/e/p/s/v), so the per-user ordered initial stream IS the
+    // sequence. The engine side detects 'vc*p' WITHOUT materializing
+    // the sequence: every regex match contains exactly ONE 'p' (its
+    // last char — 'v' and 'c*' cannot contain one), so matches never
+    // share a 'p' and leftmost non-overlap is automatic; conversely a
+    // 'p' ends a match iff scanning left over zero or more 'c's hits
+    // a 'v' — i.e. iff its nearest PRECEDING non-'c' initial is 'v'.
+    // That per-event predicate is a running last(non-'c') over the
+    // user-ordered window — constant per-row state in a spill-backed
+    // frame, the structural bound the old per-user collect_list-to-
+    // string lacked (a power user no longer concatenates into one
+    // aggregation buffer). One shuffle on user (window + the groupBy
+    // reuse its partitioning); the oracle keeps DuckDB's string_agg +
+    // regexp spelling of the same count.
     Q("seq_pattern_match",
       Some("""WITH s AS (SELECT user_id,
              |        string_agg(substr(event_type, 1, 1), ''
@@ -106,21 +114,7 @@ object Extras51 {
              |         AS n_journeys
              |FROM s WHERE length(regexp_extract_all(seq, 'vc*p')) > 0
              |ORDER BY user_id""".stripMargin),
-      (s, d) => {
-        val seqs = Tables.events(s, d)
-          .select(col("user_id"), struct(col("ts"), col("event_id"),
-            substring(col("event_type"), 1, 1).as("i")).as("r"))
-          .groupBy("user_id")
-          .agg(array_sort(collect_list(col("r"))).as("rs"))
-          .select(col("user_id"),
-            concat_ws("", expr("transform(rs, x -> x.i)").cast("array<string>"))
-              .as("seq"))
-        seqs.select(col("user_id"),
-            length(col("seq")).cast("long").as("n_events"),
-            expr("regexp_count(seq, 'vc*p')").cast("long").as("n_journeys"))
-          .filter(col("n_journeys") > 0)
-          .orderBy("user_id")
-      }),
+      (s, d) => journeyCounts(Tables.events(s, d))),
 
     // equi-height histogram statistics (what ANALYZE TABLE ... FOR
     // COLUMNS collects and a cost-based optimizer consumes): quartile
@@ -227,4 +221,26 @@ object Extras51 {
               .otherwise("shuffle_hash").as("side_hint"))
           .orderBy("bin")
       }))
+
+  /** The 'vc*p' journey counter over an events-shaped frame (user_id,
+    * ts, event_id, event_type) — the running-state spelling of
+    * `regexp_count(ordered initials, 'vc*p')` (proof in the
+    * seq_pattern_match registration comment above; pinned on
+    * constructed sequences in Extras51Spec). */
+  def journeyCounts(ev: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val prev = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ev.select(col("user_id"), col("ts"), col("event_id"),
+        substring(col("event_type"), 1, 1).as("i"))
+      .withColumn("last_nc",
+        last(when(col("i") =!= "c", col("i")), ignoreNulls = true)
+          .over(prev))
+      .groupBy("user_id")
+      .agg(count(lit(1)).cast("long").as("n_events"),
+        sum(when(col("i") === "p" && col("last_nc") === "v", 1L)
+          .otherwise(0L)).cast("long").as("n_journeys"))
+      .filter(col("n_journeys") > 0)
+      .orderBy("user_id")
+  }
 }

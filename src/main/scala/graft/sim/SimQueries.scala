@@ -601,7 +601,35 @@ object SimQueries {
              |       CAST((SELECT count(*) FROM t JOIN c2 USING (ia, ib)) * 1000000
              |            // greatest((SELECT count(*) FROM t), 1) AS BIGINT)
              |         AS recall_banded_e6""".stripMargin),
-      (s, d) => Similarity.bandRecallReport(embeddings(s, d), 1, 5))
+      (s, d) => Similarity.bandRecallReport(embeddings(s, d), 1, 5)),
+
+    // density health of the banded sign-LSH family as a queryable
+    // artifact (the BandWidthAb saturation diagnostic, registered):
+    // per band — the RESOLVED auto width (corpus-count-derived, so
+    // this row documents what dedup_embedding_banded/cluster_dbscan/
+    // sim_hard_negatives actually ran), bucket count, max occupancy,
+    // buckets under the ≤100 hot-bucket guard, postings kept vs
+    // total. kept ≪ total is the saturation failure mode the auto
+    // width exists to prevent. At every gate SF (≤2000 vectors) the
+    // auto width resolves to the 8-bit floor, which the oracle spells
+    // literally. Exact integers end-to-end; one explode + two count
+    // aggregations — no pairing.
+    Q("emb_band_occupancy",
+      Some("""WITH k AS (SELECT CAST(b AS BIGINT) AS band,
+             |        list_sum(list_transform(range(8),
+             |          i -> CASE WHEN embedding[b*8+i+1] > 0 THEN 1<<i ELSE 0 END)) AS mask
+             |      FROM embeddings, LATERAL unnest([0, 1]) AS u(b)),
+             |occ AS (SELECT band, mask, count(*) AS n FROM k GROUP BY 1, 2)
+             |SELECT band, CAST(8 AS BIGINT) AS bits,
+             |       CAST(count(*) AS BIGINT) AS n_buckets,
+             |       CAST(max(n) AS BIGINT) AS max_occ,
+             |       CAST(sum(CASE WHEN n <= 100 THEN 1 ELSE 0 END) AS BIGINT)
+             |         AS n_under_guard,
+             |       CAST(sum(CASE WHEN n <= 100 THEN n ELSE 0 END) AS BIGINT)
+             |         AS postings_kept,
+             |       CAST(sum(n) AS BIGINT) AS postings_total
+             |FROM occ GROUP BY band ORDER BY band""".stripMargin),
+      (s, d) => Similarity.bandOccupancyReport(embeddings(s, d)))
   )
 
   /** The exact-integer PQ pipeline as DuckDB CTEs (shared by

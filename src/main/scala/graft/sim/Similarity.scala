@@ -180,7 +180,48 @@ object Similarity {
     emb.join(dupIds, Seq("vec_id"), "left_anti")
   }
 
-  /** TWO sign bands of `bits` dims each (default 8: dims 1-8 and
+  /** Sentinel band width meaning "derive from corpus density"
+    * ([[autoBandBits]]); the default of every banded entry point. */
+  val AutoBandBits = 0
+
+  /** The corpus-density sizing rule for the sign-LSH band width
+    * (SERIAL.md band-width A/B): per-band expected occupancy is
+    * n/2^bits, and the hot-bucket guard (maxBucket, default 100)
+    * DROPS buckets past its cap — so with a fixed width a grown
+    * corpus saturates the band space and the guard silently blinds
+    * the probe (measured at the 100× replica corpus: 8-bit bands
+    * keep 2/512 buckets, 200 of 400 k postings). The rule keeps
+    * expected occupancy at `targetOccupancy` — guard/4, headroom for
+    * the skew real sign bits have (they are correlated, not uniform):
+    *
+    *   bits = clamp(ceil(log2(n / targetOccupancy)), 8, 24)
+    *
+    * The 8-bit floor IS the historical default, so every corpus up to
+    * 6 400 vectors (all driver-gate SFs: 500/500/2000) resolves to
+    * the exact pre-auto behavior and the fixed DuckDB oracles hold;
+    * the 24-bit ceiling keeps two bands inside the 64 embedding dims
+    * with slack. At the measured replica corpora: 20 k → 10 bits,
+    * 200 k → 13 bits (occupancy ≈ 20/24 — under the guard with no
+    * manual knob, where fixed 8-bit was blind). */
+  def autoBandBits(n: Long, targetOccupancy: Int = 25): Int = {
+    val raw = math.ceil(
+      math.log(math.max(n, 1L).toDouble / targetOccupancy) / math.log(2.0)).toInt
+    math.max(8, math.min(24, raw))
+  }
+
+  /** One corpus-count job per (session, input plan), memoized like the
+    * shared k-means/pair materializations: every banded entry point in
+    * a suite run resolves its width off the SAME cached count. */
+  private val countMemo = new graft.plans.PlanMemo[String, java.lang.Long](_ => Nil)
+
+  /** Resolve a band-width knob: explicit values pass through (the
+    * A/B harness and tests override); [[AutoBandBits]] derives the
+    * width from the corpus count via [[autoBandBits]]. */
+  private[sim] def resolveBandBits(emb: DataFrame, bandBits: Int): Int =
+    if (bandBits != AutoBandBits) bandBits
+    else autoBandBits(countMemo.getOrCompute(emb, "count")(Long.box(emb.count())))
+
+  /** TWO sign bands of `bits` dims each (bits=8: dims 1-8 and
     * 9-16): a pair collides when EITHER band's sign pattern matches
     * exactly — the multi-probe recall upgrade over the single 16-bit
     * [[signBucket]] (one flipped sign among 16 kills the
@@ -188,9 +229,10 @@ object Similarity {
     * untouched half). `bits` is the CORPUS-SIZE knob: bucket
     * occupancy ~ n/2^bits per band, so when the corpus grows past
     * maxBucket·2^bits the hot-bucket guard starts dropping everything
-    * and the probe goes blind — widen the bands as the corpus grows
-    * (measured at the 100× corpus: 8-bit bands keep 2/512 buckets,
-    * 12-bit bands restore discrimination; see SERIAL.md). */
+    * and the probe goes blind — every banded entry point therefore
+    * derives it from the corpus count by default ([[autoBandBits]];
+    * measured at the 100× corpus: 8-bit bands keep 2/512 buckets,
+    * auto-sized bands restore discrimination; see SERIAL.md). */
   def signBandKeys(emb: Column, bits: Int = 8): Column =
     array((0 until 2).map { b =>
       struct(lit(b).as("band"),
@@ -201,18 +243,6 @@ object Similarity {
           lit(0L), (acc, v) => acc + v).as("mask"))
     }: _*)
 
-  /** Banded embedding near-dedup with an EXACT-integer threshold
-    * compare: embeddings quantize to a 1e-6 grid (round half away
-    * from zero — identical in both engines), and cos ≥ num/den is
-    * decided as dot ≥ 0 ∧ den²·dot² ≥ num²·|a|²·|b|² in 128-bit
-    * integer arithmetic (DECIMAL(38,0); dot ≤ d·(2e6)² ≈ 2.6e14 at
-    * d=64, dot² ≈ 7e28 — comfortably inside 38 digits). Raw-cosine
-    * thresholding is margin-fragile cross-engine — the banded
-    * candidate set on this corpus has pairs within 2e-5 of any
-    * plausible threshold — so the compare is made exact instead of
-    * hoping for a margin (the repo float policy). Same per-band
-    * hot-bucket guard as every bucketed pairing path; kept corpus
-    * drops the higher vec_id of each verified pair. */
   /** The ONE spelling of the exact-integer threshold verify, shared by
     * every embedding-dedup path: over columns `dot`, `na`, `nb` (1e-6
     * grid integer dot product and squared norms), cos ≥ num/den decided
@@ -228,25 +258,21 @@ object Similarity {
         col("na").cast(dec) * col("nb").cast(dec) * lit(num.toLong * num)
   }
 
-  /** The banded candidate-generation + exact verify, factored to ONE
-    * spelling: (id_a, id_b) with id_a < id_b, every pair band-colliding
-    * (either 8-bit sign band, hot buckets guarded at `maxBucket`) AND
-    * verified cos ≥ num/den by [[exactCosAtLeast]]. This relation is
-    * the ε-neighbor graph both consumers read — the kept-corpus dedup
-    * ([[dedupEmbeddingsBandedExact]]) and the density clustering
-    * ([[dbscanBanded]]). */
   /** The banded candidate stage alone: (id_a < id_b, dot, na, nb) for
-    * every band-colliding pair (either 8-bit sign band, hot buckets
+    * every band-colliding pair (either sign band, hot buckets
     * guarded at `maxBucket`), with the 1e-6-grid integer dot product
     * and squared norms attached — the shared input of the threshold
     * verify ([[bandedVerifiedPairs]]) and the cross-label ranking
-    * ([[hardNegativesBanded]]). */
+    * ([[hardNegativesBanded]]). The band width defaults to
+    * [[AutoBandBits]] — derived from the corpus count so occupancy
+    * stays under the guard at every scale ([[autoBandBits]]). */
   def bandedCandidateStats(emb: DataFrame, maxBucket: Int = 100,
-      bandBits: Int = 8): DataFrame = {
+      bandBits: Int = AutoBandBits): DataFrame = {
+    val bits = resolveBandBits(emb, bandBits)
     val qe = transform(col("embedding"),
       x => round(x.cast("double") * 1e6).cast("long"))
     val h = emb.select(col("vec_id"), qe.as("qe"),
-      explode(signBandKeys(col("embedding"), bandBits)).as("bk"))
+      explode(signBandKeys(col("embedding"), bits)).as("bk"))
     val ok = h.groupBy("bk").agg(count(lit(1)).as("__n"))
       .filter(col("__n") <= maxBucket).select("bk")
     val bb = h.join(ok, "bk")
@@ -262,8 +288,23 @@ object Similarity {
       .select("id_a", "id_b", "dot", "na", "nb")
   }
 
+  /** The banded candidate-generation + exact verify, factored to ONE
+    * spelling: (id_a, id_b) with id_a < id_b, every pair band-colliding
+    * (either auto-width sign band, hot buckets guarded at `maxBucket`)
+    * AND verified cos ≥ num/den by [[exactCosAtLeast]] — embeddings
+    * quantize to a 1e-6 grid (round half away from zero, identical in
+    * both engines) and the threshold is decided as dot ≥ 0 ∧
+    * den²·dot² ≥ num²·|a|²·|b|² in 128-bit integer arithmetic
+    * (DECIMAL(38,0); dot ≤ d·(2e6)² ≈ 2.6e14 at d=64, dot² ≈ 7e28 —
+    * inside 38 digits). Raw-cosine thresholding is margin-fragile
+    * cross-engine — the banded candidate set on this corpus has pairs
+    * within 2e-5 of any plausible threshold — so the compare is exact
+    * instead of hoping for a margin (the repo float policy). This
+    * relation is the ε-neighbor graph both consumers read — the
+    * kept-corpus dedup ([[dedupEmbeddingsBandedExact]]) and the
+    * density clustering ([[dbscanBanded]]). */
   def bandedVerifiedPairs(emb: DataFrame, num: Int, den: Int,
-      maxBucket: Int = 100, bandBits: Int = 8): DataFrame =
+      maxBucket: Int = 100, bandBits: Int = AutoBandBits): DataFrame =
     bandedCandidateStats(emb, maxBucket, bandBits)
       .filter(exactCosAtLeast(num, den))
       .select("id_a", "id_b")
@@ -283,7 +324,7 @@ object Similarity {
     * bounded by the bucket guard (≤ 2·bands·maxBucket rows per
     * anchor), not the corpus. */
   def hardNegativesBanded(emb: DataFrame, k: Int,
-      maxBucket: Int = 100, bandBits: Int = 8): DataFrame = {
+      maxBucket: Int = 100, bandBits: Int = AutoBandBits): DataFrame = {
     // the symmetrize union consumes this twice — checkpoint so the
     // banded candidate join runs ONCE (the multi-consumer idiom)
     val stats = bandedCandidateStats(emb, maxBucket, bandBits)
@@ -313,8 +354,11 @@ object Similarity {
         col("neg_id"), col("neg_label"), col("cos_e6"))
   }
 
+  /** Banded embedding near-dedup: drops the higher vec_id of each
+    * [[bandedVerifiedPairs]] pair (auto-width bands, exact-integer
+    * threshold verify — see there for the arithmetic contract). */
   def dedupEmbeddingsBandedExact(emb: DataFrame, num: Int, den: Int,
-      maxBucket: Int = 100, bandBits: Int = 8): DataFrame = {
+      maxBucket: Int = 100, bandBits: Int = AutoBandBits): DataFrame = {
     val dup = bandedVerifiedPairs(emb, num, den, maxBucket, bandBits)
       .select(col("id_b").as("vec_id")).distinct()
     emb.join(dup, Seq("vec_id"), "left_anti")
@@ -351,7 +395,7 @@ object Similarity {
     * @return (vec_id, role ∈ {core,border,noise}, cluster_id; -1 for noise)
     */
   def dbscanBanded(emb: DataFrame, num: Int, den: Int, minPts: Int,
-      maxBucket: Int = 100, bandBits: Int = 8): DataFrame = {
+      maxBucket: Int = 100, bandBits: Int = AutoBandBits): DataFrame = {
     val pairs = bandedVerifiedPairs(emb, num, den, maxBucket, bandBits)
       .localCheckpoint()
     val nbrs = pairs.select(col("id_a").as("id"), col("id_b").as("nb"))
@@ -415,13 +459,17 @@ object Similarity {
     * banded path kept.
     * Kept corpus drops the higher vec_id of each verified pair. */
   def dedupSemantic(emb: DataFrame, num: Int, den: Int, kCells: Int,
-      maxBucket: Int = 100): DataFrame = {
+      maxBucket: Int = 100, bandBits: Int = AutoBandBits): DataFrame = {
+    // the cell conjunction already splits band buckets ~kCells ways,
+    // but the width still follows corpus density (the same auto rule
+    // as every banded path): the cells are headroom, not the sizing
+    val bits = resolveBandBits(emb, bandBits)
     val assigned = Clustering.kmeansFull(emb, kCells)._1
       .select(col("vec_id"), col("cluster"))
     val qe = transform(col("embedding"),
       x => round(x.cast("double") * 1e6).cast("long"))
     val h = emb.select(col("vec_id"), qe.as("qe"),
-        explode(signBandKeys(col("embedding"))).as("bk"))
+        explode(signBandKeys(col("embedding"), bits)).as("bk"))
       .join(assigned, "vec_id")
       .select(col("vec_id"), col("qe"),
         struct(col("cluster"), col("bk")).as("key"))
@@ -468,6 +516,11 @@ object Similarity {
     * oracle rather than a float estimate. */
   def bandRecallReport(emb0: DataFrame, num: Int, den: Int,
       maxBucket: Int = 100, sampleCap: Int = 2000): DataFrame = {
+    // the probe under measurement is auto-width sized for the corpus
+    // it actually probes — the ≤sampleCap sample — which the sizing
+    // rule pins to the 8-bit floor for any cap ≤ 6400 (autoBandBits),
+    // so the report's oracle is a fixed spelling; no count job needed
+    val bits = autoBandBits(sampleCap)
     // the limit materializes on ONE partition (TakeOrderedAndProject),
     // and the sample is byte-tiny, so AQE would coalesce a plain
     // repartition right back to one partition — serializing the
@@ -500,7 +553,7 @@ object Similarity {
       .join(hh1.select(col("bucket"), col("vec_id").as("id_b")), "bucket")
       .filter(col("id_a") < col("id_b")).select("id_a", "id_b").distinct()
     val h2 = emb.select(col("vec_id"),
-      explode(signBandKeys(col("embedding"))).as("bk"))
+      explode(signBandKeys(col("embedding"), bits)).as("bk"))
     val ok2 = h2.groupBy("bk").agg(count(lit(1)).as("__n"))
       .filter(col("__n") <= maxBucket).select("bk")
     val hh2 = h2.join(ok2, "bk")
@@ -524,5 +577,37 @@ object Similarity {
           .as("recall_single_e6"),
         expr("CAST(n_banded * 1000000 DIV GREATEST(n_true, 1) AS BIGINT)")
           .as("recall_banded_e6"))
+  }
+
+  /** Density-health report for the banded sign-LSH family — the
+    * saturation diagnostic (SERIAL.md band-width A/B) promoted to a
+    * registered query, so "is the band space still discriminating at
+    * this corpus size" is a queryable artifact, not a harness run.
+    * Per band: the RESOLVED width (auto by default — the report
+    * documents what the dedup/dbscan/hard-negative paths actually
+    * ran), bucket count, max occupancy, buckets under the hot-bucket
+    * guard, and postings kept vs total — `postings_kept ≈
+    * postings_total` means the probe sees the corpus; the saturated
+    * failure mode reads as kept ≪ total (the 100× corpus at fixed
+    * 8 bits: 200 of 400 k). All exact integers; scale shape is one
+    * explode to 2n band keys and two count aggregations — no pairing,
+    * so the report costs a scan even when the corpus is degenerate. */
+  def bandOccupancyReport(emb: DataFrame, maxBucket: Int = 100,
+      bandBits: Int = AutoBandBits): DataFrame = {
+    val bits = resolveBandBits(emb, bandBits)
+    val occ = emb
+      .select(explode(signBandKeys(col("embedding"), bits)).as("bk"))
+      .groupBy(col("bk.band").cast("long").as("band"), col("bk.mask"))
+      .agg(count(lit(1)).as("n"))
+    occ.groupBy("band").agg(
+        lit(bits.toLong).as("bits"),
+        count(lit(1)).cast("long").as("n_buckets"),
+        max("n").cast("long").as("max_occ"),
+        sum(when(col("n") <= maxBucket, 1L).otherwise(0L)).cast("long")
+          .as("n_under_guard"),
+        sum(when(col("n") <= maxBucket, col("n")).otherwise(0L)).cast("long")
+          .as("postings_kept"),
+        sum(col("n")).cast("long").as("postings_total"))
+      .orderBy("band")
   }
 }

@@ -22,13 +22,27 @@ import org.apache.spark.sql.streaming.Trigger
   * result-invariant (and the row counts printed let the reader check
   * output parity against the registered queries).
   *
-  * Usage: runMain graft.streaming.StreamStateProbe <sfDir> [slices]
+  * Usage: runMain graft.streaming.StreamStateProbe <sfDir> [slices] [provider]
+  * provider ∈ {hdfs (default), rocksdb} — rocksdb prices the escape
+  * hatch for when density × horizon outgrows the executor heap: same
+  * plateau semantics, state off-heap in RocksDB (SERIAL.md
+  * state-store provider table).
   */
 object StreamStateProbe {
   def main(args: Array[String]): Unit = {
+    // same dot-decimal pin as Bench (US, not ROOT — the Derby trap)
+    java.util.Locale.setDefault(java.util.Locale.US)
     val dir = args(0)
     val slices = if (args.length > 1) args(1).toInt else 8
+    val provider = if (args.length > 2) args(2) else "hdfs"
+    val providerClass = provider match {
+      case "rocksdb" =>
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+      case _ =>
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+    }
     val spark = SparkSession.builder()
+      .config("spark.sql.streaming.stateStore.providerClass", providerClass)
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .appName("graft-stream-state-probe")
       .config("spark.sql.shuffle.partitions",
@@ -67,6 +81,8 @@ object StreamStateProbe {
       lit(0.0).as("value"),
       lit("{}").as("props"))
       .select(ev.columns.map(col).toSeq: _*)
+
+    println(s"state store provider = $provider ($providerClass)")
 
     def runJoin(joinType: String): Unit = {
       val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
@@ -113,8 +129,13 @@ object StreamStateProbe {
       println(s"peak state rows = $peak of $n replayed " +
         f"(${100.0 * peak / n}%.1f%%), final = $last")
     }
-    runJoin("left_outer")
-    runJoin("full_outer")
+    def timedJoin(joinType: String): Unit = {
+      val t0 = System.nanoTime()
+      runJoin(joinType)
+      println(f"[$provider] $joinType wall = ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
+    timedJoin("left_outer")
+    timedJoin("full_outer")
     spark.stop()
   }
 }

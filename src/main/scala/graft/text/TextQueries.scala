@@ -605,7 +605,9 @@ object TextQueries {
     // (+gram) — group sizes are bounded by DOCUMENT length, not
     // corpus size, so map-side partials absorb the explode and
     // nothing skews; the two signal frames co-shuffle on doc_id for
-    // the final join.
+    // the final join — LEFT from the full doc set, so sub-3-token and
+    // null-text docs keep a verdict (null stats = not measured = pass)
+    // instead of vanishing from the gate.
     Q("text_repetition_ngram",
       Some("""WITH t AS (SELECT doc_id,
              |            string_split_regex(lower(trim(text)), ' +') AS toks
@@ -625,10 +627,11 @@ object TextQueries {
              |         CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) * 1000000
              |              // sum(n) AS BIGINT) AS dup3_e6
              |       FROM tgc GROUP BY 1)
-             |SELECT doc_id, top2_e6, top3_e6, dup3_e6,
-             |       (top2_e6 <= 60000 AND top3_e6 <= 30000
-             |        AND dup3_e6 <= 20000) AS keep
-             |FROM b2 JOIN t3 USING (doc_id)
+             |SELECT t.doc_id, top2_e6, top3_e6, dup3_e6,
+             |       (coalesce(top2_e6, 0) <= 60000
+             |        AND coalesce(top3_e6, 0) <= 30000
+             |        AND coalesce(dup3_e6, 0) <= 20000) AS keep
+             |FROM t LEFT JOIN b2 USING (doc_id) LEFT JOIN t3 USING (doc_id)
              |ORDER BY doc_id""".stripMargin),
       (s, d) => {
         val t = documents(s, d).select(col("doc_id"),
@@ -650,9 +653,16 @@ object TextQueries {
             expr("""CAST((sum(CASE WHEN n > 1 THEN n ELSE 0 END) * 1000000)
                    |     DIV sum(n) AS BIGINT)""".stripMargin)
               .as("dup3_e6"))
-        b2.join(t3, "doc_id")
-          .withColumn("keep", col("top2_e6") <= 60000 &&
-            col("top3_e6") <= 30000 && col("dup3_e6") <= 20000)
+        // LEFT joins from the full doc set: a doc too short for a gram
+        // family (or with null text) must still get a keep verdict — a
+        // gate that silently omits documents leaks unscored docs
+        // downstream. Missing stats read as zero repetition (pass);
+        // the stat columns stay null so "not measured" is visible.
+        t.select("doc_id")
+          .join(b2, Seq("doc_id"), "left").join(t3, Seq("doc_id"), "left")
+          .withColumn("keep", coalesce(col("top2_e6"), lit(0L)) <= 60000 &&
+            coalesce(col("top3_e6"), lit(0L)) <= 30000 &&
+            coalesce(col("dup3_e6"), lit(0L)) <= 20000)
           .orderBy("doc_id")
       }),
 

@@ -67,6 +67,33 @@ class Extras51Spec extends SparkSpec {
     assert(un.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
   }
 
+  test("pattern match: the running-state window equals regexp_count on " +
+      "every tricky sequence (consumption, backtracking, breaks)") {
+    import spark.implicits._
+    // one user per constructed sequence; the window spelling must agree
+    // with the regex count (the oracle's semantics) on the cases where
+    // a naive automaton drifts: p-consumption (vpp), v-restart (vvcp),
+    // broken run (vcep), leftmost non-overlap (vcpcp), multi-match
+    // (vpvp), no-v prefix (pvc), pure c-run (vccp)
+    val cases = Seq("vpp", "vvcp", "vcep", "vcvp", "vcpcp", "vpvp",
+      "pvc", "vccp", "cpv", "vvvp", "vcc", "p")
+    val rows = cases.zipWithIndex.flatMap { case (seq, u) =>
+      seq.zipWithIndex.map { case (ch, k) =>
+        (u.toLong, java.sql.Timestamp.valueOf(f"2024-01-01 00:00:${k}%02d"),
+          (u * 100 + k).toLong, ch.toString)
+      }
+    }.toDF("user_id", "ts", "event_id", "event_type")
+    val got = graft.ops.Extras51.journeyCounts(rows).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    cases.zipWithIndex.foreach { case (seq, u) =>
+      val expected = "vc*p".r.findAllIn(seq).size.toLong
+      val gotN = got.get(u.toLong).map(_._2).getOrElse(0L)
+      assert(gotN == expected, s"'$seq': got $gotN, regex says $expected")
+      if (expected > 0)
+        assert(got(u.toLong)._1 == seq.length.toLong, s"'$seq' n_events")
+    }
+  }
+
   test("pattern match: journey counts bounded by purchases; sequences real") {
     val got = SparkEntry.queries("seq_pattern_match")(spark, sf0001)
     val purchases = graft.io.Tables.events(spark, sf0001)

@@ -207,6 +207,48 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.bandedCandidateStats(emb, 40, 4).count() == 3480L)
   }
 
+  test("auto band width: the sizing rule keeps occupancy at guard/4 " +
+      "and floors at the gate-SF default") {
+    // bits = clamp(ceil(log2(n/25)), 8, 24): every corpus up to 6400
+    // vectors resolves to the historical 8-bit default (all driver
+    // gate SFs: 500/500/2000 — the fixed oracles hold), then widths
+    // track density (20k → 10, 200k → 13 — the measured A/B corpora)
+    assert(Similarity.autoBandBits(1) == 8)
+    assert(Similarity.autoBandBits(500) == 8)
+    assert(Similarity.autoBandBits(2000) == 8)
+    assert(Similarity.autoBandBits(6400) == 8)
+    assert(Similarity.autoBandBits(6401) == 9)
+    assert(Similarity.autoBandBits(20000) == 10)
+    assert(Similarity.autoBandBits(200000) == 13)
+    assert(Similarity.autoBandBits(1L << 40) == 24) // dim-bounded ceiling
+  }
+
+  test("banded entry points resolve the auto width from the corpus " +
+      "count: 10k vectors run 9-bit bands, not the saturated 8") {
+    import spark.implicits._
+    // 10 000 18-dim vectors with hash-derived sign patterns →
+    // autoBandBits(10000) = ceil(log2(400)) = 9. The default-width
+    // candidate count must equal the explicit-9 run and differ from
+    // the explicit-8 run (coarser buckets admit more collisions), so
+    // the default demonstrably FOLLOWS density instead of hardcoding 8.
+    def mix(i: Int, j: Int): Long = { // splitmix64 — uniform sign bits
+      var h = i.toLong * 0x9E3779B97F4A7C15L + j.toLong * 0xBF58476D1CE4E5B9L
+      h ^= h >>> 30; h *= 0xBF58476D1CE4E5B9L
+      h ^= h >>> 27; h *= 0x94D049BB133111EBL
+      h ^ (h >>> 31)
+    }
+    val emb = (0 until 10000).map { i =>
+      val e = (0 until 18).map(j =>
+        if ((mix(i, j) & 1L) == 1L) 1.0f else -1.0f).toArray
+      (i.toLong, e)
+    }.toDF("vec_id", "embedding")
+    val auto = Similarity.bandedCandidateStats(emb, 100).count()
+    val nine = Similarity.bandedCandidateStats(emb, 100, 9).count()
+    val eight = Similarity.bandedCandidateStats(emb, 100, 8).count()
+    assert(auto == nine, s"auto=$auto nine=$nine")
+    assert(auto != eight, s"auto width did not move off 8 (count $auto)")
+  }
+
   test("sim on real embeddings: brute-force and ivf overlap on top hits") {
     val emb = io.Tables.embeddings(spark, sf0001)
     val brute = Similarity.bruteForceTopK(emb, 10).collect().map(_.getLong(0)).toSet
