@@ -51,7 +51,10 @@ object Explain {
         // aggregations), DSIR weights (64-bucket broadcast join), and
         // the ExactSubstr span trimmer (rolling-window groupBy)
         "text_repetition_ngram", "corpus_dsir_weight", "dedup_span_trim",
-        "sim_hard_negatives")
+        "sim_hard_negatives",
+        // round-11: the band-density health report and the rewritten
+        // running-state journey counter
+        "emb_band_occupancy", "seq_pattern_match")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -35,7 +35,9 @@ object IoQueries {
       }),
 
     // S2 — CSV sink, single-object contract (app.py:53-62: one S3 object
-    // per job). coalesce(1) only on the final write, never mid-plan.
+    // per job). repartition(1) on the final write only, never mid-plan
+    // (and never coalesce(1) — it would single-thread the upstream plan
+    // into the write task; measured in SERIAL.md's stage decomposition).
     Q("sink_csv",
       Some("""SELECT c_custkey, c_name, c_mktsegment FROM customer
              |ORDER BY c_custkey""".stripMargin),

@@ -93,9 +93,20 @@ object Csv {
   def write(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("header", "true").csv(path)
 
-  /** Single-object CSV write — reference parity (one S3 object per job). */
+  /** Single-object CSV write — reference parity (one S3 object per job).
+    *
+    * repartition(1), NOT coalesce(1): coalesce collapses the WHOLE
+    * upstream plan onto the one write task — measured at the 100×
+    * corpus (PipelineStageAb, SERIAL.md): the full-etl transform runs
+    * 1.25 s on 32 threads but 25.8 s when coalesce(1) single-threads
+    * it into the result write. repartition inserts a 1-partition
+    * shuffle instead, so the transform keeps its parallelism and only
+    * the write (plus one pass of the output bytes — which the lone
+    * coalesce task would have pulled anyway) is serial. Row order
+    * inside the object is not part of the contract (every consumer
+    * re-sorts; the reference's pandas CSV has its own order). */
   def writeSingle(df: DataFrame, path: String): Unit =
-    df.coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
+    df.repartition(1).write.mode("overwrite").option("header", "true").csv(path)
 
   /** Fault-tolerant CSV scan (the engine's version of the reference's
     * try/except ingestion, etl_core.py:21-29): PERMISSIVE mode with an
