@@ -341,6 +341,90 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
   }
 
+  // ---- headline-15 pins (verdict r10 task #5): every serially-timed
+  // bench headliner gets its load-bearing physical properties pinned,
+  // so a plan regression fails HERE before it shows up as a bench
+  // artifact. Already pinned above: agg_group (partial+final, AQE),
+  // join_fk (stats-driven broadcast), topk (TakeOrderedAndProject +
+  // 2-column ReadSchema), text_tfidf (broadcast df join),
+  // pipeline_training_corpus (__bkt-partitioned packing windows).
+  // stream_window_agg is excluded by nature — its fn runs the stream
+  // and returns a memory sink scan; its load-bearing property (bounded
+  // watermark state) is pinned behaviorally in StreamStateStoreSpec
+  // and the StreamStateProbe plateau tables instead.
+
+  test("agg_cube is ONE pass: Expand + partial+final agg, single scan") {
+    val p = plan("agg_cube")
+    assert(p.contains("Expand"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert("FileScan parquet".r.findAllIn(p).size == 1, p)
+  }
+
+  test("join_asof is the union trick: no join node, ONE user-key " +
+      "exchange, window partitioned on the entity") {
+    val p = plan("join_asof")
+    assert(!p.contains("Join"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(p.contains("windowspecdefinition(k#"), p) // the union entity key
+  }
+
+  test("dedup_minhash runs the native signature into capped buckets — " +
+      "equi-joins only") {
+    val p = plan("dedup_minhash")
+    assert(p.contains("minhash_signature"), p) // codegen'd native expr
+    assert(p.contains("capped_collect_longs"), p) // hard-capped buckets
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("dedup_clusters consumes the pair relation from ONE checkpointed " +
+      "materialization — equi-joins only") {
+    val p = plan("dedup_clusters")
+    assert(p.contains("Scan ExistingRDD"), p) // the localCheckpoint
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("sim_topk_brute broadcasts the 1-row query vector and takes " +
+      "top-k without a global sort, on the native cosine") {
+    val p = plan("sim_topk_brute")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("cosine_sim"), p) // native codegen'd kernel
+    assert(p.contains("BroadcastNestedLoopJoin"), p) // 1-row broadcast
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("src_parquet is a bare scan + the ORDER BY range exchange — " +
+      "nothing else") {
+    val p = plan("src_parquet")
+    assert(!p.contains("Exchange hashpartitioning") && !p.contains("Join"), p)
+    assert("FileScan parquet".r.findAllIn(p).size == 1, p)
+  }
+
+  test("sim_topk_ivf_kmeans scans only the probed cells: broadcast " +
+      "cell routing + top-k, never a corpus cartesian") {
+    val p = plan("sim_topk_ivf_kmeans")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastHashJoin"), p) // ≤nprobe-row cells join
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("cosine_sim"), p)
+  }
+
+  test("dedup_incremental probes the persisted index with pushed " +
+      "filters and equi-joins only") {
+    val p = plan("dedup_incremental")
+    assert(p.contains("PushedFilters: [") , p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("pipeline_full_etl's read-back is a bare csv scan + the ORDER " +
+      "BY range exchange (the transform happened at the CSV boundary)") {
+    val p = plan("pipeline_full_etl")
+    assert(p.contains("FileScan csv"), p)
+    assert(!p.contains("Exchange hashpartitioning") && !p.contains("Join"), p)
+  }
+
   test("banded ε-pair kernel joins on the band key — never cartesian " +
       "(shared by dedup_embedding_banded and cluster_dbscan)") {
     // cluster_dbscan's final plan hides the pair stage behind a
