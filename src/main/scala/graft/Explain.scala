@@ -52,9 +52,9 @@ object Explain {
         // the ExactSubstr span trimmer (rolling-window groupBy)
         "text_repetition_ngram", "corpus_dsir_weight", "dedup_span_trim",
         "sim_hard_negatives",
-        // round-11: the band-density health report and the rewritten
-        // running-state journey counter
-        "emb_band_occupancy", "seq_pattern_match")
+        // round-11: the band-density health report, the rewritten
+        // running-state journey counter, and the batched ANN scan
+        "emb_band_occupancy", "seq_pattern_match", "sim_topk_batch")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -61,6 +61,26 @@ object SimQueries {
         .select("vec_id", "label", "rn")
         .orderBy("label", "rn")),
 
+    // batched multi-query top-k — the production serving shape: the 5
+    // lowest-id vectors are the query batch, broadcast once, and ONE
+    // corpus scan scores all (vector, query) pairs (scan amortized
+    // across the batch). Exact per-query top-3 via the two-phase
+    // (query, partition)-cell rank — no per-query global sort; the
+    // per-cell top-k is a superset of the global top-k under ANY
+    // partitioning, so the result is partitioning-independent. Ranks
+    // order on distinct cosines (the sim_topk_brute float convention).
+    Q("sim_topk_batch",
+      Some("""WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe
+             |           FROM embeddings ORDER BY vec_id LIMIT 5),
+             |s AS (SELECT q.q_id, e.vec_id, e.label,
+             |        list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe) AS cs
+             |      FROM embeddings e, q WHERE e.vec_id <> q.q_id)
+             |SELECT q_id, CAST(rn AS BIGINT) AS rank, vec_id, label
+             |FROM (SELECT s.*, row_number() OVER (PARTITION BY q_id
+             |        ORDER BY cs DESC, vec_id) AS rn FROM s) t
+             |WHERE rn <= 3 ORDER BY q_id, rank""".stripMargin),
+      (s, d) => Similarity.multiQueryTopK(embeddings(s, d), 5, 3)),
+
     // range search: every vector within cosine ≥ 0.3 of the query (the
     // radius-query companion to top-k; margins to 0.3 are ≥ 4e-4 at
     // every SF — far beyond cross-engine float noise).

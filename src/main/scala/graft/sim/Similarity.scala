@@ -67,6 +67,44 @@ object Similarity {
       .filter(col("rn") <= k)
   }
 
+  /** Batched multi-query top-k — the PRODUCTION shape of ANN serving
+    * (queries arrive in batches; re-scanning the corpus per query
+    * wastes the scan): the `nQueries` lowest vec_ids form the query
+    * batch, broadcast as one tiny frame, and a SINGLE corpus scan
+    * scores every (vector, query) pair — scan cost amortizes across
+    * the batch. Exact top-k per query WITHOUT a per-query global
+    * sort: phase 1 ranks inside (query, input-partition) cells —
+    * bounded by the partition size, never the corpus — and keeps k;
+    * phase 2 ranks the ≤ k·partitions survivors per query. Any
+    * partitioning's per-cell top-k is a superset of the global
+    * top-k, so the result is partitioning-independent (the
+    * TakeOrderedAndProject idea generalized to a query batch). Ties
+    * break on vec_id; distinct random cosines make ranks
+    * engine-stable (the sim_topk_brute convention). */
+  def multiQueryTopK(emb: DataFrame, nQueries: Int = 5, k: Int = 3)
+      : DataFrame = {
+    val qs = broadcast(emb.orderBy("vec_id").limit(nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")))
+    val scored = emb.crossJoin(qs)
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), col("label"),
+        cosFast(emb)(col("embedding"), col("q_emb")).as("cos_sim"))
+      // materialized in a Project (a nondeterministic expression may
+      // not appear in a window spec itself); any pid assignment
+      // yields the same final top-k — see the superset argument above
+      .withColumn("__pid", spark_partition_id())
+    val w1 = Window.partitionBy(col("q_id"), col("__pid"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    val w2 = Window.partitionBy("q_id")
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    scored
+      .withColumn("r1", row_number().over(w1)).filter(col("r1") <= k)
+      .withColumn("rank", row_number().over(w2).cast("long"))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "vec_id", "label")
+      .orderBy("q_id", "rank")
+  }
+
   /** Radius query: all vectors with cosine ≥ threshold of the query
     * vector — one broadcast + one filtered scan, no sort (unlike top-k
     * this needs no TakeOrderedAndProject; selectivity does the work). */

@@ -768,6 +768,52 @@ object TextQueries {
         w.crossJoin(broadcast(cut))
           .select(col("doc_id"), col("w6"), (col("w6") >= col("p75")).as("keep"))
           .orderBy("doc_id")
+      }),
+
+    // corpus mix apportionment — the integer sampling quotas every
+    // multi-source training mix needs (The Pile / DoReMi-style source
+    // mixing): split a budget of N=1000 sample slots across sources
+    // proportionally to their doc counts with Hamilton's
+    // largest-remainder method, the classic exact-sum apportionment
+    // (floors alone under-fill the budget; naive rounding drifts it).
+    // base_i = (N·c_i) DIV C, then the N − Σbase deficit goes to the
+    // largest remainders (ties → source asc). Exact integers end to
+    // end, so Σ quota = N by construction in both engines. Scale
+    // shape: one per-source count aggregation (map-side combined);
+    // the apportionment itself — including its global rank window —
+    // runs on the |sources|-row aggregate, bounded by source
+    // cardinality, never the corpus.
+    Q("corpus_mix_apportion",
+      Some("""WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+             |t AS (SELECT sum(n) AS ct FROM c),
+             |b AS (SELECT source, n, (1000 * n) // ct AS base,
+             |             (1000 * n) % ct AS rem
+             |      FROM c, t),
+             |d AS (SELECT 1000 - sum(base) AS def FROM b),
+             |r AS (SELECT b.*, row_number() OVER (ORDER BY rem DESC, source) AS rk
+             |      FROM b)
+             |SELECT source, CAST(n AS BIGINT) AS n_docs,
+             |       CAST(base + CASE WHEN rk <= d.def THEN 1 ELSE 0 END AS BIGINT)
+             |         AS quota
+             |FROM r, d ORDER BY source""".stripMargin),
+      (s, d) => {
+        val c = documents(s, d).groupBy("source").agg(count(lit(1)).as("n"))
+        val t = c.agg(sum("n").as("ct"))
+        val b = c.crossJoin(broadcast(t))
+          .select(col("source"), col("n"),
+            expr("(1000 * n) DIV ct").as("base"),
+            expr("(1000 * n) % ct").as("rem"))
+        val dft = b.agg((lit(1000L) - sum("base")).as("def"))
+        // global rank over the |sources|-row aggregate only (bounded
+        // by source cardinality, never the corpus)
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("rem").desc, col("source"))
+        b.withColumn("rk", row_number().over(w))
+          .crossJoin(broadcast(dft))
+          .select(col("source"), col("n").as("n_docs"),
+            (col("base") + when(col("rk") <= col("def"), 1L).otherwise(0L))
+              .cast("long").as("quota"))
+          .orderBy("source")
       })
   )
 

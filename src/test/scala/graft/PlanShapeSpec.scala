@@ -394,6 +394,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("batched top-k broadcasts the query batch and ranks in bounded " +
+      "(query, partition) cells — no per-query corpus sort") {
+    val p = plan("sim_topk_batch")
+    assert(p.contains("BroadcastNestedLoopJoin"), p) // ≤n-row query batch
+    assert(!p.contains("CartesianProduct"), p)
+    // phase-1 window must partition on the materialized partition id,
+    // so no window cell ever holds a whole query's corpus
+    assert(p.contains("windowspecdefinition(q_id") && p.contains("__pid"), p)
+  }
+
   test("src_parquet is a bare scan + the ORDER BY range exchange — " +
       "nothing else") {
     val p = plan("src_parquet")

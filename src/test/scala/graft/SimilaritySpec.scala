@@ -249,6 +249,27 @@ class SimilaritySpec extends SparkSpec {
     assert(auto != eight, s"auto width did not move off 8 (count $auto)")
   }
 
+  test("batched multi-query top-k equals the single-query scan per query") {
+    // the two-phase (query, partition)-cell rank must reproduce the
+    // single-query TakeOrderedAndProject result for EVERY query in the
+    // batch — partitioning-independence made concrete on real data
+    val emb = io.Tables.embeddings(spark, sf0001)
+    val batch = Similarity.multiQueryTopK(emb, 2, 5).collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.sortBy(_.getLong(1)).map(_.getLong(2)).toSeq).toMap
+    val qids = emb.orderBy("vec_id").limit(2).collect().map(_.getLong(0))
+    // single-query reference for the FIRST query id (bruteForceTopK's
+    // query is always the lowest vec_id)
+    val single = Similarity.bruteForceTopK(emb, 5).collect()
+      .map(_.getLong(0)).toSeq
+    assert(batch.keySet == qids.toSet, batch.keySet)
+    // other batch queries may rank the first query's vector among
+    // their neighbors; q0's own list must match the solo scan exactly
+    assert(batch(qids(0)) == single,
+      s"batch=${batch(qids(0))} single=$single")
+    assert(batch.values.forall(_.size == 5))
+  }
+
   test("sim on real embeddings: brute-force and ivf overlap on top hits") {
     val emb = io.Tables.embeddings(spark, sf0001)
     val brute = Similarity.bruteForceTopK(emb, 10).collect().map(_.getLong(0)).toSet

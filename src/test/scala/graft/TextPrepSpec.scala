@@ -162,4 +162,24 @@ class TextPrepSpec extends SparkSpec {
     assert(means(true) > means(false), means)
     out.unpersist()
   }
+
+  test("corpus_mix_apportion: quotas are the exact Hamilton apportionment " +
+      "and sum to the budget") {
+    val out = SparkEntry.queries("corpus_mix_apportion")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // independent reference: recompute largest-remainder quotas in
+    // plain Scala from the same counts and compare EXACTLY
+    val counts = out.map { case (s, n, _) => s -> n }
+    val total = counts.map(_._2).sum
+    val base = counts.map { case (s, n) =>
+      (s, 1000L * n / total, 1000L * n % total) }
+    val deficit = (1000L - base.map(_._2).sum).toInt
+    val bump = base.sortBy { case (s, _, rem) => (-rem, s) }
+      .take(deficit).map(_._1).toSet
+    val expected = base.map { case (s, b, _) =>
+      s -> (b + (if (bump(s)) 1 else 0)) }.toMap
+    assert(out.map(_._3).sum == 1000L, out.toSeq)
+    out.foreach { case (s, _, q) =>
+      assert(q == expected(s), s"$s: got $q want ${expected(s)}") }
+  }
 }
