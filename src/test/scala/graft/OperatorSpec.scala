@@ -128,4 +128,36 @@ class OperatorSpec extends SparkSpec {
       .select("sentiment_result").collect().map(_.getString(0)).toSeq
     assert(got == Seq("NEGATIVE", "POSITIVE"))
   }
+
+  test("writeSingle keeps the upstream plan parallel (repartition, " +
+      "never coalesce): compute tasks > 1, write tasks == 1") {
+    // the coalesce(1) regression silently single-threads the whole
+    // upstream into the one write task (measured 20× the pipeline at
+    // 100× — SERIAL.md stage decomposition); pin the shape with a
+    // task-count listener: an 8-partition source must execute ≥2
+    // stages, the largest parallel and the write stage single-task
+    import scala.collection.mutable
+    val stages = mutable.Map[Int, Int]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        stages.synchronized {
+          stages(sc.stageInfo.stageId) = sc.stageInfo.numTasks }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val df = spark.range(0, 10000, 1, 8).toDF("v")
+        .withColumn("w", col("v") * 2)
+      graft.io.Csv.writeSingle(df,
+        s"${sys.props("java.io.tmpdir")}/graft_test_single")
+      // listener events are async — poll briefly for both stages
+      val deadline = System.nanoTime() + 10e9.toLong
+      def counts() = stages.synchronized(stages.values.toSeq)
+      while (System.nanoTime() < deadline &&
+        (counts().isEmpty || counts().max != 8 || counts().min != 1))
+        Thread.sleep(50)
+      assert(counts().max == 8, s"compute stage lost parallelism: ${counts()}")
+      assert(counts().min == 1, s"no single-task write stage: ${counts()}")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }
