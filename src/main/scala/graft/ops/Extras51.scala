@@ -237,7 +237,11 @@ object Extras51 {
         last(when(col("i") =!= "c", col("i")), ignoreNulls = true)
           .over(prev))
       .groupBy("user_id")
-      .agg(count(lit(1)).cast("long").as("n_events"),
+      // count(i), not count(*): a null event_type never reaches the
+      // oracle's string_agg sequence, so it must not count here either
+      // (it is also transparent to the automaton — the ignoreNulls
+      // last() skips it, exactly as it is absent from the regex string)
+      .agg(count(col("i")).cast("long").as("n_events"),
         sum(when(col("i") === "p" && col("last_nc") === "v", 1L)
           .otherwise(0L)).cast("long").as("n_journeys"))
       .filter(col("n_journeys") > 0)

@@ -83,7 +83,16 @@ class Extras51Spec extends SparkSpec {
           (u * 100 + k).toLong, ch.toString)
       }
     }.toDF("user_id", "ts", "event_id", "event_type")
-    val got = graft.ops.Extras51.journeyCounts(rows).collect()
+    // + one user with a NULL event_type between v and p: the oracle's
+    // string_agg skips NULLs (seq = "vp"), so the null row must be
+    // invisible to BOTH the automaton and n_events
+    val nullUser = 900L
+    val nullRows = Seq(("v", 0), (null, 1), ("p", 2)).map { case (t, k) =>
+      (nullUser, java.sql.Timestamp.valueOf(f"2024-01-01 00:00:${k}%02d"),
+        (nullUser * 100 + k), t)
+    }.toDF("user_id", "ts", "event_id", "event_type")
+    val got = graft.ops.Extras51.journeyCounts(rows.unionByName(nullRows))
+      .collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     cases.zipWithIndex.foreach { case (seq, u) =>
       val expected = "vc*p".r.findAllIn(seq).size.toLong
@@ -92,6 +101,7 @@ class Extras51Spec extends SparkSpec {
       if (expected > 0)
         assert(got(u.toLong)._1 == seq.length.toLong, s"'$seq' n_events")
     }
+    assert(got(nullUser) == ((2L, 1L)), got.get(nullUser))
   }
 
   test("pattern match: journey counts bounded by purchases; sequences real") {
