@@ -229,7 +229,12 @@ object Extras51 {
     * constructed sequences in Extras51Spec). */
   def journeyCounts(ev: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val prev = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    // asc_nulls_last: DuckDB's string_agg ORDER BY puts NULLs last,
+    // Spark's asc default puts them first — a null ts/event_id would
+    // reorder the automaton's input across engines (none in testdata;
+    // the pin is for corpora that have them)
+    val prev = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc_nulls_last, col("event_id").asc_nulls_last)
       .rowsBetween(Window.unboundedPreceding, -1)
     ev.select(col("user_id"), col("ts"), col("event_id"),
         substring(col("event_type"), 1, 1).as("i"))

@@ -238,7 +238,10 @@ object Similarity {
     * 6 400 vectors (all driver-gate SFs: 500/500/2000) resolves to
     * the exact pre-auto behavior and the fixed DuckDB oracles hold;
     * the 24-bit ceiling keeps two bands inside the 64 embedding dims
-    * with slack. At the measured replica corpora: 20 k → 10 bits,
+    * with slack (it assumes d ≥ 48 — a corpus with shorter embeddings
+    * should pass explicit bits ≤ d/2; slicing past the array end
+    * degenerates that band's mask to a constant, which the guard then
+    * drops). At the measured replica corpora: 20 k → 10 bits,
     * 200 k → 13 bits (occupancy ≈ 20/24 — under the guard with no
     * manual knob, where fixed 8-bit was blind). */
   def autoBandBits(n: Long, targetOccupancy: Int = 25): Int = {

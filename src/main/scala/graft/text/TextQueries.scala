@@ -805,9 +805,14 @@ object TextQueries {
             expr("(1000 * n) % ct").as("rem"))
         val dft = b.agg((lit(1000L) - sum("base")).as("def"))
         // global rank over the |sources|-row aggregate only (bounded
-        // by source cardinality, never the corpus)
+        // by source cardinality, never the corpus). asc_nulls_last on
+        // the tiebreak: Spark's asc default is NULLS FIRST, DuckDB's
+        // is NULLS LAST — a null source group with a tied remainder
+        // would get a different rank (and quota) across engines under
+        // the defaults (no null sources in testdata; the pin is for
+        // corpora that have them)
         val w = org.apache.spark.sql.expressions.Window
-          .orderBy(col("rem").desc, col("source"))
+          .orderBy(col("rem").desc, col("source").asc_nulls_last)
         b.withColumn("rk", row_number().over(w))
           .crossJoin(broadcast(dft))
           .select(col("source"), col("n").as("n_docs"),
