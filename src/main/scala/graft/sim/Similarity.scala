@@ -344,11 +344,25 @@ object Similarity {
     * relation is the ε-neighbor graph both consumers read — the
     * kept-corpus dedup ([[dedupEmbeddingsBandedExact]]) and the
     * density clustering ([[dbscanBanded]]). */
+  /** Session memo for the verified ε-pair relation: the kept-corpus
+    * dedup and the density clustering consume the SAME relation (same
+    * emb plan, threshold, guard, resolved width), so it materializes
+    * once per session and is shared — the Dedup.nearDupPairs /
+    * kmeansFull shared-build-artifact shape. Keyed on the RESOLVED
+    * width, so an auto call and an explicit call at the same width
+    * share the entry. */
+  private val pairsMemo =
+    new graft.plans.PlanMemo[(Int, Int, Int, Int), DataFrame](df => Seq(df))
+
   def bandedVerifiedPairs(emb: DataFrame, num: Int, den: Int,
-      maxBucket: Int = 100, bandBits: Int = AutoBandBits): DataFrame =
-    bandedCandidateStats(emb, maxBucket, bandBits)
-      .filter(exactCosAtLeast(num, den))
-      .select("id_a", "id_b")
+      maxBucket: Int = 100, bandBits: Int = AutoBandBits): DataFrame = {
+    val bits = resolveBandBits(emb, bandBits)
+    pairsMemo.getOrCompute(emb, (num, den, maxBucket, bits)) {
+      bandedCandidateStats(emb, maxBucket, bits)
+        .filter(exactCosAtLeast(num, den))
+        .select("id_a", "id_b")
+    }
+  }
 
   /** Hard-negative mining for contrastive training (the in-batch /
     * mined-negative recipe of DPR, Karpukhin et al. 2020, and SimCSE):
