@@ -54,7 +54,8 @@ object Explain {
         "sim_hard_negatives",
         // round-11: the band-density health report, the rewritten
         // running-state journey counter, and the batched ANN scan
-        "emb_band_occupancy", "seq_pattern_match", "sim_topk_batch")
+        "emb_band_occupancy", "seq_pattern_match", "sim_topk_batch",
+        "corpus_stratified_sample")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -819,6 +819,74 @@ object TextQueries {
             (col("base") + when(col("rk") <= col("def"), 1L).otherwise(0L))
               .cast("long").as("quota"))
           .orderBy("source")
+      }),
+
+    // the apportionment's CONSUMER: a deterministic stratified sample —
+    // within each source, take that source's Hamilton quota of docs
+    // ranked by md5(doc_id) (a uniform, engine-portable, seedless
+    // shuffle order; doc_id unique → no ties). Together with
+    // corpus_mix_apportion this is the complete mix-sampling pair every
+    // multi-source training corpus build runs. Sources smaller than
+    // their quota contribute everything they have (rank filter caps at
+    // the stratum size — at sf0.001 the 1000-slot budget exceeds the
+    // 500-doc corpus, so the sample IS the corpus there). Scale shape:
+    // quotas broadcast (|sources| rows); the per-source rank is a
+    // source-partitioned window pruned by a LITERAL rk <= budget
+    // filter that plans a WindowGroupLimit (per-stratum top-N below
+    // the window — only literal bounds do; the column-bound quota
+    // filter alone would buffer whole strata), then the quota filter
+    // trims within the budget-bounded survivors.
+    Q("corpus_stratified_sample",
+      Some("""WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+             |t AS (SELECT sum(n) AS ct FROM c),
+             |b AS (SELECT source, n, (1000 * n) // ct AS base,
+             |             (1000 * n) % ct AS rem
+             |      FROM c, t),
+             |d AS (SELECT 1000 - sum(base) AS def FROM b),
+             |qt AS (SELECT source,
+             |         base + CASE WHEN row_number() OVER
+             |           (ORDER BY rem DESC, source) <= d.def
+             |           THEN 1 ELSE 0 END AS quota
+             |       FROM b, d),
+             |r AS (SELECT doc_id, source,
+             |        row_number() OVER (PARTITION BY source
+             |          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+             |      FROM documents)
+             |SELECT r.doc_id, r.source, CAST(r.rk AS BIGINT) AS rk
+             |FROM r JOIN qt USING (source)
+             |WHERE r.rk <= qt.quota
+             |ORDER BY r.source, r.rk""".stripMargin),
+      (s, d) => {
+        val docs = documents(s, d)
+        val c = docs.groupBy("source").agg(count(lit(1)).as("n"))
+        val t = c.agg(sum("n").as("ct"))
+        val b = c.crossJoin(broadcast(t))
+          .select(col("source"), col("n"),
+            expr("(1000 * n) DIV ct").as("base"),
+            expr("(1000 * n) % ct").as("rem"))
+        val dft = b.agg((lit(1000L) - sum("base")).as("def"))
+        val wq = org.apache.spark.sql.expressions.Window
+          .orderBy(col("rem").desc, col("source").asc_nulls_last)
+        val quotas = b.withColumn("rk", row_number().over(wq))
+          .crossJoin(broadcast(dft))
+          .select(col("source"),
+            (col("base") + when(col("rk") <= col("def"), 1L).otherwise(0L))
+              .as("quota"))
+        val wr = org.apache.spark.sql.expressions.Window
+          .partitionBy("source")
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+        docs.select(col("doc_id"), col("source"))
+          .withColumn("rk", row_number().over(wr).cast("long"))
+          // the budget bounds every quota, so rk ≤ 1000 is implied —
+          // stated as a LITERAL because only a literal rank bound
+          // plans a WindowGroupLimit (per-stratum top-N pruning below
+          // the window); the column-bound quota filter alone buffers
+          // whole strata
+          .filter(col("rk") <= 1000L)
+          .join(broadcast(quotas), "source")
+          .filter(col("rk") <= col("quota"))
+          .select("doc_id", "source", "rk")
+          .orderBy("source", "rk")
       })
   )
 

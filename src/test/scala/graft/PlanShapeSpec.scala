@@ -435,6 +435,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Exchange hashpartitioning") && !p.contains("Join"), p)
   }
 
+  test("stratified sample prunes each stratum with WindowGroupLimit " +
+      "under a broadcast quota join") {
+    val p = plan("corpus_stratified_sample")
+    // the literal rk <= budget bound must plan the group-limit (the
+    // column-bound quota filter alone would buffer whole strata)
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("BroadcastHashJoin"), p) // |sources|-row quotas
+  }
+
   test("banded ε-pair kernel joins on the band key — never cartesian " +
       "(shared by dedup_embedding_banded and cluster_dbscan)") {
     // cluster_dbscan's final plan hides the pair stage behind a

@@ -182,4 +182,22 @@ class TextPrepSpec extends SparkSpec {
     out.foreach { case (s, _, q) =>
       assert(q == expected(s), s"$s: got $q want ${expected(s)}") }
   }
+
+  test("corpus_stratified_sample: per-source size = min(quota, stratum), " +
+      "ranks contiguous, repeat-run deterministic") {
+    val quotas = SparkEntry.queries("corpus_mix_apportion")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val sample = SparkEntry.queries("corpus_stratified_sample")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val bySource = sample.groupBy(_._2)
+    quotas.foreach { case (s, n, q) =>
+      assert(bySource.get(s).map(_.length.toLong).getOrElse(0L) ==
+        math.min(n, q), s"$s: quota $q of $n docs") }
+    bySource.values.foreach { rows =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq) }
+    // seedless determinism: a second run yields the identical id set
+    val again = SparkEntry.queries("corpus_stratified_sample")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(again.toSet == sample.toSet)
+  }
 }
