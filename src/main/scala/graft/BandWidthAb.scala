@@ -51,10 +51,14 @@ object BandWidthAb {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
 
     bitsList.foreach { bits0 =>
-      // 0 = the registered defaults' auto rule (resolved off the same
-      // corpus count the entry points use); print the resolution
-      val bits = if (bits0 == Similarity.AutoBandBits)
-        Similarity.autoBandBits(emb.count()) else bits0
+      // 0 = the registered defaults' auto rule (resolved through the
+      // same corpus-stats + resolveWidth spelling the entry points
+      // use, dimensionality clamp included); print the resolution
+      val bits = if (bits0 == Similarity.AutoBandBits) {
+        val row = emb.agg(count(lit(1)),
+          coalesce(min(size(col("embedding"))), lit(64))).head()
+        Similarity.resolveWidth(row.getLong(0), row.getInt(1), 100)._1
+      } else bits0
       if (bits0 == Similarity.AutoBandBits)
         System.err.println(s"[ab] auto resolved bits=$bits")
       // surviving postings under the guard at this width; coalesce the

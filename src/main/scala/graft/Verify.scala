@@ -42,7 +42,17 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    // the banded sign-LSH family's oracles are re-rendered at the
+    // width the engine actually resolves for THIS corpus (the
+    // registered entries spell the ≤6400-vector gate floor, bits=8):
+    // same memoized corpus-stats job, same resolveWidth rule, so the
+    // DuckDB check exercises the band construction that really ran —
+    // at a grown verify corpus the auto-width regime is hash-checked,
+    // not just measured. At every driver-gate SF the rendered SQL is
+    // identical to the registered spelling.
+    val oracles = SparkEntry.oracleSql ++
+      graft.sim.SimQueries.resolvedBandedOracles(spark, sfDir)
+    val json = oracles
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -38,7 +38,10 @@ object VerifySubset {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = qs.flatMap(q => q.oracle.map(o => s"${esc(q.name)}: ${esc(o)}"))
+    // same banded-family width override as graft.Verify (see there)
+    val banded = graft.sim.SimQueries.resolvedBandedOracles(spark, sfDir)
+    val json = qs.flatMap(q => q.oracle.map(o =>
+        s"${esc(q.name)}: ${esc(banded.getOrElse(q.name, o))}"))
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

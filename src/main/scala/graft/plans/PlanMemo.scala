@@ -45,6 +45,21 @@ final class PlanMemo[P, V](persistables: V => Seq[DataFrame]) {
   private val lru =
     scala.collection.mutable.LinkedHashSet.empty[(SparkSession, Int, P)]
 
+  /** Lock-cheap lookup WITHOUT building: the check half of the
+    * check-then-compute-then-insert idiom for memo values whose
+    * computation RUNS A JOB (e.g. a corpus count). `getOrCompute`'s
+    * contract is that `build` only constructs plans — a job inside the
+    * coarse lock would serialize every concurrent session on it — so
+    * job-running callers peek first, compute outside the lock on a
+    * miss, and insert the finished value via `getOrCompute` (whose
+    * build then just returns it). A lost race costs one duplicate job,
+    * never a wrong value (both racers computed from the same plan). */
+  def peek(df: DataFrame, params: P): Option[V] = synchronized {
+    val key = (df.sparkSession, df.queryExecution.analyzed.semanticHash(), params)
+    map.getOrDefault(key, Nil)
+      .find(_._1.sameResult(df.queryExecution.analyzed)).map(_._2)
+  }
+
   def getOrCompute(df: DataFrame, params: P)(build: => V): V =
     synchronized {
       val spark = df.sparkSession

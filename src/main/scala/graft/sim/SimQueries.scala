@@ -15,6 +15,13 @@ import org.apache.spark.sql.functions._
   */
 object SimQueries {
 
+  /** The banded family's registered oracles at the gate-SF resolution:
+    * every driver-gate corpus (≤ 6400 vectors, d = 64) resolves
+    * (8 bits, unclamped) — see [[bandedOracles]]; graft.Verify
+    * re-renders these five entries at the verify corpus's actual
+    * width. */
+  private lazy val gateBandedOracles = bandedOracles(8, clamped = false)
+
   private val oracleTopBase =
     """WITH q AS (SELECT embedding AS qe, vec_id AS qid
       |           FROM embeddings ORDER BY vec_id LIMIT 1),
@@ -175,34 +182,7 @@ object SimQueries {
     // would be a cross-engine coin flip). Same per-band hot-bucket
     // guard (never fires on this data).
     Q("dedup_embedding_banded",
-      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
-             |          FROM embeddings),
-             |q AS (SELECT vec_id,
-             |        list_transform(emb, x -> CAST(round(x * 1e6) AS BIGINT)) AS qe
-             |      FROM e),
-             |k AS (SELECT e.vec_id, b AS band,
-             |        list_sum(list_transform(range(8),
-             |          i -> CASE WHEN emb[b*8+i+1] > 0 THEN 1<<i ELSE 0 END)) AS mask
-             |      FROM e, LATERAL unnest([0, 1]) AS u(b)),
-             |ok AS (SELECT band, mask FROM k GROUP BY band, mask
-             |       HAVING count(*) <= 100),
-             |k2 AS (SELECT k.* FROM k JOIN ok USING (band, mask)),
-             |p AS (SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib
-             |      FROM k2 a JOIN k2 b ON a.band = b.band AND a.mask = b.mask
-             |                         AND a.vec_id < b.vec_id),
-             |d AS (SELECT ia, ib,
-             |        list_sum(list_transform(range(len(qa.qe)),
-             |          i -> qa.qe[i+1] * qb.qe[i+1])) AS dot,
-             |        list_sum(list_transform(qa.qe, x -> x * x)) AS na,
-             |        list_sum(list_transform(qb.qe, x -> x * x)) AS nb
-             |      FROM p JOIN q qa ON qa.vec_id = p.ia
-             |             JOIN q qb ON qb.vec_id = p.ib),
-             |dup AS (SELECT DISTINCT ib FROM d
-             |        WHERE na > 0 AND nb > 0 AND dot >= 0
-             |          AND CAST(dot AS HUGEINT) * dot * 25 >=
-             |              CAST(na AS HUGEINT) * nb)
-             |SELECT vec_id FROM embeddings
-             |WHERE vec_id NOT IN (SELECT ib FROM dup) ORDER BY vec_id""".stripMargin),
+      Some(gateBandedOracles("dedup_embedding_banded")),
       (s, d) => Similarity.dedupEmbeddingsBandedExact(embeddings(s, d), 1, 5)
         .select("vec_id").orderBy("vec_id")),
 
@@ -217,38 +197,7 @@ object SimQueries {
     // cell conjunction is the IVF routing win applied to dedup:
     // band collisions across semantic cells never become candidates.
     Q("dedup_semantic",
-      Some(s"""WITH $kmeansCtePrefixed,
-              |asg AS (SELECT vec_id, j AS cluster FROM km_a2 WHERE rn = 1),
-              |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
-              |      FROM embeddings),
-              |q AS (SELECT vec_id,
-              |        list_transform(emb, x -> CAST(round(x * 1e6) AS BIGINT)) AS qe
-              |      FROM e),
-              |k AS (SELECT e.vec_id, a.cluster, b AS band,
-              |        list_sum(list_transform(range(8),
-              |          i -> CASE WHEN emb[b*8+i+1] > 0 THEN 1<<i ELSE 0 END)) AS mask
-              |      FROM e JOIN asg a USING (vec_id),
-              |           LATERAL unnest([0, 1]) AS u(b)),
-              |ok AS (SELECT cluster, band, mask FROM k GROUP BY 1, 2, 3
-              |       HAVING count(*) <= 100),
-              |kk AS (SELECT k.* FROM k JOIN ok USING (cluster, band, mask)),
-              |p AS (SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib
-              |      FROM kk a JOIN kk b ON a.cluster = b.cluster
-              |                         AND a.band = b.band AND a.mask = b.mask
-              |                         AND a.vec_id < b.vec_id),
-              |pd AS (SELECT ia, ib,
-              |        list_sum(list_transform(range(len(qa.qe)),
-              |          i -> qa.qe[i+1] * qb.qe[i+1])) AS dot,
-              |        list_sum(list_transform(qa.qe, x -> x * x)) AS na,
-              |        list_sum(list_transform(qb.qe, x -> x * x)) AS nb
-              |      FROM p JOIN q qa ON qa.vec_id = p.ia
-              |             JOIN q qb ON qb.vec_id = p.ib),
-              |dup AS (SELECT DISTINCT ib FROM pd
-              |        WHERE na > 0 AND nb > 0 AND dot >= 0
-              |          AND CAST(dot AS HUGEINT) * dot * 25 >=
-              |              CAST(na AS HUGEINT) * nb)
-              |SELECT vec_id FROM embeddings
-              |WHERE vec_id NOT IN (SELECT ib FROM dup) ORDER BY vec_id""".stripMargin),
+      Some(gateBandedOracles("dedup_semantic")),
       (s, d) => Similarity.dedupSemantic(embeddings(s, d), 1, 5, 5)
         .select("vec_id").orderBy("vec_id")),
 
@@ -280,60 +229,7 @@ object SimQueries {
     // three roles non-empty at every SF (335/85/80 n/c/b at
     // sf0.001, 214/1444/342 at sf0.1 — checked).
     Q("cluster_dbscan",
-      Some("""WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
-             |          FROM embeddings),
-             |q AS (SELECT vec_id,
-             |        list_transform(emb, x -> CAST(round(x * 1e6) AS BIGINT)) AS qe
-             |      FROM e),
-             |k AS (SELECT e.vec_id, b AS band,
-             |        list_sum(list_transform(range(8),
-             |          i -> CASE WHEN emb[b*8+i+1] > 0 THEN 1<<i ELSE 0 END)) AS mask
-             |      FROM e, LATERAL unnest([0, 1]) AS u(b)),
-             |ok AS (SELECT band, mask FROM k GROUP BY band, mask
-             |       HAVING count(*) <= 100),
-             |k2 AS (SELECT k.* FROM k JOIN ok USING (band, mask)),
-             |p AS (SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib
-             |      FROM k2 a JOIN k2 b ON a.band = b.band AND a.mask = b.mask
-             |                         AND a.vec_id < b.vec_id),
-             |pd AS (SELECT ia, ib,
-             |        list_sum(list_transform(range(len(qa.qe)),
-             |          i -> qa.qe[i+1] * qb.qe[i+1])) AS dot,
-             |        list_sum(list_transform(qa.qe, x -> x * x)) AS na,
-             |        list_sum(list_transform(qb.qe, x -> x * x)) AS nb
-             |      FROM p JOIN q qa ON qa.vec_id = p.ia
-             |             JOIN q qb ON qb.vec_id = p.ib),
-             |vp AS (SELECT ia, ib FROM pd
-             |       WHERE na > 0 AND nb > 0 AND dot >= 0
-             |         AND CAST(dot AS HUGEINT) * dot * 25 >=
-             |             CAST(na AS HUGEINT) * nb),
-             |nbrs AS (SELECT ia AS id, ib AS nb FROM vp
-             |         UNION ALL SELECT ib, ia FROM vp),
-             |deg AS (SELECT id, count(*) AS deg FROM nbrs GROUP BY id),
-             |core AS (SELECT id FROM deg WHERE deg + 1 >= 3),
-             |ce AS (SELECT v.ia AS a, v.ib AS b FROM vp v
-             |       JOIN core ca ON ca.id = v.ia JOIN core cb ON cb.id = v.ib),
-             |edges AS (SELECT a, b FROM ce UNION SELECT b, a FROM ce),
-             |reach AS (SELECT a AS s, b AS t FROM edges
-             |          UNION SELECT r.s, e2.b FROM reach r
-             |                JOIN edges e2 ON r.t = e2.a),
-             |cl AS (SELECT s AS id, least(s, min(t)) AS cluster_id
-             |       FROM reach GROUP BY s),
-             |corelab AS (SELECT c.id, coalesce(cl.cluster_id, c.id) AS cluster_id
-             |            FROM core c LEFT JOIN cl ON cl.id = c.id),
-             |border AS (SELECT n.id, min(corelab.cluster_id) AS cluster_id
-             |           FROM nbrs n JOIN corelab ON corelab.id = n.nb
-             |           WHERE n.id NOT IN (SELECT id FROM core)
-             |           GROUP BY n.id)
-             |SELECT em.vec_id,
-             |       CASE WHEN corelab.id IS NOT NULL THEN 'core'
-             |            WHEN border.id IS NOT NULL THEN 'border'
-             |            ELSE 'noise' END AS role,
-             |       CAST(coalesce(corelab.cluster_id, border.cluster_id, -1)
-             |            AS BIGINT) AS cluster_id
-             |FROM embeddings em
-             |LEFT JOIN corelab ON corelab.id = em.vec_id
-             |LEFT JOIN border ON border.id = em.vec_id
-             |ORDER BY em.vec_id""".stripMargin),
+      Some(gateBandedOracles("cluster_dbscan")),
       (s, d) => Similarity.dbscanBanded(embeddings(s, d), 1, 5, 3)
         .orderBy("vec_id")),
 
@@ -345,45 +241,7 @@ object SimQueries {
     // dot/norms (both engines compute the identical IEEE chain), ties
     // break on neg_id. Oracle mirrors the bands + the rank window.
     Q("sim_hard_negatives",
-      Some("""WITH e AS (SELECT vec_id, label,
-             |            CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-             |q AS (SELECT vec_id,
-             |        list_transform(emb, x -> CAST(round(x * 1e6) AS BIGINT)) AS qe
-             |      FROM e),
-             |k AS (SELECT e.vec_id, b AS band,
-             |        list_sum(list_transform(range(8),
-             |          i -> CASE WHEN emb[b*8+i+1] > 0 THEN 1<<i ELSE 0 END)) AS mask
-             |      FROM e, LATERAL unnest([0, 1]) AS u(b)),
-             |ok AS (SELECT band, mask FROM k GROUP BY band, mask
-             |       HAVING count(*) <= 100),
-             |k2 AS (SELECT k.* FROM k JOIN ok USING (band, mask)),
-             |p AS (SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib
-             |      FROM k2 a JOIN k2 b ON a.band = b.band AND a.mask = b.mask
-             |                         AND a.vec_id < b.vec_id),
-             |pd AS (SELECT ia, ib,
-             |        list_sum(list_transform(range(len(qa.qe)),
-             |          i -> qa.qe[i+1] * qb.qe[i+1])) AS dot,
-             |        list_sum(list_transform(qa.qe, x -> x * x)) AS na,
-             |        list_sum(list_transform(qb.qe, x -> x * x)) AS nb
-             |      FROM p JOIN q qa ON qa.vec_id = p.ia
-             |             JOIN q qb ON qb.vec_id = p.ib),
-             |c AS (SELECT ia, ib,
-             |        CAST(round(CAST(dot AS DOUBLE)
-             |             / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
-             |             * 1e6) AS BIGINT) AS cos_e6
-             |      FROM pd WHERE na > 0 AND nb > 0),
-             |sym AS (SELECT ia AS anchor, ib AS neg_id, cos_e6 FROM c
-             |        UNION ALL SELECT ib, ia, cos_e6 FROM c),
-             |x AS (SELECT sym.anchor, la.label AS anchor_label,
-             |        sym.neg_id, lb.label AS neg_label, sym.cos_e6
-             |      FROM sym JOIN e la ON la.vec_id = sym.anchor
-             |               JOIN e lb ON lb.vec_id = sym.neg_id
-             |      WHERE la.label <> lb.label)
-             |SELECT anchor AS vec_id, anchor_label,
-             |       CAST(rn AS BIGINT) AS rn, neg_id, neg_label, cos_e6
-             |FROM (SELECT x.*, row_number() OVER (PARTITION BY anchor
-             |        ORDER BY cos_e6 DESC, neg_id) AS rn FROM x) t
-             |WHERE rn <= 3 ORDER BY vec_id, rn""".stripMargin),
+      Some(gateBandedOracles("sim_hard_negatives")),
       (s, d) => Similarity.hardNegativesBanded(embeddings(s, d), 3)
         .orderBy("vec_id", "rn")),
 
@@ -635,22 +493,215 @@ object SimQueries {
     // literally. Exact integers end-to-end; one explode + two count
     // aggregations — no pairing.
     Q("emb_band_occupancy",
-      Some("""WITH k AS (SELECT CAST(b AS BIGINT) AS band,
-             |        list_sum(list_transform(range(8),
-             |          i -> CASE WHEN embedding[b*8+i+1] > 0 THEN 1<<i ELSE 0 END)) AS mask
-             |      FROM embeddings, LATERAL unnest([0, 1]) AS u(b)),
-             |occ AS (SELECT band, mask, count(*) AS n FROM k GROUP BY 1, 2)
-             |SELECT band, CAST(8 AS BIGINT) AS bits,
-             |       CAST(count(*) AS BIGINT) AS n_buckets,
-             |       CAST(max(n) AS BIGINT) AS max_occ,
-             |       CAST(sum(CASE WHEN n <= 100 THEN 1 ELSE 0 END) AS BIGINT)
-             |         AS n_under_guard,
-             |       CAST(sum(CASE WHEN n <= 100 THEN n ELSE 0 END) AS BIGINT)
-             |         AS postings_kept,
-             |       CAST(sum(n) AS BIGINT) AS postings_total
-             |FROM occ GROUP BY band ORDER BY band""".stripMargin),
+      Some(gateBandedOracles("emb_band_occupancy")),
       (s, d) => Similarity.bandOccupancyReport(embeddings(s, d)))
   )
+
+  /** Width-parameterized DuckDB oracles for the banded sign-LSH family
+    * — ONE spelling of each banded query's SQL, rendered at a given
+    * band width, so the oracle can follow [[Similarity.resolveWidth]]
+    * instead of hardcoding the 8-bit gate-SF floor. The registered
+    * `queries` entries render at (8, unclamped) — exactly what every
+    * driver-gate corpus (≤ 6400 vectors, d = 64) resolves, so the
+    * static contract map is unchanged — and graft.Verify OVERRIDES
+    * those five entries with the width resolved from the verify
+    * corpus's actual (count, minDim) ([[resolvedBandedOracles]]): on a
+    * grown corpus the DuckDB check exercises the band construction the
+    * engine actually ran (10 bits at the 10× replica, 13 at 100×),
+    * closing the gap where the auto-width regime was measured but
+    * never cross-engine hash-verified. */
+  private[graft] def bandedOracles(bits: Int, clamped: Boolean)
+      : Map[String, String] = Map(
+    "dedup_embedding_banded" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+         |          FROM embeddings),
+         |q AS (SELECT vec_id,
+         |        list_transform(emb, x -> CAST(round(x * 1e6) AS BIGINT)) AS qe
+         |      FROM e),
+         |k AS (SELECT e.vec_id, b AS band,
+         |        list_sum(list_transform(range($bits),
+         |          i -> CASE WHEN emb[b*$bits+i+1] > 0 THEN 1<<i ELSE 0 END)) AS mask
+         |      FROM e, LATERAL unnest([0, 1]) AS u(b)),
+         |ok AS (SELECT band, mask FROM k GROUP BY band, mask
+         |       HAVING count(*) <= 100),
+         |k2 AS (SELECT k.* FROM k JOIN ok USING (band, mask)),
+         |p AS (SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib
+         |      FROM k2 a JOIN k2 b ON a.band = b.band AND a.mask = b.mask
+         |                         AND a.vec_id < b.vec_id),
+         |d AS (SELECT ia, ib,
+         |        list_sum(list_transform(range(len(qa.qe)),
+         |          i -> qa.qe[i+1] * qb.qe[i+1])) AS dot,
+         |        list_sum(list_transform(qa.qe, x -> x * x)) AS na,
+         |        list_sum(list_transform(qb.qe, x -> x * x)) AS nb
+         |      FROM p JOIN q qa ON qa.vec_id = p.ia
+         |             JOIN q qb ON qb.vec_id = p.ib),
+         |dup AS (SELECT DISTINCT ib FROM d
+         |        WHERE na > 0 AND nb > 0 AND dot >= 0
+         |          AND CAST(dot AS HUGEINT) * dot * 25 >=
+         |              CAST(na AS HUGEINT) * nb)
+         |SELECT vec_id FROM embeddings
+         |WHERE vec_id NOT IN (SELECT ib FROM dup) ORDER BY vec_id""".stripMargin,
+
+    "dedup_semantic" ->
+      s"""WITH $kmeansCtePrefixed,
+         |asg AS (SELECT vec_id, j AS cluster FROM km_a2 WHERE rn = 1),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+         |      FROM embeddings),
+         |q AS (SELECT vec_id,
+         |        list_transform(emb, x -> CAST(round(x * 1e6) AS BIGINT)) AS qe
+         |      FROM e),
+         |k AS (SELECT e.vec_id, a.cluster, b AS band,
+         |        list_sum(list_transform(range($bits),
+         |          i -> CASE WHEN emb[b*$bits+i+1] > 0 THEN 1<<i ELSE 0 END)) AS mask
+         |      FROM e JOIN asg a USING (vec_id),
+         |           LATERAL unnest([0, 1]) AS u(b)),
+         |ok AS (SELECT cluster, band, mask FROM k GROUP BY 1, 2, 3
+         |       HAVING count(*) <= 100),
+         |kk AS (SELECT k.* FROM k JOIN ok USING (cluster, band, mask)),
+         |p AS (SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib
+         |      FROM kk a JOIN kk b ON a.cluster = b.cluster
+         |                         AND a.band = b.band AND a.mask = b.mask
+         |                         AND a.vec_id < b.vec_id),
+         |pd AS (SELECT ia, ib,
+         |        list_sum(list_transform(range(len(qa.qe)),
+         |          i -> qa.qe[i+1] * qb.qe[i+1])) AS dot,
+         |        list_sum(list_transform(qa.qe, x -> x * x)) AS na,
+         |        list_sum(list_transform(qb.qe, x -> x * x)) AS nb
+         |      FROM p JOIN q qa ON qa.vec_id = p.ia
+         |             JOIN q qb ON qb.vec_id = p.ib),
+         |dup AS (SELECT DISTINCT ib FROM pd
+         |        WHERE na > 0 AND nb > 0 AND dot >= 0
+         |          AND CAST(dot AS HUGEINT) * dot * 25 >=
+         |              CAST(na AS HUGEINT) * nb)
+         |SELECT vec_id FROM embeddings
+         |WHERE vec_id NOT IN (SELECT ib FROM dup) ORDER BY vec_id""".stripMargin,
+
+    "cluster_dbscan" ->
+      s"""WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+         |          FROM embeddings),
+         |q AS (SELECT vec_id,
+         |        list_transform(emb, x -> CAST(round(x * 1e6) AS BIGINT)) AS qe
+         |      FROM e),
+         |k AS (SELECT e.vec_id, b AS band,
+         |        list_sum(list_transform(range($bits),
+         |          i -> CASE WHEN emb[b*$bits+i+1] > 0 THEN 1<<i ELSE 0 END)) AS mask
+         |      FROM e, LATERAL unnest([0, 1]) AS u(b)),
+         |ok AS (SELECT band, mask FROM k GROUP BY band, mask
+         |       HAVING count(*) <= 100),
+         |k2 AS (SELECT k.* FROM k JOIN ok USING (band, mask)),
+         |p AS (SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib
+         |      FROM k2 a JOIN k2 b ON a.band = b.band AND a.mask = b.mask
+         |                         AND a.vec_id < b.vec_id),
+         |pd AS (SELECT ia, ib,
+         |        list_sum(list_transform(range(len(qa.qe)),
+         |          i -> qa.qe[i+1] * qb.qe[i+1])) AS dot,
+         |        list_sum(list_transform(qa.qe, x -> x * x)) AS na,
+         |        list_sum(list_transform(qb.qe, x -> x * x)) AS nb
+         |      FROM p JOIN q qa ON qa.vec_id = p.ia
+         |             JOIN q qb ON qb.vec_id = p.ib),
+         |vp AS (SELECT ia, ib FROM pd
+         |       WHERE na > 0 AND nb > 0 AND dot >= 0
+         |         AND CAST(dot AS HUGEINT) * dot * 25 >=
+         |             CAST(na AS HUGEINT) * nb),
+         |nbrs AS (SELECT ia AS id, ib AS nb FROM vp
+         |         UNION ALL SELECT ib, ia FROM vp),
+         |deg AS (SELECT id, count(*) AS deg FROM nbrs GROUP BY id),
+         |core AS (SELECT id FROM deg WHERE deg + 1 >= 3),
+         |ce AS (SELECT v.ia AS a, v.ib AS b FROM vp v
+         |       JOIN core ca ON ca.id = v.ia JOIN core cb ON cb.id = v.ib),
+         |edges AS (SELECT a, b FROM ce UNION SELECT b, a FROM ce),
+         |reach AS (SELECT a AS s, b AS t FROM edges
+         |          UNION SELECT r.s, e2.b FROM reach r
+         |                JOIN edges e2 ON r.t = e2.a),
+         |cl AS (SELECT s AS id, least(s, min(t)) AS cluster_id
+         |       FROM reach GROUP BY s),
+         |corelab AS (SELECT c.id, coalesce(cl.cluster_id, c.id) AS cluster_id
+         |            FROM core c LEFT JOIN cl ON cl.id = c.id),
+         |border AS (SELECT n.id, min(corelab.cluster_id) AS cluster_id
+         |           FROM nbrs n JOIN corelab ON corelab.id = n.nb
+         |           WHERE n.id NOT IN (SELECT id FROM core)
+         |           GROUP BY n.id)
+         |SELECT em.vec_id,
+         |       CASE WHEN corelab.id IS NOT NULL THEN 'core'
+         |            WHEN border.id IS NOT NULL THEN 'border'
+         |            ELSE 'noise' END AS role,
+         |       CAST(coalesce(corelab.cluster_id, border.cluster_id, -1)
+         |            AS BIGINT) AS cluster_id
+         |FROM embeddings em
+         |LEFT JOIN corelab ON corelab.id = em.vec_id
+         |LEFT JOIN border ON border.id = em.vec_id
+         |ORDER BY em.vec_id""".stripMargin,
+
+    "sim_hard_negatives" ->
+      s"""WITH e AS (SELECT vec_id, label,
+         |            CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |q AS (SELECT vec_id,
+         |        list_transform(emb, x -> CAST(round(x * 1e6) AS BIGINT)) AS qe
+         |      FROM e),
+         |k AS (SELECT e.vec_id, b AS band,
+         |        list_sum(list_transform(range($bits),
+         |          i -> CASE WHEN emb[b*$bits+i+1] > 0 THEN 1<<i ELSE 0 END)) AS mask
+         |      FROM e, LATERAL unnest([0, 1]) AS u(b)),
+         |ok AS (SELECT band, mask FROM k GROUP BY band, mask
+         |       HAVING count(*) <= 100),
+         |k2 AS (SELECT k.* FROM k JOIN ok USING (band, mask)),
+         |p AS (SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib
+         |      FROM k2 a JOIN k2 b ON a.band = b.band AND a.mask = b.mask
+         |                         AND a.vec_id < b.vec_id),
+         |pd AS (SELECT ia, ib,
+         |        list_sum(list_transform(range(len(qa.qe)),
+         |          i -> qa.qe[i+1] * qb.qe[i+1])) AS dot,
+         |        list_sum(list_transform(qa.qe, x -> x * x)) AS na,
+         |        list_sum(list_transform(qb.qe, x -> x * x)) AS nb
+         |      FROM p JOIN q qa ON qa.vec_id = p.ia
+         |             JOIN q qb ON qb.vec_id = p.ib),
+         |c AS (SELECT ia, ib,
+         |        CAST(round(CAST(dot AS DOUBLE)
+         |             / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+         |             * 1e6) AS BIGINT) AS cos_e6
+         |      FROM pd WHERE na > 0 AND nb > 0),
+         |sym AS (SELECT ia AS anchor, ib AS neg_id, cos_e6 FROM c
+         |        UNION ALL SELECT ib, ia, cos_e6 FROM c),
+         |x AS (SELECT sym.anchor, la.label AS anchor_label,
+         |        sym.neg_id, lb.label AS neg_label, sym.cos_e6
+         |      FROM sym JOIN e la ON la.vec_id = sym.anchor
+         |               JOIN e lb ON lb.vec_id = sym.neg_id
+         |      WHERE la.label <> lb.label)
+         |SELECT anchor AS vec_id, anchor_label,
+         |       CAST(rn AS BIGINT) AS rn, neg_id, neg_label, cos_e6
+         |FROM (SELECT x.*, row_number() OVER (PARTITION BY anchor
+         |        ORDER BY cos_e6 DESC, neg_id) AS rn FROM x) t
+         |WHERE rn <= 3 ORDER BY vec_id, rn""".stripMargin,
+
+    "emb_band_occupancy" ->
+      s"""WITH k AS (SELECT CAST(b AS BIGINT) AS band,
+         |        list_sum(list_transform(range($bits),
+         |          i -> CASE WHEN embedding[b*$bits+i+1] > 0 THEN 1<<i ELSE 0 END)) AS mask
+         |      FROM embeddings, LATERAL unnest([0, 1]) AS u(b)),
+         |occ AS (SELECT band, mask, count(*) AS n FROM k GROUP BY 1, 2)
+         |SELECT band, CAST($bits AS BIGINT) AS bits,
+         |       ${if (clamped) "TRUE" else "FALSE"} AS width_clamped,
+         |       CAST(count(*) AS BIGINT) AS n_buckets,
+         |       CAST(max(n) AS BIGINT) AS max_occ,
+         |       CAST(sum(CASE WHEN n <= 100 THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_under_guard,
+         |       CAST(sum(CASE WHEN n <= 100 THEN n ELSE 0 END) AS BIGINT)
+         |         AS postings_kept,
+         |       CAST(sum(n) AS BIGINT) AS postings_total
+         |FROM occ GROUP BY band ORDER BY band""".stripMargin)
+
+  /** The banded oracle entries re-rendered at the width the engine
+    * actually resolves for `sfDir`'s embeddings corpus — the Verify
+    * override. Uses the SAME memoized corpus-stats job and the SAME
+    * [[Similarity.resolveWidth]] rule as the registered queries (guard
+    * 100 — the only guard any registered banded query runs), so the
+    * oracle construction and the engine construction cannot drift. */
+  def resolvedBandedOracles(s: org.apache.spark.sql.SparkSession,
+      sfDir: String): Map[String, String] = {
+    val (n, minDim) = Similarity.corpusStats(embeddings(s, sfDir))
+    val (bits, clamped) = Similarity.resolveWidth(n, minDim, maxBucket = 100)
+    bandedOracles(bits, clamped)
+  }
 
   /** The exact-integer PQ pipeline as DuckDB CTEs (shared by
     * sim_topk_pq and sim_pq_distortion — one spelling, mirroring

@@ -238,10 +238,13 @@ object Similarity {
     * 6 400 vectors (all driver-gate SFs: 500/500/2000) resolves to
     * the exact pre-auto behavior and the fixed DuckDB oracles hold;
     * the 24-bit ceiling keeps two bands inside the 64 embedding dims
-    * with slack (it assumes d ≥ 48 — a corpus with shorter embeddings
-    * should pass explicit bits ≤ d/2; slicing past the array end
-    * degenerates that band's mask to a constant, which the guard then
-    * drops). At the measured replica corpora: 20 k → 10 bits,
+    * with slack. This rule alone assumes d ≥ 48; [[resolveWidth]] —
+    * the resolution every auto-width entry point goes through —
+    * ENFORCES bits ≤ minDim/2 on top of it (slicing past the array
+    * end degenerates that band's mask to a constant, which the guard
+    * then drops — recall halves with no signal), and
+    * [[bandOccupancyReport]] flags when that clamp fired. At the
+    * measured replica corpora: 20 k → 10 bits,
     * 200 k → 13 bits (occupancy ≈ 20/24 — under the guard with no
     * manual knob, where fixed 8-bit was blind). */
   def autoBandBits(n: Long, targetOccupancy: Int = 25): Int = {
@@ -250,17 +253,62 @@ object Similarity {
     math.max(8, math.min(24, raw))
   }
 
-  /** One corpus-count job per (session, input plan), memoized like the
+  /** The ONE spelling of width resolution from measured corpus stats —
+    * shared by the engine ([[resolveBandBits]]) and the oracle
+    * renderer (graft.Verify computes the same (n, minDim) from the
+    * corpus parquet and renders the banded SQL at this width, so the
+    * DuckDB check exercises the width that actually ran, not a fixed
+    * spelling):
+    *
+    *  - the density rule [[autoBandBits]] with the target occupancy
+    *    tied to the guard ACTUALLY IN FORCE — maxBucket/4, not a
+    *    constant 25 — so a caller running a tighter guard (the A/B
+    *    harness's maxBucket=40 path) gets widths sized for it;
+    *  - clamped to minDim/2 (two bands must fit inside the SHORTEST
+    *    embedding): past that, a band's slice runs off the array end,
+    *    `slice` returns the truncated remainder, the mask degenerates
+    *    toward a constant, the bucket goes hot, and the guard silently
+    *    drops it — recall halves with no signal. The clamp keeps both
+    *    bands real and [[bandOccupancyReport]] flags when it fired.
+    *
+    * @return (bits, clamped) */
+  def resolveWidth(n: Long, minDim: Int, maxBucket: Int): (Int, Boolean) = {
+    val auto = autoBandBits(n, math.max(1, maxBucket / 4))
+    val cap = math.max(1, minDim / 2)
+    if (auto > cap) (cap, true) else (auto, false)
+  }
+
+  /** One corpus-stats job per (session, input plan), memoized like the
     * shared k-means/pair materializations: every banded entry point in
-    * a suite run resolves its width off the SAME cached count. */
-  private val countMemo = new graft.plans.PlanMemo[String, java.lang.Long](_ => Nil)
+    * a suite run resolves its width off the SAME cached
+    * (count, min dimensionality) pair. The min over `size(embedding)`
+    * rides the same single scan as the count. */
+  private val statsJobMemo =
+    new graft.plans.PlanMemo[String, (Long, Int)](_ => Nil)
+
+  /** The memoized (row count, min embedding dimensionality) of a
+    * corpus. The stats job runs OUTSIDE the memo lock (peek → compute
+    * → insert): PlanMemo's build contract is construct-only, and a
+    * count inside the coarse lock would serialize every concurrent
+    * banded query on a full corpus scan. A lost race costs one
+    * duplicate scan, never a wrong value. */
+  private[sim] def corpusStats(emb: DataFrame): (Long, Int) =
+    statsJobMemo.peek(emb, "stats").getOrElse {
+      val row = emb.agg(count(lit(1)), min(size(col("embedding")))).head()
+      val v = (row.getLong(0), if (row.isNullAt(1)) 64 else row.getInt(1))
+      statsJobMemo.getOrCompute(emb, "stats")(v)
+    }
 
   /** Resolve a band-width knob: explicit values pass through (the
     * A/B harness and tests override); [[AutoBandBits]] derives the
-    * width from the corpus count via [[autoBandBits]]. */
-  private[sim] def resolveBandBits(emb: DataFrame, bandBits: Int): Int =
+    * width from the memoized corpus stats via [[resolveWidth]]. */
+  private[sim] def resolveBandBits(emb: DataFrame, bandBits: Int,
+      maxBucket: Int): Int =
     if (bandBits != AutoBandBits) bandBits
-    else autoBandBits(countMemo.getOrCompute(emb, "count")(Long.box(emb.count())))
+    else {
+      val (n, minDim) = corpusStats(emb)
+      resolveWidth(n, minDim, maxBucket)._1
+    }
 
   /** TWO sign bands of `bits` dims each (bits=8: dims 1-8 and
     * 9-16): a pair collides when EITHER band's sign pattern matches
@@ -331,7 +379,7 @@ object Similarity {
 
   def bandedCandidateStats(emb: DataFrame, maxBucket: Int = 100,
       bandBits: Int = AutoBandBits): DataFrame = {
-    val bits = resolveBandBits(emb, bandBits)
+    val bits = resolveBandBits(emb, bandBits, maxBucket)
     statsMemo.getOrCompute(emb, (maxBucket, bits)) {
       // eager=false: PlanMemo builds must only CONSTRUCT — the first
       // action materializes the checkpoint
@@ -540,7 +588,7 @@ object Similarity {
     // the cell conjunction already splits band buckets ~kCells ways,
     // but the width still follows corpus density (the same auto rule
     // as every banded path): the cells are headroom, not the sizing
-    val bits = resolveBandBits(emb, bandBits)
+    val bits = resolveBandBits(emb, bandBits, maxBucket)
     val assigned = Clustering.kmeansFull(emb, kCells)._1
       .select(col("vec_id"), col("cluster"))
     val qe = transform(col("embedding"),
@@ -594,10 +642,21 @@ object Similarity {
   def bandRecallReport(emb0: DataFrame, num: Int, den: Int,
       maxBucket: Int = 100, sampleCap: Int = 2000): DataFrame = {
     // the probe under measurement is auto-width sized for the corpus
-    // it actually probes — the ≤sampleCap sample — which the sizing
-    // rule pins to the 8-bit floor for any cap ≤ 6400 (autoBandBits),
-    // so the report's oracle is a fixed spelling; no count job needed
-    val bits = autoBandBits(sampleCap)
+    // it actually probes — the ≤sampleCap sample. The actual sample is
+    // min(corpus, cap) rows, and the rule floors at 8 bits for every
+    // count up to targetOccupancy·2^8, so as long as the CAP sits
+    // under that bound the cap-width and the actual-sample-width
+    // coincide (both = the floor) and the report's oracle is a fixed
+    // spelling with no count job. The require makes a future larger
+    // cap fail loudly here instead of measuring wider bands than the
+    // probed corpus would ever run.
+    val targetOcc = math.max(1, maxBucket / 4)
+    require(sampleCap <= targetOcc.toLong * (1L << 8),
+      s"sampleCap $sampleCap exceeds the 8-bit-floor coverage " +
+        s"(${targetOcc * (1L << 8)} at guard $maxBucket): the cap-sized " +
+        "width would no longer equal the actual-sample width — resolve " +
+        "bits from the sampled frame's count instead")
+    val bits = autoBandBits(sampleCap, targetOcc)
     // the limit materializes on ONE partition (TakeOrderedAndProject),
     // and the sample is byte-tiny, so AQE would coalesce a plain
     // repartition right back to one partition — serializing the
@@ -671,13 +730,25 @@ object Similarity {
     * so the report costs a scan even when the corpus is degenerate. */
   def bandOccupancyReport(emb: DataFrame, maxBucket: Int = 100,
       bandBits: Int = AutoBandBits): DataFrame = {
-    val bits = resolveBandBits(emb, bandBits)
+    // resolved inline (not via resolveBandBits) because the report
+    // also SURFACES whether the dimensionality clamp fired — the
+    // short-embedding failure mode (bits > d/2 → a band slices past
+    // the array end, degenerates to a near-constant mask, goes hot,
+    // and the guard silently drops it) must be visible in the
+    // density-health artifact, not just prevented
+    val (bits, clamped) =
+      if (bandBits != AutoBandBits) (bandBits, false)
+      else {
+        val (n, minDim) = corpusStats(emb)
+        resolveWidth(n, minDim, maxBucket)
+      }
     val occ = emb
       .select(explode(signBandKeys(col("embedding"), bits)).as("bk"))
       .groupBy(col("bk.band").cast("long").as("band"), col("bk.mask"))
       .agg(count(lit(1)).as("n"))
     occ.groupBy("band").agg(
         lit(bits.toLong).as("bits"),
+        lit(clamped).as("width_clamped"),
         count(lit(1)).cast("long").as("n_buckets"),
         max("n").cast("long").as("max_occ"),
         sum(when(col("n") <= maxBucket, 1L).otherwise(0L)).cast("long")

@@ -223,6 +223,53 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.autoBandBits(1L << 40) == 24) // dim-bounded ceiling
   }
 
+  test("resolveWidth: the guard in force sizes the target occupancy " +
+      "and the dimensionality clamp bounds the width at minDim/2") {
+    // default guard 100 → target 25: the historical rule, unchanged
+    assert(Similarity.resolveWidth(2000, 64, 100) == (8, false))
+    assert(Similarity.resolveWidth(20000, 64, 100) == (10, false))
+    assert(Similarity.resolveWidth(200000, 64, 100) == (13, false))
+    // a TIGHTER guard (40 → target 10) must widen the bands — the rule
+    // protects the guard actually in force, not a constant 25
+    assert(Similarity.resolveWidth(20000, 64, 40) == (11, false))
+    assert(Similarity.resolveWidth(2000, 64, 40) == (8, false))
+    // short embeddings: two bands must fit inside the SHORTEST vector —
+    // past minDim/2 a band slices off the array end, its mask
+    // degenerates, the bucket goes hot and the guard drops it
+    assert(Similarity.resolveWidth(20000, 16, 100) == (8, true))
+    assert(Similarity.resolveWidth(1L << 40, 16, 100) == (8, true))
+    assert(Similarity.resolveWidth(200000, 64, 100) == (13, false))
+    assert(Similarity.resolveWidth(100, 6, 100) == (3, true))
+  }
+
+  test("occupancy report flags the dimensionality clamp on short " +
+      "embeddings (d=16 corpus past the 8-bit density point)") {
+    import spark.implicits._
+    def mix(i: Int, j: Int): Long = {
+      var h = i.toLong * 0x9E3779B97F4A7C15L + j.toLong * 0xBF58476D1CE4E5B9L
+      h ^= h >>> 30; h *= 0xBF58476D1CE4E5B9L
+      h ^= h >>> 27; h *= 0x94D049BB133111EBL
+      h ^ (h >>> 31)
+    }
+    // 6500 16-dim vectors: density wants 9 bits (autoBandBits(6500)=9)
+    // but d/2 = 8 caps it — the report must run 8-bit bands AND say so
+    val short = (0 until 6500).map { i =>
+      (i.toLong, (0 until 16).map(j =>
+        if ((mix(i, j) & 1L) == 1L) 1.0f else -1.0f).toArray)
+    }.toDF("vec_id", "embedding")
+    val rep = Similarity.bandOccupancyReport(short).collect()
+    assert(rep.forall(_.getAs[Long]("bits") == 8L))
+    assert(rep.forall(_.getAs[Boolean]("width_clamped")))
+    // same corpus at d=64 (density 9 fits): unclamped
+    val long = (0 until 6500).map { i =>
+      (i.toLong, (0 until 64).map(j =>
+        if ((mix(i, j) & 1L) == 1L) 1.0f else -1.0f).toArray)
+    }.toDF("vec_id", "embedding")
+    val rep2 = Similarity.bandOccupancyReport(long).collect()
+    assert(rep2.forall(_.getAs[Long]("bits") == 9L))
+    assert(rep2.forall(!_.getAs[Boolean]("width_clamped")))
+  }
+
   test("banded entry points resolve the auto width from the corpus " +
       "count: 10k vectors run 9-bit bands, not the saturated 8") {
     import spark.implicits._
