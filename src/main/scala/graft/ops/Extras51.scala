@@ -236,8 +236,14 @@ object Extras51 {
     val prev = Window.partitionBy("user_id")
       .orderBy(col("ts").asc_nulls_last, col("event_id").asc_nulls_last)
       .rowsBetween(Window.unboundedPreceding, -1)
+    // nullif(…, ''): an EMPTY-string event_type contributes zero
+    // characters to the oracle's string_agg sequence (substr('',1,1)
+    // = ''), so it must be transparent to the automaton exactly like
+    // NULL — without the nullif, '' is non-null in Spark: it would
+    // reset last_nc (breaking a v..p journey across it) and count in
+    // n_events, where the regex side never saw a character at all
     ev.select(col("user_id"), col("ts"), col("event_id"),
-        substring(col("event_type"), 1, 1).as("i"))
+        nullif(substring(col("event_type"), 1, 1), lit("")).as("i"))
       .withColumn("last_nc",
         last(when(col("i") =!= "c", col("i")), ignoreNulls = true)
           .over(prev))

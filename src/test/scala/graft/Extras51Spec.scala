@@ -91,7 +91,17 @@ class Extras51Spec extends SparkSpec {
       (nullUser, java.sql.Timestamp.valueOf(f"2024-01-01 00:00:${k}%02d"),
         (nullUser * 100 + k), t)
     }.toDF("user_id", "ts", "event_id", "event_type")
-    val got = graft.ops.Extras51.journeyCounts(rows.unionByName(nullRows))
+    // + one user with an EMPTY-string event_type mid-journey: '' is
+    // non-null, but substr('',1,1) = '' contributes ZERO characters to
+    // the oracle's string_agg (seq = "vp"), so like NULL it must
+    // neither reset last_nc nor count in n_events (the nullif pin)
+    val emptyUser = 901L
+    val emptyRows = Seq(("v", 0), ("", 1), ("p", 2)).map { case (t, k) =>
+      (emptyUser, java.sql.Timestamp.valueOf(f"2024-01-01 00:00:${k}%02d"),
+        (emptyUser * 100 + k), t)
+    }.toDF("user_id", "ts", "event_id", "event_type")
+    val got = graft.ops.Extras51
+      .journeyCounts(rows.unionByName(nullRows).unionByName(emptyRows))
       .collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     cases.zipWithIndex.foreach { case (seq, u) =>
@@ -102,6 +112,7 @@ class Extras51Spec extends SparkSpec {
         assert(got(u.toLong)._1 == seq.length.toLong, s"'$seq' n_events")
     }
     assert(got(nullUser) == ((2L, 1L)), got.get(nullUser))
+    assert(got(emptyUser) == ((2L, 1L)), got.get(emptyUser))
   }
 
   test("pattern match: journey counts bounded by purchases; sequences real") {
