@@ -55,7 +55,9 @@ object Explain {
         // round-11: the band-density health report, the rewritten
         // running-state journey counter, and the batched ANN scan
         "emb_band_occupancy", "seq_pattern_match", "sim_topk_batch",
-        "corpus_stratified_sample")
+        "corpus_stratified_sample",
+        // round-12: the persisted embedding index pair and PQ recall
+        "emb_index_build", "emb_incremental", "sim_recall_pq")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

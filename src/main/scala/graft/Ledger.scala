@@ -70,6 +70,7 @@ object Ledger {
       "text-analysis" -> text.TextQueries.queries,
       "dedup" -> text.DedupQueries.queries,
       "similarity" -> sim.SimQueries.queries,
+      "similarity" -> sim.EmbIndexQueries.queries,
       "multimodal" -> multimodal.MultimodalQueries.queries,
       "pipeline" -> pipeline.PipelineQueries.queries,
       "streaming" -> streaming.StreamQueries.queries)

@@ -83,6 +83,7 @@ object Registry {
       graft.text.TextQueries.queries ++
       graft.text.DedupQueries.queries ++
       graft.sim.SimQueries.queries ++
+      graft.sim.EmbIndexQueries.queries ++
       graft.multimodal.MultimodalQueries.queries ++
       graft.pipeline.PipelineQueries.queries ++
       graft.streaming.StreamQueries.queries

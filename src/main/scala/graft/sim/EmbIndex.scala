@@ -1,0 +1,210 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted band index for the EMBEDDING near-dup family [EXT] — the
+  * text MinHash index's production growing-corpus shape
+  * ([[graft.text.Dedup.writeIndex]] / appendIndex / readIndex) applied
+  * to the banded sign-LSH family: at 100 TB the banded candidate
+  * relation is rebuilt from raw vectors once per session (140 s cold
+  * at the 100× replica corpus — SERIAL.md), while the production shape
+  * is build-once / append-deltas / probe-delta-sized.
+  *
+  * Three parquet artifacts + a manifest under `root`:
+  *
+  *  - `vecs` — per-vector record of truth: (vec_id, qe, na, bands)
+  *    where `qe` is the 1e-6-grid integer quantization the exact
+  *    verify kernel reads, `na` its squared norm, `bands` the two
+  *    sign-band keys at the INDEX width. The raw float embedding is
+  *    not stored: every downstream consumer (candidate join, exact
+  *    threshold verify) reads the integer forms only, so the base
+  *    corpus's float vectors are never needed again — the "no raw
+  *    vectors after encode" contract of the PQ path, applied to dedup.
+  *  - `post` — exploded postings (vec_id, bk): the candidate-join
+  *    probe side, persisted so the probe never re-explodes per-vector
+  *    band arrays.
+  *  - `bk` — per-bucket occupancy (bk, n): the hot-bucket sidecar,
+  *    MERGEABLE partials (appends add partial rows; consumers sum).
+  *  - `manifest` — one row: (bits, width_clamped, max_bucket, n_base).
+  *    The band width is RESOLVED AT BUILD TIME from the indexed
+  *    corpus's stats ([[Similarity.resolveWidth]] — the same auto rule
+  *    as the in-session banded family) and FROZEN for the index's
+  *    lifetime: postings hashed at width w are only probe-compatible
+  *    with keys hashed at width w, so appends MUST reuse the manifest
+  *    width (one width per generation), and only a REBUILD re-resolves
+  *    it from the grown corpus. This is also the growth guard the
+  *    in-session count memo cannot give: an append-then-reprobe
+  *    session reads the width from the artifact it probes, never from
+  *    a count cached before the append.
+  *
+  * Append crash contract mirrors the text index: the derived artifacts
+  * (post, bk partials) land FIRST and `vecs` — the membership record
+  * the verify join reads — lands LAST, so a torn append leaves only
+  * conservative orphans (postings whose candidates fail the vecs join;
+  * bucket partials that make buckets look hotter — the guard's safe
+  * direction), recoverable by re-running the append.
+  */
+object EmbIndex {
+
+  /** An opened index: the three artifact frames + the frozen width. */
+  final case class EmbeddingIndex(vecs: DataFrame, postings: DataFrame,
+      bucketStats: DataFrame, bits: Int, widthClamped: Boolean,
+      maxBucket: Int)
+
+  private def sumLong(c: Column): Column =
+    aggregate(c, lit(0L), (s, v) => s + v)
+
+  /** Per-vector index rows at a GIVEN width — one projection pass over
+    * the corpus (no join, no shuffle): the 1e-6-grid quantization, its
+    * squared norm, and the two sign-band keys. */
+  def buildRows(emb: DataFrame, bits: Int): DataFrame =
+    emb.select(col("vec_id"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * 1e6).cast("long")).as("qe"),
+        Similarity.signBandKeys(col("embedding"), bits).as("bands"))
+      .withColumn("na", sumLong(transform(col("qe"), a => a * a)))
+      .select("vec_id", "qe", "na", "bands")
+
+  /** Probe-side postings derived from a [[buildRows]] frame. */
+  def indexPostings(vecs: DataFrame): DataFrame =
+    vecs.select(col("vec_id"), explode(col("bands")).as("bk"))
+
+  /** Per-bucket occupancy — mergeable partial-aggregate semantics
+    * (consumers SUM per bucket, so appended partials compose). */
+  def indexBucketStats(postings: DataFrame): DataFrame =
+    postings.groupBy("bk").agg(count(lit(1)).as("n"))
+
+  /** Builds and persists the full index under `root`, resolving the
+    * band width from the indexed corpus's own (count, minDim) — the
+    * derived artifacts are re-read from the WRITTEN vecs parquet so
+    * the three cannot drift (the text-index derivation contract). */
+  def writeIndex(emb: DataFrame, root: String, maxBucket: Int = 100): Unit = {
+    val s = emb.sparkSession
+    val (n, minDim) = Similarity.corpusStats(emb)
+    val (bits, clamped) = Similarity.resolveWidth(n, minDim, maxBucket)
+    buildRows(emb, bits).write.mode("overwrite").parquet(s"$root/vecs")
+    indexPostings(s.read.parquet(s"$root/vecs"))
+      .write.mode("overwrite").parquet(s"$root/post")
+    indexBucketStats(s.read.parquet(s"$root/post"))
+      .write.mode("overwrite").parquet(s"$root/bk")
+    import s.implicits._
+    // 1-row manifest; repartition(1) on a local relation carries no
+    // upstream compute (the coalesce(1) lesson does not apply)
+    Seq((bits, clamped, maxBucket, n))
+      .toDF("bits", "width_clamped", "max_bucket", "n_base")
+      .repartition(1).write.mode("overwrite").parquet(s"$root/manifest")
+  }
+
+  /** The manifest row: (bits, width_clamped, max_bucket, n_base). */
+  def readManifest(s: SparkSession, root: String): (Int, Boolean, Int, Long) = {
+    val r = s.read.parquet(s"$root/manifest")
+      .select("bits", "width_clamped", "max_bucket", "n_base").head()
+    (r.getInt(0), r.getBoolean(1), r.getInt(2), r.getLong(3))
+  }
+
+  /** Opens a persisted index written by [[writeIndex]] / grown by
+    * [[appendIndex]]. */
+  def readIndex(s: SparkSession, root: String): EmbeddingIndex = {
+    val (bits, clamped, guard, _) = readManifest(s, root)
+    EmbeddingIndex(s.read.parquet(s"$root/vecs"),
+      s.read.parquet(s"$root/post"), s.read.parquet(s"$root/bk"),
+      bits, clamped, guard)
+  }
+
+  /** Appends the accepted delta vectors' index entries AT THE
+    * MANIFEST WIDTH — postings hashed at a different width would be
+    * probe-incompatible with the index's buckets, so the width is one
+    * per generation by construction (re-resolving from the grown
+    * count is a REBUILD, not an append; see the manifest contract in
+    * the object scaladoc). Delta-sized appends to all three
+    * artifacts; the corpus side is never rewritten. The delta's rows
+    * snapshot to a scratch parquet first (the lineage cut of
+    * [[graft.text.Dedup.appendIndex]] — an accepted frame lazily
+    * derived from the index being grown must not re-screen against
+    * the half-grown index), and `vecs` — the record of truth — lands
+    * LAST (see the crash contract above). */
+  def appendIndex(root: String, accepted: DataFrame): Unit = {
+    val s = accepted.sparkSession
+    val (bits, _, _, _) = readManifest(s, root)
+    val (fs, r) = graft.text.Dedup.hadoopFs(root)
+    val scratch = new org.apache.hadoop.fs.Path(
+      r, s".emb_append_${java.util.UUID.randomUUID().toString.take(13)}")
+    try {
+      val sd = new org.apache.hadoop.fs.Path(scratch, "vecs").toString
+      buildRows(accepted, bits).write.mode("overwrite").parquet(sd)
+      indexPostings(s.read.parquet(sd))
+        .write.mode("append").parquet(s"$root/post")
+      indexBucketStats(indexPostings(s.read.parquet(sd)))
+        .write.mode("append").parquet(s"$root/bk")
+      s.read.parquet(sd).write.mode("append").parquet(s"$root/vecs")
+      s.catalog.refreshByPath(s"$root/post")
+      s.catalog.refreshByPath(s"$root/bk")
+      s.catalog.refreshByPath(s"$root/vecs")
+    } finally fs.delete(scratch, true)
+  }
+
+  /** The delta's own index rows feed several plan branches (probe,
+    * reference union, both verify sides, the final anti-join) —
+    * memoized per (session, delta plan, width) and persisted so the
+    * quantize/band kernels evaluate once per delta (the text path's
+    * deltaIxMemo shape; payload is one row per DELTA vector). */
+  private val deltaMemo =
+    new graft.plans.PlanMemo[Int, DataFrame](Seq(_))
+
+  /** INCREMENTAL embedding near-dedup against a persisted index — the
+    * production shape for a growing corpus: screen the arriving DELTA
+    * against the [[writeIndex]] artifact; never re-read (or even
+    * re-quantize) the base vectors. A delta vector is rejected iff it
+    * verifies cos ≥ num/den (the shared 128-bit-integer kernel,
+    * [[Similarity.exactCosAtLeast]]) against ANY indexed vector or a
+    * LOWER-id delta vector sharing an unguarded band bucket — the
+    * drop-the-higher-member convention of the whole dedup family;
+    * rejection is not sequential (a rejected delta vector still
+    * blocks its own later near-dups), keeping the result order- and
+    * partitioning-independent.
+    *
+    * Scale shape: candidates come from the delta's postings equi-joined
+    * against the PERSISTED postings; hot-bucket stats combine the
+    * persisted |buckets|-row sidecar with the delta's own counts (the
+    * only probe-time aggregation over index-derived rows); the verify
+    * reads the persisted integer qe/na — so the recurring per-delta
+    * cost is |delta| × bucket occupancy, never |corpus|², and raw base
+    * vectors are touched zero times. */
+  def incrementalAcceptIndexed(index: EmbeddingIndex, delta: DataFrame,
+      num: Int, den: Int): DataFrame = {
+    val dIx = deltaMemo.getOrCompute(delta, index.bits) {
+      buildRows(delta, index.bits)
+    }
+    def deltaBuckets = dIx.select(col("vec_id"), explode(col("bands")).as("bk"))
+    // combined occupancy = persisted partials + the delta's counts,
+    // identical to grouping index ∪ delta postings without ever
+    // re-aggregating the index
+    val hot = index.bucketStats.select(col("bk"), col("n"))
+      .unionByName(deltaBuckets.groupBy("bk").agg(count(lit(1)).as("n")))
+      .groupBy("bk").agg(sum("n").as("__n"))
+      .filter(col("__n") > index.maxBucket).select("bk")
+    val refBk = index.postings.select(col("vec_id").as("id_ref"), col("bk"),
+        lit(true).as("ref_is_base"))
+      .unionByName(deltaBuckets.select(col("vec_id").as("id_ref"), col("bk"),
+        lit(false).as("ref_is_base")))
+    val cand = deltaBuckets.join(refBk.join(hot, Seq("bk"), "left_anti"), "bk")
+      .filter(col("ref_is_base") || col("id_ref") < col("vec_id"))
+      .select(col("vec_id"), col("id_ref")).distinct()
+    val refVecs = index.vecs.select(col("vec_id").as("id_ref"),
+        col("qe").as("q_r"), col("na").as("n_r"))
+      .unionByName(dIx.select(col("vec_id").as("id_ref"),
+        col("qe").as("q_r"), col("na").as("n_r")))
+    val rejected = cand
+      .join(dIx.select(col("vec_id"), col("qe").as("q_d"), col("na").as("n_d")),
+        "vec_id")
+      .join(refVecs, "id_ref")
+      .withColumn("dot", sumLong(zip_with(col("q_d"), col("q_r"),
+        (a, b) => a * b)))
+      .select(col("vec_id"), col("dot"), col("n_d").as("na"),
+        col("n_r").as("nb"))
+      .filter(Similarity.exactCosAtLeast(num, den))
+      .select("vec_id").distinct()
+    delta.join(rejected, Seq("vec_id"), "left_anti")
+  }
+}

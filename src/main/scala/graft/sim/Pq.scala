@@ -155,6 +155,44 @@ object Pq {
       .orderBy("rank")
   }
 
+  /** Exact-grid L2 top-k — the gold standard [[recallReport]] prices
+    * ADC against: the SAME metric (squared L2 on the shifted 1e-7
+    * integer grid) computed from the UNCOMPRESSED vectors, so the
+    * recall number isolates quantization loss — not a metric mismatch
+    * (a cosine gold standard would conflate the two). Per-dim squared
+    * difference ≤ (3e7)² = 9e14, ×64 dims ≈ 5.8e16 — inside long.
+    * One broadcast + one scan + TakeOrderedAndProject, ties on
+    * vec_id. */
+  def exactL2TopK(emb: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(emb.orderBy("vec_id").limit(1)
+      .select(col("vec_id").as("q_id"),
+        Clustering.quantize(col("embedding")).as("q_v")))
+    val d2 = aggregate(
+      zip_with(Clustering.quantize(col("embedding")), col("q_v"),
+        (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, e) => acc + e)
+    emb.crossJoin(q).filter(col("vec_id") =!= col("q_id"))
+      .select(col("vec_id"), d2.as("gd2"))
+      .orderBy("gd2", "vec_id").limit(k)
+  }
+
+  /** Recall@k of the PQ-compressed scan against the exact same-metric
+    * search — the number a FAISS user reads next to a PQ index (the
+    * companion [[distortion]] gives the distance-space error; this
+    * gives the RANKING error). Both id lists are engine-deterministic
+    * (exact integer distances, ties on vec_id), so the report is
+    * hash-exact, not a float estimate. Cost: the gold standard is one
+    * corpus scan (not all-pairs — single query), the PQ side rides
+    * the memoized codebook. */
+  def recallReport(emb: DataFrame, k: Int = 10): DataFrame = {
+    val gold = exactL2TopK(emb, k).select("vec_id")
+    val pq = topK(emb, k).select("vec_id")
+    gold.join(pq, "vec_id")
+      .agg(count(lit(1)).cast("long").as("n_common"))
+      .select(lit(k.toLong).as("k"), col("n_common"),
+        (col("n_common") * (1000000L / k)).cast("long").as("recall_e6"))
+  }
+
   /** Per-subspace quantization distortion — the quality metric PQ
     * indexes ship with (how much ADC distances deviate from exact):
     * (sub, n, avg_d2) with the average as an exact truncating division

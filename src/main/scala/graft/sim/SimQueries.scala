@@ -432,6 +432,32 @@ object SimQueries {
               |FROM codes GROUP BY sub ORDER BY sub""".stripMargin),
       (s, d) => Pq.distortion(embeddings(s, d))),
 
+    // PQ recall@k against the exact SAME-METRIC gold standard (squared
+    // L2 on the 1e-7 integer grid over the uncompressed vectors) — the
+    // ranking-quality number a FAISS user reads next to a PQ index;
+    // sim_pq_distortion gives the distance-space error, this the rank
+    // error. Both id lists are integer-exact with vec_id ties, so the
+    // report hash-matches. The ADC side reuses the ONE pqCte/pqAdcCtes
+    // spelling (and the session-memoized codebook on the Spark side).
+    Q("sim_recall_pq",
+      Some(s"""WITH $pqCte,
+              |cand AS (SELECT vec_id FROM embeddings),
+              |$pqAdcCtes,
+              |gold AS (SELECT d.vec_id, sum((d.v - qv.v) * (d.v - qv.v)) AS gd2
+              |         FROM d JOIN (SELECT i, v FROM d
+              |                      WHERE vec_id = (SELECT min(vec_id) FROM embeddings)) qv
+              |                ON d.i = qv.i
+              |         WHERE d.vec_id <> (SELECT min(vec_id) FROM embeddings)
+              |         GROUP BY 1),
+              |gtop AS (SELECT vec_id FROM gold ORDER BY gd2, vec_id LIMIT 10),
+              |pqtop AS (SELECT vec_id FROM adc ORDER BY approx_d2, vec_id LIMIT 10)
+              |SELECT CAST(10 AS BIGINT) AS k,
+              |       CAST((SELECT count(*) FROM gtop JOIN pqtop USING (vec_id))
+              |            AS BIGINT) AS n_common,
+              |       CAST((SELECT count(*) FROM gtop JOIN pqtop USING (vec_id))
+              |            * 100000 AS BIGINT) AS recall_e6""".stripMargin),
+      (s, d) => Pq.recallReport(embeddings(s, d), 10)),
+
     Q("emb_band_recall",
       Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
              |          FROM embeddings ORDER BY vec_id LIMIT 2000),
@@ -700,7 +726,14 @@ object SimQueries {
       sfDir: String): Map[String, String] = {
     val (n, minDim) = Similarity.corpusStats(embeddings(s, sfDir))
     val (bits, clamped) = Similarity.resolveWidth(n, minDim, maxBucket = 100)
-    bandedOracles(bits, clamped)
+    // the persisted-index pair resolves from the BASE subset it
+    // indexes (vec_id % 5 ≠ 0) — the width frozen in the staged
+    // manifest — which can differ from the full-corpus width near a
+    // power-of-two boundary
+    val (nb, dimB) = Similarity.corpusStats(
+      embeddings(s, sfDir).filter(col("vec_id") % 5 =!= 0))
+    val (idxBits, _) = Similarity.resolveWidth(nb, dimB, maxBucket = 100)
+    bandedOracles(bits, clamped) ++ EmbIndexQueries.indexOracles(idxBits)
   }
 
   /** The exact-integer PQ pipeline as DuckDB CTEs (shared by
@@ -743,11 +776,12 @@ object SimQueries {
              |              row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, j) AS rn
              |            FROM encd) t WHERE rn = 1)""".stripMargin
 
-  /** The ADC tail shared by sim_topk_pq and sim_topk_ivfpq — ONE
-    * spelling of the distance-table + lookup-sum + top-10, so the flat
-    * and IVF-routed variants can only differ in the `cand` candidate
-    * CTE each prepends (all vectors vs the probed cells' members). */
-  private val pqAdcTail =
+  /** The ADC CTEs shared by sim_topk_pq / sim_topk_ivfpq /
+    * sim_recall_pq — ONE spelling of the distance table + lookup-sum,
+    * so every consumer can only differ in the `cand` candidate CTE it
+    * prepends (all vectors / probed cells' members) and in what it
+    * SELECTs off `adc` (ranked rows vs the recall intersection). */
+  private val pqAdcCtes =
     """qd AS (SELECT c.sub, c.j,
              |         CAST(sum((d.v - c.cv) * (d.v - c.cv)) AS BIGINT) AS qd2
              |       FROM d JOIN cent2 c ON d.sub = c.sub AND d.i = c.i
@@ -757,7 +791,12 @@ object SimQueries {
              |        FROM codes JOIN cand USING (vec_id)
              |                   JOIN qd ON codes.sub = qd.sub AND codes.code = qd.j
              |        WHERE codes.vec_id <> (SELECT min(vec_id) FROM embeddings)
-             |        GROUP BY 1)
+             |        GROUP BY 1)""".stripMargin
+
+  /** The top-10 tail sim_topk_pq and sim_topk_ivfpq append to
+    * [[pqAdcCtes]]. */
+  private val pqAdcTail =
+    s"""$pqAdcCtes
              |SELECT CAST(row_number() OVER (ORDER BY approx_d2, vec_id) AS BIGINT)
              |         AS rank,
              |       a.vec_id, e.label, a.approx_d2

@@ -340,7 +340,7 @@ object Similarity {
     * na/nb > 0 guard: a zero-norm vector (dead/underflow embedding) has
     * an UNDEFINED cosine; without it 0 ≥ 0 marks it a duplicate of
     * every bucket-mate, where the float kernel's nullif yields null. */
-  private def exactCosAtLeast(num: Int, den: Int): Column = {
+  private[sim] def exactCosAtLeast(num: Int, den: Int): Column = {
     val dec = "decimal(38,0)"
     col("na") > 0 && col("nb") > 0 && col("dot") >= 0 &&
       col("dot").cast(dec) * col("dot").cast(dec) * lit(den.toLong * den) >=

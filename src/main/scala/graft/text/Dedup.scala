@@ -222,7 +222,7 @@ object Dedup {
   // previous java.nio spelling resolved only OS-local paths: at 100 TB
   // the index root is shared/object storage, where java.nio paths do
   // not exist. Same portability contract as pipeline.CatalogStore.)
-  private def hadoopFs(root: String):
+  private[graft] def hadoopFs(root: String):
       (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
     val p = new org.apache.hadoop.fs.Path(root)
     val conf = org.apache.spark.sql.SparkSession.getActiveSession

@@ -1,0 +1,135 @@
+package graft
+
+import graft.sim.{EmbIndex, Similarity}
+import org.apache.spark.sql.functions._
+
+class EmbIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mix(i: Int, j: Int): Long = {
+    var h = i.toLong * 0x9E3779B97F4A7C15L + j.toLong * 0xBF58476D1CE4E5B9L
+    h ^= h >>> 30; h *= 0xBF58476D1CE4E5B9L
+    h ^= h >>> 27; h *= 0x94D049BB133111EBL
+    h ^ (h >>> 31)
+  }
+
+  private def randVecs(ids: Seq[Long], d: Int) =
+    ids.map { i =>
+      (i, (0 until d).map(j =>
+        (mix(i.toInt, j).toDouble / (1L << 62).toDouble).toFloat).toArray)
+    }.toDF("vec_id", "embedding")
+
+  test("incremental accept via persisted index matches the full-corpus " +
+      "banded pair semantics (base blocks at any id, delta lower-id wins)") {
+    val emb = io.Tables.embeddings(spark, sf0001)
+    val base = emb.filter(col("vec_id") % 5 =!= 0)
+    val delta = emb.filter(col("vec_id") % 5 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_embix").toString
+    EmbIndex.writeIndex(base, dir)
+    val accepted = EmbIndex.incrementalAcceptIndexed(
+        EmbIndex.readIndex(spark, dir), delta, 1, 5)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // reference: all verified banded pairs over the FULL corpus (same
+    // width — both resolve the 8-bit floor here — same guard, since
+    // base ∪ delta = corpus); a delta vector is rejected iff it pairs
+    // with any base vector or a lower-id delta vector
+    val pairs = Similarity.bandedVerifiedPairs(emb, 1, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val deltaIds = delta.select("vec_id").collect().map(_.getLong(0)).toSet
+    val rejected = deltaIds.filter { d =>
+      pairs.exists { case (a, b) =>
+        (b == d && (!deltaIds(a) || a < d)) ||
+        (a == d && !deltaIds(b)) // base ref with HIGHER id still blocks
+      }
+    }
+    assert(accepted == (deltaIds -- rejected))
+    assert(accepted.nonEmpty && rejected.nonEmpty,
+      s"degenerate fixture: accepted=${accepted.size} rejected=${rejected.size}")
+  }
+
+  test("probe plan reads only index artifacts + the delta: base raw " +
+      "vectors are never re-read, vecs scanned once as (vec_id, qe, na)") {
+    val emb = io.Tables.embeddings(spark, sf0001)
+    val base = emb.filter(col("vec_id") % 5 =!= 0)
+    val delta = randVecs(10000L to 10004L, 64)
+    val dir = java.nio.file.Files.createTempDirectory("graft_embix2").toString
+    EmbIndex.writeIndex(base, dir)
+    val probe = EmbIndex.incrementalAcceptIndexed(
+      EmbIndex.readIndex(spark, dir), delta, 1, 5)
+    // every FILE relation in the probe plan is a staged index artifact
+    // (the delta here is a local relation; in production it is the
+    // day's arrival files)
+    val rels = probe.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+    }
+    assert(rels.nonEmpty)
+    assert(rels.forall(_.relation.asInstanceOf[
+      org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+      .location.rootPaths.forall(_.toString.contains(dir))))
+    // no file-backed band explode: the candidate join reads persisted
+    // postings; only the delta's own rows are exploded at probe time
+    val fileBackedGenerates = probe.queryExecution.optimizedPlan.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate
+          if g.collectLeaves().exists(
+            _.isInstanceOf[org.apache.spark.sql.execution.datasources.LogicalRelation]) => g
+    }
+    assert(fileBackedGenerates.isEmpty)
+    val scans = probe.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    def scansOf(part: String) = scans.filter(
+      _.relation.location.rootPaths.exists(_.toString.endsWith(part)))
+    assert(scansOf("/vecs").size == 1)
+    assert(scansOf("/vecs").head.requiredSchema.fieldNames.toSet ==
+      Set("vec_id", "qe", "na"))
+    assert(scansOf("/post").nonEmpty && scansOf("/bk").nonEmpty)
+  }
+
+  test("append keeps one width per generation; a rebuild re-resolves " +
+      "from the grown corpus (the in-session growth guard)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_embix3").toString
+    // small base: resolves the 8-bit floor
+    EmbIndex.writeIndex(randVecs(0L until 500L, 64), dir)
+    assert(EmbIndex.readManifest(spark, dir)._1 == 8)
+    // append a GROWTH delta: the index keeps the generation's width
+    // (postings hashed at 8 bits are only probe-compatible with 8-bit
+    // keys) — the manifest must NOT silently re-resolve
+    EmbIndex.appendIndex(dir, randVecs(500L until 7000L, 64))
+    assert(EmbIndex.readManifest(spark, dir)._1 == 8)
+    // probing the grown index runs the manifest width — the appended
+    // vectors are visible (posting count grew delta-sized)
+    val ix = EmbIndex.readIndex(spark, dir)
+    assert(ix.bits == 8)
+    assert(ix.vecs.count() == 7000L)
+    assert(ix.postings.count() == 14000L)
+    // ...and a REBUILD over the grown corpus re-resolves the width
+    // from the new count (7000 → 9 bits): growth changes the width at
+    // the generation boundary, never mid-generation
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_embix4").toString
+    EmbIndex.writeIndex(randVecs(0L until 7000L, 64), dir2)
+    assert(EmbIndex.readManifest(spark, dir2)._1 == 9)
+    assert(Similarity.autoBandBits(7000) == 9)
+  }
+
+  test("appended entries block later near-dups of accepted vectors") {
+    val d = 64
+    def unit(sign: Int) = (0 until d).map(j =>
+      (if (j == 0) 1.0f else 0.01f) * sign).toArray
+    val base = Seq((1L, unit(1))).toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft_embix5").toString
+    EmbIndex.writeIndex(base, dir)
+    // day 1: an unrelated (opposite-direction) vector is accepted
+    val day1 = Seq((10L, unit(-1))).toDF("vec_id", "embedding")
+    val acc1 = EmbIndex.incrementalAcceptIndexed(
+      EmbIndex.readIndex(spark, dir), day1, 1, 5)
+    assert(acc1.count() == 1L)
+    EmbIndex.appendIndex(dir, acc1)
+    // day 2: a near-clone of day 1's accepted vector must now be
+    // rejected THROUGH THE APPENDED ENTRIES (it is dissimilar to base)
+    val clone = unit(-1); clone(1) = -0.011f
+    val day2 = Seq((20L, clone)).toDF("vec_id", "embedding")
+    val acc2 = EmbIndex.incrementalAcceptIndexed(
+      EmbIndex.readIndex(spark, dir), day2, 1, 5)
+    assert(acc2.count() == 0L)
+  }
+}
