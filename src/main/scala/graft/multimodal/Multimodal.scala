@@ -5,118 +5,250 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal-column support [EXT] (north_star "multimodal columns"):
   * image/audio/video payloads as opaque `binary` columns with typed
-  * metadata, plus decode / feature-extract / frame-sample operators.
+  * metadata, plus decode / feature-extract / resize / frame-sample
+  * operators.
   *
-  * The actual media decode is STUBBED (this container has no image/audio
-  * codecs — see `StubDecoder`): the stub is a deterministic function of
-  * the bytes, while the Spark-side plumbing — binary schema, batch
-  * shape, partition-parallel mapPartitions, typed output structs — is
-  * real and tested. Swapping `StubDecoder` for a JNI/javacv decoder is a
-  * one-object change.
+  * The image and audio paths run REAL codecs from the public JDK —
+  * `javax.imageio.ImageIO` parses BMP payloads (file header, info
+  * header, bottom-up padded BGR rows), `javax.sound.sampled
+  * .AudioSystem` parses WAV/PCM payloads (RIFF chunks, format block,
+  * frame count) — over synthetic media generated per document
+  * ([[SynthMedia]]: deterministic pixel/sample formulas, so the DuckDB
+  * oracle can recompute every decoded quantity in closed form and the
+  * decode round-trip is hash-gated end-to-end). Video has no codec in
+  * the JDK (and this container is zero-egress), so the video path
+  * keeps the documented byte-stride frame sampling over the raw
+  * payload — the one stub left, stated as such.
+  *
+  * Scale shape everywhere: decode runs in `mapPartitions` with one
+  * codec instance per PARTITION (the batch shape a vectorized decoder
+  * wants), payloads stay opaque binary until the decode boundary, and
+  * nothing shuffles pixel data — per-doc stats leave the partition as
+  * a handful of longs.
   */
 object Multimodal {
 
-  final case class MediaFeatures(
-      doc_id: Long,
-      media_type: String,
-      n_bytes: Long,
-      mean_byte: Double,
-      n_frames: Long)
+  /** Deterministic synthetic media per document — the payload
+    * GENERATOR (stands in for S3 object bytes at ingest; the testdata
+    * has no real media). Every formula is integer arithmetic on
+    * (doc_id, n_chars), so the oracle can recompute decoded values
+    * without a codec:
+    *
+    *  - image (doc_id % 3 = 0): w×h 24-bit BMP, w = n_chars % 64 + 1,
+    *    h = doc_id % 48 + 1, gray pixel v(x,y) = (doc_id + 7x + 13y)
+    *    % 256 written to all three channels (BMP is lossless — decode
+    *    returns these exact values);
+    *  - audio (doc_id % 3 = 1): mono 8-bit unsigned PCM WAV at
+    *    8 000 Hz, n = n_chars % 800 + 50 samples,
+    *    s(i) = (7·doc_id + 31·i) % 256;
+    *  - video (doc_id % 3 = 2): the UTF-8 text bytes (opaque payload —
+    *    no JDK video codec; see the object scaladoc).
+    */
+  object SynthMedia extends Serializable {
+    def imageDims(docId: Long, nChars: Long): (Int, Int) =
+      ((nChars % 64 + 1).toInt, (docId % 48 + 1).toInt)
+    def pixel(docId: Long, x: Int, y: Int): Int =
+      ((docId + 7L * x + 13L * y) % 256).toInt
+    def audioSamples(docId: Long, nChars: Long): Array[Int] =
+      Array.tabulate((nChars % 800 + 50).toInt)(i =>
+        ((7L * docId + 31L * i) % 256).toInt)
 
-  /** `frame_bytes` is a comma-joined preview string (not an array):
-    * the driver's correctness compare can't sort array cells. */
-  final case class FrameSample(doc_id: Long, n_frames: Long, frame_bytes: String)
+    def payload(docId: Long, text: String, nChars: Long): Array[Byte] =
+      (docId % 3) match {
+        case 0 =>
+          val (w, h) = imageDims(docId, nChars)
+          BmpCodec.encode(w, h, (x, y) => pixel(docId, x, y))
+        case 1 => WavCodec.encode(audioSamples(docId, nChars), 8000)
+        case _ => text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      }
+  }
 
-  /** Attach a binary payload column + typed metadata to `documents`
-    * (payload = UTF-8 bytes of the text — the testdata has no real
-    * media; at ingest this column would come from S3 object bytes). */
+  /** Minimal 24-bit BMP writer — the synthetic ENCODER (deterministic
+    * bytes: fixed 54-byte headers, bottom-up rows padded to 4 bytes,
+    * BGR order). The DECODER is the real `javax.imageio` BMP reader;
+    * encode→ImageIO.read round-trips losslessly, which is what lets
+    * the decoded stats be oracle-exact. */
+  object BmpCodec extends Serializable {
+    def rowSize(w: Int): Int = (3 * w + 3) & ~3
+    def fileSize(w: Int, h: Int): Int = 54 + rowSize(w) * h
+
+    def encode(w: Int, h: Int, pix: (Int, Int) => Int): Array[Byte] = {
+      val rs = rowSize(w)
+      val out = java.nio.ByteBuffer.allocate(fileSize(w, h))
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put('B'.toByte).put('M'.toByte).putInt(fileSize(w, h))
+        .putInt(0).putInt(54)                       // file header (14 B)
+      out.putInt(40).putInt(w).putInt(h)            // info header (40 B)
+        .putShort(1).putShort(24).putInt(0).putInt(rs * h)
+        .putInt(2835).putInt(2835).putInt(0).putInt(0)
+      var r = 0
+      while (r < h) {                               // bottom-up rows
+        val y = h - 1 - r
+        var x = 0
+        while (x < w) {
+          val v = pix(x, y).toByte
+          out.put(v).put(v).put(v)                  // B, G, R (gray)
+          x += 1
+        }
+        var p = 3 * w
+        while (p < rs) { out.put(0.toByte); p += 1 }
+        r += 1
+      }
+      out.array()
+    }
+
+    /** REAL decode via javax.imageio: parses the BMP container and
+      * returns (width, height, channels, gray pixels row-major
+      * top-down). Throws on a corrupt payload — decode failures must
+      * surface, not zero-fill. */
+    def decode(bytes: Array[Byte]): (Int, Int, Int, Array[Int]) = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      require(img != null, "ImageIO could not decode payload as an image")
+      val (w, h) = (img.getWidth, img.getHeight)
+      val px = new Array[Int](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { px(y * w + x) = img.getRGB(x, y) & 0xff; x += 1 }
+        y += 1
+      }
+      (w, h, img.getRaster.getNumBands, px)
+    }
+  }
+
+  /** Minimal WAV/PCM writer (RIFF + fmt + data chunks, mono unsigned
+    * 8-bit) — decoded by the real `javax.sound.sampled` parser. */
+  object WavCodec extends Serializable {
+    def fileSize(n: Int): Int = 44 + n
+
+    def encode(samples: Array[Int], rate: Int): Array[Byte] = {
+      val n = samples.length
+      val out = java.nio.ByteBuffer.allocate(fileSize(n))
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put("RIFF".getBytes).putInt(36 + n).put("WAVE".getBytes)
+      out.put("fmt ".getBytes).putInt(16)
+        .putShort(1)                                // PCM
+        .putShort(1)                                // mono
+        .putInt(rate).putInt(rate)                  // byteRate = rate·1·1
+        .putShort(1).putShort(8)                    // blockAlign, bits
+      out.put("data".getBytes).putInt(n)
+      samples.foreach(s => out.put((s & 0xff).toByte))
+      out.array()
+    }
+
+    /** REAL decode via javax.sound.sampled: parses the RIFF container
+      * and format chunk, returns (sampleRate, channels, samples as
+      * unsigned ints). */
+    def decode(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val f = in.getFormat
+        require(f.getSampleSizeInBits == 8 && f.getChannels == 1,
+          s"unexpected PCM shape: $f")
+        val raw = in.readAllBytes()
+        (f.getSampleRate.toInt, f.getChannels, raw.map(_ & 0xff))
+      } finally in.close()
+    }
+  }
+
+  /** Attach the RAW ingest payload column + declared metadata to
+    * `documents` — the pre-decode plane (content-addressed dedup
+    * hashes THESE bytes; decode happens downstream). Payload here is
+    * the UTF-8 text bytes for every row: `mm_dedup` dedups what was
+    * ingested, before any codec touches it. */
   def withMediaColumns(docs: DataFrame): DataFrame =
     docs
       .withColumn("payload", encode(col("text"), "UTF-8"))
       .withColumn("media_type",
         when(pmod(col("doc_id"), lit(3)) === 0, "image")
           .when(pmod(col("doc_id"), lit(3)) === 1, "audio")
-          .otherwise("video"))
+          .otherwise(lit("video")))
       .withColumn("n_bytes", length(col("payload")).cast("long"))
-      .withColumn("width", (pmod(col("n_chars"), lit(640)) + 1).cast("long"))
-      .withColumn("height", (pmod(col("doc_id"), lit(480)) + 1).cast("long"))
 
-  /** STUB media decoder — deterministic fake standing in for a real
-    * codec. Real implementation decodes image dims / audio samples /
-    * video frames from the payload bytes. */
-  object StubDecoder extends Serializable {
-    val FrameStride = 256
-    def meanByte(bytes: Array[Byte]): Double =
-      if (bytes.isEmpty) 0.0
-      else bytes.foldLeft(0L)((a, b) => a + (b & 0xff)).toDouble / bytes.length
-    def frameCount(bytes: Array[Byte]): Long =
-      (bytes.length + FrameStride - 1) / FrameStride
-    /** "Frame" = one sampled byte per stride (a real decoder returns
-      * decoded frame tensors here). */
-    def sampleFrames(bytes: Array[Byte]): Seq[Long] =
-      bytes.indices.by(FrameStride).map(i => (bytes(i) & 0xff).toLong)
-    /** Resample stub for the resize path: sum of every stride-th byte
-      * (stride = max(1, n/16) → ≤17 samples per payload). */
-    def strideChecksum(bytes: Array[Byte]): Long = {
-      if (bytes.isEmpty) 0L
-      else {
-        val stride = math.max(1, bytes.length / 16)
-        bytes.indices.by(stride).foldLeft(0L)((a, i) => a + (bytes(i) & 0xff))
+  final case class MediaMeta(
+      doc_id: Long, media_type: String, n_bytes: Long,
+      width: Long, height: Long, n_channels: Long,
+      sample_rate: Long, n_frames: Long)
+
+  /** Decoded media metadata — the real-codec upgrade of the old
+    * declared-metadata stub: per doc the payload is SYNTHESIZED
+    * ([[SynthMedia]]) and then genuinely DECODED (ImageIO for images,
+    * AudioSystem for audio), and the reported dims/channels/rate/
+    * frames are what the decoder parsed out of the container, not
+    * what the generator intended — a corrupt round-trip would
+    * hash-mismatch the oracle. Video rows report payload size and the
+    * byte-stride frame count (no JDK video codec). */
+  def decodeMeta(spark: SparkSession, docs: DataFrame): Dataset[MediaMeta] = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text"), col("n_chars"))
+      .as[(Long, String, Long)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text, nc) =>
+          val bytes = SynthMedia.payload(id, text, nc)
+          (id % 3) match {
+            case 0 =>
+              val (w, h, ch, _) = BmpCodec.decode(bytes)
+              MediaMeta(id, "image", bytes.length.toLong,
+                w.toLong, h.toLong, ch.toLong, 0L, 1L)
+            case 1 =>
+              val (rate, ch, samples) = WavCodec.decode(bytes)
+              MediaMeta(id, "audio", bytes.length.toLong,
+                0L, 0L, ch.toLong, rate.toLong, samples.length.toLong)
+            case _ =>
+              MediaMeta(id, "video", bytes.length.toLong, 0L, 0L, 0L, 0L,
+                (bytes.length + 255L) / 256L)
+          }
+        }
       }
+  }
+
+  final case class MediaFeatures(
+      doc_id: Long, media_type: String, n_units: Long,
+      mean_val: Double, min_val: Long, max_val: Long)
+
+  /** Decoded content statistics — mean/min/max over the units the
+    * CODEC emits (gray pixel values for images, PCM samples for
+    * audio, raw payload bytes for video): integer sums in the JVM,
+    * one double division at the end (both engines divide the same
+    * exact integers). */
+  def extractFeatures(spark: SparkSession,
+      docs: DataFrame): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    def stats(id: Long, mt: String, vs: Array[Int]): MediaFeatures = {
+      var s = 0L; var mn = Long.MaxValue; var mx = Long.MinValue
+      vs.foreach { v => s += v; if (v < mn) mn = v; if (v > mx) mx = v }
+      MediaFeatures(id, mt, vs.length.toLong,
+        if (vs.isEmpty) 0.0 else s.toDouble / vs.length,
+        if (vs.isEmpty) 0L else mn, if (vs.isEmpty) 0L else mx)
     }
-  }
-
-  final case class ResizedMedia(
-      doc_id: Long, width: Long, height: Long,
-      out_w: Long, out_h: Long, n_out_bytes: Long, checksum: Long)
-
-  /** Image resize (vision-model preprocessing): aspect-preserving fit
-    * into a `target`×`target` box with exact integer math (long side →
-    * target, short side → floor(short·target/long), floored at 1 —
-    * deterministic across engines, no float scale factor), then the
-    * stubbed resample pass over the payload. The resample stub reads
-    * every stride-th byte (stride = max(1, n_bytes/16)) and checksums
-    * them — standing in for a real bilinear kernel over decoded
-    * pixels; a real decoder swaps in at [[StubDecoder]] with the
-    * mapPartitions batch shape unchanged. */
-  def resizeImages(spark: SparkSession, docs: DataFrame,
-      target: Int = 224): Dataset[ResizedMedia] = {
-    import spark.implicits._
-    withMediaColumns(docs)
-      .filter(col("media_type") === "image")
-      .select(col("doc_id"), col("width"), col("height"), col("payload"))
-      .as[(Long, Long, Long, Array[Byte])]
+    docs.select(col("doc_id"), col("text"), col("n_chars"))
+      .as[(Long, String, Long)]
       .mapPartitions { rows =>
-        val dec = StubDecoder // one decoder per partition
-        rows.map { case (id, w, h, bytes) =>
-          val (ow, oh) =
-            if (w >= h) (target.toLong, math.max(1L, h * target / w))
-            else (math.max(1L, w * target / h), target.toLong)
-          ResizedMedia(id, w, h, ow, oh, ow * oh,
-            dec.strideChecksum(bytes))
+        rows.map { case (id, text, nc) =>
+          val bytes = SynthMedia.payload(id, text, nc)
+          (id % 3) match {
+            case 0 =>
+              val (_, _, _, px) = BmpCodec.decode(bytes)
+              stats(id, "image", px)
+            case 1 =>
+              val (_, _, samples) = WavCodec.decode(bytes)
+              stats(id, "audio", samples)
+            case _ => stats(id, "video", bytes.map(_ & 0xff))
+          }
         }
       }
   }
 
-  /** Feature extraction over binary payloads: partition-parallel
-    * mapPartitions (the batch shape a vectorized decoder wants — one
-    * decoder instance per partition, not per row). */
-  def extractFeatures(spark: SparkSession, docs: DataFrame): Dataset[MediaFeatures] = {
-    import spark.implicits._
-    withMediaColumns(docs)
-      .select(col("doc_id"), col("media_type"), col("payload"))
-      .as[(Long, String, Array[Byte])]
-      .mapPartitions { rows =>
-        val dec = StubDecoder // one decoder per partition
-        rows.map { case (id, mt, bytes) =>
-          MediaFeatures(id, mt, bytes.length.toLong,
-            dec.meanByte(bytes), dec.frameCount(bytes))
-        }
-      }
-  }
+  /** `frame_bytes` is a comma-joined preview string (not an array):
+    * the driver's correctness compare can't sort array cells. */
+  final case class FrameSample(doc_id: Long, n_frames: Long, frame_bytes: String)
 
-  /** Frame sampling (video path): every FrameStride-th byte stands in
-    * for a decoded frame. */
+  /** Frame sampling (video path): every 256th payload byte stands in
+    * for a decoded frame — the declared video stub (no JDK codec; the
+    * mapPartitions batch shape is what a javacv decoder would drop
+    * into). */
   def sampleFrames(spark: SparkSession, docs: DataFrame): Dataset[FrameSample] = {
     import spark.implicits._
     withMediaColumns(docs)
@@ -124,10 +256,49 @@ object Multimodal {
       .select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
-        val dec = StubDecoder
         rows.map { case (id, bytes) =>
-          val fr = dec.sampleFrames(bytes)
+          val fr = bytes.indices.by(256).map(i => (bytes(i) & 0xff).toLong)
           FrameSample(id, fr.length.toLong, fr.take(5).mkString(","))
+        }
+      }
+  }
+
+  final case class ResizedMedia(
+      doc_id: Long, width: Long, height: Long,
+      out_w: Long, out_h: Long, n_out_bytes: Long, checksum: Long)
+
+  /** Image resize (vision-model preprocessing) over DECODED pixels:
+    * aspect-preserving fit into a `target`×`target` box with exact
+    * integer math (long side → target, short side →
+    * floor(short·target/long), floored at 1), then a REAL
+    * nearest-neighbor resample of the decoded gray plane — out pixel
+    * (x, y) reads source (x·w div out_w, y·h div out_h) — checksummed
+    * as the exact integer sum of resampled values. Deterministic
+    * across engines (no float kernel), and the oracle recomputes the
+    * same sum from the pixel formula. */
+  def resizeImages(spark: SparkSession, docs: DataFrame,
+      target: Int = 224): Dataset[ResizedMedia] = {
+    import spark.implicits._
+    docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+      .select(col("doc_id"), col("text"), col("n_chars"))
+      .as[(Long, String, Long)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text, nc) =>
+          val (w, h, _, px) =
+            BmpCodec.decode(SynthMedia.payload(id, text, nc))
+          val (ow, oh) =
+            if (w >= h) (target, math.max(1, h * target / w))
+            else (math.max(1, w * target / h), target)
+          var sum = 0L
+          var y = 0
+          while (y < oh) {
+            val sy = y * h / oh
+            var x = 0
+            while (x < ow) { sum += px(sy * w + x * w / ow); x += 1 }
+            y += 1
+          }
+          ResizedMedia(id, w.toLong, h.toLong, ow.toLong, oh.toLong,
+            ow.toLong * oh, sum)
         }
       }
   }

@@ -4,47 +4,84 @@ import graft.Q
 import graft.io.Tables._
 import org.apache.spark.sql.functions._
 
-/** Registered multimodal queries. Metadata is pure-Column (oracle-able);
-  * decode/feature/frame paths run the stubbed decoder through real
-  * mapPartitions plumbing (rows-only checks + unit tests). */
+/** Registered multimodal queries. The image/audio paths run REAL JDK
+  * codecs (javax.imageio BMP, javax.sound.sampled WAV — see
+  * [[Multimodal]]) over per-doc synthetic payloads whose pixel/sample
+  * formulas are closed-form integer arithmetic — so the oracle
+  * recomputes every DECODED quantity without a codec and the whole
+  * encode→decode round-trip is hash-gated at every SF. Video keeps
+  * the documented byte-stride stub (no JDK video codec). */
 object MultimodalQueries {
 
   def queries: Seq[Q] = Seq(
-    // typed media metadata over a binary payload column.
+    // DECODED media metadata: dims/channels from ImageIO's parse of
+    // the BMP container, rate/frame-count from AudioSystem's parse of
+    // the RIFF/fmt chunks — not the generator's intent; a corrupt
+    // encode or a decoder regression hash-mismatches here. n_bytes is
+    // the container size (BMP: 54-byte headers + 4-byte-padded BGR
+    // rows; WAV: 44-byte header + PCM data).
     Q("mm_meta",
       Some("""SELECT doc_id,
              |       CASE WHEN doc_id % 3 = 0 THEN 'image'
              |            WHEN doc_id % 3 = 1 THEN 'audio'
              |            ELSE 'video' END AS media_type,
-             |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-             |       CAST(n_chars % 640 + 1 AS BIGINT) AS width,
-             |       CAST(doc_id % 480 + 1 AS BIGINT) AS height
+             |       CAST(CASE WHEN doc_id % 3 = 0
+             |              THEN 54 + (((3 * (n_chars % 64 + 1) + 3) // 4) * 4)
+             |                        * (doc_id % 48 + 1)
+             |            WHEN doc_id % 3 = 1 THEN 44 + (n_chars % 800 + 50)
+             |            ELSE length(text) END AS BIGINT) AS n_bytes,
+             |       CAST(CASE WHEN doc_id % 3 = 0 THEN n_chars % 64 + 1
+             |            ELSE 0 END AS BIGINT) AS width,
+             |       CAST(CASE WHEN doc_id % 3 = 0 THEN doc_id % 48 + 1
+             |            ELSE 0 END AS BIGINT) AS height,
+             |       CAST(CASE WHEN doc_id % 3 = 0 THEN 3
+             |            WHEN doc_id % 3 = 1 THEN 1
+             |            ELSE 0 END AS BIGINT) AS n_channels,
+             |       CAST(CASE WHEN doc_id % 3 = 1 THEN 8000
+             |            ELSE 0 END AS BIGINT) AS sample_rate,
+             |       CAST(CASE WHEN doc_id % 3 = 0 THEN 1
+             |            WHEN doc_id % 3 = 1 THEN n_chars % 800 + 50
+             |            ELSE (length(text) + 255) // 256 END AS BIGINT)
+             |         AS n_frames
              |FROM documents ORDER BY doc_id""".stripMargin),
-      (s, d) => Multimodal.withMediaColumns(documents(s, d))
-        .select("doc_id", "media_type", "n_bytes", "width", "height")
-        .orderBy("doc_id")),
+      (s, d) => Multimodal.decodeMeta(s, documents(s, d))
+        .toDF().orderBy("doc_id")),
 
-    // stubbed decode + feature extraction (mapPartitions, typed output).
-    // Oracle-able because the corpus is pure ASCII (verified at every
-    // SF): payload bytes == ord of chars, and mean_byte is an exact
-    // integer sum divided once in double on both sides.
+    // DECODED content statistics: mean/min/max over the units the
+    // codec emits — gray pixel values (ImageIO), PCM samples
+    // (AudioSystem), raw payload bytes (video). Exact integer sums in
+    // the JVM; one double division at the end, over the same exact
+    // integers in both engines.
     Q("mm_features",
-      Some("""SELECT doc_id,
-             |       CASE WHEN doc_id % 3 = 0 THEN 'image'
-             |            WHEN doc_id % 3 = 1 THEN 'audio'
-             |            ELSE 'video' END AS media_type,
-             |       CAST(length(text) AS BIGINT) AS n_bytes,
-             |       CASE WHEN length(text) = 0 THEN 0.0
-             |            ELSE CAST(list_aggregate(list_transform(range(length(text)),
-             |                   i -> ord(text[i+1])), 'sum') AS DOUBLE) / length(text)
-             |       END AS mean_byte,
-             |       CAST((length(text) + 255) // 256 AS BIGINT) AS n_frames
-             |FROM documents ORDER BY doc_id""".stripMargin),
+      Some("""WITH u AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+             |         WHEN doc_id % 3 = 1 THEN 'audio'
+             |         ELSE 'video' END AS media_type,
+             |    CASE WHEN doc_id % 3 = 0 THEN
+             |        list_transform(range((n_chars % 64 + 1) * (doc_id % 48 + 1)),
+             |          i -> (doc_id + 7 * (i % (n_chars % 64 + 1))
+             |                + 13 * (i // (n_chars % 64 + 1))) % 256)
+             |      WHEN doc_id % 3 = 1 THEN
+             |        list_transform(range(n_chars % 800 + 50),
+             |          i -> (7 * doc_id + 31 * i) % 256)
+             |      ELSE list_transform(range(length(text)), i -> ord(text[i+1]))
+             |    END AS vs
+             |  FROM documents)
+             |SELECT doc_id, media_type, CAST(len(vs) AS BIGINT) AS n_units,
+             |       CASE WHEN len(vs) = 0 THEN 0.0
+             |            ELSE CAST(list_sum(vs) AS DOUBLE) / len(vs)
+             |       END AS mean_val,
+             |       CAST(CASE WHEN len(vs) = 0 THEN 0 ELSE list_min(vs) END
+             |            AS BIGINT) AS min_val,
+             |       CAST(CASE WHEN len(vs) = 0 THEN 0 ELSE list_max(vs) END
+             |            AS BIGINT) AS max_val
+             |FROM u ORDER BY doc_id""".stripMargin),
       (s, d) => Multimodal.extractFeatures(s, documents(s, d))
         .toDF().orderBy("doc_id")),
 
-    // stubbed frame sampling over the video subset (every 256th byte,
-    // first 5 as a comma-joined preview).
+    // frame sampling over the video subset (every 256th byte, first 5
+    // as a comma-joined preview) — the declared video stub.
     Q("mm_frames",
       Some("""SELECT doc_id,
              |       CAST((length(text) + 255) // 256 AS BIGINT) AS n_frames,
@@ -55,42 +92,38 @@ object MultimodalQueries {
       (s, d) => Multimodal.sampleFrames(s, documents(s, d))
         .toDF().orderBy("doc_id")),
 
-    // aspect-preserving image resize (vision-preprocessing plumbing):
-    // exact integer target dims + the stubbed stride-resample checksum
-    // through the same mapPartitions batch shape a real bilinear
-    // kernel would use. Oracle-able for the same reason as
-    // mm_features: the corpus is pure ASCII, so ord(text[i]) IS the
-    // payload byte, and every other quantity is integer math.
+    // aspect-preserving image resize over DECODED pixels: exact
+    // integer target dims + a REAL nearest-neighbor resample of the
+    // gray plane ImageIO decoded, checksummed as the exact integer
+    // sum — the oracle recomputes the same resample from the pixel
+    // formula (out pixel (x,y) reads source (x·w div ow, y·h div oh)).
     Q("mm_resize",
-      Some("""WITH m AS (SELECT doc_id, text,
-             |             CAST(n_chars % 640 + 1 AS BIGINT) AS width,
-             |             CAST(doc_id % 480 + 1 AS BIGINT) AS height,
-             |             length(text) AS nb
+      Some("""WITH m AS (SELECT doc_id,
+             |             CAST(n_chars % 64 + 1 AS BIGINT) AS w,
+             |             CAST(doc_id % 48 + 1 AS BIGINT) AS h
              |           FROM documents WHERE doc_id % 3 = 0),
-             |r AS (SELECT doc_id, text, width, height, nb,
-             |        CASE WHEN width >= height THEN CAST(224 AS BIGINT)
-             |             ELSE GREATEST(1, width * 224 // height) END AS out_w,
-             |        CASE WHEN width >= height
-             |             THEN GREATEST(1, height * 224 // width)
+             |r AS (SELECT doc_id, w, h,
+             |        CASE WHEN w >= h THEN CAST(224 AS BIGINT)
+             |             ELSE GREATEST(1, w * 224 // h) END AS out_w,
+             |        CASE WHEN w >= h THEN GREATEST(1, h * 224 // w)
              |             ELSE CAST(224 AS BIGINT) END AS out_h
              |      FROM m)
-             |SELECT doc_id, width, height, out_w, out_h,
+             |SELECT doc_id, w AS width, h AS height, out_w, out_h,
              |       CAST(out_w * out_h AS BIGINT) AS n_out_bytes,
-             |       CAST(CASE WHEN nb = 0 THEN 0 ELSE
-             |         list_aggregate(list_transform(
-             |           range((nb + GREATEST(1, nb // 16) - 1) // GREATEST(1, nb // 16)),
-             |           i -> ord(text[i * GREATEST(1, nb // 16) + 1])), 'sum')
-             |       END AS BIGINT) AS checksum
+             |       CAST(list_sum(list_transform(range(out_w * out_h),
+             |         i -> (doc_id + 7 * (((i % out_w) * w) // out_w)
+             |               + 13 * (((i // out_w) * h) // out_h)) % 256))
+             |         AS BIGINT) AS checksum
              |FROM r ORDER BY doc_id""".stripMargin),
       (s, d) => Multimodal.resizeImages(s, documents(s, d))
         .toDF().orderBy("doc_id")),
 
-    // content-addressed binary dedup: group payloads by sha2-256 —
-    // the multimodal dedup primitive (image/audio blobs dedup by
-    // content hash, never by byte comparison). The shuffle key is the
-    // 32-byte digest, not the payload, so shuffled bytes stay tiny
-    // however large the media column is. Corpus is ASCII, so DuckDB's
-    // sha256(text) sees the same bytes as sha2(payload, 256).
+    // content-addressed binary dedup over the RAW ingest payload
+    // (pre-decode — dedup happens at ingest, before any codec): group
+    // payloads by sha2-256. The shuffle key is the 32-byte digest,
+    // not the payload, so shuffled bytes stay tiny however large the
+    // media column is. Corpus is ASCII, so DuckDB's sha256(text) sees
+    // the same bytes as sha2(payload, 256).
     Q("mm_dedup",
       Some("""SELECT sha256(text) AS content_hash, min(doc_id) AS keep_id,
              |       count(*) AS n_copies,

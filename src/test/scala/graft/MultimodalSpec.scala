@@ -1,0 +1,64 @@
+package graft
+
+import graft.multimodal.Multimodal.{BmpCodec, SynthMedia, WavCodec}
+
+class MultimodalSpec extends SparkSpec {
+
+  test("BMP encode → javax.imageio decode round-trips dims, channels, " +
+      "and every pixel value") {
+    val (w, h) = (37, 23) // non-multiple-of-4 row → padding exercised
+    def pix(x: Int, y: Int) = (11 + 7 * x + 13 * y) % 256
+    val bytes = BmpCodec.encode(w, h, pix)
+    assert(bytes.length == BmpCodec.fileSize(w, h))
+    assert(bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte)
+    val (dw, dh, ch, px) = BmpCodec.decode(bytes)
+    assert((dw, dh, ch) == ((w, h, 3)))
+    for (y <- 0 until h; x <- 0 until w)
+      assert(px(y * w + x) == pix(x, y), s"pixel ($x,$y)")
+  }
+
+  test("1×1 and max-size images decode exactly (degenerate dims)") {
+    for ((w, h) <- Seq((1, 1), (64, 48), (1, 48), (64, 1))) {
+      val (dw, dh, _, px) = BmpCodec.decode(
+        BmpCodec.encode(w, h, (x, y) => (x * 3 + y * 5) % 256))
+      assert((dw, dh) == ((w, h)))
+      assert(px.length == w * h)
+    }
+  }
+
+  test("WAV encode → javax.sound.sampled decode round-trips rate and " +
+      "every PCM sample") {
+    val samples = Array.tabulate(331)(i => (7 * 42 + 31 * i) % 256)
+    val bytes = WavCodec.encode(samples, 8000)
+    assert(bytes.length == WavCodec.fileSize(samples.length))
+    val (rate, ch, got) = WavCodec.decode(bytes)
+    assert(rate == 8000 && ch == 1)
+    assert(got.toSeq == samples.toSeq)
+  }
+
+  test("corrupt payloads fail loudly, not silently") {
+    intercept[Exception] {
+      BmpCodec.decode("definitely not a bitmap".getBytes)
+    }
+    intercept[Exception] {
+      WavCodec.decode("definitely not a riff chunk".getBytes)
+    }
+  }
+
+  test("synthetic payload dispatch matches media type and the decoded " +
+      "values match the generative formulas") {
+    // image doc: doc_id % 3 = 0
+    val (w, h) = SynthMedia.imageDims(9L, 100L)
+    assert((w, h) == ((100 % 64 + 1, 9 % 48 + 1)))
+    val (dw, dh, _, px) = BmpCodec.decode(SynthMedia.payload(9L, "x", 100L))
+    assert((dw, dh) == ((w, h)))
+    for (y <- 0 until h; x <- 0 until w)
+      assert(px(y * w + x) == SynthMedia.pixel(9L, x, y))
+    // audio doc: doc_id % 3 = 1
+    val (_, _, got) = WavCodec.decode(SynthMedia.payload(10L, "x", 100L))
+    assert(got.toSeq == SynthMedia.audioSamples(10L, 100L).toSeq)
+    // video doc: raw text bytes
+    assert(SynthMedia.payload(11L, "abc", 3L).toSeq ==
+      "abc".getBytes.toSeq)
+  }
+}

@@ -59,14 +59,14 @@ class OperatorSpec extends SparkSpec {
     assert(out(2L) == (1L, 1L))
   }
 
-  test("multimodal stub features are deterministic and shaped right") {
+  test("multimodal decoded features are deterministic and shaped right") {
     val docs = io.Tables.documents(spark, sf0001).limit(20)
     val f1 = Multimodal.extractFeatures(spark, docs).collect().sortBy(_.doc_id)
     val f2 = Multimodal.extractFeatures(spark, docs).collect().sortBy(_.doc_id)
     assert(f1.toSeq == f2.toSeq)
     f1.foreach { m =>
-      assert(m.n_bytes > 0 && m.mean_byte > 0 &&
-        m.n_frames == (m.n_bytes + 255) / 256)
+      assert(m.n_units > 0 && m.mean_val > 0)
+      assert(m.min_val <= m.max_val && m.max_val <= 255)
       assert(Set("image", "audio", "video")(m.media_type))
     }
   }
@@ -83,7 +83,7 @@ class OperatorSpec extends SparkSpec {
       // floor scaling never flips the orientation
       assert((m.width >= m.height) == (m.out_w >= m.out_h))
       assert(m.n_out_bytes == m.out_w * m.out_h)
-      assert(m.checksum > 0) // ASCII payloads: every sampled byte > 0
+      assert(m.checksum >= 0 && m.checksum <= 255L * m.n_out_bytes)
     }
   }
 
