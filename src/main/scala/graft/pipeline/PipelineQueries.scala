@@ -63,6 +63,54 @@ object PipelineQueries {
           .orderBy("doc_id")
       }),
 
+    // STAGE DECOMPOSITION of pipeline_full_etl as a standing artifact
+    // (the PipelineStageAb harness promoted to a registered pair —
+    // the decomposition that caught the coalesce(1) scale defect in
+    // r11 is now queryable, not a one-off run). Per stage: ordinal,
+    // name, exact row count. This twin is the HASH GATE (counts are
+    // deterministic: |documents| through the CSV boundary, the
+    // dropna(any) survivor count through the transform/result/
+    // readback stages); the walls live on the rows-only twin below.
+    Q("obs_stage_rows",
+      Some(s"""SELECT CAST(1 AS BIGINT) AS stage_id, 'upload_write' AS stage,
+              |       (SELECT count(*) FROM documents) AS n_rows
+              |UNION ALL SELECT CAST(2 AS BIGINT), 'read_infer',
+              |       (SELECT count(*) FROM documents)
+              |UNION ALL SELECT CAST(3 AS BIGINT), 'transform',
+              |       (SELECT count(*) FROM documents
+              |        WHERE doc_id IS NOT NULL AND text IS NOT NULL
+              |          AND lang IS NOT NULL AND source IS NOT NULL
+              |          AND n_chars IS NOT NULL)
+              |UNION ALL SELECT CAST(4 AS BIGINT), 'result_write',
+              |       (SELECT count(*) FROM documents
+              |        WHERE doc_id IS NOT NULL AND text IS NOT NULL
+              |          AND lang IS NOT NULL AND source IS NOT NULL
+              |          AND n_chars IS NOT NULL)
+              |UNION ALL SELECT CAST(5 AS BIGINT), 'readback',
+              |       (SELECT count(*) FROM documents
+              |        WHERE doc_id IS NOT NULL AND text IS NOT NULL
+              |          AND lang IS NOT NULL AND source IS NOT NULL
+              |          AND n_chars IS NOT NULL)
+              |ORDER BY stage_id""".stripMargin),
+      (s, d) => {
+        import s.implicits._
+        stageReport(s, d).map { case (id, st, n, _) => (id, st, n) }
+          .toDF("stage_id", "stage", "n_rows").orderBy("stage_id")
+      }),
+
+    // the walls twin: same stages + measured wall_ms. Rows-only BY
+    // DESIGN (walls are a measurement, not a deterministic value —
+    // the dedup_simhash/md5 twin convention): obs_stage_rows above is
+    // the hash-exact twin gating the stage structure and counts.
+    Q("obs_stage_walls",
+      None,
+      (s, d) => {
+        import s.implicits._
+        stageReport(s, d)
+          .toDF("stage_id", "stage", "n_rows", "wall_ms")
+          .orderBy("stage_id")
+      }),
+
     // clean+AI with both flags off — flags are real here (the reference
     // accepted but ignored them, SURVEY §2.3.6).
     Q("pipeline_flags_off",
@@ -102,4 +150,49 @@ object PipelineQueries {
           .orderBy("c_custkey")
       })
   )
+
+  /** ONE measured run of the full-ETL stage ladder per (session,
+    * sf dir) — both obs_stage twins read the same rows, so the
+    * pipeline runs once however the driver orders them. Values are
+    * driver-side tuples (not DataFrames), so a plain map suffices.
+    *
+    * Stages mirror graft.PipelineStageAb (the harness this pair
+    * promotes): upload = documents → single-object CSV; read_infer =
+    * schema-inference read of the upload (wall = the forced scan);
+    * transform = cleanAi (dropna-any) + demo over the read; result =
+    * single-object CSV of the transform; readback = inference read of
+    * the result. Counts are exact (|documents| through the CSV
+    * boundary, the dropna survivor count after); walls measure the
+    * stage's own forcing action. */
+  private val obsMemo = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String),
+    Seq[(Long, String, Long, Long)]]()
+
+  private def stageReport(s: org.apache.spark.sql.SparkSession,
+      d: String): Seq[(Long, String, Long, Long)] =
+    obsMemo.computeIfAbsent((s, d), _ => {
+      val base = s"${sys.props("java.io.tmpdir")}/graft_etl_obs_${
+        d.replaceAll("[^A-Za-z0-9]", "_")}"
+      def timed(body: => Long): (Long, Long) = {
+        val t0 = System.nanoTime()
+        val n = body
+        (n, (System.nanoTime() - t0) / 1000000L)
+      }
+      val docs = documents(s, d)
+      val nDocs = docs.count()
+      val (_, w1) = timed {
+        graft.io.Csv.writeSingle(docs, s"$base/upload"); 0L
+      }
+      val (n2, w2) = timed(graft.io.Csv.read(s, s"$base/upload").count())
+      def transformed() = Pipelines.demo(Pipelines.cleanAi(
+        graft.io.Csv.read(s, s"$base/upload")))
+      val (n3, w3) = timed(transformed().count())
+      val (_, w4) = timed {
+        graft.io.Csv.writeSingle(transformed(), s"$base/processed"); 0L
+      }
+      val (n5, w5) = timed(graft.io.Csv.read(s, s"$base/processed").count())
+      Seq((1L, "upload_write", nDocs, w1), (2L, "read_infer", n2, w2),
+        (3L, "transform", n3, w3), (4L, "result_write", n3, w4),
+        (5L, "readback", n5, w5))
+    })
 }
