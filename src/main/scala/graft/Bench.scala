@@ -201,8 +201,10 @@ object Bench {
       // the 2-3 s band at sf0.1 — straggler risk if submitted last
       "dedup_span_trim", "sim_hard_negatives",
       // round-12: the persisted embedding index pays its one-time
-      // stage (build over the base corpus) on first touch — never last
-      "emb_index_build", "emb_incremental")
+      // stage (build over the base corpus) on first touch — never
+      // last; the repair lifecycle stages build+tear+repair
+      "emb_index_build", "emb_incremental", "emb_index_repair",
+      "obs_stage_rows")
     val batchQs = batchQs0.sortBy(q => if (heavyFirst(q.name)) 0 else 1)
     val wall0 = System.nanoTime()
     // Each headline query runs twice back-to-back; the reported figure is

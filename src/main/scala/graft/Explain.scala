@@ -56,8 +56,9 @@ object Explain {
         // running-state journey counter, and the batched ANN scan
         "emb_band_occupancy", "seq_pattern_match", "sim_topk_batch",
         "corpus_stratified_sample",
-        // round-12: the persisted embedding index pair and PQ recall
-        "emb_index_build", "emb_incremental", "sim_recall_pq")
+        // round-12: the persisted embedding index trio and PQ recall
+        "emb_index_build", "emb_incremental", "emb_index_repair",
+        "sim_recall_pq")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

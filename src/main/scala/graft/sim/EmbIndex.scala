@@ -104,12 +104,57 @@ object EmbIndex {
   }
 
   /** Opens a persisted index written by [[writeIndex]] / grown by
-    * [[appendIndex]]. */
+    * [[appendIndex]] / maintained by [[repairIndex]]. The derived
+    * artifacts resolve through the generation machinery the text
+    * index established ([[graft.text.Dedup.livePath]]: highest
+    * `_SUCCESS`-complete generation; the plain dir is generation 0) —
+    * `vecs` is the append-only record of truth and never
+    * generation-swapped. */
   def readIndex(s: SparkSession, root: String): EmbeddingIndex = {
     val (bits, clamped, guard, _) = readManifest(s, root)
     EmbeddingIndex(s.read.parquet(s"$root/vecs"),
-      s.read.parquet(s"$root/post"), s.read.parquet(s"$root/bk"),
+      s.read.parquet(graft.text.Dedup.livePath(root, "post").toString),
+      s.read.parquet(graft.text.Dedup.livePath(root, "bk").toString),
       bits, clamped, guard)
+  }
+
+  /** Repairs a torn append (the crash-recovery half of the append
+    * contract — the text index's [[graft.text.Dedup.repairIndex]]
+    * applied to the embedding artifacts). Detection is exact and
+    * cheap: the live `post` must hold exactly 2 rows (one per band)
+    * per DISTINCT `vecs` vector — a full-outer count compare, one
+    * aggregation each side. The only tear [[appendIndex]]'s vecs-last
+    * ordering permits is derived rows (post/bk) for vectors absent
+    * from `vecs`; on detection both derived artifacts are re-derived
+    * from the distinct-by-id `vecs` rows and published as next
+    * create-only generations ([[graft.text.Dedup.publishNextGen]] —
+    * committer-marker-gated, rename-free, no instant without a live
+    * artifact), `bk` from the freshly PUBLISHED postings so the two
+    * cannot drift. Returns true iff a repair was performed; a second
+    * call is a detected no-op (detection and derivation both
+    * normalize to one row per id, so the double-retry duplicate-vecs
+    * tear cannot re-trip it). */
+  def repairIndex(s: SparkSession, root: String): Boolean = {
+    def vecsDocs = s.read.parquet(s"$root/vecs").dropDuplicates("vec_id")
+    val want = vecsDocs.select(col("vec_id")).withColumn("__want", lit(2L))
+    val have = s.read
+      .parquet(graft.text.Dedup.livePath(root, "post").toString)
+      .groupBy("vec_id").agg(count(lit(1)).as("__have"))
+    val torn = want.join(have, Seq("vec_id"), "full_outer")
+      .filter(col("__want").isNull || col("__have").isNull ||
+        col("__want") =!= col("__have"))
+      .limit(1).count() > 0
+    if (torn) {
+      graft.text.Dedup.publishNextGen(s, root, "post") { sd =>
+        indexPostings(vecsDocs).write.mode("overwrite").parquet(sd)
+      }
+      graft.text.Dedup.publishNextGen(s, root, "bk") { sd =>
+        indexBucketStats(s.read.parquet(
+            graft.text.Dedup.livePath(root, "post").toString))
+          .write.mode("overwrite").parquet(sd)
+      }
+    }
+    torn
   }
 
   /** Appends the accepted delta vectors' index entries AT THE
@@ -132,14 +177,16 @@ object EmbIndex {
       r, s".emb_append_${java.util.UUID.randomUUID().toString.take(13)}")
     try {
       val sd = new org.apache.hadoop.fs.Path(scratch, "vecs").toString
+      val postLive = graft.text.Dedup.livePath(root, "post").toString
+      val bkLive = graft.text.Dedup.livePath(root, "bk").toString
       buildRows(accepted, bits).write.mode("overwrite").parquet(sd)
       indexPostings(s.read.parquet(sd))
-        .write.mode("append").parquet(s"$root/post")
+        .write.mode("append").parquet(postLive)
       indexBucketStats(indexPostings(s.read.parquet(sd)))
-        .write.mode("append").parquet(s"$root/bk")
+        .write.mode("append").parquet(bkLive)
       s.read.parquet(sd).write.mode("append").parquet(s"$root/vecs")
-      s.catalog.refreshByPath(s"$root/post")
-      s.catalog.refreshByPath(s"$root/bk")
+      s.catalog.refreshByPath(postLive)
+      s.catalog.refreshByPath(bkLive)
       s.catalog.refreshByPath(s"$root/vecs")
     } finally fs.delete(scratch, true)
   }

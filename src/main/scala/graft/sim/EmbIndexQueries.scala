@@ -86,7 +86,48 @@ object EmbIndexQueries {
          |WHERE vec_id % 5 = 0 AND vec_id NOT IN (SELECT id FROM rej)
          |ORDER BY vec_id""".stripMargin)
 
-  private lazy val gateOracles = indexOracles(8)
+  /** Width-parameterized oracle for the repair lifecycle (base =
+    * vec_id % 4 ∈ {0, 1}; the torn % 4 = 2 delta never reaches `vecs`
+    * so it is absent from BOTH engines' view). */
+  private[graft] def repairOracles(bits: Int): Map[String, String] = Map(
+    "emb_index_repair" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+         |          FROM embeddings WHERE vec_id % 4 <> 2),
+         |q AS (SELECT vec_id,
+         |        list_transform(emb, x -> CAST(round(x * 1e6) AS BIGINT)) AS qe
+         |      FROM e),
+         |k AS (SELECT e.vec_id, b AS band,
+         |        list_sum(list_transform(range($bits),
+         |          i -> CASE WHEN emb[b*$bits+i+1] > 0 THEN 1<<i ELSE 0 END)) AS mask
+         |      FROM e, LATERAL unnest([0, 1]) AS u(b)),
+         |ok AS (SELECT band, mask FROM k GROUP BY band, mask
+         |       HAVING count(*) <= 100),
+         |k2 AS (SELECT k.* FROM k JOIN ok USING (band, mask)),
+         |p AS (SELECT DISTINCT d.vec_id AS id, r.vec_id AS id_ref
+         |      FROM k2 d JOIN k2 r ON d.band = r.band AND d.mask = r.mask
+         |      WHERE d.vec_id % 4 = 3
+         |        AND (r.vec_id % 4 IN (0, 1)
+         |             OR (r.vec_id % 4 = 3 AND r.vec_id < d.vec_id))),
+         |pd AS (SELECT id, id_ref,
+         |        list_sum(list_transform(range(len(qa.qe)),
+         |          i -> qa.qe[i+1] * qb.qe[i+1])) AS dot,
+         |        list_sum(list_transform(qa.qe, x -> x * x)) AS na,
+         |        list_sum(list_transform(qb.qe, x -> x * x)) AS nb
+         |      FROM p JOIN q qa ON qa.vec_id = p.id
+         |             JOIN q qb ON qb.vec_id = p.id_ref),
+         |rej AS (SELECT DISTINCT id FROM pd
+         |        WHERE na > 0 AND nb > 0 AND dot >= 0
+         |          AND CAST(dot AS HUGEINT) * dot * 25 >=
+         |              CAST(na AS HUGEINT) * nb)
+         |SELECT CAST(1 AS BIGINT) AS part, vec_id, CAST(2 AS BIGINT) AS n
+         |FROM embeddings WHERE vec_id % 4 IN (0, 1)
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT), vec_id, CAST(0 AS BIGINT)
+         |FROM embeddings
+         |WHERE vec_id % 4 = 3 AND vec_id NOT IN (SELECT id FROM rej)
+         |ORDER BY part, vec_id""".stripMargin)
+
+  private lazy val gateOracles = indexOracles(8) ++ repairOracles(8)
 
   def queries: Seq[Q] = Seq(
     // PHASE 1: build & persist the base corpus's band index. The
@@ -118,7 +159,34 @@ object EmbIndexQueries {
       (s, d) => EmbIndex.incrementalAcceptIndexed(
           EmbIndex.readIndex(s, stagedEmbIndexPath(s, d)),
           embeddings(s, d).filter(col("vec_id") % 5 === 0), 1, 5)
-        .select("vec_id").orderBy("vec_id"))
+        .select("vec_id").orderBy("vec_id")),
+
+    // TORN-APPEND REPAIR lifecycle (the crash-recovery half of the
+    // append contract, mirroring dedup_index_repair): the staged
+    // artifact is an index over vec_id % 4 ∈ {0,1} that suffered a
+    // SIMULATED mid-append crash of the % 4 = 2 delta — its postings
+    // + bucket partials landed, its `vecs` rows did not (the only
+    // tear appendIndex's vecs-last ordering permits) — then
+    // EmbIndex.repairIndex: tear detected via the 2-postings-per-
+    // vector invariant, post/bk re-derived from `vecs` as next
+    // create-only generations, second call a detected no-op (all
+    // require()d at stage time). Part 1 audits the repair-sensitive
+    // invariant from the published artifact itself — exactly 2
+    // postings per BASE vector, the torn delta's orphans gone; part 2
+    // probes the repaired index with the % 4 = 3 delta through the
+    // generation-resolved artifacts (post.g1/bk.g1).
+    Q("emb_index_repair",
+      Some(gateOracles("emb_index_repair")),
+      (s, d) => {
+        val ix = EmbIndex.readIndex(s, stagedEmbRepairPath(s, d))
+        val postAudit = ix.postings
+          .groupBy("vec_id").agg(count(lit(1)).as("n"))
+          .select(lit(1L).as("part"), col("vec_id"), col("n"))
+        val acc = EmbIndex.incrementalAcceptIndexed(ix,
+            embeddings(s, d).filter(col("vec_id") % 4 === 3), 1, 5)
+          .select(lit(2L).as("part"), col("vec_id"), lit(0L).as("n"))
+        postAudit.unionByName(acc).orderBy("part", "vec_id")
+      })
   )
 
   /** Serializes index staging within this JVM (cross-process safety
@@ -131,23 +199,64 @@ object EmbIndexQueries {
     * dedup index stages (DedupQueries.stageOnce), keyed on
     * embeddings.parquet. */
   private[graft] def stagedEmbIndexPath(s: org.apache.spark.sql.SparkSession,
-      dir: String): String = {
+      dir: String): String =
+    stageOnce("graft_emb_index_", dir) { root =>
+      EmbIndex.writeIndex(
+        embeddings(s, dir).filter(col("vec_id") % 5 =!= 0), root)
+    }
+
+  /** Stages the `emb_index_repair` artifact once per testdata
+    * generation: index over vec_id % 4 ∈ {0,1}, then a SIMULATED torn
+    * append of the % 4 = 2 delta — the two DERIVED appends (postings,
+    * bucket-stat partials) land at the manifest width, the crash hits
+    * before the `vecs` append (exactly the tear
+    * [[EmbIndex.appendIndex]]'s vecs-last ordering confines a real
+    * crash to) — then [[EmbIndex.repairIndex]], which must detect the
+    * tear, re-derive post/bk from `vecs` as next create-only
+    * generations, and be a detected no-op on a second call. The
+    * published artifact is the REPAIRED index. */
+  private[graft] def stagedEmbRepairPath(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    stageOnce("graft_emb_repair_", dir) { root =>
+      EmbIndex.writeIndex(
+        embeddings(s, dir).filter(col("vec_id") % 4 <= 1), root)
+      val (bits, _, _, _) = EmbIndex.readManifest(s, root)
+      // torn-append simulation: derived frames straight from the
+      // delta's plan (no scratch snapshot — unlike a real appendIndex
+      // input this delta reads the SOURCE parquet, not the index
+      // being grown)
+      val ixd = EmbIndex.buildRows(
+        embeddings(s, dir).filter(col("vec_id") % 4 === 2), bits)
+      EmbIndex.indexPostings(ixd)
+        .write.mode("append").parquet(s"$root/post")
+      EmbIndex.indexBucketStats(EmbIndex.indexPostings(ixd))
+        .write.mode("append").parquet(s"$root/bk")
+      require(EmbIndex.repairIndex(s, root),
+        "emb repair stage: torn append not detected")
+      require(!EmbIndex.repairIndex(s, root),
+        "emb repair stage: repair not idempotent")
+    }
+
+  /** Generation-versioned, create-only staging keyed on the source
+    * embeddings.parquet's (size, mtime): `build` populates a temp
+    * dir, published by atomic rename; losers of the cross-process
+    * race keep the winner's identical artifact. */
+  private def stageOnce(prefix: String, dir: String)(
+      build: String => Unit): String = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val src = Paths.get(dir, "embeddings.parquet")
     val attr = Files.readAttributes(src,
       classOf[java.nio.file.attribute.BasicFileAttributes])
     val target = Paths.get(sys.props("java.io.tmpdir"),
-      "graft_emb_index_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
+      prefix + dir.replaceAll("[^A-Za-z0-9]", "_") +
         s"_${attr.size}_${attr.lastModifiedTime.toMillis}")
     stageLock.synchronized {
       if (!Files.exists(target)) {
         val tmp = Files.createTempDirectory(
-          Paths.get(sys.props("java.io.tmpdir")), ".graft_emb_index_")
+          Paths.get(sys.props("java.io.tmpdir")), "." + prefix)
         try {
           val staged = tmp.resolve("root")
-          EmbIndex.writeIndex(
-            embeddings(s, dir).filter(col("vec_id") % 5 =!= 0),
-            staged.toString)
+          build(staged.toString)
           try Files.move(staged, target, StandardCopyOption.ATOMIC_MOVE)
           catch {
             case _: java.nio.file.FileAlreadyExistsException |

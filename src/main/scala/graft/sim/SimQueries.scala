@@ -733,7 +733,14 @@ object SimQueries {
     val (nb, dimB) = Similarity.corpusStats(
       embeddings(s, sfDir).filter(col("vec_id") % 5 =!= 0))
     val (idxBits, _) = Similarity.resolveWidth(nb, dimB, maxBucket = 100)
-    bandedOracles(bits, clamped) ++ EmbIndexQueries.indexOracles(idxBits)
+    // the repair artifact indexes the % 4 ∈ {0,1} half — its manifest
+    // width resolves from THAT count
+    val (nr, dimR) = Similarity.corpusStats(
+      embeddings(s, sfDir).filter(col("vec_id") % 4 <= 1))
+    val (repBits, _) = Similarity.resolveWidth(nr, dimR, maxBucket = 100)
+    bandedOracles(bits, clamped) ++
+      EmbIndexQueries.indexOracles(idxBits) ++
+      EmbIndexQueries.repairOracles(repBits)
   }
 
   /** The exact-integer PQ pipeline as DuckDB CTEs (shared by

@@ -307,7 +307,7 @@ object Dedup {
     * generation number sits above every EXISTING dir, torn ones
     * included, so a retry after a mid-build crash never writes into a
     * half-built dir. See [[livePath]] for the crash contract. */
-  private def publishNextGen(s: org.apache.spark.sql.SparkSession,
+  private[graft] def publishNextGen(s: org.apache.spark.sql.SparkSession,
       root: String, base: String)(build: String => Unit): Unit = {
     val (fs, r) = hadoopFs(root)
     val gens = listGens(fs, r, base)

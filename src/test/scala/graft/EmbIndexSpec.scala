@@ -111,6 +111,39 @@ class EmbIndexSpec extends SparkSpec {
     assert(Similarity.autoBandBits(7000) == 9)
   }
 
+  test("torn append detected and repaired via create-only generations; " +
+      "repair is idempotent and the probe sees the repaired artifacts") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_embix6").toString
+    val base = io.Tables.embeddings(spark, sf0001)
+      .filter(org.apache.spark.sql.functions.col("vec_id") % 4 <= 1)
+    EmbIndex.writeIndex(base, dir)
+    val nBase = base.count()
+    // simulate the only tear vecs-last permits: derived rows land,
+    // vecs rows do not
+    val delta = io.Tables.embeddings(spark, sf0001)
+      .filter(org.apache.spark.sql.functions.col("vec_id") % 4 === 2)
+    val (bits, _, _, _) = EmbIndex.readManifest(spark, dir)
+    val ixd = EmbIndex.buildRows(delta, bits)
+    EmbIndex.indexPostings(ixd).write.mode("append").parquet(s"$dir/post")
+    EmbIndex.indexBucketStats(EmbIndex.indexPostings(ixd))
+      .write.mode("append").parquet(s"$dir/bk")
+    spark.catalog.refreshByPath(s"$dir/post")
+    spark.catalog.refreshByPath(s"$dir/bk")
+    // detected + repaired; second call a no-op
+    assert(EmbIndex.repairIndex(spark, dir))
+    assert(!EmbIndex.repairIndex(spark, dir))
+    // post/bk resolved through generations (g1), orphans gone: exactly
+    // 2 postings per BASE vector, none for the torn delta
+    assert(graft.text.Dedup.livePath(dir, "post").getName == "post.g1")
+    assert(graft.text.Dedup.livePath(dir, "bk").getName == "bk.g1")
+    val ix = EmbIndex.readIndex(spark, dir)
+    assert(ix.postings.count() == 2 * nBase)
+    val perVec = ix.postings.groupBy("vec_id")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n")).collect()
+    assert(perVec.length == nBase && perVec.forall(_.getAs[Long]("n") == 2L))
+  }
+
   test("appended entries block later near-dups of accepted vectors") {
     val d = 64
     def unit(sign: Int) = (0 until d).map(j =>
