@@ -97,23 +97,69 @@ object Multimodal {
       out.array()
     }
 
-    /** REAL decode via javax.imageio: parses the BMP container and
+    /** One reusable BMP header reader — the per-PARTITION codec
+      * instance of the metadata scan (a fresh `ImageIO` service
+      * lookup per image costs more than parsing these headers; the
+      * reader is stateful but re-targets via setInput). */
+    def newMetaReader(): javax.imageio.ImageReader = {
+      val rs = javax.imageio.ImageIO.getImageReadersByFormatName("bmp")
+      require(rs.hasNext, "JDK BMP ImageReader missing")
+      rs.next()
+    }
+
+    /** HEADER-ONLY metadata parse via the javax.imageio reader API:
+      * `ImageReader.getWidth/getHeight/getImageTypes` read the BMP
+      * info header without decoding a single pixel row — the right
+      * cost for a metadata scan over 100 TB of media (dims of a
+      * gigapixel image cost the same as a thumbnail's). Still a REAL
+      * parse of the container: a corrupt header throws. */
+    def readMeta(r: javax.imageio.ImageReader,
+        bytes: Array[Byte]): (Int, Int, Int) = {
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        r.setInput(iis)
+        val ch = r.getImageTypes(0).next().getColorModel.getNumComponents
+        (r.getWidth(0), r.getHeight(0), ch)
+      } finally iis.close()
+    }
+
+    /** One-shot convenience spelling of [[readMeta]] (tests, single
+      * payloads); hot paths hold a partition-scoped [[newMetaReader]]. */
+    def decodeMeta(bytes: Array[Byte]): (Int, Int, Int) = {
+      val r = newMetaReader()
+      try readMeta(r, bytes) finally r.dispose()
+    }
+
+    /** REAL decode via javax.imageio against a partition-scoped
+      * reader ([[newMetaReader]]): parses the BMP container and
       * returns (width, height, channels, gray pixels row-major
       * top-down). Throws on a corrupt payload — decode failures must
       * surface, not zero-fill. */
-    def decode(bytes: Array[Byte]): (Int, Int, Int, Array[Int]) = {
-      val img = javax.imageio.ImageIO.read(
+    def readImage(r: javax.imageio.ImageReader,
+        bytes: Array[Byte]): (Int, Int, Int, Array[Int]) = {
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
         new java.io.ByteArrayInputStream(bytes))
-      require(img != null, "ImageIO could not decode payload as an image")
-      val (w, h) = (img.getWidth, img.getHeight)
-      val px = new Array[Int](w * h)
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) { px(y * w + x) = img.getRGB(x, y) & 0xff; x += 1 }
-        y += 1
-      }
-      (w, h, img.getRaster.getNumBands, px)
+      try {
+        r.setInput(iis)
+        val img = r.read(0)
+        val (w, h) = (img.getWidth, img.getHeight)
+        val px = new Array[Int](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { px(y * w + x) = img.getRGB(x, y) & 0xff; x += 1 }
+          y += 1
+        }
+        (w, h, img.getRaster.getNumBands, px)
+      } finally iis.close()
+    }
+
+    /** One-shot convenience spelling of [[readImage]] (tests, single
+      * payloads); hot paths hold a partition-scoped reader. */
+    def decode(bytes: Array[Byte]): (Int, Int, Int, Array[Int]) = {
+      val r = newMetaReader()
+      try readImage(r, bytes) finally r.dispose()
     }
   }
 
@@ -135,6 +181,17 @@ object Multimodal {
       out.put("data".getBytes).putInt(n)
       samples.foreach(s => out.put((s & 0xff).toByte))
       out.array()
+    }
+
+    /** HEADER-ONLY metadata parse via `AudioSystem.getAudioFileFormat`:
+      * reads the RIFF/fmt chunks (rate, channels, frame count) without
+      * streaming the PCM data — the metadata-scan cost contract of
+      * [[BmpCodec.decodeMeta]], for audio. */
+    def decodeMeta(bytes: Array[Byte]): (Int, Int, Long) = {
+      val ff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+        new java.io.ByteArrayInputStream(bytes))
+      (ff.getFormat.getSampleRate.toInt, ff.getFormat.getChannels,
+        ff.getFrameLength.toLong)
     }
 
     /** REAL decode via javax.sound.sampled: parses the RIFF container
@@ -174,28 +231,37 @@ object Multimodal {
 
   /** Decoded media metadata — the real-codec upgrade of the old
     * declared-metadata stub: per doc the payload is SYNTHESIZED
-    * ([[SynthMedia]]) and then genuinely DECODED (ImageIO for images,
-    * AudioSystem for audio), and the reported dims/channels/rate/
-    * frames are what the decoder parsed out of the container, not
-    * what the generator intended — a corrupt round-trip would
-    * hash-mismatch the oracle. Video rows report payload size and the
-    * byte-stride frame count (no JDK video codec). */
+    * ([[SynthMedia]]) and then genuinely PARSED (ImageIO reader API
+    * for images, AudioSystem file-format parse for audio), and the
+    * reported dims/channels/rate/frames are what the parser read out
+    * of the container, not what the generator intended — a corrupt
+    * round-trip would hash-mismatch the oracle.
+    *
+    * HEADER-ONLY by design: metadata never touches pixel rows or PCM
+    * data ([[BmpCodec.decodeMeta]] / [[WavCodec.decodeMeta]]) — at
+    * 100 TB the metadata scan's cost must be independent of media
+    * size (a gigapixel image's dims cost a thumbnail's), and the
+    * pixel-decoding paths ([[extractFeatures]], [[resizeImages]]) pay
+    * the full decode only where the pixels are actually consumed.
+    * Video rows report payload size and the byte-stride frame count
+    * (no JDK video codec). */
   def decodeMeta(spark: SparkSession, docs: DataFrame): Dataset[MediaMeta] = {
     import spark.implicits._
     docs.select(col("doc_id"), col("text"), col("n_chars"))
       .as[(Long, String, Long)]
       .mapPartitions { rows =>
+        val reader = BmpCodec.newMetaReader() // one per partition
         rows.map { case (id, text, nc) =>
           val bytes = SynthMedia.payload(id, text, nc)
           (id % 3) match {
             case 0 =>
-              val (w, h, ch, _) = BmpCodec.decode(bytes)
+              val (w, h, ch) = BmpCodec.readMeta(reader, bytes)
               MediaMeta(id, "image", bytes.length.toLong,
                 w.toLong, h.toLong, ch.toLong, 0L, 1L)
             case 1 =>
-              val (rate, ch, samples) = WavCodec.decode(bytes)
+              val (rate, ch, frames) = WavCodec.decodeMeta(bytes)
               MediaMeta(id, "audio", bytes.length.toLong,
-                0L, 0L, ch.toLong, rate.toLong, samples.length.toLong)
+                0L, 0L, ch.toLong, rate.toLong, frames)
             case _ =>
               MediaMeta(id, "video", bytes.length.toLong, 0L, 0L, 0L, 0L,
                 (bytes.length + 255L) / 256L)
@@ -226,11 +292,12 @@ object Multimodal {
     docs.select(col("doc_id"), col("text"), col("n_chars"))
       .as[(Long, String, Long)]
       .mapPartitions { rows =>
+        val reader = BmpCodec.newMetaReader() // one per partition
         rows.map { case (id, text, nc) =>
           val bytes = SynthMedia.payload(id, text, nc)
           (id % 3) match {
             case 0 =>
-              val (_, _, _, px) = BmpCodec.decode(bytes)
+              val (_, _, _, px) = BmpCodec.readImage(reader, bytes)
               stats(id, "image", px)
             case 1 =>
               val (_, _, samples) = WavCodec.decode(bytes)
@@ -283,9 +350,10 @@ object Multimodal {
       .select(col("doc_id"), col("text"), col("n_chars"))
       .as[(Long, String, Long)]
       .mapPartitions { rows =>
+        val reader = BmpCodec.newMetaReader() // one per partition
         rows.map { case (id, text, nc) =>
           val (w, h, _, px) =
-            BmpCodec.decode(SynthMedia.payload(id, text, nc))
+            BmpCodec.readImage(reader, SynthMedia.payload(id, text, nc))
           val (ow, oh) =
             if (w >= h) (target, math.max(1, h * target / w))
             else (math.max(1, w * target / h), target)

@@ -36,6 +36,19 @@ class MultimodalSpec extends SparkSpec {
     assert(got.toSeq == samples.toSeq)
   }
 
+  test("header-only metadata parse agrees with the full decode and " +
+      "never touches pixel/PCM data") {
+    val bytes = BmpCodec.encode(37, 23, (x, y) => (x + y) % 256)
+    assert(BmpCodec.decodeMeta(bytes) == ((37, 23, 3)))
+    // the parse is real: truncating AFTER the header keeps metadata
+    // readable (pixel rows were never needed)...
+    assert(BmpCodec.decodeMeta(bytes.take(60)) == ((37, 23, 3)))
+    // ...while a full decode of the same truncated payload fails
+    intercept[Exception] { BmpCodec.decode(bytes.take(60)) }
+    val wav = WavCodec.encode(Array.tabulate(123)(_ % 256), 8000)
+    assert(WavCodec.decodeMeta(wav) == ((8000, 1, 123L)))
+  }
+
   test("corrupt payloads fail loudly, not silently") {
     intercept[Exception] {
       BmpCodec.decode("definitely not a bitmap".getBytes)
