@@ -50,8 +50,18 @@ object Verify {
     // at a grown verify corpus the auto-width regime is hash-checked,
     // not just measured. At every driver-gate SF the rendered SQL is
     // identical to the registered spelling.
-    val oracles = SparkEntry.oracleSql ++
-      graft.sim.SimQueries.resolvedBandedOracles(spark, sfDir)
+    // a throw here (corpus unreadable, stats job failure) must not
+    // zero the WHOLE round's oracle dump — fall back to the
+    // registered gate-width spellings, which are correct for every
+    // corpus the gate actually runs
+    val resolved =
+      try graft.sim.SimQueries.resolvedBandedOracles(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] banded oracle re-render failed " +
+          s"(falling back to gate-width spellings): ${e.getMessage}")
+        Map.empty[String, String]
+      }
+    val oracles = SparkEntry.oracleSql ++ resolved
     val json = oracles
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

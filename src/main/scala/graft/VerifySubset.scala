@@ -38,8 +38,15 @@ object VerifySubset {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    // same banded-family width override as graft.Verify (see there)
-    val banded = graft.sim.SimQueries.resolvedBandedOracles(spark, sfDir)
+    // same banded-family width override as graft.Verify (see there),
+    // with the same zero-the-round fallback guard
+    val banded =
+      try graft.sim.SimQueries.resolvedBandedOracles(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] banded oracle re-render failed " +
+          s"(falling back to gate-width spellings): ${e.getMessage}")
+        Map.empty[String, String]
+      }
     val json = qs.flatMap(q => q.oracle.map(o =>
         s"${esc(q.name)}: ${esc(banded.getOrElse(q.name, o))}"))
       .mkString("{", ",", "}")
