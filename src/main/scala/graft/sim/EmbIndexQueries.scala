@@ -127,7 +127,85 @@ object EmbIndexQueries {
          |WHERE vec_id % 4 = 3 AND vec_id NOT IN (SELECT id FROM rej)
          |ORDER BY part, vec_id""".stripMargin)
 
-  private lazy val gateOracles = indexOracles(8) ++ repairOracles(8)
+  /** Width-parameterized oracle for the multi-day append cycle (base
+    * day 0 = vec_id % 3 = 0; day 1 delta = % 3 = 1, its ACCEPTED rows
+    * appended; day 2 delta = % 3 = 2 probes the GROWN index). The
+    * whole cycle runs at ONE width — the day-0 manifest's (at 10× the
+    * % 3 = 0 third resolves 9 bits where a fresh full-corpus resolve
+    * would say 10: the append deliberately stays at 9, the
+    * one-width-per-generation contract made externally checkable).
+    * Each day's hot-bucket guard counts ITS probe population: day 1 =
+    * base ∪ day-1 delta; day 2 = base ∪ accepted day 1 ∪ day-2 delta
+    * (rejected day-1 vectors never enter the index, so they are
+    * absent from both the day-2 reference set AND its guard). */
+  private[graft] def appendOracles(bits: Int): Map[String, String] = Map(
+    "emb_index_append" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+         |          FROM embeddings),
+         |q AS (SELECT vec_id,
+         |        list_transform(emb, x -> CAST(round(x * 1e6) AS BIGINT)) AS qe
+         |      FROM e),
+         |k AS (SELECT e.vec_id, b AS band,
+         |        list_sum(list_transform(range($bits),
+         |          i -> CASE WHEN emb[b*$bits+i+1] > 0 THEN 1<<i ELSE 0 END)) AS mask
+         |      FROM e, LATERAL unnest([0, 1]) AS u(b)),
+         |ok1 AS (SELECT band, mask FROM k WHERE vec_id % 3 <> 2
+         |        GROUP BY band, mask HAVING count(*) <= 100),
+         |k1 AS (SELECT k.* FROM k JOIN ok1 USING (band, mask)
+         |       WHERE k.vec_id % 3 <> 2),
+         |p1 AS (SELECT DISTINCT d.vec_id AS id, r.vec_id AS id_ref
+         |       FROM k1 d JOIN k1 r ON d.band = r.band AND d.mask = r.mask
+         |       WHERE d.vec_id % 3 = 1
+         |         AND (r.vec_id % 3 = 0
+         |              OR (r.vec_id % 3 = 1 AND r.vec_id < d.vec_id))),
+         |pd1 AS (SELECT id, id_ref,
+         |        list_sum(list_transform(range(len(qa.qe)),
+         |          i -> qa.qe[i+1] * qb.qe[i+1])) AS dot,
+         |        list_sum(list_transform(qa.qe, x -> x * x)) AS na,
+         |        list_sum(list_transform(qb.qe, x -> x * x)) AS nb
+         |      FROM p1 JOIN q qa ON qa.vec_id = p1.id
+         |              JOIN q qb ON qb.vec_id = p1.id_ref),
+         |rej1 AS (SELECT DISTINCT id FROM pd1
+         |         WHERE na > 0 AND nb > 0 AND dot >= 0
+         |           AND CAST(dot AS HUGEINT) * dot * 25 >=
+         |               CAST(na AS HUGEINT) * nb),
+         |acc1 AS (SELECT vec_id FROM embeddings
+         |         WHERE vec_id % 3 = 1
+         |           AND vec_id NOT IN (SELECT id FROM rej1)),
+         |pop2 AS (SELECT vec_id FROM embeddings WHERE vec_id % 3 = 0
+         |         UNION ALL SELECT vec_id FROM acc1
+         |         UNION ALL SELECT vec_id FROM embeddings WHERE vec_id % 3 = 2),
+         |ok2 AS (SELECT band, mask FROM k JOIN pop2 USING (vec_id)
+         |        GROUP BY band, mask HAVING count(*) <= 100),
+         |k2 AS (SELECT k.* FROM k JOIN pop2 USING (vec_id)
+         |                        JOIN ok2 USING (band, mask)),
+         |p2 AS (SELECT DISTINCT d.vec_id AS id, r.vec_id AS id_ref
+         |       FROM k2 d JOIN k2 r ON d.band = r.band AND d.mask = r.mask
+         |       WHERE d.vec_id % 3 = 2
+         |         AND (r.vec_id % 3 = 0
+         |              OR r.vec_id IN (SELECT vec_id FROM acc1)
+         |              OR (r.vec_id % 3 = 2 AND r.vec_id < d.vec_id))),
+         |pd2 AS (SELECT id, id_ref,
+         |        list_sum(list_transform(range(len(qa.qe)),
+         |          i -> qa.qe[i+1] * qb.qe[i+1])) AS dot,
+         |        list_sum(list_transform(qa.qe, x -> x * x)) AS na,
+         |        list_sum(list_transform(qb.qe, x -> x * x)) AS nb
+         |      FROM p2 JOIN q qa ON qa.vec_id = p2.id
+         |              JOIN q qb ON qb.vec_id = p2.id_ref),
+         |rej2 AS (SELECT DISTINCT id FROM pd2
+         |         WHERE na > 0 AND nb > 0 AND dot >= 0
+         |           AND CAST(dot AS HUGEINT) * dot * 25 >=
+         |               CAST(na AS HUGEINT) * nb),
+         |acc2 AS (SELECT vec_id FROM embeddings
+         |         WHERE vec_id % 3 = 2
+         |           AND vec_id NOT IN (SELECT id FROM rej2))
+         |SELECT vec_id, CAST(1 AS BIGINT) AS day FROM acc1
+         |UNION ALL
+         |SELECT vec_id, CAST(2 AS BIGINT) AS day FROM acc2
+         |ORDER BY day, vec_id""".stripMargin)
+
+  private lazy val gateOracles =
+    indexOracles(8) ++ repairOracles(8) ++ appendOracles(8)
 
   def queries: Seq[Q] = Seq(
     // PHASE 1: build & persist the base corpus's band index. The
@@ -160,6 +238,29 @@ object EmbIndexQueries {
           EmbIndex.readIndex(s, stagedEmbIndexPath(s, d)),
           embeddings(s, d).filter(col("vec_id") % 5 === 0), 1, 5)
         .select("vec_id").orderBy("vec_id")),
+
+    // MULTI-DAY APPEND cycle — the production lifecycle end-to-end
+    // (mirroring dedup_index_append): day 0 builds the index over the
+    // % 3 = 0 corpus; day 1's delta (% 3 = 1) is screened against it
+    // and ONLY the accepted rows' index entries are APPENDED
+    // (delta-sized appends to vecs/post/bk, at the DAY-0 MANIFEST
+    // WIDTH — one width per generation, visible at 10× where the
+    // day-0 third resolves 9 bits while a fresh full-corpus resolve
+    // says 10); day 2's delta (% 3 = 2) probes the GROWN index. Day
+    // 1's membership is read back FROM the appended vecs parquet, so
+    // the oracle gates the persisted artifact's content, the
+    // append-composes semantics, and the day-2 probe at once.
+    Q("emb_index_append",
+      Some(gateOracles("emb_index_append")),
+      (s, d) => {
+        val ix = EmbIndex.readIndex(s, stagedEmbAppendPath(s, d))
+        val day1 = ix.vecs.filter(col("vec_id") % 3 === 1)
+          .select(col("vec_id"), lit(1L).as("day"))
+        val day2 = EmbIndex.incrementalAcceptIndexed(ix,
+            embeddings(s, d).filter(col("vec_id") % 3 === 2), 1, 5)
+          .select(col("vec_id"), lit(2L).as("day"))
+        day1.unionByName(day2).orderBy("day", "vec_id")
+      }),
 
     // TORN-APPEND REPAIR lifecycle (the crash-recovery half of the
     // append contract, mirroring dedup_index_repair): the staged
@@ -203,6 +304,24 @@ object EmbIndexQueries {
     stageOnce("graft_emb_index_", dir) { root =>
       EmbIndex.writeIndex(
         embeddings(s, dir).filter(col("vec_id") % 5 =!= 0), root)
+    }
+
+  /** Stages the `emb_index_append` multi-day artifact once per
+    * testdata generation: day-0 index over vec_id % 3 = 0, then the
+    * day-1 delta (% 3 = 1) screened and its ACCEPTED rows' entries
+    * appended via [[EmbIndex.appendIndex]] (scratch-snapshotted —
+    * the accepted frame lazily derives from the index being grown) —
+    * so the published artifact is a genuinely grown index the
+    * registered query's day-2 probe then reads. */
+  private[graft] def stagedEmbAppendPath(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    stageOnce("graft_emb_append_", dir) { root =>
+      val emb = embeddings(s, dir)
+      EmbIndex.writeIndex(emb.filter(col("vec_id") % 3 === 0), root)
+      val acc1 = EmbIndex.incrementalAcceptIndexed(
+        EmbIndex.readIndex(s, root),
+        emb.filter(col("vec_id") % 3 === 1), 1, 5)
+      EmbIndex.appendIndex(root, acc1)
     }
 
   /** Stages the `emb_index_repair` artifact once per testdata

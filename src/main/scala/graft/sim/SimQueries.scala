@@ -738,9 +738,15 @@ object SimQueries {
     val (nr, dimR) = Similarity.corpusStats(
       embeddings(s, sfDir).filter(col("vec_id") % 4 <= 1))
     val (repBits, _) = Similarity.resolveWidth(nr, dimR, maxBucket = 100)
+    // the append cycle runs at the DAY-0 manifest width — resolved
+    // from the % 3 = 0 third (one width per generation)
+    val (na, dimA) = Similarity.corpusStats(
+      embeddings(s, sfDir).filter(col("vec_id") % 3 === 0))
+    val (appBits, _) = Similarity.resolveWidth(na, dimA, maxBucket = 100)
     bandedOracles(bits, clamped) ++
       EmbIndexQueries.indexOracles(idxBits) ++
-      EmbIndexQueries.repairOracles(repBits)
+      EmbIndexQueries.repairOracles(repBits) ++
+      EmbIndexQueries.appendOracles(appBits)
   }
 
   /** The exact-integer PQ pipeline as DuckDB CTEs (shared by
