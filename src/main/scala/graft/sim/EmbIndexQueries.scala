@@ -56,32 +56,17 @@ object EmbIndexQueries {
     "emb_incremental" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
          |          FROM embeddings),
-         |q AS (SELECT vec_id,
-         |        list_transform(emb, x -> CAST(round(x * 1e6) AS BIGINT)) AS qe
-         |      FROM e),
-         |k AS (SELECT e.vec_id, b AS band,
-         |        list_sum(list_transform(range($bits),
-         |          i -> CASE WHEN emb[b*$bits+i+1] > 0 THEN 1<<i ELSE 0 END)) AS mask
-         |      FROM e, LATERAL unnest([0, 1]) AS u(b)),
-         |ok AS (SELECT band, mask FROM k GROUP BY band, mask
-         |       HAVING count(*) <= 100),
-         |k2 AS (SELECT k.* FROM k JOIN ok USING (band, mask)),
+         |${BandedSql.quantizeCte},
+         |${BandedSql.bandKeysCte(bits)},
+         |${BandedSql.guardCtes},
          |p AS (SELECT DISTINCT d.vec_id AS id, r.vec_id AS id_ref
          |      FROM k2 d JOIN k2 r ON d.band = r.band AND d.mask = r.mask
          |      WHERE d.vec_id % 5 = 0
          |        AND (r.vec_id % 5 <> 0
          |             OR (r.vec_id % 5 = 0 AND r.vec_id < d.vec_id))),
-         |pd AS (SELECT id, id_ref,
-         |        list_sum(list_transform(range(len(qa.qe)),
-         |          i -> qa.qe[i+1] * qb.qe[i+1])) AS dot,
-         |        list_sum(list_transform(qa.qe, x -> x * x)) AS na,
-         |        list_sum(list_transform(qb.qe, x -> x * x)) AS nb
-         |      FROM p JOIN q qa ON qa.vec_id = p.id
-         |             JOIN q qb ON qb.vec_id = p.id_ref),
+         |${BandedSql.pairStatsCte("pd", "p", "id", "id_ref")},
          |rej AS (SELECT DISTINCT id FROM pd
-         |        WHERE na > 0 AND nb > 0 AND dot >= 0
-         |          AND CAST(dot AS HUGEINT) * dot * 25 >=
-         |              CAST(na AS HUGEINT) * nb)
+         |        WHERE ${BandedSql.verifyQuarterPredicate})
          |SELECT vec_id FROM embeddings
          |WHERE vec_id % 5 = 0 AND vec_id NOT IN (SELECT id FROM rej)
          |ORDER BY vec_id""".stripMargin)
@@ -93,32 +78,17 @@ object EmbIndexQueries {
     "emb_index_repair" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
          |          FROM embeddings WHERE vec_id % 4 <> 2),
-         |q AS (SELECT vec_id,
-         |        list_transform(emb, x -> CAST(round(x * 1e6) AS BIGINT)) AS qe
-         |      FROM e),
-         |k AS (SELECT e.vec_id, b AS band,
-         |        list_sum(list_transform(range($bits),
-         |          i -> CASE WHEN emb[b*$bits+i+1] > 0 THEN 1<<i ELSE 0 END)) AS mask
-         |      FROM e, LATERAL unnest([0, 1]) AS u(b)),
-         |ok AS (SELECT band, mask FROM k GROUP BY band, mask
-         |       HAVING count(*) <= 100),
-         |k2 AS (SELECT k.* FROM k JOIN ok USING (band, mask)),
+         |${BandedSql.quantizeCte},
+         |${BandedSql.bandKeysCte(bits)},
+         |${BandedSql.guardCtes},
          |p AS (SELECT DISTINCT d.vec_id AS id, r.vec_id AS id_ref
          |      FROM k2 d JOIN k2 r ON d.band = r.band AND d.mask = r.mask
          |      WHERE d.vec_id % 4 = 3
          |        AND (r.vec_id % 4 IN (0, 1)
          |             OR (r.vec_id % 4 = 3 AND r.vec_id < d.vec_id))),
-         |pd AS (SELECT id, id_ref,
-         |        list_sum(list_transform(range(len(qa.qe)),
-         |          i -> qa.qe[i+1] * qb.qe[i+1])) AS dot,
-         |        list_sum(list_transform(qa.qe, x -> x * x)) AS na,
-         |        list_sum(list_transform(qb.qe, x -> x * x)) AS nb
-         |      FROM p JOIN q qa ON qa.vec_id = p.id
-         |             JOIN q qb ON qb.vec_id = p.id_ref),
+         |${BandedSql.pairStatsCte("pd", "p", "id", "id_ref")},
          |rej AS (SELECT DISTINCT id FROM pd
-         |        WHERE na > 0 AND nb > 0 AND dot >= 0
-         |          AND CAST(dot AS HUGEINT) * dot * 25 >=
-         |              CAST(na AS HUGEINT) * nb)
+         |        WHERE ${BandedSql.verifyQuarterPredicate})
          |SELECT CAST(1 AS BIGINT) AS part, vec_id, CAST(2 AS BIGINT) AS n
          |FROM embeddings WHERE vec_id % 4 IN (0, 1)
          |UNION ALL
@@ -142,13 +112,8 @@ object EmbIndexQueries {
     "emb_index_append" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
          |          FROM embeddings),
-         |q AS (SELECT vec_id,
-         |        list_transform(emb, x -> CAST(round(x * 1e6) AS BIGINT)) AS qe
-         |      FROM e),
-         |k AS (SELECT e.vec_id, b AS band,
-         |        list_sum(list_transform(range($bits),
-         |          i -> CASE WHEN emb[b*$bits+i+1] > 0 THEN 1<<i ELSE 0 END)) AS mask
-         |      FROM e, LATERAL unnest([0, 1]) AS u(b)),
+         |${BandedSql.quantizeCte},
+         |${BandedSql.bandKeysCte(bits)},
          |ok1 AS (SELECT band, mask FROM k WHERE vec_id % 3 <> 2
          |        GROUP BY band, mask HAVING count(*) <= 100),
          |k1 AS (SELECT k.* FROM k JOIN ok1 USING (band, mask)
@@ -158,17 +123,9 @@ object EmbIndexQueries {
          |       WHERE d.vec_id % 3 = 1
          |         AND (r.vec_id % 3 = 0
          |              OR (r.vec_id % 3 = 1 AND r.vec_id < d.vec_id))),
-         |pd1 AS (SELECT id, id_ref,
-         |        list_sum(list_transform(range(len(qa.qe)),
-         |          i -> qa.qe[i+1] * qb.qe[i+1])) AS dot,
-         |        list_sum(list_transform(qa.qe, x -> x * x)) AS na,
-         |        list_sum(list_transform(qb.qe, x -> x * x)) AS nb
-         |      FROM p1 JOIN q qa ON qa.vec_id = p1.id
-         |              JOIN q qb ON qb.vec_id = p1.id_ref),
+         |${BandedSql.pairStatsCte("pd1", "p1", "id", "id_ref")},
          |rej1 AS (SELECT DISTINCT id FROM pd1
-         |         WHERE na > 0 AND nb > 0 AND dot >= 0
-         |           AND CAST(dot AS HUGEINT) * dot * 25 >=
-         |               CAST(na AS HUGEINT) * nb),
+         |         WHERE ${BandedSql.verifyQuarterPredicate}),
          |acc1 AS (SELECT vec_id FROM embeddings
          |         WHERE vec_id % 3 = 1
          |           AND vec_id NOT IN (SELECT id FROM rej1)),
@@ -185,17 +142,9 @@ object EmbIndexQueries {
          |         AND (r.vec_id % 3 = 0
          |              OR r.vec_id IN (SELECT vec_id FROM acc1)
          |              OR (r.vec_id % 3 = 2 AND r.vec_id < d.vec_id))),
-         |pd2 AS (SELECT id, id_ref,
-         |        list_sum(list_transform(range(len(qa.qe)),
-         |          i -> qa.qe[i+1] * qb.qe[i+1])) AS dot,
-         |        list_sum(list_transform(qa.qe, x -> x * x)) AS na,
-         |        list_sum(list_transform(qb.qe, x -> x * x)) AS nb
-         |      FROM p2 JOIN q qa ON qa.vec_id = p2.id
-         |              JOIN q qb ON qb.vec_id = p2.id_ref),
+         |${BandedSql.pairStatsCte("pd2", "p2", "id", "id_ref")},
          |rej2 AS (SELECT DISTINCT id FROM pd2
-         |         WHERE na > 0 AND nb > 0 AND dot >= 0
-         |           AND CAST(dot AS HUGEINT) * dot * 25 >=
-         |               CAST(na AS HUGEINT) * nb),
+         |         WHERE ${BandedSql.verifyQuarterPredicate}),
          |acc2 AS (SELECT vec_id FROM embeddings
          |         WHERE vec_id % 3 = 2
          |           AND vec_id NOT IN (SELECT id FROM rej2))

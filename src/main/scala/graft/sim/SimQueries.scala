@@ -541,30 +541,15 @@ object SimQueries {
     "dedup_embedding_banded" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
          |          FROM embeddings),
-         |q AS (SELECT vec_id,
-         |        list_transform(emb, x -> CAST(round(x * 1e6) AS BIGINT)) AS qe
-         |      FROM e),
-         |k AS (SELECT e.vec_id, b AS band,
-         |        list_sum(list_transform(range($bits),
-         |          i -> CASE WHEN emb[b*$bits+i+1] > 0 THEN 1<<i ELSE 0 END)) AS mask
-         |      FROM e, LATERAL unnest([0, 1]) AS u(b)),
-         |ok AS (SELECT band, mask FROM k GROUP BY band, mask
-         |       HAVING count(*) <= 100),
-         |k2 AS (SELECT k.* FROM k JOIN ok USING (band, mask)),
+         |${BandedSql.quantizeCte},
+         |${BandedSql.bandKeysCte(bits)},
+         |${BandedSql.guardCtes},
          |p AS (SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib
          |      FROM k2 a JOIN k2 b ON a.band = b.band AND a.mask = b.mask
          |                         AND a.vec_id < b.vec_id),
-         |d AS (SELECT ia, ib,
-         |        list_sum(list_transform(range(len(qa.qe)),
-         |          i -> qa.qe[i+1] * qb.qe[i+1])) AS dot,
-         |        list_sum(list_transform(qa.qe, x -> x * x)) AS na,
-         |        list_sum(list_transform(qb.qe, x -> x * x)) AS nb
-         |      FROM p JOIN q qa ON qa.vec_id = p.ia
-         |             JOIN q qb ON qb.vec_id = p.ib),
+         |${BandedSql.pairStatsCte("d", "p", "ia", "ib")},
          |dup AS (SELECT DISTINCT ib FROM d
-         |        WHERE na > 0 AND nb > 0 AND dot >= 0
-         |          AND CAST(dot AS HUGEINT) * dot * 25 >=
-         |              CAST(na AS HUGEINT) * nb)
+         |        WHERE ${BandedSql.verifyQuarterPredicate})
          |SELECT vec_id FROM embeddings
          |WHERE vec_id NOT IN (SELECT ib FROM dup) ORDER BY vec_id""".stripMargin,
 
@@ -573,9 +558,7 @@ object SimQueries {
          |asg AS (SELECT vec_id, j AS cluster FROM km_a2 WHERE rn = 1),
          |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
          |      FROM embeddings),
-         |q AS (SELECT vec_id,
-         |        list_transform(emb, x -> CAST(round(x * 1e6) AS BIGINT)) AS qe
-         |      FROM e),
+         |${BandedSql.quantizeCte},
          |k AS (SELECT e.vec_id, a.cluster, b AS band,
          |        list_sum(list_transform(range($bits),
          |          i -> CASE WHEN emb[b*$bits+i+1] > 0 THEN 1<<i ELSE 0 END)) AS mask
@@ -588,47 +571,24 @@ object SimQueries {
          |      FROM kk a JOIN kk b ON a.cluster = b.cluster
          |                         AND a.band = b.band AND a.mask = b.mask
          |                         AND a.vec_id < b.vec_id),
-         |pd AS (SELECT ia, ib,
-         |        list_sum(list_transform(range(len(qa.qe)),
-         |          i -> qa.qe[i+1] * qb.qe[i+1])) AS dot,
-         |        list_sum(list_transform(qa.qe, x -> x * x)) AS na,
-         |        list_sum(list_transform(qb.qe, x -> x * x)) AS nb
-         |      FROM p JOIN q qa ON qa.vec_id = p.ia
-         |             JOIN q qb ON qb.vec_id = p.ib),
+         |${BandedSql.pairStatsCte("pd", "p", "ia", "ib")},
          |dup AS (SELECT DISTINCT ib FROM pd
-         |        WHERE na > 0 AND nb > 0 AND dot >= 0
-         |          AND CAST(dot AS HUGEINT) * dot * 25 >=
-         |              CAST(na AS HUGEINT) * nb)
+         |        WHERE ${BandedSql.verifyQuarterPredicate})
          |SELECT vec_id FROM embeddings
          |WHERE vec_id NOT IN (SELECT ib FROM dup) ORDER BY vec_id""".stripMargin,
 
     "cluster_dbscan" ->
       s"""WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
          |          FROM embeddings),
-         |q AS (SELECT vec_id,
-         |        list_transform(emb, x -> CAST(round(x * 1e6) AS BIGINT)) AS qe
-         |      FROM e),
-         |k AS (SELECT e.vec_id, b AS band,
-         |        list_sum(list_transform(range($bits),
-         |          i -> CASE WHEN emb[b*$bits+i+1] > 0 THEN 1<<i ELSE 0 END)) AS mask
-         |      FROM e, LATERAL unnest([0, 1]) AS u(b)),
-         |ok AS (SELECT band, mask FROM k GROUP BY band, mask
-         |       HAVING count(*) <= 100),
-         |k2 AS (SELECT k.* FROM k JOIN ok USING (band, mask)),
+         |${BandedSql.quantizeCte},
+         |${BandedSql.bandKeysCte(bits)},
+         |${BandedSql.guardCtes},
          |p AS (SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib
          |      FROM k2 a JOIN k2 b ON a.band = b.band AND a.mask = b.mask
          |                         AND a.vec_id < b.vec_id),
-         |pd AS (SELECT ia, ib,
-         |        list_sum(list_transform(range(len(qa.qe)),
-         |          i -> qa.qe[i+1] * qb.qe[i+1])) AS dot,
-         |        list_sum(list_transform(qa.qe, x -> x * x)) AS na,
-         |        list_sum(list_transform(qb.qe, x -> x * x)) AS nb
-         |      FROM p JOIN q qa ON qa.vec_id = p.ia
-         |             JOIN q qb ON qb.vec_id = p.ib),
+         |${BandedSql.pairStatsCte("pd", "p", "ia", "ib")},
          |vp AS (SELECT ia, ib FROM pd
-         |       WHERE na > 0 AND nb > 0 AND dot >= 0
-         |         AND CAST(dot AS HUGEINT) * dot * 25 >=
-         |             CAST(na AS HUGEINT) * nb),
+         |       WHERE ${BandedSql.verifyQuarterPredicate}),
          |nbrs AS (SELECT ia AS id, ib AS nb FROM vp
          |         UNION ALL SELECT ib, ia FROM vp),
          |deg AS (SELECT id, count(*) AS deg FROM nbrs GROUP BY id),
@@ -661,26 +621,13 @@ object SimQueries {
     "sim_hard_negatives" ->
       s"""WITH e AS (SELECT vec_id, label,
          |            CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-         |q AS (SELECT vec_id,
-         |        list_transform(emb, x -> CAST(round(x * 1e6) AS BIGINT)) AS qe
-         |      FROM e),
-         |k AS (SELECT e.vec_id, b AS band,
-         |        list_sum(list_transform(range($bits),
-         |          i -> CASE WHEN emb[b*$bits+i+1] > 0 THEN 1<<i ELSE 0 END)) AS mask
-         |      FROM e, LATERAL unnest([0, 1]) AS u(b)),
-         |ok AS (SELECT band, mask FROM k GROUP BY band, mask
-         |       HAVING count(*) <= 100),
-         |k2 AS (SELECT k.* FROM k JOIN ok USING (band, mask)),
+         |${BandedSql.quantizeCte},
+         |${BandedSql.bandKeysCte(bits)},
+         |${BandedSql.guardCtes},
          |p AS (SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib
          |      FROM k2 a JOIN k2 b ON a.band = b.band AND a.mask = b.mask
          |                         AND a.vec_id < b.vec_id),
-         |pd AS (SELECT ia, ib,
-         |        list_sum(list_transform(range(len(qa.qe)),
-         |          i -> qa.qe[i+1] * qb.qe[i+1])) AS dot,
-         |        list_sum(list_transform(qa.qe, x -> x * x)) AS na,
-         |        list_sum(list_transform(qb.qe, x -> x * x)) AS nb
-         |      FROM p JOIN q qa ON qa.vec_id = p.ia
-         |             JOIN q qb ON qb.vec_id = p.ib),
+         |${BandedSql.pairStatsCte("pd", "p", "ia", "ib")},
          |c AS (SELECT ia, ib,
          |        CAST(round(CAST(dot AS DOUBLE)
          |             / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
