@@ -210,6 +210,29 @@ object Multimodal {
     }
   }
 
+  /** The synthetic MEDIA LAKE table: (doc_id, media_type, payload
+    * BINARY) — media as opaque binary columns, the north-star
+    * multimodal data model. Generated once per testdata generation
+    * and STAGED as parquet (MultimodalQueries.stagedMediaPath); every
+    * decode query then reads the binary column from parquet and
+    * never touches document text — at 100 TB the payload column IS
+    * the dataset (ingested object bytes), and decode operators must
+    * work from it alone. */
+  def synthMediaTable(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text"), col("n_chars"))
+      .as[(Long, String, Long)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text, nc) =>
+          val mt = (id % 3) match {
+            case 0 => "image"; case 1 => "audio"; case _ => "video"
+          }
+          (id, mt, SynthMedia.payload(id, text, nc))
+        }
+      }
+      .toDF("doc_id", "media_type", "payload")
+  }
+
   /** Attach the RAW ingest payload column + declared metadata to
     * `documents` — the pre-decode plane (content-addressed dedup
     * hashes THESE bytes; decode happens downstream). Payload here is
@@ -245,25 +268,24 @@ object Multimodal {
     * the full decode only where the pixels are actually consumed.
     * Video rows report payload size and the byte-stride frame count
     * (no JDK video codec). */
-  def decodeMeta(spark: SparkSession, docs: DataFrame): Dataset[MediaMeta] = {
+  def decodeMeta(spark: SparkSession, media: DataFrame): Dataset[MediaMeta] = {
     import spark.implicits._
-    docs.select(col("doc_id"), col("text"), col("n_chars"))
-      .as[(Long, String, Long)]
+    media.select(col("doc_id"), col("media_type"), col("payload"))
+      .as[(Long, String, Array[Byte])]
       .mapPartitions { rows =>
         val reader = BmpCodec.newMetaReader() // one per partition
-        rows.map { case (id, text, nc) =>
-          val bytes = SynthMedia.payload(id, text, nc)
-          (id % 3) match {
-            case 0 =>
+        rows.map { case (id, mt, bytes) =>
+          mt match {
+            case "image" =>
               val (w, h, ch) = BmpCodec.readMeta(reader, bytes)
-              MediaMeta(id, "image", bytes.length.toLong,
+              MediaMeta(id, mt, bytes.length.toLong,
                 w.toLong, h.toLong, ch.toLong, 0L, 1L)
-            case 1 =>
+            case "audio" =>
               val (rate, ch, frames) = WavCodec.decodeMeta(bytes)
-              MediaMeta(id, "audio", bytes.length.toLong,
+              MediaMeta(id, mt, bytes.length.toLong,
                 0L, 0L, ch.toLong, rate.toLong, frames)
             case _ =>
-              MediaMeta(id, "video", bytes.length.toLong, 0L, 0L, 0L, 0L,
+              MediaMeta(id, mt, bytes.length.toLong, 0L, 0L, 0L, 0L,
                 (bytes.length + 255L) / 256L)
           }
         }
@@ -280,7 +302,7 @@ object Multimodal {
     * one double division at the end (both engines divide the same
     * exact integers). */
   def extractFeatures(spark: SparkSession,
-      docs: DataFrame): Dataset[MediaFeatures] = {
+      media: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._
     def stats(id: Long, mt: String, vs: Array[Int]): MediaFeatures = {
       var s = 0L; var mn = Long.MaxValue; var mx = Long.MinValue
@@ -289,20 +311,19 @@ object Multimodal {
         if (vs.isEmpty) 0.0 else s.toDouble / vs.length,
         if (vs.isEmpty) 0L else mn, if (vs.isEmpty) 0L else mx)
     }
-    docs.select(col("doc_id"), col("text"), col("n_chars"))
-      .as[(Long, String, Long)]
+    media.select(col("doc_id"), col("media_type"), col("payload"))
+      .as[(Long, String, Array[Byte])]
       .mapPartitions { rows =>
         val reader = BmpCodec.newMetaReader() // one per partition
-        rows.map { case (id, text, nc) =>
-          val bytes = SynthMedia.payload(id, text, nc)
-          (id % 3) match {
-            case 0 =>
+        rows.map { case (id, mt, bytes) =>
+          mt match {
+            case "image" =>
               val (_, _, _, px) = BmpCodec.readImage(reader, bytes)
-              stats(id, "image", px)
-            case 1 =>
+              stats(id, mt, px)
+            case "audio" =>
               val (_, _, samples) = WavCodec.decode(bytes)
-              stats(id, "audio", samples)
-            case _ => stats(id, "video", bytes.map(_ & 0xff))
+              stats(id, mt, samples)
+            case _ => stats(id, mt, bytes.map(_ & 0xff))
           }
         }
       }
@@ -316,10 +337,9 @@ object Multimodal {
     * for a decoded frame — the declared video stub (no JDK codec; the
     * mapPartitions batch shape is what a javacv decoder would drop
     * into). */
-  def sampleFrames(spark: SparkSession, docs: DataFrame): Dataset[FrameSample] = {
+  def sampleFrames(spark: SparkSession, media: DataFrame): Dataset[FrameSample] = {
     import spark.implicits._
-    withMediaColumns(docs)
-      .filter(col("media_type") === "video")
+    media.filter(col("media_type") === "video")
       .select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
@@ -343,17 +363,16 @@ object Multimodal {
     * as the exact integer sum of resampled values. Deterministic
     * across engines (no float kernel), and the oracle recomputes the
     * same sum from the pixel formula. */
-  def resizeImages(spark: SparkSession, docs: DataFrame,
+  def resizeImages(spark: SparkSession, media: DataFrame,
       target: Int = 224): Dataset[ResizedMedia] = {
     import spark.implicits._
-    docs.filter(pmod(col("doc_id"), lit(3)) === 0)
-      .select(col("doc_id"), col("text"), col("n_chars"))
-      .as[(Long, String, Long)]
+    media.filter(col("media_type") === "image")
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         val reader = BmpCodec.newMetaReader() // one per partition
-        rows.map { case (id, text, nc) =>
-          val (w, h, _, px) =
-            BmpCodec.readImage(reader, SynthMedia.payload(id, text, nc))
+        rows.map { case (id, bytes) =>
+          val (w, h, _, px) = BmpCodec.readImage(reader, bytes)
           val (ow, oh) =
             if (w >= h) (target, math.max(1, h * target / w))
             else (math.max(1, w * target / h), target)

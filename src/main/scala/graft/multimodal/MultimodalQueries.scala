@@ -13,6 +13,27 @@ import org.apache.spark.sql.functions._
   * the documented byte-stride stub (no JDK video codec). */
 object MultimodalQueries {
 
+  /** The staged media-lake parquet: (doc_id, media_type, payload
+    * BINARY), generated once per testdata generation
+    * (DedupQueries.stageOnce — keyed on documents.parquet's attrs,
+    * create-only ATOMIC_MOVE publish). Every decode query below reads
+    * THIS binary column and never touches document text — the
+    * north-star "media as opaque binary columns" data model made
+    * physical (at 100 TB the payload column is the ingested object
+    * bytes; decode operators must work from it alone). MediaSpec pins
+    * the plan property: the decode queries' only file relation is the
+    * staged media parquet. */
+  private[graft] def stagedMediaPath(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    graft.text.DedupQueries.stageOnce("graft_media_", dir) { root =>
+      Multimodal.synthMediaTable(s, documents(s, dir))
+        .write.mode("overwrite").parquet(s"$root/media")
+    }
+
+  private def media(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    s.read.parquet(stagedMediaPath(s, dir) + "/media")
+
   def queries: Seq[Q] = Seq(
     // DECODED media metadata: dims/channels from ImageIO's parse of
     // the BMP container, rate/frame-count from AudioSystem's parse of
@@ -44,7 +65,7 @@ object MultimodalQueries {
              |            ELSE (length(text) + 255) // 256 END AS BIGINT)
              |         AS n_frames
              |FROM documents ORDER BY doc_id""".stripMargin),
-      (s, d) => Multimodal.decodeMeta(s, documents(s, d))
+      (s, d) => Multimodal.decodeMeta(s, media(s, d))
         .toDF().orderBy("doc_id")),
 
     // DECODED content statistics: mean/min/max over the units the
@@ -77,7 +98,7 @@ object MultimodalQueries {
              |       CAST(CASE WHEN len(vs) = 0 THEN 0 ELSE list_max(vs) END
              |            AS BIGINT) AS max_val
              |FROM u ORDER BY doc_id""".stripMargin),
-      (s, d) => Multimodal.extractFeatures(s, documents(s, d))
+      (s, d) => Multimodal.extractFeatures(s, media(s, d))
         .toDF().orderBy("doc_id")),
 
     // frame sampling over the video subset (every 256th byte, first 5
@@ -89,7 +110,7 @@ object MultimodalQueries {
              |         range(LEAST((length(text) + 255) // 256, 5)),
              |         i -> ord(text[i*256 + 1])), ',') AS frame_bytes
              |FROM documents WHERE doc_id % 3 = 2 ORDER BY doc_id""".stripMargin),
-      (s, d) => Multimodal.sampleFrames(s, documents(s, d))
+      (s, d) => Multimodal.sampleFrames(s, media(s, d))
         .toDF().orderBy("doc_id")),
 
     // aspect-preserving image resize over DECODED pixels: exact
@@ -115,7 +136,7 @@ object MultimodalQueries {
              |               + 13 * (((i // out_w) * h) // out_h)) % 256))
              |         AS BIGINT) AS checksum
              |FROM r ORDER BY doc_id""".stripMargin),
-      (s, d) => Multimodal.resizeImages(s, documents(s, d))
+      (s, d) => Multimodal.resizeImages(s, media(s, d))
         .toDF().orderBy("doc_id")),
 
     // content-addressed binary dedup over the RAW ingest payload

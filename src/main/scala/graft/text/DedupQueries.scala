@@ -655,7 +655,7 @@ object DedupQueries {
     * under a name keyed by the source parquet's (size, mtime) via
     * atomic rename; losers of the cross-process race keep the winner's
     * identical artifact. */
-  private def stageOnce(prefix: String, dir: String)(
+  private[graft] def stageOnce(prefix: String, dir: String)(
       build: String => Unit): String = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val src = Paths.get(dir, "documents.parquet")

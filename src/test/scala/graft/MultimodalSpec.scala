@@ -49,6 +49,23 @@ class MultimodalSpec extends SparkSpec {
     assert(WavCodec.decodeMeta(wav) == ((8000, 1, 123L)))
   }
 
+  test("decode queries read ONLY the staged binary media column — " +
+      "document text never enters the decode plan") {
+    val s = spark
+    val m = s.read.parquet(
+      graft.multimodal.MultimodalQueries.stagedMediaPath(s, sf0001) + "/media")
+    assert(m.schema("payload").dataType ==
+      org.apache.spark.sql.types.BinaryType)
+    val probe = graft.multimodal.Multimodal.extractFeatures(s, m)
+    val rels = probe.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+    }
+    assert(rels.nonEmpty)
+    assert(rels.forall(_.relation.asInstanceOf[
+      org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+      .location.rootPaths.forall(_.toString.contains("graft_media_"))))
+  }
+
   test("corrupt payloads fail loudly, not silently") {
     intercept[Exception] {
       BmpCodec.decode("definitely not a bitmap".getBytes)

@@ -60,7 +60,8 @@ class OperatorSpec extends SparkSpec {
   }
 
   test("multimodal decoded features are deterministic and shaped right") {
-    val docs = io.Tables.documents(spark, sf0001).limit(20)
+    val docs = Multimodal.synthMediaTable(spark,
+      io.Tables.documents(spark, sf0001).limit(20))
     val f1 = Multimodal.extractFeatures(spark, docs).collect().sortBy(_.doc_id)
     val f2 = Multimodal.extractFeatures(spark, docs).collect().sortBy(_.doc_id)
     assert(f1.toSeq == f2.toSeq)
@@ -72,7 +73,8 @@ class OperatorSpec extends SparkSpec {
   }
 
   test("multimodal resize: aspect preserved, long side = target, checksum deterministic") {
-    val docs = io.Tables.documents(spark, sf0001).limit(30)
+    val docs = Multimodal.synthMediaTable(spark,
+      io.Tables.documents(spark, sf0001).limit(30))
     val r1 = Multimodal.resizeImages(spark, docs).collect().sortBy(_.doc_id)
     val r2 = Multimodal.resizeImages(spark, docs).collect().sortBy(_.doc_id)
     assert(r1.toSeq == r2.toSeq)
