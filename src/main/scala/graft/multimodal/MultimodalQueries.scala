@@ -20,7 +20,7 @@ object MultimodalQueries {
     * THIS binary column and never touches document text — the
     * north-star "media as opaque binary columns" data model made
     * physical (at 100 TB the payload column is the ingested object
-    * bytes; decode operators must work from it alone). MediaSpec pins
+    * bytes; decode operators must work from it alone). MultimodalSpec pins
     * the plan property: the decode queries' only file relation is the
     * staged media parquet. */
   private[graft] def stagedMediaPath(s: org.apache.spark.sql.SparkSession,
