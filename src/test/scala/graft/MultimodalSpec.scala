@@ -75,6 +75,66 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("property: BMP encode → ImageIO decode round-trips every pixel " +
+      "for arbitrary dims and pixel functions (seeded fuzz)") {
+    import org.scalacheck.{Gen, Prop, Test => PTest}
+    val gen = for {
+      w <- Gen.choose(1, 70)
+      h <- Gen.choose(1, 50)
+      a <- Gen.choose(0, 255)
+      b <- Gen.choose(0, 255)
+      c <- Gen.choose(0, 255)
+    } yield (w, h, a, b, c)
+    val prop = Prop.forAll(gen) { case (w, h, a, b, c) =>
+      def pix(x: Int, y: Int) = (a + b * x + c * y) % 256
+      val (dw, dh, ch, px) = BmpCodec.decode(BmpCodec.encode(w, h, pix))
+      dw == w && dh == h && ch == 3 &&
+        (0 until h).forall(y => (0 until w).forall(x =>
+          px(y * w + x) == pix(x, y)))
+    }
+    assert(PTest.check(
+      PTest.Parameters.default.withMinSuccessfulTests(100), prop).passed)
+  }
+
+  test("property: WAV encode → AudioSystem decode round-trips every " +
+      "sample for arbitrary lengths (seeded fuzz)") {
+    import org.scalacheck.{Gen, Prop, Test => PTest}
+    val gen = for {
+      n <- Gen.choose(1, 900)
+      seed <- Gen.choose(0, 255)
+    } yield (n, seed)
+    val prop = Prop.forAll(gen) { case (n, seed) =>
+      val samples = Array.tabulate(n)(i => (seed + 31 * i) % 256)
+      val (rate, ch, got) = WavCodec.decode(WavCodec.encode(samples, 8000))
+      rate == 8000 && ch == 1 && got.toSeq == samples.toSeq
+    }
+    assert(PTest.check(
+      PTest.Parameters.default.withMinSuccessfulTests(100), prop).passed)
+  }
+
+  test("property: resolveWidth is monotone in corpus size, bounded by " +
+      "minDim/2 and the 8..24 auto band, and clamps exactly when the " +
+      "dimensionality cap binds (seeded fuzz)") {
+    import org.scalacheck.{Gen, Prop, Test => PTest}
+    val gen = for {
+      n <- Gen.choose(1L, 1L << 40)
+      m <- Gen.choose(1L, 1L << 40)
+      d <- Gen.choose(1, 256)
+      g <- Gen.choose(1, 1000)
+    } yield (n, m, d, g)
+    val prop = Prop.forAll(gen) { case (n, m, d, g) =>
+      val (bits, clamped) = graft.sim.Similarity.resolveWidth(n, d, g)
+      val (bits2, _) = graft.sim.Similarity.resolveWidth(math.max(n, m), d, g)
+      val cap = math.max(1, d / 2)
+      bits >= 1 && bits <= math.min(24, cap) &&
+        bits2 >= bits && // more vectors never narrows the bands
+        (clamped == (graft.sim.Similarity.autoBandBits(n,
+          math.max(1, g / 4)) > cap))
+    }
+    assert(PTest.check(
+      PTest.Parameters.default.withMinSuccessfulTests(300), prop).passed)
+  }
+
   test("synthetic payload dispatch matches media type and the decoded " +
       "values match the generative formulas") {
     // image doc: doc_id % 3 = 0
