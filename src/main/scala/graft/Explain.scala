@@ -58,7 +58,7 @@ object Explain {
         "corpus_stratified_sample",
         // round-12: the persisted embedding index trio and PQ recall
         "emb_index_build", "emb_incremental", "emb_index_repair",
-        "emb_index_append", "sim_recall_pq")
+        "emb_index_append", "sim_recall_pq", "mm_perceptual_dedup")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -350,6 +350,53 @@ object Multimodal {
       }
   }
 
+  final case class PerceptualHash(
+      doc_id: Long, phash_hi: Long, phash_lo: Long)
+
+  /** Average-hash (aHash) perceptual fingerprint over DECODED pixels —
+    * the standard image near-dup primitive (resize to 8×8, threshold
+    * each cell against the mean, read the 64 bits): content-hash
+    * dedup ([[withMediaColumns]] → mm_dedup) only catches BYTE-equal
+    * media, while re-encoded/resized copies of the same picture land
+    * on the same aHash. Exact integer end-to-end: the 8×8 reduction
+    * is the same nearest-neighbor rule as [[resizeImages]]
+    * (cell (x,y) reads source (x·w div 8, y·h div 8)), and the mean
+    * threshold compares v·64 > Σ — no division, no float, so the
+    * fingerprint is bit-identical across engines and partitionings.
+    * Emitted as two 32-bit halves in BIGINTs (single-long packing
+    * would need bit-63 sign wrap, which engines disagree on).
+    * Scale shape: one decode pass, 16 bytes of fingerprint per image
+    * cross the shuffle — never pixels. */
+  def perceptualHashes(spark: SparkSession,
+      media: DataFrame): Dataset[PerceptualHash] = {
+    import spark.implicits._
+    media.filter(col("media_type") === "image")
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val reader = BmpCodec.newMetaReader() // one per partition
+        rows.map { case (id, bytes) =>
+          val (w, h, _, px) = BmpCodec.readImage(reader, bytes)
+          val cells = new Array[Long](64)
+          var i = 0
+          var s = 0L
+          while (i < 64) {
+            val v = px((i / 8) * h / 8 * w + (i % 8) * w / 8).toLong
+            cells(i) = v; s += v; i += 1
+          }
+          var hi = 0L; var lo = 0L
+          i = 0
+          while (i < 64) {
+            if (cells(i) * 64 > s) {
+              if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+            }
+            i += 1
+          }
+          PerceptualHash(id, hi, lo)
+        }
+      }
+  }
+
   final case class ResizedMedia(
       doc_id: Long, width: Long, height: Long,
       out_w: Long, out_h: Long, n_out_bytes: Long, checksum: Long)

@@ -139,6 +139,41 @@ object MultimodalQueries {
       (s, d) => Multimodal.resizeImages(s, media(s, d))
         .toDF().orderBy("doc_id")),
 
+    // PERCEPTUAL image dedup (aHash — average hash): decode → 8×8
+    // nearest-neighbor reduction → threshold each cell against the
+    // mean (v·64 > Σ, division-free) → 64-bit fingerprint as two
+    // 32-bit halves. The near-dup primitive content hashing can't
+    // give: re-encoded copies of the same PICTURE share an aHash
+    // while mm_dedup only catches byte-equal payloads. Every
+    // fingerprint is an output column, so all 64 bits per image are
+    // cross-engine hash-gated; grouping is the dedup report (16
+    // fingerprint bytes cross the shuffle, never pixels).
+    Q("mm_perceptual_dedup",
+      Some("""WITH m AS (SELECT doc_id, CAST(n_chars % 64 + 1 AS BIGINT) AS w,
+             |             CAST(doc_id % 48 + 1 AS BIGINT) AS h
+             |           FROM documents WHERE doc_id % 3 = 0),
+             |c AS (SELECT doc_id,
+             |        list_transform(range(64),
+             |          i -> (doc_id + 7 * (((i % 8) * w) // 8)
+             |                + 13 * (((i // 8) * h) // 8)) % 256) AS cells
+             |      FROM m),
+             |c2 AS (SELECT doc_id, cells, list_sum(cells) AS s FROM c),
+             |p AS (SELECT doc_id,
+             |        CAST(list_sum(list_transform(range(32),
+             |          i -> CASE WHEN cells[i+33] * 64 > s
+             |               THEN 1<<i ELSE 0 END)) AS BIGINT) AS phash_hi,
+             |        CAST(list_sum(list_transform(range(32),
+             |          i -> CASE WHEN cells[i+1] * 64 > s
+             |               THEN 1<<i ELSE 0 END)) AS BIGINT) AS phash_lo
+             |      FROM c2)
+             |SELECT phash_hi, phash_lo, min(doc_id) AS keep_id,
+             |       count(*) AS n_copies
+             |FROM p GROUP BY 1, 2 ORDER BY keep_id""".stripMargin),
+      (s, d) => Multimodal.perceptualHashes(s, media(s, d)).toDF()
+        .groupBy("phash_hi", "phash_lo")
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy("keep_id")),
+
     // content-addressed binary dedup over the RAW ingest payload
     // (pre-decode — dedup happens at ingest, before any codec): group
     // payloads by sha2-256. The shuffle key is the 32-byte digest,

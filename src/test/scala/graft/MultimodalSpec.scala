@@ -66,6 +66,31 @@ class MultimodalSpec extends SparkSpec {
       .location.rootPaths.forall(_.toString.contains("graft_media_"))))
   }
 
+  test("aHash: constant images hash to zero (strict threshold), a " +
+      "gradient splits high/low halves, and the hash is resize-stable") {
+    import spark.implicits._
+    def mediaOf(rows: Seq[(Long, Array[Byte])]) =
+      rows.map { case (id, b) => (id, "image", b) }
+        .toDF("doc_id", "media_type", "payload")
+    // constant image: every cell == mean, strict > never fires
+    val const = BmpCodec.encode(16, 16, (_, _) => 77)
+    val h0 = graft.multimodal.Multimodal
+      .perceptualHashes(spark, mediaOf(Seq((1L, const)))).collect().head
+    assert(h0.phash_hi == 0L && h0.phash_lo == 0L)
+    // vertical gradient: bottom rows above mean → hi half set, lo clear
+    val grad = BmpCodec.encode(16, 16, (_, y) => y * 15)
+    val h1 = graft.multimodal.Multimodal
+      .perceptualHashes(spark, mediaOf(Seq((2L, grad)))).collect().head
+    assert(h1.phash_lo == 0L && h1.phash_hi == 0xFFFFFFFFL)
+    // the PERCEPTUAL property: the same picture at 2× resolution
+    // (pixel-doubled) hashes identically — what byte-level mm_dedup
+    // can never see
+    val big = BmpCodec.encode(32, 32, (x, y) => (y / 2) * 15)
+    val h2 = graft.multimodal.Multimodal
+      .perceptualHashes(spark, mediaOf(Seq((3L, big)))).collect().head
+    assert((h2.phash_hi, h2.phash_lo) == ((h1.phash_hi, h1.phash_lo)))
+  }
+
   test("corrupt payloads fail loudly, not silently") {
     intercept[Exception] {
       BmpCodec.decode("definitely not a bitmap".getBytes)
