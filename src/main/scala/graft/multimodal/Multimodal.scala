@@ -107,6 +107,18 @@ object Multimodal {
       rs.next()
     }
 
+    /** [[newMetaReader]] whose dispose() is tied to task completion:
+      * an ImageReader holds native/stream resources that plain GC
+      * reaps late, so every per-partition reader registers a
+      * TaskContext completion hook (no-op off-executor, e.g. in unit
+      * tests driving the lambda directly). */
+    def partitionReader(): javax.imageio.ImageReader = {
+      val r = newMetaReader()
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => r.dispose()))
+      r
+    }
+
     /** HEADER-ONLY metadata parse via the javax.imageio reader API:
       * `ImageReader.getWidth/getHeight/getImageTypes` read the BMP
       * info header without decoding a single pixel row — the right
@@ -273,7 +285,7 @@ object Multimodal {
     media.select(col("doc_id"), col("media_type"), col("payload"))
       .as[(Long, String, Array[Byte])]
       .mapPartitions { rows =>
-        val reader = BmpCodec.newMetaReader() // one per partition
+        val reader = BmpCodec.partitionReader() // one per partition, task-scoped dispose
         rows.map { case (id, mt, bytes) =>
           mt match {
             case "image" =>
@@ -314,7 +326,7 @@ object Multimodal {
     media.select(col("doc_id"), col("media_type"), col("payload"))
       .as[(Long, String, Array[Byte])]
       .mapPartitions { rows =>
-        val reader = BmpCodec.newMetaReader() // one per partition
+        val reader = BmpCodec.partitionReader() // one per partition, task-scoped dispose
         rows.map { case (id, mt, bytes) =>
           mt match {
             case "image" =>
@@ -374,7 +386,7 @@ object Multimodal {
       .select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
-        val reader = BmpCodec.newMetaReader() // one per partition
+        val reader = BmpCodec.partitionReader() // one per partition, task-scoped dispose
         rows.map { case (id, bytes) =>
           val (w, h, _, px) = BmpCodec.readImage(reader, bytes)
           val cells = new Array[Long](64)
@@ -417,7 +429,7 @@ object Multimodal {
       .select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
-        val reader = BmpCodec.newMetaReader() // one per partition
+        val reader = BmpCodec.partitionReader() // one per partition, task-scoped dispose
         rows.map { case (id, bytes) =>
           val (w, h, _, px) = BmpCodec.readImage(reader, bytes)
           val (ow, oh) =

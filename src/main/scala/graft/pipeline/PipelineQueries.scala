@@ -51,7 +51,7 @@ object PipelineQueries {
               |  AND source IS NOT NULL AND n_chars IS NOT NULL
               |ORDER BY doc_id""".stripMargin),
       (s, d) => {
-        val base = s"${sys.props("java.io.tmpdir")}/graft_etl_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+        val base = s"${sys.props("java.io.tmpdir")}/graft_etl_${ProcessHandle.current().pid()}_${d.replaceAll("[^A-Za-z0-9]", "_")}"
         graft.io.Csv.writeSingle(documents(s, d), s"$base/upload")
         val uploaded = graft.io.Csv.read(s, s"$base/upload")
         val out = Pipelines.demo(Pipelines.cleanAi(uploaded))
@@ -131,7 +131,7 @@ object PipelineQueries {
              |FROM customer WHERE c_custkey % 97 <> 0
              |ORDER BY c_custkey""".stripMargin),
       (s, d) => {
-        val base = s"${sys.props("java.io.tmpdir")}/graft_erasure_${d.replaceAll("[^A-Za-z0-9]", "_")}/customer"
+        val base = s"${sys.props("java.io.tmpdir")}/graft_erasure_${ProcessHandle.current().pid()}_${d.replaceAll("[^A-Za-z0-9]", "_")}/customer"
         val cust = graft.io.Tables.customer(s, d)
           .select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
         cust.write.mode("overwrite").partitionBy("c_nationkey").parquet(base)
@@ -171,7 +171,12 @@ object PipelineQueries {
   private def stageReport(s: org.apache.spark.sql.SparkSession,
       d: String): Seq[(Long, String, Long, Long)] =
     obsMemo.computeIfAbsent((s, d), _ => {
-      val base = s"${sys.props("java.io.tmpdir")}/graft_etl_obs_${
+      // pid-scoped scratch (here and the other two etl scratch dirs):
+      // the memo is only per-JVM, so two concurrent driver processes
+      // on one sfDir would otherwise overwrite each other's staged
+      // CSVs mid-read and could corrupt a HASH-GATED result — these
+      // are mutable working dirs, not create-only published artifacts
+      val base = s"${sys.props("java.io.tmpdir")}/graft_etl_obs_${ProcessHandle.current().pid()}_${
         d.replaceAll("[^A-Za-z0-9]", "_")}"
       def timed(body: => Long): (Long, Long) = {
         val t0 = System.nanoTime()

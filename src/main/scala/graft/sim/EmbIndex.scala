@@ -108,15 +108,24 @@ object EmbIndex {
     * artifacts resolve through the generation machinery the text
     * index established ([[graft.text.Dedup.livePath]]: highest
     * `_SUCCESS`-complete generation; the plain dir is generation 0) —
-    * `vecs` is the append-only record of truth and never
-    * generation-swapped. */
+    * including `vecs`, whose generations only ever change content by
+    * DEDUPLICATION of retried appends ([[repairIndex]]); appends grow
+    * the live generation in place. */
   def readIndex(s: SparkSession, root: String): EmbeddingIndex = {
     val (bits, clamped, guard, _) = readManifest(s, root)
-    EmbeddingIndex(s.read.parquet(s"$root/vecs"),
+    EmbeddingIndex(s.read.parquet(vecsLive(root)),
       s.read.parquet(graft.text.Dedup.livePath(root, "post").toString),
       s.read.parquet(graft.text.Dedup.livePath(root, "bk").toString),
       bits, clamped, guard)
   }
+
+  /** The live `vecs` artifact. Normally the plain build-time dir
+    * (generation 0, append-grown in place); [[repairIndex]] publishes
+    * a deduplicated NEXT generation when a retried fully-landed
+    * append leaves duplicate vec_id rows — so consumers resolve
+    * through the same generation machinery as post/bk. */
+  private[graft] def vecsLive(root: String): String =
+    graft.text.Dedup.livePath(root, "vecs").toString
 
   /** Repairs a torn append (the crash-recovery half of the append
     * contract — the text index's [[graft.text.Dedup.repairIndex]]
@@ -130,17 +139,38 @@ object EmbIndex {
     * create-only generations ([[graft.text.Dedup.publishNextGen]] —
     * committer-marker-gated, rename-free, no instant without a live
     * artifact), `bk` from the freshly PUBLISHED postings so the two
-    * cannot drift. Returns true iff a repair was performed; a second
-    * call is a detected no-op (detection and derivation both
-    * normalize to one row per id, so the double-retry duplicate-vecs
-    * tear cannot re-trip it). */
+    * cannot drift. The double-retry tear (a fully-landed append
+    * re-run end-to-end) leaves duplicate vec_id rows in `vecs`
+    * itself; repair detects those and publishes a DEDUPLICATED next
+    * `vecs` generation (exact copies — lossless) before re-deriving,
+    * so direct `vecs` consumers (emb_index_build's content gate)
+    * heal too, not just the probe path. Returns true iff a repair
+    * was performed; a second call is a detected no-op. */
   def repairIndex(s: SparkSession, root: String): Boolean = {
-    def vecsDocs = s.read.parquet(s"$root/vecs").dropDuplicates("vec_id")
+    // The OTHER tear class: a fully-landed append retried end-to-end
+    // duplicates a delta's rows in ALL THREE artifacts — post/bk heal
+    // below via the count compare, but `vecs` is what emb_index_build
+    // and the verify join read, so duplicate vec_id rows there must
+    // be physically deduplicated too (they are exact copies —
+    // deterministic functions of the embedding — so dropDuplicates by
+    // id is lossless). Published as a next create-only generation;
+    // the record of truth is never edited in place.
+    val dupVecs = s.read.parquet(vecsLive(root))
+      .groupBy("vec_id").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > 1L).limit(1).count() > 0
+    if (dupVecs) {
+      val cur = vecsLive(root)
+      graft.text.Dedup.publishNextGen(s, root, "vecs") { sd =>
+        s.read.parquet(cur).dropDuplicates("vec_id")
+          .write.mode("overwrite").parquet(sd)
+      }
+    }
+    def vecsDocs = s.read.parquet(vecsLive(root)).dropDuplicates("vec_id")
     val want = vecsDocs.select(col("vec_id")).withColumn("__want", lit(2L))
     val have = s.read
       .parquet(graft.text.Dedup.livePath(root, "post").toString)
       .groupBy("vec_id").agg(count(lit(1)).as("__have"))
-    val torn = want.join(have, Seq("vec_id"), "full_outer")
+    val torn = dupVecs || want.join(have, Seq("vec_id"), "full_outer")
       .filter(col("__want").isNull || col("__have").isNull ||
         col("__want") =!= col("__have"))
       .limit(1).count() > 0
@@ -179,15 +209,16 @@ object EmbIndex {
       val sd = new org.apache.hadoop.fs.Path(scratch, "vecs").toString
       val postLive = graft.text.Dedup.livePath(root, "post").toString
       val bkLive = graft.text.Dedup.livePath(root, "bk").toString
+      val vLive = vecsLive(root)
       buildRows(accepted, bits).write.mode("overwrite").parquet(sd)
       indexPostings(s.read.parquet(sd))
         .write.mode("append").parquet(postLive)
       indexBucketStats(indexPostings(s.read.parquet(sd)))
         .write.mode("append").parquet(bkLive)
-      s.read.parquet(sd).write.mode("append").parquet(s"$root/vecs")
+      s.read.parquet(sd).write.mode("append").parquet(vLive)
       s.catalog.refreshByPath(postLive)
       s.catalog.refreshByPath(bkLive)
-      s.catalog.refreshByPath(s"$root/vecs")
+      s.catalog.refreshByPath(vLive)
     } finally fs.delete(scratch, true)
   }
 

@@ -168,7 +168,7 @@ object EmbIndexQueries {
       (s, d) => {
         val root = stagedEmbIndexPath(s, d)
         val (bits, _, _, _) = EmbIndex.readManifest(s, root)
-        s.read.parquet(s"$root/vecs")
+        s.read.parquet(EmbIndex.vecsLive(root))
           .select(col("vec_id"), col("na"),
             col("bands").getItem(0).getField("mask").as("b0_mask"),
             col("bands").getItem(1).getField("mask").as("b1_mask"),
@@ -239,10 +239,6 @@ object EmbIndexQueries {
       })
   )
 
-  /** Serializes index staging within this JVM (cross-process safety
-    * comes from the create-only ATOMIC_MOVE). */
-  private val stageLock = new Object
-
   /** Stages the base-corpus embedding band index (EmbIndex.writeIndex
     * over vec_id % 5 ≠ 0) once per testdata generation — the same
     * versioned-by-source-attrs, create-only publication as the text
@@ -305,35 +301,9 @@ object EmbIndexQueries {
         "emb repair stage: repair not idempotent")
     }
 
-  /** Generation-versioned, create-only staging keyed on the source
-    * embeddings.parquet's (size, mtime): `build` populates a temp
-    * dir, published by atomic rename; losers of the cross-process
-    * race keep the winner's identical artifact. */
-  private def stageOnce(prefix: String, dir: String)(
-      build: String => Unit): String = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    val src = Paths.get(dir, "embeddings.parquet")
-    val attr = Files.readAttributes(src,
-      classOf[java.nio.file.attribute.BasicFileAttributes])
-    val target = Paths.get(sys.props("java.io.tmpdir"),
-      prefix + dir.replaceAll("[^A-Za-z0-9]", "_") +
-        s"_${attr.size}_${attr.lastModifiedTime.toMillis}")
-    stageLock.synchronized {
-      if (!Files.exists(target)) {
-        val tmp = Files.createTempDirectory(
-          Paths.get(sys.props("java.io.tmpdir")), "." + prefix)
-        try {
-          val staged = tmp.resolve("root")
-          build(staged.toString)
-          try Files.move(staged, target, StandardCopyOption.ATOMIC_MOVE)
-          catch {
-            case _: java.nio.file.FileAlreadyExistsException |
-                 _: java.nio.file.DirectoryNotEmptyException |
-                 _: java.nio.file.AccessDeniedException => ()
-          }
-        } finally graft.text.Dedup.deleteRecursively(tmp)
-      }
-    }
-    target.toString
-  }
+  /** Embedding-keyed staging — delegates to the ONE shared spelling
+    * ([[graft.io.Staging.stageOnce]], keyed on embeddings.parquet). */
+  private[graft] def stageOnce(prefix: String, dir: String)(
+      build: String => Unit): String =
+    graft.io.Staging.stageOnce(prefix, dir, "embeddings.parquet")(build)
 }

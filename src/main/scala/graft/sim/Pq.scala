@@ -185,6 +185,12 @@ object Pq {
     * corpus scan (not all-pairs — single query), the PQ side rides
     * the memoized codebook. */
   def recallReport(emb: DataFrame, k: Int = 10): DataFrame = {
+    // the e6 fixed-point recall multiplies by 1e6/k — a k that does
+    // not divide 1e6 would truncate SILENTLY here while the oracle's
+    // rendered multiplier truncates separately, desyncing the two
+    // without a wrong-looking number anywhere (the advisor's r12
+    // finding); fail loudly instead
+    require(1000000 % k == 0, s"recall@k requires k | 1e6, got $k")
     val gold = exactL2TopK(emb, k).select("vec_id")
     val pq = topK(emb, k).select("vec_id")
     gold.join(pq, "vec_id")

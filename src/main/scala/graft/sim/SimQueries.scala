@@ -440,23 +440,8 @@ object SimQueries {
     // report hash-matches. The ADC side reuses the ONE pqCte/pqAdcCtes
     // spelling (and the session-memoized codebook on the Spark side).
     Q("sim_recall_pq",
-      Some(s"""WITH $pqCte,
-              |cand AS (SELECT vec_id FROM embeddings),
-              |$pqAdcCtes,
-              |gold AS (SELECT d.vec_id, sum((d.v - qv.v) * (d.v - qv.v)) AS gd2
-              |         FROM d JOIN (SELECT i, v FROM d
-              |                      WHERE vec_id = (SELECT min(vec_id) FROM embeddings)) qv
-              |                ON d.i = qv.i
-              |         WHERE d.vec_id <> (SELECT min(vec_id) FROM embeddings)
-              |         GROUP BY 1),
-              |gtop AS (SELECT vec_id FROM gold ORDER BY gd2, vec_id LIMIT 10),
-              |pqtop AS (SELECT vec_id FROM adc ORDER BY approx_d2, vec_id LIMIT 10)
-              |SELECT CAST(10 AS BIGINT) AS k,
-              |       CAST((SELECT count(*) FROM gtop JOIN pqtop USING (vec_id))
-              |            AS BIGINT) AS n_common,
-              |       CAST((SELECT count(*) FROM gtop JOIN pqtop USING (vec_id))
-              |            * 100000 AS BIGINT) AS recall_e6""".stripMargin),
-      (s, d) => Pq.recallReport(embeddings(s, d), 10)),
+      Some(pqRecallOracle(PqRecallK)),
+      (s, d) => Pq.recallReport(embeddings(s, d), PqRecallK)),
 
     Q("emb_band_recall",
       Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
@@ -735,6 +720,35 @@ object SimQueries {
              |            SELECT *,
              |              row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, j) AS rn
              |            FROM encd) t WHERE rn = 1)""".stripMargin
+
+  /** One recall@k value, shared by the engine call and the rendered
+    * oracle so the two cannot desync on k or on the e6 multiplier
+    * (which must divide exactly — Pq.recallReport require()s it). */
+  private[sim] val PqRecallK = 10
+
+  /** The sim_recall_pq oracle, parameterized on k: both the LIMIT and
+    * the fixed-point multiplier are rendered from the ONE k, with the
+    * same divisibility guard as the engine side. */
+  private def pqRecallOracle(k: Int): String = {
+    require(1000000 % k == 0, s"recall@k requires k | 1e6, got $k")
+    val mult = 1000000 / k
+    s"""WITH $pqCte,
+       |cand AS (SELECT vec_id FROM embeddings),
+       |$pqAdcCtes,
+       |gold AS (SELECT d.vec_id, sum((d.v - qv.v) * (d.v - qv.v)) AS gd2
+       |         FROM d JOIN (SELECT i, v FROM d
+       |                      WHERE vec_id = (SELECT min(vec_id) FROM embeddings)) qv
+       |                ON d.i = qv.i
+       |         WHERE d.vec_id <> (SELECT min(vec_id) FROM embeddings)
+       |         GROUP BY 1),
+       |gtop AS (SELECT vec_id FROM gold ORDER BY gd2, vec_id LIMIT $k),
+       |pqtop AS (SELECT vec_id FROM adc ORDER BY approx_d2, vec_id LIMIT $k)
+       |SELECT CAST($k AS BIGINT) AS k,
+       |       CAST((SELECT count(*) FROM gtop JOIN pqtop USING (vec_id))
+       |            AS BIGINT) AS n_common,
+       |       CAST((SELECT count(*) FROM gtop JOIN pqtop USING (vec_id))
+       |            * $mult AS BIGINT) AS recall_e6""".stripMargin
+  }
 
   /** The ADC CTEs shared by sim_topk_pq / sim_topk_ivfpq /
     * sim_recall_pq — ONE spelling of the distance table + lookup-sum,

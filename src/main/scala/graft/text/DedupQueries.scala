@@ -577,10 +577,6 @@ object DedupQueries {
       })
   )
 
-  /** Serializes index staging within this JVM (cross-process safety
-    * comes from the create-only ATOMIC_MOVE below). */
-  private val indexLock = new Object
-
   /** Stages the base-corpus dedup index (Dedup.writeIndex over
     * doc_id % 5 ≠ 0 — per-doc `ix`, postings `post`, bucket-stats
     * sidecar `bk`) ONCE per testdata generation and returns its root —
@@ -650,46 +646,11 @@ object DedupQueries {
         "repair stage: repair not idempotent")
     }
 
-  /** Generation-versioned, create-only staging shared by the dedup
-    * index artifacts: `build` populates a temp dir, which is published
-    * under a name keyed by the source parquet's (size, mtime) via
-    * atomic rename; losers of the cross-process race keep the winner's
-    * identical artifact. */
+  /** Document-keyed staging — delegates to the ONE shared spelling
+    * ([[graft.io.Staging.stageOnce]], keyed on documents.parquet). */
   private[graft] def stageOnce(prefix: String, dir: String)(
-      build: String => Unit): String = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    val src = Paths.get(dir, "documents.parquet")
-    val attr = Files.readAttributes(src,
-      classOf[java.nio.file.attribute.BasicFileAttributes])
-    val target = Paths.get(sys.props("java.io.tmpdir"),
-      prefix + dir.replaceAll("[^A-Za-z0-9]", "_") +
-        s"_${attr.size}_${attr.lastModifiedTime.toMillis}")
-    indexLock.synchronized {
-      if (!Files.exists(target)) {
-        val tmp = Files.createTempDirectory(
-          Paths.get(sys.props("java.io.tmpdir")), "." + prefix)
-        // finally-reap: a build() failure (executor loss mid-write)
-        // must not orphan the partially-written scratch index; the
-        // other staging paths (appendIndex, publishNextGen) carry the
-        // same guarantee
-        try {
-          val staged = tmp.resolve("root")
-          build(staged.toString)
-          try Files.move(staged, target, StandardCopyOption.ATOMIC_MOVE)
-          catch {
-            // another process published the identical artifact first
-            case _: java.nio.file.FileAlreadyExistsException |
-                 _: java.nio.file.DirectoryNotEmptyException |
-                 _: java.nio.file.AccessDeniedException => ()
-          }
-        } finally
-          // reap whatever of the temp shell remains (the staged dir if
-          // we lost the publish race or build threw, else the shell)
-          Dedup.deleteRecursively(tmp)
-      }
-    }
-    target.toString
-  }
+      build: String => Unit): String =
+    graft.io.Staging.stageOnce(prefix, dir, "documents.parquet")(build)
 
   /** Shared DuckDB CTE prefix: exact distinct-3-shingle sets, inverted
     * index, shared-shingle pair counts, set sizes — the same

@@ -144,6 +144,30 @@ class EmbIndexSpec extends SparkSpec {
     assert(perVec.length == nBase && perVec.forall(_.getAs[Long]("n") == 2L))
   }
 
+  test("double-retry tear (fully-landed append re-run) dedupes vecs " +
+      "itself via a published generation, not just the probe path") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_embix7").toString
+    EmbIndex.writeIndex(randVecs(0L until 300L, 64), dir)
+    // a crash AFTER the final vecs append followed by a full retry
+    // duplicates the delta's rows in all three artifacts
+    val delta = randVecs(300L until 350L, 64)
+    EmbIndex.appendIndex(dir, delta)
+    EmbIndex.appendIndex(dir, delta)
+    assert(spark.read.parquet(EmbIndex.vecsLive(dir))
+      .groupBy("vec_id").count().filter(col("count") > 1).count() == 50L)
+    // repair detects it, publishes a deduplicated vecs generation and
+    // re-derives post/bk; second call is a no-op
+    assert(EmbIndex.repairIndex(spark, dir))
+    assert(!EmbIndex.repairIndex(spark, dir))
+    assert(graft.text.Dedup.livePath(dir, "vecs").getName == "vecs.g1")
+    // the DIRECT vecs consumers (emb_index_build's content gate) now
+    // see one row per vector, and the probe invariant holds
+    val ix = EmbIndex.readIndex(spark, dir)
+    assert(ix.vecs.count() == 350L)
+    assert(ix.vecs.select("vec_id").distinct().count() == 350L)
+    assert(ix.postings.count() == 700L)
+  }
+
   test("appended entries block later near-dups of accepted vectors") {
     val d = 64
     def unit(sign: Int) = (0 until d).map(j =>
