@@ -204,7 +204,10 @@ object Bench {
       // stage (build over the base corpus) on first touch — never
       // last; the repair lifecycle stages build+tear+repair
       "emb_index_build", "emb_incremental", "emb_index_repair",
-      "emb_index_append", "obs_stage_rows")
+      "emb_index_append", "obs_stage_rows",
+      // round-13: compaction/erasure lifecycles pay their one-time
+      // multi-append or purge stage on first touch — never last
+      "emb_index_compact", "emb_index_erase", "dedup_index_compact")
     val batchQs = batchQs0.sortBy(q => if (heavyFirst(q.name)) 0 else 1)
     val wall0 = System.nanoTime()
     // Each headline query runs twice back-to-back; the reported figure is

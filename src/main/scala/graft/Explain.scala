@@ -58,7 +58,10 @@ object Explain {
         "corpus_stratified_sample",
         // round-12: the persisted embedding index trio and PQ recall
         "emb_index_build", "emb_incremental", "emb_index_repair",
-        "emb_index_append", "sim_recall_pq", "mm_perceptual_dedup")
+        "emb_index_append", "sim_recall_pq", "mm_perceptual_dedup",
+        // round-13: maintenance + erasure through the persisted
+        // indexes (both families)
+        "emb_index_compact", "emb_index_erase", "dedup_index_compact")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

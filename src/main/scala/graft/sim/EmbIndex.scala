@@ -113,10 +113,104 @@ object EmbIndex {
     * the live generation in place. */
   def readIndex(s: SparkSession, root: String): EmbeddingIndex = {
     val (bits, clamped, guard, _) = readManifest(s, root)
-    EmbeddingIndex(s.read.parquet(vecsLive(root)),
-      s.read.parquet(graft.text.Dedup.livePath(root, "post").toString),
+    val vecs = s.read.parquet(vecsLive(root))
+    val post = s.read.parquet(graft.text.Dedup.livePath(root, "post").toString)
+    val (v, p) =
+      if (graft.text.Dedup.artifactExists(root, "tomb")) {
+        // tombstone-aware open: erased vectors are anti-joined out of
+        // the record of truth AND the probe side, so from the erase
+        // call onward a tombstoned vector can neither reject a delta
+        // nor appear in any probe — physical removal happens at the
+        // next [[compactIndexStats]]. Tombstone sets are request-sized
+        // (GDPR lists), hence the broadcast hint. The bk sidecar stays
+        // UNFILTERED until compaction: occupancy that still counts
+        // erased members only over-guards (drops hot buckets sooner) —
+        // the conservative direction.
+        val tomb = broadcast(s.read.parquet(tombLive(root)).select("vec_id"))
+        (vecs.join(tomb, Seq("vec_id"), "left_anti"),
+          post.join(tomb, Seq("vec_id"), "left_anti"))
+      } else (vecs, post)
+    EmbeddingIndex(v, p,
       s.read.parquet(graft.text.Dedup.livePath(root, "bk").toString),
       bits, clamped, guard)
+  }
+
+  private def tombLive(root: String): String =
+    graft.text.Dedup.livePath(root, "tomb").toString
+
+  /** Right-to-erasure INTO the persisted index (the index-side
+    * counterpart of pipeline_erasure's lake rewrite): the ids —
+    * an EXTERNAL request list, never a frame derived from the index
+    * being erased — append to the `tomb` artifact, which every
+    * [[readIndex]] open anti-joins out. O(|request|) at erase time;
+    * the physical rewrite is deferred to [[compactIndexStats]], where
+    * it rides the maintenance pass the sidecar needs anyway. */
+  def eraseFromIndex(root: String, ids: DataFrame): Unit = {
+    val s = ids.sparkSession
+    val p =
+      if (graft.text.Dedup.artifactExists(root, "tomb")) tombLive(root)
+      else s"$root/tomb"
+    ids.select(col("vec_id")).write.mode("append").parquet(p)
+    s.catalog.refreshByPath(p)
+  }
+
+  /** Maintenance pass — the embedding twin of
+    * [[graft.text.Dedup.compactIndexStats]], plus tombstone purge:
+    *
+    *  - ALWAYS: the `bk` sidecar returns to one row per bucket.
+    *    Every [[appendIndex]] adds a partial row-set and every probe
+    *    sums per bucket, so correctness never degrades — but a
+    *    daily-append year leaves ~365 partials per bucket and the
+    *    probe-time aggregation pays for the history. Compaction is
+    *    the maintenance half of the mergeable-partials contract.
+    *  - WHEN TOMBSTONES EXIST: erased vectors are physically removed
+    *    from `vecs` and `post` (published as next create-only
+    *    generations), `bk` is re-derived from the purged postings
+    *    (one row per bucket — compaction implicit), and the tombstone
+    *    list is reset LAST — a crash at any point leaves the
+    *    tombstones in force and every artifact at some complete
+    *    generation, so probes stay erasure-correct throughout.
+    *
+    * Same single-writer assumption as [[appendIndex]]; results are
+    * bit-identical before/after for non-erased data (the probe sums
+    * partials either way). The manifest's `n_base` is informational
+    * and intentionally untouched — the frozen WIDTH is the contract,
+    * and erasure shrinks a corpus, never grows it past the width's
+    * density point. */
+  def compactIndexStats(s: SparkSession, root: String): Unit = {
+    val hasTomb = graft.text.Dedup.artifactExists(root, "tomb") &&
+      s.read.parquet(tombLive(root)).limit(1).count() > 0
+    if (hasTomb) {
+      val tomb = s.read.parquet(tombLive(root)).select("vec_id")
+        .localCheckpoint() // snapshot: outlives the tomb reset below
+      val curVecs = vecsLive(root)
+      graft.text.Dedup.publishNextGen(s, root, "vecs") { sd =>
+        s.read.parquet(curVecs)
+          .join(broadcast(tomb), Seq("vec_id"), "left_anti")
+          .write.mode("overwrite").parquet(sd)
+      }
+      val curPost = graft.text.Dedup.livePath(root, "post").toString
+      graft.text.Dedup.publishNextGen(s, root, "post") { sd =>
+        s.read.parquet(curPost)
+          .join(broadcast(tomb), Seq("vec_id"), "left_anti")
+          .write.mode("overwrite").parquet(sd)
+      }
+      graft.text.Dedup.publishNextGen(s, root, "bk") { sd =>
+        indexBucketStats(s.read.parquet(
+            graft.text.Dedup.livePath(root, "post").toString))
+          .write.mode("overwrite").parquet(sd)
+      }
+      graft.text.Dedup.publishNextGen(s, root, "tomb") { sd =>
+        s.range(0).select(col("id").as("vec_id"))
+          .write.mode("overwrite").parquet(sd)
+      }
+    } else {
+      val curBk = graft.text.Dedup.livePath(root, "bk").toString
+      graft.text.Dedup.publishNextGen(s, root, "bk") { sd =>
+        s.read.parquet(curBk).groupBy("bk").agg(sum("n").as("n"))
+          .write.mode("overwrite").parquet(sd)
+      }
+    }
   }
 
   /** The live `vecs` artifact. Normally the plain build-time dir

@@ -153,8 +153,79 @@ object EmbIndexQueries {
          |SELECT vec_id, CAST(2 AS BIGINT) AS day FROM acc2
          |ORDER BY day, vec_id""".stripMargin)
 
+  /** Width-parameterized oracle for the sidecar-compaction lifecycle
+    * (base = vec_id % 8 = 0; three UNSCREENED delta appends % 8 ∈
+    * {1,2,3} — "accepted" is the caller's contract, and a pipeline
+    * that already trusts its deltas appends directly — then
+    * [[EmbIndex.compactIndexStats]]). Part 1 hash-gates the COMPACTED
+    * sidecar's content — per-bucket occupancy over the full indexed
+    * population at the manifest width, one row per bucket, the exact
+    * sum of the per-append partials — and part 2 the % 8 = 4 delta's
+    * probe through the compacted artifact (stage-time require()s pin
+    * that the probe result is IDENTICAL before/after compaction and
+    * that partials existed to compact). */
+  private[graft] def compactOracles(bits: Int): Map[String, String] = Map(
+    "emb_index_compact" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+         |          FROM embeddings WHERE vec_id % 8 <= 4),
+         |${BandedSql.quantizeCte},
+         |${BandedSql.bandKeysCte(bits)},
+         |${BandedSql.guardCtes},
+         |p AS (SELECT DISTINCT d.vec_id AS id, r.vec_id AS id_ref
+         |      FROM k2 d JOIN k2 r ON d.band = r.band AND d.mask = r.mask
+         |      WHERE d.vec_id % 8 = 4
+         |        AND (r.vec_id % 8 <= 3
+         |             OR (r.vec_id % 8 = 4 AND r.vec_id < d.vec_id))),
+         |${BandedSql.pairStatsCte("pd", "p", "id", "id_ref")},
+         |rej AS (SELECT DISTINCT id FROM pd
+         |        WHERE ${BandedSql.verifyQuarterPredicate})
+         |SELECT CAST(1 AS BIGINT) AS part,
+         |       CAST(CAST(band AS BIGINT) * 4294967296 + mask AS BIGINT) AS key,
+         |       count(*) AS n
+         |FROM k WHERE vec_id % 8 <= 3 GROUP BY band, mask
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT), vec_id, CAST(0 AS BIGINT)
+         |FROM embeddings
+         |WHERE vec_id % 8 = 4 AND vec_id NOT IN (SELECT id FROM rej)
+         |ORDER BY part, key""".stripMargin)
+
+  /** Width-parameterized oracle for the erasure lifecycle (base =
+    * vec_id % 5 ≠ 0 — the SAME base as emb_index_build, so the width
+    * matches that artifact's manifest; erased = % 10 = 1, physically
+    * purged at compaction). Part 1 hash-gates the PURGED record of
+    * truth read directly from the vecs parquet (vec_id + exact
+    * integer norm per SURVIVOR — an unpurged erased row would
+    * hash-mismatch); part 2 the % 5 = 0 delta probe, whose reference
+    * set and hot-bucket guard must both exclude the erased vectors. */
+  private[graft] def eraseOracles(bits: Int): Map[String, String] = Map(
+    "emb_index_erase" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+         |          FROM embeddings
+         |          WHERE vec_id % 5 = 0
+         |             OR (vec_id % 5 <> 0 AND vec_id % 10 <> 1)),
+         |${BandedSql.quantizeCte},
+         |${BandedSql.bandKeysCte(bits)},
+         |${BandedSql.guardCtes},
+         |p AS (SELECT DISTINCT d.vec_id AS id, r.vec_id AS id_ref
+         |      FROM k2 d JOIN k2 r ON d.band = r.band AND d.mask = r.mask
+         |      WHERE d.vec_id % 5 = 0
+         |        AND (r.vec_id % 5 <> 0
+         |             OR (r.vec_id % 5 = 0 AND r.vec_id < d.vec_id))),
+         |${BandedSql.pairStatsCte("pd", "p", "id", "id_ref")},
+         |rej AS (SELECT DISTINCT id FROM pd
+         |        WHERE ${BandedSql.verifyQuarterPredicate})
+         |SELECT CAST(1 AS BIGINT) AS part, vec_id AS key,
+         |       CAST(list_sum(list_transform(qe, x -> x * x)) AS BIGINT) AS n
+         |FROM q WHERE vec_id % 5 <> 0
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT), vec_id, CAST(0 AS BIGINT)
+         |FROM embeddings
+         |WHERE vec_id % 5 = 0 AND vec_id NOT IN (SELECT id FROM rej)
+         |ORDER BY part, key""".stripMargin)
+
   private lazy val gateOracles =
-    indexOracles(8) ++ repairOracles(8) ++ appendOracles(8)
+    indexOracles(8) ++ repairOracles(8) ++ appendOracles(8) ++
+      compactOracles(8) ++ eraseOracles(8)
 
   def queries: Seq[Q] = Seq(
     // PHASE 1: build & persist the base corpus's band index. The
@@ -236,6 +307,59 @@ object EmbIndexQueries {
             embeddings(s, d).filter(col("vec_id") % 4 === 3), 1, 5)
           .select(lit(2L).as("part"), col("vec_id"), lit(0L).as("n"))
         postAudit.unionByName(acc).orderBy("part", "vec_id")
+      }),
+
+    // SIDECAR COMPACTION lifecycle — the maintenance op that bounds
+    // the mergeable-partials debt: every appendIndex adds a partial
+    // row-set to `bk` and every probe re-aggregates ALL of them, so a
+    // daily-append year leaves ~365 partials per bucket and probe
+    // cost grows with append count. The staged artifact runs base +
+    // THREE appends (partials proven present), then
+    // EmbIndex.compactIndexStats (one row per bucket again, published
+    // as a create-only generation — probe wall returns flat; see
+    // SERIAL.md). Part 1 hash-gates the compacted sidecar CONTENT
+    // (per-bucket occupancy = the exact partial sums), part 2 the
+    // delta probe through it; stage-time require()s pin probe-result
+    // invariance across compaction.
+    Q("emb_index_compact",
+      Some(gateOracles("emb_index_compact")),
+      (s, d) => {
+        val ix = EmbIndex.readIndex(s, stagedEmbCompactPath(s, d))
+        val part1 = ix.bucketStats.select(lit(1L).as("part"),
+          (col("bk").getField("band").cast("long") * 4294967296L +
+            col("bk").getField("mask")).as("key"),
+          col("n").cast("long").as("n"))
+        val part2 = EmbIndex.incrementalAcceptIndexed(ix,
+            embeddings(s, d).filter(col("vec_id") % 8 === 4), 1, 5)
+          .select(lit(2L).as("part"), col("vec_id").as("key"),
+            lit(0L).as("n"))
+        part1.unionByName(part2).orderBy("part", "key")
+      }),
+
+    // ERASURE through the persisted index — the artifact-side half of
+    // the right-to-erasure story (pipeline_erasure rewrites the LAKE;
+    // without this, a deleted vector lives on in vecs/post/bk until a
+    // full rebuild): eraseFromIndex appends the request ids to the
+    // `tomb` artifact (probes exclude them from that moment), and the
+    // next compactIndexStats physically purges all three artifacts.
+    // Part 1 reads the purged vecs parquet DIRECTLY (not through the
+    // tombstone-filtered open) — an unpurged erased row would
+    // hash-mismatch — and part 2 probes the delta against the erased
+    // index: the reference set AND the hot-bucket guard both reflect
+    // only survivors.
+    Q("emb_index_erase",
+      Some(gateOracles("emb_index_erase")),
+      (s, d) => {
+        val root = stagedEmbErasePath(s, d)
+        val part1 = s.read.parquet(EmbIndex.vecsLive(root))
+          .select(lit(1L).as("part"), col("vec_id").as("key"),
+            col("na").as("n"))
+        val part2 = EmbIndex.incrementalAcceptIndexed(
+            EmbIndex.readIndex(s, root),
+            embeddings(s, d).filter(col("vec_id") % 5 === 0), 1, 5)
+          .select(lit(2L).as("part"), col("vec_id").as("key"),
+            lit(0L).as("n"))
+        part1.unionByName(part2).orderBy("part", "key")
       })
   )
 
@@ -299,6 +423,65 @@ object EmbIndexQueries {
         "emb repair stage: torn append not detected")
       require(!EmbIndex.repairIndex(s, root),
         "emb repair stage: repair not idempotent")
+    }
+
+  /** Stages the `emb_index_compact` artifact once per testdata
+    * generation: day-0 index over vec_id % 8 = 0, then THREE
+    * unscreened delta appends (% 8 ∈ {1,2,3} — each leaving its own
+    * `bk` partial row-set), then [[EmbIndex.compactIndexStats]].
+    * Stage-time require()s make the compaction claims falsifiable:
+    * partials existed (sidecar rows > distinct buckets), the probe
+    * result is bit-identical before/after, and afterwards the sidecar
+    * is exactly one row per bucket. */
+  private[graft] def stagedEmbCompactPath(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    stageOnce("graft_emb_compact_", dir) { root =>
+      val emb = embeddings(s, dir)
+      EmbIndex.writeIndex(emb.filter(col("vec_id") % 8 === 0), root)
+      (1 to 3).foreach(m =>
+        EmbIndex.appendIndex(root, emb.filter(col("vec_id") % 8 === m)))
+      def bk = s.read.parquet(
+        graft.text.Dedup.livePath(root, "bk").toString)
+      val (rows, buckets) = (bk.count(), bk.select("bk").distinct().count())
+      require(rows > buckets,
+        s"compact stage: no partials to compact ($rows rows / $buckets buckets)")
+      def probeIds = EmbIndex.incrementalAcceptIndexed(
+          EmbIndex.readIndex(s, root),
+          emb.filter(col("vec_id") % 8 === 4), 1, 5)
+        .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+      val before = probeIds
+      EmbIndex.compactIndexStats(s, root)
+      require(bk.count() == buckets,
+        "compact stage: sidecar not one row per bucket after compaction")
+      require(probeIds == before,
+        "compact stage: probe result changed across compaction")
+    }
+
+  /** Stages the `emb_index_erase` artifact once per testdata
+    * generation: index over the % 5 ≠ 0 base (the emb_index_build
+    * population — same manifest width), then
+    * [[EmbIndex.eraseFromIndex]] of the % 10 = 1 members and a
+    * purging [[EmbIndex.compactIndexStats]]. Stage-time require()s:
+    * the purged vecs/post hold zero erased rows and the tombstone
+    * list is reset. */
+  private[graft] def stagedEmbErasePath(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    stageOnce("graft_emb_erase_", dir) { root =>
+      val emb = embeddings(s, dir)
+      EmbIndex.writeIndex(emb.filter(col("vec_id") % 5 =!= 0), root)
+      EmbIndex.eraseFromIndex(root,
+        emb.filter(col("vec_id") % 10 === 1).select("vec_id"))
+      EmbIndex.compactIndexStats(s, root)
+      def live(part: String) = s.read.parquet(
+        graft.text.Dedup.livePath(root, part).toString)
+      require(s.read.parquet(EmbIndex.vecsLive(root))
+        .filter(col("vec_id") % 10 === 1).limit(1).count() == 0,
+        "erase stage: erased rows survived the vecs purge")
+      require(live("post")
+        .filter(col("vec_id") % 10 === 1).limit(1).count() == 0,
+        "erase stage: erased rows survived the post purge")
+      require(live("tomb").count() == 0,
+        "erase stage: tombstone list not reset after physical purge")
     }
 
   /** Embedding-keyed staging — delegates to the ONE shared spelling

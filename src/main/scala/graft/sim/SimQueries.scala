@@ -675,10 +675,18 @@ object SimQueries {
     val (na, dimA) = Similarity.corpusStats(
       embeddings(s, sfDir).filter(col("vec_id") % 3 === 0))
     val (appBits, _) = Similarity.resolveWidth(na, dimA, maxBucket = 100)
+    // the compaction artifact's day-0 base is the % 8 = 0 eighth
+    val (nc, dimC) = Similarity.corpusStats(
+      embeddings(s, sfDir).filter(col("vec_id") % 8 === 0))
+    val (cmpBits, _) = Similarity.resolveWidth(nc, dimC, maxBucket = 100)
     bandedOracles(bits, clamped) ++
       EmbIndexQueries.indexOracles(idxBits) ++
       EmbIndexQueries.repairOracles(repBits) ++
-      EmbIndexQueries.appendOracles(appBits)
+      EmbIndexQueries.appendOracles(appBits) ++
+      EmbIndexQueries.compactOracles(cmpBits) ++
+      // the erase artifact indexes the SAME % 5 ≠ 0 base as
+      // emb_index_build (erasure never re-resolves the frozen width)
+      EmbIndexQueries.eraseOracles(idxBits)
   }
 
   /** The exact-integer PQ pipeline as DuckDB CTEs (shared by

@@ -257,6 +257,14 @@ object Dedup {
     }
   }
 
+  /** True iff ANY complete generation of `base` exists under `root` —
+    * the existence probe for OPTIONAL artifacts (the embedding index's
+    * tombstone list) where [[livePath]]'s require would throw. */
+  private[graft] def artifactExists(root: String, base: String): Boolean = {
+    val (fs, r) = hadoopFs(root)
+    fs.exists(r) && listGens(fs, r, base).exists(_.complete)
+  }
+
   /** Resolves the LIVE generation of a derived index artifact (`post`
     * or `bk`): the highest-numbered COMPLETE generation (see
     * [[listGens]]). Generations are create-only — maintenance writes

@@ -223,6 +223,39 @@ object DedupQueries {
         postAudit.unionByName(acc).orderBy("part", "doc_id")
       }),
 
+    // SIDECAR COMPACTION lifecycle, text side (the embedding twin is
+    // emb_index_compact): every appendIndex leaves a `bk` partial
+    // row-set and every probe re-aggregates the history, so the
+    // staged artifact runs base (doc_id % 8 = 0) + THREE unscreened
+    // appends (% 8 ∈ {1,2,3}), then Dedup.compactIndexStats — the
+    // maintenance op that restores one row per bucket. The bucket
+    // keys are MinHash band signatures (no ANSI spelling — the
+    // dedup_simhash situation), so the hash gate here is the % 8 = 4
+    // delta's PROBE through the compacted artifact (exact-Jaccard
+    // oracle, the dedup_incremental convention), with stage-time
+    // require()s pinning that partials existed, the probe result is
+    // bit-identical before/after, and the sidecar compacted to
+    // exactly one row per bucket.
+    Q("dedup_index_compact",
+      Some(s"""$jaccardCtePrefix,
+             |jp AS (SELECT ia, ib FROM pairs
+             |       JOIN sizes sa ON sa.doc_id = pairs.ia
+             |       JOIN sizes sb ON sb.doc_id = pairs.ib
+             |       WHERE CAST(ns AS DOUBLE) / (sa.n + sb.n - ns) >= 0.7),
+             |e AS (SELECT ia AS a, ib AS b FROM jp
+             |      UNION SELECT ib AS a, ia AS b FROM jp),
+             |rej AS (SELECT DISTINCT a AS doc_id FROM e
+             |        WHERE a % 8 = 4
+             |          AND (b % 8 <= 3 OR (b % 8 = 4 AND b < a)))
+             |SELECT doc_id FROM documents
+             |WHERE doc_id % 8 = 4 AND doc_id NOT IN (SELECT doc_id FROM rej)
+             |ORDER BY doc_id""".stripMargin),
+      (s, d) => Dedup.incrementalAcceptIndexed(
+          Dedup.readIndex(s, stagedTextCompactPath(s, d)),
+          documents(s, d).filter(col("doc_id") % 8 === 4),
+          "doc_id", "text")
+        .select("doc_id").orderBy("doc_id")),
+
     // SimHash fingerprints (+ prefix bucket) for every doc.
     // Rows-only BY DESIGN (no oracle SQL): the production hash family is
     // MurmurHash3 — a tight JVM loop, the right cost profile at 100 TB —
@@ -612,6 +645,37 @@ object DedupQueries {
       val acc1 = Dedup.incrementalAcceptIndexed(Dedup.readIndex(s, root),
         docs.filter(col("doc_id") % 3 === 1), "doc_id", "text")
       Dedup.appendIndex(root, acc1, "doc_id", "text")
+    }
+
+  /** Stages the `dedup_index_compact` artifact once per testdata
+    * generation: day-0 index over doc_id % 8 = 0, three unscreened
+    * delta appends (% 8 ∈ {1,2,3}, each leaving a `bk` partial
+    * row-set), then [[Dedup.compactIndexStats]] — with require()s
+    * pinning that partials existed, the % 8 = 4 probe result is
+    * bit-identical across compaction, and the compacted sidecar is
+    * one row per bucket. */
+  private[graft] def stagedTextCompactPath(
+      s: org.apache.spark.sql.SparkSession, dir: String): String =
+    stageOnce("graft_dedup_compact_", dir) { root =>
+      val docs = documents(s, dir)
+      Dedup.writeIndex(docs.filter(col("doc_id") % 8 === 0),
+        "doc_id", "text", root)
+      (1 to 3).foreach(m => Dedup.appendIndex(root,
+        docs.filter(col("doc_id") % 8 === m), "doc_id", "text"))
+      def bk = s.read.parquet(Dedup.bkLivePath(root).toString)
+      val (rows, buckets) = (bk.count(), bk.select("bk").distinct().count())
+      require(rows > buckets,
+        s"text compact stage: no partials to compact ($rows/$buckets)")
+      def probeIds = Dedup.incrementalAcceptIndexed(
+          Dedup.readIndex(s, root),
+          docs.filter(col("doc_id") % 8 === 4), "doc_id", "text")
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      val before = probeIds
+      Dedup.compactIndexStats(s, root)
+      require(bk.count() == buckets,
+        "text compact stage: sidecar not one row per bucket")
+      require(probeIds == before,
+        "text compact stage: probe result changed across compaction")
     }
 
   /** Stages the `dedup_index_repair` artifact once per testdata

@@ -168,6 +168,58 @@ class EmbIndexSpec extends SparkSpec {
     assert(ix.postings.count() == 700L)
   }
 
+  test("sidecar compaction: partials sum to one row per bucket and the " +
+      "probe result is bit-identical before/after") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_embix8").toString
+    EmbIndex.writeIndex(randVecs(0L until 200L, 64), dir)
+    (1 to 3).foreach(m =>
+      EmbIndex.appendIndex(dir, randVecs(200L * m until 200L * (m + 1), 64)))
+    def bk = spark.read.parquet(
+      graft.text.Dedup.livePath(dir, "bk").toString)
+    val buckets = bk.select("bk").distinct().count()
+    assert(bk.count() > buckets) // partials from 3 appends
+    val preSums = bk.groupBy("bk").agg(sum("n").as("n"))
+      .collect().map(r => (r.get(0).toString, r.getLong(1))).toMap
+    def probe = EmbIndex.incrementalAcceptIndexed(
+        EmbIndex.readIndex(spark, dir), randVecs(9000L until 9050L, 64), 1, 5)
+      .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    val before = probe
+    EmbIndex.compactIndexStats(spark, dir)
+    assert(bk.count() == buckets)
+    val postSums = bk.collect()
+      .map(r => (r.get(0).toString, r.getAs[Long]("n"))).toMap
+    assert(postSums == preSums) // compacted == summed partials, exactly
+    assert(probe == before)
+    // idempotent: compacting a compacted sidecar changes nothing
+    EmbIndex.compactIndexStats(spark, dir)
+    assert(bk.count() == buckets)
+  }
+
+  test("erasure: a tombstoned vector can neither reject a delta nor " +
+      "appear in any probe; compaction purges it physically") {
+    val d = 64
+    def vec(first: Float) = (0 until d).map(j =>
+      if (j == 0) first else 0.01f).toArray
+    val dir = java.nio.file.Files.createTempDirectory("graft_embix9").toString
+    EmbIndex.writeIndex(Seq((1L, vec(1.0f))).toDF("vec_id", "embedding"), dir)
+    val clone = Seq((20L, vec(1.001f))).toDF("vec_id", "embedding")
+    def accepted = EmbIndex.incrementalAcceptIndexed(
+      EmbIndex.readIndex(spark, dir), clone, 1, 5).count()
+    assert(accepted == 0L) // blocked by the indexed near-identical vector
+    EmbIndex.eraseFromIndex(dir, Seq(Tuple1(1L)).toDF("vec_id"))
+    // tombstone-aware from the erase call on — BEFORE any compaction
+    assert(accepted == 1L)
+    assert(EmbIndex.readIndex(spark, dir).vecs.count() == 0L)
+    // physical purge at compaction: the raw artifacts are clean too
+    EmbIndex.compactIndexStats(spark, dir)
+    assert(spark.read.parquet(EmbIndex.vecsLive(dir)).count() == 0L)
+    assert(spark.read.parquet(
+      graft.text.Dedup.livePath(dir, "post").toString).count() == 0L)
+    assert(spark.read.parquet(
+      graft.text.Dedup.livePath(dir, "tomb").toString).count() == 0L)
+    assert(accepted == 1L)
+  }
+
   test("appended entries block later near-dups of accepted vectors") {
     val d = 64
     def unit(sign: Int) = (0 until d).map(j =>
