@@ -61,7 +61,8 @@ object Explain {
         "emb_index_append", "sim_recall_pq", "mm_perceptual_dedup",
         // round-13: maintenance + erasure through the persisted
         // indexes (both families)
-        "emb_index_compact", "emb_index_erase", "dedup_index_compact")
+        "emb_index_compact", "emb_index_erase", "dedup_index_compact",
+        "pq_index_build", "pq_incremental", "pq_index_append")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

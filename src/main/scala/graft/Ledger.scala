@@ -71,6 +71,7 @@ object Ledger {
       "dedup" -> text.DedupQueries.queries,
       "similarity" -> sim.SimQueries.queries,
       "similarity" -> sim.EmbIndexQueries.queries,
+      "similarity" -> sim.PqIndexQueries.queries,
       "multimodal" -> multimodal.MultimodalQueries.queries,
       "pipeline" -> pipeline.PipelineQueries.queries,
       "streaming" -> streaming.StreamQueries.queries)

@@ -84,6 +84,7 @@ object Registry {
       graft.text.DedupQueries.queries ++
       graft.sim.SimQueries.queries ++
       graft.sim.EmbIndexQueries.queries ++
+      graft.sim.PqIndexQueries.queries ++
       graft.multimodal.MultimodalQueries.queries ++
       graft.pipeline.PipelineQueries.queries ++
       graft.streaming.StreamQueries.queries

@@ -102,6 +102,14 @@ object Pq {
     new graft.plans.PlanMemo[(Int, Int), (DataFrame, DataFrame)](
       v => Seq(v._1, v._2))
 
+  /** Encodes `emb` against a FROZEN codebook frame (sub, j, i, cv) —
+    * the delta path of the persisted PQ index ([[PqIndex]]): pure
+    * assignment, no Lloyd update, no training-corpus re-read. The
+    * codebook is fixed-cardinality (M·K·Dsub = 256 rows), broadcast
+    * inside [[assign]], so delta encode is one scan of the delta. */
+  def encodeAt(emb: DataFrame, cents: DataFrame): DataFrame =
+    assign(dims(emb), cents)
+
   /** ADC top-k: (rank, vec_id, label, approx_d2) by ascending
     * approximate distance to the lowest-id query vector (excluded from
     * the candidates), ties on vec_id. approx_d2 ≤ M·3.6e15 — exact in

@@ -1,0 +1,89 @@
+package graft.sim
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted PQ index [EXT] — the ANN ladder's compression stage given
+  * the same production growing-corpus shape as the text MinHash and
+  * embedding band indexes ([[graft.text.Dedup]], [[EmbIndex]]): the
+  * session-memoized codebook ([[Pq.codebookAndCodes]]) is retrained
+  * from scratch every session — exactly the cold-cost curve the
+  * embedding band index eliminated (140 s session build → 7 s delta
+  * probe at the 100× corpus) — while the production shape is
+  * train-once / encode-deltas / ADC-serve from persisted codes.
+  *
+  * Artifacts under `root`:
+  *
+  *  - `codebook` — (sub, j, i, cv): the M·K·Dsub = 256-row trained
+  *    codebook, exact integer centroids on the shifted 1e-7 grid.
+  *    FROZEN for the index's lifetime: PQ codes are only
+  *    ADC-comparable against the codebook they were encoded with, so
+  *    deltas MUST encode at the manifest generation's codebook (the
+  *    band index's one-width-per-generation contract, for PQ) and
+  *    only a REBUILD retrains from the grown corpus.
+  *  - `codes` — (vec_id, sub, code, d2): M one-byte codes (+ exact
+  *    encoding distortion) per vector — the "no raw vectors after
+  *    encode" record every ADC scan reads. Delta-sized appends.
+  *  - `manifest` — one row (m, k, n_base), informational except as
+  *    the generation marker (m/k are compile-time constants today;
+  *    persisting them makes a future knob change a detectable
+  *    generation boundary, not a silent probe incompatibility).
+  *
+  * Crash contract: `codes` appends are single-artifact (the codebook
+  * is immutable after build), so a torn delta append leaves partial
+  * code rows for some delta vectors — re-running the append
+  * duplicates them, and [[graft.text.Dedup]]-style repair machinery
+  * is deliberately NOT duplicated here: PQ codes are a derived cache
+  * of (vector, codebook), so the recovery op for any inconsistency is
+  * re-encoding the delta, never a corpus re-read. */
+object PqIndex {
+
+  final case class PqIndexArt(codebook: DataFrame, codes: DataFrame,
+      m: Int, k: Int)
+
+  /** Trains on `emb` (the base corpus) and persists all three
+    * artifacts; `codes` are re-encoded against the WRITTEN codebook
+    * parquet so the two cannot drift (the writeIndex derivation
+    * contract of both sibling indexes). */
+  def writeIndex(emb: DataFrame, root: String): Unit = {
+    val s = emb.sparkSession
+    val (cent, _) = Pq.codebookAndCodes(emb)
+    cent.write.mode("overwrite").parquet(s"$root/codebook")
+    Pq.encodeAt(emb, s.read.parquet(s"$root/codebook"))
+      .write.mode("overwrite").parquet(s"$root/codes")
+    import s.implicits._
+    // 1-row manifest; repartition(1) on a local relation carries no
+    // upstream compute (the coalesce(1) lesson does not apply)
+    Seq((Pq.M, Pq.K, emb.count()))
+      .toDF("m", "k", "n_base")
+      .repartition(1).write.mode("overwrite").parquet(s"$root/manifest")
+  }
+
+  /** The manifest row: (m, k, n_base). */
+  def readManifest(s: SparkSession, root: String): (Int, Int, Long) = {
+    val r = s.read.parquet(s"$root/manifest")
+      .select("m", "k", "n_base").head()
+    (r.getInt(0), r.getInt(1), r.getLong(2))
+  }
+
+  def readIndex(s: SparkSession, root: String): PqIndexArt = {
+    val (m, k, _) = readManifest(s, root)
+    PqIndexArt(s.read.parquet(s"$root/codebook"),
+      s.read.parquet(s"$root/codes"), m, k)
+  }
+
+  /** Encodes the delta AT THE FROZEN CODEBOOK and appends its codes —
+    * the recurring-cost path: one scan of the delta against a
+    * broadcast 256-row codebook, zero training, zero base re-reads
+    * (re-training on the grown corpus is a REBUILD, not an append —
+    * codes from two codebooks cannot share an ADC table). The delta
+    * here reads source data, not the index being grown, so no scratch
+    * snapshot is needed (unlike [[EmbIndex.appendIndex]], whose
+    * accepted frame derives from the probed index). */
+  def appendIndex(root: String, delta: DataFrame): Unit = {
+    val s = delta.sparkSession
+    Pq.encodeAt(delta, s.read.parquet(s"$root/codebook"))
+      .write.mode("append").parquet(s"$root/codes")
+    s.catalog.refreshByPath(s"$root/codes")
+  }
+}

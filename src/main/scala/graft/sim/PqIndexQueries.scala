@@ -1,0 +1,97 @@
+package graft.sim
+
+import graft.Q
+import graft.io.Tables._
+import org.apache.spark.sql.functions._
+
+/** Registered queries for the persisted PQ index ([[PqIndex]]) — the
+  * frozen-codebook lifecycle, mirroring the text/embedding index
+  * trios: phase 1 trains on the base corpus (vec_id % 5 ≠ 0) and
+  * persists codebook + codes; phase 2 encodes the DELTA (% 5 = 0) at
+  * the frozen codebook with zero training and zero base re-reads; the
+  * append cycle grows the codes artifact across two delta days at the
+  * day-0 codebook. The frozen-codebook contract is externally
+  * hash-checked: the oracles train on the BASE population only (seeds
+  * = the base's 4 lowest vec_ids — the full corpus would seed a
+  * DIFFERENT codebook, since vec_id 0 is delta), so an engine that
+  * silently retrained on base ∪ delta would hash-mismatch. M/K are
+  * compile-time constants (no width-style re-resolution across corpus
+  * scales), so these oracles need no graft.Verify override. */
+object PqIndexQueries {
+
+  private val basePred = "vec_id % 5 <> 0"
+  private val deltaPred = "vec_id % 5 = 0"
+
+  def queries: Seq[Q] = Seq(
+    // PHASE 1: build & persist. Output = the full persisted payload
+    // per (vector, subspace): the code AND its exact integer encoding
+    // distortion (recomputed by the oracle from raw embeddings and
+    // the base-trained codebook), plus the manifest's m/k — so
+    // artifact CONTENT is hash-gated, not just staged.
+    Q("pq_index_build",
+      Some(s"""WITH ${PqSql.pipelineCtes(basePred, basePred)}
+              |SELECT vec_id, sub, code, d2,
+              |       CAST(4 AS BIGINT) AS m, CAST(4 AS BIGINT) AS k
+              |FROM codes ORDER BY vec_id, sub""".stripMargin),
+      (s, d) => {
+        val root = stagedPqIndexPath(s, d)
+        val (m, k, _) = PqIndex.readManifest(s, root)
+        s.read.parquet(s"$root/codes")
+          .select(col("vec_id"), col("sub"), col("code"), col("d2"),
+            lit(m.toLong).as("m"), lit(k.toLong).as("k"))
+          .orderBy("vec_id", "sub")
+      }),
+
+    // PHASE 2: delta encode at the FROZEN codebook — the recurring
+    // cost path (one delta scan against a broadcast 256-row codebook;
+    // PqIndexSpec pins that the plan reads no base vectors and runs
+    // no training aggregation). The oracle's codebook is base-trained,
+    // so a silent retrain would hash-mismatch.
+    Q("pq_incremental",
+      Some(s"""WITH ${PqSql.pipelineCtes(basePred, deltaPred)}
+              |SELECT vec_id, sub, code, d2
+              |FROM codes ORDER BY vec_id, sub""".stripMargin),
+      (s, d) => Pq.encodeAt(
+          embeddings(s, d).filter(col("vec_id") % 5 === 0),
+          PqIndex.readIndex(s, stagedPqIndexPath(s, d)).codebook)
+        .select("vec_id", "sub", "code", "d2").orderBy("vec_id", "sub")),
+
+    // MULTI-DAY APPEND cycle: day 0 trains on the % 3 = 0 third and
+    // persists; days 1 and 2 (% 3 = 1, 2) append their codes encoded
+    // at the DAY-0 codebook. Output = the grown codes artifact read
+    // back in full — every row the oracle recomputes at the day-0
+    // codebook, so the one-codebook-per-generation contract gates the
+    // whole cycle (a day-2 retrain would flip codes corpus-wide).
+    Q("pq_index_append",
+      Some(s"""WITH ${PqSql.pipelineCtes("vec_id % 3 = 0", "TRUE")}
+              |SELECT vec_id, sub, code, d2
+              |FROM codes ORDER BY vec_id, sub""".stripMargin),
+      (s, d) => s.read
+        .parquet(stagedPqAppendPath(s, d) + "/codes")
+        .select("vec_id", "sub", "code", "d2").orderBy("vec_id", "sub"))
+  )
+
+  /** Stages the base PQ index (train + encode over vec_id % 5 ≠ 0)
+    * once per testdata generation. */
+  private[graft] def stagedPqIndexPath(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    stageOnce("graft_pq_index_", dir) { root =>
+      PqIndex.writeIndex(
+        embeddings(s, dir).filter(col("vec_id") % 5 =!= 0), root)
+    }
+
+  /** Stages the `pq_index_append` artifact: day-0 build over
+    * vec_id % 3 = 0, then two delta appends at the frozen codebook. */
+  private[graft] def stagedPqAppendPath(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    stageOnce("graft_pq_append_", dir) { root =>
+      val emb = embeddings(s, dir)
+      PqIndex.writeIndex(emb.filter(col("vec_id") % 3 === 0), root)
+      PqIndex.appendIndex(root, emb.filter(col("vec_id") % 3 === 1))
+      PqIndex.appendIndex(root, emb.filter(col("vec_id") % 3 === 2))
+    }
+
+  private def stageOnce(prefix: String, dir: String)(
+      build: String => Unit): String =
+    graft.io.Staging.stageOnce(prefix, dir, "embeddings.parquet")(build)
+}

@@ -1,0 +1,57 @@
+package graft.sim
+
+/** The ONE spelling of the exact-integer PQ pipeline as DuckDB CTEs,
+  * parameterized on the TRAINING and ENCODING populations (both SQL
+  * predicates over `vec_id`) — shared by the whole-corpus consumers
+  * (sim_topk_pq / sim_pq_distortion / sim_recall_pq, rendered at
+  * TRUE/TRUE) and the persisted-index lifecycle (pq_index_build /
+  * pq_incremental / pq_index_append, which train on a BASE subset and
+  * encode base or delta at that frozen codebook). Mirrors
+  * [[Pq.codebookAndCodes]] + [[Pq.encodeAt]]: grid-quantized dims →
+  * per-subspace seeded codebooks from the TRAINING rows (one exact
+  * Lloyd update; sums stay HUGEINT = the Spark side's DECIMAL(38,0)
+  * widening) → codes with exact encoding distortion for the ENCODING
+  * rows.
+  */
+private[sim] object PqSql {
+
+  /** CTE chain binding `d` (quantized sub-dims of train ∪ encode),
+    * `cent2` (the base-trained codebook) and `codes` (the encode
+    * population's codes) — names kept stable so the ADC fragments
+    * ([[SimQueries]] pqAdcCtes) compose unchanged. */
+  def pipelineCtes(trainPred: String, encodePred: String): String =
+    s"""dims AS (
+       |  SELECT vec_id, generate_subscripts(embedding, 1) AS ii,
+       |         CAST(round(unnest(embedding) * 1e7) AS BIGINT) + 10000000 AS v
+       |  FROM embeddings WHERE ($trainPred) OR ($encodePred)),
+       |d AS (SELECT vec_id, CAST((ii - 1) // 16 AS BIGINT) AS sub, ii AS i, v
+       |      FROM dims),
+       |seeds AS (SELECT vec_id,
+       |            CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS j
+       |          FROM embeddings WHERE $trainPred ORDER BY vec_id LIMIT 4),
+       |init AS (SELECT d.sub, s.j, d.i, d.v AS cv
+       |         FROM d JOIN seeds s USING (vec_id)),
+       |a1d AS (SELECT d.vec_id, d.sub, c.j,
+       |          CAST(sum((d.v - c.cv) * (d.v - c.cv)) AS BIGINT) AS d2
+       |        FROM d JOIN init c ON d.sub = c.sub AND d.i = c.i
+       |        WHERE $trainPred
+       |        GROUP BY 1, 2, 3),
+       |a1 AS (SELECT vec_id, sub, j FROM (
+       |         SELECT vec_id, sub, j,
+       |           row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, j) AS rn
+       |         FROM a1d) t WHERE rn = 1),
+       |upd AS (SELECT a1.sub, a1.j, d.i, sum(d.v) AS s, count(*) AS n
+       |        FROM a1 JOIN d ON a1.vec_id = d.vec_id AND a1.sub = d.sub
+       |        GROUP BY 1, 2, 3),
+       |cent2 AS (SELECT sub, j, i, CAST((s - s % n) // n AS BIGINT) AS cv
+       |          FROM upd),
+       |encd AS (SELECT d.vec_id, d.sub, c.j,
+       |          CAST(sum((d.v - c.cv) * (d.v - c.cv)) AS BIGINT) AS d2
+       |        FROM d JOIN cent2 c ON d.sub = c.sub AND d.i = c.i
+       |        WHERE $encodePred
+       |        GROUP BY 1, 2, 3),
+       |codes AS (SELECT vec_id, sub, j AS code, d2 FROM (
+       |            SELECT *,
+       |              row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, j) AS rn
+       |            FROM encd) t WHERE rn = 1)""".stripMargin
+}

@@ -689,45 +689,13 @@ object SimQueries {
       EmbIndexQueries.eraseOracles(idxBits)
   }
 
-  /** The exact-integer PQ pipeline as DuckDB CTEs (shared by
-    * sim_topk_pq and sim_pq_distortion — one spelling, mirroring
-    * graft.sim.Pq): grid-quantized dims with their subspace → per-
-    * subspace seeded codebooks (one exact Lloyd update; sums stay
-    * HUGEINT = the Spark side's DECIMAL(38,0) widening) → per-vector
-    * codes with their exact encoding distortion. */
-  private val pqCte =
-    """dims AS (
-             |  SELECT vec_id, generate_subscripts(embedding, 1) AS ii,
-             |         CAST(round(unnest(embedding) * 1e7) AS BIGINT) + 10000000 AS v
-             |  FROM embeddings),
-             |d AS (SELECT vec_id, CAST((ii - 1) // 16 AS BIGINT) AS sub, ii AS i, v
-             |      FROM dims),
-             |seeds AS (SELECT vec_id,
-             |            CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS j
-             |          FROM embeddings ORDER BY vec_id LIMIT 4),
-             |init AS (SELECT d.sub, s.j, d.i, d.v AS cv
-             |         FROM d JOIN seeds s USING (vec_id)),
-             |a1d AS (SELECT d.vec_id, d.sub, c.j,
-             |          CAST(sum((d.v - c.cv) * (d.v - c.cv)) AS BIGINT) AS d2
-             |        FROM d JOIN init c ON d.sub = c.sub AND d.i = c.i
-             |        GROUP BY 1, 2, 3),
-             |a1 AS (SELECT vec_id, sub, j FROM (
-             |         SELECT vec_id, sub, j,
-             |           row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, j) AS rn
-             |         FROM a1d) t WHERE rn = 1),
-             |upd AS (SELECT a1.sub, a1.j, d.i, sum(d.v) AS s, count(*) AS n
-             |        FROM a1 JOIN d ON a1.vec_id = d.vec_id AND a1.sub = d.sub
-             |        GROUP BY 1, 2, 3),
-             |cent2 AS (SELECT sub, j, i, CAST((s - s % n) // n AS BIGINT) AS cv
-             |          FROM upd),
-             |encd AS (SELECT d.vec_id, d.sub, c.j,
-             |          CAST(sum((d.v - c.cv) * (d.v - c.cv)) AS BIGINT) AS d2
-             |        FROM d JOIN cent2 c ON d.sub = c.sub AND d.i = c.i
-             |        GROUP BY 1, 2, 3),
-             |codes AS (SELECT vec_id, sub, j AS code, d2 FROM (
-             |            SELECT *,
-             |              row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, j) AS rn
-             |            FROM encd) t WHERE rn = 1)""".stripMargin
+  /** The exact-integer PQ pipeline as DuckDB CTEs — the ONE
+    * [[PqSql.pipelineCtes]] spelling rendered at the whole-corpus
+    * populations (train = encode = every vector), shared by
+    * sim_topk_pq / sim_pq_distortion / sim_recall_pq; the persisted
+    * PQ index queries render the same builder at subset populations
+    * ([[PqIndexQueries]]). */
+  private val pqCte = PqSql.pipelineCtes("TRUE", "TRUE")
 
   /** One recall@k value, shared by the engine call and the rendered
     * oracle so the two cannot desync on k or on the e6 multiplier

@@ -1,0 +1,75 @@
+package graft
+
+import graft.sim.{Pq, PqIndex}
+import org.apache.spark.sql.functions._
+
+class PqIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mix(i: Int, j: Int): Long = {
+    var h = i.toLong * 0x9E3779B97F4A7C15L + j.toLong * 0xBF58476D1CE4E5B9L
+    h ^= h >>> 30; h *= 0xBF58476D1CE4E5B9L
+    h ^= h >>> 27; h *= 0x94D049BB133111EBL
+    h ^ (h >>> 31)
+  }
+
+  private def randVecs(ids: Seq[Long], d: Int = 64) =
+    ids.map { i =>
+      (i, (0 until d).map(j =>
+        (mix(i.toInt, j).toDouble / (1L << 62).toDouble).toFloat).toArray)
+    }.toDF("vec_id", "embedding")
+
+  test("delta encode reads only the codebook artifact + the delta: " +
+      "no base vectors, no training aggregation") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pqix1").toString
+    PqIndex.writeIndex(randVecs(10L until 200L), dir)
+    val delta = randVecs(1000L until 1010L)
+    val enc = Pq.encodeAt(delta, PqIndex.readIndex(spark, dir).codebook)
+    // the only FILE relation in the encode plan is the persisted
+    // codebook — base raw vectors are touched zero times
+    val rels = enc.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+    }
+    assert(rels.nonEmpty)
+    assert(rels.forall(_.relation.asInstanceOf[
+      org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+      .location.rootPaths.forall(_.toString.contains(s"$dir/codebook"))))
+    // exactly M code rows per delta vector, codes within [0, K)
+    val rows = enc.collect()
+    assert(rows.length == 10 * Pq.M)
+    assert(rows.forall { r =>
+      val c = r.getAs[Long]("code"); c >= 0 && c < Pq.K
+    })
+  }
+
+  test("frozen codebook per generation: appended delta codes are " +
+      "encoded at the day-0 codebook, not a retrain over the union") {
+    val base = randVecs(10L until 120L)
+    val delta = randVecs(0L until 10L) // lower ids: a retrain would re-seed
+    val dir = java.nio.file.Files.createTempDirectory("graft_pqix2").toString
+    PqIndex.writeIndex(base, dir)
+    PqIndex.appendIndex(dir, delta)
+    val grown = spark.read.parquet(s"$dir/codes")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getAs[Long]("code"), r.getAs[Long]("d2"))).toMap
+    assert(grown.size == 120 * Pq.M)
+    // a REBUILD over the union retrains (seeds now 0..3, not 10..13)
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_pqix3").toString
+    PqIndex.writeIndex(base.unionByName(delta), dir2)
+    val rebuilt = spark.read.parquet(s"$dir2/codes")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getAs[Long]("code"), r.getAs[Long]("d2"))).toMap
+    assert(rebuilt.size == 120 * Pq.M)
+    assert(grown != rebuilt,
+      "retrain-on-union produced identical codes — the frozen-codebook " +
+        "contract is not observable on this fixture")
+    // and the grown artifact equals base codes + delta encoded at the
+    // PERSISTED codebook — the append added exactly the delta's rows
+    val expected = (Pq.encodeAt(base,
+        spark.read.parquet(s"$dir/codebook")).collect() ++
+      Pq.encodeAt(delta, spark.read.parquet(s"$dir/codebook")).collect())
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getAs[Long]("code"), r.getAs[Long]("d2"))).toMap
+    assert(grown == expected)
+  }
+}
