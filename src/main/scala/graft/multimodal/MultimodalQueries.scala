@@ -6,11 +6,13 @@ import org.apache.spark.sql.functions._
 
 /** Registered multimodal queries. The image/audio paths run REAL JDK
   * codecs (javax.imageio BMP, javax.sound.sampled WAV — see
-  * [[Multimodal]]) over per-doc synthetic payloads whose pixel/sample
+  * [[Multimodal]]); video runs the hand-built RIFF/AVI parser
+  * ([[Multimodal.AviCodec]] — the JDK ships no video codec, so the
+  * strict chunk walker IS the decoder, validated fourcc-by-fourcc).
+  * All three run over per-doc synthetic payloads whose pixel/sample
   * formulas are closed-form integer arithmetic — so the oracle
   * recomputes every DECODED quantity without a codec and the whole
-  * encode→decode round-trip is hash-gated at every SF. Video keeps
-  * the documented byte-stride stub (no JDK video codec). */
+  * encode→decode round-trip is hash-gated at every SF. */
 object MultimodalQueries {
 
   /** The staged media-lake parquet: (doc_id, media_type, payload
@@ -25,7 +27,10 @@ object MultimodalQueries {
     * staged media parquet. */
   private[graft] def stagedMediaPath(s: org.apache.spark.sql.SparkSession,
       dir: String): String =
-    graft.text.DedupQueries.stageOnce("graft_media_", dir) { root =>
+    // v2: the video payload became a real AVI container in round 13 —
+    // the prefix bump keeps an old generation's staged lake (same
+    // source attrs, different generator) from being read back
+    graft.text.DedupQueries.stageOnce("graft_media_v2_", dir) { root =>
       Multimodal.synthMediaTable(s, documents(s, dir))
         .write.mode("overwrite").parquet(s"$root/media")
     }
@@ -42,29 +47,38 @@ object MultimodalQueries {
     // the container size (BMP: 54-byte headers + 4-byte-padded BGR
     // rows; WAV: 44-byte header + PCM data).
     Q("mm_meta",
-      Some("""SELECT doc_id,
+      Some("""WITH p AS (SELECT doc_id,
+             |    CAST(n_chars % 64 + 1 AS BIGINT) AS iw,
+             |    CAST(doc_id % 48 + 1 AS BIGINT) AS ih,
+             |    CAST(n_chars % 800 + 50 AS BIGINT) AS ns,
+             |    CAST(n_chars % 24 + 1 AS BIGINT) AS vw,
+             |    CAST(doc_id % 16 + 1 AS BIGINT) AS vh,
+             |    CAST(doc_id % 12 + 2 AS BIGINT) AS nf
+             |  FROM documents)
+             |SELECT doc_id,
              |       CASE WHEN doc_id % 3 = 0 THEN 'image'
              |            WHEN doc_id % 3 = 1 THEN 'audio'
              |            ELSE 'video' END AS media_type,
              |       CAST(CASE WHEN doc_id % 3 = 0
-             |              THEN 54 + (((3 * (n_chars % 64 + 1) + 3) // 4) * 4)
-             |                        * (doc_id % 48 + 1)
-             |            WHEN doc_id % 3 = 1 THEN 44 + (n_chars % 800 + 50)
-             |            ELSE length(text) END AS BIGINT) AS n_bytes,
-             |       CAST(CASE WHEN doc_id % 3 = 0 THEN n_chars % 64 + 1
+             |              THEN 54 + (((3 * iw + 3) // 4) * 4) * ih
+             |            WHEN doc_id % 3 = 1 THEN 44 + ns
+             |            ELSE 1256 + nf * (24 + (((vw + 3) // 4) * 4) * vh)
+             |            END AS BIGINT) AS n_bytes,
+             |       CAST(CASE WHEN doc_id % 3 = 0 THEN iw
+             |            WHEN doc_id % 3 = 2 THEN vw
              |            ELSE 0 END AS BIGINT) AS width,
-             |       CAST(CASE WHEN doc_id % 3 = 0 THEN doc_id % 48 + 1
+             |       CAST(CASE WHEN doc_id % 3 = 0 THEN ih
+             |            WHEN doc_id % 3 = 2 THEN vh
              |            ELSE 0 END AS BIGINT) AS height,
              |       CAST(CASE WHEN doc_id % 3 = 0 THEN 3
-             |            WHEN doc_id % 3 = 1 THEN 1
-             |            ELSE 0 END AS BIGINT) AS n_channels,
+             |            ELSE 1 END AS BIGINT) AS n_channels,
              |       CAST(CASE WHEN doc_id % 3 = 1 THEN 8000
+             |            WHEN doc_id % 3 = 2 THEN 10
              |            ELSE 0 END AS BIGINT) AS sample_rate,
              |       CAST(CASE WHEN doc_id % 3 = 0 THEN 1
-             |            WHEN doc_id % 3 = 1 THEN n_chars % 800 + 50
-             |            ELSE (length(text) + 255) // 256 END AS BIGINT)
-             |         AS n_frames
-             |FROM documents ORDER BY doc_id""".stripMargin),
+             |            WHEN doc_id % 3 = 1 THEN ns
+             |            ELSE nf END AS BIGINT) AS n_frames
+             |FROM p ORDER BY doc_id""".stripMargin),
       (s, d) => Multimodal.decodeMeta(s, media(s, d))
         .toDF().orderBy("doc_id")),
 
@@ -74,21 +88,29 @@ object MultimodalQueries {
     // the JVM; one double division at the end, over the same exact
     // integers in both engines.
     Q("mm_features",
-      Some("""WITH u AS (
+      Some("""WITH p AS (SELECT doc_id, text, n_chars,
+             |    CAST(n_chars % 64 + 1 AS BIGINT) AS iw,
+             |    CAST(n_chars % 24 + 1 AS BIGINT) AS vw,
+             |    CAST(doc_id % 16 + 1 AS BIGINT) AS vh,
+             |    CAST(doc_id % 12 + 2 AS BIGINT) AS nf
+             |  FROM documents),
+             |u AS (
              |  SELECT doc_id,
              |    CASE WHEN doc_id % 3 = 0 THEN 'image'
              |         WHEN doc_id % 3 = 1 THEN 'audio'
              |         ELSE 'video' END AS media_type,
              |    CASE WHEN doc_id % 3 = 0 THEN
-             |        list_transform(range((n_chars % 64 + 1) * (doc_id % 48 + 1)),
-             |          i -> (doc_id + 7 * (i % (n_chars % 64 + 1))
-             |                + 13 * (i // (n_chars % 64 + 1))) % 256)
+             |        list_transform(range(iw * (doc_id % 48 + 1)),
+             |          i -> (doc_id + 7 * (i % iw) + 13 * (i // iw)) % 256)
              |      WHEN doc_id % 3 = 1 THEN
              |        list_transform(range(n_chars % 800 + 50),
              |          i -> (7 * doc_id + 31 * i) % 256)
-             |      ELSE list_transform(range(length(text)), i -> ord(text[i+1]))
+             |      ELSE list_transform(range(nf * vw * vh),
+             |          i -> (doc_id + 3 * (i // (vw * vh))
+             |                + 7 * ((i % (vw * vh)) % vw)
+             |                + 13 * ((i % (vw * vh)) // vw)) % 256)
              |    END AS vs
-             |  FROM documents)
+             |  FROM p)
              |SELECT doc_id, media_type, CAST(len(vs) AS BIGINT) AS n_units,
              |       CASE WHEN len(vs) = 0 THEN 0.0
              |            ELSE CAST(list_sum(vs) AS DOUBLE) / len(vs)
@@ -101,14 +123,24 @@ object MultimodalQueries {
       (s, d) => Multimodal.extractFeatures(s, media(s, d))
         .toDF().orderBy("doc_id")),
 
-    // frame sampling over the video subset (every 256th byte, first 5
-    // as a comma-joined preview) — the declared video stub.
+    // REAL frame extraction at stride over the video subset: frames
+    // 0, 2, 4, … are seeked through the AVI's idx1 index chunk (only
+    // the sampled frames' bytes are read — AviCodec.frameAt) and each
+    // reduces to its exact integer pixel sum, recomputed by the
+    // oracle from the closed-form pixel formula — so every decoded
+    // pixel of every sampled frame is cross-engine hash-gated while
+    // one long per frame crosses the shuffle.
     Q("mm_frames",
       Some("""SELECT doc_id,
-             |       CAST((length(text) + 255) // 256 AS BIGINT) AS n_frames,
+             |       CAST(doc_id % 12 + 2 AS BIGINT) AS n_frames,
              |       array_to_string(list_transform(
-             |         range(LEAST((length(text) + 255) // 256, 5)),
-             |         i -> ord(text[i*256 + 1])), ',') AS frame_bytes
+             |         range((doc_id % 12 + 2 + 1) // 2),
+             |         fi -> list_sum(list_transform(
+             |           range((n_chars % 24 + 1) * (doc_id % 16 + 1)),
+             |           i -> (doc_id + 3 * (2 * fi)
+             |                 + 7 * (i % (n_chars % 24 + 1))
+             |                 + 13 * (i // (n_chars % 24 + 1))) % 256))), ',')
+             |         AS frame_sums
              |FROM documents WHERE doc_id % 3 = 2 ORDER BY doc_id""".stripMargin),
       (s, d) => Multimodal.sampleFrames(s, media(s, d))
         .toDF().orderBy("doc_id")),

@@ -1,6 +1,7 @@
 package graft
 
-import graft.multimodal.Multimodal.{BmpCodec, SynthMedia, WavCodec}
+import graft.multimodal.Multimodal
+import graft.multimodal.Multimodal.{AviCodec, BmpCodec, SynthMedia, WavCodec}
 
 class MultimodalSpec extends SparkSpec {
 
@@ -172,8 +173,51 @@ class MultimodalSpec extends SparkSpec {
     // audio doc: doc_id % 3 = 1
     val (_, _, got) = WavCodec.decode(SynthMedia.payload(10L, "x", 100L))
     assert(got.toSeq == SynthMedia.audioSamples(10L, 100L).toSeq)
-    // video doc: raw text bytes
-    assert(SynthMedia.payload(11L, "abc", 3L).toSeq ==
-      "abc".getBytes.toSeq)
+    // video doc: doc_id % 3 = 2 — a real AVI container
+    val (vw, vh, nf, fps, frames) =
+      AviCodec.decode(SynthMedia.payload(11L, "abc", 3L))
+    assert((vw, vh, nf, fps) ==
+      ((3 % 24 + 1, 11 % 16 + 1, 11 % 12 + 2, SynthMedia.VideoFps)))
+    for (f <- 0 until nf; y <- 0 until vh; x <- 0 until vw)
+      assert(frames(f)(y * vw + x) == SynthMedia.videoPixel(11L, f, x, y))
+  }
+
+  test("AVI encode → chunk-walk decode round-trips dims, fps, frame " +
+      "count and every pixel; frameAt seeks the same planes via idx1") {
+    val (w, h, nf, fps) = (5, 3, 4, 10)
+    def pix(f: Int, x: Int, y: Int) = (11 * f + 3 * x + 7 * y) % 256
+    val bytes = AviCodec.encode(w, h, nf, fps, pix)
+    assert(bytes.length == AviCodec.fileSize(w, h, nf))
+    val (dw, dh, dnf, dfps, frames) = AviCodec.decode(bytes)
+    assert((dw, dh, dnf, dfps) == ((w, h, nf, fps)))
+    for (f <- 0 until nf; y <- 0 until h; x <- 0 until w)
+      assert(frames(f)(y * w + x) == pix(f, x, y))
+    // idx1-seeked single-frame extraction agrees with the full walk
+    for (f <- 0 until nf)
+      assert(AviCodec.frameAt(bytes, f).toSeq == frames(f).toSeq)
+  }
+
+  test("AVI header-only meta parses a container truncated inside movi " +
+      "(the hdrl walk never touches frame data); full decode throws") {
+    val bytes = AviCodec.encode(9, 4, 6, 10, (f, x, y) => f + x + y)
+    val truncated = bytes.take(1300) // hdrl (1224) intact, movi cut
+    assert(AviCodec.readMeta(truncated) == ((9, 4, 6, 10)))
+    intercept[Exception](AviCodec.decode(truncated))
+    intercept[Exception](AviCodec.frameAt(truncated, 5))
+    // corrupt fourcc fails loudly at every tier
+    val corrupt = bytes.clone(); corrupt(12) = 'X'.toByte // LIST fourcc
+    intercept[Exception](AviCodec.readMeta(corrupt))
+    intercept[Exception](AviCodec.decode(corrupt))
+  }
+
+  test("non-ASCII ingest payload: mm_dedup's byte length is UTF-8 " +
+      "OCTETS, not chars (the latent the old length(text) oracle had)") {
+    import spark.implicits._
+    val docs = Seq((1L, "héllo wörld")) // 11 chars, 13 UTF-8 bytes
+      .toDF("doc_id", "text")
+    val row = Multimodal.withMediaColumns(docs)
+      .select("n_bytes", "media_type").head()
+    assert(row.getLong(0) == 13L) // octet_length, not length(text) = 11
+    assert("héllo wörld".length == 11)
   }
 }
