@@ -140,8 +140,11 @@ object Pq {
   /** The shared ADC ranking: exact M×K query-to-codebook distance
     * table (≤16 rows, broadcast) → per-vector lookup-sum over the
     * given code rows → TakeOrderedAndProject top-k, ties on vec_id,
-    * query vector excluded. */
-  private def adcTopK(emb: DataFrame, cent: DataFrame, codes: DataFrame,
+    * query vector excluded. Also the SERVING path of the persisted PQ
+    * index (pq_index_query): `emb` supplies only the query vector and
+    * the label lookup — cent/codes can come straight from the
+    * artifact, and the scan never touches raw vectors. */
+  private[sim] def adcTopK(emb: DataFrame, cent: DataFrame, codes: DataFrame,
       k: Int): DataFrame = {
     val q1 = Similarity.queryVector(emb).select("q_id")
     val qd = dims(emb)

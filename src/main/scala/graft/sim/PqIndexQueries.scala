@@ -56,6 +56,27 @@ object PqIndexQueries {
           PqIndex.readIndex(s, stagedPqIndexPath(s, d)).codebook)
         .select("vec_id", "sub", "code", "d2").orderBy("vec_id", "sub")),
 
+    // ADC SERVING through the persisted artifact — the query a FAISS
+    // user runs against a loaded index: top-10 by asymmetric distance
+    // over the PERSISTED codes at the PERSISTED codebook. The query
+    // vector (the base's lowest vec_id) is the only raw embedding the
+    // plan reads — the ranked scan touches codes only, which is the
+    // whole point of the compression.
+    Q("pq_index_query",
+      Some(s"""WITH ${PqSql.pipelineCtes(basePred, basePred)},
+              |cand AS (SELECT DISTINCT vec_id FROM codes),
+              |${PqSql.adcCtes(basePred)}
+              |SELECT CAST(row_number() OVER (ORDER BY approx_d2, vec_id) AS BIGINT)
+              |         AS rank,
+              |       a.vec_id, e.label, a.approx_d2
+              |FROM adc a JOIN embeddings e USING (vec_id)
+              |ORDER BY rank LIMIT 10""".stripMargin),
+      (s, d) => {
+        val ix = PqIndex.readIndex(s, stagedPqIndexPath(s, d))
+        Pq.adcTopK(embeddings(s, d).filter(col("vec_id") % 5 =!= 0),
+          ix.codebook, ix.codes, 10)
+      }),
+
     // MULTI-DAY APPEND cycle: day 0 trains on the % 3 = 0 third and
     // persists; days 1 and 2 (% 3 = 1, 2) append their codes encoded
     // at the DAY-0 codebook. Output = the grown codes artifact read

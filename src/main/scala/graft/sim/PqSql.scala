@@ -54,4 +54,23 @@ private[sim] object PqSql {
        |            SELECT *,
        |              row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, j) AS rn
        |            FROM encd) t WHERE rn = 1)""".stripMargin
+
+  /** The ADC fragments (query distance table + lookup-sum) over a
+    * bound `d`/`cent2`/`codes`/`cand` — the query vector is the
+    * LOWEST vec_id of the `queryPred` population (TRUE = the
+    * whole-corpus consumers' spelling; the persisted-index query
+    * serves from its base population). */
+  def adcCtes(queryPred: String): String =
+    s"""qd AS (SELECT c.sub, c.j,
+       |         CAST(sum((d.v - c.cv) * (d.v - c.cv)) AS BIGINT) AS qd2
+       |       FROM d JOIN cent2 c ON d.sub = c.sub AND d.i = c.i
+       |       WHERE d.vec_id = (SELECT min(vec_id) FROM embeddings
+       |                         WHERE $queryPred)
+       |       GROUP BY 1, 2),
+       |adc AS (SELECT codes.vec_id, CAST(sum(qd.qd2) AS BIGINT) AS approx_d2
+       |        FROM codes JOIN cand USING (vec_id)
+       |                   JOIN qd ON codes.sub = qd.sub AND codes.code = qd.j
+       |        WHERE codes.vec_id <> (SELECT min(vec_id) FROM embeddings
+       |                               WHERE $queryPred)
+       |        GROUP BY 1)""".stripMargin
 }

@@ -731,17 +731,7 @@ object SimQueries {
     * so every consumer can only differ in the `cand` candidate CTE it
     * prepends (all vectors / probed cells' members) and in what it
     * SELECTs off `adc` (ranked rows vs the recall intersection). */
-  private val pqAdcCtes =
-    """qd AS (SELECT c.sub, c.j,
-             |         CAST(sum((d.v - c.cv) * (d.v - c.cv)) AS BIGINT) AS qd2
-             |       FROM d JOIN cent2 c ON d.sub = c.sub AND d.i = c.i
-             |       WHERE d.vec_id = (SELECT min(vec_id) FROM embeddings)
-             |       GROUP BY 1, 2),
-             |adc AS (SELECT codes.vec_id, CAST(sum(qd.qd2) AS BIGINT) AS approx_d2
-             |        FROM codes JOIN cand USING (vec_id)
-             |                   JOIN qd ON codes.sub = qd.sub AND codes.code = qd.j
-             |        WHERE codes.vec_id <> (SELECT min(vec_id) FROM embeddings)
-             |        GROUP BY 1)""".stripMargin
+  private val pqAdcCtes = PqSql.adcCtes("TRUE")
 
   /** The top-10 tail sim_topk_pq and sim_topk_ivfpq append to
     * [[pqAdcCtes]]. */

@@ -394,17 +394,52 @@ object Dedup {
       post.write.mode("append").parquet(livePath(root, "post").toString)
       indexBucketStats(indexPostings(s.read.parquet(sd)))
         .write.mode("append").parquet(livePath(root, "bk").toString)
-      s.read.parquet(sd).write.mode("append").parquet(s"$root/ix")
+      val ixL = ixLive(root)
+      s.read.parquet(sd).write.mode("append").parquet(ixL)
+      s.catalog.refreshByPath(ixL)
     } finally fs.delete(scratch, true)
   }
 
   /** Opens a persisted three-part index written by [[writeIndex]] /
     * grown by [[appendIndex]] / maintained by [[compactIndexStats]]. */
   def readIndex(s: org.apache.spark.sql.SparkSession,
-      root: String): DedupIndex =
-    DedupIndex(s.read.parquet(s"$root/ix"),
-      s.read.parquet(livePath(root, "post").toString),
-      s.read.parquet(livePath(root, "bk").toString))
+      root: String): DedupIndex = {
+    val ix = s.read.parquet(ixLive(root))
+    val post = s.read.parquet(livePath(root, "post").toString)
+    val (i, p) =
+      if (artifactExists(root, "tomb")) {
+        // tombstone-aware open (the embedding index's erasure
+        // contract, for text): erased docs are anti-joined out of the
+        // membership record AND the probe side from the erase call
+        // on; physical purge happens at the next compactIndexStats.
+        // The bk sidecar stays unfiltered until then — conservative.
+        val tomb = broadcast(
+          s.read.parquet(livePath(root, "tomb").toString).select("id"))
+        (ix.join(tomb, Seq("id"), "left_anti"),
+          post.join(tomb, Seq("id"), "left_anti"))
+      } else (ix, post)
+    DedupIndex(i, p, s.read.parquet(livePath(root, "bk").toString))
+  }
+
+  /** The live `ix` membership artifact — normally the plain build dir
+    * (generation 0, append-grown in place); erasure compaction
+    * publishes PURGED next generations. */
+  private[graft] def ixLive(root: String): String =
+    livePath(root, "ix").toString
+
+  /** Right-to-erasure INTO the persisted text index: `ids` (an
+    * EXTERNAL request list with an `id` column — never a frame
+    * derived from the index being erased) append to the `tomb`
+    * artifact every [[readIndex]] open anti-joins out. O(|request|)
+    * now; the physical rewrite rides the next [[compactIndexStats]]. */
+  def eraseFromIndex(root: String, ids: DataFrame): Unit = {
+    val s = ids.sparkSession
+    val p =
+      if (artifactExists(root, "tomb")) livePath(root, "tomb").toString
+      else s"$root/tomb"
+    ids.select(col("id")).write.mode("append").parquet(p)
+    s.catalog.refreshByPath(p)
+  }
 
   /** Compacts the bucket-stats sidecar back to one row per bucket.
     * Each [[appendIndex]] adds a partial row-set, and every consumer
@@ -430,10 +465,43 @@ object Dedup {
     * append-only and untouched here. */
   def compactIndexStats(s: org.apache.spark.sql.SparkSession,
       root: String): Unit = {
-    val live = livePath(root, "bk").toString
-    publishNextGen(s, root, "bk") { sd =>
-      s.read.parquet(live).groupBy("bk").agg(sum("n").as("n"))
-        .write.mode("overwrite").parquet(sd)
+    val hasTomb = artifactExists(root, "tomb") &&
+      s.read.parquet(livePath(root, "tomb").toString).limit(1).count() > 0
+    if (hasTomb) {
+      // tombstone purge (the embedding index's erasure compaction,
+      // for text): erased docs are physically removed from ix and
+      // post, bk is re-derived from the purged postings (one row per
+      // bucket — compaction implicit), and the tombstone list resets
+      // LAST so a crash anywhere leaves the tombstones in force and
+      // every artifact at some complete generation.
+      val tomb = s.read.parquet(livePath(root, "tomb").toString)
+        .select("id").localCheckpoint()
+      val curIx = ixLive(root)
+      publishNextGen(s, root, "ix") { sd =>
+        s.read.parquet(curIx)
+          .join(broadcast(tomb), Seq("id"), "left_anti")
+          .write.mode("overwrite").parquet(sd)
+      }
+      val curPost = livePath(root, "post").toString
+      publishNextGen(s, root, "post") { sd =>
+        s.read.parquet(curPost)
+          .join(broadcast(tomb), Seq("id"), "left_anti")
+          .write.mode("overwrite").parquet(sd)
+      }
+      publishNextGen(s, root, "bk") { sd =>
+        indexBucketStats(s.read.parquet(livePath(root, "post").toString))
+          .write.mode("overwrite").parquet(sd)
+      }
+      publishNextGen(s, root, "tomb") { sd =>
+        s.range(0).select(col("id"))
+          .write.mode("overwrite").parquet(sd)
+      }
+    } else {
+      val live = livePath(root, "bk").toString
+      publishNextGen(s, root, "bk") { sd =>
+        s.read.parquet(live).groupBy("bk").agg(sum("n").as("n"))
+          .write.mode("overwrite").parquet(sd)
+      }
     }
   }
 
@@ -471,7 +539,7 @@ object Dedup {
     * Same single-writer assumption as every index maintenance op. */
   def repairIndex(s: org.apache.spark.sql.SparkSession,
       root: String): Boolean = {
-    def ixDocs = s.read.parquet(s"$root/ix").dropDuplicates("id")
+    def ixDocs = s.read.parquet(ixLive(root)).dropDuplicates("id")
     val ixIds = ixDocs
       .select(col("id")).withColumn("__want", lit(Bands.toLong))
     val have = s.read.parquet(livePath(root, "post").toString)

@@ -86,7 +86,7 @@ object DedupQueries {
              |       md5(array_to_string(list_sort(sh), chr(31))) AS sh_fp,
              |       CAST(16 AS BIGINT) AS n_bands
              |FROM d ORDER BY doc_id""".stripMargin),
-      (s, d) => s.read.parquet(stagedIndexPath(s, d) + "/ix")
+      (s, d) => s.read.parquet(Dedup.ixLive(stagedIndexPath(s, d)))
         .select(col("id").as("doc_id"),
           size(col("sh")).cast("long").as("n_shingles"),
           md5(concat_ws("\u001f", array_sort(col("sh")))).as("sh_fp"),
@@ -255,6 +255,48 @@ object DedupQueries {
           documents(s, d).filter(col("doc_id") % 8 === 4),
           "doc_id", "text")
         .select("doc_id").orderBy("doc_id")),
+
+    // ERASURE through the persisted text index (the embedding twin is
+    // emb_index_erase): eraseFromIndex appends the request ids to the
+    // `tomb` artifact — probes exclude them from that moment — and
+    // the staged compactIndexStats physically purges ix/post/bk and
+    // resets the tombstones LAST. Part 1 reads the purged ix parquet
+    // DIRECTLY (an unpurged erased row would hash-mismatch: doc_id +
+    // shingle-set size per survivor); part 2 probes the % 5 = 0 delta
+    // — the erased docs can no longer reject anything.
+    Q("dedup_index_erase",
+      Some(s"""$jaccardCtePrefix,
+             |jp AS (SELECT ia, ib FROM pairs
+             |       JOIN sizes sa ON sa.doc_id = pairs.ia
+             |       JOIN sizes sb ON sb.doc_id = pairs.ib
+             |       WHERE CAST(ns AS DOUBLE) / (sa.n + sb.n - ns) >= 0.7),
+             |e AS (SELECT ia AS a, ib AS b FROM jp
+             |      UNION SELECT ib AS a, ia AS b FROM jp),
+             |rej AS (SELECT DISTINCT a AS doc_id FROM e
+             |        WHERE a % 5 = 0
+             |          AND ((b % 5 <> 0 AND b % 10 <> 1)
+             |               OR (b % 5 = 0 AND b < a)))
+             |SELECT CAST(1 AS BIGINT) AS part, doc_id,
+             |       CAST(n AS BIGINT) AS n
+             |FROM sizes WHERE doc_id % 5 <> 0 AND doc_id % 10 <> 1
+             |UNION ALL
+             |SELECT CAST(2 AS BIGINT), doc_id, CAST(0 AS BIGINT)
+             |FROM documents
+             |WHERE doc_id % 5 = 0
+             |  AND doc_id NOT IN (SELECT doc_id FROM rej)
+             |ORDER BY part, doc_id""".stripMargin),
+      (s, d) => {
+        val root = stagedTextErasePath(s, d)
+        val part1 = s.read.parquet(Dedup.ixLive(root))
+          .select(lit(1L).as("part"), col("id").as("doc_id"),
+            size(col("sh")).cast("long").as("n"))
+        val part2 = Dedup.incrementalAcceptIndexed(
+            Dedup.readIndex(s, root),
+            documents(s, d).filter(col("doc_id") % 5 === 0),
+            "doc_id", "text")
+          .select(lit(2L).as("part"), col("doc_id"), lit(0L).as("n"))
+        part1.unionByName(part2).orderBy("part", "doc_id")
+      }),
 
     // SimHash fingerprints (+ prefix bucket) for every doc.
     // Rows-only BY DESIGN (no oracle SQL): the production hash family is
@@ -645,6 +687,34 @@ object DedupQueries {
       val acc1 = Dedup.incrementalAcceptIndexed(Dedup.readIndex(s, root),
         docs.filter(col("doc_id") % 3 === 1), "doc_id", "text")
       Dedup.appendIndex(root, acc1, "doc_id", "text")
+    }
+
+  /** Stages the `dedup_index_erase` artifact once per testdata
+    * generation: index over the doc_id % 5 ≠ 0 base (the
+    * dedup_index_build population), then [[Dedup.eraseFromIndex]] of
+    * the % 10 = 1 members and a purging [[Dedup.compactIndexStats]],
+    * with require()s pinning the physical purge and the tombstone
+    * reset. */
+  private[graft] def stagedTextErasePath(
+      s: org.apache.spark.sql.SparkSession, dir: String): String =
+    stageOnce("graft_dedup_erase_", dir) { root =>
+      val docs = documents(s, dir)
+      Dedup.writeIndex(docs.filter(col("doc_id") % 5 =!= 0),
+        "doc_id", "text", root)
+      Dedup.eraseFromIndex(root,
+        docs.filter(col("doc_id") % 10 === 1)
+          .select(col("doc_id").as("id")))
+      Dedup.compactIndexStats(s, root)
+      def live(part: String) = s.read.parquet(
+        Dedup.livePath(root, part).toString)
+      require(s.read.parquet(Dedup.ixLive(root))
+        .filter(col("id") % 10 === 1).limit(1).count() == 0,
+        "text erase stage: erased rows survived the ix purge")
+      require(live("post")
+        .filter(col("id") % 10 === 1).limit(1).count() == 0,
+        "text erase stage: erased rows survived the post purge")
+      require(live("tomb").count() == 0,
+        "text erase stage: tombstone list not reset")
     }
 
   /** Stages the `dedup_index_compact` artifact once per testdata

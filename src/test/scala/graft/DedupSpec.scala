@@ -484,4 +484,30 @@ class DedupSpec extends SparkSpec {
     assert(out(3L) == ((7L, 0L, (0 until 7).map(i => s"w$i").mkString(" "))),
       out(3L))
   }
+  test("text index erasure: a tombstoned doc can neither reject a " +
+      "delta nor appear in any probe; compaction purges it physically") {
+    import spark.implicits._
+    val base = Seq((1L, "the quick brown fox jumps over the lazy dog today"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_txterase").toString
+    graft.text.Dedup.writeIndex(base, "doc_id", "text", dir)
+    // near-dup of the indexed doc: blocked while doc 1 is live
+    val clone = Seq((20L, "the quick brown fox jumps over the lazy dog tonight"))
+      .toDF("doc_id", "text")
+    def accepted = graft.text.Dedup.incrementalAcceptIndexed(
+      graft.text.Dedup.readIndex(spark, dir), clone, "doc_id", "text").count()
+    assert(accepted == 0L)
+    graft.text.Dedup.eraseFromIndex(dir, Seq(Tuple1(1L)).toDF("id"))
+    // tombstone-aware from the erase call on — BEFORE any compaction
+    assert(accepted == 1L)
+    assert(graft.text.Dedup.readIndex(spark, dir).docs.count() == 0L)
+    // physical purge at compaction; tombstones reset
+    graft.text.Dedup.compactIndexStats(spark, dir)
+    assert(spark.read.parquet(graft.text.Dedup.ixLive(dir)).count() == 0L)
+    assert(spark.read.parquet(
+      graft.text.Dedup.livePath(dir, "post").toString).count() == 0L)
+    assert(spark.read.parquet(
+      graft.text.Dedup.livePath(dir, "tomb").toString).count() == 0L)
+    assert(accepted == 1L)
+  }
 }
