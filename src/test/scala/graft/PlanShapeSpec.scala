@@ -476,4 +476,35 @@ class PlanShapeSpec extends SparkSpec {
     // 1-row query-vector cross join
     assert(!p.contains("GlobalLimit"), p) // both limits fused into TOP
   }
+
+  test("pq_index_query serves from the persisted artifact: the ranked " +
+      "scan reads codes/codebook parquet, raw embeddings appear only " +
+      "as the 1-row query and the label lookup") {
+    val df = SparkEntry.queries("pq_index_query")(spark, sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // no training aggregation in the serve plan: the codebook is a
+    // persisted ≤256-row broadcast, so the only aggregates are the
+    // M×K query table and the per-vector lookup-sum — never the
+    // Lloyd-update groupBy over corpus dims
+    // sparkPlan, not executedPlan: the AQE wrapper hides leaf scans
+    // from collect until the plan finalizes
+    val scans = df.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    val idxScans = scans.filter(_.relation.location.rootPaths
+      .exists(pp => pp.toString.contains("/codes") ||
+        pp.toString.contains("/codebook")))
+    assert(idxScans.nonEmpty, p)
+    // embeddings-table scans are column-pruned to the query/lookup
+    // roles (id, label, the query vector's embedding) — never a wide
+    // read; and nothing corpus-sized meets a merge join (every join
+    // side here is a broadcast: codebook, query table, top-10)
+    val embScans = scans.filterNot(idxScans.contains(_))
+    assert(embScans.nonEmpty && embScans.forall(
+      _.requiredSchema.fieldNames.toSet
+        .subsetOf(Set("vec_id", "label", "embedding"))), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }
