@@ -144,7 +144,7 @@ object Pq {
     * index (pq_index_query): `emb` supplies only the query vector and
     * the label lookup — cent/codes can come straight from the
     * artifact, and the scan never touches raw vectors. */
-  private[sim] def adcTopK(emb: DataFrame, cent: DataFrame, codes: DataFrame,
+  private[graft] def adcTopK(emb: DataFrame, cent: DataFrame, codes: DataFrame,
       k: Int): DataFrame = {
     val q1 = Similarity.queryVector(emb).select("q_id")
     val qd = dims(emb)

@@ -68,8 +68,66 @@ object PqIndex {
 
   def readIndex(s: SparkSession, root: String): PqIndexArt = {
     val (m, k, _) = readManifest(s, root)
-    PqIndexArt(s.read.parquet(s"$root/codebook"),
-      s.read.parquet(s"$root/codes"), m, k)
+    val codes = s.read.parquet(codesLive(root))
+    val c =
+      if (graft.text.Dedup.artifactExists(root, "tomb"))
+        // tombstone-aware open (the erasure contract shared by all
+        // three index families): erased vectors' codes are anti-joined
+        // out, so they can appear in no ADC ranking from the erase
+        // call on; physical purge at the next [[compactIndex]]
+        codes.join(broadcast(s.read.parquet(
+            graft.text.Dedup.livePath(root, "tomb").toString)
+          .select("vec_id")), Seq("vec_id"), "left_anti")
+      else codes
+    PqIndexArt(s.read.parquet(s"$root/codebook"), c, m, k)
+  }
+
+  /** The live `codes` artifact (plain build dir = generation 0;
+    * [[compactIndex]] publishes PURGED next generations). */
+  private[graft] def codesLive(root: String): String =
+    graft.text.Dedup.livePath(root, "codes").toString
+
+  /** Right-to-erasure into the PQ index: append the request ids to
+    * the `tomb` artifact (probes exclude them immediately); the
+    * physical rewrite rides [[compactIndex]]. */
+  def eraseFromIndex(root: String, ids: DataFrame): Unit = {
+    val s = ids.sparkSession
+    val p =
+      if (graft.text.Dedup.artifactExists(root, "tomb"))
+        graft.text.Dedup.livePath(root, "tomb").toString
+      else s"$root/tomb"
+    ids.select(col("vec_id")).write.mode("append").parquet(p)
+    s.catalog.refreshByPath(p)
+  }
+
+  /** Maintenance pass: physically purges tombstoned vectors' codes
+    * (published as the next create-only generation) and resets the
+    * tombstone list LAST — the same crash-safe ordering as the text
+    * and embedding compactions. The codebook is untouched: it is a
+    * trained model, not per-vector data (erasing a vector does not
+    * un-train it any more than deleting a training document untrains
+    * a deployed LLM — re-training without the vector is a REBUILD
+    * decision). No-op when no tombstones exist (PQ has no mergeable
+    * sidecar partials to compact). */
+  def compactIndex(s: SparkSession, root: String): Unit = {
+    val hasTomb = graft.text.Dedup.artifactExists(root, "tomb") &&
+      s.read.parquet(graft.text.Dedup.livePath(root, "tomb").toString)
+        .limit(1).count() > 0
+    if (hasTomb) {
+      val tomb = s.read.parquet(
+          graft.text.Dedup.livePath(root, "tomb").toString)
+        .select("vec_id").localCheckpoint()
+      val cur = codesLive(root)
+      graft.text.Dedup.publishNextGen(s, root, "codes") { sd =>
+        s.read.parquet(cur)
+          .join(broadcast(tomb), Seq("vec_id"), "left_anti")
+          .write.mode("overwrite").parquet(sd)
+      }
+      graft.text.Dedup.publishNextGen(s, root, "tomb") { sd =>
+        s.range(0).select(col("id").as("vec_id"))
+          .write.mode("overwrite").parquet(sd)
+      }
+    }
   }
 
   /** Encodes the delta AT THE FROZEN CODEBOOK and appends its codes —
@@ -82,8 +140,9 @@ object PqIndex {
     * accepted frame derives from the probed index). */
   def appendIndex(root: String, delta: DataFrame): Unit = {
     val s = delta.sparkSession
+    val live = codesLive(root)
     Pq.encodeAt(delta, s.read.parquet(s"$root/codebook"))
-      .write.mode("append").parquet(s"$root/codes")
-    s.catalog.refreshByPath(s"$root/codes")
+      .write.mode("append").parquet(live)
+    s.catalog.refreshByPath(live)
   }
 }

@@ -36,7 +36,7 @@ object PqIndexQueries {
       (s, d) => {
         val root = stagedPqIndexPath(s, d)
         val (m, k, _) = PqIndex.readManifest(s, root)
-        s.read.parquet(s"$root/codes")
+        s.read.parquet(PqIndex.codesLive(root))
           .select(col("vec_id"), col("sub"), col("code"), col("d2"),
             lit(m.toLong).as("m"), lit(k.toLong).as("k"))
           .orderBy("vec_id", "sub")
@@ -88,8 +88,48 @@ object PqIndexQueries {
               |SELECT vec_id, sub, code, d2
               |FROM codes ORDER BY vec_id, sub""".stripMargin),
       (s, d) => s.read
-        .parquet(stagedPqAppendPath(s, d) + "/codes")
-        .select("vec_id", "sub", "code", "d2").orderBy("vec_id", "sub"))
+        .parquet(PqIndex.codesLive(stagedPqAppendPath(s, d)))
+        .select("vec_id", "sub", "code", "d2").orderBy("vec_id", "sub")),
+
+    // ERASURE through the PQ index — the third family's erasure
+    // lifecycle (text: dedup_index_erase; embedding: emb_index_erase):
+    // tombstone append, immediate probe exclusion, physical purge of
+    // the codes at PqIndex.compactIndex. The CODEBOOK is deliberately
+    // untouched — it is a trained model, and the oracle trains on the
+    // FULL pre-erase base (erasure never retrains; a rebuild decision)
+    // while encoding only survivors. Part 1 reads the purged codes
+    // parquet DIRECTLY (an unpurged erased row hash-mismatches); part
+    // 2 is the ADC top-10 through the erased artifact — a tombstoned
+    // vector can appear in no ranking.
+    Q("pq_index_erase",
+      Some(s"""WITH ${PqSql.pipelineCtes(basePred,
+                s"($basePred) AND vec_id % 10 <> 1")},
+              |cand AS (SELECT DISTINCT vec_id FROM codes),
+              |${PqSql.adcCtes(s"($basePred) AND vec_id % 10 <> 1")}
+              |SELECT CAST(1 AS BIGINT) AS part, vec_id,
+              |       sub AS a, code AS b, d2
+              |FROM codes
+              |UNION ALL
+              |SELECT CAST(2 AS BIGINT), vec_id, rank,
+              |       CAST(0 AS BIGINT), approx_d2
+              |FROM (SELECT vec_id, approx_d2,
+              |        CAST(row_number() OVER (ORDER BY approx_d2, vec_id)
+              |             AS BIGINT) AS rank
+              |      FROM adc ORDER BY approx_d2, vec_id LIMIT 10) t
+              |ORDER BY part, vec_id, a""".stripMargin),
+      (s, d) => {
+        val root = stagedPqErasePath(s, d)
+        val survivors = embeddings(s, d)
+          .filter(col("vec_id") % 5 =!= 0 && col("vec_id") % 10 =!= 1)
+        val ix = PqIndex.readIndex(s, root)
+        val part1 = s.read.parquet(PqIndex.codesLive(root))
+          .select(lit(1L).as("part"), col("vec_id"), col("sub").as("a"),
+            col("code").as("b"), col("d2"))
+        val part2 = Pq.adcTopK(survivors, ix.codebook, ix.codes, 10)
+          .select(lit(2L).as("part"), col("vec_id"), col("rank").as("a"),
+            lit(0L).as("b"), col("approx_d2").as("d2"))
+        part1.unionByName(part2).orderBy("part", "vec_id", "a")
+      })
   )
 
   /** Stages the base PQ index (train + encode over vec_id % 5 ≠ 0)
@@ -110,6 +150,25 @@ object PqIndexQueries {
       PqIndex.writeIndex(emb.filter(col("vec_id") % 3 === 0), root)
       PqIndex.appendIndex(root, emb.filter(col("vec_id") % 3 === 1))
       PqIndex.appendIndex(root, emb.filter(col("vec_id") % 3 === 2))
+    }
+
+  /** Stages the `pq_index_erase` artifact: build over vec_id % 5 ≠ 0,
+    * erase the % 10 = 1 members, purge via [[PqIndex.compactIndex]] —
+    * with require()s pinning the physical purge and tombstone reset. */
+  private[graft] def stagedPqErasePath(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    stageOnce("graft_pq_erase_", dir) { root =>
+      val emb = embeddings(s, dir)
+      PqIndex.writeIndex(emb.filter(col("vec_id") % 5 =!= 0), root)
+      PqIndex.eraseFromIndex(root,
+        emb.filter(col("vec_id") % 10 === 1).select("vec_id"))
+      PqIndex.compactIndex(s, root)
+      require(s.read.parquet(PqIndex.codesLive(root))
+        .filter(col("vec_id") % 10 === 1).limit(1).count() == 0,
+        "pq erase stage: erased rows survived the codes purge")
+      require(s.read.parquet(
+          graft.text.Dedup.livePath(root, "tomb").toString).count() == 0,
+        "pq erase stage: tombstone list not reset")
     }
 
   private def stageOnce(prefix: String, dir: String)(

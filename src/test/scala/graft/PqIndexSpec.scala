@@ -42,6 +42,31 @@ class PqIndexSpec extends SparkSpec {
     })
   }
 
+  test("erasure: a tombstoned vector appears in no ADC ranking from " +
+      "the erase call on; compactIndex purges its codes physically") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pqix4").toString
+    val base = randVecs(10L until 110L)
+      .withColumn("label", (col("vec_id") % 3).cast("string"))
+    PqIndex.writeIndex(base, dir)
+    def top(): Set[Long] = {
+      val ix = PqIndex.readIndex(spark, dir)
+      Pq.adcTopK(base, ix.codebook, ix.codes, 99)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+    }
+    assert(top().contains(11L))
+    PqIndex.eraseFromIndex(dir,
+      Seq(11L, 12L).toDF("vec_id"))
+    // tombstone-aware BEFORE any compaction
+    val t = top()
+    assert(!t.contains(11L) && !t.contains(12L) && t.size == 97)
+    PqIndex.compactIndex(spark, dir)
+    val live = spark.read.parquet(PqIndex.codesLive(dir))
+    assert(live.filter(col("vec_id").isin(11L, 12L)).count() == 0L)
+    assert(live.count() == 98L * Pq.M)
+    assert(spark.read.parquet(
+      graft.text.Dedup.livePath(dir, "tomb").toString).count() == 0L)
+  }
+
   test("frozen codebook per generation: appended delta codes are " +
       "encoded at the day-0 codebook, not a retrain over the union") {
     val base = randVecs(10L until 120L)
