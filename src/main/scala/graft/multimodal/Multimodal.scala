@@ -610,21 +610,52 @@ object Multimodal {
         val reader = BmpCodec.partitionReader() // one per partition, task-scoped dispose
         rows.map { case (id, bytes) =>
           val (w, h, _, px) = BmpCodec.readImage(reader, bytes)
-          val cells = new Array[Long](64)
-          var i = 0
-          var s = 0L
-          while (i < 64) {
-            val v = px((i / 8) * h / 8 * w + (i % 8) * w / 8).toLong
-            cells(i) = v; s += v; i += 1
-          }
-          var hi = 0L; var lo = 0L
-          i = 0
-          while (i < 64) {
-            if (cells(i) * 64 > s) {
-              if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
-            }
-            i += 1
-          }
+          val (hi, lo) = aHash(w, h, px)
+          PerceptualHash(id, hi, lo)
+        }
+      }
+  }
+
+  /** The ONE aHash kernel (8×8 nearest-neighbor reduction → strict
+    * mean threshold → two 32-bit halves), shared by the image and
+    * video-keyframe fingerprints so the two cannot drift. */
+  private[multimodal] def aHash(w: Int, h: Int,
+      px: Array[Int]): (Long, Long) = {
+    val cells = new Array[Long](64)
+    var i = 0
+    var s = 0L
+    while (i < 64) {
+      val v = px((i / 8) * h / 8 * w + (i % 8) * w / 8).toLong
+      cells(i) = v; s += v; i += 1
+    }
+    var hi = 0L; var lo = 0L
+    i = 0
+    while (i < 64) {
+      if (cells(i) * 64 > s) {
+        if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+      }
+      i += 1
+    }
+    (hi, lo)
+  }
+
+  /** KEYFRAME perceptual fingerprint for videos: frame 0 is seeked
+    * through the AVI's idx1 index ([[AviCodec.frameAt]] — only the
+    * keyframe's bytes are read, the cheap representative-frame scan a
+    * video near-dup pass runs at 100 TB) and aHashed with the SAME
+    * kernel as the image path. Re-encoded / re-muxed copies of the
+    * same footage land on the same keyframe hash while byte-level
+    * mm_dedup sees different containers. */
+  def videoKeyframeHashes(spark: SparkSession,
+      media: DataFrame): Dataset[PerceptualHash] = {
+    import spark.implicits._
+    media.filter(col("media_type") === "video")
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val (w, h, _, _) = AviCodec.readMeta(bytes)
+          val (hi, lo) = aHash(w, h, AviCodec.frameAt(bytes, 0))
           PerceptualHash(id, hi, lo)
         }
       }

@@ -39,6 +39,33 @@ object MultimodalQueries {
       dir: String): org.apache.spark.sql.DataFrame =
     s.read.parquet(stagedMediaPath(s, dir) + "/media")
 
+  /** The ONE aHash-dedup oracle spelling (mirrors [[Multimodal.aHash]]
+    * — 8×8 nearest-neighbor cells, strict mean threshold, two 32-bit
+    * halves), rendered per modality: population + dim expressions
+    * vary, the kernel text cannot drift between image and video. */
+  private def aHashDedupOracle(pop: String, wExpr: String,
+      hExpr: String): String =
+    s"""WITH m AS (SELECT doc_id, CAST($wExpr AS BIGINT) AS w,
+       |             CAST($hExpr AS BIGINT) AS h
+       |           FROM documents WHERE $pop),
+       |c AS (SELECT doc_id,
+       |        list_transform(range(64),
+       |          i -> (doc_id + 7 * (((i % 8) * w) // 8)
+       |                + 13 * (((i // 8) * h) // 8)) % 256) AS cells
+       |      FROM m),
+       |c2 AS (SELECT doc_id, cells, list_sum(cells) AS s FROM c),
+       |p AS (SELECT doc_id,
+       |        CAST(list_sum(list_transform(range(32),
+       |          i -> CASE WHEN cells[i+33] * 64 > s
+       |               THEN 1<<i ELSE 0 END)) AS BIGINT) AS phash_hi,
+       |        CAST(list_sum(list_transform(range(32),
+       |          i -> CASE WHEN cells[i+1] * 64 > s
+       |               THEN 1<<i ELSE 0 END)) AS BIGINT) AS phash_lo
+       |      FROM c2)
+       |SELECT phash_hi, phash_lo, min(doc_id) AS keep_id,
+       |       count(*) AS n_copies
+       |FROM p GROUP BY 1, 2 ORDER BY keep_id""".stripMargin
+
   def queries: Seq[Q] = Seq(
     // DECODED media metadata: dims/channels from ImageIO's parse of
     // the BMP container, rate/frame-count from AudioSystem's parse of
@@ -181,27 +208,24 @@ object MultimodalQueries {
     // cross-engine hash-gated; grouping is the dedup report (16
     // fingerprint bytes cross the shuffle, never pixels).
     Q("mm_perceptual_dedup",
-      Some("""WITH m AS (SELECT doc_id, CAST(n_chars % 64 + 1 AS BIGINT) AS w,
-             |             CAST(doc_id % 48 + 1 AS BIGINT) AS h
-             |           FROM documents WHERE doc_id % 3 = 0),
-             |c AS (SELECT doc_id,
-             |        list_transform(range(64),
-             |          i -> (doc_id + 7 * (((i % 8) * w) // 8)
-             |                + 13 * (((i // 8) * h) // 8)) % 256) AS cells
-             |      FROM m),
-             |c2 AS (SELECT doc_id, cells, list_sum(cells) AS s FROM c),
-             |p AS (SELECT doc_id,
-             |        CAST(list_sum(list_transform(range(32),
-             |          i -> CASE WHEN cells[i+33] * 64 > s
-             |               THEN 1<<i ELSE 0 END)) AS BIGINT) AS phash_hi,
-             |        CAST(list_sum(list_transform(range(32),
-             |          i -> CASE WHEN cells[i+1] * 64 > s
-             |               THEN 1<<i ELSE 0 END)) AS BIGINT) AS phash_lo
-             |      FROM c2)
-             |SELECT phash_hi, phash_lo, min(doc_id) AS keep_id,
-             |       count(*) AS n_copies
-             |FROM p GROUP BY 1, 2 ORDER BY keep_id""".stripMargin),
+      Some(aHashDedupOracle("doc_id % 3 = 0",
+        "n_chars % 64 + 1", "doc_id % 48 + 1")),
       (s, d) => Multimodal.perceptualHashes(s, media(s, d)).toDF()
+        .groupBy("phash_hi", "phash_lo")
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy("keep_id")),
+
+    // KEYFRAME perceptual dedup for VIDEO (the image aHash's video
+    // counterpart — completing the modality × perceptual-dedup
+    // matrix): frame 0 is idx1-seeked (only the keyframe's bytes are
+    // read) and aHashed with the SAME kernel; the oracle recomputes
+    // the keyframe pixels from the closed-form formula (f = 0 makes
+    // the 3f term vanish — the renderer below is the ONE aHash oracle
+    // spelling for both modalities).
+    Q("mm_video_dedup",
+      Some(aHashDedupOracle("doc_id % 3 = 2",
+        "n_chars % 24 + 1", "doc_id % 16 + 1")),
+      (s, d) => Multimodal.videoKeyframeHashes(s, media(s, d)).toDF()
         .groupBy("phash_hi", "phash_lo")
         .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
         .orderBy("keep_id")),

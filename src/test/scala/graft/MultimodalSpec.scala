@@ -210,6 +210,29 @@ class MultimodalSpec extends SparkSpec {
     intercept[Exception](AviCodec.decode(corrupt))
   }
 
+  test("video keyframe aHash: re-muxed copies of the same footage " +
+      "(different fps / trailing frames) share a fingerprint that " +
+      "byte-level dedup cannot see") {
+    import spark.implicits._
+    def pix(f: Int, x: Int, y: Int) = (y * 15) % 256 // gradient keyframe
+    val a = AviCodec.encode(16, 16, 4, 10, pix)
+    val b = AviCodec.encode(16, 16, 9, 25, pix) // same frame 0, re-muxed
+    assert(!java.util.Arrays.equals(a, b)) // byte dedup sees two blobs
+    def mediaOf(rows: Seq[(Long, Array[Byte])]) =
+      rows.map { case (id, bytes) => (id, "video", bytes) }
+        .toDF("doc_id", "media_type", "payload")
+    val hs = Multimodal.videoKeyframeHashes(spark,
+        mediaOf(Seq((1L, a), (2L, b)))).collect()
+      .map(h => h.doc_id -> ((h.phash_hi, h.phash_lo))).toMap
+    assert(hs(1L) == hs(2L))
+    // and the kernel is the image one: the same gradient as a BMP
+    // hashes identically (one aHash spelling across modalities)
+    val img = Multimodal.perceptualHashes(spark,
+      Seq((3L, "image", BmpCodec.encode(16, 16, (x, y) => pix(0, x, y))))
+        .toDF("doc_id", "media_type", "payload")).collect().head
+    assert((img.phash_hi, img.phash_lo) == hs(1L))
+  }
+
   test("non-ASCII ingest payload: mm_dedup's byte length is UTF-8 " +
       "OCTETS, not chars (the latent the old length(text) oracle had)") {
     import spark.implicits._
