@@ -618,16 +618,35 @@ object Multimodal {
 
   /** The ONE aHash kernel (8×8 nearest-neighbor reduction → strict
     * mean threshold → two 32-bit halves), shared by the image and
-    * video-keyframe fingerprints so the two cannot drift. */
+    * video-keyframe fingerprints so the two cannot drift. The 2-D
+    * nearest-neighbor pick feeds the modality-agnostic
+    * [[cellsToHash]] threshold/pack step (shared with the audio
+    * envelope fingerprint's 1-D pick). */
   private[multimodal] def aHash(w: Int, h: Int,
       px: Array[Int]): (Long, Long) = {
     val cells = new Array[Long](64)
     var i = 0
-    var s = 0L
     while (i < 64) {
-      val v = px((i / 8) * h / 8 * w + (i % 8) * w / 8).toLong
-      cells(i) = v; s += v; i += 1
+      cells(i) = px((i / 8) * h / 8 * w + (i % 8) * w / 8).toLong
+      i += 1
     }
+    cellsToHash(cells)
+  }
+
+  /** The modality-agnostic half of the perceptual fingerprint:
+    * threshold 64 picked cells against their mean (v·64 > Σ —
+    * division-free, exact integer) and pack the 64 bits as two 32-bit
+    * halves in longs (single-long packing would need bit-63 sign
+    * wrap, which engines disagree on). Image and video feed it the
+    * 8×8 2-D pick ([[aHash]]); audio feeds it the 64-point 1-D
+    * envelope pick ([[audioEnvelopeHashes]]) — ONE threshold/pack
+    * spelling across all three modalities, mirrored by the one
+    * oracle kernel in MultimodalQueries. */
+  private[graft] def cellsToHash(cells: Array[Long]): (Long, Long) = {
+    require(cells.length == 64, s"aHash kernel needs 64 cells, got ${cells.length}")
+    var s = 0L
+    var i = 0
+    while (i < 64) { s += cells(i); i += 1 }
     var hi = 0L; var lo = 0L
     i = 0
     while (i < 64) {
@@ -657,6 +676,67 @@ object Multimodal {
           val (w, h, _, _) = AviCodec.readMeta(bytes)
           val (hi, lo) = aHash(w, h, AviCodec.frameAt(bytes, 0))
           PerceptualHash(id, hi, lo)
+        }
+      }
+  }
+
+  /** ENVELOPE perceptual fingerprint for audio — the third modality's
+    * aHash, completing the modality × perceptual-dedup matrix: a
+    * 64-point nearest-neighbor downsample of the decoded waveform
+    * (pick j reads sample j·n div 64 — the 1-D spelling of the image
+    * kernel's 2-D pick) thresholded and packed by the SAME
+    * [[cellsToHash]] step as image and video. A re-encoded copy at a
+    * different sample rate / sample count lands on the same envelope
+    * hash (an exactly sample-doubled waveform picks identical values:
+    * ⌊⌊2a⌋/2⌋ = ⌊a⌋ — MultimodalSpec pins it) while byte-level
+    * mm_dedup sees different containers.
+    *
+    * Cost tier: the picks are SEEKED through the real
+    * `javax.sound.sampled` stream (skip to each picked frame, read
+    * one) — only 64 samples of PCM cross the decode boundary however
+    * long the recording is, the audio analogue of the video path's
+    * idx1 frame seeks; 16 fingerprint bytes per doc cross the
+    * shuffle, never samples. */
+  def audioEnvelopeHashes(spark: SparkSession,
+      media: DataFrame): Dataset[PerceptualHash] = {
+    import spark.implicits._
+    media.filter(col("media_type") === "audio")
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          try {
+            val f = in.getFormat
+            require(f.getSampleSizeInBits == 8 && f.getChannels == 1,
+              s"unexpected PCM shape: $f")
+            val n = in.getFrameLength
+            require(n > 0, "empty PCM stream")
+            val cells = new Array[Long](64)
+            var pos = 0L   // next unread frame
+            var last = 0L  // last picked sample (picks are nondecreasing)
+            var j = 0
+            while (j < 64) {
+              val k = j * n / 64 // nearest-neighbor pick, exact integer
+              if (k >= pos) {
+                var toSkip = k - pos
+                while (toSkip > 0) {
+                  val sk = in.skip(toSkip)
+                  require(sk > 0, s"PCM stream ended at frame ${k - toSkip}")
+                  toSkip -= sk
+                }
+                val b = in.read()
+                require(b >= 0, s"truncated PCM data at frame $k")
+                last = b.toLong // unsigned 8-bit PCM: read() is the sample
+                pos = k + 1
+              }
+              cells(j) = last
+              j += 1
+            }
+            val (hi, lo) = cellsToHash(cells)
+            PerceptualHash(id, hi, lo)
+          } finally in.close()
         }
       }
   }

@@ -39,19 +39,20 @@ object MultimodalQueries {
       dir: String): org.apache.spark.sql.DataFrame =
     s.read.parquet(stagedMediaPath(s, dir) + "/media")
 
-  /** The ONE aHash-dedup oracle spelling (mirrors [[Multimodal.aHash]]
-    * — 8×8 nearest-neighbor cells, strict mean threshold, two 32-bit
-    * halves), rendered per modality: population + dim expressions
-    * vary, the kernel text cannot drift between image and video. */
-  private def aHashDedupOracle(pop: String, wExpr: String,
-      hExpr: String): String =
-    s"""WITH m AS (SELECT doc_id, CAST($wExpr AS BIGINT) AS w,
-       |             CAST($hExpr AS BIGINT) AS h
+  /** The ONE aHash-dedup oracle spelling (mirrors
+    * [[Multimodal.cellsToHash]] — 64 picked cells, strict mean
+    * threshold, two 32-bit halves), rendered per modality: the
+    * population and the 64-cell pick expression vary (image/video =
+    * the 2-D 8×8 nearest-neighbor pick over the pixel formula, audio
+    * = the 1-D envelope pick over the sample formula); the
+    * threshold/pack kernel text cannot drift between modalities. */
+  private def aHashDedupOracle(pop: String, dims: String,
+      cellExpr: String): String =
+    s"""WITH m AS (SELECT doc_id, $dims
        |           FROM documents WHERE $pop),
        |c AS (SELECT doc_id,
        |        list_transform(range(64),
-       |          i -> (doc_id + 7 * (((i % 8) * w) // 8)
-       |                + 13 * (((i // 8) * h) // 8)) % 256) AS cells
+       |          i -> $cellExpr) AS cells
        |      FROM m),
        |c2 AS (SELECT doc_id, cells, list_sum(cells) AS s FROM c),
        |p AS (SELECT doc_id,
@@ -209,7 +210,10 @@ object MultimodalQueries {
     // fingerprint bytes cross the shuffle, never pixels).
     Q("mm_perceptual_dedup",
       Some(aHashDedupOracle("doc_id % 3 = 0",
-        "n_chars % 64 + 1", "doc_id % 48 + 1")),
+        """CAST(n_chars % 64 + 1 AS BIGINT) AS w,
+          |             CAST(doc_id % 48 + 1 AS BIGINT) AS h""".stripMargin,
+        """(doc_id + 7 * (((i % 8) * w) // 8)
+          |                + 13 * (((i // 8) * h) // 8)) % 256""".stripMargin)),
       (s, d) => Multimodal.perceptualHashes(s, media(s, d)).toDF()
         .groupBy("phash_hi", "phash_lo")
         .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
@@ -224,8 +228,29 @@ object MultimodalQueries {
     // spelling for both modalities).
     Q("mm_video_dedup",
       Some(aHashDedupOracle("doc_id % 3 = 2",
-        "n_chars % 24 + 1", "doc_id % 16 + 1")),
+        """CAST(n_chars % 24 + 1 AS BIGINT) AS w,
+          |             CAST(doc_id % 16 + 1 AS BIGINT) AS h""".stripMargin,
+        """(doc_id + 7 * (((i % 8) * w) // 8)
+          |                + 13 * (((i // 8) * h) // 8)) % 256""".stripMargin)),
       (s, d) => Multimodal.videoKeyframeHashes(s, media(s, d)).toDF()
+        .groupBy("phash_hi", "phash_lo")
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy("keep_id")),
+
+    // ENVELOPE perceptual dedup for AUDIO — the third modality's
+    // aHash, completing the modality × perceptual-dedup matrix: a
+    // 64-point nearest-neighbor downsample of the decoded waveform
+    // (pick j = sample j·n div 64, the 1-D spelling of the image
+    // kernel's 2-D pick — seeked through the real javax stream, only
+    // 64 samples read per doc) thresholded and packed by the SAME
+    // kernel; the oracle recomputes the picks from the closed-form
+    // sample formula s(i) = (7·doc_id + 31·i) % 256 through the one
+    // shared threshold/pack spelling.
+    Q("mm_audio_dedup",
+      Some(aHashDedupOracle("doc_id % 3 = 1",
+        "CAST(n_chars % 800 + 50 AS BIGINT) AS n",
+        "(7 * doc_id + 31 * ((i * n) // 64)) % 256")),
+      (s, d) => Multimodal.audioEnvelopeHashes(s, media(s, d)).toDF()
         .groupBy("phash_hi", "phash_lo")
         .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
         .orderBy("keep_id")),

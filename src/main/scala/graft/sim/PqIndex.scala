@@ -31,11 +31,14 @@ import org.apache.spark.sql.functions._
   *
   * Crash contract: `codes` appends are single-artifact (the codebook
   * is immutable after build), so a torn delta append leaves partial
-  * code rows for some delta vectors — re-running the append
-  * duplicates them, and [[graft.text.Dedup]]-style repair machinery
-  * is deliberately NOT duplicated here: PQ codes are a derived cache
-  * of (vector, codebook), so the recovery op for any inconsistency is
-  * re-encoding the delta, never a corpus re-read. */
+  * code rows for some delta vectors and a retried append duplicates
+  * them. [[repairIndex]] recovers in the shape PQ's derived-cache
+  * nature dictates (codes are a pure function of (vector, frozen
+  * codebook)): damaged vectors are detected by the exact
+  * M-codes-per-vector invariant — the PQ analogue of the embedding
+  * index's 2-postings-per-vector rule — and RE-ENCODED from source at
+  * the frozen codebook, never a corpus re-read or retrain, published
+  * as the next create-only generation. */
 object PqIndex {
 
   final case class PqIndexArt(codebook: DataFrame, codes: DataFrame,
@@ -127,6 +130,58 @@ object PqIndex {
         s.range(0).select(col("id").as("vec_id"))
           .write.mode("overwrite").parquet(sd)
       }
+    }
+  }
+
+  /** Repairs a torn or retried `codes` append via the exact
+    * M-codes-per-vector invariant (count = distinct subs = manifest
+    * m; a torn write leaves fewer rows, a retried one duplicates
+    * rows): the damaged vec_ids are re-encoded from `source` at the
+    * FROZEN codebook — the recovery op PQ's derived-cache nature
+    * dictates (codes are a pure function of (vector, codebook); no
+    * corpus re-read, no retrain) — and the healed artifact is
+    * published as the next create-only generation, intact rows
+    * passing through untouched. Returns false (artifact untouched)
+    * when the invariant already holds, so re-running repair is
+    * idempotent.
+    *
+    * Scale shape: the invariant scan is one map-side-combinable
+    * groupBy over (vec_id) counts; the damaged set is bounded by the
+    * torn append's delta, so the re-encode is one delta-sized scan
+    * against the broadcast ≤K·M-row codebook while base codes stream
+    * through the generation copy without decode. */
+  def repairIndex(s: SparkSession, root: String,
+      source: DataFrame): Boolean = {
+    val (m, _, _) = readManifest(s, root)
+    val live = codesLive(root)
+    val damaged = s.read.parquet(live)
+      .groupBy("vec_id")
+      .agg(count(lit(1)).as("n"), countDistinct(col("sub")).as("nd"))
+      .filter(col("n") =!= m.toLong || col("nd") =!= m.toLong)
+      .select("vec_id")
+      .localCheckpoint() // pin: the relation it derives from is rewritten below
+    if (damaged.isEmpty) false
+    else {
+      val healed = Pq.encodeAt(
+        source.join(damaged, Seq("vec_id")),
+        s.read.parquet(s"$root/codebook")).localCheckpoint()
+      publishCleanCodes(s, root, damaged, healed)
+      true
+    }
+  }
+
+  /** Publishes the next `codes` generation = (live minus `drop`) ∪
+    * `add` — the one rewrite spelling repair uses (both inputs are
+    * pinned by the caller; the anti-join reads the OLD live path,
+    * deleted only after the new generation's _SUCCESS lands). */
+  private def publishCleanCodes(s: SparkSession, root: String,
+      drop: DataFrame, add: DataFrame): Unit = {
+    val cur = codesLive(root)
+    graft.text.Dedup.publishNextGen(s, root, "codes") { sd =>
+      s.read.parquet(cur)
+        .join(drop, Seq("vec_id"), "left_anti")
+        .unionByName(add.select("vec_id", "sub", "code", "d2"))
+        .write.mode("overwrite").parquet(sd)
     }
   }
 

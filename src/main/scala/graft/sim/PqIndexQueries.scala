@@ -91,6 +91,26 @@ object PqIndexQueries {
         .parquet(PqIndex.codesLive(stagedPqAppendPath(s, d)))
         .select("vec_id", "sub", "code", "d2").orderBy("vec_id", "sub")),
 
+    // TORN-APPEND REPAIR — completing the repair column of the
+    // lifecycle matrix (text: dedup_index_repair; embedding:
+    // emb_index_repair): the staged artifact suffered a RETRIED torn
+    // append (the full delta landed, then a retry died after two of
+    // the four subspaces — duplicate sub-0/1 rows for every delta
+    // vector), repairIndex detected the M-codes-per-vector violation
+    // and re-encoded the damaged vectors from source at the FROZEN
+    // codebook. Output = the healed codes artifact read back in full;
+    // the oracle recomputes every row at the base-trained codebook,
+    // so surviving duplicates, lost rows, OR a repair that silently
+    // retrained all hash-mismatch. Stage-time require()s pin that
+    // repair fired once and is then idempotent.
+    Q("pq_index_repair",
+      Some(s"""WITH ${PqSql.pipelineCtes(basePred, "TRUE")}
+              |SELECT vec_id, sub, code, d2
+              |FROM codes ORDER BY vec_id, sub""".stripMargin),
+      (s, d) => s.read
+        .parquet(PqIndex.codesLive(stagedPqRepairPath(s, d)))
+        .select("vec_id", "sub", "code", "d2").orderBy("vec_id", "sub")),
+
     // ERASURE through the PQ index — the third family's erasure
     // lifecycle (text: dedup_index_erase; embedding: emb_index_erase):
     // tombstone append, immediate probe exclusion, physical purge of
@@ -150,6 +170,30 @@ object PqIndexQueries {
       PqIndex.writeIndex(emb.filter(col("vec_id") % 3 === 0), root)
       PqIndex.appendIndex(root, emb.filter(col("vec_id") % 3 === 1))
       PqIndex.appendIndex(root, emb.filter(col("vec_id") % 3 === 2))
+    }
+
+  /** Stages the `pq_index_repair` artifact: build over vec_id % 5 ≠ 0,
+    * append the % 5 = 0 delta COMPLETELY, then simulate a torn RETRY
+    * of that append (only subspaces 0–1 land a second time — the
+    * partial write a crash mid-append leaves), then repair. The
+    * require()s pin the lifecycle: damage is detected and healed
+    * exactly once; a second repair call finds a clean artifact. */
+  private[graft] def stagedPqRepairPath(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    stageOnce("graft_pq_repair_", dir) { root =>
+      val emb = embeddings(s, dir)
+      PqIndex.writeIndex(emb.filter(col("vec_id") % 5 =!= 0), root)
+      val delta = emb.filter(col("vec_id") % 5 === 0)
+      PqIndex.appendIndex(root, delta)
+      val live = PqIndex.codesLive(root)
+      Pq.encodeAt(delta, s.read.parquet(s"$root/codebook"))
+        .filter(col("sub") < 2) // the torn retry: 2 of 4 subspaces
+        .write.mode("append").parquet(live)
+      s.catalog.refreshByPath(live)
+      require(PqIndex.repairIndex(s, root, emb),
+        "pq repair stage: torn retry left no detectable damage")
+      require(!PqIndex.repairIndex(s, root, emb),
+        "pq repair stage: repair is not idempotent")
     }
 
   /** Stages the `pq_index_erase` artifact: build over vec_id % 5 ≠ 0,

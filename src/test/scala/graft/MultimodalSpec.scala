@@ -233,6 +233,33 @@ class MultimodalSpec extends SparkSpec {
     assert((img.phash_hi, img.phash_lo) == hs(1L))
   }
 
+  test("audio envelope aHash: an exactly sample-doubled re-encode at " +
+      "double the rate shares the fingerprint (⌊⌊2a⌋/2⌋ = ⌊a⌋ on the " +
+      "64 picks) while byte-level dedup sees two blobs") {
+    import spark.implicits._
+    val s0 = Array.tabulate(300)(i => (37 * i + 11) % 256)
+    val a = WavCodec.encode(s0, 8000)
+    // the re-encode: every sample doubled, double the rate — the same
+    // waveform as a function of time, a different container+PCM byte-wise
+    val b = WavCodec.encode(Array.tabulate(600)(i => s0(i / 2)), 16000)
+    assert(!java.util.Arrays.equals(a, b))
+    val hs = Multimodal.audioEnvelopeHashes(spark,
+        Seq((1L, "audio", a), (2L, "audio", b))
+          .toDF("doc_id", "media_type", "payload")).collect()
+      .map(h => h.doc_id -> ((h.phash_hi, h.phash_lo))).toMap
+    assert(hs(1L) == hs(2L))
+    // and the seeked 64-pick envelope agrees with the full-decode
+    // spelling of the same kernel: pick j = sample j·n div 64
+    val picks = Array.tabulate(64)(j => s0(j * 300 / 64).toLong)
+    assert(hs(1L) == Multimodal.cellsToHash(picks))
+    // a genuinely different waveform separates
+    val c = WavCodec.encode(Array.tabulate(300)(i => (91 * i + 3) % 256), 8000)
+    val hc = Multimodal.audioEnvelopeHashes(spark,
+        Seq((3L, "audio", c)).toDF("doc_id", "media_type", "payload"))
+      .collect().head
+    assert((hc.phash_hi, hc.phash_lo) != hs(1L))
+  }
+
   test("non-ASCII ingest payload: mm_dedup's byte length is UTF-8 " +
       "OCTETS, not chars (the latent the old length(text) oracle had)") {
     import spark.implicits._

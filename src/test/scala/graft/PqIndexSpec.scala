@@ -67,6 +67,36 @@ class PqIndexSpec extends SparkSpec {
       graft.text.Dedup.livePath(dir, "tomb").toString).count() == 0L)
   }
 
+  test("repair: a torn retried append violates M-codes-per-vector, " +
+      "repairIndex re-encodes exactly the damaged vectors at the " +
+      "frozen codebook, and is idempotent") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pqix5").toString
+    val base = randVecs(10L until 110L)
+    val delta = randVecs(500L until 520L)
+    val source = base.unionByName(delta)
+    PqIndex.writeIndex(base, dir)
+    PqIndex.appendIndex(dir, delta)
+    val clean = spark.read.parquet(PqIndex.codesLive(dir))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getAs[Long]("code"), r.getAs[Long]("d2"))).toMap
+    // clean artifact: repair is a no-op
+    assert(!PqIndex.repairIndex(spark, dir, source))
+    // torn RETRY: subspaces 0-1 of the delta land a second time
+    val live = PqIndex.codesLive(dir)
+    Pq.encodeAt(delta, spark.read.parquet(s"$dir/codebook"))
+      .filter(col("sub") < 2)
+      .write.mode("append").parquet(live)
+    spark.catalog.refreshByPath(live)
+    assert(spark.read.parquet(live).count() == 120L * Pq.M + 20L * 2)
+    assert(PqIndex.repairIndex(spark, dir, source))
+    val healed = spark.read.parquet(PqIndex.codesLive(dir))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getAs[Long]("code"), r.getAs[Long]("d2"))).toMap
+    assert(healed == clean,
+      "healed artifact must equal the pre-damage codes exactly")
+    assert(!PqIndex.repairIndex(spark, dir, source))
+  }
+
   test("frozen codebook per generation: appended delta codes are " +
       "encoded at the day-0 codebook, not a retrain over the union") {
     val base = randVecs(10L until 120L)
