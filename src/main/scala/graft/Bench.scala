@@ -232,7 +232,8 @@ object Bench {
       "emb_index_compact", "emb_index_erase", "dedup_index_compact",
       "pq_index_build", "pq_incremental", "pq_index_append",
       "pq_index_query", "dedup_index_erase", "pq_index_erase",
-      "pq_index_repair", "mm_video_dedup", "mm_audio_dedup")
+      "pq_index_repair", "emb_index_query", "mm_video_dedup",
+      "mm_audio_dedup")
     val batchQs = batchQs0.sortBy(q => if (heavyFirst(q.name)) 0 else 1)
     val wall0 = System.nanoTime()
     // Each headline query runs twice back-to-back; the reported figure is

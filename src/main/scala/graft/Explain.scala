@@ -64,7 +64,8 @@ object Explain {
         "emb_index_compact", "emb_index_erase", "dedup_index_compact",
         "pq_index_build", "pq_incremental", "pq_index_append",
         "pq_index_query", "dedup_index_erase", "pq_index_erase",
-        "pq_index_repair", "mm_video_dedup", "mm_audio_dedup")
+        "pq_index_repair", "emb_index_query", "mm_video_dedup",
+        "mm_audio_dedup")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

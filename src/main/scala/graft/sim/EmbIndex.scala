@@ -138,6 +138,44 @@ object EmbIndex {
   private def tombLive(root: String): String =
     graft.text.Dedup.livePath(root, "tomb").toString
 
+  /** Top-k SERVING from the persisted band index — the query a
+    * vector-store user runs against a loaded index (the band family's
+    * [[PqIndex]]-`pq_index_query` counterpart): the 1-row `query`
+    * frame is quantized and band-keyed at the MANIFEST width, its two
+    * buckets probe the persisted postings for candidates, and ranking
+    * is the µ-rounded cosine over the index's INTEGER record of truth
+    * (qe/na — raw base vectors are read zero times; the exact-integer
+    * dot and norms make the rounded cosine bit-identical across
+    * engines, the [[Similarity.hardNegativesBanded]] cos_e6 policy).
+    *
+    * No hot-bucket guard here, deliberately: the guard exists to stop
+    * QUADRATIC pair generation in the dedup probes; a single query's
+    * candidate work is LINEAR in the two probed buckets' occupancy,
+    * and dropping a hot bucket would only lose recall. At 100 TB the
+    * probe reads |bucket| postings + their qe rows — never the
+    * corpus. */
+  def indexTopK(ix: EmbeddingIndex, query: DataFrame, k: Int): DataFrame = {
+    val q = buildRows(query, ix.bits)
+      .select(col("vec_id").as("q_id"), col("qe").as("qe_q"),
+        col("na").as("na_q"), col("bands").as("q_bands"))
+    val qbk = q.select(col("q_id"), explode(col("q_bands")).as("bk"))
+    val cand = ix.postings.join(broadcast(qbk), Seq("bk"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select("vec_id").distinct()
+    ix.vecs.join(cand, Seq("vec_id"))
+      .crossJoin(broadcast(q.select("qe_q", "na_q")))
+      .filter(col("na") > 0 && col("na_q") > 0)
+      .withColumn("dot", aggregate(
+        zip_with(col("qe"), col("qe_q"), (x, y) => x * y),
+        lit(0L), (acc, v) => acc + v))
+      .withColumn("cos_e6",
+        expr("""CAST(round(CAST(dot AS DOUBLE)
+               | / sqrt(CAST(na AS DOUBLE) * CAST(na_q AS DOUBLE))
+               | * 1e6) AS BIGINT)""".stripMargin))
+      .orderBy(col("cos_e6").desc, col("vec_id")).limit(k)
+      .select("vec_id", "cos_e6")
+  }
+
   /** Right-to-erasure INTO the persisted index (the index-side
     * counterpart of pipeline_erasure's lake rewrite): the ids —
     * an EXTERNAL request list, never a frame derived from the index

@@ -69,7 +69,38 @@ object EmbIndexQueries {
          |        WHERE ${BandedSql.verifyQuarterPredicate})
          |SELECT vec_id FROM embeddings
          |WHERE vec_id % 5 = 0 AND vec_id NOT IN (SELECT id FROM rej)
-         |ORDER BY vec_id""".stripMargin)
+         |ORDER BY vec_id""".stripMargin,
+
+    // top-k SERVING through the persisted artifact: candidates = the
+    // base vectors sharing a band bucket with the query (the lowest
+    // BASE vec_id) at the manifest width, ranked by the µ-rounded
+    // cosine over the exact integer quantization — the same integers
+    // the index's `vecs` record persists, recomputed here from raw
+    // embeddings. No hot-bucket guard: serving probe work is linear
+    // in the two probed buckets, and dropping a hot bucket would only
+    // lose recall (the guard exists for quadratic PAIR generation).
+    "emb_index_query" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+         |          FROM embeddings WHERE vec_id % 5 <> 0),
+         |${BandedSql.quantizeCte},
+         |${BandedSql.bandKeysCte(bits)},
+         |qv AS (SELECT min(vec_id) AS qid FROM e),
+         |cand AS (SELECT DISTINCT r.vec_id
+         |         FROM k d JOIN k r ON d.band = r.band AND d.mask = r.mask
+         |         JOIN qv ON d.vec_id = qv.qid
+         |         WHERE r.vec_id <> d.vec_id),
+         |p AS (SELECT qv.qid AS id, cand.vec_id AS id_ref FROM cand, qv),
+         |${BandedSql.pairStatsCte("pd", "p", "id", "id_ref")},
+         |sc AS (SELECT id_ref AS vec_id,
+         |         CAST(round(CAST(dot AS DOUBLE)
+         |              / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+         |              * 1e6) AS BIGINT) AS cos_e6
+         |       FROM pd WHERE na > 0 AND nb > 0)
+         |SELECT CAST(row_number() OVER (ORDER BY cos_e6 DESC, vec_id)
+         |            AS BIGINT) AS rank,
+         |       vec_id, label, cos_e6
+         |FROM sc JOIN embeddings USING (vec_id)
+         |ORDER BY rank LIMIT 10""".stripMargin)
 
   /** Width-parameterized oracle for the repair lifecycle (base =
     * vec_id % 4 ∈ {0, 1}; the torn % 4 = 2 delta never reaches `vecs`
@@ -258,6 +289,32 @@ object EmbIndexQueries {
           EmbIndex.readIndex(s, stagedEmbIndexPath(s, d)),
           embeddings(s, d).filter(col("vec_id") % 5 === 0), 1, 5)
         .select("vec_id").orderBy("vec_id")),
+
+    // TOP-K SERVING through the persisted artifact — the query a
+    // vector-store user runs against a loaded band index (the band
+    // family's pq_index_query counterpart): the lowest BASE vec_id is
+    // the query, its two band buckets at the MANIFEST width probe the
+    // persisted postings, and ranking is the µ-rounded cosine over
+    // the index's integer record of truth (qe/na) — base raw vectors
+    // are read zero times (EmbIndexSpec pins the plan); the label
+    // lookup is the only corpus touch, column-pruned to (vec_id,
+    // label). No hot-bucket guard — serving is linear in the probed
+    // buckets, the guard exists for quadratic pair generation.
+    Q("emb_index_query",
+      Some(gateOracles("emb_index_query")),
+      (s, d) => {
+        val base = embeddings(s, d).filter(col("vec_id") % 5 =!= 0)
+        val top = EmbIndex.indexTopK(
+          EmbIndex.readIndex(s, stagedEmbIndexPath(s, d)),
+          base.orderBy("vec_id").limit(1), 10)
+        top
+          .join(embeddings(s, d).select("vec_id", "label"), Seq("vec_id"))
+          .withColumn("rank", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(col("cos_e6").desc, col("vec_id"))).cast("long"))
+          .select("rank", "vec_id", "label", "cos_e6")
+          .orderBy("rank")
+      }),
 
     // MULTI-DAY APPEND cycle — the production lifecycle end-to-end
     // (mirroring dedup_index_append): day 0 builds the index over the

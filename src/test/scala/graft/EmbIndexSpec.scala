@@ -85,6 +85,49 @@ class EmbIndexSpec extends SparkSpec {
     assert(scansOf("/post").nonEmpty && scansOf("/bk").nonEmpty)
   }
 
+  test("serving top-k: indexTopK ranks bucket candidates by the exact " +
+      "integer µ-cosine, reads base raw vectors zero times, and agrees " +
+      "with a brute-force ranking over the same candidate set") {
+    val vecs = randVecs(0L until 400L, 64)
+    val dir = java.nio.file.Files.createTempDirectory("graft_embix9").toString
+    EmbIndex.writeIndex(vecs, dir)
+    val ix = EmbIndex.readIndex(spark, dir)
+    val query = randVecs(9999L to 9999L, 64)
+    val top = EmbIndex.indexTopK(ix, query, 10)
+    // plan purity: the only FILE relations are the index artifacts
+    // (the query is a local relation)
+    val rels = top.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+    }
+    assert(rels.nonEmpty)
+    assert(rels.forall(_.relation.asInstanceOf[
+      org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+      .location.rootPaths.forall(_.toString.contains(dir))))
+    val got = top.collect().map(r =>
+      (r.getAs[Long]("vec_id"), r.getAs[Long]("cos_e6"))).toSeq
+    assert(got.nonEmpty && got.size <= 10)
+    // independent small-step reference: quantize everything locally,
+    // probe the same two buckets, rank by the same rounded cosine
+    val all = vecs.collect().map(r => r.getLong(0) ->
+      r.getAs[scala.collection.Seq[Float]](1).map(x =>
+        math.round(x.toDouble * 1e6)).toArray).toMap
+    val q = query.collect().head.getAs[scala.collection.Seq[Float]](1)
+      .map(x => math.round(x.toDouble * 1e6)).toArray
+    val (bits, _, _, _) = EmbIndex.readManifest(spark, dir)
+    def bands(v: Array[Long]): Seq[(Int, Long)] = Seq(0, 1).map { b =>
+      b -> (0 until bits).map(i =>
+        if (v(b * bits + i) > 0L) 1L << i else 0L).sum
+    }
+    val qb = bands(q).toSet
+    val cand = all.filter { case (_, v) => bands(v).exists(qb.contains) }
+    def na(v: Array[Long]) = v.map(x => x * x).sum
+    val expect = cand.toSeq.collect { case (id, v) if na(v) > 0 && na(q) > 0 =>
+      val dot = v.zip(q).map { case (a, b) => a * b }.sum
+      (id, math.round(dot.toDouble / math.sqrt(na(v).toDouble * na(q).toDouble) * 1e6))
+    }.sortBy { case (id, c) => (-c, id) }.take(10)
+    assert(got == expect)
+  }
+
   test("append keeps one width per generation; a rebuild re-resolves " +
       "from the grown corpus (the in-session growth guard)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_embix3").toString
