@@ -184,6 +184,87 @@ object EmbIndexQueries {
          |SELECT vec_id, CAST(2 AS BIGINT) AS day FROM acc2
          |ORDER BY day, vec_id""".stripMargin)
 
+  /** Width-parameterized oracle for the STREAMING ingest fold
+    * (registered as `stream_emb_ingest` in
+    * [[graft.streaming.StreamQueries]] — the embedding half of the
+    * one ingest choreography; the text half's MinHash oracle is not
+    * width-parameterized). Day 0 = vec_id % 4 = 0 (the persisted
+    * base index, whose manifest freezes the width for every later
+    * day); days 1..3 (% 4 ∈ {1,2,3}) fold sequentially: day m's doc
+    * is rejected iff it verifies cos ≥ 1/5 against a base vector, a
+    * PRIOR day's ACCEPTED vector, or a lower-id same-day vector
+    * sharing an unguarded band bucket. Each day's hot-bucket guard
+    * counts ITS probe population (base ∪ accepted prior days ∪ that
+    * day's delta) — rejected vectors never enter the index, so they
+    * are absent from later days' reference sets AND guards. */
+  private[graft] def ingestOracles(bits: Int): Map[String, String] = Map(
+    "stream_emb_ingest" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+         |          FROM embeddings),
+         |${BandedSql.quantizeCte},
+         |${BandedSql.bandKeysCte(bits)},
+         |ok1 AS (SELECT band, mask FROM k WHERE vec_id % 4 <= 1
+         |        GROUP BY band, mask HAVING count(*) <= 100),
+         |k1 AS (SELECT k.* FROM k JOIN ok1 USING (band, mask)
+         |       WHERE k.vec_id % 4 <= 1),
+         |p1 AS (SELECT DISTINCT d.vec_id AS id, r.vec_id AS id_ref
+         |       FROM k1 d JOIN k1 r ON d.band = r.band AND d.mask = r.mask
+         |       WHERE d.vec_id % 4 = 1
+         |         AND (r.vec_id % 4 = 0
+         |              OR (r.vec_id % 4 = 1 AND r.vec_id < d.vec_id))),
+         |${BandedSql.pairStatsCte("pd1", "p1", "id", "id_ref")},
+         |rej1 AS (SELECT DISTINCT id FROM pd1
+         |         WHERE ${BandedSql.verifyQuarterPredicate}),
+         |acc1 AS (SELECT vec_id FROM embeddings
+         |         WHERE vec_id % 4 = 1
+         |           AND vec_id NOT IN (SELECT id FROM rej1)),
+         |pop2 AS (SELECT vec_id FROM embeddings WHERE vec_id % 4 = 0
+         |         UNION ALL SELECT vec_id FROM acc1
+         |         UNION ALL SELECT vec_id FROM embeddings WHERE vec_id % 4 = 2),
+         |ok2 AS (SELECT band, mask FROM k JOIN pop2 USING (vec_id)
+         |        GROUP BY band, mask HAVING count(*) <= 100),
+         |k2 AS (SELECT k.* FROM k JOIN pop2 USING (vec_id)
+         |                        JOIN ok2 USING (band, mask)),
+         |p2 AS (SELECT DISTINCT d.vec_id AS id, r.vec_id AS id_ref
+         |       FROM k2 d JOIN k2 r ON d.band = r.band AND d.mask = r.mask
+         |       WHERE d.vec_id % 4 = 2
+         |         AND (r.vec_id % 4 = 0
+         |              OR r.vec_id IN (SELECT vec_id FROM acc1)
+         |              OR (r.vec_id % 4 = 2 AND r.vec_id < d.vec_id))),
+         |${BandedSql.pairStatsCte("pd2", "p2", "id", "id_ref")},
+         |rej2 AS (SELECT DISTINCT id FROM pd2
+         |         WHERE ${BandedSql.verifyQuarterPredicate}),
+         |acc2 AS (SELECT vec_id FROM embeddings
+         |         WHERE vec_id % 4 = 2
+         |           AND vec_id NOT IN (SELECT id FROM rej2)),
+         |pop3 AS (SELECT vec_id FROM embeddings WHERE vec_id % 4 = 0
+         |         UNION ALL SELECT vec_id FROM acc1
+         |         UNION ALL SELECT vec_id FROM acc2
+         |         UNION ALL SELECT vec_id FROM embeddings WHERE vec_id % 4 = 3),
+         |ok3 AS (SELECT band, mask FROM k JOIN pop3 USING (vec_id)
+         |        GROUP BY band, mask HAVING count(*) <= 100),
+         |k3 AS (SELECT k.* FROM k JOIN pop3 USING (vec_id)
+         |                        JOIN ok3 USING (band, mask)),
+         |p3 AS (SELECT DISTINCT d.vec_id AS id, r.vec_id AS id_ref
+         |       FROM k3 d JOIN k3 r ON d.band = r.band AND d.mask = r.mask
+         |       WHERE d.vec_id % 4 = 3
+         |         AND (r.vec_id % 4 = 0
+         |              OR r.vec_id IN (SELECT vec_id FROM acc1)
+         |              OR r.vec_id IN (SELECT vec_id FROM acc2)
+         |              OR (r.vec_id % 4 = 3 AND r.vec_id < d.vec_id))),
+         |${BandedSql.pairStatsCte("pd3", "p3", "id", "id_ref")},
+         |rej3 AS (SELECT DISTINCT id FROM pd3
+         |         WHERE ${BandedSql.verifyQuarterPredicate}),
+         |acc3 AS (SELECT vec_id FROM embeddings
+         |         WHERE vec_id % 4 = 3
+         |           AND vec_id NOT IN (SELECT id FROM rej3))
+         |SELECT vec_id, CAST(1 AS BIGINT) AS day FROM acc1
+         |UNION ALL
+         |SELECT vec_id, CAST(2 AS BIGINT) AS day FROM acc2
+         |UNION ALL
+         |SELECT vec_id, CAST(3 AS BIGINT) AS day FROM acc3
+         |ORDER BY day, vec_id""".stripMargin)
+
   /** Width-parameterized oracle for the sidecar-compaction lifecycle
     * (base = vec_id % 8 = 0; three UNSCREENED delta appends % 8 ∈
     * {1,2,3} — "accepted" is the caller's contract, and a pipeline

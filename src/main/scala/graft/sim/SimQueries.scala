@@ -679,10 +679,16 @@ object SimQueries {
     val (nc, dimC) = Similarity.corpusStats(
       embeddings(s, sfDir).filter(col("vec_id") % 8 === 0))
     val (cmpBits, _) = Similarity.resolveWidth(nc, dimC, maxBucket = 100)
+    // the streaming ingest fold runs at ITS day-0 manifest width —
+    // resolved from the % 4 = 0 quarter
+    val (ni, dimI) = Similarity.corpusStats(
+      embeddings(s, sfDir).filter(col("vec_id") % 4 === 0))
+    val (ingBits, _) = Similarity.resolveWidth(ni, dimI, maxBucket = 100)
     bandedOracles(bits, clamped) ++
       EmbIndexQueries.indexOracles(idxBits) ++
       EmbIndexQueries.repairOracles(repBits) ++
       EmbIndexQueries.appendOracles(appBits) ++
+      EmbIndexQueries.ingestOracles(ingBits) ++
       EmbIndexQueries.compactOracles(cmpBits) ++
       // the erase artifact indexes the SAME % 5 ≠ 0 base as
       // emb_index_build (erasure never re-resolves the frozen width)

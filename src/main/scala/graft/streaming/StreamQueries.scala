@@ -254,6 +254,64 @@ object StreamQueries {
              |ORDER BY user_id, session_start""".stripMargin),
       (s, d) => Streams.streamingSessionWindows(s, d)),
 
+    // CONTINUOUS INGESTION through the persisted dedup index: three
+    // document "days" stream in (one micro-batch each); foreachBatch
+    // screens each against the persisted index and appends only the
+    // ACCEPTED rows' entries, so day N+1 probes an index grown by day
+    // N (see Streams.indexIngestAccepted). The oracle replays the
+    // sequential fold with exact all-pairs Jaccard: a day's doc is
+    // rejected iff it near-dups (J ≥ 0.7) an indexed doc — base or a
+    // PRIOR day's accepted doc — or a lower-id same-day doc; rejected
+    // docs never enter the index, so they don't block later days.
+    // Oracle-exact for the dedup_minhash reasons (verified-100% LSH
+    // recall on this corpus, bucket cutoffs never fire).
+    Q("stream_index_ingest",
+      Some(s"""${graft.text.DedupQueries.jaccardCtePrefix},
+             |jp AS (SELECT ia, ib FROM pairs
+             |       JOIN sizes sa ON sa.doc_id = pairs.ia
+             |       JOIN sizes sb ON sb.doc_id = pairs.ib
+             |       WHERE CAST(ns AS DOUBLE) / (sa.n + sb.n - ns) >= 0.7),
+             |e AS (SELECT ia AS a, ib AS b FROM jp
+             |      UNION SELECT ib AS a, ia AS b FROM jp),
+             |rej1 AS (SELECT DISTINCT a AS doc_id FROM e
+             |         WHERE a % 4 = 1
+             |           AND (b % 4 = 0 OR (b % 4 = 1 AND b < a))),
+             |acc1 AS (SELECT doc_id FROM documents WHERE doc_id % 4 = 1
+             |         AND doc_id NOT IN (SELECT doc_id FROM rej1)),
+             |rej2 AS (SELECT DISTINCT a AS doc_id FROM e
+             |         WHERE a % 4 = 2
+             |           AND (b % 4 = 0
+             |                OR b IN (SELECT doc_id FROM acc1)
+             |                OR (b % 4 = 2 AND b < a))),
+             |acc2 AS (SELECT doc_id FROM documents WHERE doc_id % 4 = 2
+             |         AND doc_id NOT IN (SELECT doc_id FROM rej2)),
+             |rej3 AS (SELECT DISTINCT a AS doc_id FROM e
+             |         WHERE a % 4 = 3
+             |           AND (b % 4 = 0
+             |                OR b IN (SELECT doc_id FROM acc1)
+             |                OR b IN (SELECT doc_id FROM acc2)
+             |                OR (b % 4 = 3 AND b < a))),
+             |acc3 AS (SELECT doc_id FROM documents WHERE doc_id % 4 = 3
+             |         AND doc_id NOT IN (SELECT doc_id FROM rej3))
+             |SELECT doc_id, CAST(1 AS BIGINT) AS day FROM acc1
+             |UNION ALL
+             |SELECT doc_id, CAST(2 AS BIGINT) AS day FROM acc2
+             |UNION ALL
+             |SELECT doc_id, CAST(3 AS BIGINT) AS day FROM acc3
+             |ORDER BY day, doc_id""".stripMargin),
+      (s, d) => Streams.indexIngestAccepted(s, d)),
+
+    // the embedding half of the SAME ingest choreography: three
+    // vector "days" fold through the persisted band index at the
+    // day-0 MANIFEST width (deltas never re-resolve it). Registered
+    // at the ≤6400-vector gate floor (8 bits); graft.Verify re-renders
+    // at the width the day-0 base actually resolves on bigger corpora
+    // (SimQueries.resolvedBandedOracles), like the rest of the banded
+    // family.
+    Q("stream_emb_ingest",
+      Some(graft.sim.EmbIndexQueries.ingestOracles(8)("stream_emb_ingest")),
+      (s, d) => Streams.embIndexIngestAccepted(s, d)),
+
     // streaming expanding z-score: per-event anomaly vs the running
     // moments of all PRIOR events of that user (exact cent-integer
     // sums in flatMapGroupsWithState state). The oracle is the batch

@@ -649,4 +649,125 @@ object Streams {
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_sessions"),
         sum("n_events").as("n_events"))
+
+  /** CONTINUOUS corpus ingestion through the persisted dedup index —
+    * the production shape that joins the streaming family to the
+    * index-lifecycle family: a file-source stream of document batches
+    * (maxFilesPerTrigger = 1 → one "day" per micro-batch) drives
+    * foreachBatch, and each batch is (1) screened against the
+    * persisted index ([[graft.text.Dedup.incrementalAcceptIndexed]] —
+    * near-dups of any indexed doc or a lower-id same-batch doc are
+    * rejected) and (2) its ACCEPTED rows' index entries appended
+    * ([[graft.text.Dedup.appendIndex]] — delta-sized appends, the
+    * corpus side never rewritten), so batch N+1 probes an index grown
+    * by batch N. The returned frame is read back FROM the grown
+    * artifact's membership record (`ix`), so the oracle gates the
+    * persisted index content AND the sequential-fold acceptance
+    * semantics at once.
+    *
+    * Scale shape: per micro-batch cost is delta-sized (the
+    * dedup_incremental contract) and the index artifacts absorb
+    * appends as mergeable partials (compaction bounds the sidecar —
+    * dedup_index_compact); at 100 TB/day this is the ingest loop a
+    * training-data pipeline runs forever, with AvailableNow swapped
+    * for a continuous trigger. The index root is PER-RUN private
+    * (pid + nanotime): the stream mutates it, so unlike the staged
+    * read-only artifacts it cannot be shared across concurrent
+    * processes (the r12 advisor's cross-process-race lesson).
+    * Checkpoint exactly-once makes the append idempotent per batch:
+    * a restart re-runs no committed micro-batch, so no doc is ever
+    * screened or appended twice ([[exactlyOnceSinkCounts]] pins that
+    * contract for foreachBatch sinks). */
+  def indexIngestAccepted(spark: SparkSession, dir: String): DataFrame = withStreamParallelism(spark) {
+    import graft.text.Dedup
+    val docs = graft.io.Tables.documents(spark, dir)
+      .select("doc_id", "text")
+    // day 0: the already-ingested base corpus's persisted index
+    val root = privateIngestRoot(dir, "graft_stream_ingest_ix_")
+    Dedup.writeIndex(docs.filter(col("doc_id") % 4 === 0),
+      "doc_id", "text", root)
+    runIngestStream(spark, dir, "graft_stream_ingest",
+      m => docs.filter(col("doc_id") % 4 === m)) { batch =>
+      val s = batch.sparkSession
+      val accepted = Dedup.incrementalAcceptIndexed(
+        Dedup.readIndex(s, root), batch, "doc_id", "text")
+      Dedup.appendIndex(root, accepted, "doc_id", "text")
+    }
+    // the accepted stream, read back from the grown index's membership
+    // record — day = the batch the doc arrived in
+    spark.read.parquet(Dedup.ixLive(root))
+      .filter(col("id") % 4 =!= 0)
+      .select(col("id").as("doc_id"), (col("id") % 4).cast("long").as("day"))
+      .orderBy("day", "doc_id")
+  }
+
+  /** [[indexIngestAccepted]]'s embedding twin — the SAME three-day
+    * foreachBatch fold ([[runIngestStream]], one choreography for
+    * both index families) over [[graft.sim.EmbIndex]]: each arriving
+    * vector batch is screened against the persisted band index
+    * (cos ≥ 1/5 at the day-0 MANIFEST width — deltas never re-resolve
+    * it) and only accepted rows' entries appended, so day N+1 probes
+    * an index grown by day N. Read back from the grown `vecs` record
+    * of truth. */
+  def embIndexIngestAccepted(spark: SparkSession, dir: String): DataFrame = withStreamParallelism(spark) {
+    import graft.sim.EmbIndex
+    val emb = graft.io.Tables.embeddings(spark, dir)
+      .select("vec_id", "embedding")
+    val root = privateIngestRoot(dir, "graft_stream_embingest_ix_")
+    EmbIndex.writeIndex(emb.filter(col("vec_id") % 4 === 0), root)
+    runIngestStream(spark, dir, "graft_stream_embingest",
+      m => emb.filter(col("vec_id") % 4 === m)) { batch =>
+      val s = batch.sparkSession
+      val accepted = EmbIndex.incrementalAcceptIndexed(
+        EmbIndex.readIndex(s, root), batch, 1, 5)
+      EmbIndex.appendIndex(root, accepted)
+    }
+    spark.read.parquet(EmbIndex.vecsLive(root))
+      .filter(col("vec_id") % 4 =!= 0)
+      .select(col("vec_id"), (col("vec_id") % 4).cast("long").as("day"))
+      .orderBy("day", "vec_id")
+  }
+
+  /** A PER-RUN private index root (pid + unique temp suffix): the
+    * ingest stream MUTATES its index, so unlike the staged read-only
+    * artifacts it cannot be shared across concurrent processes (the
+    * r12 advisor's cross-process-race lesson); stale roots reap under
+    * the standard tmp policy (SCALE.md "staged-artifact lifecycle"). */
+  private def privateIngestRoot(dir: String, prefix: String): String = {
+    import java.nio.file.{Files, Paths}
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    Files.createTempDirectory(
+      Paths.get(sys.props("java.io.tmpdir")), s"$prefix${tag}_").toString
+  }
+
+  /** The ONE streaming-ingest choreography both index families run:
+    * days 1..3 staged as one parquet file each (admission-ordered by
+    * mtime), maxFilesPerTrigger = 1 → one day per micro-batch,
+    * foreachBatch runs the family's screen-and-append fold,
+    * AvailableNow drains the backlog. Checkpoint exactly-once makes
+    * the fold idempotent per batch: a restart re-runs no committed
+    * micro-batch, so no row is ever screened or appended twice
+    * ([[exactlyOnceSinkCounts]] pins that contract for foreachBatch
+    * sinks). */
+  private def runIngestStream(spark: SparkSession, dir: String,
+      tagPrefix: String, day: Int => DataFrame)(
+      ingest: DataFrame => Unit): Unit = {
+    import java.nio.file.{Files, Paths}
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val srcDir = stageArrivals(s"${tagPrefix}_src_$tag",
+      Seq(day(1) -> "day1.parquet", day(2) -> "day2.parquet",
+        day(3) -> "day3.parquet"))
+    val ckpt = Files.createTempDirectory(
+      Paths.get(sys.props("java.io.tmpdir")),
+      s"${tagPrefix}_ckpt_${tag}_").toString
+    val schema = spark.read.parquet(srcDir).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) => ingest(batch); () }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
 }

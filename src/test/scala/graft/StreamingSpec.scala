@@ -185,4 +185,51 @@ class StreamingSpec extends SparkSpec {
     assert(state.get == ZState(st.n + 1, st.s + 1200000L,
       st.s2 + 1200000L * 1200000L))
   }
+
+  test("streaming index ingest == batch sequential fold, and rejection fires") {
+    import graft.text.Dedup
+    val docs = io.Tables.documents(spark, sf0001).select("doc_id", "text")
+    val streamed = Streams.indexIngestAccepted(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // batch replay of the same fold: each day screens against
+    // base ∪ all PRIOR days' accepted docs (rejected docs never block)
+    val base = docs.filter(col("doc_id") % 4 === 0)
+    def day(m: Int) = docs.filter(col("doc_id") % 4 === m)
+    val acc1 = Dedup.incrementalAccept(base, day(1), "doc_id", "text")
+    val acc2 = Dedup.incrementalAccept(base.unionByName(acc1), day(2),
+      "doc_id", "text")
+    val acc3 = Dedup.incrementalAccept(
+      base.unionByName(acc1).unionByName(acc2), day(3), "doc_id", "text")
+    val expected = Seq(acc1 -> 1L, acc2 -> 2L, acc3 -> 3L).flatMap {
+      case (df, m) => df.select("doc_id").collect().map(_.getLong(0) -> m)
+    }.toSet
+    assert(streamed == expected)
+    // the screen is not a pass-through: the planted near-dups reject
+    val deltaTotal = docs.filter(col("doc_id") % 4 =!= 0).count()
+    assert(streamed.size < deltaTotal,
+      "no delta doc was rejected — the ingest screen never fired")
+  }
+
+  test("streaming embedding ingest == batch sequential fold through the persisted index") {
+    import graft.sim.EmbIndex
+    import java.nio.file.{Files, Paths}
+    val emb = io.Tables.embeddings(spark, sf0001).select("vec_id", "embedding")
+    val streamed = Streams.embIndexIngestAccepted(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // batch replay: grow a fresh index day by day with the SAME
+    // screen-and-append ops the stream's foreachBatch runs
+    val root = Files.createTempDirectory(
+      Paths.get(sys.props("java.io.tmpdir")), "graft_embingest_replay_").toString
+    EmbIndex.writeIndex(emb.filter(col("vec_id") % 4 === 0), root)
+    val expected = (1 to 3).flatMap { m =>
+      val acc = EmbIndex.incrementalAcceptIndexed(
+        EmbIndex.readIndex(spark, root),
+        emb.filter(col("vec_id") % 4 === m), 1, 5)
+      EmbIndex.appendIndex(root, acc)
+      spark.read.parquet(EmbIndex.vecsLive(root))
+        .filter(col("vec_id") % 4 === m)
+        .select("vec_id").collect().map(_.getLong(0) -> m.toLong)
+    }.toSet
+    assert(streamed == expected)
+  }
 }
