@@ -1,0 +1,98 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding merge LEARNING [EXT] — distributed tokenizer
+  * training (Sennrich, Haddow & Birch 2016, arXiv:1508.07909, the BPE
+  * algorithm behind GPT-2/RoBERTa-class vocabularies), simplified to
+  * the whitespace pre-tokenization the rest of the text family uses
+  * and no end-of-word marker (merges never cross word boundaries
+  * either way; the marker only distinguishes word-final subwords in
+  * the learned vocab).
+  *
+  * The 100 TB shape is the point: the corpus is scanned ONCE into the
+  * weighted word-TYPE table (|vocab| rows — bounded by language, not
+  * data), and every learning iteration runs on that reduced relation:
+  * one map-side-combinable pair-count aggregation, a 1-row argmax
+  * collect (the only driver payload — bounded like ScaleRank's
+  * cut-points), and a codegen'd left-fold merge application over each
+  * word's symbol array. Sennrich's reference implementation holds the
+  * same vocab dict in memory and pays the same per-iteration pass —
+  * this is that algorithm with the pair count distributed.
+  *
+  * Merge application is greedy left-to-right non-overlapping (the
+  * reference `re.sub` semantics), spelled as an exact left fold: the
+  * accumulator's last symbol can never re-match as the LEFT element
+  * of the pair in the same pass (merged = l+r ≠ l since r is
+  * non-empty), so fold ≡ positional scan. The DuckDB oracle spells
+  * the SAME contract independently — match positions → runs of
+  * consecutive matches → every-other-position chosen (parity within a
+  * run; consecutive matches only arise for l = r) — so the two
+  * engines cross-check the greedy semantics, not one shared formula.
+  */
+object Bpe {
+
+  /** Learned merges + resulting vocabulary report:
+    * part 1 = the merge table (rank, "l+r", weighted pair count);
+    * part 2 = the top-20 corpus symbols (by weighted count, ties by
+    * symbol) after applying all merges. Learning stops early when no
+    * pair is left (short vocabularies) — both sides then emit fewer
+    * part-1 rows. */
+  def bpeReport(docs: DataFrame, nMerges: Int = 4): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    // the ONE corpus scan: weighted word types, split to char symbols
+    var words = docs
+      .select(explode(Dedup.tokensCol(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .select(col("f"), expr(
+        "transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+        .as("syms"))
+      .localCheckpoint() // |vocab| rows; iterations must not re-scan the corpus
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= nMerges && !exhausted) {
+      val best = words
+        .filter(size(col("syms")) >= 2)
+        .select(col("f"), explode(expr(
+          "transform(sequence(1, size(syms) - 1), i -> " +
+            "struct(element_at(syms, i) AS l, element_at(syms, i + 1) AS r))"))
+          .as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("f").as("n"))
+        .orderBy(col("n").desc, col("l").asc, col("r").asc)
+        .limit(1).collect() // bounded: exactly one row (the argmax)
+      if (best.isEmpty) exhausted = true
+      else {
+        val (l, rt, n) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((r.toLong, l, rt, n))
+        // greedy left-to-right application as an exact left fold
+        words = words.select(col("f"),
+          aggregate(col("syms"), array().cast("array<string>"),
+            (acc, x) =>
+              when(size(acc) > 0 &&
+                  try_element_at(acc, lit(-1)) === lit(l) && x === lit(rt),
+                concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + rt))))
+                .otherwise(concat(acc, array(x)))).as("syms"))
+          .localCheckpoint() // cut the per-iteration lineage; still |vocab| rows
+        r += 1
+      }
+    }
+    val part1 = merges.result().toDF("rank", "l", "r", "n")
+      .select(lit(1L).as("part"), col("rank"),
+        concat(col("l"), lit("+"), col("r")).as("sym"), col("n"))
+    val top = words.select(col("f"), explode(col("syms")).as("sym"))
+      .groupBy("sym").agg(sum("f").as("n"))
+      .orderBy(col("n").desc, col("sym").asc).limit(20)
+    // rank the ≤20 collected rows; the window runs AFTER the TakeOrdered
+    val part2 = top.withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("n").desc, col("sym").asc)).cast("long"))
+      .select(lit(2L).as("part"), col("rank"), col("sym"), col("n"))
+    part1.unionByName(part2).orderBy("part", "rank")
+  }
+}

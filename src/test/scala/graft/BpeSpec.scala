@@ -1,0 +1,51 @@
+package graft
+
+import graft.text.Bpe
+
+/** BPE merge learning: hand-computed fixtures pin the weighted pair
+  * counts, the (count desc, pair asc) tiebreak, greedy non-overlapping
+  * application, and early stop when the vocabulary is exhausted. */
+class BpeSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def report(docs: org.apache.spark.sql.DataFrame) =
+    Bpe.bpeReport(docs, 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .toSeq
+
+  test("learned merges, tiebreak, application, and early stop — by hand") {
+    // word freqs: aaab ×2, ab ×3.
+    // iter 1: (a,a)=4, (a,b)=5 → merge a+b (5); aaab→[a,a,ab], ab→[ab]
+    // iter 2: (a,a)=2, (a,ab)=2 → TIE → pair-asc picks a+a (2) → [aa,ab]
+    // iter 3: (aa,ab)=2 → merge (2) → [aaab]
+    // iter 4: no pairs anywhere → early stop at 3 merges
+    val docs = Seq((0L, "aaab aaab ab ab ab")).toDF("doc_id", "text")
+    assert(report(docs) == Seq(
+      (1L, 1L, "a+b", 5L),
+      (1L, 2L, "a+a", 2L),
+      (1L, 3L, "aa+ab", 2L),
+      (2L, 1L, "ab", 3L),
+      (2L, 2L, "aaab", 2L)))
+  }
+
+  test("greedy non-overlapping runs: aaaa merges to [aa, aa], not [aa, a, a]") {
+    // 3 consecutive (a,a) match positions → every-other chosen (1, 3):
+    // one pass yields [aa, aa]; the second merge is then (aa, aa).
+    val docs = Seq((0L, "aaaa")).toDF("doc_id", "text")
+    assert(report(docs) == Seq(
+      (1L, 1L, "a+a", 3L),
+      (1L, 2L, "aa+aa", 1L),
+      (2L, 1L, "aaaa", 1L)))
+  }
+
+  test("single-char and blank words never break the pair scan") {
+    val docs = Seq((0L, "a b  a   b a"), (1L, "ab")).toDF("doc_id", "text")
+    // pairs exist only in "ab" (f=1): merge a+b once, then exhausted
+    assert(report(docs) == Seq(
+      (1L, 1L, "a+b", 1L),
+      (2L, 1L, "a", 3L),
+      (2L, 2L, "b", 2L),
+      (2L, 3L, "ab", 1L)))
+  }
+}
