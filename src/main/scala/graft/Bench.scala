@@ -69,6 +69,24 @@ object Bench {
     "stream_window_agg" -> 0.014, "pipeline_training_corpus" -> 0.349,
     "sim_topk_ivf_kmeans" -> 0.189, "dedup_incremental" -> 1.139)
 
+  /** The 10× denominator (target/sf1.0x, same recording protocol with
+    * a 900 s per-query subprocess timeout): 14 of 15 completed;
+    * dedup_clusters' recursive-CTE transitive closure TIMED OUT at
+    * 900 s over the ~41×-grown pair space (the engine side runs it in
+    * ~3.6 s there) — absent from the map, so its ratio is simply not
+    * rendered and the aggregate covers the completed 14. That timeout
+    * is the scale story the external denominator exists to expose:
+    * the oracle spellings are exact but not shuffle-shaped. */
+  private val DuckDbBaseline10xSf = "target/sf1.0x"
+  private val DuckDbBaseline10xSec: Map[String, Double] = Map(
+    "agg_group" -> 0.037, "join_fk" -> 1.404, "topk" -> 0.033,
+    "agg_cube" -> 0.044, "join_asof" -> 0.230,
+    "dedup_minhash" -> 146.121,
+    "sim_topk_brute" -> 0.350, "text_tfidf" -> 3.494,
+    "pipeline_full_etl" -> 1.077, "src_parquet" -> 0.002,
+    "stream_window_agg" -> 0.065, "pipeline_training_corpus" -> 5.227,
+    "sim_topk_ivf_kmeans" -> 3.117, "dedup_incremental" -> 30.464)
+
   def main(args: Array[String]): Unit = {
     // the JSON line is built with f-interpolators (java String.format
     // under the DEFAULT locale): on a comma-decimal locale (de_DE, …)
@@ -301,18 +319,21 @@ object Bench {
     // engine-vs-DuckDB per headline query (the external denominator;
     // see DuckDbBaselineSec). Per-query ratios fit the stdout budget
     // at 2 decimals (~1.5 KB total line, driver tail is ~2 KB).
-    val duckJson = if (sfDir == DuckDbBaselineSf) {
+    val duckBaseline =
+      if (sfDir == DuckDbBaselineSf) Some(DuckDbBaselineSec)
+      else if (sfDir == DuckDbBaseline10xSf) Some(DuckDbBaseline10xSec)
+      else None
+    val duckJson = duckBaseline.map { base =>
       val ratios = headTimes.collect {
-        case (n, t) if DuckDbBaselineSec.contains(n) =>
-          n -> t / DuckDbBaselineSec(n)
+        case (n, t) if base.contains(n) => n -> t / base(n)
       }
-      val dTot = DuckDbBaselineSec.values.sum
+      val dTot = base.values.sum
       val eTot = headTimes.collect {
-        case (n, t) if DuckDbBaselineSec.contains(n) => t }.sum
+        case (n, t) if base.contains(n) => t }.sum
       val rJson = ratios.map { case (n, r) => "\"" + n + f"\":$r%.2f" }
         .mkString("{", ",", "}")
       f""","duckdb":{"wall":$dTot%.2f,"ratio":${eTot / dTot}%.2f,"ratios":$rJson}"""
-    } else ""
+    }.getOrElse("")
     // Stop Spark BEFORE printing so nothing (shutdown logging included)
     // can land on stdout after the json line — the driver parses the
     // last line of stdout.

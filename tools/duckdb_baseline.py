@@ -35,6 +35,9 @@ TABLES = ("region nation customer supplier part orders lineitem "
 
 def time_one(sf_dir, sql, runs=2):
     con = duckdb.connect()
+    # queries >2s print a progress bar ON STDOUT in the python client,
+    # which corrupts the subprocess JSON protocol — off for timing
+    con.sql("SET enable_progress_bar = false")
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     walls = []
@@ -64,7 +67,7 @@ def main(sf_dir, oracle_json, timeout=None):
                 r = subprocess.run([sys.executable, "-c", code],
                                    capture_output=True, text=True,
                                    timeout=timeout)
-                runs = json.loads(r.stdout)
+                runs = json.loads(r.stdout.strip().splitlines()[-1])
                 out[name] = round(min(runs), 3)
                 print(f"  {name}: {runs}", file=sys.stderr)
             except subprocess.TimeoutExpired:
