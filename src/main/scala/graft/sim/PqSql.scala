@@ -13,7 +13,7 @@ package graft.sim
   * widening) → codes with exact encoding distortion for the ENCODING
   * rows.
   */
-private[sim] object PqSql {
+private[graft] object PqSql {
 
   /** CTE chain binding `d` (quantized sub-dims of train ∪ encode),
     * `cent2` (the base-trained codebook) and `codes` (the encode

@@ -312,6 +312,19 @@ object StreamQueries {
       Some(graft.sim.EmbIndexQueries.ingestOracles(8)("stream_emb_ingest")),
       (s, d) => Streams.embIndexIngestAccepted(s, d)),
 
+    // the PQ third of the ingest choreography: day 0 trains the
+    // codebook, streamed batches encode at it FROZEN and append
+    // (exactly-once — a restarted batch never double-encodes). The
+    // oracle trains on the % 4 = 0 base only and recomputes every
+    // grown-artifact row, so a silent per-batch retrain (codes from
+    // two codebooks in one artifact) hash-mismatches.
+    Q("stream_pq_ingest",
+      Some(s"""WITH ${graft.sim.PqSql.pipelineCtes("vec_id % 4 = 0", "TRUE")}
+              |SELECT vec_id, sub, code, d2,
+              |       CAST(vec_id % 4 AS BIGINT) AS day
+              |FROM codes ORDER BY vec_id, sub""".stripMargin),
+      (s, d) => Streams.pqIndexIngestCodes(s, d)),
+
     // streaming expanding z-score: per-event anomaly vs the running
     // moments of all PRIOR events of that user (exact cent-integer
     // sums in flatMapGroupsWithState state). The oracle is the batch

@@ -728,6 +728,34 @@ object Streams {
       .orderBy("day", "vec_id")
   }
 
+  /** The PQ third of the ingest choreography ([[runIngestStream]]):
+    * day 0 TRAINS the codebook on the base corpus and persists it
+    * ([[graft.sim.PqIndex.writeIndex]]); each arriving vector batch
+    * then encodes at that FROZEN codebook and appends its codes
+    * ([[graft.sim.PqIndex.appendIndex]] — zero training, zero base
+    * re-reads; retraining is a REBUILD, never an ingest step). No
+    * screen: the PQ append contract trusts its deltas (codes are a
+    * derived cache of (vector, codebook)); what the stream adds is
+    * exactly-once encode-and-append — a restarted batch never
+    * double-encodes, the torn/duplicated-codes shape
+    * [[graft.sim.PqIndex.repairIndex]] exists to heal. Read back from
+    * the grown codes artifact. */
+  def pqIndexIngestCodes(spark: SparkSession, dir: String): DataFrame = withStreamParallelism(spark) {
+    import graft.sim.PqIndex
+    val emb = graft.io.Tables.embeddings(spark, dir)
+      .select("vec_id", "embedding")
+    val root = privateIngestRoot(dir, "graft_stream_pqingest_ix_")
+    PqIndex.writeIndex(emb.filter(col("vec_id") % 4 === 0), root)
+    runIngestStream(spark, dir, "graft_stream_pqingest",
+      m => emb.filter(col("vec_id") % 4 === m)) { batch =>
+      PqIndex.appendIndex(root, batch)
+    }
+    spark.read.parquet(PqIndex.codesLive(root))
+      .select(col("vec_id"), col("sub"), col("code"), col("d2"),
+        (col("vec_id") % 4).cast("long").as("day"))
+      .orderBy("vec_id", "sub")
+  }
+
   /** A PER-RUN private index root (pid + unique temp suffix): the
     * ingest stream MUTATES its index, so unlike the staged read-only
     * artifacts it cannot be shared across concurrent processes (the

@@ -232,4 +232,24 @@ class StreamingSpec extends SparkSpec {
     }.toSet
     assert(streamed == expected)
   }
+
+  test("streaming PQ ingest == batch replay at the same frozen codebook") {
+    import graft.sim.PqIndex
+    import java.nio.file.{Files, Paths}
+    val emb = io.Tables.embeddings(spark, sf0001).select("vec_id", "embedding")
+    val streamed = Streams.pqIndexIngestCodes(spark, sf0001).collect()
+      .map(_.toSeq).toSet
+    val root = Files.createTempDirectory(
+      Paths.get(sys.props("java.io.tmpdir")), "graft_pqingest_replay_").toString
+    PqIndex.writeIndex(emb.filter(col("vec_id") % 4 === 0), root)
+    (1 to 3).foreach(m =>
+      PqIndex.appendIndex(root, emb.filter(col("vec_id") % 4 === m)))
+    val expected = spark.read.parquet(PqIndex.codesLive(root))
+      .select(col("vec_id"), col("sub"), col("code"), col("d2"),
+        (col("vec_id") % 4).cast("long").as("day")).collect()
+      .map(_.toSeq).toSet
+    assert(streamed == expected)
+    // every vector carries exactly M code rows — no batch double-encoded
+    assert(streamed.size == emb.count() * 4)
+  }
 }
