@@ -33,21 +33,21 @@ import org.apache.spark.sql.functions._
   */
 object Bpe {
 
-  /** Learned merges + resulting vocabulary report:
-    * part 1 = the merge table (rank, "l+r", weighted pair count);
-    * part 2 = the top-20 corpus symbols (by weighted count, ties by
-    * symbol) after applying all merges. Learning stops early when no
-    * pair is left (short vocabularies) — both sides then emit fewer
-    * part-1 rows. */
-  def bpeReport(docs: DataFrame, nMerges: Int = 4): DataFrame = {
-    val s = docs.sparkSession
-    import s.implicits._
+  /** The learned state: the merge table and the word-TYPE table after
+    * all merges applied — (w, f, syms), the map every downstream
+    * consumer (vocab report, corpus encode) joins through. */
+  final case class Learned(merges: Seq[(Long, String, String, Long)],
+      words: DataFrame)
+
+  /** Runs the learning loop (see object scaladoc). Stops early when no
+    * pair is left (short vocabularies). */
+  def learn(docs: DataFrame, nMerges: Int): Learned = {
     // the ONE corpus scan: weighted word types, split to char symbols
     var words = docs
       .select(explode(Dedup.tokensCol(col("text"))).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("f"))
-      .select(col("f"), expr(
+      .select(col("w"), col("f"), expr(
         "transform(sequence(1, length(w)), i -> substring(w, i, 1))")
         .as("syms"))
       .localCheckpoint() // |vocab| rows; iterations must not re-scan the corpus
@@ -71,7 +71,7 @@ object Bpe {
           (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         merges += ((r.toLong, l, rt, n))
         // greedy left-to-right application as an exact left fold
-        words = words.select(col("f"),
+        words = words.select(col("w"), col("f"),
           aggregate(col("syms"), array().cast("array<string>"),
             (acc, x) =>
               when(size(acc) > 0 &&
@@ -82,7 +82,19 @@ object Bpe {
         r += 1
       }
     }
-    val part1 = merges.result().toDF("rank", "l", "r", "n")
+    Learned(merges.result(), words)
+  }
+
+  /** Learned merges + resulting vocabulary report:
+    * part 1 = the merge table (rank, "l+r", weighted pair count);
+    * part 2 = the top-20 corpus symbols (by weighted count, ties by
+    * symbol) after applying all merges. */
+  def bpeReport(docs: DataFrame, nMerges: Int = 4): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val st = learn(docs, nMerges)
+    val words = st.words
+    val part1 = st.merges.toDF("rank", "l", "r", "n")
       .select(lit(1L).as("part"), col("rank"),
         concat(col("l"), lit("+"), col("r")).as("sym"), col("n"))
     val top = words.select(col("f"), explode(col("syms")).as("sym"))
@@ -94,5 +106,30 @@ object Bpe {
           .orderBy(col("n").desc, col("sym").asc)).cast("long"))
       .select(lit(2L).as("part"), col("rank"), col("sym"), col("n"))
     part1.unionByName(part2).orderBy("part", "rank")
+  }
+
+  /** Per-document tokenizer-budget report — the artifact a corpus
+    * pipeline prices sequence packing and context windows with: apply
+    * the LEARNED merges and report, per document, word count, char
+    * count, BPE token count, and the µ-rounded compression ratio
+    * (tokens per char). The corpus encode is ONE join of the
+    * document's tokens against the |vocab|-row merged word-type map —
+    * the merges never re-apply per occurrence. */
+  def encodeReport(docs: DataFrame, nMerges: Int = 4): DataFrame = {
+    val st = learn(docs, nMerges)
+    val sizes = st.words.select(col("w"),
+      length(col("w")).cast("long").as("nc"),
+      size(col("syms")).cast("long").as("nt"))
+    docs.select(col("doc_id"), explode(Dedup.tokensCol(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+      .join(sizes, "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("nc").as("n_chars"),
+        sum("nt").as("n_bpe_tokens"))
+      .select(col("doc_id"), col("n_words"), col("n_chars"),
+        col("n_bpe_tokens"),
+        expr("CAST(round(CAST(n_bpe_tokens AS DOUBLE) / n_chars * 1e6)" +
+          " AS BIGINT)").as("compression_e6"))
+      .orderBy("doc_id")
   }
 }

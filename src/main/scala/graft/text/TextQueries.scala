@@ -902,7 +902,18 @@ object TextQueries {
     // 2^k times (measured 29 s → 1.05 s at sf0.01).
     Q("text_bpe_merges",
       Some(bpeOracle(4)),
-      (s, d) => Bpe.bpeReport(documents(s, d), 4))
+      (s, d) => Bpe.bpeReport(documents(s, d), 4)),
+
+    // Applying the learned tokenizer to the corpus: per-document word/
+    // char/BPE-token counts + µ-rounded compression ratio — the
+    // tokenizer-budget artifact sequence packing and context-window
+    // pricing read. The corpus encode is ONE join of document tokens
+    // against the |vocab|-row merged word-type map (merges never
+    // re-apply per occurrence); the oracle renders the SAME learning
+    // chain (bpeChainCtes) and re-derives every per-doc count.
+    Q("text_bpe_encode",
+      Some(bpeEncodeOracle(4)),
+      (s, d) => Bpe.encodeReport(documents(s, d), 4))
   )
 
   /** DuckDB oracle renderer for text_bpe_merges: one CTE block per
@@ -933,20 +944,24 @@ object TextQueries {
        |         GROUP BY p.w, p.f)""".stripMargin
   }
 
-  private def bpeOracle(n: Int): String = {
-    val iters = (1 to n).map(bpeIterCtes).mkString(",\n")
-    val part1 = (1 to n).map(k =>
-      s"""SELECT CAST(1 AS BIGINT) AS part, CAST($k AS BIGINT) AS rank,
-         |       l || '+' || r AS sym, n FROM b$k""".stripMargin)
-      .mkString("\nUNION ALL\n")
-    s"""WITH wf AS MATERIALIZED (SELECT w, count(*) AS f
+  /** The learning-chain CTEs (word types → char symbols → n merge
+    * iterations) — the ONE spelling both BPE oracles render. */
+  private def bpeChainCtes(n: Int): String =
+    s"""wf AS MATERIALIZED (SELECT w, count(*) AS f
        |  FROM (SELECT unnest(string_split_regex(lower(trim(text)), ' +')) AS w
        |        FROM documents) t
        |  WHERE len(w) > 0 GROUP BY w),
        |t0 AS MATERIALIZED (SELECT w, f,
        |         list_transform(range(1, len(w)+1), i -> substring(w, i, 1)) AS syms
        |       FROM wf),
-       |$iters
+       |${(1 to n).map(bpeIterCtes).mkString(",\n")}""".stripMargin
+
+  private def bpeOracle(n: Int): String = {
+    val part1 = (1 to n).map(k =>
+      s"""SELECT CAST(1 AS BIGINT) AS part, CAST($k AS BIGINT) AS rank,
+         |       l || '+' || r AS sym, n FROM b$k""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    s"""WITH ${bpeChainCtes(n)}
        |SELECT part, rank, sym, n FROM (
        |$part1
        |UNION ALL
@@ -957,6 +972,23 @@ object TextQueries {
        |      ORDER BY n DESC, sym LIMIT 20))
        |ORDER BY part, rank""".stripMargin
   }
+
+  private def bpeEncodeOracle(n: Int): String =
+    s"""WITH ${bpeChainCtes(n)},
+       |tok AS (SELECT doc_id, w FROM (
+       |          SELECT doc_id,
+       |                 unnest(string_split_regex(lower(trim(text)), ' +')) AS w
+       |          FROM documents) t
+       |        WHERE len(w) > 0),
+       |sz AS (SELECT w, len(w) AS nc, len(syms) AS nt FROM t$n)
+       |SELECT doc_id, count(*) AS n_words,
+       |       CAST(sum(nc) AS BIGINT) AS n_chars,
+       |       CAST(sum(nt) AS BIGINT) AS n_bpe_tokens,
+       |       CAST(round(CAST(sum(nt) AS DOUBLE) / sum(nc) * 1e6) AS BIGINT)
+       |         AS compression_e6
+       |FROM tok JOIN sz USING (w)
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
 
   /** Java∩RE2 PII patterns (shared verbatim by both engines): no
     * backrefs, no lookaround, only classes/bounded repeats/\b — the

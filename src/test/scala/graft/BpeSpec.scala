@@ -39,6 +39,18 @@ class BpeSpec extends SparkSpec {
       (2L, 1L, "aaaa", 1L)))
   }
 
+  test("encode report: per-doc counts and compression by hand") {
+    // merges as in the first test: aaab → [aaab] (1 token, 4 chars),
+    // ab → [ab] (1 token, 2 chars).
+    // doc 0: 2×aaab + 3×ab → 5 words, 14 chars, 5 tokens,
+    // round(5/14·1e6) = 357143
+    val docs = Seq((0L, "aaab aaab ab ab ab")).toDF("doc_id", "text")
+    val got = Bpe.encodeReport(docs, 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == Seq((0L, 5L, 14L, 5L, 357143L)))
+  }
+
   test("single-char and blank words never break the pair scan") {
     val docs = Seq((0L, "a b  a   b a"), (1L, "ab")).toDF("doc_id", "text")
     // pairs exist only in "ab" (f=1): merge a+b once, then exhausted
