@@ -295,7 +295,7 @@ object Streams {
     * rewrote every file each call anyway); stale stage dirs linger in
     * tmp under the same reaping policy as every staged artifact
     * (SCALE.md "staged-artifact lifecycle"). */
-  private[streaming] def stageArrivals(stageName: String,
+  private[graft] def stageArrivals(stageName: String,
       files: Seq[(DataFrame, String)]): String = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     import java.nio.file.attribute.FileTime
@@ -788,6 +788,16 @@ object Streams {
     val ckpt = Files.createTempDirectory(
       Paths.get(sys.props("java.io.tmpdir")),
       s"${tagPrefix}_ckpt_${tag}_").toString
+    driveIngest(spark, srcDir, ckpt)(ingest)
+  }
+
+  /** The drive step alone (stream over an existing stage dir with a
+    * caller-owned checkpoint): split out so the restart-idempotence
+    * contract is directly testable — a second drive against the SAME
+    * checkpoint and source re-runs no committed micro-batch
+    * (StreamingSpec pins the ingest callback fires zero extra times). */
+  private[graft] def driveIngest(spark: SparkSession, srcDir: String,
+      ckpt: String)(ingest: DataFrame => Unit): Unit = {
     val schema = spark.read.parquet(srcDir).schema
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1)

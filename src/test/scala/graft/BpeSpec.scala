@@ -1,6 +1,7 @@
 package graft
 
 import graft.text.Bpe
+import org.apache.spark.sql.functions._
 
 /** BPE merge learning: hand-computed fixtures pin the weighted pair
   * counts, the (count desc, pair asc) tiebreak, greedy non-overlapping
@@ -49,6 +50,17 @@ class BpeSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4))).toSeq
     assert(got == Seq((0L, 5L, 14L, 5L, 357143L)))
+  }
+
+  test("decode round-trip: rejoining merged symbols reconstructs every word (sf0.001)") {
+    // BPE merges only ever CONCATENATE adjacent symbols, so
+    // array_join(syms, '') must equal the source word for the whole
+    // vocabulary — the lossless-tokenization property a decoder needs.
+    val docs = io.Tables.documents(spark, sf0001).select("doc_id", "text")
+    val words = Bpe.learn(docs, 4).words
+    assert(words.filter(concat_ws("", col("syms")) =!= col("w")).count() == 0)
+    // and at least one real merge happened (syms shorter than chars)
+    assert(words.filter(size(col("syms")) < length(col("w"))).count() > 0)
   }
 
   test("single-char and blank words never break the pair scan") {

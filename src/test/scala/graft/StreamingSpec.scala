@@ -252,4 +252,20 @@ class StreamingSpec extends SparkSpec {
     // every vector carries exactly M code rows — no batch double-encoded
     assert(streamed.size == emb.count() * 4)
   }
+
+  test("ingest drive is restart-idempotent: a re-drive against the same checkpoint ingests nothing") {
+    import java.nio.file.{Files, Paths}
+    val docs = io.Tables.documents(spark, sf0001).select("doc_id", "text")
+    val srcDir = Streams.stageArrivals("graft_ingest_idem_src",
+      Seq(docs.filter(col("doc_id") % 2 === 0) -> "a.parquet",
+        docs.filter(col("doc_id") % 2 === 1) -> "b.parquet"))
+    val ckpt = Files.createTempDirectory(
+      Paths.get(sys.props("java.io.tmpdir")), "graft_ingest_idem_ckpt_").toString
+    val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+    Streams.driveIngest(spark, srcDir, ckpt)(_ => calls.incrementAndGet())
+    assert(calls.get() == 2, "two staged days must arrive as two micro-batches")
+    // the restart: same checkpoint, same source — no committed batch re-runs
+    Streams.driveIngest(spark, srcDir, ckpt)(_ => calls.incrementAndGet())
+    assert(calls.get() == 2, "a re-drive must re-ingest nothing")
+  }
 }
