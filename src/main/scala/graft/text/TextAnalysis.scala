@@ -131,4 +131,32 @@ object TextAnalysis {
         acc.when(sc === best && best > 0, lang)
       }.otherwise("und")
   }
+
+  /** Interpolated Kneser-Ney bigram score per document (see the
+    * text_bigram_kn registration for the formula and determinism
+    * notes). All statistics come off ONE bigram-count relation; the
+    * single ln term per instance is µ-rounded before the associative
+    * BIGINT sum, and its arithmetic spelling is character-identical
+    * to the DuckDB oracle's. */
+  def knBigramReport(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), split(lower(trim(col("text"))), " +").as("tk"))
+    val bgd = toks
+      .select(col("doc_id"), explode(bigramPairsCol(col("tk"))).as("pr"))
+      .select(col("doc_id"), col("pr.w1").as("w1"), col("pr.w2").as("w2"))
+    val bgc = bgd.groupBy("w1", "w2")
+      .agg(count(lit(1)).cast("long").as("n_ab"))
+    val ftot = bgc.groupBy("w1").agg(sum("n_ab").cast("long").as("tot"),
+      count(lit(1)).cast("long").as("n1p"))
+    val lcnt = bgc.groupBy("w2").agg(count(lit(1)).cast("long").as("lcont"))
+    val tq = bgc.agg(count(lit(1)).cast("long").as("t"))
+    bgd.join(bgc, Seq("w1", "w2")).join(ftot, "w1").join(lcnt, "w2")
+      .crossJoin(broadcast(tq))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+        sum(expr("CAST(round(ln((n_ab - 0.75 + 0.75 * n1p" +
+          " * (CAST(lcont AS DOUBLE) / t)) / tot) * 1e6) AS BIGINT)"))
+          .cast("long").as("kn_e6"))
+      .orderBy("doc_id")
+  }
 }

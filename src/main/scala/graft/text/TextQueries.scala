@@ -913,7 +913,49 @@ object TextQueries {
     // chain (bpeChainCtes) and re-derives every per-doc count.
     Q("text_bpe_encode",
       Some(bpeEncodeOracle(4)),
-      (s, d) => Bpe.encodeReport(documents(s, d), 4))
+      (s, d) => Bpe.encodeReport(documents(s, d), 4)),
+
+    // Interpolated Kneser-Ney bigram LM score per document (Kneser &
+    // Ney 1995; Chen & Goodman 1998's interpolated form with a fixed
+    // absolute discount D = 0.75) — the smoothing class behind
+    // KenLM-style CCNet perplexity filtering, upgrading
+    // text_bigram_lm's add-1: P(w2|w1) = (c(w1w2) − D + D·N1+(w1·)·
+    // Pcont(w2)) / c(w1·), Pcont(w2) = N1+(·w2)/|bigram types|. Only
+    // OBSERVED bigrams are scored (c ≥ 1, so the max(c−D, 0) clamp
+    // never binds — same instance-join shape as text_bigram_lm); all
+    // statistics are exact integers off ONE bigram-count relation
+    // (map-side combinable), D = 0.75 is exact in binary, and the one
+    // ln term per instance is µ-rounded before the associative BIGINT
+    // sum. The arithmetic spelling is character-identical in both
+    // engines so the IEEE evaluation order cannot diverge.
+    Q("text_bigram_kn",
+      Some("""WITH toks AS (SELECT doc_id,
+             |                string_split_regex(lower(trim(text)), ' +') AS tk
+             |              FROM documents),
+             |bgd AS (SELECT doc_id, pr[1] AS w1, pr[2] AS w2
+             |        FROM (SELECT doc_id, unnest(CASE WHEN len(tk) >= 2
+             |                THEN list_transform(range(len(tk)-1),
+             |                     i -> [tk[i+1], tk[i+2]])
+             |                ELSE [] END) AS pr
+             |              FROM toks) t),
+             |bgc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_ab
+             |        FROM bgd GROUP BY 1, 2),
+             |ftot AS (SELECT w1, CAST(sum(n_ab) AS BIGINT) AS tot,
+             |                CAST(count(*) AS BIGINT) AS n1p
+             |         FROM bgc GROUP BY 1),
+             |lcnt AS (SELECT w2, CAST(count(*) AS BIGINT) AS lcont
+             |         FROM bgc GROUP BY 1),
+             |tq AS (SELECT CAST(count(*) AS BIGINT) AS t FROM bgc)
+             |SELECT bgd.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             |       CAST(sum(CAST(round(ln((n_ab - 0.75 + 0.75 * n1p
+             |            * (CAST(lcont AS DOUBLE) / t)) / tot) * 1e6) AS BIGINT))
+             |         AS BIGINT) AS kn_e6
+             |FROM bgd JOIN bgc USING (w1, w2)
+             |         JOIN ftot USING (w1)
+             |         JOIN lcnt USING (w2)
+             |         CROSS JOIN tq
+             |GROUP BY 1 ORDER BY doc_id""".stripMargin),
+      (s, d) => TextAnalysis.knBigramReport(documents(s, d)))
   )
 
   /** DuckDB oracle renderer for text_bpe_merges: one CTE block per

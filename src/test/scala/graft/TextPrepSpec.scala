@@ -200,4 +200,21 @@ class TextPrepSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
     assert(again.toSet == sample.toSet)
   }
+
+  test("text_bigram_kn: hand-built corpus matches the closed form") {
+    import spark.implicits._
+    // corpus "a b a b a c": bigrams (a,b)×2 (b,a)×2 (a,c)×1.
+    // tot(a)=3 n1p(a)=2; tot(b)=2 n1p(b)=1; lcont(b)=1 lcont(a)=1
+    // lcont(c)=1; T=3 bigram types.
+    val docs = Seq((0L, "a b a b a c")).toDF("doc_id", "text")
+    def term(nAb: Long, n1p: Long, lcont: Long, t: Long, tot: Long): Long =
+      Math.round(Math.log(
+        (nAb - 0.75 + 0.75 * n1p * (lcont.toDouble / t)) / tot) * 1e6)
+    val expected = 2 * term(2, 2, 1, 3, 3) + // (a,b): P = (1.25+0.5)/3
+      2 * term(2, 1, 1, 3, 2) +              // (b,a): P = (1.25+0.25)/2
+      term(1, 2, 1, 3, 3)                    // (a,c): P = (0.25+0.5)/3
+    val got = graft.text.TextAnalysis.knBigramReport(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((0L, 5L, expected)))
+  }
 }
