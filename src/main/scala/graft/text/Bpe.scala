@@ -39,6 +39,22 @@ object Bpe {
   final case class Learned(merges: Seq[(Long, String, String, Long)],
       words: DataFrame)
 
+  /** Session memo for the learned state: text_bpe_merges and
+    * text_bpe_encode both consume the SAME learning run on the same
+    * corpus — without it each query re-runs the n argmax jobs.
+    * peek → compute → insert (the corpus-stats idiom): learning RUNS
+    * JOBS, so it must happen outside the memo's plan-assembly lock; a
+    * lost race costs one duplicate learning run, never a wrong value. */
+  private val learnMemo =
+    new graft.plans.PlanMemo[Int, Learned](v => Seq(v.words))
+
+  /** [[learn]] through the session memo. */
+  def learnMemoized(docs: DataFrame, nMerges: Int): Learned =
+    learnMemo.peek(docs, nMerges).getOrElse {
+      val l = learn(docs, nMerges)
+      learnMemo.getOrCompute(docs, nMerges)(l)
+    }
+
   /** Runs the learning loop (see object scaladoc). Stops early when no
     * pair is left (short vocabularies). */
   def learn(docs: DataFrame, nMerges: Int): Learned = {
@@ -92,7 +108,7 @@ object Bpe {
   def bpeReport(docs: DataFrame, nMerges: Int = 4): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    val st = learn(docs, nMerges)
+    val st = learnMemoized(docs, nMerges)
     val words = st.words
     val part1 = st.merges.toDF("rank", "l", "r", "n")
       .select(lit(1L).as("part"), col("rank"),
@@ -116,7 +132,7 @@ object Bpe {
     * document's tokens against the |vocab|-row merged word-type map —
     * the merges never re-apply per occurrence. */
   def encodeReport(docs: DataFrame, nMerges: Int = 4): DataFrame = {
-    val st = learn(docs, nMerges)
+    val st = learnMemoized(docs, nMerges)
     val sizes = st.words.select(col("w"),
       length(col("w")).cast("long").as("nc"),
       size(col("syms")).cast("long").as("nt"))
