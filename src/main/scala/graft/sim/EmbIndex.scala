@@ -176,6 +176,42 @@ object EmbIndex {
       .select("vec_id", "cos_e6")
   }
 
+  /** Batched top-k serving: every row of `queries` is answered from
+    * the persisted artifact in ONE probe plan — the multi-query
+    * analogue of [[indexTopK]], shared by stream-serving micro-batches
+    * and offline batch scoring. Per query: candidates from its two
+    * band buckets at the MANIFEST width, ranked by the µ-rounded
+    * cosine over the integer record of truth; the literal rank bound
+    * plans a WindowGroupLimit (per-query top-k pruning below the
+    * window). The query side is the bounded micro-batch → broadcast;
+    * the postings/vecs side streams. */
+  def indexTopKBatch(ix: EmbeddingIndex, queries: DataFrame,
+      k: Int): DataFrame = {
+    val q = buildRows(queries, ix.bits)
+      .select(col("vec_id").as("q_id"), col("qe").as("qe_q"),
+        col("na").as("na_q"), col("bands").as("q_bands"))
+    val qbk = q.select(col("q_id"), explode(col("q_bands")).as("bk"))
+    val cand = ix.postings.join(broadcast(qbk), Seq("bk"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select("q_id", "vec_id").distinct()
+    ix.vecs.join(cand, Seq("vec_id"))
+      .join(broadcast(q.select("q_id", "qe_q", "na_q")), Seq("q_id"))
+      .filter(col("na") > 0 && col("na_q") > 0)
+      .withColumn("dot", aggregate(
+        zip_with(col("qe"), col("qe_q"), (x, y) => x * y),
+        lit(0L), (acc, v) => acc + v))
+      .withColumn("cos_e6",
+        expr("""CAST(round(CAST(dot AS DOUBLE)
+               | / sqrt(CAST(na AS DOUBLE) * CAST(na_q AS DOUBLE))
+               | * 1e6) AS BIGINT)""".stripMargin))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("q_id")
+          .orderBy(col("cos_e6").desc, col("vec_id"))).cast("long"))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "vec_id", "cos_e6")
+  }
+
   /** Right-to-erasure INTO the persisted index (the index-side
     * counterpart of pipeline_erasure's lake rewrite): the ids —
     * an EXTERNAL request list, never a frame derived from the index

@@ -79,6 +79,35 @@ object EmbIndexQueries {
     // embeddings. No hot-bucket guard: serving probe work is linear
     // in the two probed buckets, and dropping a hot bucket would only
     // lose recall (the guard exists for quadratic PAIR generation).
+    // STREAMED top-k serving (registered as `stream_emb_serving` in
+    // graft.streaming.StreamQueries; lives in THIS map so it rides
+    // the same % 5 ≠ 0 manifest-width override as its siblings):
+    // every % 5 = 0 query vector is answered from the persisted
+    // index — candidates share a band bucket at the index width,
+    // ranked by the µ-rounded cosine, top-3 per query. Queries with
+    // no bucket collisions are absent from both engines' output.
+    "stream_emb_serving" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+         |          FROM embeddings),
+         |${BandedSql.quantizeCte},
+         |${BandedSql.bandKeysCte(bits)},
+         |p AS (SELECT DISTINCT d.vec_id AS id, r.vec_id AS id_ref
+         |      FROM k d JOIN k r ON d.band = r.band AND d.mask = r.mask
+         |      WHERE d.vec_id % 5 = 0 AND r.vec_id % 5 <> 0),
+         |${BandedSql.pairStatsCte("pd", "p", "id", "id_ref")},
+         |sc AS (SELECT id AS q_id, id_ref AS vec_id,
+         |         CAST(round(CAST(dot AS DOUBLE)
+         |              / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+         |              * 1e6) AS BIGINT) AS cos_e6
+         |       FROM pd WHERE na > 0 AND nb > 0)
+         |SELECT q_id,
+         |       CAST(row_number() OVER (PARTITION BY q_id
+         |            ORDER BY cos_e6 DESC, vec_id) AS BIGINT) AS rank,
+         |       vec_id, cos_e6
+         |FROM sc
+         |QUALIFY rank <= 3
+         |ORDER BY q_id, rank""".stripMargin,
+
     "emb_index_query" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
          |          FROM embeddings WHERE vec_id % 5 <> 0),

@@ -312,6 +312,18 @@ object StreamQueries {
       Some(graft.sim.EmbIndexQueries.ingestOracles(8)("stream_emb_ingest")),
       (s, d) => Streams.embIndexIngestAccepted(s, d)),
 
+    // the ONLINE READ path: continuous top-k serving from the SHARED
+    // staged band index (read-only — no per-run root needed). A
+    // stream of query vectors, three micro-batches, each answered via
+    // EmbIndex.indexTopKBatch and landed exactly-once; serving is
+    // stateless reads, so the result is batch-size invariant. The
+    // oracle re-derives every ranked row at the manifest width
+    // (registered in EmbIndexQueries.indexOracles so graft.Verify's
+    // width override covers it like the rest of the % 5 family).
+    Q("stream_emb_serving",
+      Some(graft.sim.EmbIndexQueries.indexOracles(8)("stream_emb_serving")),
+      (s, d) => Streams.embIndexServing(s, d)),
+
     // the PQ third of the ingest choreography: day 0 trains the
     // codebook, streamed batches encode at it FROZEN and append
     // (exactly-once — a restarted batch never double-encodes). The

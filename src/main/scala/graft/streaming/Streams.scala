@@ -756,6 +756,42 @@ object Streams {
       .orderBy("vec_id", "sub")
   }
 
+  /** The ONLINE READ path of the persisted-index story — continuous
+    * top-k SERVING from the embedding band index: a stream of query
+    * vectors (the % 5 = 0 population, three micro-batches) is
+    * answered from the SHARED staged % 5 ≠ 0 index
+    * ([[graft.sim.EmbIndexQueries.stagedEmbIndexPath]] — serving is
+    * read-only, so unlike the mutating ingest streams it reuses the
+    * cross-process staged artifact) via
+    * [[graft.sim.EmbIndex.indexTopKBatch]], and each batch's results
+    * land in a parquet sink exactly-once. Serving is STATELESS reads,
+    * so the result is batch-size invariant — StreamingSpec pins
+    * micro-batched ≡ one-shot — and the oracle re-derives every
+    * ranked row at the manifest width. */
+  def embIndexServing(spark: SparkSession, dir: String): DataFrame = withStreamParallelism(spark) {
+    import java.nio.file.{Files, Paths}
+    import graft.sim.{EmbIndex, EmbIndexQueries}
+    val emb = graft.io.Tables.embeddings(spark, dir)
+      .select("vec_id", "embedding")
+    val root = EmbIndexQueries.stagedEmbIndexPath(spark, dir)
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    // query arrivals: the % 5 = 0 vectors, three disjoint batches
+    // (vec_id % 15 ∈ {0, 5, 10})
+    val srcDir = stageArrivals(s"graft_stream_embserve_src_$tag",
+      (0 to 2).map(m => emb.filter(col("vec_id") % 5 === 0 &&
+        col("vec_id") % 15 === m * 5) -> s"q$m.parquet"))
+    val sink = Files.createTempDirectory(Paths.get(sys.props("java.io.tmpdir")),
+      s"graft_stream_embserve_out_${tag}_").toString
+    val ckpt = Files.createTempDirectory(Paths.get(sys.props("java.io.tmpdir")),
+      s"graft_stream_embserve_ckpt_${tag}_").toString
+    driveIngest(spark, srcDir, ckpt) { batch =>
+      EmbIndex.indexTopKBatch(
+          EmbIndex.readIndex(batch.sparkSession, root), batch, 3)
+        .write.mode("append").parquet(sink)
+    }
+    spark.read.parquet(sink).orderBy("q_id", "rank")
+  }
+
   /** A PER-RUN private index root (pid + unique temp suffix): the
     * ingest stream MUTATES its index, so unlike the staged read-only
     * artifacts it cannot be shared across concurrent processes (the

@@ -253,6 +253,21 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.size == emb.count() * 4)
   }
 
+  test("streaming serving is batch-size invariant: micro-batched == one-shot batch probe") {
+    import graft.sim.{EmbIndex, EmbIndexQueries}
+    val emb = io.Tables.embeddings(spark, sf0001).select("vec_id", "embedding")
+    val streamed = Streams.embIndexServing(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // serving is stateless reads, so answering ALL queries in one
+    // batch must give the identical ranked set
+    val oneShot = EmbIndex.indexTopKBatch(
+        EmbIndex.readIndex(spark, EmbIndexQueries.stagedEmbIndexPath(spark, sf0001)),
+        emb.filter(col("vec_id") % 5 === 0), 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(streamed == oneShot)
+    assert(streamed.nonEmpty)
+  }
+
   test("ingest drive is restart-idempotent: a re-drive against the same checkpoint ingests nothing") {
     import java.nio.file.{Files, Paths}
     val docs = io.Tables.documents(spark, sf0001).select("doc_id", "text")
