@@ -284,4 +284,39 @@ class EmbIndexSpec extends SparkSpec {
       EmbIndex.readIndex(spark, dir), day2, 1, 5)
     assert(acc2.count() == 0L)
   }
+
+  test("batched serving: per-query agreement with indexTopK, plan purity, " +
+      "and WindowGroupLimit pruning below the rank window") {
+    val vecs = randVecs(0L until 400L, 64)
+    val dir = java.nio.file.Files.createTempDirectory("graft_embixb").toString
+    EmbIndex.writeIndex(vecs, dir)
+    val ix = EmbIndex.readIndex(spark, dir)
+    val queries = randVecs(9000L to 9004L, 64)
+    val batch = EmbIndex.indexTopKBatch(ix, queries, 3)
+    // plan purity: the only FILE relations are the index artifacts
+    val rels = batch.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+    }
+    assert(rels.nonEmpty)
+    assert(rels.forall(_.relation.asInstanceOf[
+      org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+      .location.rootPaths.forall(_.toString.contains(dir))))
+    // the literal rank bound plans per-query group-limit pruning
+    assert(batch.queryExecution.executedPlan.toString
+      .contains("WindowGroupLimit"))
+    val got = batch.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(t => (t._3, t._4)).toSeq)
+      .toMap
+    assert(got.nonEmpty)
+    // every query's batched answer equals its single-query indexTopK
+    // (rank k here never exceeds the single kernel's ordering depth)
+    (9000L to 9004L).foreach { qid =>
+      val single = EmbIndex.indexTopK(ix,
+          queries.filter(col("vec_id") === qid), 3).collect()
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cos_e6"))).toSeq
+      assert(got.getOrElse(qid, Seq()) == single,
+        s"batched vs single serving diverged for query $qid")
+    }
+  }
 }
