@@ -327,9 +327,13 @@ object Bench {
       val ratios = headTimes.collect {
         case (n, t) if base.contains(n) => n -> t / base(n)
       }
-      val dTot = base.values.sum
-      val eTot = headTimes.collect {
-        case (n, t) if base.contains(n) => t }.sum
+      // aggregate over the MATCHED set only: a baselined query that
+      // failed (absent from headTimes) must drop out of BOTH sums, or
+      // its DuckDB denominator alone would understate the ratio
+      val matched = headTimes.collect {
+        case (n, t) if base.contains(n) => n -> t }
+      val dTot = matched.map { case (n, _) => base(n) }.sum
+      val eTot = matched.map(_._2).sum
       val rJson = ratios.map { case (n, r) => "\"" + n + f"\":$r%.2f" }
         .mkString("{", ",", "}")
       f""","duckdb":{"wall":$dTot%.2f,"ratio":${eTot / dTot}%.2f,"ratios":$rJson}"""

@@ -39,7 +39,9 @@ object CompactAb {
     def probe(): (Long, Long) = {
       val r = EmbIndex.incrementalAcceptIndexed(
           EmbIndex.readIndex(spark, root), delta, 1, 5)
-        .agg(count(lit(1)), sum(col("vec_id"))).head()
+        // coalesce: sum is NULL on an all-rejected delta — report
+        // (0, 0) instead of NPE-ing the harness before any output
+        .agg(count(lit(1)), coalesce(sum(col("vec_id")), lit(0L))).head()
       (r.getLong(0), r.getLong(1))
     }
     def time[T](f: => T): (T, Double) = {

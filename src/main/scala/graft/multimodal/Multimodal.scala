@@ -396,20 +396,30 @@ object Multimodal {
     /** ONE frame by number, seeked through the `idx1` index chunk —
       * stride sampling reads only the sampled frames' bytes, never
       * the whole movi list. */
-    def frameAt(bytes: Array[Byte], f: Int): Array[Int] = {
+    def frameAt(bytes: Array[Byte], f: Int): Array[Int] =
+      framesAt(bytes, Seq(f)).head
+
+    /** Seeks SEVERAL frames in one container walk: meta + the
+      * movi/idx1 locations parse ONCE, then each index pays only its
+      * idx1 entry + frame bytes. [[frameAt]] is the 1-frame spelling;
+      * stride sampling ([[sampleFrames]]) uses this so an nf-frame
+      * video costs one header walk, not nf/2 of them. */
+    def framesAt(bytes: Array[Byte], fs: Seq[Int]): Seq[Array[Int]] = {
       val (w, h, nf, _) = readMeta(bytes)
-      require(f >= 0 && f < nf, s"frame $f of $nf")
       val (movi, _) = findChunk(bytes, 12, "movi")
       val (idx1, idx1Sz) = findChunk(bytes, 12, "idx1")
       require(idx1Sz == 16 * nf, s"idx1 size $idx1Sz for $nf frames")
-      expect(bytes, idx1 + 16 * f, "00db")
-      val off = le32(bytes, idx1 + 16 * f + 8)        // from 'movi' fourcc
-      val sz = le32(bytes, idx1 + 16 * f + 12)
-      require(sz == frameDataSize(w, h), s"frame $f size $sz")
-      val chunk = movi - 4 + off                      // movi points past fourcc
-      expect(bytes, chunk, "00db")
-      require(le32(bytes, chunk + 4) == sz, "idx1/chunk size mismatch")
-      framePixels(bytes, chunk + 8, w, h)
+      fs.map { f =>
+        require(f >= 0 && f < nf, s"frame $f of $nf")
+        expect(bytes, idx1 + 16 * f, "00db")
+        val off = le32(bytes, idx1 + 16 * f + 8)      // from 'movi' fourcc
+        val sz = le32(bytes, idx1 + 16 * f + 12)
+        require(sz == frameDataSize(w, h), s"frame $f size $sz")
+        val chunk = movi - 4 + off                    // movi points past fourcc
+        expect(bytes, chunk, "00db")
+        require(le32(bytes, chunk + 4) == sz, "idx1/chunk size mismatch")
+        framePixels(bytes, chunk + 8, w, h)
+      }
     }
 
     /** Full decode: (width, height, frames, fps, per-frame gray
@@ -576,8 +586,10 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.map { case (id, bytes) =>
           val (_, _, nf, _) = AviCodec.readMeta(bytes)
-          val sums = (0 until nf by 2).map(f =>
-            AviCodec.frameAt(bytes, f).foldLeft(0L)(_ + _))
+          // one container walk for ALL sampled frames (framesAt), not
+          // one header re-parse per frame
+          val sums = AviCodec.framesAt(bytes, 0 until nf by 2)
+            .map(_.foldLeft(0L)(_ + _))
           FrameSample(id, nf.toLong, sums.mkString(","))
         }
       }

@@ -219,14 +219,8 @@ object EmbIndex {
     * [[readIndex]] open anti-joins out. O(|request|) at erase time;
     * the physical rewrite is deferred to [[compactIndexStats]], where
     * it rides the maintenance pass the sidecar needs anyway. */
-  def eraseFromIndex(root: String, ids: DataFrame): Unit = {
-    val s = ids.sparkSession
-    val p =
-      if (graft.text.Dedup.artifactExists(root, "tomb")) tombLive(root)
-      else s"$root/tomb"
-    ids.select(col("vec_id")).write.mode("append").parquet(p)
-    s.catalog.refreshByPath(p)
-  }
+  def eraseFromIndex(root: String, ids: DataFrame): Unit =
+    graft.text.Dedup.appendTombstones(root, ids.select(col("vec_id")))
 
   /** Maintenance pass — the embedding twin of
     * [[graft.text.Dedup.compactIndexStats]], plus tombstone purge:

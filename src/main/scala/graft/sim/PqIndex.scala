@@ -93,15 +93,8 @@ object PqIndex {
   /** Right-to-erasure into the PQ index: append the request ids to
     * the `tomb` artifact (probes exclude them immediately); the
     * physical rewrite rides [[compactIndex]]. */
-  def eraseFromIndex(root: String, ids: DataFrame): Unit = {
-    val s = ids.sparkSession
-    val p =
-      if (graft.text.Dedup.artifactExists(root, "tomb"))
-        graft.text.Dedup.livePath(root, "tomb").toString
-      else s"$root/tomb"
-    ids.select(col("vec_id")).write.mode("append").parquet(p)
-    s.catalog.refreshByPath(p)
-  }
+  def eraseFromIndex(root: String, ids: DataFrame): Unit =
+    graft.text.Dedup.appendTombstones(root, ids.select(col("vec_id")))
 
   /** Maintenance pass: physically purges tombstoned vectors' codes
     * (published as the next create-only generation) and resets the
@@ -165,6 +158,16 @@ object PqIndex {
       val healed = Pq.encodeAt(
         source.join(damaged, Seq("vec_id")),
         s.read.parquet(s"$root/codebook")).localCheckpoint()
+      // the repair contract REQUIRES source to cover every damaged
+      // vector: a silent partial heal would anti-join the uncovered
+      // vectors' remaining code rows out of the artifact and return
+      // true — permanent, unreported data loss. Fail loudly instead.
+      val nDamaged = damaged.count()
+      val nHealed = healed.select("vec_id").distinct().count()
+      require(nHealed == nDamaged,
+        s"repairIndex: source covers only $nHealed of $nDamaged damaged " +
+          "vectors — refusing a partial heal (the uncovered vectors' " +
+          "codes would be silently dropped)")
       publishCleanCodes(s, root, damaged, healed)
       true
     }

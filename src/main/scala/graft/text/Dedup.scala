@@ -432,12 +432,22 @@ object Dedup {
     * derived from the index being erased) append to the `tomb`
     * artifact every [[readIndex]] open anti-joins out. O(|request|)
     * now; the physical rewrite rides the next [[compactIndexStats]]. */
-  def eraseFromIndex(root: String, ids: DataFrame): Unit = {
+  def eraseFromIndex(root: String, ids: DataFrame): Unit =
+    appendTombstones(root, ids.select(col("id")))
+
+  /** The ONE tombstone-append spelling shared by all three index
+    * families (text here; [[graft.sim.EmbIndex.eraseFromIndex]] and
+    * [[graft.sim.PqIndex.eraseFromIndex]] delegate with their id
+    * column): append the already-projected request ids to the live
+    * `tomb` artifact — generation-resolved, or created as generation
+    * 0 on first erase — and refresh. O(|request|); the physical purge
+    * rides each family's compaction. */
+  private[graft] def appendTombstones(root: String, ids: DataFrame): Unit = {
     val s = ids.sparkSession
     val p =
       if (artifactExists(root, "tomb")) livePath(root, "tomb").toString
       else s"$root/tomb"
-    ids.select(col("id")).write.mode("append").parquet(p)
+    ids.write.mode("append").parquet(p)
     s.catalog.refreshByPath(p)
   }
 
