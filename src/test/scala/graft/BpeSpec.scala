@@ -63,6 +63,18 @@ class BpeSpec extends SparkSpec {
     assert(words.filter(size(col("syms")) < length(col("w"))).count() > 0)
   }
 
+  test("merge counts are non-increasing across iterations (sf0.001, n=6)") {
+    // a merge can only create pairs (x, ab)/(ab, x) whose count is
+    // bounded by the occurrences of the just-merged pair, and every
+    // existing pair's count only decreases — so the argmax sequence
+    // is non-increasing. A violation would mean the pair counting or
+    // the greedy application is wrong.
+    val docs = io.Tables.documents(spark, sf0001).select("doc_id", "text")
+    val ns = Bpe.learn(docs, 6).merges.map(_._4)
+    assert(ns.size == 6)
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b }, ns.toString)
+  }
+
   test("single-char and blank words never break the pair scan") {
     val docs = Seq((0L, "a b  a   b a"), (1L, "ab")).toDF("doc_id", "text")
     // pairs exist only in "ab" (f=1): merge a+b once, then exhausted
