@@ -405,12 +405,16 @@ object Multimodal {
       * stride sampling ([[sampleFrames]]) uses this so an nf-frame
       * video costs one header walk, not nf/2 of them. */
     def framesAt(bytes: Array[Byte], fs: Seq[Int]): Seq[Array[Int]] = {
+      if (fs.isEmpty) return Seq.empty // a zero-frame request must not
+      // require movi/idx1 — sampleFrames on a degenerate (0-frame)
+      // container is a valid empty sample, same as the old per-frame
+      // path that never touched the index
       val (w, h, nf, _) = readMeta(bytes)
+      fs.foreach(f => require(f >= 0 && f < nf, s"frame $f of $nf"))
       val (movi, _) = findChunk(bytes, 12, "movi")
       val (idx1, idx1Sz) = findChunk(bytes, 12, "idx1")
       require(idx1Sz == 16 * nf, s"idx1 size $idx1Sz for $nf frames")
       fs.map { f =>
-        require(f >= 0 && f < nf, s"frame $f of $nf")
         expect(bytes, idx1 + 16 * f, "00db")
         val off = le32(bytes, idx1 + 16 * f + 8)      // from 'movi' fourcc
         val sz = le32(bytes, idx1 + 16 * f + 12)

@@ -85,6 +85,15 @@ object Clustering {
     new graft.plans.PlanMemo[Int, (DataFrame, DataFrame)](
       v => Seq(v._1, v._2))
 
+  /** Assign each embedding to its nearest FROZEN centroid frame
+    * (j, c) — the routing half of a persisted IVF structure
+    * ([[PqIndex]]): pure assignment, no Lloyd update, the coarse twin
+    * of [[Pq.encodeAt]]. One scan of `emb` against the broadcast
+    * ≤k-row centroid table. */
+  def assignAt(emb: DataFrame, cents: DataFrame): DataFrame =
+    assign(emb.select(col("vec_id"), quantize(col("embedding")).as("v")),
+      cents).select("vec_id", "cluster")
+
   /** Assignment-only view: (vec_id, cluster, dist2), dist2 in squared
     * grid units, exact. */
   def kmeans(emb: DataFrame, k: Int): DataFrame =

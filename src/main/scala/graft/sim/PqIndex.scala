@@ -21,12 +21,23 @@ import org.apache.spark.sql.functions._
   *    deltas MUST encode at the manifest generation's codebook (the
   *    band index's one-width-per-generation contract, for PQ) and
   *    only a REBUILD retrains from the grown corpus.
-  *  - `codes` — (vec_id, sub, code, d2): M one-byte codes (+ exact
-  *    encoding distortion) per vector — the "no raw vectors after
-  *    encode" record every ADC scan reads. Delta-sized appends.
-  *  - `manifest` — one row (m, k, n_base), informational except as
-  *    the generation marker (m/k are compile-time constants today;
-  *    persisting them makes a future knob change a detectable
+  *  - `coarse` — (j, c): the KC-cell IVF coarse quantizer
+  *    ([[Clustering.kmeansFull]] centroids, base-trained), FROZEN
+  *    like the codebook. Persisting it is what makes ROUTED serving
+  *    survive a restart: [[topKRouted]] sends a query to its nprobe
+  *    nearest cells and scans only those cells' codes — the
+  *    billion-vector serving shape, where full-scan ADC (fine to
+  *    ~10⁸ codes) stops being viable.
+  *  - `codes` — (vec_id, sub, code, d2), PARTITIONED BY `cell` (the
+  *    vector's frozen coarse-quantizer assignment): M one-byte codes
+  *    (+ exact encoding distortion) per vector — the "no raw vectors
+  *    after encode" record every ADC scan reads. Delta-sized
+  *    appends; the cell partitioning means a routed query's scan is
+  *    PRUNED to the probed cells' directories (nprobe/KC of the
+  *    artifact) instead of filtered after a full read.
+  *  - `manifest` — one row (m, k, kc, n_base), informational except
+  *    as the generation marker (m/k/kc are compile-time constants
+  *    today; persisting them makes a future knob change a detectable
   *    generation boundary, not a silent probe incompatibility).
   *
   * Crash contract: `codes` appends are single-artifact (the codebook
@@ -41,36 +52,62 @@ import org.apache.spark.sql.functions._
   * as the next create-only generation. */
 object PqIndex {
 
-  final case class PqIndexArt(codebook: DataFrame, codes: DataFrame,
-      m: Int, k: Int)
+  /** Coarse-quantizer cells (compile-time constant, persisted in the
+    * manifest as the generation marker). 8 cells suit the testdata
+    * scales; a production index sizes this ~√n (FAISS practice) at
+    * build time — the value is per-generation data, not code. */
+  val KC = 8
 
-  /** Trains on `emb` (the base corpus) and persists all three
+  final case class PqIndexArt(codebook: DataFrame, codes: DataFrame,
+      coarse: DataFrame, m: Int, k: Int, kc: Int)
+
+  /** Trains on `emb` (the base corpus) and persists all four
     * artifacts; `codes` are re-encoded against the WRITTEN codebook
-    * parquet so the two cannot drift (the writeIndex derivation
+    * parquet and cell-assigned at the WRITTEN coarse quantizer so
+    * derived artifacts cannot drift (the writeIndex derivation
     * contract of both sibling indexes). */
   def writeIndex(emb: DataFrame, root: String): Unit = {
     val s = emb.sparkSession
     val (cent, _) = Pq.codebookAndCodes(emb)
     cent.write.mode("overwrite").parquet(s"$root/codebook")
-    Pq.encodeAt(emb, s.read.parquet(s"$root/codebook"))
-      .write.mode("overwrite").parquet(s"$root/codes")
+    val (_, kcents) = Clustering.kmeansFull(emb, KC)
+    kcents.write.mode("overwrite").parquet(s"$root/coarse")
+    withCells(Pq.encodeAt(emb, s.read.parquet(s"$root/codebook")),
+        emb, s.read.parquet(s"$root/coarse"))
+      .write.partitionBy("cell").mode("overwrite").parquet(s"$root/codes")
     import s.implicits._
     // 1-row manifest; repartition(1) on a local relation carries no
     // upstream compute (the coalesce(1) lesson does not apply)
-    Seq((Pq.M, Pq.K, emb.count()))
-      .toDF("m", "k", "n_base")
+    Seq((Pq.M, Pq.K, KC, emb.count()))
+      .toDF("m", "k", "kc", "n_base")
       .repartition(1).write.mode("overwrite").parquet(s"$root/manifest")
   }
 
-  /** The manifest row: (m, k, n_base). */
-  def readManifest(s: SparkSession, root: String): (Int, Int, Long) = {
+  /** Joins each code row with its vector's frozen coarse-cell
+    * assignment — the one spelling of the `cell` column every codes
+    * write shares (build, append, repair heal). One delta scan
+    * against the broadcast ≤KC-row centroid table. */
+  private def withCells(codes: DataFrame, source: DataFrame,
+      coarse: DataFrame): DataFrame =
+    codes.join(
+      Clustering.assignAt(source, coarse)
+        .select(col("vec_id"), col("cluster").as("cell")),
+      Seq("vec_id"))
+      .select("vec_id", "sub", "code", "d2", "cell")
+
+  /** The manifest row: (m, k, kc, n_base). */
+  def readManifest(s: SparkSession, root: String): (Int, Int, Int, Long) = {
     val r = s.read.parquet(s"$root/manifest")
-      .select("m", "k", "n_base").head()
-    (r.getInt(0), r.getInt(1), r.getLong(2))
+      .select("m", "k", "kc", "n_base").head()
+    (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3))
   }
 
   def readIndex(s: SparkSession, root: String): PqIndexArt = {
-    val (m, k, _) = readManifest(s, root)
+    val (m, k, kc, _) = readManifest(s, root)
+    // `cell` comes back as a partition-directory column (type as
+    // inferred); [[topKRouted]] casts its tiny probe frame to match,
+    // never the scan side — a cast around the partition column would
+    // defeat partition pruning.
     val codes = s.read.parquet(codesLive(root))
     val c =
       if (graft.text.Dedup.artifactExists(root, "tomb"))
@@ -82,7 +119,27 @@ object PqIndex {
             graft.text.Dedup.livePath(root, "tomb").toString)
           .select("vec_id")), Seq("vec_id"), "left_anti")
       else codes
-    PqIndexArt(s.read.parquet(s"$root/codebook"), c, m, k)
+    PqIndexArt(s.read.parquet(s"$root/codebook"), c,
+      s.read.parquet(s"$root/coarse"), m, k, kc)
+  }
+
+  /** ROUTED ADC serving through the persisted IVF structure — the
+    * steady-state query at 10⁹ codes: the query vector routes to its
+    * `nprobe` nearest coarse cells ([[Similarity.probeCells]], the ONE
+    * probe spelling shared with the session ladder's IVF rungs), and
+    * the ADC scan reads ONLY those cells' code partitions — dynamic
+    * partition pruning on the `cell` directory column, so ~nprobe/KC
+    * of the artifact is scanned instead of filtered post-read. Exact
+    * within the probed cells (same integer-ADC determinism as
+    * [[Pq.adcTopK]]); cell recall is the standard IVF trade, tuned by
+    * nprobe. */
+  def topKRouted(emb: DataFrame, ix: PqIndexArt, k: Int,
+      nprobe: Int = 2): DataFrame = {
+    val cellType = ix.codes.schema("cell").dataType
+    val cells = Similarity.probeCells(emb, ix.coarse, nprobe)
+      .select(col("cluster").cast(cellType).as("cell"))
+    Pq.adcTopK(emb, ix.codebook,
+      ix.codes.join(broadcast(cells), Seq("cell")), k)
   }
 
   /** The live `codes` artifact (plain build dir = generation 0;
@@ -117,7 +174,7 @@ object PqIndex {
       graft.text.Dedup.publishNextGen(s, root, "codes") { sd =>
         s.read.parquet(cur)
           .join(broadcast(tomb), Seq("vec_id"), "left_anti")
-          .write.mode("overwrite").parquet(sd)
+          .write.partitionBy("cell").mode("overwrite").parquet(sd)
       }
       graft.text.Dedup.publishNextGen(s, root, "tomb") { sd =>
         s.range(0).select(col("id").as("vec_id"))
@@ -145,7 +202,7 @@ object PqIndex {
     * through the generation copy without decode. */
   def repairIndex(s: SparkSession, root: String,
       source: DataFrame): Boolean = {
-    val (m, _, _) = readManifest(s, root)
+    val (m, _, _, _) = readManifest(s, root)
     val live = codesLive(root)
     val damaged = s.read.parquet(live)
       .groupBy("vec_id")
@@ -155,9 +212,10 @@ object PqIndex {
       .localCheckpoint() // pin: the relation it derives from is rewritten below
     if (damaged.isEmpty) false
     else {
-      val healed = Pq.encodeAt(
-        source.join(damaged, Seq("vec_id")),
-        s.read.parquet(s"$root/codebook")).localCheckpoint()
+      val dmgSource = source.join(damaged, Seq("vec_id"))
+      val healed = withCells(
+        Pq.encodeAt(dmgSource, s.read.parquet(s"$root/codebook")),
+        dmgSource, s.read.parquet(s"$root/coarse")).localCheckpoint()
       // the repair contract REQUIRES source to cover every damaged
       // vector: a silent partial heal would anti-join the uncovered
       // vectors' remaining code rows out of the artifact and return
@@ -183,24 +241,30 @@ object PqIndex {
     graft.text.Dedup.publishNextGen(s, root, "codes") { sd =>
       s.read.parquet(cur)
         .join(drop, Seq("vec_id"), "left_anti")
-        .unionByName(add.select("vec_id", "sub", "code", "d2"))
-        .write.mode("overwrite").parquet(sd)
+        .select("vec_id", "sub", "code", "d2", "cell")
+        .unionByName(add.select(col("vec_id"), col("sub"), col("code"),
+          col("d2"), col("cell").cast("long")))
+        .write.partitionBy("cell").mode("overwrite").parquet(sd)
     }
   }
 
-  /** Encodes the delta AT THE FROZEN CODEBOOK and appends its codes —
-    * the recurring-cost path: one scan of the delta against a
-    * broadcast 256-row codebook, zero training, zero base re-reads
-    * (re-training on the grown corpus is a REBUILD, not an append —
-    * codes from two codebooks cannot share an ADC table). The delta
-    * here reads source data, not the index being grown, so no scratch
-    * snapshot is needed (unlike [[EmbIndex.appendIndex]], whose
-    * accepted frame derives from the probed index). */
+  /** Encodes the delta AT THE FROZEN CODEBOOK, cell-assigns it at the
+    * FROZEN coarse quantizer, and appends its codes — the
+    * recurring-cost path: one scan of the delta against two broadcast
+    * constant-size tables (256-row codebook, ≤KC-row coarse), zero
+    * training, zero base re-reads (re-training on the grown corpus is
+    * a REBUILD, not an append — codes from two codebooks cannot share
+    * an ADC table, and cells from two quantizers cannot share a
+    * routing). The delta here reads source data, not the index being
+    * grown, so no scratch snapshot is needed (unlike
+    * [[EmbIndex.appendIndex]], whose accepted frame derives from the
+    * probed index). */
   def appendIndex(root: String, delta: DataFrame): Unit = {
     val s = delta.sparkSession
     val live = codesLive(root)
-    Pq.encodeAt(delta, s.read.parquet(s"$root/codebook"))
-      .write.mode("append").parquet(live)
+    withCells(Pq.encodeAt(delta, s.read.parquet(s"$root/codebook")),
+        delta, s.read.parquet(s"$root/coarse"))
+      .write.partitionBy("cell").mode("append").parquet(live)
     s.catalog.refreshByPath(live)
   }
 }

@@ -35,7 +35,7 @@ object PqIndexQueries {
               |FROM codes ORDER BY vec_id, sub""".stripMargin),
       (s, d) => {
         val root = stagedPqIndexPath(s, d)
-        val (m, k, _) = PqIndex.readManifest(s, root)
+        val (m, k, _, _) = PqIndex.readManifest(s, root)
         s.read.parquet(PqIndex.codesLive(root))
           .select(col("vec_id"), col("sub"), col("code"), col("d2"),
             lit(m.toLong).as("m"), lit(k.toLong).as("k"))
@@ -75,6 +75,31 @@ object PqIndexQueries {
         val ix = PqIndex.readIndex(s, stagedPqIndexPath(s, d))
         Pq.adcTopK(embeddings(s, d).filter(col("vec_id") % 5 =!= 0),
           ix.codebook, ix.codes, 10)
+      }),
+
+    // ROUTED serving through the persisted IVF structure — the
+    // steady-state query shape at 10⁹ codes, where pq_index_query's
+    // full ADC scan stops being viable: the query routes to its 2
+    // nearest of the 8 persisted coarse cells and the ADC scan reads
+    // ONLY those cells' code partitions (dynamic partition pruning on
+    // the `cell` directory column — PqIndexSpec pins the pruned scan).
+    // The oracle replays the whole routed path from raw embeddings:
+    // coarse kmeans training, cell assignment, probe choice, and the
+    // cell-restricted ADC — so a drifted quantizer, a mis-assigned
+    // cell, or a probe that silently widened all hash-mismatch.
+    Q("pq_index_query_ivf",
+      Some(s"""WITH ${PqSql.pipelineCtes(basePred, basePred)},
+              |${PqSql.coarseCtes(basePred, PqIndex.KC, 2)},
+              |${PqSql.adcCtes(basePred)}
+              |SELECT CAST(row_number() OVER (ORDER BY approx_d2, vec_id) AS BIGINT)
+              |         AS rank,
+              |       a.vec_id, e.label, a.approx_d2
+              |FROM adc a JOIN embeddings e USING (vec_id)
+              |ORDER BY rank LIMIT 10""".stripMargin),
+      (s, d) => {
+        val ix = PqIndex.readIndex(s, stagedPqIndexPath(s, d))
+        PqIndex.topKRouted(
+          embeddings(s, d).filter(col("vec_id") % 5 =!= 0), ix, 10, 2)
       }),
 
     // MULTI-DAY APPEND cycle: day 0 trains on the % 3 = 0 third and
@@ -156,7 +181,7 @@ object PqIndexQueries {
     * once per testdata generation. */
   private[graft] def stagedPqIndexPath(s: org.apache.spark.sql.SparkSession,
       dir: String): String =
-    stageOnce("graft_pq_index_", dir) { root =>
+    stageOnce("graft_pq_index2_", dir) { root =>
       PqIndex.writeIndex(
         embeddings(s, dir).filter(col("vec_id") % 5 =!= 0), root)
     }
@@ -165,7 +190,7 @@ object PqIndexQueries {
     * vec_id % 3 = 0, then two delta appends at the frozen codebook. */
   private[graft] def stagedPqAppendPath(s: org.apache.spark.sql.SparkSession,
       dir: String): String =
-    stageOnce("graft_pq_append_", dir) { root =>
+    stageOnce("graft_pq_append2_", dir) { root =>
       val emb = embeddings(s, dir)
       PqIndex.writeIndex(emb.filter(col("vec_id") % 3 === 0), root)
       PqIndex.appendIndex(root, emb.filter(col("vec_id") % 3 === 1))
@@ -180,7 +205,7 @@ object PqIndexQueries {
     * exactly once; a second repair call finds a clean artifact. */
   private[graft] def stagedPqRepairPath(s: org.apache.spark.sql.SparkSession,
       dir: String): String =
-    stageOnce("graft_pq_repair_", dir) { root =>
+    stageOnce("graft_pq_repair2_", dir) { root =>
       val emb = embeddings(s, dir)
       PqIndex.writeIndex(emb.filter(col("vec_id") % 5 =!= 0), root)
       val delta = emb.filter(col("vec_id") % 5 === 0)
@@ -188,7 +213,9 @@ object PqIndexQueries {
       val live = PqIndex.codesLive(root)
       Pq.encodeAt(delta, s.read.parquet(s"$root/codebook"))
         .filter(col("sub") < 2) // the torn retry: 2 of 4 subspaces
-        .write.mode("append").parquet(live)
+        .join(Clustering.assignAt(delta, s.read.parquet(s"$root/coarse"))
+          .select(col("vec_id"), col("cluster").as("cell")), "vec_id")
+        .write.partitionBy("cell").mode("append").parquet(live)
       s.catalog.refreshByPath(live)
       require(PqIndex.repairIndex(s, root, emb),
         "pq repair stage: torn retry left no detectable damage")
@@ -201,7 +228,7 @@ object PqIndexQueries {
     * with require()s pinning the physical purge and tombstone reset. */
   private[graft] def stagedPqErasePath(s: org.apache.spark.sql.SparkSession,
       dir: String): String =
-    stageOnce("graft_pq_erase_", dir) { root =>
+    stageOnce("graft_pq_erase2_", dir) { root =>
       val emb = embeddings(s, dir)
       PqIndex.writeIndex(emb.filter(col("vec_id") % 5 =!= 0), root)
       PqIndex.eraseFromIndex(root,

@@ -55,6 +55,57 @@ private[graft] object PqSql {
        |              row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, j) AS rn
        |            FROM encd) t WHERE rn = 1)""".stripMargin
 
+  /** The IVF coarse-quantizer + routing CTEs over a bound `dims`
+    * (from [[pipelineCtes]]): exact-integer kmeans on the `pred`
+    * population (seeds = the k lowest vec_ids, one Lloyd update with
+    * truncating-division means, re-assign — the [[Clustering
+    * .kmeansFull]] recipe, same text as SimQueries' kmeansCte modulo
+    * the shared `dims` source), then the query vector (lowest vec_id
+    * of `pred`) probes its `nprobe` nearest cells and `cand` is the
+    * probed cells' member vectors — exactly [[PqIndex.topKRouted]]'s
+    * candidate set, so the routed serving path is hash-gated end to
+    * end (cell training, assignment, probe choice, and the pruned ADC
+    * all at once). */
+  def coarseCtes(pred: String, k: Int, nprobe: Int): String =
+    s"""km_init AS (
+       |  SELECT d.ii AS i, d.v AS cv, r.j FROM dims d
+       |  JOIN (SELECT vec_id,
+       |          CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS j
+       |        FROM embeddings WHERE $pred ORDER BY vec_id LIMIT $k) r
+       |    USING (vec_id)),
+       |km_d1 AS (
+       |  SELECT d.vec_id, c.j,
+       |         CAST(sum((d.v - c.cv) * (d.v - c.cv)) AS BIGINT) AS d2
+       |  FROM dims d JOIN km_init c ON d.ii = c.i
+       |  WHERE $pred GROUP BY 1, 2),
+       |km_a1 AS (SELECT vec_id, j FROM (
+       |            SELECT vec_id, j,
+       |              row_number() OVER (PARTITION BY vec_id ORDER BY d2, j) AS rn
+       |            FROM km_d1) t WHERE rn = 1),
+       |km_upd AS (
+       |  SELECT a.j, d.ii AS i, CAST(sum(d.v) AS BIGINT) AS s, count(*) AS n
+       |  FROM km_a1 a JOIN dims d USING (vec_id) GROUP BY 1, 2),
+       |km_cent2 AS (SELECT j, i, CAST((s - s % n) // n AS BIGINT) AS cv
+       |             FROM km_upd),
+       |km_d2 AS (
+       |  SELECT d.vec_id, c.j,
+       |         CAST(sum((d.v - c.cv) * (d.v - c.cv)) AS BIGINT) AS d2
+       |  FROM dims d JOIN km_cent2 c ON d.ii = c.i
+       |  WHERE $pred GROUP BY 1, 2),
+       |km_a2 AS (SELECT vec_id, j FROM (
+       |            SELECT vec_id, j,
+       |              row_number() OVER (PARTITION BY vec_id ORDER BY d2, j) AS rn
+       |            FROM km_d2) t WHERE rn = 1),
+       |km_probe AS (
+       |  SELECT c.j FROM km_cent2 c
+       |  JOIN dims d ON c.i = d.ii
+       |  WHERE d.vec_id = (SELECT min(vec_id) FROM embeddings WHERE $pred)
+       |  GROUP BY c.j
+       |  ORDER BY CAST(sum((d.v - c.cv) * (d.v - c.cv)) AS BIGINT), c.j
+       |  LIMIT $nprobe),
+       |cand AS (SELECT vec_id FROM km_a2
+       |         WHERE j IN (SELECT j FROM km_probe))""".stripMargin
+
   /** The ADC fragments (query distance table + lookup-sum) over a
     * bound `d`/`cent2`/`codes`/`cand` — the query vector is the
     * LOWEST vec_id of the `queryPred` population (TRUE = the

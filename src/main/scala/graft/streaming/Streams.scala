@@ -674,10 +674,14 @@ object Streams {
     * (pid + nanotime): the stream mutates it, so unlike the staged
     * read-only artifacts it cannot be shared across concurrent
     * processes (the r12 advisor's cross-process-race lesson).
-    * Checkpoint exactly-once makes the append idempotent per batch:
-    * a restart re-runs no committed micro-batch, so no doc is ever
-    * screened or appended twice ([[exactlyOnceSinkCounts]] pins that
-    * contract for foreachBatch sinks). */
+    * Checkpoint exactly-once holds PER COMMITTED BATCH: a restart
+    * re-runs no micro-batch whose offsets committed, so no doc from a
+    * committed batch is ever screened or appended twice
+    * ([[exactlyOnceSinkCounts]] pins that contract for foreachBatch
+    * sinks). A crash in the WINDOW between the append job committing
+    * and the checkpoint offset commit re-runs that one batch and
+    * duplicates its rows — the torn-state shape the index families'
+    * repair ops exist to heal (see [[runIngestStream]]). */
   def indexIngestAccepted(spark: SparkSession, dir: String): DataFrame = withStreamParallelism(spark) {
     import graft.text.Dedup
     val docs = graft.io.Tables.documents(spark, dir)
@@ -736,8 +740,10 @@ object Streams {
     * re-reads; retraining is a REBUILD, never an ingest step). No
     * screen: the PQ append contract trusts its deltas (codes are a
     * derived cache of (vector, codebook)); what the stream adds is
-    * exactly-once encode-and-append — a restarted batch never
-    * double-encodes, the torn/duplicated-codes shape
+    * encode-and-append exactly-once per COMMITTED batch — a restart
+    * re-runs no committed micro-batch; a crash between the append job
+    * and the offset commit re-runs that batch and duplicates its
+    * codes, exactly the torn/duplicated-codes shape
     * [[graft.sim.PqIndex.repairIndex]] exists to heal. Read back from
     * the grown codes artifact. */
   def pqIndexIngestCodes(spark: SparkSession, dir: String): DataFrame = withStreamParallelism(spark) {
@@ -808,11 +814,17 @@ object Streams {
     * days 1..3 staged as one parquet file each (admission-ordered by
     * mtime), maxFilesPerTrigger = 1 → one day per micro-batch,
     * foreachBatch runs the family's screen-and-append fold,
-    * AvailableNow drains the backlog. Checkpoint exactly-once makes
-    * the fold idempotent per batch: a restart re-runs no committed
-    * micro-batch, so no row is ever screened or appended twice
-    * ([[exactlyOnceSinkCounts]] pins that contract for foreachBatch
-    * sinks). */
+    * AvailableNow drains the backlog. Checkpoint exactly-once holds
+    * PER COMMITTED BATCH: a restart re-runs no micro-batch whose
+    * offsets committed ([[exactlyOnceSinkCounts]] pins that contract
+    * for foreachBatch sinks, and StreamingSpec pins the
+    * zero-recallback restart here). The uncovered window — a crash
+    * AFTER a parquet append job commits but BEFORE the checkpoint
+    * offset commit — re-runs that one batch and duplicates its
+    * appended rows; that is precisely the torn-append shape each
+    * family's repairIndex detects and heals, so the recovery story is
+    * repair-on-restart, not a stronger sink guarantee foreachBatch
+    * cannot give. */
   private def runIngestStream(spark: SparkSession, dir: String,
       tagPrefix: String, day: Int => DataFrame)(
       ingest: DataFrame => Unit): Unit = {

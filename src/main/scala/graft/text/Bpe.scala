@@ -48,37 +48,120 @@ object Bpe {
   private val learnMemo =
     new graft.plans.PlanMemo[Int, Learned](v => Seq(v.words))
 
-  /** [[learn]] through the session memo. */
-  def learnMemoized(docs: DataFrame, nMerges: Int): Learned =
+  /** [[learn]] through the session memo. A LOST race (another thread
+    * inserted first) discards this thread's Learned — explicitly drop
+    * the loser's localCheckpoint blocks (its `words` is a
+    * LogicalRDD-backed frame no one will ever reference again;
+    * without the unpersist the blocks sit on executors until the
+    * GC-driven ContextCleaner notices), bounding the duplicate-run
+    * leak the peek/compute/insert idiom accepts. */
+  def learnMemoized(docs: DataFrame, nMerges: Int): Learned = {
     learnMemo.peek(docs, nMerges).getOrElse {
       val l = learn(docs, nMerges)
-      learnMemo.getOrCompute(docs, nMerges)(l)
+      val won = learnMemo.getOrCompute(docs, nMerges)(l)
+      if (!(won eq l))
+        l.words.queryExecution.optimizedPlan.collectLeaves().foreach {
+          case r: org.apache.spark.sql.execution.LogicalRDD =>
+            r.rdd.unpersist(blocking = false)
+          case _ => ()
+        }
+      won
+    }
+  }
+
+  /** The weighted word-TYPE table from ONE corpus scan: (w, f, syms)
+    * with syms split to characters. |vocab| rows — bounded by
+    * language, not data. */
+  private def wordTypes(docs: DataFrame): DataFrame = docs
+    .select(explode(Dedup.tokensCol(col("text"))).as("w"))
+    .filter(length(col("w")) > 0)
+    .groupBy("w").agg(count(lit(1)).as("f"))
+    .select(col("w"), col("f"), expr(
+      "transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+      .as("syms"))
+
+  /** Weighted adjacent-pair counts over a word-type frame — the
+    * relation the argmax reads. Map-side-combinable aggregation;
+    * output is bounded by the distinct adjacent-pair space. */
+  private def pairCounts(w: DataFrame): DataFrame = w
+    .filter(size(col("syms")) >= 2)
+    .select(col("f"), explode(expr(
+      "transform(sequence(1, size(syms) - 1), i -> " +
+        "struct(element_at(syms, i) AS l, element_at(syms, i + 1) AS r))"))
+      .as("p"))
+    .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+    .agg(sum("f").as("n"))
+
+  /** Greedy left-to-right non-overlapping application of merge (l, r)
+    * as an exact left fold (see object scaladoc). */
+  private def applyMerge(syms: org.apache.spark.sql.Column, l: String,
+      rt: String): org.apache.spark.sql.Column =
+    aggregate(syms, array().cast("array<string>"),
+      (acc, x) =>
+        when(size(acc) > 0 &&
+            try_element_at(acc, lit(-1)) === lit(l) && x === lit(rt),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + rt))))
+          .otherwise(concat(acc, array(x))))
+
+  /** True iff the word's symbol sequence CONTAINS the adjacent pair
+    * (l, r) — the incremental-maintenance selector: only these words
+    * change under the merge, so only they are recounted. */
+  private def containsPair(syms: org.apache.spark.sql.Column, l: String,
+      rt: String): org.apache.spark.sql.Column =
+    // the size guard must gate evaluation of sequence() itself —
+    // Spark's sequence(1, 0) DESCENDS to [1, 0] and element_at(_, 0)
+    // throws; a bare && could be reordered, `when` cannot
+    when(size(syms) >= 2,
+      exists(transform(sequence(lit(1), size(syms) - 1),
+        i => element_at(syms, i) === lit(l) &&
+          element_at(syms, i + 1) === lit(rt)), x => x))
+      .otherwise(lit(false))
+
+  /** Drops a localCheckpoint-backed frame's blocks explicitly — the
+    * learning loop supersedes its (words, pairs) checkpoints every
+    * iteration, and at 40 k merges waiting for the GC-driven
+    * ContextCleaner would pool tens of thousands of dead block sets
+    * on the executors. */
+  private def dropCkpt(df: DataFrame): Unit =
+    df.queryExecution.optimizedPlan.collectLeaves().foreach {
+      case r: org.apache.spark.sql.execution.LogicalRDD =>
+        r.rdd.unpersist(blocking = false)
+      case _ => ()
     }
 
-  /** Runs the learning loop (see object scaladoc). Stops early when no
-    * pair is left (short vocabularies). */
+  /** Runs the learning loop (see object scaladoc) with INCREMENTAL
+    * pair-count maintenance: the pair table is built once, and each
+    * merge updates it from only the words that CONTAIN the merged
+    * pair (subtract their old pair counts, add their merged ones) —
+    * the standard BPE-learner optimization (Sennrich's reference
+    * implementation maintains the same index in memory). Per-
+    * iteration work is |affected words| + |pair table| — both
+    * vocabulary-shaped and, past the first merges, small fractions of
+    * the word-type table — instead of a full re-explode of every
+    * word's symbols, so a 40 k-merge vocabulary pays 40 k DELTA-sized
+    * aggregations, not 40 k corpus-vocab recounts. Stops early when no
+    * pair is left (short vocabularies). Merge sequence is bit-
+    * identical to the full-recount spelling ([[learnRecount]] — the
+    * A/B twin BpeAb and BpeSpec pin the equivalence): counts are
+    * exact integer sums either way, zero-count rows are dropped so
+    * the argmax never sees a dead pair, and the tie-break is the same
+    * (n desc, l asc, r asc). */
   def learn(docs: DataFrame, nMerges: Int): Learned = {
-    // the ONE corpus scan: weighted word types, split to char symbols
-    var words = docs
-      .select(explode(Dedup.tokensCol(col("text"))).as("w"))
-      .filter(length(col("w")) > 0)
-      .groupBy("w").agg(count(lit(1)).as("f"))
-      .select(col("w"), col("f"), expr(
-        "transform(sequence(1, length(w)), i -> substring(w, i, 1))")
-        .as("syms"))
+    var words = wordTypes(docs)
       .localCheckpoint() // |vocab| rows; iterations must not re-scan the corpus
+    // words' partition count must stay CONSTANT across iterations:
+    // the per-merge union (unaffected ∪ merged) CONCATENATES both
+    // sides' partitions, and since both derive from words the count
+    // would DOUBLE per merge — exponential task growth (iteration 13
+    // ran 2¹³ near-empty tasks before this pin). coalesce() is a
+    // partition merge, not a shuffle.
+    val nPart = math.max(1, words.rdd.getNumPartitions)
+    var pairs = pairCounts(words).localCheckpoint()
     val merges = Seq.newBuilder[(Long, String, String, Long)]
     var r = 1
     var exhausted = false
     while (r <= nMerges && !exhausted) {
-      val best = words
-        .filter(size(col("syms")) >= 2)
-        .select(col("f"), explode(expr(
-          "transform(sequence(1, size(syms) - 1), i -> " +
-            "struct(element_at(syms, i) AS l, element_at(syms, i + 1) AS r))"))
-          .as("p"))
-        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-        .agg(sum("f").as("n"))
+      val best = pairs
         .orderBy(col("n").desc, col("l").asc, col("r").asc)
         .limit(1).collect() // bounded: exactly one row (the argmax)
       if (best.isEmpty) exhausted = true
@@ -86,15 +169,55 @@ object Bpe {
         val (l, rt, n) =
           (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         merges += ((r.toLong, l, rt, n))
-        // greedy left-to-right application as an exact left fold
-        words = words.select(col("w"), col("f"),
-          aggregate(col("syms"), array().cast("array<string>"),
-            (acc, x) =>
-              when(size(acc) > 0 &&
-                  try_element_at(acc, lit(-1)) === lit(l) && x === lit(rt),
-                concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + rt))))
-                .otherwise(concat(acc, array(x)))).as("syms"))
-          .localCheckpoint() // cut the per-iteration lineage; still |vocab| rows
+        val affected = words.filter(containsPair(col("syms"), l, rt))
+          .localCheckpoint() // bounded by the winning pair's support
+        val merged = affected.select(col("w"), col("f"),
+          applyMerge(col("syms"), l, rt).as("syms"))
+        // pair-table delta: -old counts of affected words, +their
+        // merged counts; zero rows drop so the argmax semantics equal
+        // a full recount's (a dead pair simply has no row either way)
+        val pairsNew = pairs
+          .unionByName(pairCounts(affected)
+            .select(col("l"), col("r"), (-col("n")).as("n")))
+          .unionByName(pairCounts(merged))
+          .groupBy("l", "r").agg(sum("n").as("n"))
+          .filter(col("n") > 0)
+          .localCheckpoint()
+        val wordsNew = words.filter(!containsPair(col("syms"), l, rt))
+          .unionByName(merged)
+          .coalesce(nPart)
+          .localCheckpoint()
+        dropCkpt(pairs); dropCkpt(words); dropCkpt(affected)
+        pairs = pairsNew; words = wordsNew
+        r += 1
+      }
+    }
+    dropCkpt(pairs)
+    Learned(merges.result(), words)
+  }
+
+  /** The pre-r14 full-recount spelling — each iteration re-aggregates
+    * pair counts over EVERY word type. Kept as the A/B twin proving
+    * [[learn]]'s incremental maintenance is merge-for-merge identical
+    * (BpeAb main, BpeSpec); not used by any registered query. */
+  private[graft] def learnRecount(docs: DataFrame, nMerges: Int): Learned = {
+    var words = wordTypes(docs).localCheckpoint()
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= nMerges && !exhausted) {
+      val best = pairCounts(words)
+        .orderBy(col("n").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (l, rt, n) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((r.toLong, l, rt, n))
+        val wordsNew = words.select(col("w"), col("f"),
+          applyMerge(col("syms"), l, rt).as("syms")).localCheckpoint()
+        dropCkpt(words)
+        words = wordsNew
         r += 1
       }
     }

@@ -78,12 +78,31 @@ object Dedup {
   def signatureCol(text: Column): Column =
     signatureFromHashes(shingleHashes(text))
 
-  /** LSH band keys: hash each r-row slice of the signature. */
-  def bandsCol(sig: Column): Column =
-    array((0 until Bands).map { b =>
+  /** LSH band keys at an EXPLICIT (bands, rowsPerBand) geometry — the
+    * per-generation width knob of the persisted index ([[writeIndex]]
+    * records it in the `manifest` artifact, appends/probes follow it).
+    * Unlike the embedding family's bit-width — where width only moves
+    * bucket occupancy — minhash band geometry trades RECALL at the
+    * Jaccard threshold (16×4 detects J=0.7 pairs at ~99%; 8×8 at
+    * ~45%), so it is an explicit REBUILD decision, never an automatic
+    * density rule: a deployment facing saturated buckets first gets
+    * exactness from the fingerprint screen + hot-bucket cascade
+    * (which cost, not recall — see [[incrementalAcceptIndexed]]), and
+    * re-signs wider only when it chooses to RAISE the effective
+    * dedup knee (8×8's band-share knee sits near J≈0.92) to cut
+    * candidate work. The rebuild is then a parameter change — same
+    * code, new manifest generation. */
+  def bandsColAt(sig: Column, bands: Int, rows: Int): Column = {
+    require(bands >= 1 && rows >= 1 && bands * rows <= NumHashes,
+      s"band geometry $bands×$rows exceeds the $NumHashes-hash signature")
+    array((0 until bands).map { b =>
       struct(lit(b).as("band"),
-        xxhash64(slice(sig, b * RowsPerBand + 1, RowsPerBand).cast("string")).as("bh"))
+        xxhash64(slice(sig, b * rows + 1, rows).cast("string")).as("bh"))
     }: _*)
+  }
+
+  /** LSH band keys at the default 16×4 geometry (~Jaccard 0.7 knee). */
+  def bandsCol(sig: Column): Column = bandsColAt(sig, Bands, RowsPerBand)
 
   /** id-list → ordered unique pairs (bucket sizes are cut off at
     * `maxBucket`, so the quadratic blowup is bounded per bucket).
@@ -165,8 +184,9 @@ object Dedup {
 
   /** The PERSISTED dedup-index row for [[incrementalAcceptIndexed]]:
     * one row per already-accepted corpus document carrying everything
-    * a delta screen needs — the 16 LSH band keys (the probe index) and
-    * the distinct shingle set (the exact-Jaccard verify reference) —
+    * a delta screen needs — the 16 LSH band keys (the probe index),
+    * the distinct shingle set (the exact-Jaccard verify reference) and
+    * its md5 fingerprint (the exact-replica screen, [[shingleFp]]) —
     * computed in ONE projection pass over the corpus (no join, no
     * shuffle). At 100 TB this table is written once when the corpus is
     * first deduped and APPENDED per delta (the accepted rows' own
@@ -174,13 +194,26 @@ object Dedup {
     * base corpus text. Per-row payload is ~|shingles| strings + 16
     * band hashes — a small constant factor of the text it replaces.
     */
-  def buildIndex(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def buildIndex(df: DataFrame, idCol: String, textCol: String,
+      bands: Int = Bands, rows: Int = RowsPerBand): DataFrame = {
     graft.plans.GraftFunctions.register(df.sparkSession)
     df.select(col(idCol).as("id"),
         call_function("minhash_signature", col(textCol)).as("mh_sig"),
         array_distinct(call_function("shingles", col(textCol))).as("sh"))
-      .select(col("id"), bandsCol(col("mh_sig")).as("bands"), col("sh"))
+      .select(col("id"), bandsColAt(col("mh_sig"), bands, rows).as("bands"),
+        col("sh"), shingleFp(col("sh")).as("fp"))
   }
+
+  /** Content fingerprint of a doc's DISTINCT shingle set: md5 of the
+    * sorted set — equal fp ⇔ equal shingle set ⇔ exact Jaccard 1.0.
+    * Persisted per `ix` row so [[incrementalAcceptIndexed]]'s exact-
+    * replica screen is a 16-byte equi-join instead of a banded probe:
+    * at 100 TB the verbatim-replica mass (crawl mirror spam, the
+    * dominant duplication mode) is screened out BEFORE it can saturate
+    * LSH buckets. Same spelling as the dedup_index_build oracle's
+    * sh_fp, so the persisted value is itself oracle-gated. */
+  private[text] def shingleFp(sh: Column): Column =
+    md5(concat_ws("\u001f", array_sort(sh)))
 
   /** Probe-side postings derived from a [[buildIndex]] frame: one row
     * per (band key, doc) — the exploded spelling the delta's candidate
@@ -206,14 +239,35 @@ object Dedup {
     * 100 TB this runs once per corpus and is APPENDED to
     * ([[appendIndex]]), never rebuilt. */
   def writeIndex(df: DataFrame, idCol: String, textCol: String,
-      root: String): Unit = {
+      root: String, bands: Int = Bands, rows: Int = RowsPerBand): Unit = {
     val s = df.sparkSession
-    buildIndex(df, idCol, textCol).write.mode("overwrite").parquet(s"$root/ix")
+    import s.implicits._
+    // the manifest freezes this generation's band geometry FIRST:
+    // appends and probes resolve their width from it (one width per
+    // generation — the embedding index's manifest contract, for text;
+    // a rebuild at a new width is a new generation, a parameter
+    // change, not a code change)
+    Seq((bands, rows, NumHashes))
+      .toDF("bands", "rows_per_band", "num_hashes")
+      .repartition(1).write.mode("overwrite").parquet(s"$root/manifest")
+    buildIndex(df, idCol, textCol, bands, rows)
+      .write.mode("overwrite").parquet(s"$root/ix")
     indexPostings(s.read.parquet(s"$root/ix"))
       .write.mode("overwrite").parquet(s"$root/post")
     indexBucketStats(s.read.parquet(s"$root/post"))
       .write.mode("overwrite").parquet(s"$root/bk")
   }
+
+  /** The manifest's frozen band geometry; pre-manifest artifacts
+    * (or in-plan [[DedupIndex.fromDocs]] indexes) default to 16×4 —
+    * the only geometry that ever existed before the manifest. */
+  private[graft] def manifestWidth(s: org.apache.spark.sql.SparkSession,
+      root: String): (Int, Int) =
+    if (artifactExists(root, "manifest")) {
+      val r = s.read.parquet(livePath(root, "manifest").toString)
+        .select("bands", "rows_per_band").head()
+      (r.getInt(0), r.getInt(1))
+    } else (Bands, RowsPerBand)
 
   // ── persisted-index filesystem machinery ───────────────────────────
   // All index-root surgery goes through the Hadoop FileSystem resolved
@@ -388,7 +442,8 @@ object Dedup {
       r, s".ix_append_${java.util.UUID.randomUUID().toString.take(13)}")
     try {
       val sd = new org.apache.hadoop.fs.Path(scratch, "ixd").toString
-      buildIndex(accepted, idCol, textCol)
+      val (bands, rows) = manifestWidth(s, root)
+      buildIndex(accepted, idCol, textCol, bands, rows)
         .write.mode("overwrite").parquet(sd)
       val post = indexPostings(s.read.parquet(sd))
       post.write.mode("append").parquet(livePath(root, "post").toString)
@@ -404,7 +459,14 @@ object Dedup {
     * grown by [[appendIndex]] / maintained by [[compactIndexStats]]. */
   def readIndex(s: org.apache.spark.sql.SparkSession,
       root: String): DedupIndex = {
-    val ix = s.read.parquet(ixLive(root))
+    val ixRaw = s.read.parquet(ixLive(root))
+    // pre-fp artifact compat: indexes written before the fingerprint
+    // column derive it in-plan from the persisted shingle sets (same
+    // value by construction — [[shingleFp]] is a pure function of
+    // `sh`); a rebuild persists it and restores the 16-byte-scan shape.
+    val ix =
+      if (ixRaw.columns.contains("fp")) ixRaw
+      else ixRaw.withColumn("fp", shingleFp(col("sh")))
     val post = s.read.parquet(livePath(root, "post").toString)
     val (i, p) =
       if (artifactExists(root, "tomb")) {
@@ -418,7 +480,9 @@ object Dedup {
         (ix.join(tomb, Seq("id"), "left_anti"),
           post.join(tomb, Seq("id"), "left_anti"))
       } else (ix, post)
-    DedupIndex(i, p, s.read.parquet(livePath(root, "bk").toString))
+    val (bands, rows) = manifestWidth(s, root)
+    DedupIndex(i, p, s.read.parquet(livePath(root, "bk").toString),
+      bands, rows)
   }
 
   /** The live `ix` membership artifact — normally the plain build dir
@@ -549,9 +613,10 @@ object Dedup {
     * Same single-writer assumption as every index maintenance op. */
   def repairIndex(s: org.apache.spark.sql.SparkSession,
       root: String): Boolean = {
+    val (mBands, _) = manifestWidth(s, root)
     def ixDocs = s.read.parquet(ixLive(root)).dropDuplicates("id")
     val ixIds = ixDocs
-      .select(col("id")).withColumn("__want", lit(Bands.toLong))
+      .select(col("id")).withColumn("__want", lit(mBands.toLong))
     val have = s.read.parquet(livePath(root, "post").toString)
       .groupBy("id").agg(count(lit(1)).as("__have"))
     val torn = ixIds.join(have, Seq("id"), "full_outer")
@@ -574,12 +639,25 @@ object Dedup {
     * shape for a growing corpus: never re-dedup (or even re-read) the
     * base, only screen the arriving DELTA against the [[buildIndex]]
     * artifact. A delta document is rejected iff it is a verified
-    * near-dup (exact Jaccard ≥ threshold on the LSH candidate set) of
-    * ANY indexed document or of a LOWER-id delta document (the same
-    * drop-the-higher-member convention as [[dedupMinHash]]; rejection
-    * is not sequential — a rejected delta doc still blocks its own
-    * later near-dups, keeping the result order- and
-    * partitioning-independent). Returns the accepted delta rows.
+    * near-dup (exact Jaccard ≥ threshold) of ANY indexed document or
+    * of a LOWER-id delta document (the same drop-the-higher-member
+    * convention as [[dedupMinHash]]; rejection is not sequential — a
+    * rejected delta doc still blocks its own later near-dups, keeping
+    * the result order- and partitioning-independent). Returns the
+    * accepted delta rows.
+    *
+    * EXACT at any corpus density, via three layers (cheapest first):
+    * (0) the fingerprint screen — exact shingle-set replicas (J = 1.0)
+    * reject on a 16-byte equi-join against the persisted `fp` column
+    * and, being transitively redundant as references, vanish from both
+    * sides of the banded probe (see the layer-0 comment in the body);
+    * (1) cold buckets (combined occupancy ≤ maxBucket) pair directly —
+    * the common case and the pre-r14 plan unchanged; (2) hot buckets
+    * cascade: a bounded min-reference screen, then FULL pairing for
+    * only the docs the screen left unresolved. `maxBucket` is thus a
+    * cost-routing knee, not a recall cutoff — the r13 100×-corpus
+    * recall boundary (hot buckets dropped → near-dup replicas
+    * over-accepted vs the exact oracle) is structurally closed.
     *
     * Scale shape: the recurring per-delta cost touches the index's
     * PRE-DERIVED probe artifacts and the delta ONLY — raw base text is
@@ -590,56 +668,136 @@ object Dedup {
     * |buckets|-row occupancy sidecar with the delta's own counts — the
     * only probe-time aggregation over index-derived rows is that
     * |buckets|-row sum). Candidate work scales with |delta| × bucket
-    * occupancy, not |corpus|². Hot buckets
-    * (> maxBucket occupants on the reference side) are dropped before
-    * pairing — the same guard as [[candidatePairs]]. The delta-side
-    * kernels (minhash signature, shingles) feed FIVE plan branches
-    * (probe, reference union, two verify sides, final anti-join), so
-    * the delta's own index frame is memoized per (session, delta plan)
-    * — a session-persisted [[buildIndex]] projection the branches all
-    * read, making the expensive kernels evaluate ONCE per delta (the
-    * same PlanMemo machinery as the verified-pair stream; payload is
-    * one row per DELTA doc — small by definition).
+    * occupancy, not |corpus|². The delta-side
+    * kernels (minhash signature, shingles) feed the plan branches
+    * (fp screen, probe, reference union, verify sides, final
+    * anti-join), so the delta's own index frame is memoized per
+    * (session, delta plan) — a session-persisted [[buildIndex]]
+    * projection the branches all read, making the expensive kernels
+    * evaluate ONCE per delta (the same PlanMemo machinery as the
+    * verified-pair stream; payload is one row per DELTA doc — small by
+    * definition).
     */
   private val deltaIxMemo =
-    new graft.plans.PlanMemo[(String, String), DataFrame](Seq(_))
+    new graft.plans.PlanMemo[(String, String, Int, Int), DataFrame](Seq(_))
 
   def incrementalAcceptIndexed(index: DedupIndex, delta: DataFrame,
       idCol: String, textCol: String, threshold: Double = 0.7,
       maxBucket: Int = 100): DataFrame = {
     graft.plans.GraftFunctions.register(delta.sparkSession)
-    val dIx = deltaIxMemo.getOrCompute(delta, (idCol, textCol)) {
-      buildIndex(delta, idCol, textCol)
+    // the delta signs at the INDEX GENERATION's frozen band geometry
+    // (manifest-resolved in readIndex) — band keys from two widths
+    // can never meet in a candidate join
+    val dIx = deltaIxMemo.getOrCompute(delta,
+        (idCol, textCol, index.bands, index.rows)) {
+      buildIndex(delta, idCol, textCol, index.bands, index.rows)
     }
-    def deltaBuckets = dIx.select(col("id"), explode(col("bands")).as("bk"))
+    // ── layer 0: exact-replica screen ────────────────────────────────
+    // A delta doc whose shingle-set FINGERPRINT equals any indexed
+    // doc's — or a lower-id delta doc's — is an exact Jaccard-1.0 dup:
+    // rejected by a 16-byte equi-join before any banded work. Because
+    // fp-equality is TRANSITIVE (unlike ≥-threshold Jaccard), every
+    // fp-rejected doc is REDUNDANT as a near-dup reference too — any
+    // doc it would block is equally blocked by the equal-set doc that
+    // got it rejected — so the verbatim mass vanishes from BOTH sides
+    // of the probe. This is what keeps a 100×-replica corpus (crawl
+    // mirror spam — the dominant duplication mode at 100 TB) from
+    // saturating the LSH buckets in the first place.
+    // The two rejection ledgers below are LAZY localCheckpoints: each
+    // is a bounded id-list (≤ |delta| longs) that several plan
+    // branches consume, so sharing the computed RDD replaces a
+    // multiplicative subtree copy-out (the naive lazy spelling
+    // duplicated the screen+verify subplans ~20× and planning cost
+    // exploded) with one computation per probe — and gives the probe
+    // SNAPSHOT semantics against subsequent index appends, which is
+    // exactly what appendIndex's lineage-cut contract wants.
+    val fpRejected = dIx.select(col("id"), col("fp"))
+      .join(index.docs.select(col("fp")).distinct(), Seq("fp"), "left_semi")
+      .select(col("id"))
+      .unionByName(dIx.select(col("id"), col("fp"))
+        .join(dIx.groupBy("fp").agg(min("id").as("__min_id")), "fp")
+        .filter(col("id") > col("__min_id")).select(col("id")))
+      .distinct()
+      .localCheckpoint(false)
+    val dProbe = dIx.join(fpRejected, Seq("id"), "left_anti")
+    def probeBuckets = dProbe.select(col("id"), explode(col("bands")).as("bk"))
     // hot-bucket stats: the index side contributes its PRE-AGGREGATED
     // |buckets|-row occupancy sidecar (possibly several partial rows
     // per bucket after appends); only the delta's own postings are
     // counted at probe time. The combined sum is identical to grouping
     // index ∪ delta postings, without ever re-aggregating the index.
+    // Since the cascade below, `hot` is a COST ROUTER, not a recall
+    // cutoff: hot buckets go through the bounded screen + escalation
+    // instead of being dropped, so the result is exact at any density.
     val hot = index.bucketStats.select(col("bk"), col("n"))
-      .unionByName(deltaBuckets.groupBy("bk").agg(count(lit(1)).as("n")))
+      .unionByName(probeBuckets.groupBy("bk").agg(count(lit(1)).as("n")))
       .groupBy("bk").agg(sum("n").as("__n"))
       .filter(col("__n") > maxBucket).select("bk")
-    // reference side = the persisted postings + the delta's own
-    // (for intra-delta dups, lower id wins)
+    // reference side = the persisted postings + the screened delta's
+    // own (for intra-delta dups, lower id wins)
     val refBk = index.postings.select(col("id").as("id_ref"), col("bk"),
         lit(true).as("ref_is_base"))
-      .unionByName(deltaBuckets.select(col("id").as("id_ref"), col("bk"),
+      .unionByName(probeBuckets.select(col("id").as("id_ref"), col("bk"),
         lit(false).as("ref_is_base")))
-    val cand = deltaBuckets.join(refBk.join(hot, Seq("bk"), "left_anti"), "bk")
+    // cold buckets (≤ maxBucket combined occupancy): direct pairing,
+    // the common case — identical plan to the pre-cascade probe.
+    val candCold = probeBuckets
+      .join(refBk.join(hot, Seq("bk"), "left_anti"), "bk")
       .filter(col("ref_is_base") || col("id_ref") < col("id"))
       .select(col("id"), col("id_ref")).distinct()
+    // ── hot-bucket cascade, stage 1 (bounded screen) ─────────────────
+    // Per hot bucket, pair every probe doc with just TWO references:
+    // the min-id indexed occupant and the min-id delta occupant. In a
+    // near-verbatim replica mass (the density that makes a bucket hot)
+    // the min-id occupant is a verified near-dup of virtually every
+    // later member, so this 2·|hot probe postings|-bounded pass
+    // resolves the mass; only its leftovers pay stage 2.
+    val hotMins = refBk.join(hot, Seq("bk")).groupBy("bk")
+      .agg(min(when(col("ref_is_base"), col("id_ref"))).as("__min_base"),
+        min(when(!col("ref_is_base"), col("id_ref"))).as("__min_delta"))
+    val candS1 = probeBuckets.join(hotMins, "bk")
+      .select(col("id"), explode(array(
+        struct(col("__min_base").as("id_ref"), lit(true).as("ref_is_base")),
+        struct(col("__min_delta").as("id_ref"), lit(false).as("ref_is_base"))))
+        .as("r"))
+      .filter(col("r.id_ref").isNotNull &&
+        (col("r.ref_is_base") || col("r.id_ref") < col("id")))
+      .select(col("id"), col("r.id_ref").as("id_ref")).distinct()
     // verify reference shingle sets: the index's persisted `sh` for
-    // indexed docs, the delta's own for intra-delta candidates — the
-    // ONLY branch that touches the per-doc `ix` table at probe time.
+    // indexed docs, the screened delta's own for intra-delta
+    // candidates — the only branches that touch per-doc `sh` at probe
+    // time.
     val refSets = index.docs.select(col("id").as("id_ref"), col("sh").as("sh_r"))
-      .unionByName(dIx.select(col("id").as("id_ref"), col("sh").as("sh_r")))
-    val rejected = cand
+      .unionByName(dProbe.select(col("id").as("id_ref"), col("sh").as("sh_r")))
+    def verify(cand: DataFrame): DataFrame = cand
       .join(dIx.select(col("id"), col("sh").as("sh_d")), "id")
       .join(refSets, "id_ref")
       .filter(size(array_intersect(col("sh_d"), col("sh_r"))).cast("double") /
         size(array_union(col("sh_d"), col("sh_r"))) >= threshold)
+      .select(col("id")).distinct()
+    val rejected1 = verify(candCold.unionByName(candS1))
+      .localCheckpoint(false)
+    // ── hot-bucket cascade, stage 2 (exact escalation) ───────────────
+    // Probe docs holding ≥1 hot posting that stage 1 + the cold pass
+    // did NOT reject are paired against the FULL occupancy of their
+    // hot buckets. This is the completeness step: overall semantics
+    // equal the guard-free exact probe, but the quadratic price is
+    // paid only by the (expected-tiny) residue the bounded screen
+    // could not resolve. Worst case — a hot bucket whose occupants
+    // are NOT near-dups of each other, e.g. a stopword-band collision
+    // — degrades to the full pairing for that bucket only; a
+    // production deployment bounds that with the width-adaptive
+    // rebuild (wider bands at higher corpus density).
+    val hotSurvivors = probeBuckets.join(hot, Seq("bk"))
+      .select("id").distinct()
+      .join(rejected1, Seq("id"), "left_anti")
+    val candS2 = probeBuckets.join(hotSurvivors, Seq("id"), "left_semi")
+      .join(hot, Seq("bk"), "left_semi")
+      .join(refBk, "bk")
+      .filter(col("ref_is_base") || col("id_ref") < col("id"))
+      .select(col("id"), col("id_ref")).distinct()
+    val rejected = fpRejected.unionByName(rejected1)
+      .unionByName(verify(candS2))
       .select(col("id").as(idCol)).distinct()
     delta.join(rejected, Seq(idCol), "left_anti")
   }
@@ -832,26 +990,30 @@ object Dedup {
 /** A dedup index as the probe consumes it — three co-staged tables
   * ([[Dedup.writeIndex]] layout):
   *
-  *  - `docs(id, bands, sh)`     per-doc record of truth; probe reads
-  *                              ONLY (id, sh) to verify candidates
+  *  - `docs(id, bands, sh, fp)` per-doc record of truth; probe reads
+  *                              ONLY (id, sh) to verify candidates and
+  *                              (fp) for the exact-replica screen
   *  - `postings(id, bk)`        exploded band keys; the candidate
   *                              equi-join's reference side
   *  - `bucketStats(bk, n)`      per-bucket occupancy, mergeable
-  *                              partials — the hot-bucket guard reads
+  *                              partials — the hot-bucket router reads
   *                              this |buckets|-row sidecar instead of
   *                              re-grouping the corpus's band arrays
   *                              on every delta
   */
 final case class DedupIndex(docs: DataFrame, postings: DataFrame,
-    bucketStats: DataFrame)
+    bucketStats: DataFrame, bands: Int = Dedup.Bands,
+    rows: Int = Dedup.RowsPerBand)
 
 object DedupIndex {
   /** Derives the probe-side tables in-plan from a per-doc index frame —
     * the spelling for an index that is not (yet) persisted. A staged
     * index should be read with [[Dedup.readIndex]] so the probe scans
-    * the pre-derived parquet artifacts instead. */
-  def fromDocs(docs: DataFrame): DedupIndex = {
+    * the pre-derived parquet artifacts instead. `bands`/`rows` must
+    * match the geometry `docs` was built at (default 16×4). */
+  def fromDocs(docs: DataFrame, bands: Int = Dedup.Bands,
+      rows: Int = Dedup.RowsPerBand): DedupIndex = {
     val post = Dedup.indexPostings(docs)
-    DedupIndex(docs, post, Dedup.indexBucketStats(post))
+    DedupIndex(docs, post, Dedup.indexBucketStats(post), bands, rows)
   }
 }

@@ -69,10 +69,11 @@ object DedupQueries {
     // already-deduped corpus) as parquet — per doc the 16 LSH band
     // keys AND the distinct shingle set (Dedup.buildIndex), staged
     // once per testdata generation. The registered output is the
-    // index's verifiable content: per doc the shingle count and an
-    // md5 fingerprint of the SORTED shingle set, which the oracle
-    // recomputes from raw text — so the persisted artifact's payload
-    // (not just its row count) is hash-gated. One projection pass
+    // index's verifiable content: per doc the shingle count and the
+    // PERSISTED `fp` fingerprint column (md5 of the sorted shingle
+    // set — the exact-replica screen's key), which the oracle
+    // recomputes from raw text — so the persisted artifact's payload,
+    // fingerprint column included, is hash-gated. One projection pass
     // over the base, no shuffle; at 100 TB this runs once and is
     // appended to, never rebuilt.
     Q("dedup_index_build",
@@ -89,7 +90,7 @@ object DedupQueries {
       (s, d) => s.read.parquet(Dedup.ixLive(stagedIndexPath(s, d)))
         .select(col("id").as("doc_id"),
           size(col("sh")).cast("long").as("n_shingles"),
-          md5(concat_ws("\u001f", array_sort(col("sh")))).as("sh_fp"),
+          col("fp").as("sh_fp"),
           size(col("bands")).cast("long").as("n_bands"))
         .orderBy("doc_id")),
 
@@ -663,7 +664,7 @@ object DedupQueries {
     */
   private[graft] def stagedIndexPath(s: org.apache.spark.sql.SparkSession,
       dir: String): String =
-    stageOnce("graft_dedup_index2_", dir) { root =>
+    stageOnce("graft_dedup_index3_", dir) { root =>
       Dedup.writeIndex(
         documents(s, dir).filter(col("doc_id") % 5 =!= 0),
         "doc_id", "text", root)
@@ -680,7 +681,7 @@ object DedupQueries {
     * index stage. */
   private[graft] def stagedAppendPath(s: org.apache.spark.sql.SparkSession,
       dir: String): String =
-    stageOnce("graft_dedup_append_", dir) { root =>
+    stageOnce("graft_dedup_append2_", dir) { root =>
       val docs = documents(s, dir)
       Dedup.writeIndex(docs.filter(col("doc_id") % 3 === 0),
         "doc_id", "text", root)
@@ -697,7 +698,7 @@ object DedupQueries {
     * reset. */
   private[graft] def stagedTextErasePath(
       s: org.apache.spark.sql.SparkSession, dir: String): String =
-    stageOnce("graft_dedup_erase_", dir) { root =>
+    stageOnce("graft_dedup_erase2_", dir) { root =>
       val docs = documents(s, dir)
       Dedup.writeIndex(docs.filter(col("doc_id") % 5 =!= 0),
         "doc_id", "text", root)
@@ -726,7 +727,7 @@ object DedupQueries {
     * one row per bucket. */
   private[graft] def stagedTextCompactPath(
       s: org.apache.spark.sql.SparkSession, dir: String): String =
-    stageOnce("graft_dedup_compact_", dir) { root =>
+    stageOnce("graft_dedup_compact2_", dir) { root =>
       val docs = documents(s, dir)
       Dedup.writeIndex(docs.filter(col("doc_id") % 8 === 0),
         "doc_id", "text", root)
@@ -761,7 +762,7 @@ object DedupQueries {
     * registered query audits its postings invariant and probes it. */
   private[graft] def stagedRepairPath(s: org.apache.spark.sql.SparkSession,
       dir: String): String =
-    stageOnce("graft_dedup_repair_", dir) { root =>
+    stageOnce("graft_dedup_repair2_", dir) { root =>
       val docs = documents(s, dir)
       Dedup.writeIndex(docs.filter(col("doc_id") % 4 <= 1),
         "doc_id", "text", root)

@@ -75,6 +75,25 @@ class BpeSpec extends SparkSpec {
     assert(ns.zip(ns.tail).forall { case (a, b) => a >= b }, ns.toString)
   }
 
+  test("incremental pair-count maintenance ≡ full recount, " +
+      "merge-for-merge and on the final word table (sf0.001, n=16)") {
+    // learn() maintains the pair table by delta (only words containing
+    // the merged pair recount); learnRecount() re-aggregates every
+    // word each iteration. Exact integer counts + the same tie-break
+    // must make them bit-identical — the equivalence BpeAb re-checks
+    // at bench scale with n=64.
+    val docs = io.Tables.documents(spark, sf0001).select("doc_id", "text")
+    val inc = Bpe.learn(docs, 16)
+    val rec = Bpe.learnRecount(docs, 16)
+    assert(inc.merges == rec.merges)
+    assert(inc.words.select("w", "f", "syms")
+      .exceptAll(rec.words.select("w", "f", "syms")).isEmpty)
+    assert(rec.words.select("w", "f", "syms")
+      .exceptAll(inc.words.select("w", "f", "syms")).isEmpty)
+    // the fixture is non-trivial: 16 real merges happened
+    assert(inc.merges.size == 16)
+  }
+
   test("single-char and blank words never break the pair scan") {
     val docs = Seq((0L, "a b  a   b a"), (1L, "ab")).toDF("doc_id", "text")
     // pairs exist only in "ab" (f=1): merge a+b once, then exhausted

@@ -81,11 +81,16 @@ class PqIndexSpec extends SparkSpec {
         (r.getAs[Long]("code"), r.getAs[Long]("d2"))).toMap
     // clean artifact: repair is a no-op
     assert(!PqIndex.repairIndex(spark, dir, source))
-    // torn RETRY: subspaces 0-1 of the delta land a second time
+    // torn RETRY: subspaces 0-1 of the delta land a second time —
+    // through the same cell-partitioned layout a real appendIndex
+    // retry writes
     val live = PqIndex.codesLive(dir)
     Pq.encodeAt(delta, spark.read.parquet(s"$dir/codebook"))
       .filter(col("sub") < 2)
-      .write.mode("append").parquet(live)
+      .join(graft.sim.Clustering.assignAt(delta,
+          spark.read.parquet(s"$dir/coarse"))
+        .select(col("vec_id"), col("cluster").as("cell")), "vec_id")
+      .write.partitionBy("cell").mode("append").parquet(live)
     spark.catalog.refreshByPath(live)
     assert(spark.read.parquet(live).count() == 120L * Pq.M + 20L * 2)
     assert(PqIndex.repairIndex(spark, dir, source))
@@ -95,6 +100,50 @@ class PqIndexSpec extends SparkSpec {
     assert(healed == clean,
       "healed artifact must equal the pre-damage codes exactly")
     assert(!PqIndex.repairIndex(spark, dir, source))
+  }
+
+  test("routed serving: equals ADC restricted to the exact probed " +
+      "cells; codes scan is partition-pruned on `cell`") {
+    import graft.sim.Clustering
+    val dir = java.nio.file.Files.createTempDirectory("graft_pqix6").toString
+    val base = randVecs(10L until 210L)
+      .withColumn("label", (col("vec_id") % 3).cast("string"))
+    PqIndex.writeIndex(base, dir)
+    val ix = PqIndex.readIndex(spark, dir)
+    val routed = PqIndex.topKRouted(base, ix, 10, 2)
+    // reference probe computed independently in-spec: exact integer
+    // distance from the quantized query to each persisted coarse
+    // centroid, ties to the lowest cell, take nprobe
+    val qv = base.orderBy("vec_id").limit(1)
+      .select(Clustering.quantize(col("embedding")).as("qv"))
+      .head.getSeq[Long](0)
+    val probed = spark.read.parquet(s"$dir/coarse").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1)))
+      .map { case (j, c) =>
+        (j, c.zip(qv).map { case (a, b) => (a - b) * (a - b) }.sum) }
+      .sortBy { case (j, d) => (d, j) }.take(2).map(_._1)
+    val ref = Pq.adcTopK(base, ix.codebook,
+      ix.codes.filter(col("cell").isin(probed: _*)), 10)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[Long]("vec_id"),
+        r.getAs[Long]("approx_d2"))).toSeq
+    assert(rows(routed) == rows(ref))
+    // and the routing genuinely restricts: the probed cells hold
+    // fewer vectors than the corpus
+    val inCells = ix.codes.filter(col("cell").isin(probed: _*))
+      .select("vec_id").distinct().count()
+    assert(inCells > 0 && inCells < 200)
+    // plan pin: the codes scan carries a partition filter on `cell`
+    // (dynamic partition pruning from the broadcast probe frame) —
+    // the 10⁹-code serving shape reads nprobe/KC of the artifact
+    val codeScans = routed.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.relation.location.rootPaths.exists(
+            _.toString.contains("/codes")) => s
+    }
+    assert(codeScans.nonEmpty)
+    assert(codeScans.forall(_.partitionFilters.nonEmpty),
+      codeScans.map(_.partitionFilters).mkString("; "))
   }
 
   test("frozen codebook per generation: appended delta codes are " +

@@ -67,6 +67,16 @@ def main(sf_dir, oracle_json, timeout=None):
                 r = subprocess.run([sys.executable, "-c", code],
                                    capture_output=True, text=True,
                                    timeout=timeout)
+                # a child that died for a NON-timeout reason (SQL
+                # error, OOM kill) leaves empty stdout / nonzero rc —
+                # record it as an error instead of crashing the whole
+                # baseline run on the splitlines()[-1] IndexError
+                if r.returncode != 0 or not r.stdout.strip():
+                    out[name] = "error"
+                    print(f"  {name}: child failed rc={r.returncode} "
+                          f"stderr={r.stderr.strip()[-200:]}",
+                          file=sys.stderr)
+                    continue
                 runs = json.loads(r.stdout.strip().splitlines()[-1])
                 out[name] = round(min(runs), 3)
                 print(f"  {name}: {runs}", file=sys.stderr)
@@ -77,6 +87,7 @@ def main(sf_dir, oracle_json, timeout=None):
     out["__total"] = round(sum(numeric), 3)
     out["__timeouts"] = sorted(k for k, v in out.items()
                                if isinstance(v, str) and "timeout" in v)
+    out["__errors"] = sorted(k for k, v in out.items() if v == "error")
     out["__sf_dir"] = sf_dir
     print(json.dumps(out, indent=1))
 
