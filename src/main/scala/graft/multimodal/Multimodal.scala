@@ -322,6 +322,93 @@ object Multimodal {
       out.array()
     }
 
+    /** MJPG tier: same RIFF/AVI scaffold, frames are '00dc' chunks
+      * holding JDK-ImageIO JPEG bytes (TYPE_BYTE_GRAY source, quality
+      * pinned 0.7, no subsampling decisions left to defaults beyond
+      * the fixed writer param — deterministic bytes per JVM), strh
+      * handler + strf biCompression = 'MJPG', 24-bit, no palette.
+      * This is the format real crawl video actually arrives in; the
+      * idx1-seeked stride sampling works unchanged because entries
+      * carry per-frame offsets AND sizes. Frame decode is LOSSY, so
+      * unlike the DIB tier the pixel values are codec-defined, not
+      * formula-exact — the registered gate (mm_video_mjpg) checks
+      * container fields exactly and decode fidelity within a bounded
+      * mean error against the generator formula. */
+    def encodeMjpg(w: Int, h: Int, nf: Int, fps: Int,
+        pix: (Int, Int, Int) => Int): Array[Byte] = {
+      val frames: IndexedSeq[Array[Byte]] = (0 until nf).map { f =>
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { raster.setSample(x, y, 0, pix(f, x, y)); x += 1 }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        val wtr = javax.imageio.ImageIO
+          .getImageWritersByFormatName("jpeg").next()
+        val prm = wtr.getDefaultWriteParam
+        prm.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+        prm.setCompressionQuality(0.7f)
+        val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+        try {
+          wtr.setOutput(ios)
+          wtr.write(null, new javax.imageio.IIOImage(img, null, null), prm)
+        } finally { ios.close(); wtr.dispose() }
+        bos.toByteArray
+      }
+      def pad(n: Int): Int = n & 1 // RIFF word padding
+      val moviSz = 4 + frames.map(fb => 8 + fb.length + pad(fb.length)).sum
+      val hdrlSz = 4 + (8 + 56) + (8 + 4 + (8 + 56) + (8 + 40))
+      val total = 12 + (8 + hdrlSz) + (8 + moviSz) + (8 + 16 * nf)
+      val out = java.nio.ByteBuffer.allocate(total)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def cc(s: String): Unit =
+        out.put(s.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      val maxF = frames.map(_.length).max
+      cc("RIFF"); out.putInt(total - 8); cc("AVI ")
+      cc("LIST"); out.putInt(hdrlSz); cc("hdrl")
+      cc("avih"); out.putInt(56)
+      out.putInt(1000000 / fps).putInt(0).putInt(0)
+        .putInt(0x10)                                 // AVIF_HASINDEX
+        .putInt(nf).putInt(0).putInt(1).putInt(8 + maxF)
+        .putInt(w).putInt(h)
+        .putInt(0).putInt(0).putInt(0).putInt(0)      // reserved[4]
+      cc("LIST"); out.putInt(4 + (8 + 56) + (8 + 40)); cc("strl")
+      cc("strh"); out.putInt(56)
+      cc("vids"); cc("MJPG")
+      out.putInt(0).putShort(0).putShort(0).putInt(0)
+        .putInt(1).putInt(fps)
+        .putInt(0).putInt(nf)
+        .putInt(8 + maxF).putInt(0).putInt(0)
+        .putShort(0).putShort(0)
+        .putShort(w.toShort).putShort(h.toShort)
+      cc("strf"); out.putInt(40)                      // BITMAPINFOHEADER, no palette
+      out.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      cc("MJPG")                                      // biCompression
+      out.putInt(maxF).putInt(0).putInt(0).putInt(0).putInt(0)
+      cc("LIST"); out.putInt(moviSz); cc("movi")
+      val offs = new Array[Int](nf)                   // from 'movi' fourcc
+      var f = 0
+      var rel = 4
+      while (f < nf) {
+        offs(f) = rel
+        cc("00dc"); out.putInt(frames(f).length); out.put(frames(f))
+        if (pad(frames(f).length) == 1) out.put(0.toByte)
+        rel += 8 + frames(f).length + pad(frames(f).length)
+        f += 1
+      }
+      cc("idx1"); out.putInt(16 * nf)
+      f = 0
+      while (f < nf) {
+        cc("00dc"); out.putInt(0x10).putInt(offs(f)).putInt(frames(f).length)
+        f += 1
+      }
+      out.array()
+    }
+
     private def le32(b: Array[Byte], o: Int): Int = {
       require(o >= 0 && o + 4 <= b.length, s"truncated container at $o")
       (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
@@ -373,8 +460,44 @@ object Multimodal {
       val (strf, _) = findChunk(bytes, strl, "strf")
       require(le32(bytes, strf + 4) == w && le32(bytes, strf + 8) == h,
         "strf/avih dimension mismatch")
-      require(le16(bytes, strf + 14) == 8, "not 8-bit palettized DIB")
+      if (cc4(bytes, strf + 16) == "MJPG")
+        require(le16(bytes, strf + 14) == 24, "MJPG stream is not 24-bit")
+      else
+        require(le16(bytes, strf + 14) == 8, "not 8-bit palettized DIB")
       (w, h, nf, 1000000 / uspf)
+    }
+
+    /** True iff the container's video stream is MJPG-compressed
+      * (header-walk only — same cost tier as [[readMeta]]). */
+    def isMjpg(bytes: Array[Byte]): Boolean = {
+      val (hdrl, _) = findChunk(bytes, 12, "hdrl")
+      val (strl, _) = findChunk(bytes, hdrl, "strl")
+      val (strf, _) = findChunk(bytes, strl, "strf")
+      cc4(bytes, strf + 16) == "MJPG"
+    }
+
+    /** Decodes one JPEG frame's bytes to a top-down gray plane via
+      * the JDK ImageIO JPEG reader — the MJPG frame kernel. The
+      * source was encoded TYPE_BYTE_GRAY, so the reader hands back a
+      * gray raster; anything else is a corrupt frame. */
+    private def jpegGray(b: Array[Byte], off: Int, len: Int, w: Int,
+        h: Int): Array[Int] = {
+      require(off >= 0 && len >= 0 && off + len <= b.length,
+        s"truncated frame chunk at $off+$len")
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(b, off, len))
+      require(img != null, "undecodable JPEG frame")
+      require(img.getWidth == w && img.getHeight == h,
+        s"frame dims ${img.getWidth}x${img.getHeight}, stream says ${w}x$h")
+      require(img.getRaster.getNumBands == 1, "MJPG frame is not gray")
+      val px = new Array[Int](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { px(y * w + x) = img.getRaster.getSample(x, y, 0); x += 1 }
+        y += 1
+      }
+      px
     }
 
     /** Un-pads and top-down-flips one DIB frame's gray plane. */
@@ -411,18 +534,21 @@ object Multimodal {
       // path that never touched the index
       val (w, h, nf, _) = readMeta(bytes)
       fs.foreach(f => require(f >= 0 && f < nf, s"frame $f of $nf"))
+      val mjpg = isMjpg(bytes)
+      val fcc = if (mjpg) "00dc" else "00db"
       val (movi, _) = findChunk(bytes, 12, "movi")
       val (idx1, idx1Sz) = findChunk(bytes, 12, "idx1")
       require(idx1Sz == 16 * nf, s"idx1 size $idx1Sz for $nf frames")
       fs.map { f =>
-        expect(bytes, idx1 + 16 * f, "00db")
+        expect(bytes, idx1 + 16 * f, fcc)
         val off = le32(bytes, idx1 + 16 * f + 8)      // from 'movi' fourcc
         val sz = le32(bytes, idx1 + 16 * f + 12)
-        require(sz == frameDataSize(w, h), s"frame $f size $sz")
+        if (!mjpg) require(sz == frameDataSize(w, h), s"frame $f size $sz")
         val chunk = movi - 4 + off                    // movi points past fourcc
-        expect(bytes, chunk, "00db")
+        expect(bytes, chunk, fcc)
         require(le32(bytes, chunk + 4) == sz, "idx1/chunk size mismatch")
-        framePixels(bytes, chunk + 8, w, h)
+        if (mjpg) jpegGray(bytes, chunk + 8, sz, w, h)
+        else framePixels(bytes, chunk + 8, w, h)
       }
     }
 
@@ -432,6 +558,23 @@ object Multimodal {
     def decode(bytes: Array[Byte]): (Int, Int, Int, Int, Array[Array[Int]]) = {
       val (w, h, nf, fps) = readMeta(bytes)
       require(le32(bytes, 4) == bytes.length - 8, "RIFF size mismatch")
+      if (isMjpg(bytes)) {
+        // variable-size '00dc' chunks: sequential movi walk by size
+        val (movi, moviSz) = findChunk(bytes, 12, "movi")
+        val frames = new Array[Array[Int]](nf)
+        var o = movi
+        var f = 0
+        while (f < nf) {
+          expect(bytes, o, "00dc")
+          val sz = le32(bytes, o + 4)
+          frames(f) = jpegGray(bytes, o + 8, sz, w, h)
+          o += 8 + sz + (sz & 1)
+          f += 1
+        }
+        require(o == movi + moviSz,
+          s"movi walk ended at ${o - movi} of $moviSz")
+        return (w, h, nf, fps, frames)
+      }
       val (movi, moviSz) = findChunk(bytes, 12, "movi")
       val fd = frameDataSize(w, h)
       require(moviSz == nf * (8 + fd), s"movi size $moviSz for $nf frames")
@@ -595,6 +738,70 @@ object Multimodal {
           val sums = AviCodec.framesAt(bytes, 0 until nf by 2)
             .map(_.foldLeft(0L)(_ + _))
           FrameSample(id, nf.toLong, sums.mkString(","))
+        }
+      }
+  }
+
+  /** The synthetic MJPG lake: one row per VIDEO doc (doc_id % 3 = 2),
+    * payload = the SAME synthetic video content as the DIB lake
+    * ([[SynthMedia.videoPixel]]) re-encoded as an MJPG AVI
+    * ([[AviCodec.encodeMjpg]] — JDK JPEG writer at fixed quality, so
+    * bytes are deterministic per JVM). The compressed-format twin of
+    * the uncompressed lake: the format real crawl video arrives in. */
+  def synthMjpgTable(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.filter(col("doc_id") % 3 === 2)
+      .select(col("doc_id"), col("n_chars"))
+      .as[(Long, Long)]
+      .mapPartitions { rows =>
+        rows.map { case (id, nc) =>
+          val (w, h) = SynthMedia.videoDims(id, nc)
+          (id, AviCodec.encodeMjpg(w, h, SynthMedia.videoFrames(id),
+            SynthMedia.VideoFps, (f, x, y) => SynthMedia.videoPixel(id, f, x, y)))
+        }
+      }
+      .toDF("doc_id", "payload")
+  }
+
+  final case class MjpgRoundTrip(doc_id: Long, w: Long, h: Long,
+      n_frames: Long, fps: Long, decode_ok: Boolean)
+
+  /** MJPG container + decode gate: per MJPG video, the header-parsed
+    * (w, h, n_frames, fps) — these are LOSSLESS container fields the
+    * oracle recomputes from the generator's closed forms — plus
+    * `decode_ok`: the first and last frames (seeked through idx1,
+    * the same stride-sampling path as the DIB tier) JPEG-decode to
+    * within a bounded mean absolute error of the generator formula.
+    * JPEG is lossy, so unlike the DIB tier the PIXELS have no SQL
+    * spelling — but the bounded-error gate still catches every
+    * structural decode bug (wrong frame seeked, flipped raster,
+    * channel mixup, mis-sized chunk walk: each inflates the mean
+    * error far past the codec's ~quality-0.7 noise, which measures
+    * ≤ ~15 on this corpus; threshold 32). */
+  def mjpgRoundTrip(spark: SparkSession,
+      mjpgLake: DataFrame): Dataset[MjpgRoundTrip] = {
+    import spark.implicits._
+    mjpgLake.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val (w, h, nf, fps) = AviCodec.readMeta(bytes)
+          val sampled = Seq(0, nf - 1).distinct
+          val frames = AviCodec.framesAt(bytes, sampled)
+          var err = 0L; var n = 0L
+          sampled.zip(frames).foreach { case (f, px) =>
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                err += math.abs(px(y * w + x) -
+                  SynthMedia.videoPixel(id, f, x, y)); n += 1
+                x += 1
+              }
+              y += 1
+            }
+          }
+          MjpgRoundTrip(id, w, h, nf, fps, decode_ok = err <= 32 * n)
         }
       }
   }

@@ -39,6 +39,20 @@ object MultimodalQueries {
       dir: String): org.apache.spark.sql.DataFrame =
     s.read.parquet(stagedMediaPath(s, dir) + "/media")
 
+  /** The MJPG lake — the compressed-format twin of the video slice of
+    * the media lake ([[Multimodal.synthMjpgTable]]), staged once per
+    * testdata generation. */
+  private[graft] def stagedMjpgPath(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    graft.text.DedupQueries.stageOnce("graft_media_mjpg_", dir) { root =>
+      Multimodal.synthMjpgTable(s, documents(s, dir))
+        .write.mode("overwrite").parquet(s"$root/media")
+    }
+
+  private def mjpgLake(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    s.read.parquet(stagedMjpgPath(s, dir) + "/media")
+
   /** The ONE aHash-dedup oracle spelling (mirrors
     * [[Multimodal.cellsToHash]] — 64 picked cells, strict mean
     * threshold, two 32-bit halves), rendered per modality: the
@@ -254,6 +268,29 @@ object MultimodalQueries {
         .groupBy("phash_hi", "phash_lo")
         .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
         .orderBy("keep_id")),
+
+    // MJPG tier of the video codec — the compressed format real crawl
+    // video arrives in: the staged lake re-encodes every synthetic
+    // video as an MJPG AVI (JDK JPEG writer, fixed quality —
+    // deterministic bytes), and the query header-parses + idx1-seek
+    // samples first/last frames through the SAME stride-sampling path
+    // as the uncompressed tier. Hash gate: the container fields
+    // (w/h/n_frames/fps) are lossless and oracle-recomputed from the
+    // generator's closed forms, and decode_ok pins frame decode
+    // fidelity within the codec's bounded error (JPEG pixels have no
+    // SQL spelling — the DIB twin mm_video_dedup keeps the exact
+    // pixel-formula gate; a structural decode bug here flips
+    // decode_ok corpus-wide and hash-mismatches).
+    Q("mm_video_mjpg",
+      Some("""SELECT doc_id, CAST(n_chars % 24 + 1 AS BIGINT) AS w,
+             |       CAST(doc_id % 16 + 1 AS BIGINT) AS h,
+             |       CAST(doc_id % 12 + 2 AS BIGINT) AS n_frames,
+             |       CAST(10 AS BIGINT) AS fps,
+             |       CAST(TRUE AS BOOLEAN) AS decode_ok
+             |FROM documents WHERE doc_id % 3 = 2
+             |ORDER BY doc_id""".stripMargin),
+      (s, d) => Multimodal.mjpgRoundTrip(s, mjpgLake(s, d)).toDF()
+        .orderBy("doc_id")),
 
     // content-addressed binary dedup over the RAW ingest payload
     // (pre-decode — dedup happens at ingest, before any codec): group

@@ -260,6 +260,48 @@ class MultimodalSpec extends SparkSpec {
     assert((hc.phash_hi, hc.phash_lo) != hs(1L))
   }
 
+  test("MJPG tier: encode → parse/decode round-trips container fields, " +
+      "idx1 seek ≡ full decode, decode error bounded, corrupt throws") {
+    import graft.multimodal.Multimodal.{AviCodec, SynthMedia}
+    val (w, h, nf, fps) = (24, 16, 5, 10)
+    def pix(f: Int, x: Int, y: Int): Int = SynthMedia.videoPixel(77L, f, x, y)
+    val b = AviCodec.encodeMjpg(w, h, nf, fps, pix)
+    assert(AviCodec.isMjpg(b))
+    assert(!AviCodec.isMjpg(AviCodec.encode(w, h, nf, fps, pix)))
+    // container fields are lossless
+    assert(AviCodec.readMeta(b) == ((w, h, nf, fps)))
+    val (dw, dh, dnf, dfps, frames) = AviCodec.decode(b)
+    assert((dw, dh, dnf, dfps) == ((w, h, nf, fps)))
+    assert(frames.length == nf)
+    // idx1-seeked frames are bit-identical to the full movi walk
+    val seeked = AviCodec.framesAt(b, Seq(0, 2, nf - 1))
+    assert(seeked(0).sameElements(frames(0)))
+    assert(seeked(1).sameElements(frames(2)))
+    assert(seeked(2).sameElements(frames(nf - 1)))
+    // JPEG decode error vs the generator formula is bounded — the
+    // fidelity contract mm_video_mjpg's decode_ok gates (mean abs
+    // error per frame; print-style diagnostic kept in the assert)
+    frames.zipWithIndex.foreach { case (px, f) =>
+      val errs = for (y <- 0 until h; x <- 0 until w)
+        yield math.abs(px(y * w + x) - pix(f, x, y))
+      assert(errs.sum <= 32L * w * h,
+        s"frame $f mean abs err ${errs.sum.toDouble / (w * h)}")
+    }
+    // a flipped-raster decode would blow the bound (guards the gate's
+    // sensitivity): compare against the vertically flipped formula
+    val flippedErr = (for (y <- 0 until h; x <- 0 until w)
+      yield math.abs(frames(0)(y * w + x) - pix(0, x, h - 1 - y))).sum
+    assert(flippedErr > 32L * w * h)
+    // truncation throws (never zero-fills)
+    intercept[IllegalArgumentException] {
+      AviCodec.decode(b.take(b.length - 40))
+    }
+    // degenerate 1×1 single-frame container round-trips
+    val tiny = AviCodec.encodeMjpg(1, 1, 1, 10, (_, _, _) => 128)
+    val (_, _, _, _, tf) = AviCodec.decode(tiny)
+    assert(tf.length == 1 && math.abs(tf(0)(0) - 128) <= 8)
+  }
+
   test("non-ASCII ingest payload: mm_dedup's byte length is UTF-8 " +
       "OCTETS, not chars (the latent the old length(text) oracle had)") {
     import spark.implicits._
