@@ -129,26 +129,51 @@ object Bpe {
       case _ => ()
     }
 
-  /** Runs the learning loop (see object scaladoc) with INCREMENTAL
-    * pair-count maintenance: the pair table is built once, and each
-    * merge updates it from only the words that CONTAIN the merged
-    * pair (subtract their old pair counts, add their merged ones) —
-    * the standard BPE-learner optimization (Sennrich's reference
-    * implementation maintains the same index in memory). Per-
-    * iteration work is |affected words| + |pair table| — both
-    * vocabulary-shaped and, past the first merges, small fractions of
-    * the word-type table — instead of a full re-explode of every
-    * word's symbols, so a 40 k-merge vocabulary pays 40 k DELTA-sized
-    * aggregations, not 40 k corpus-vocab recounts. Stops early when no
-    * pair is left (short vocabularies). Merge sequence is bit-
-    * identical to the full-recount spelling ([[learnRecount]] — the
-    * A/B twin BpeAb and BpeSpec pin the equivalence): counts are
-    * exact integer sums either way, zero-count rows are dropped so
-    * the argmax never sees a dead pair, and the tie-break is the same
-    * (n desc, l asc, r asc). */
+  /** Word-type count past which [[learnDelta]]'s incremental
+    * pair-count maintenance beats [[learnRecount]]'s full re-explode:
+    * the delta path pays one extra materialization job per merge but
+    * its aggregation volume tracks the winning pair's SUPPORT instead
+    * of the whole vocabulary, so it wins once the vocabulary's
+    * pair-explode (|types|·avg-len rows into a shuffle per merge)
+    * outweighs a fixed job wall (~0.1 s locally) — around 10^5 types.
+    * Natural-language corpora at 100 TB sit at 10^7–10^8 types; the
+    * synthetic test corpora sit at ~10^2, where recount is optimal. */
+  val BigVocabTypes = 100000L
+
+  /** Runs the learning loop (see object scaladoc), choosing the
+    * per-merge maintenance strategy by the MEASURED word-type count:
+    * small vocabularies re-aggregate pair counts in full each merge
+    * ([[learnRecount]] — fewer jobs, trivially cheap below
+    * [[BigVocabTypes]]); large vocabularies maintain the pair table
+    * by delta ([[learnDelta]] — aggregation volume tracks the merged
+    * pair's support, not the vocabulary). The two spellings are
+    * merge-for-merge and word-table bit-identical (exact integer
+    * counts, same n-desc/l-asc/r-asc tie-break, zero-count rows
+    * dropped so the argmax never sees a dead pair) — BpeSpec and the
+    * BpeAb main pin the equivalence, so the switch is a pure cost
+    * decision. */
   def learn(docs: DataFrame, nMerges: Int): Learned = {
-    var words = wordTypes(docs)
+    val words = wordTypes(docs)
       .localCheckpoint() // |vocab| rows; iterations must not re-scan the corpus
+    if (words.count() < BigVocabTypes) recountLoop(words, nMerges)
+    else deltaLoop(words, nMerges)
+  }
+
+  /** [[deltaLoop]] from a fresh corpus scan — the at-scale strategy,
+    * exposed for the A/B twin and specs. */
+  private[graft] def learnDelta(docs: DataFrame, nMerges: Int): Learned =
+    deltaLoop(wordTypes(docs).localCheckpoint(), nMerges)
+
+  /** Incremental pair-count maintenance: the pair table is built
+    * once, and each merge updates it from only the words that CONTAIN
+    * the merged pair (subtract their old pair counts, add their
+    * merged ones) — the standard BPE-learner optimization (Sennrich's
+    * reference implementation maintains the same index in memory), so
+    * a 40 k-merge vocabulary pays 40 k support-sized aggregations,
+    * not 40 k full vocab re-explodes. Stops early when no pair is
+    * left (short vocabularies). */
+  private def deltaLoop(words0: DataFrame, nMerges: Int): Learned = {
+    var words = words0
     // words' partition count must stay CONSTANT across iterations:
     // the per-merge union (unaffected ∪ merged) CONCATENATES both
     // sides' partitions, and since both derive from words the count
@@ -169,8 +194,11 @@ object Bpe {
         val (l, rt, n) =
           (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         merges += ((r.toLong, l, rt, n))
+        // affected/merged stay LAZY: both derive from the checkpointed
+        // words leaf by a narrow filter+projection, so re-evaluating
+        // them inside the two update jobs is cheaper than a third
+        // per-iteration materialization job
         val affected = words.filter(containsPair(col("syms"), l, rt))
-          .localCheckpoint() // bounded by the winning pair's support
         val merged = affected.select(col("w"), col("f"),
           applyMerge(col("syms"), l, rt).as("syms"))
         // pair-table delta: -old counts of affected words, +their
@@ -187,7 +215,7 @@ object Bpe {
           .unionByName(merged)
           .coalesce(nPart)
           .localCheckpoint()
-        dropCkpt(pairs); dropCkpt(words); dropCkpt(affected)
+        dropCkpt(pairs); dropCkpt(words)
         pairs = pairsNew; words = wordsNew
         r += 1
       }
@@ -196,12 +224,17 @@ object Bpe {
     Learned(merges.result(), words)
   }
 
-  /** The pre-r14 full-recount spelling — each iteration re-aggregates
-    * pair counts over EVERY word type. Kept as the A/B twin proving
-    * [[learn]]'s incremental maintenance is merge-for-merge identical
-    * (BpeAb main, BpeSpec); not used by any registered query. */
-  private[graft] def learnRecount(docs: DataFrame, nMerges: Int): Learned = {
-    var words = wordTypes(docs).localCheckpoint()
+  /** [[recountLoop]] from a fresh corpus scan — the small-vocab
+    * strategy, exposed for the A/B twin and specs. */
+  private[graft] def learnRecount(docs: DataFrame, nMerges: Int): Learned =
+    recountLoop(wordTypes(docs).localCheckpoint(), nMerges)
+
+  /** Full-recount maintenance: each iteration re-aggregates pair
+    * counts over every word type — optimal below [[BigVocabTypes]]
+    * where the whole vocab explode costs less than the delta path's
+    * extra per-merge materialization job. */
+  private def recountLoop(words0: DataFrame, nMerges: Int): Learned = {
+    var words = words0
     val merges = Seq.newBuilder[(Long, String, String, Long)]
     var r = 1
     var exhausted = false

@@ -77,13 +77,14 @@ class BpeSpec extends SparkSpec {
 
   test("incremental pair-count maintenance ≡ full recount, " +
       "merge-for-merge and on the final word table (sf0.001, n=16)") {
-    // learn() maintains the pair table by delta (only words containing
-    // the merged pair recount); learnRecount() re-aggregates every
-    // word each iteration. Exact integer counts + the same tie-break
-    // must make them bit-identical — the equivalence BpeAb re-checks
-    // at bench scale with n=64.
+    // learnDelta() maintains the pair table by delta (only words
+    // containing the merged pair recount); learnRecount()
+    // re-aggregates every word each iteration. Exact integer counts +
+    // the same tie-break must make them bit-identical — learn()
+    // switches between them on the measured type count, so the switch
+    // is a pure cost decision. BpeAb re-checks at bench scale, n=64.
     val docs = io.Tables.documents(spark, sf0001).select("doc_id", "text")
-    val inc = Bpe.learn(docs, 16)
+    val inc = Bpe.learnDelta(docs, 16)
     val rec = Bpe.learnRecount(docs, 16)
     assert(inc.merges == rec.merges)
     assert(inc.words.select("w", "f", "syms")
