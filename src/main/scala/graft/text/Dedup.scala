@@ -657,7 +657,10 @@ object Dedup {
     * only the docs the screen left unresolved. `maxBucket` is thus a
     * cost-routing knee, not a recall cutoff — the r13 100×-corpus
     * recall boundary (hot buckets dropped → near-dup replicas
-    * over-accepted vs the exact oracle) is structurally closed.
+    * over-accepted vs the exact oracle) is structurally closed. A
+    * one-aggregation router checks whether ANY bucket is hot at probe
+    * build and assembles the cascade only then, so the healthy-corpus
+    * probe keeps the direct plan's stage count.
     *
     * Scale shape: the recurring per-delta cost touches the index's
     * PRE-DERIVED probe artifacts and the delta ONLY — raw base text is
@@ -711,13 +714,14 @@ object Dedup {
     // exploded) with one computation per probe — and gives the probe
     // SNAPSHOT semantics against subsequent index appends, which is
     // exactly what appendIndex's lineage-cut contract wants.
+    // (duplicate ids are fine throughout — every consumer is an
+    // anti-join or a union that ends in one, so no dedup shuffles)
     val fpRejected = dIx.select(col("id"), col("fp"))
-      .join(index.docs.select(col("fp")).distinct(), Seq("fp"), "left_semi")
+      .join(index.docs.select(col("fp")), Seq("fp"), "left_semi")
       .select(col("id"))
       .unionByName(dIx.select(col("id"), col("fp"))
         .join(dIx.groupBy("fp").agg(min("id").as("__min_id")), "fp")
         .filter(col("id") > col("__min_id")).select(col("id")))
-      .distinct()
       .localCheckpoint(false)
     val dProbe = dIx.join(fpRejected, Seq("id"), "left_anti")
     def probeBuckets = dProbe.select(col("id"), explode(col("bands")).as("bk"))
@@ -729,10 +733,30 @@ object Dedup {
     // Since the cascade below, `hot` is a COST ROUTER, not a recall
     // cutoff: hot buckets go through the bounded screen + escalation
     // instead of being dropped, so the result is exact at any density.
+    // Hot-bucket stats use the UNSCREENED delta counts (dIx, not
+    // dProbe): fp-screened docs can only make buckets look HOTTER,
+    // and since the cascade made `hot` a pure cost signal the
+    // conservative direction is safe — while keeping the router
+    // (below) independent of fpRejected, whose materialization then
+    // rides the final action instead of a job of its own.
     val hot = index.bucketStats.select(col("bk"), col("n"))
-      .unionByName(probeBuckets.groupBy("bk").agg(count(lit(1)).as("n")))
+      .unionByName(dIx.select(col("id"), explode(col("bands")).as("bk"))
+        .groupBy("bk").agg(count(lit(1)).as("n")))
       .groupBy("bk").agg(sum("n").as("__n"))
       .filter(col("__n") > maxBucket).select("bk")
+    // ── COST ROUTER ──────────────────────────────────────────────────
+    // One |buckets|-row aggregation (persisted sidecar + the delta's
+    // counts; the delta index frame this forces is the memo-persisted
+    // one every downstream branch reuses) decides the plan: a healthy
+    // corpus has NO hot bucket, and assembling the cascade's
+    // screen/escalation stages there is pure scheduling overhead
+    // (~2.7× the probe wall at sf0.1) — so the common case routes to
+    // the direct-pairing plan, and the cascade exists only when some
+    // bucket is actually hot. Exactness is unaffected: the router
+    // picks between two plans that agree wherever both are defined
+    // (with no hot bucket the cascade's extra stages process zero
+    // rows).
+    val anyHot = hot.limit(1).count() > 0
     // reference side = the persisted postings + the screened delta's
     // own (for intra-delta dups, lower id wins)
     val refBk = index.postings.select(col("id").as("id_ref"), col("bk"),
@@ -741,28 +765,11 @@ object Dedup {
         lit(false).as("ref_is_base")))
     // cold buckets (≤ maxBucket combined occupancy): direct pairing,
     // the common case — identical plan to the pre-cascade probe.
-    val candCold = probeBuckets
-      .join(refBk.join(hot, Seq("bk"), "left_anti"), "bk")
+    val refCold =
+      if (anyHot) refBk.join(hot, Seq("bk"), "left_anti") else refBk
+    val candCold = probeBuckets.join(refCold, "bk")
       .filter(col("ref_is_base") || col("id_ref") < col("id"))
       .select(col("id"), col("id_ref")).distinct()
-    // ── hot-bucket cascade, stage 1 (bounded screen) ─────────────────
-    // Per hot bucket, pair every probe doc with just TWO references:
-    // the min-id indexed occupant and the min-id delta occupant. In a
-    // near-verbatim replica mass (the density that makes a bucket hot)
-    // the min-id occupant is a verified near-dup of virtually every
-    // later member, so this 2·|hot probe postings|-bounded pass
-    // resolves the mass; only its leftovers pay stage 2.
-    val hotMins = refBk.join(hot, Seq("bk")).groupBy("bk")
-      .agg(min(when(col("ref_is_base"), col("id_ref"))).as("__min_base"),
-        min(when(!col("ref_is_base"), col("id_ref"))).as("__min_delta"))
-    val candS1 = probeBuckets.join(hotMins, "bk")
-      .select(col("id"), explode(array(
-        struct(col("__min_base").as("id_ref"), lit(true).as("ref_is_base")),
-        struct(col("__min_delta").as("id_ref"), lit(false).as("ref_is_base"))))
-        .as("r"))
-      .filter(col("r.id_ref").isNotNull &&
-        (col("r.ref_is_base") || col("r.id_ref") < col("id")))
-      .select(col("id"), col("r.id_ref").as("id_ref")).distinct()
     // verify reference shingle sets: the index's persisted `sh` for
     // indexed docs, the screened delta's own for intra-delta
     // candidates — the only branches that touch per-doc `sh` at probe
@@ -775,30 +782,54 @@ object Dedup {
       .filter(size(array_intersect(col("sh_d"), col("sh_r"))).cast("double") /
         size(array_union(col("sh_d"), col("sh_r"))) >= threshold)
       .select(col("id")).distinct()
-    val rejected1 = verify(candCold.unionByName(candS1))
-      .localCheckpoint(false)
-    // ── hot-bucket cascade, stage 2 (exact escalation) ───────────────
-    // Probe docs holding ≥1 hot posting that stage 1 + the cold pass
-    // did NOT reject are paired against the FULL occupancy of their
-    // hot buckets. This is the completeness step: overall semantics
-    // equal the guard-free exact probe, but the quadratic price is
-    // paid only by the (expected-tiny) residue the bounded screen
-    // could not resolve. Worst case — a hot bucket whose occupants
-    // are NOT near-dups of each other, e.g. a stopword-band collision
-    // — degrades to the full pairing for that bucket only; a
-    // production deployment bounds that with the width-adaptive
-    // rebuild (wider bands at higher corpus density).
-    val hotSurvivors = probeBuckets.join(hot, Seq("bk"))
-      .select("id").distinct()
-      .join(rejected1, Seq("id"), "left_anti")
-    val candS2 = probeBuckets.join(hotSurvivors, Seq("id"), "left_semi")
-      .join(hot, Seq("bk"), "left_semi")
-      .join(refBk, "bk")
-      .filter(col("ref_is_base") || col("id_ref") < col("id"))
-      .select(col("id"), col("id_ref")).distinct()
-    val rejected = fpRejected.unionByName(rejected1)
-      .unionByName(verify(candS2))
-      .select(col("id").as(idCol)).distinct()
+    val rejectedLsh =
+      if (!anyHot) verify(candCold)
+      else {
+        // ── hot-bucket cascade, stage 1 (bounded screen) ─────────────
+        // Per hot bucket, pair every probe doc with just TWO
+        // references: the min-id indexed occupant and the min-id delta
+        // occupant. In a near-verbatim replica mass (the density that
+        // makes a bucket hot) the min-id occupant is a verified
+        // near-dup of virtually every later member, so this
+        // 2·|hot probe postings|-bounded pass resolves the mass; only
+        // its leftovers pay stage 2.
+        val hotMins = refBk.join(hot, Seq("bk")).groupBy("bk")
+          .agg(min(when(col("ref_is_base"), col("id_ref"))).as("__min_base"),
+            min(when(!col("ref_is_base"), col("id_ref"))).as("__min_delta"))
+        val candS1 = probeBuckets.join(hotMins, "bk")
+          .select(col("id"), explode(array(
+            struct(col("__min_base").as("id_ref"), lit(true).as("ref_is_base")),
+            struct(col("__min_delta").as("id_ref"), lit(false).as("ref_is_base"))))
+            .as("r"))
+          .filter(col("r.id_ref").isNotNull &&
+            (col("r.ref_is_base") || col("r.id_ref") < col("id")))
+          .select(col("id"), col("r.id_ref").as("id_ref")).distinct()
+        val rejected1 = verify(candCold.unionByName(candS1))
+          .localCheckpoint(false)
+        // ── hot-bucket cascade, stage 2 (exact escalation) ───────────
+        // Probe docs holding ≥1 hot posting that stage 1 + the cold
+        // pass did NOT reject are paired against the FULL occupancy of
+        // their hot buckets. This is the completeness step: overall
+        // semantics equal the guard-free exact probe, but the
+        // quadratic price is paid only by the (expected-tiny) residue
+        // the bounded screen could not resolve. Worst case — a hot
+        // bucket whose occupants are NOT near-dups of each other, e.g.
+        // a stopword-band collision — degrades to the full pairing for
+        // that bucket only; a production deployment bounds that with
+        // the width-adaptive rebuild (wider bands at higher corpus
+        // density).
+        val hotSurvivors = probeBuckets.join(hot, Seq("bk"))
+          .select("id").distinct()
+          .join(rejected1, Seq("id"), "left_anti")
+        val candS2 = probeBuckets.join(hotSurvivors, Seq("id"), "left_semi")
+          .join(hot, Seq("bk"), "left_semi")
+          .join(refBk, "bk")
+          .filter(col("ref_is_base") || col("id_ref") < col("id"))
+          .select(col("id"), col("id_ref")).distinct()
+        rejected1.unionByName(verify(candS2))
+      }
+    val rejected = fpRejected.unionByName(rejectedLsh)
+      .select(col("id").as(idCol))
     delta.join(rejected, Seq(idCol), "left_anti")
   }
 
