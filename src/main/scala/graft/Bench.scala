@@ -338,7 +338,7 @@ object Bench {
     // concurrent with the pool of ordinary streams — total stream
     // wall ≈ max(ingest lane, pool) instead of a contended sum.
     val ingestLane = Set("stream_index_ingest", "stream_emb_ingest",
-      "stream_pq_ingest", "stream_emb_serving")
+      "stream_pq_ingest", "stream_emb_serving", "stream_pq_serving")
     val (ingestQs, streamRest) = streamQs.partition(q => ingestLane(q.name))
     val streamPool = math.min(pool, 4)
     val ecs = ExecutionContext.fromExecutorService(

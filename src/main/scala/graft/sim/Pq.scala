@@ -44,7 +44,7 @@ object Pq {
   val K = 4      // codes per subspace
 
   /** Exploded exact-grid dims with their subspace: (vec_id, sub, i, v). */
-  private def dims(emb: DataFrame): DataFrame =
+  private[sim] def dims(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"),
         posexplode(Clustering.quantize(col("embedding"))))
       .select(col("vec_id"),

@@ -142,6 +142,51 @@ object PqIndex {
       ix.codes.join(broadcast(cells), Seq("cell")), k)
   }
 
+  /** BATCHED routed ADC serving — the online-serving shape of
+    * [[topKRouted]]: every query vector in `queries` routes to its
+    * own `nprobe` nearest coarse cells and is ADC-ranked against only
+    * those cells' persisted codes. One plan for the whole batch: the
+    * per-query probe is a crossJoin against the broadcast ≤KC-row
+    * coarse table + a per-query rank window; the codes scan is
+    * dynamic-partition-pruned to the UNION of probed cells (still ≤
+    * KC directories, ~nprobe/KC of the artifact for clustered query
+    * batches); the ADC lookup-sum is one join against the broadcast
+    * per-query distance tables (≤ M·K rows per query). Returns
+    * (q_id, rank, vec_id, approx_d2) — the
+    * [[EmbIndex.indexTopKBatch]] convention; exact integer distances,
+    * ties on vec_id. */
+  def topKRoutedBatch(queries: DataFrame, ix: PqIndexArt, k: Int,
+      nprobe: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cellType = ix.codes.schema("cell").dataType
+    val q = queries.select(col("vec_id").as("q_id"),
+      Clustering.quantize(col("embedding")).as("qv"))
+    val d2c = aggregate(
+      zip_with(col("c"), col("qv"), (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, e) => acc + e)
+    val probed = q.crossJoin(broadcast(ix.coarse))
+      .select(col("q_id"), col("j"), d2c.as("d2"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("d2"), col("j"))))
+      .filter(col("rn") <= nprobe)
+      .select(col("q_id"), col("j").cast(cellType).as("cell"))
+    val qd = Pq.dims(queries)
+      .join(broadcast(ix.codebook), Seq("sub", "i"))
+      .groupBy(col("vec_id").as("qq"), col("sub").as("qsub"),
+        col("j").as("qj"))
+      .agg(sum((col("v") - col("cv")) * (col("v") - col("cv"))).as("qd2"))
+    val cand = ix.codes.join(broadcast(probed), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+    cand.join(broadcast(qd), cand("q_id") === qd("qq") &&
+        cand("sub") === qd("qsub") && cand("code") === qd("qj"))
+      .groupBy("q_id", "vec_id").agg(sum("qd2").as("approx_d2"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id")
+          .orderBy(col("approx_d2"), col("vec_id"))).cast("long"))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "vec_id", "approx_d2")
+  }
+
   /** The live `codes` artifact (plain build dir = generation 0;
     * [[compactIndex]] publishes PURGED next generations). */
   private[graft] def codesLive(root: String): String =

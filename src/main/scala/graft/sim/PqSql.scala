@@ -19,11 +19,13 @@ private[graft] object PqSql {
     * `cent2` (the base-trained codebook) and `codes` (the encode
     * population's codes) — names kept stable so the ADC fragments
     * ([[SimQueries]] pqAdcCtes) compose unchanged. */
-  def pipelineCtes(trainPred: String, encodePred: String): String =
+  def pipelineCtes(trainPred: String, encodePred: String,
+      dimsExtraPred: String = "FALSE"): String =
     s"""dims AS (
        |  SELECT vec_id, generate_subscripts(embedding, 1) AS ii,
        |         CAST(round(unnest(embedding) * 1e7) AS BIGINT) + 10000000 AS v
-       |  FROM embeddings WHERE ($trainPred) OR ($encodePred)),
+       |  FROM embeddings
+       |  WHERE ($trainPred) OR ($encodePred) OR ($dimsExtraPred)),
        |d AS (SELECT vec_id, CAST((ii - 1) // 16 AS BIGINT) AS sub, ii AS i, v
        |      FROM dims),
        |seeds AS (SELECT vec_id,
@@ -105,6 +107,46 @@ private[graft] object PqSql {
        |  LIMIT $nprobe),
        |cand AS (SELECT vec_id FROM km_a2
        |         WHERE j IN (SELECT j FROM km_probe))""".stripMargin
+
+  /** The BATCHED routed-serving CTEs ([[PqIndex.topKRoutedBatch]]):
+    * needs the km training CTEs (render [[coarseCtes]] first — its
+    * km_probe/cand single-query tail is simply unused) and a
+    * `dims`/`d` that INCLUDES the query population
+    * ([[pipelineCtes]]'s dimsExtraPred). Per query: the nprobe
+    * nearest cells by exact grid distance (ties to the lowest cell),
+    * candidates = those cells' members, ADC lookup-sum, rank ≤ k with
+    * ties on vec_id — the whole routed path from raw embeddings, per
+    * query. Binds `served(q_id, rank, vec_id, approx_d2)`. */
+  def routedBatchCtes(queryPred: String, k: Int, nprobe: Int): String =
+    s"""qpc AS (SELECT q_id, j AS cell FROM (
+       |          SELECT d.vec_id AS q_id, c.j,
+       |            row_number() OVER (PARTITION BY d.vec_id
+       |              ORDER BY CAST(sum((d.v - c.cv) * (d.v - c.cv)) AS BIGINT),
+       |                       c.j) AS rn
+       |          FROM dims d JOIN km_cent2 c ON d.ii = c.i
+       |          WHERE $queryPred
+       |          GROUP BY d.vec_id, c.j) t WHERE rn <= $nprobe),
+       |qdb AS (SELECT d.vec_id AS q_id, c.sub, c.j,
+       |          CAST(sum((d.v - c.cv) * (d.v - c.cv)) AS BIGINT) AS qd2
+       |        FROM d JOIN cent2 c ON d.sub = c.sub AND d.i = c.i
+       |        WHERE $queryPred GROUP BY 1, 2, 3),
+       |candb AS (SELECT p.q_id, a.vec_id FROM qpc p
+       |          JOIN km_a2 a ON a.j = p.cell
+       |          WHERE a.vec_id <> p.q_id),
+       |adcb AS (SELECT cb.q_id, codes.vec_id,
+       |           CAST(sum(qd.qd2) AS BIGINT) AS approx_d2
+       |         FROM codes
+       |         JOIN candb cb ON codes.vec_id = cb.vec_id
+       |         JOIN qdb qd ON qd.q_id = cb.q_id AND qd.sub = codes.sub
+       |                    AND qd.j = codes.code
+       |         GROUP BY 1, 2),
+       |served AS (SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id,
+       |             approx_d2
+       |           FROM (SELECT q_id, vec_id, approx_d2,
+       |                   row_number() OVER (PARTITION BY q_id
+       |                     ORDER BY approx_d2, vec_id) AS rank
+       |                 FROM adcb) t
+       |           WHERE rank <= $k)""".stripMargin
 
   /** The ADC fragments (query distance table + lookup-sum) over a
     * bound `d`/`cent2`/`codes`/`cand` — the query vector is the

@@ -324,6 +324,23 @@ object StreamQueries {
       Some(graft.sim.EmbIndexQueries.indexOracles(8)("stream_emb_serving")),
       (s, d) => Streams.embIndexServing(s, d)),
 
+    // routed-PQ ONLINE serving — the third family's read path, and
+    // the billion-vector steady state: query micro-batches are
+    // ADC-ranked against ONLY their probed cells' code partitions of
+    // the SHARED staged IVF-PQ index (stateless reads — batch splits
+    // cannot change results, so the oracle treats all % 5 = 0 queries
+    // as one batch and replays coarse training, per-query probe
+    // choice, and the cell-restricted ADC from raw embeddings).
+    Q("stream_pq_serving",
+      Some(s"""WITH ${graft.sim.PqSql.pipelineCtes("vec_id % 5 <> 0",
+                 "vec_id % 5 <> 0", "vec_id % 5 = 0")},
+              |${graft.sim.PqSql.coarseCtes("vec_id % 5 <> 0",
+                 graft.sim.PqIndex.KC, 2)},
+              |${graft.sim.PqSql.routedBatchCtes("vec_id % 5 = 0", 3, 2)}
+              |SELECT q_id, rank, vec_id, approx_d2 FROM served
+              |ORDER BY q_id, rank""".stripMargin),
+      (s, d) => Streams.pqIndexServing(s, d)),
+
     // the PQ third of the ingest choreography: day 0 trains the
     // codebook, streamed batches encode at it FROZEN and append
     // (exactly-once — a restarted batch never double-encodes). The

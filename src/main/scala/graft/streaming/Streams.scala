@@ -810,6 +810,41 @@ object Streams {
       Paths.get(sys.props("java.io.tmpdir")), s"$prefix${tag}_").toString
   }
 
+  /** STREAMED routed-PQ serving — the online READ path of the
+    * persisted IVF-PQ index ([[graft.sim.PqIndex.topKRoutedBatch]]),
+    * completing the serving column for the third index family
+    * (embedding twin: [[embIndexServing]]): query vectors arrive in
+    * micro-batches and each batch is ADC-ranked against ONLY its
+    * queries' probed cells' code partitions — the billion-vector
+    * steady-state loop, where every batch reads ~nprobe/KC of the
+    * artifact instead of scanning all codes. Serving is STATELESS
+    * reads of the frozen artifacts, so batch splits cannot change
+    * results (the oracle treats the whole query population as one
+    * batch) and the parquet sink is exactly-once per committed batch. */
+  def pqIndexServing(spark: SparkSession, dir: String): DataFrame = withStreamParallelism(spark) {
+    import java.nio.file.{Files, Paths}
+    import graft.sim.{PqIndex, PqIndexQueries}
+    val emb = graft.io.Tables.embeddings(spark, dir)
+      .select("vec_id", "embedding")
+    val root = PqIndexQueries.stagedPqIndexPath(spark, dir)
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    // query arrivals: the % 5 = 0 vectors (disjoint from the indexed
+    // base), three disjoint batches (vec_id % 15 ∈ {0, 5, 10})
+    val srcDir = stageArrivals(s"graft_stream_pqserve_src_$tag",
+      (0 to 2).map(m => emb.filter(col("vec_id") % 5 === 0 &&
+        col("vec_id") % 15 === m * 5) -> s"q$m.parquet"))
+    val sink = Files.createTempDirectory(Paths.get(sys.props("java.io.tmpdir")),
+      s"graft_stream_pqserve_out_${tag}_").toString
+    val ckpt = Files.createTempDirectory(Paths.get(sys.props("java.io.tmpdir")),
+      s"graft_stream_pqserve_ckpt_${tag}_").toString
+    driveIngest(spark, srcDir, ckpt) { batch =>
+      PqIndex.topKRoutedBatch(batch,
+          PqIndex.readIndex(batch.sparkSession, root), 3, 2)
+        .write.mode("append").parquet(sink)
+    }
+    spark.read.parquet(sink).orderBy("q_id", "rank")
+  }
+
   /** The ONE streaming-ingest choreography both index families run:
     * days 1..3 staged as one parquet file each (admission-ordered by
     * mtime), maxFilesPerTrigger = 1 → one day per micro-batch,

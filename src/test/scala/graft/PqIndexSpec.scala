@@ -146,6 +146,50 @@ class PqIndexSpec extends SparkSpec {
       codeScans.map(_.partitionFilters).mkString("; "))
   }
 
+  test("batched routed serving: per-query probe + pruned ADC match an " +
+      "independent in-JVM replay of the persisted artifacts") {
+    import graft.sim.PqIndex
+    val dir = java.nio.file.Files.createTempDirectory("graft_pqix7").toString
+    val base = randVecs(10L until 210L)
+    PqIndex.writeIndex(base, dir)
+    val ix = PqIndex.readIndex(spark, dir)
+    val queries = randVecs(500L until 508L) // disjoint from the corpus
+    val got = PqIndex.topKRoutedBatch(queries, ix, 5, 2).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rank")) ->
+        (r.getAs[Long]("vec_id"), r.getAs[Long]("approx_d2"))).toMap
+    // independent replay from the persisted artifacts (no engine
+    // code): quantize each query, probe its 2 nearest coarse cells,
+    // ADC-sum over exactly those cells' codes, rank with vec_id ties
+    val cb = spark.read.parquet(s"$dir/codebook").collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue,
+        r.getAs[Number](2).longValue) -> r.getAs[Number](3).longValue)
+      .toMap // (sub, j, i) -> cv; `i` is INT in the artifact (posexplode)
+    val codes = spark.read.parquet(PqIndex.codesLive(dir)).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("sub"),
+        r.getAs[Long]("code"), r.getAs[Number]("cell").longValue))
+    val coarse = spark.read.parquet(s"$dir/coarse").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1)))
+    val qvs = queries.collect().map(r => (r.getLong(0),
+      r.getSeq[Float](1).map(x => math.round(x * 1e7).toLong + 10000000L)))
+    val want = qvs.flatMap { case (qid, qv) =>
+      val cells = coarse
+        .map { case (j, c) =>
+          (j, c.zip(qv).map { case (a, b) => (a - b) * (a - b) }.sum) }
+        .sortBy { case (j, d) => (d, j) }.take(2).map(_._1).toSet
+      def qd2(sub: Long, j: Long): Long =
+        (sub * 16 until sub * 16 + 16).map(i =>
+          { val d = qv(i.toInt) - cb((sub, j, i)); d * d }).sum
+      val byVec = codes.filter(c => cells(c._4)).groupBy(_._1)
+      byVec.toSeq.map { case (vid, rows) =>
+        (vid, rows.map(c => qd2(c._2, c._3)).sum) }
+        .sortBy { case (vid, d) => (d, vid) }.take(5).zipWithIndex
+        .map { case ((vid, d), i) => (qid, i + 1L) -> (vid, d) }
+    }.toMap
+    assert(got == want,
+      s"got=${got.toSeq.sortBy(_._1).take(3)} want=${want.toSeq.sortBy(_._1).take(3)}")
+    assert(got.nonEmpty && got.keys.map(_._1).toSet.size == 8)
+  }
+
   test("frozen codebook per generation: appended delta codes are " +
       "encoded at the day-0 codebook, not a retrain over the union") {
     val base = randVecs(10L until 120L)
