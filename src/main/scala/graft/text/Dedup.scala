@@ -28,6 +28,15 @@ object Dedup {
   val Bands = 16
   val RowsPerBand = 4 // 16 bands × 4 rows = 64 hashes; ~Jaccard 0.7 knee
 
+  /** Direct-pairing candidate-load ceiling (Σ |delta∩bk|·occupancy
+    * over hot buckets) above which [[incrementalAcceptIndexed]]
+    * routes to the hot-bucket cascade: below it the complete direct
+    * pairing is CHEAPER than the cascade's extra stages (10× corpus:
+    * 3.9 s vs 8.3 s); above it the direct verify join's shingle
+    * payload explodes (100× replica masses: ~10⁹ pairs · ~4 KB).
+    * Both routes are exact — this is a pure cost knob. */
+  val CascadeBudget = 50000000L
+
   /** Deterministic permutation parameters (seeded LCG, seed=42). */
   private[text] val perms: IndexedSeq[(Long, Long)] = {
     var x = 42L
@@ -686,7 +695,8 @@ object Dedup {
 
   def incrementalAcceptIndexed(index: DedupIndex, delta: DataFrame,
       idCol: String, textCol: String, threshold: Double = 0.7,
-      maxBucket: Int = 100): DataFrame = {
+      maxBucket: Int = 100,
+      cascadeBudget: Long = CascadeBudget): DataFrame = {
     graft.plans.GraftFunctions.register(delta.sparkSession)
     // the delta signs at the INDEX GENERATION's frozen band geometry
     // (manifest-resolved in readIndex) — band keys from two widths
@@ -733,30 +743,43 @@ object Dedup {
     // Since the cascade below, `hot` is a COST ROUTER, not a recall
     // cutoff: hot buckets go through the bounded screen + escalation
     // instead of being dropped, so the result is exact at any density.
-    // Hot-bucket stats use the UNSCREENED delta counts (dIx, not
-    // dProbe): fp-screened docs can only make buckets look HOTTER,
-    // and since the cascade made `hot` a pure cost signal the
-    // conservative direction is safe — while keeping the router
-    // (below) independent of fpRejected, whose materialization then
-    // rides the final action instead of a job of its own.
-    val hot = index.bucketStats.select(col("bk"), col("n"))
-      .unionByName(dIx.select(col("id"), explode(col("bands")).as("bk"))
-        .groupBy("bk").agg(count(lit(1)).as("n")))
-      .groupBy("bk").agg(sum("n").as("__n"))
-      .filter(col("__n") > maxBucket).select("bk")
+    // Per-bucket load estimate from the UNSCREENED delta counts (dIx,
+    // not dProbe): fp-screened docs can only make buckets look
+    // HOTTER/heavier, and since the cascade made `hot` a pure cost
+    // signal the conservative direction is safe — while keeping the
+    // router (below) independent of fpRejected, whose materialization
+    // then rides the final action instead of a job of its own.
+    val bkLoads = index.bucketStats.groupBy("bk")
+      .agg(sum("n").as("__idx_n"))
+      .join(dIx.select(col("id"), explode(col("bands")).as("bk"))
+        .groupBy("bk").agg(count(lit(1)).as("__delta_n")),
+        Seq("bk"), "full_outer")
+      .select(col("bk"),
+        coalesce(col("__idx_n"), lit(0L)).as("__idx_n"),
+        coalesce(col("__delta_n"), lit(0L)).as("__delta_n"))
+      .withColumn("__tot", col("__idx_n") + col("__delta_n"))
     // ── COST ROUTER ──────────────────────────────────────────────────
     // One |buckets|-row aggregation (persisted sidecar + the delta's
     // counts; the delta index frame this forces is the memo-persisted
-    // one every downstream branch reuses) decides the plan: a healthy
-    // corpus has NO hot bucket, and assembling the cascade's
-    // screen/escalation stages there is pure scheduling overhead
-    // (~2.7× the probe wall at sf0.1) — so the common case routes to
-    // the direct-pairing plan, and the cascade exists only when some
-    // bucket is actually hot. Exactness is unaffected: the router
-    // picks between two plans that agree wherever both are defined
-    // (with no hot bucket the cascade's extra stages process zero
-    // rows).
-    val anyHot = hot.limit(1).count() > 0
+    // one every downstream branch reuses) decides the plan by the
+    // ESTIMATED direct-pairing load over hot buckets,
+    // Σ |delta∩bk| · |occupancy(bk)|: below [[CascadeBudget]]
+    // candidate pairs, the direct complete pairing is cheaper than
+    // the cascade's extra screen/escalation stages even where buckets
+    // exceed maxBucket (measured at the 10× corpus: direct 3.9 s vs
+    // cascade 8.3 s) — the cascade pays off only where the direct
+    // load EXPLODES (the 100× replica masses: ~10⁹ pairs × ~4 KB of
+    // shingle payload per pair through the verify join). Exactness is
+    // unaffected either way: the router picks between two plans with
+    // identical semantics (the candidate set is verified by exact
+    // Jaccard in both), so the budget is a pure cost knob.
+    val hotAgg = bkLoads.filter(col("__tot") > maxBucket)
+      .agg(count(lit(1)).as("nhot"),
+        sum(col("__delta_n") * col("__tot")).as("load")).head()
+    val useCascade = hotAgg.getLong(0) > 0 &&
+      (hotAgg.isNullAt(1) || hotAgg.getLong(1) > cascadeBudget)
+    val hot = bkLoads.filter(col("__tot") > maxBucket).select("bk")
+      .localCheckpoint(false)
     // reference side = the persisted postings + the screened delta's
     // own (for intra-delta dups, lower id wins)
     val refBk = index.postings.select(col("id").as("id_ref"), col("bk"),
@@ -766,7 +789,7 @@ object Dedup {
     // cold buckets (≤ maxBucket combined occupancy): direct pairing,
     // the common case — identical plan to the pre-cascade probe.
     val refCold =
-      if (anyHot) refBk.join(hot, Seq("bk"), "left_anti") else refBk
+      if (useCascade) refBk.join(hot, Seq("bk"), "left_anti") else refBk
     val candCold = probeBuckets.join(refCold, "bk")
       .filter(col("ref_is_base") || col("id_ref") < col("id"))
       .select(col("id"), col("id_ref")).distinct()
@@ -783,7 +806,7 @@ object Dedup {
         size(array_union(col("sh_d"), col("sh_r"))) >= threshold)
       .select(col("id")).distinct()
     val rejectedLsh =
-      if (!anyHot) verify(candCold)
+      if (!useCascade) verify(candCold)
       else {
         // ── hot-bucket cascade, stage 1 (bounded screen) ─────────────
         // Per hot bucket, pair every probe doc with just TWO

@@ -543,6 +543,17 @@ class DedupSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(got == want,
       s"engine-only=${(got -- want).toSeq.sorted} oracle-only=${(want -- got).toSeq.sorted}")
+    // BOTH router plans are exact: cascadeBudget=0 forces the
+    // screen/escalation cascade over the same hot buckets the
+    // load-based default routes to direct pairing at this (small)
+    // load — the two routes must agree with the brute-force oracle
+    // bit-for-bit
+    val gotCascade = Dedup.incrementalAcceptIndexed(
+      Dedup.readIndex(spark, dir), deltaRows.toDF("doc_id", "text"),
+      "doc_id", "text", cascadeBudget = 0L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(gotCascade == want,
+      s"cascade-only=${(gotCascade -- want).toSeq.sorted} oracle-only=${(want -- gotCascade).toSeq.sorted}")
   }
 
   test("band geometry is a manifest parameter: rebuild at 8×8 drops " +
