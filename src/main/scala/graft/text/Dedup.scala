@@ -667,9 +667,12 @@ object Dedup {
     * cost-routing knee, not a recall cutoff — the r13 100×-corpus
     * recall boundary (hot buckets dropped → near-dup replicas
     * over-accepted vs the exact oracle) is structurally closed. A
-    * one-aggregation router checks whether ANY bucket is hot at probe
-    * build and assembles the cascade only then, so the healthy-corpus
-    * probe keeps the direct plan's stage count.
+    * one-aggregation LOAD router (estimated direct-pairing pairs over
+    * hot buckets vs [[CascadeBudget]]) assembles the cascade only
+    * where direct pairing would explode, so the common-density probe
+    * keeps the direct plan's stage count (graft.DedupIncAb
+    * triangulates direct ≡ guard-free ≡ inline ≡ forced-cascade at
+    * the 100× corpus).
     *
     * Scale shape: the recurring per-delta cost touches the index's
     * PRE-DERIVED probe artifacts and the delta ONLY — raw base text is
