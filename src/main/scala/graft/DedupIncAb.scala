@@ -36,7 +36,8 @@ import org.apache.spark.sql.functions._
   * max occupancy ~400) — the cascade's regime is the 1000×/spam-mass
   * density where the direct load keeps growing quadratically while
   * the screen stays support-bounded.
-  * Usage: runMain graft.DedupIncAb <sfDir> [modes=ABCD]. */
+  * Usage: runMain graft.DedupIncAb <sfDir> [modes; default ABC —
+  * pass e.g. "AD" or "ABCD" to include the forced-cascade leg]. */
 object DedupIncAb {
   def main(args: Array[String]): Unit = {
     java.util.Locale.setDefault(java.util.Locale.US)

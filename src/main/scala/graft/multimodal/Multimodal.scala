@@ -336,29 +336,38 @@ object Multimodal {
       * mean error against the generator formula. */
     def encodeMjpg(w: Int, h: Int, nf: Int, fps: Int,
         pix: (Int, Int, Int) => Int): Array[Byte] = {
-      val frames: IndexedSeq[Array[Byte]] = (0 until nf).map { f =>
-        val img = new java.awt.image.BufferedImage(w, h,
-          java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-        val raster = img.getRaster
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) { raster.setSample(x, y, 0, pix(f, x, y)); x += 1 }
-          y += 1
+      require(w > 0 && h > 0 && nf > 0 && fps > 0,
+        s"degenerate MJPG container: ${w}x$h nf=$nf fps=$fps")
+      // ONE writer + param per container (the SPI registry lookup is
+      // per-call, not per-frame) and a MEMORY-cached output stream —
+      // the default createImageOutputStream(OutputStream) wraps a
+      // FileCacheImageOutputStream: one temp file created and deleted
+      // PER FRAME for an in-memory byte array
+      val wtr = javax.imageio.ImageIO
+        .getImageWritersByFormatName("jpeg").next()
+      val prm = wtr.getDefaultWriteParam
+      prm.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      prm.setCompressionQuality(0.7f)
+      val frames: IndexedSeq[Array[Byte]] =
+        try (0 until nf).map { f =>
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val raster = img.getRaster
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { raster.setSample(x, y, 0, pix(f, x, y)); x += 1 }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+          try {
+            wtr.setOutput(ios)
+            wtr.write(null, new javax.imageio.IIOImage(img, null, null), prm)
+          } finally ios.close()
+          bos.toByteArray
         }
-        val bos = new java.io.ByteArrayOutputStream()
-        val wtr = javax.imageio.ImageIO
-          .getImageWritersByFormatName("jpeg").next()
-        val prm = wtr.getDefaultWriteParam
-        prm.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
-        prm.setCompressionQuality(0.7f)
-        val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
-        try {
-          wtr.setOutput(ios)
-          wtr.write(null, new javax.imageio.IIOImage(img, null, null), prm)
-        } finally { ios.close(); wtr.dispose() }
-        bos.toByteArray
-      }
+        finally wtr.dispose()
       def pad(n: Int): Int = n & 1 // RIFF word padding
       val moviSz = 4 + frames.map(fb => 8 + fb.length + pad(fb.length)).sum
       val hdrlSz = 4 + (8 + 56) + (8 + 4 + (8 + 56) + (8 + 40))

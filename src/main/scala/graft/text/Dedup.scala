@@ -206,9 +206,16 @@ object Dedup {
   def buildIndex(df: DataFrame, idCol: String, textCol: String,
       bands: Int = Bands, rows: Int = RowsPerBand): DataFrame = {
     graft.plans.GraftFunctions.register(df.sparkSession)
+    // `sh` persists SORTED: shingle-set semantics are order-free
+    // everywhere (the verify join uses intersect/union, the
+    // fingerprint sorts anyway), and a sorted artifact lets the
+    // exact-replica screen compare sets by direct array equality with
+    // ZERO probe-time sorting (the first verified-screen spelling
+    // paid ~1.9 s/probe at sf0.1 re-sorting every row).
     df.select(col(idCol).as("id"),
         call_function("minhash_signature", col(textCol)).as("mh_sig"),
-        array_distinct(call_function("shingles", col(textCol))).as("sh"))
+        array_sort(array_distinct(
+          call_function("shingles", col(textCol)))).as("sh"))
       .select(col("id"), bandsColAt(col("mh_sig"), bands, rows).as("bands"),
         col("sh"), shingleFp(col("sh")).as("fp"))
   }
@@ -216,7 +223,9 @@ object Dedup {
   /** Content fingerprint of a doc's DISTINCT shingle set: md5 of the
     * sorted set — equal fp ⇔ equal shingle set ⇔ exact Jaccard 1.0.
     * Persisted per `ix` row so [[incrementalAcceptIndexed]]'s exact-
-    * replica screen is a 16-byte equi-join instead of a banded probe:
+    * replica screen is an equi-join on a 32-hex-char digest (the few
+    * fp-matched pairs then verify by sorted-set equality — md5 over a
+    * concatenation is not injective) instead of a banded probe:
     * at 100 TB the verbatim-replica mass (crawl mirror spam, the
     * dominant duplication mode) is screened out BEFORE it can saturate
     * LSH buckets. Same spelling as the dedup_index_build oracle's
@@ -657,9 +666,10 @@ object Dedup {
     *
     * EXACT at any corpus density, via three layers (cheapest first):
     * (0) the fingerprint screen — exact shingle-set replicas (J = 1.0)
-    * reject on a 16-byte equi-join against the persisted `fp` column
-    * and, being transitively redundant as references, vanish from both
-    * sides of the banded probe (see the layer-0 comment in the body);
+    * reject on an fp equi-join VERIFIED by sorted-set equality (see
+    * the layer-0 comment in the body) and, being transitively
+    * redundant as references, vanish from both sides of the banded
+    * probe;
     * (1) cold buckets (combined occupancy ≤ maxBucket) pair directly —
     * the common case and the pre-r14 plan unchanged; (2) hot buckets
     * cascade: a bounded min-reference screen, then FULL pairing for
@@ -709,11 +719,19 @@ object Dedup {
       buildIndex(delta, idCol, textCol, index.bands, index.rows)
     }
     // ── layer 0: exact-replica screen ────────────────────────────────
-    // A delta doc whose shingle-set FINGERPRINT equals any indexed
-    // doc's — or a lower-id delta doc's — is an exact Jaccard-1.0 dup:
-    // rejected by a 16-byte equi-join before any banded work. Because
-    // fp-equality is TRANSITIVE (unlike ≥-threshold Jaccard), every
-    // fp-rejected doc is REDUNDANT as a near-dup reference too — any
+    // A delta doc whose shingle SET equals any indexed doc's — or a
+    // lower-id delta doc's — is an exact Jaccard-1.0 dup: rejected
+    // before any banded work by an equi-join on the persisted
+    // fingerprint, VERIFIED by sorted-set equality on the (few)
+    // fp-matched pairs. The verification is what makes the screen
+    // safe to let DECIDE rejection: md5-over-concat is not injective
+    // (a U+001F inside a token, or an md5 collision, can equate two
+    // different sets), and an unverified screen would OVER-reject —
+    // while anything the verified screen misses simply falls through
+    // to the banded layers, which are exact at any density, so
+    // under-rejection is impossible by construction. Because
+    // set-equality is TRANSITIVE (unlike ≥-threshold Jaccard), every
+    // screened-out doc is REDUNDANT as a near-dup reference too — any
     // doc it would block is equally blocked by the equal-set doc that
     // got it rejected — so the verbatim mass vanishes from BOTH sides
     // of the probe. This is what keeps a 100×-replica corpus (crawl
@@ -729,12 +747,23 @@ object Dedup {
     // exactly what appendIndex's lineage-cut contract wants.
     // (duplicate ids are fine throughout — every consumer is an
     // anti-join or a union that ends in one, so no dedup shuffles)
-    val fpRejected = dIx.select(col("id"), col("fp"))
-      .join(index.docs.select(col("fp")), Seq("fp"), "left_semi")
+    // vs-index: the DELTA side broadcasts (a delta is small by
+    // definition — the arriving micro-batch), so the index streams
+    // through a hash probe on fp with NO shuffle; `sh` persists
+    // SORTED ([[buildIndex]]), so set equality is a direct array
+    // compare evaluated only on fp-matched rows — zero probe-time
+    // sorting.
+    val fpRejected = index.docs.select(col("fp"), col("sh").as("__sh_r"))
+      .join(broadcast(dIx.select(col("id"), col("fp"),
+        col("sh").as("__sh_d"))), Seq("fp"))
+      .filter(col("__sh_r") === col("__sh_d"))
       .select(col("id"))
-      .unionByName(dIx.select(col("id"), col("fp"))
-        .join(dIx.groupBy("fp").agg(min("id").as("__min_id")), "fp")
-        .filter(col("id") > col("__min_id")).select(col("id")))
+      .unionByName(dIx.select(col("id"), col("fp"), col("sh").as("__sh_d"))
+        .join(dIx.groupBy("fp").agg(min(struct(col("id"),
+          col("sh").as("s"))).as("__m")), "fp")
+        .filter(col("id") > col("__m.id") &&
+          col("__sh_d") === col("__m.s"))
+        .select(col("id")))
       .localCheckpoint(false)
     val dProbe = dIx.join(fpRejected, Seq("id"), "left_anti")
     def probeBuckets = dProbe.select(col("id"), explode(col("bands")).as("bk"))

@@ -664,7 +664,7 @@ object DedupQueries {
     */
   private[graft] def stagedIndexPath(s: org.apache.spark.sql.SparkSession,
       dir: String): String =
-    stageOnce("graft_dedup_index3_", dir) { root =>
+    stageOnce("graft_dedup_index4_", dir) { root =>
       Dedup.writeIndex(
         documents(s, dir).filter(col("doc_id") % 5 =!= 0),
         "doc_id", "text", root)
@@ -681,7 +681,7 @@ object DedupQueries {
     * index stage. */
   private[graft] def stagedAppendPath(s: org.apache.spark.sql.SparkSession,
       dir: String): String =
-    stageOnce("graft_dedup_append2_", dir) { root =>
+    stageOnce("graft_dedup_append3_", dir) { root =>
       val docs = documents(s, dir)
       Dedup.writeIndex(docs.filter(col("doc_id") % 3 === 0),
         "doc_id", "text", root)
@@ -698,7 +698,7 @@ object DedupQueries {
     * reset. */
   private[graft] def stagedTextErasePath(
       s: org.apache.spark.sql.SparkSession, dir: String): String =
-    stageOnce("graft_dedup_erase2_", dir) { root =>
+    stageOnce("graft_dedup_erase3_", dir) { root =>
       val docs = documents(s, dir)
       Dedup.writeIndex(docs.filter(col("doc_id") % 5 =!= 0),
         "doc_id", "text", root)
@@ -727,7 +727,7 @@ object DedupQueries {
     * one row per bucket. */
   private[graft] def stagedTextCompactPath(
       s: org.apache.spark.sql.SparkSession, dir: String): String =
-    stageOnce("graft_dedup_compact2_", dir) { root =>
+    stageOnce("graft_dedup_compact3_", dir) { root =>
       val docs = documents(s, dir)
       Dedup.writeIndex(docs.filter(col("doc_id") % 8 === 0),
         "doc_id", "text", root)
@@ -762,7 +762,7 @@ object DedupQueries {
     * registered query audits its postings invariant and probes it. */
   private[graft] def stagedRepairPath(s: org.apache.spark.sql.SparkSession,
       dir: String): String =
-    stageOnce("graft_dedup_repair2_", dir) { root =>
+    stageOnce("graft_dedup_repair3_", dir) { root =>
       val docs = documents(s, dir)
       Dedup.writeIndex(docs.filter(col("doc_id") % 4 <= 1),
         "doc_id", "text", root)

@@ -77,7 +77,15 @@ def main(sf_dir, oracle_json, timeout=None):
                           f"stderr={r.stderr.strip()[-200:]}",
                           file=sys.stderr)
                     continue
-                runs = json.loads(r.stdout.strip().splitlines()[-1])
+                try:
+                    runs = json.loads(r.stdout.strip().splitlines()[-1])
+                except ValueError:
+                    # exit 0 but a non-JSON last line (late warning):
+                    # record, don't crash the whole baseline run
+                    out[name] = "error"
+                    print(f"  {name}: unparseable child output "
+                          f"{r.stdout.strip()[-200:]!r}", file=sys.stderr)
+                    continue
                 out[name] = round(min(runs), 3)
                 print(f"  {name}: {runs}", file=sys.stderr)
             except subprocess.TimeoutExpired:
