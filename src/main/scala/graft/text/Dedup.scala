@@ -722,13 +722,16 @@ object Dedup {
     // A delta doc whose shingle SET equals any indexed doc's — or a
     // lower-id delta doc's — is an exact Jaccard-1.0 dup: rejected
     // before any banded work by an equi-join on the persisted
-    // fingerprint, VERIFIED by sorted-set equality on the (few)
-    // fp-matched pairs. The verification is what makes the screen
-    // safe to let DECIDE rejection: md5-over-concat is not injective
-    // (a U+001F inside a token, or an md5 collision, can equate two
-    // different sets), and an unverified screen would OVER-reject —
-    // while anything the verified screen misses simply falls through
-    // to the banded layers, which are exact at any density, so
+    // fingerprint, VERIFIED by set equality on the (few) fp-matched
+    // pairs. The verification is what makes the screen safe to let
+    // DECIDE rejection: md5-over-concat is not injective in general
+    // (an md5 collision; interior U+001F bytes — under the CURRENT
+    // 3-gram/whole-text shingler a separator ambiguity happens to be
+    // structurally unrealizable, but that proof is grammar-dependent
+    // and would rot silently under a tokenizer change), and an
+    // unverified screen would OVER-reject on a collision — while
+    // anything the verified screen misses simply falls through to
+    // the banded layers, which are exact at any density, so
     // under-rejection is impossible by construction. Because
     // set-equality is TRANSITIVE (unlike ≥-threshold Jaccard), every
     // screened-out doc is REDUNDANT as a near-dup reference too — any
