@@ -14,14 +14,16 @@ import org.apache.spark.sql.SparkSession
   *
   * Schedule: after a warm-up (tables touched + one tiny agg/join/window
   * to JIT the codegen paths), the HEADLINE queries run serially, each
-  * TWICE, and the reported seconds are the MIN of the two runs — a
+  * THREE times, and the reported seconds are the MIN of the runs — a
   * single serial timing is exposed to transient machine contention and
   * cold page cache on freshly-written parquet (rounds 5/6 both recorded
   * 3–6× artifacts on text_tfidf/dedup_clusters that never reproduced
-  * under SPARK_GRAFT_BENCH_ONLY; see SERIAL.md). Min-of-two bounds that
-  * noise to one repeat. Both raw timings go to stderr AND to the
-  * parsed JSON's `runs` key ([run1, run2] per headliner), so the
-  * cold-cost column survives into the machine-readable artifact.
+  * under SPARK_GRAFT_BENCH_ONLY; see SERIAL.md), and even min-of-two
+  * wobbled ±40% between same-HEAD measurements on a contended machine
+  * (r14: 176.3 s vs 148.2 s). All raw timings go to stderr AND to the
+  * parsed JSON's `runs` key ([run1, run2, run3] per headliner), so the
+  * cold-cost column AND the warm spread survive into the
+  * machine-readable artifact (median = middle element).
   * For the memo/stage-backed headline queries (dedup_minhash,
   * text_tfidf, pipeline_training_corpus, sim_topk_ivf_kmeans,
   * dedup_incremental) run 1 also builds the session materialization
@@ -151,8 +153,13 @@ object Bench {
     // stage failure is left for the owning query to surface as a
     // recorded per-query failure. Staging runs concurrently (the
     // stageOnce per-target locks make that safe) on a bounded pool.
+    // SKIPPED under SPARK_GRAFT_BENCH_ONLY: single-query profiling
+    // must not pay the full 17-artifact staging wall for artifacts
+    // the profiled query never touches — each query's own
+    // stageOnce first-touch covers staging in that mode.
+    val benchOnlyMode = sys.env.contains("SPARK_GRAFT_BENCH_ONLY")
     val stage0 = System.nanoTime()
-    locally {
+    if (!benchOnlyMode) locally {
       val stagers: Seq[(String, () => Any)] = Seq(
         "dedup_index" -> (() => text.DedupQueries.stagedIndexPath(spark, sfDir)),
         "dedup_append" -> (() => text.DedupQueries.stagedAppendPath(spark, sfDir)),
@@ -302,27 +309,36 @@ object Bench {
       "mm_video_mjpg", "pq_index_query_ivf")
     val batchQs = batchQs0.sortBy(q => if (heavyFirst(q.name)) 0 else 1)
     val wall0 = System.nanoTime()
-    // Each headline query runs twice back-to-back; the reported figure is
-    // the min. Raw pairs go to stderr so a drifted run can be adjudicated
-    // from the bench log alone.
-    // Both raw runs ALSO go into the parsed JSON (`runs` key): for the
+    // Each headline query runs three times back-to-back; the reported
+    // figure is the min. Raw triples go to stderr so a drifted run can
+    // be adjudicated from the bench log alone.
+    // All raw runs ALSO go into the parsed JSON (`runs` key): for the
     // memo/stage-backed headliners run1 carries the cold build cost
     // (session materialization, persisted-index staging) that the min
     // hides — an adjudicator comparing against a cold baseline needs
-    // both columns in the machine-readable artifact, not just stderr.
+    // every column in the machine-readable artifact, not just stderr —
+    // and the run2/run3 spread shows whether the machine was quiet.
     val headRuns = Registry.all.filter(q => headline.contains(q.name))
       .map { q =>
         // a failed run must not win the min (a 0.3s throw would record
-        // a bogus 100x speedup) — prefer the min over SUCCESSFUL runs
+        // a bogus 100x speedup) — prefer the min over SUCCESSFUL runs.
+        // THREE runs since r15: min-of-two still wobbled ±40% between
+        // same-HEAD measurements under ambient machine contention
+        // (r14: driver 176.3 s/2.12 vs builder 148.2 s/1.67) — a
+        // second warm repeat bounds that, and all three raw walls ship
+        // in the JSON `runs` key so the spread itself is adjudicable
+        // from the artifact (median = middle element).
         def once(): (Double, Boolean) = runChecked(q,
           if (q.name.startsWith("stream_")) spark.newSession() else spark)
-        val (t1, ok1) = once(); val (t2, ok2) = once()
-        System.err.println(f"[bench-headline] ${q.name} run1=$t1%.3f run2=$t2%.3f")
-        val best = (Seq(t1 -> ok1, t2 -> ok2).collect { case (t, true) => t }
-          match { case Nil => Seq(t1, t2); case oks => oks }).min
-        (q.name, t1, t2, best)
+        val rs = Vector(once(), once(), once())
+        System.err.println(f"[bench-headline] ${q.name} " +
+          rs.zipWithIndex.map { case ((t, _), i) => f"run${i + 1}=$t%.3f" }
+            .mkString(" "))
+        val best = (rs.collect { case (t, true) => t }
+          match { case Nil => rs.map(_._1); case oks => oks }).min
+        (q.name, rs.map(_._1), best)
       }
-    val headTimes = headRuns.map { case (n, _, _, best) => n -> best }
+    val headTimes = headRuns.map { case (n, _, best) => n -> best }
     val wallHead = (System.nanoTime() - wall0) / 1e9
     val ec = ExecutionContext.fromExecutorService(Executors.newFixedThreadPool(pool))
     val batchTimes =
@@ -374,12 +390,13 @@ object Bench {
     System.err.println("[bench-full] " + jsonMap(results))
     // Stdout gets a COMPACT line (must stay well under the driver's
     // ~2000-char stdout tail): totals + the serially-timed headline
-    // subset (min), plus the raw [run1, run2] pair per headliner at
-    // centisecond precision (~35 chars/query — the whole line stays
-    // ~1.1 KB at 15 headliners).
+    // subset (min), plus the raw [run1, run2, run3] triple per
+    // headliner at centisecond precision (~42 chars/query — the whole
+    // line stays ~1.3 KB at 15 headliners).
     val qs = jsonMap(headTimes)
     val runsJson = headRuns
-      .map { case (n, t1, t2, _) => "\"" + n + f"\":[$t1%.2f,$t2%.2f]" }
+      .map { case (n, rs, _) =>
+        "\"" + n + "\":" + rs.map(t => f"$t%.2f").mkString("[", ",", "]") }
       .mkString("{", ",", "}")
     // engine-vs-DuckDB per headline query (the external denominator;
     // see DuckDbBaselineSec). Per-query ratios fit the stdout budget

@@ -278,13 +278,29 @@ object Dedup {
 
   /** The manifest's frozen band geometry; pre-manifest artifacts
     * (or in-plan [[DedupIndex.fromDocs]] indexes) default to 16×4 —
-    * the only geometry that ever existed before the manifest. */
+    * the only geometry that ever existed before the manifest.
+    * Cached per (resolved live path, directory mtime): the manifest
+    * is one row frozen at writeIndex, but reading it is a driver-
+    * blocking Spark job (~0.2 s) that [[readIndex]] would otherwise
+    * pay on EVERY probe. The mtime in the key keeps an in-place
+    * rebuild at a new geometry (writeIndex over the same root — the
+    * spec's 8×8 rebuild) visible without any invalidation hook; a
+    * compaction publishes a NEW generation dir, so its live path
+    * changes by itself. */
+  private val manifestCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), (Int, Int)]()
+
   private[graft] def manifestWidth(s: org.apache.spark.sql.SparkSession,
       root: String): (Int, Int) =
     if (artifactExists(root, "manifest")) {
-      val r = s.read.parquet(livePath(root, "manifest").toString)
-        .select("bands", "rows_per_band").head()
-      (r.getInt(0), r.getInt(1))
+      val live = livePath(root, "manifest").toString
+      val (fs, p) = hadoopFs(live)
+      val key = (live, fs.getFileStatus(p).getModificationTime)
+      manifestCache.computeIfAbsent(key, { _ =>
+        val r = s.read.parquet(live)
+          .select("bands", "rows_per_band").head()
+        (r.getInt(0), r.getInt(1))
+      })
     } else (Bands, RowsPerBand)
 
   // ── persisted-index filesystem machinery ───────────────────────────
@@ -500,7 +516,29 @@ object Dedup {
       } else (ix, post)
     val (bands, rows) = manifestWidth(s, root)
     DedupIndex(i, p, s.read.parquet(livePath(root, "bk").toString),
-      bands, rows)
+      bands, rows, Some(contentStamp(root)))
+  }
+
+  /** Content identity of a persisted index root for the probe-verdict
+    * memo: per live artifact dir, file count + total bytes + max
+    * mtime. Any mutation path changes it — appendIndex adds part
+    * files to ix/post/bk (count/bytes change even within one mtime
+    * tick), eraseFromIndex creates or appends to tomb, compaction
+    * publishes a NEW generation so the live path itself changes.
+    * Band geometry needs no entry: it is a separate memo-key
+    * component (index.bands/rows). One listStatus per dir — driver
+    * metadata RPCs, no Spark job. */
+  private[graft] def contentStamp(root: String): String = {
+    val (fs, _) = hadoopFs(root)
+    Seq("ix", "post", "bk", "tomb").map { part =>
+      if (!artifactExists(root, part)) s"$part:absent"
+      else {
+        val p = livePath(root, part)
+        val st = fs.listStatus(p)
+        s"$part:$p:${st.length}:${st.map(_.getLen).sum}:" +
+          (if (st.isEmpty) 0L else st.map(_.getModificationTime).max)
+      }
+    }.mkString("|")
   }
 
   /** The live `ix` membership artifact — normally the plain build dir
@@ -706,6 +744,23 @@ object Dedup {
   private val deltaIxMemo =
     new graft.plans.PlanMemo[(String, String, Int, Int), DataFrame](Seq(_))
 
+  /** Probe-verdict memo: the combined probe-build action's scalar row
+    * (router load, hot count, fp applicability counts) plus the
+    * checkpointed fp-rejection ledger, keyed by (delta plan, probe
+    * params, index CONTENT stamp). Both are pure functions of index
+    * content + delta content, and the stamp ([[contentStamp]])
+    * invalidates on any artifact mutation — append, erase, compact,
+    * rebuild — so a repeated probe of an unchanged index by the same
+    * delta plan (retries, multi-pass pipelines, back-to-back bench
+    * runs) skips every eager probe-build job instead of re-deriving
+    * scalars the filesystem proves unchanged. Values are driver-held
+    * scalars + an already-checkpointed bounded id list — no persisted
+    * frames to manage ([[graft.plans.PlanMemo]] peek/insert idiom:
+    * the head() job runs OUTSIDE the memo lock). */
+  private val probeMemo = new graft.plans.PlanMemo[
+    (String, String, Int, Int, Int, Long, String),
+    (org.apache.spark.sql.Row, Option[DataFrame])](_ => Seq())
+
   def incrementalAcceptIndexed(index: DedupIndex, delta: DataFrame,
       idCol: String, textCol: String, threshold: Double = 0.7,
       maxBucket: Int = 100,
@@ -740,14 +795,18 @@ object Dedup {
     // of the probe. This is what keeps a 100×-replica corpus (crawl
     // mirror spam — the dominant duplication mode at 100 TB) from
     // saturating the LSH buckets in the first place.
-    // The two rejection ledgers below are LAZY localCheckpoints: each
-    // is a bounded id-list (≤ |delta| longs) that several plan
-    // branches consume, so sharing the computed RDD replaces a
-    // multiplicative subtree copy-out (the naive lazy spelling
-    // duplicated the screen+verify subplans ~20× and planning cost
-    // exploded) with one computation per probe — and gives the probe
-    // SNAPSHOT semantics against subsequent index appends, which is
-    // exactly what appendIndex's lineage-cut contract wants.
+    // The rejection ledger below is a LAZY localCheckpoint: a bounded
+    // id-list (≤ |delta| longs) that several plan branches consume,
+    // so sharing the computed RDD replaces a multiplicative subtree
+    // copy-out (the naive lazy spelling duplicated the screen+verify
+    // subplans ~20× and planning cost exploded) with one computation
+    // per probe — and gives the probe SNAPSHOT semantics against
+    // subsequent index appends, which is exactly what appendIndex's
+    // lineage-cut contract wants. Its two branches (vs-index and
+    // intra-delta) enter the plan ONLY when the combined probe-build
+    // action (below) counted a possible match for them — on a corpus
+    // with no exact replicas the ledger is absent entirely and the
+    // probe side is dIx unfiltered.
     // (duplicate ids are fine throughout — every consumer is an
     // anti-join or a union that ends in one, so no dedup shuffles)
     // vs-index: the DELTA side broadcasts (a delta is small by
@@ -756,49 +815,53 @@ object Dedup {
     // SORTED ([[buildIndex]]), so set equality is a direct array
     // compare evaluated only on fp-matched rows — zero probe-time
     // sorting.
-    val fpRejected = index.docs.select(col("fp"), col("sh").as("__sh_r"))
-      .join(broadcast(dIx.select(col("id"), col("fp"),
-        col("sh").as("__sh_d"))), Seq("fp"))
-      .filter(col("__sh_r") === col("__sh_d"))
-      .select(col("id"))
-      .unionByName(dIx.select(col("id"), col("fp"), col("sh").as("__sh_d"))
-        .join(dIx.groupBy("fp").agg(min(struct(col("id"),
-          col("sh").as("s"))).as("__m")), "fp")
-        .filter(col("id") > col("__m.id") &&
-          col("__sh_d") === col("__m.s"))
-        .select(col("id")))
-      .localCheckpoint(false)
-    val dProbe = dIx.join(fpRejected, Seq("id"), "left_anti")
-    def probeBuckets = dProbe.select(col("id"), explode(col("bands")).as("bk"))
     // hot-bucket stats: the index side contributes its PRE-AGGREGATED
     // |buckets|-row occupancy sidecar (possibly several partial rows
-    // per bucket after appends); only the delta's own postings are
-    // counted at probe time. The combined sum is identical to grouping
-    // index ∪ delta postings, without ever re-aggregating the index.
-    // Since the cascade below, `hot` is a COST ROUTER, not a recall
-    // cutoff: hot buckets go through the bounded screen + escalation
-    // instead of being dropped, so the result is exact at any density.
+    // per bucket after appends) RESTRICTED to the buckets the delta
+    // actually probes — a bucket with no delta posting can never
+    // produce a candidate pair (candidates arise from probeBuckets ⋈
+    // reference, and probeBuckets only holds delta postings), so it
+    // is irrelevant to the router's load, to `hot`, and to every
+    // cascade stage (hotMins/candS2 all join through delta-present
+    // buckets). The restriction is what makes the router's
+    // aggregation DELTA-SIZED: the sidecar is |buckets| ~ corpus-
+    // scale rows at 100 TB, and the semi-join against the broadcast
+    // delta-bucket list prunes it to |delta postings| distinct
+    // buckets before any aggregation — the r14 spelling full-outer-
+    // joined and re-aggregated the whole sidecar per probe.
     // Per-bucket load estimate from the UNSCREENED delta counts (dIx,
     // not dProbe): fp-screened docs can only make buckets look
     // HOTTER/heavier, and since the cascade made `hot` a pure cost
     // signal the conservative direction is safe — while keeping the
-    // router (below) independent of fpRejected, whose materialization
-    // then rides the final action instead of a job of its own.
-    val bkLoads = index.bucketStats.groupBy("bk")
-      .agg(sum("n").as("__idx_n"))
-      .join(dIx.select(col("id"), explode(col("bands")).as("bk"))
-        .groupBy("bk").agg(count(lit(1)).as("__delta_n")),
-        Seq("bk"), "full_outer")
+    // router independent of fpRejected, whose materialization then
+    // rides the final action instead of a job of its own.
+    val deltaBk = dIx.select(col("id"), explode(col("bands")).as("bk"))
+      .groupBy("bk").agg(count(lit(1)).as("__delta_n"))
+    val bkLoads = deltaBk
+      .join(index.bucketStats
+        .join(broadcast(deltaBk.select("bk")), Seq("bk"), "left_semi")
+        .groupBy("bk").agg(sum("n").as("__idx_n")),
+        Seq("bk"), "left_outer")
       .select(col("bk"),
         coalesce(col("__idx_n"), lit(0L)).as("__idx_n"),
-        coalesce(col("__delta_n"), lit(0L)).as("__delta_n"))
+        col("__delta_n"))
       .withColumn("__tot", col("__idx_n") + col("__delta_n"))
-    // ── COST ROUTER ──────────────────────────────────────────────────
-    // One |buckets|-row aggregation (persisted sidecar + the delta's
-    // counts; the delta index frame this forces is the memo-persisted
-    // one every downstream branch reuses) decides the plan by the
-    // ESTIMATED direct-pairing load over hot buckets,
-    // Σ |delta∩bk| · |occupancy(bk)|: below [[CascadeBudget]]
+    // ── COMBINED PROBE-BUILD ACTION ──────────────────────────────────
+    // ONE driver-blocking job computes every scalar the probe build
+    // needs: the COST ROUTER's hot-bucket load AND the fp screen's
+    // applicability counts (does any index fp match a delta fp; does
+    // any fp repeat inside the delta). r14 ran the router as its own
+    // .head() and always planted both screen branches in the lazy
+    // plan — on a corpus with no exact replicas (the common case) the
+    // vs-index branch then paid a full scan of the index's `sh`
+    // column, and the intra-delta branch a groupBy+join over the
+    // delta, for provably-zero rows. The crossJoin of three 1-row
+    // aggregates runs all subtrees in one job; the counts then GATE
+    // the branches out of the plan when they cannot match — pure
+    // plan pruning: a branch is dropped only when this very job
+    // proved it produces zero rows.
+    //   router: estimated direct-pairing load over hot buckets,
+    // Σ |delta∩bk| · |occupancy(bk)| — below [[CascadeBudget]]
     // candidate pairs, the direct complete pairing is cheaper than
     // the cascade's extra screen/escalation stages even where buckets
     // exceed maxBucket (measured at the 10× corpus: direct 3.9 s vs
@@ -807,13 +870,71 @@ object Dedup {
     // shingle payload per pair through the verify join). Exactness is
     // unaffected either way: the router picks between two plans with
     // identical semantics (the candidate set is verified by exact
-    // Jaccard in both), so the budget is a pure cost knob.
-    val hotAgg = bkLoads.filter(col("__tot") > maxBucket)
-      .agg(count(lit(1)).as("nhot"),
-        sum(col("__delta_n") * col("__tot")).as("load")).head()
-    val useCascade = hotAgg.getLong(0) > 0 &&
-      (hotAgg.isNullAt(1) || hotAgg.getLong(1) > cascadeBudget)
-    val hot = bkLoads.filter(col("__tot") > maxBucket).select("bk")
+    // Jaccard in both), so the budget is a pure cost knob. The load
+    // sums DOUBLES: the long product wraps at exactly the ~10⁹-pair
+    // masses the cascade targets, and a wrapped-negative load would
+    // route the heaviest probes to direct pairing — the unsafe
+    // direction; the double sum is monotone and saturates to +Inf,
+    // which compares > budget → cascade, the safe direction.
+    //   fp-idx count: a left-semi on the index's 16-byte fp column
+    // alone — the `sh` payload is never touched unless a match exists.
+    // Both the scalar row and the gated ledger are memoized per
+    // (delta plan, params, index content stamp) — see [[probeMemo]]:
+    // a repeated probe of an unchanged index re-plans in milliseconds
+    // instead of re-running the probe-build job chain.
+    val memoKey = index.stamp.map(st =>
+      (idCol, textCol, index.bands, index.rows, maxBucket,
+        cascadeBudget, st))
+    val (probeStats, fpRejected) = memoKey
+      .flatMap(k => probeMemo.peek(delta, k))
+      .getOrElse {
+        val stats = bkLoads.filter(col("__tot") > maxBucket)
+          .agg(count(lit(1)).as("__nhot"),
+            sum(col("__delta_n").cast("double") * col("__tot"))
+              .as("__load"))
+          .crossJoin(index.docs.select("fp")
+            .join(broadcast(dIx.select("fp")), Seq("fp"), "left_semi")
+            .agg(count(lit(1)).as("__fp_ix")))
+          .crossJoin(dIx.agg((count(lit(1)) -
+            count_distinct(col("fp"))).as("__fp_dd")))
+          .head()
+        val anyFpIdx = stats.getLong(2) > 0
+        val anyFpDelta = stats.getLong(3) > 0
+        val fpVsIndex = index.docs
+          .select(col("fp"), col("sh").as("__sh_r"))
+          .join(broadcast(dIx.select(col("id"), col("fp"),
+            col("sh").as("__sh_d"))), Seq("fp"))
+          .filter(col("__sh_r") === col("__sh_d"))
+          .select(col("id"))
+        val fpIntraDelta = dIx
+          .select(col("id"), col("fp"), col("sh").as("__sh_d"))
+          .join(dIx.groupBy("fp").agg(min(struct(col("id"),
+            col("sh").as("s"))).as("__m")), "fp")
+          .filter(col("id") > col("__m.id") &&
+            col("__sh_d") === col("__m.s"))
+          .select(col("id"))
+        val ledger = ((if (anyFpIdx) Seq(fpVsIndex) else Nil) ++
+            (if (anyFpDelta) Seq(fpIntraDelta) else Nil))
+          .reduceOption(_ unionByName _)
+          .map(_.localCheckpoint(false))
+        val v = (stats, ledger)
+        memoKey.foreach(k => probeMemo.getOrCompute(delta, k)(v))
+        v
+      }
+    val loadEst =
+      if (probeStats.isNullAt(1)) Double.PositiveInfinity
+      else probeStats.getDouble(1)
+    val useCascade = probeStats.getLong(0) > 0 &&
+      !(loadEst <= cascadeBudget.toDouble)
+    val dProbe = fpRejected.fold(dIx)(r => dIx.join(r, Seq("id"), "left_anti"))
+    def probeBuckets = dProbe.select(col("id"), explode(col("bands")).as("bk"))
+    // `hot` is assembled ONLY when the router picked the cascade: a
+    // lazy localCheckpoint still compiles to an RDD immediately, and
+    // under AQE that compilation MATERIALIZES the plan's intermediate
+    // stages (AdaptiveSparkPlanExec resolves its final plan eagerly) —
+    // an unconditional ledger charged every direct-route probe ~1 s
+    // for a bucket list nothing on that route reads.
+    lazy val hot = bkLoads.filter(col("__tot") > maxBucket).select("bk")
       .localCheckpoint(false)
     // reference side = the persisted postings + the screened delta's
     // own (for intra-delta dups, lower id wins)
@@ -886,7 +1007,7 @@ object Dedup {
           .select(col("id"), col("id_ref")).distinct()
         rejected1.unionByName(verify(candS2))
       }
-    val rejected = fpRejected.unionByName(rejectedLsh)
+    val rejected = fpRejected.fold(rejectedLsh)(_ unionByName rejectedLsh)
       .select(col("id").as(idCol))
     delta.join(rejected, Seq(idCol), "left_anti")
   }
@@ -1092,7 +1213,14 @@ object Dedup {
   */
 final case class DedupIndex(docs: DataFrame, postings: DataFrame,
     bucketStats: DataFrame, bands: Int = Dedup.Bands,
-    rows: Int = Dedup.RowsPerBand)
+    rows: Int = Dedup.RowsPerBand,
+    /** Filesystem content stamp of the persisted artifacts (file
+      * counts + byte totals + mtimes of the live ix/post/bk/tomb
+      * dirs) — the probe-verdict memo's invalidation key. Only
+      * [[Dedup.readIndex]] fills it; an in-plan [[DedupIndex.fromDocs]]
+      * index has no stable content identity, so probes of it are
+      * never memoized. */
+    stamp: Option[String] = None)
 
 object DedupIndex {
   /** Derives the probe-side tables in-plan from a per-doc index frame —
