@@ -176,7 +176,8 @@ object Bench {
         "pq_repair" -> (() => sim.PqIndexQueries.stagedPqRepairPath(spark, sfDir)),
         "pq_erase" -> (() => sim.PqIndexQueries.stagedPqErasePath(spark, sfDir)),
         "media" -> (() => multimodal.MultimodalQueries.stagedMediaPath(spark, sfDir)),
-        "media_mjpg" -> (() => multimodal.MultimodalQueries.stagedMjpgPath(spark, sfDir)))
+        "media_mjpg" -> (() => multimodal.MultimodalQueries.stagedMjpgPath(spark, sfDir)),
+        "mm_index" -> (() => multimodal.MultimodalQueries.stagedMmIndexPath(spark, sfDir)))
       val ecStage = ExecutionContext.fromExecutorService(
         Executors.newFixedThreadPool(6))
       try Await.result(Future.traverse(stagers) { case (n, f) =>
@@ -306,7 +307,10 @@ object Bench {
       "mm_audio_dedup",
       // round-14: the MJPG lake and the routed-PQ artifacts pay their
       // one-time stage on first touch when the pre-stage was skipped
-      "mm_video_mjpg", "pq_index_query_ivf")
+      "mm_video_mjpg", "pq_index_query_ivf",
+      // round-15: the persisted mm signature index pays its decode-
+      // once build on first touch
+      "mm_index_build", "mm_incremental")
     val batchQs = batchQs0.sortBy(q => if (heavyFirst(q.name)) 0 else 1)
     val wall0 = System.nanoTime()
     // Each headline query runs three times back-to-back; the reported
@@ -359,7 +363,8 @@ object Bench {
     // concurrent with the pool of ordinary streams — total stream
     // wall ≈ max(ingest lane, pool) instead of a contended sum.
     val ingestLane = Set("stream_index_ingest", "stream_emb_ingest",
-      "stream_pq_ingest", "stream_emb_serving", "stream_pq_serving")
+      "stream_pq_ingest", "stream_mm_ingest", "stream_emb_serving",
+      "stream_pq_serving")
     val (ingestQs, streamRest) = streamQs.partition(q => ingestLane(q.name))
     val streamPool = math.min(pool, 4)
     val ecs = ExecutionContext.fromExecutorService(

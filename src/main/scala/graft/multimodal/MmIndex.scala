@@ -1,0 +1,111 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted multimodal perceptual-hash index [EXT] — the media
+  * analogue of the three persisted index families (text MinHash
+  * [[graft.text.Dedup]], embedding bands [[graft.sim.EmbIndex]], PQ
+  * codes [[graft.sim.PqIndex]]): decode + perceptual-fingerprint each
+  * media object ONCE at ingest, persist the 16-byte signature, and
+  * screen every later delta against the persisted signatures without
+  * re-decoding a single indexed byte.
+  *
+  * Why it exists: the in-plan mm dedup queries
+  * (mm_perceptual_dedup / mm_video_dedup / mm_audio_dedup) re-decode
+  * the full media lake on every run. At 100 TB of media the decode IS
+  * the dominant cost — image/video/audio payloads are MBs where their
+  * fingerprints are 16 bytes — so the production shape is pay-decode-
+  * once / probe-signatures-forever, exactly the build → append →
+  * probe lifecycle the text index runs over shingle sets
+  * (text/Dedup.scala:208ff is the pattern; the aHash kernels are the
+  * ones the in-plan queries already hash-gate per modality).
+  *
+  * Artifacts under `root`:
+  *  - `sig` — (doc_id, media_type, phash_hi, phash_lo): one row per
+  *    ingested media object, the decode-once record of truth.
+  *    Append-only ([[appendIndex]]); 16 fingerprint bytes + type per
+  *    object however large the source payload.
+  *
+  * Dedup semantics: two objects are perceptual duplicates iff they
+  * share (media_type, phash_hi, phash_lo) — the same equality the
+  * in-plan queries group by (image/video share the 8×8 aHash kernel,
+  * audio the 64-point envelope; the media_type component keeps a
+  * visual hash from colliding with an audio hash that happens to
+  * pack the same bits). Fingerprint equality is transitive, so the
+  * text index's drop-the-higher-id convention is exact here with no
+  * banded second layer: a delta doc is accepted iff NO indexed object
+  * and no lower-id delta object shares its signature.
+  */
+object MmIndex {
+
+  /** Per-object perceptual signatures for a media-lake frame — the
+    * three modality kernels ([[Multimodal.perceptualHashes]] image
+    * aHash, [[Multimodal.videoKeyframeHashes]] idx1-seeked keyframe
+    * aHash, [[Multimodal.audioEnvelopeHashes]] 64-point envelope),
+    * each decoding only its own modality's rows, unioned with the
+    * modality tag. Decode runs partition-parallel inside the kernels;
+    * 16 bytes + tag per object leave each task. */
+  def signatures(spark: SparkSession, media: DataFrame): DataFrame =
+    Multimodal.perceptualHashes(spark, media).toDF()
+      .withColumn("media_type", lit("image"))
+      .unionByName(Multimodal.audioEnvelopeHashes(spark, media).toDF()
+        .withColumn("media_type", lit("audio")))
+      .unionByName(Multimodal.videoKeyframeHashes(spark, media).toDF()
+        .withColumn("media_type", lit("video")))
+      .select("doc_id", "media_type", "phash_hi", "phash_lo")
+
+  /** Builds and persists the signature index over `media` (the
+    * already-accepted base lake). One decode pass; at 100 TB this
+    * runs once per corpus and is APPENDED to, never rebuilt. */
+  def writeIndex(media: DataFrame, root: String): Unit = {
+    val s = media.sparkSession
+    signatures(s, media).write.mode("overwrite").parquet(s"$root/sig")
+  }
+
+  /** Appends the accepted delta objects' signatures — decode pays
+    * once, at the moment the object enters the corpus; the base
+    * artifact is never rewritten. Callers append the ACCEPTED rows
+    * only (rejected dups never enter the index), mirroring
+    * [[graft.text.Dedup.appendIndex]]'s contract. */
+  def appendIndex(root: String, acceptedMedia: DataFrame): Unit = {
+    val s = acceptedMedia.sparkSession
+    signatures(s, acceptedMedia).write.mode("append").parquet(s"$root/sig")
+    s.catalog.refreshByPath(s"$root/sig")
+  }
+
+  /** Opens the persisted signature table. */
+  def readIndex(s: SparkSession, root: String): DataFrame =
+    s.read.parquet(s"$root/sig")
+
+  /** Screens `deltaMedia` (id + media_type + payload) against the
+    * persisted signatures: accepted = delta objects whose signature
+    * matches no indexed object and no lower-id delta object. The ONLY
+    * decode in the plan is the delta's own ([[signatures]] of the
+    * delta); the index side reads 16-byte signature rows.
+    *
+    * Join shape at scale: the index is corpus-sized, the delta is a
+    * micro-batch — so the index-side match streams the signature scan
+    * through a hash probe of the BROADCAST delta signatures (matched
+    * keys out, bounded by |delta|), and the delta-side rejection joins
+    * against that bounded key set. Flipping it (delta left-semi index)
+    * would hash the corpus. Intra-delta dups resolve by min-id per
+    * signature over the delta alone. */
+  def incrementalAccept(ixSig: DataFrame, deltaMedia: DataFrame): DataFrame = {
+    val s = deltaMedia.sparkSession
+    val key = Seq("media_type", "phash_hi", "phash_lo")
+    val dSig = signatures(s, deltaMedia)
+    val matchedKeys = ixSig
+      .join(broadcast(dSig.select(key.map(col): _*)), key, "left_semi")
+      .select(key.map(col): _*).distinct()
+    val vsIndex = dSig.join(broadcast(matchedKeys), key, "left_semi")
+      .select("doc_id")
+    val intraDelta = dSig
+      .join(dSig.groupBy(key.map(col): _*).agg(min(col("doc_id")).as("__m")),
+        key)
+      .filter(col("doc_id") > col("__m"))
+      .select("doc_id")
+    val rejected = vsIndex.unionByName(intraDelta)
+    deltaMedia.join(rejected, Seq("doc_id"), "left_anti")
+  }
+}

@@ -35,9 +35,57 @@ object MultimodalQueries {
         .write.mode("overwrite").parquet(s"$root/media")
     }
 
-  private def media(s: org.apache.spark.sql.SparkSession,
+  private[graft] def media(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
     s.read.parquet(stagedMediaPath(s, dir) + "/media")
+
+  /** The staged perceptual-hash index over the % 5 ≠ 0 media lake —
+    * [[MmIndex.writeIndex]]'s decode-once signature table, staged
+    * once per testdata generation (the text index's staging contract
+    * for media: mm_index_build registers its content, mm_incremental
+    * probes it). */
+  private[graft] def stagedMmIndexPath(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    graft.text.DedupQueries.stageOnce("graft_mm_index1_", dir) { root =>
+      MmIndex.writeIndex(
+        media(s, dir).filter(col("doc_id") % 5 =!= 0), root)
+    }
+
+  /** The ONE fingerprint CTE for the persisted mm index family —
+    * all three modalities' closed-form cell picks feeding the shared
+    * threshold/pack kernel (the same per-modality spellings as
+    * [[aHashDedupOracle]], CASE-merged so build/probe/ingest oracles
+    * render one `p(doc_id, media_type, phash_hi, phash_lo)` table
+    * for any population). */
+  private[graft] val mmSigCte: String =
+    """m AS (SELECT doc_id,
+      |    CAST(CASE WHEN doc_id % 3 = 0 THEN n_chars % 64 + 1
+      |         WHEN doc_id % 3 = 2 THEN n_chars % 24 + 1
+      |         ELSE 1 END AS BIGINT) AS w,
+      |    CAST(CASE WHEN doc_id % 3 = 0 THEN doc_id % 48 + 1
+      |         WHEN doc_id % 3 = 2 THEN doc_id % 16 + 1
+      |         ELSE 1 END AS BIGINT) AS h,
+      |    CAST(n_chars % 800 + 50 AS BIGINT) AS n
+      |  FROM documents),
+      |c AS (SELECT doc_id,
+      |    list_transform(range(64), i ->
+      |      CASE WHEN doc_id % 3 = 1
+      |           THEN (7 * doc_id + 31 * ((i * n) // 64)) % 256
+      |           ELSE (doc_id + 7 * (((i % 8) * w) // 8)
+      |                 + 13 * (((i // 8) * h) // 8)) % 256 END) AS cells
+      |  FROM m),
+      |c2 AS (SELECT doc_id, cells, list_sum(cells) AS s FROM c),
+      |p AS (SELECT doc_id,
+      |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |         WHEN doc_id % 3 = 1 THEN 'audio'
+      |         ELSE 'video' END AS media_type,
+      |    CAST(list_sum(list_transform(range(32),
+      |      i -> CASE WHEN cells[i+33] * 64 > s
+      |           THEN 1<<i ELSE 0 END)) AS BIGINT) AS phash_hi,
+      |    CAST(list_sum(list_transform(range(32),
+      |      i -> CASE WHEN cells[i+1] * 64 > s
+      |           THEN 1<<i ELSE 0 END)) AS BIGINT) AS phash_lo
+      |  FROM c2)""".stripMargin
 
   /** The MJPG lake — the compressed-format twin of the video slice of
     * the media lake ([[Multimodal.synthMjpgTable]]), staged once per
@@ -307,6 +355,49 @@ object MultimodalQueries {
         .groupBy(sha2(col("payload"), 256).as("content_hash"))
         .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"),
           min("n_bytes").as("n_bytes"))
-        .orderBy("keep_id"))
+        .orderBy("keep_id")),
+
+    // PHASE 1 of the persisted mm perceptual index ([[MmIndex]]):
+    // build & persist decode-once signatures over the % 5 ≠ 0 media
+    // lake (yesterday's already-deduped corpus — the
+    // dedup_index_build population, for media). The registered output
+    // is the persisted artifact's full payload — every fingerprint
+    // bit of every indexed object read back FROM parquet — which the
+    // oracle recomputes from the three modalities' closed pixel/
+    // sample forms through the one threshold/pack kernel. At 100 TB
+    // this is the pay-decode-once moment: it runs once per corpus and
+    // is appended to, never rebuilt; every later dedup pass reads 16
+    // bytes per object instead of the object.
+    Q("mm_index_build",
+      Some(s"""WITH $mmSigCte
+             |SELECT doc_id, media_type, phash_hi, phash_lo
+             |FROM p WHERE doc_id % 5 <> 0 ORDER BY doc_id""".stripMargin),
+      (s, d) => MmIndex.readIndex(s, stagedMmIndexPath(s, d))
+        .orderBy("doc_id")),
+
+    // PHASE 2 — INCREMENTAL media dedup against the PERSISTED
+    // signature index: the % 5 = 0 delta (today's arrivals) is the
+    // ONLY population decoded in the plan; the index side contributes
+    // 16-byte signature rows from phase 1's parquet, so the recurring
+    // per-delta cost is delta decode + a fingerprint anti-join —
+    // indexed media bytes are read ZERO times however large the lake
+    // (MmIndexSpec pins the plan property). Accepted = delta objects
+    // whose (media_type, fingerprint) matches no indexed object and
+    // no lower-id delta object — fingerprint equality is transitive,
+    // so the convention is exact with no banded second layer.
+    Q("mm_incremental",
+      Some(s"""WITH $mmSigCte,
+             |rej AS (SELECT DISTINCT d.doc_id FROM p d JOIN p b
+             |    ON d.media_type = b.media_type
+             |   AND d.phash_hi = b.phash_hi AND d.phash_lo = b.phash_lo
+             |  WHERE d.doc_id % 5 = 0
+             |    AND (b.doc_id % 5 <> 0 OR b.doc_id < d.doc_id))
+             |SELECT doc_id FROM documents WHERE doc_id % 5 = 0
+             |  AND doc_id NOT IN (SELECT doc_id FROM rej)
+             |ORDER BY doc_id""".stripMargin),
+      (s, d) => MmIndex.incrementalAccept(
+          MmIndex.readIndex(s, stagedMmIndexPath(s, d)),
+          media(s, d).filter(col("doc_id") % 5 === 0))
+        .select("doc_id").orderBy("doc_id"))
   )
 }

@@ -354,6 +354,56 @@ object StreamQueries {
               |FROM codes ORDER BY vec_id, sub""".stripMargin),
       (s, d) => Streams.pqIndexIngestCodes(s, d)),
 
+    // the MEDIA fourth of the ingest choreography: three media "days"
+    // fold through the persisted perceptual-hash index — each batch
+    // is decoded ONCE, screened against the persisted signatures, and
+    // only accepted objects' fingerprints appended (see
+    // Streams.mmIndexIngestAccepted). The oracle replays the
+    // sequential fold from the three modalities' closed pixel/sample
+    // forms: a day's object is rejected iff its (media_type,
+    // fingerprint) matches the base, a PRIOR day's accepted object,
+    // or a lower-id same-day object — fingerprint equality is
+    // transitive, so min-id-per-signature is the exact same-day rule.
+    Q("stream_mm_ingest",
+      Some(s"""WITH ${graft.multimodal.MultimodalQueries.mmSigCte},
+             |s0 AS (SELECT DISTINCT media_type, phash_hi, phash_lo
+             |       FROM p WHERE doc_id % 4 = 0),
+             |g1 AS (SELECT media_type, phash_hi, phash_lo,
+             |              min(doc_id) AS doc_id
+             |       FROM p WHERE doc_id % 4 = 1 GROUP BY 1, 2, 3),
+             |a1 AS (SELECT * FROM g1 WHERE NOT EXISTS (SELECT 1 FROM s0
+             |       WHERE s0.media_type = g1.media_type
+             |         AND s0.phash_hi = g1.phash_hi
+             |         AND s0.phash_lo = g1.phash_lo)),
+             |s1 AS (SELECT media_type, phash_hi, phash_lo FROM s0
+             |       UNION SELECT media_type, phash_hi, phash_lo FROM a1),
+             |g2 AS (SELECT media_type, phash_hi, phash_lo,
+             |              min(doc_id) AS doc_id
+             |       FROM p WHERE doc_id % 4 = 2 GROUP BY 1, 2, 3),
+             |a2 AS (SELECT * FROM g2 WHERE NOT EXISTS (SELECT 1 FROM s1
+             |       WHERE s1.media_type = g2.media_type
+             |         AND s1.phash_hi = g2.phash_hi
+             |         AND s1.phash_lo = g2.phash_lo)),
+             |s2 AS (SELECT media_type, phash_hi, phash_lo FROM s1
+             |       UNION SELECT media_type, phash_hi, phash_lo FROM a2),
+             |g3 AS (SELECT media_type, phash_hi, phash_lo,
+             |              min(doc_id) AS doc_id
+             |       FROM p WHERE doc_id % 4 = 3 GROUP BY 1, 2, 3),
+             |a3 AS (SELECT * FROM g3 WHERE NOT EXISTS (SELECT 1 FROM s2
+             |       WHERE s2.media_type = g3.media_type
+             |         AND s2.phash_hi = g3.phash_hi
+             |         AND s2.phash_lo = g3.phash_lo))
+             |SELECT doc_id, media_type, phash_hi, phash_lo,
+             |       CAST(1 AS BIGINT) AS day FROM a1
+             |UNION ALL
+             |SELECT doc_id, media_type, phash_hi, phash_lo,
+             |       CAST(2 AS BIGINT) AS day FROM a2
+             |UNION ALL
+             |SELECT doc_id, media_type, phash_hi, phash_lo,
+             |       CAST(3 AS BIGINT) AS day FROM a3
+             |ORDER BY day, doc_id""".stripMargin),
+      (s, d) => Streams.mmIndexIngestAccepted(s, d)),
+
     // streaming expanding z-score: per-event anomaly vs the running
     // moments of all PRIOR events of that user (exact cent-integer
     // sums in flatMapGroupsWithState state). The oracle is the batch

@@ -762,6 +762,38 @@ object Streams {
       .orderBy("vec_id", "sub")
   }
 
+  /** The media fourth of the ingest choreography ([[runIngestStream]])
+    * — CONTINUOUS media ingestion through the persisted perceptual-
+    * hash index [[graft.multimodal.MmIndex]]: day 0 decodes and
+    * fingerprints the % 4 = 0 media lake once (writeIndex); each
+    * arriving media batch is screened against the persisted
+    * signatures (decode pays for the BATCH only — indexed media bytes
+    * are read zero times) and only the ACCEPTED objects' signatures
+    * appended, so day N+1 probes an index grown by day N. Read back
+    * from the grown `sig` record of truth — the oracle gates the
+    * persisted fingerprints AND the sequential-fold acceptance at
+    * once. At 100 TB of media/day this is the ingest loop where
+    * decode-once matters most: the per-batch cost is batch decode +
+    * a 16-byte-key anti-join, never a lake re-decode. */
+  def mmIndexIngestAccepted(spark: SparkSession, dir: String): DataFrame = withStreamParallelism(spark) {
+    import graft.multimodal.{MmIndex, MultimodalQueries}
+    val lake = MultimodalQueries.media(spark, dir)
+    val root = privateIngestRoot(dir, "graft_stream_mmingest_ix_")
+    MmIndex.writeIndex(lake.filter(col("doc_id") % 4 === 0), root)
+    runIngestStream(spark, dir, "graft_stream_mmingest",
+      m => lake.filter(col("doc_id") % 4 === m)) { batch =>
+      val s = batch.sparkSession
+      val accepted = MmIndex.incrementalAccept(
+        MmIndex.readIndex(s, root), batch)
+      MmIndex.appendIndex(root, accepted)
+    }
+    spark.read.parquet(s"$root/sig")
+      .filter(col("doc_id") % 4 =!= 0)
+      .select(col("doc_id"), col("media_type"), col("phash_hi"),
+        col("phash_lo"), (col("doc_id") % 4).cast("long").as("day"))
+      .orderBy("day", "doc_id")
+  }
+
   /** The ONLINE READ path of the persisted-index story — continuous
     * top-k SERVING from the embedding band index: a stream of query
     * vectors (the % 5 = 0 population, three micro-batches) is

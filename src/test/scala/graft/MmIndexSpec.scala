@@ -1,0 +1,109 @@
+package graft
+
+import graft.multimodal.{MmIndex, Multimodal}
+import org.apache.spark.sql.functions._
+
+/** Persisted multimodal perceptual-hash index — build/append/probe
+  * lifecycle over a tiny synthetic media lake. Mirrors DedupSpec's
+  * lifecycle coverage for the text index. */
+class MmIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** A tiny documents-shaped frame → media lake via the production
+    * generator. doc_id % 3 picks the modality; equal (modality,
+    * fingerprint) requires equal aHash cells, which for the synthetic
+    * pixel/sample formulas happens when the generator parameters
+    * (doc_id-derived) collide — so dup pairs are constructed by
+    * reusing parameters that make the closed forms equal. */
+  private def lake(ids: Seq[Long]) =
+    Multimodal.synthMediaTable(spark,
+      ids.map(id => (id, "x" * (id % 7 + 3).toInt, (id % 7 + 3)))
+        .toDF("doc_id", "text", "n_chars"))
+
+  /** Brute-force acceptance: delta ids whose (media_type, hi, lo)
+    * matches no base signature and no lower-id delta signature. */
+  private def bruteAccept(base: Seq[Long], delta: Seq[Long]): Set[Long] = {
+    def sigs(ids: Seq[Long]) = MmIndex.signatures(spark, lake(ids))
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    val b = sigs(base).values.toSet
+    val d = sigs(delta)
+    d.filter { case (id, s) =>
+      !b.contains(s) && !d.exists { case (id2, s2) => s2 == s && id2 < id }
+    }.keySet
+  }
+
+  test("build → read round-trips every signature bit") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mmix").toString
+    val base = lake(1L to 30L)
+    MmIndex.writeIndex(base, dir)
+    val persisted = MmIndex.readIndex(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getLong(2), r.getLong(3))).toSet
+    val inPlan = MmIndex.signatures(spark, base)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getLong(2), r.getLong(3))).toSet
+    assert(persisted == inPlan && persisted.size == 30)
+    // all three modalities present (doc_id % 3 spans 0/1/2)
+    assert(persisted.map(_._2) == Set("image", "audio", "video"))
+  }
+
+  test("incrementalAccept == brute force, including intra-delta min-id " +
+      "and exact-dup rejection across modalities") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mmix2").toString
+    val base = 1L to 30L
+    // delta reuses ids ≡ base ids' generator params where id repeats
+    // mod the formula inputs: ids 31..60 collide with 1..30 whenever
+    // the closed forms coincide; ids 1000+k are fresh
+    val delta = (31L to 60L) ++ (1001L to 1010L)
+    MmIndex.writeIndex(lake(base), dir)
+    val got = MmIndex.incrementalAccept(
+        MmIndex.readIndex(spark, dir), lake(delta))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == bruteAccept(base, delta),
+      s"got=$got want=${bruteAccept(base, delta)}")
+    // the screen actually fires both ways on this corpus: something
+    // was rejected, something accepted
+    assert(got.nonEmpty && got.size < delta.size)
+  }
+
+  test("append composes: day-2 probe sees day-1 accepted signatures") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mmix3").toString
+    val base = 1L to 12L
+    val day1 = 101L to 112L
+    val day2 = 201L to 224L
+    MmIndex.writeIndex(lake(base), dir)
+    val acc1 = MmIndex.incrementalAccept(
+      MmIndex.readIndex(spark, dir), lake(day1))
+    MmIndex.appendIndex(dir, acc1)
+    val acc1Ids = acc1.select("doc_id").collect().map(_.getLong(0)).toSet
+    val got2 = MmIndex.incrementalAccept(
+        MmIndex.readIndex(spark, dir), lake(day2))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // sequential-fold oracle: day2 vs base ∪ accepted day1
+    assert(got2 == bruteAccept(base ++ acc1Ids.toSeq.filter(day1.contains),
+      day2))
+    // the appended artifact holds exactly base + accepted day1 rows
+    assert(MmIndex.readIndex(spark, dir).count() ==
+      base.size + acc1Ids.size)
+  }
+
+  test("probe plan decodes ONLY the delta: the index side contributes " +
+      "the sig parquet scan, no payload column, no media re-decode") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mmix4").toString
+    MmIndex.writeIndex(lake(1L to 20L), dir)
+    val probe = MmIndex.incrementalAccept(
+      MmIndex.readIndex(spark, dir), lake(21L to 30L))
+    val scans = probe.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    // every FILE relation in the probe plan is the persisted sig
+    // artifact (the delta here is a local relation, as a micro-batch
+    // is); at 100 TB the absent scan is the media lake's payload —
+    // indexed media bytes are read zero times per probe
+    assert(scans.nonEmpty)
+    assert(scans.forall(_.relation.location.rootPaths
+      .forall(_.toString.contains(dir))))
+    assert(!scans.exists(_.requiredSchema.fieldNames.contains("payload")))
+  }
+}
