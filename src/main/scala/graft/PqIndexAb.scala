@@ -37,8 +37,16 @@ object PqIndexAb {
         .write.format("noop").mode("overwrite").save()))
     System.err.println("[pq-ab] inc=" +
       incWalls.map(w => f"$w%.2f").mkString(","))
+    // refresh = retrain + re-encode + publish over the FULL corpus as
+    // the next model generation — priced against the build so the
+    // decade row shows refresh ≈ build (a retrain IS a build; the
+    // lifecycle's value is that serving never stops and generation 0
+    // stays intact) while the append path stays delta-sized.
+    PqIndex.appendIndex(root, delta)
+    val refreshWall = time(PqIndex.refreshIndex(spark, root, emb))
     println(f"[pq-ab] $dir base=${base.count()} delta=${delta.count()} " +
-      f"build_wall=$buildWall%.2f inc_wall_min=${incWalls.min}%.2f")
+      f"build_wall=$buildWall%.2f inc_wall_min=${incWalls.min}%.2f " +
+      f"refresh_wall=$refreshWall%.2f")
     spark.stop()
   }
 }

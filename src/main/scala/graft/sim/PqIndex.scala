@@ -75,12 +75,100 @@ object PqIndex {
     withCells(Pq.encodeAt(emb, s.read.parquet(s"$root/codebook")),
         emb, s.read.parquet(s"$root/coarse"))
       .write.partitionBy("cell").mode("overwrite").parquet(s"$root/codes")
+    // BUILD-TIME distortion baseline (exact integer sum + count over
+    // the just-written codes) rides the manifest: the refresh trigger
+    // compares the LIVE mean d2 against this moment's — appended
+    // deltas encoded at the frozen codebook can only raise it, and
+    // when the drift crosses the caller's budget a retrain is due
+    // ([[refreshIfDrifted]]). Written from the WRITTEN parquet so the
+    // baseline can never drift from the artifact.
+    val d2r = s.read.parquet(s"$root/codes")
+      .agg(sum(col("d2")).as("s"), count(lit(1)).as("n")).head()
     import s.implicits._
     // 1-row manifest; repartition(1) on a local relation carries no
     // upstream compute (the coalesce(1) lesson does not apply)
-    Seq((Pq.M, Pq.K, KC, emb.count()))
-      .toDF("m", "k", "kc", "n_base")
+    Seq((Pq.M, Pq.K, KC, emb.count(), d2r.getLong(0), d2r.getLong(1)))
+      .toDF("m", "k", "kc", "n_base", "base_d2_sum", "base_d2_n")
       .repartition(1).write.mode("overwrite").parquet(s"$root/manifest")
+  }
+
+  // ── model generations (codebook refresh lifecycle) ─────────────────
+  // The codebook + coarse quantizer are FROZEN per model generation
+  // (codes are only ADC-comparable against the codebook they were
+  // encoded with), so a retrain is not an append — it is a NEW MODEL
+  // GENERATION: a complete sibling index (codebook/coarse/codes/
+  // manifest) under `root/modelgen<k>`, committed by a marker file
+  // written LAST. The PREVIOUS generation stays intact — an in-flight
+  // reader that resolved it keeps hash-identical results for its whole
+  // session (PqIndexSpec pins it), and the per-artifact machinery
+  // (appends, tombstones, purge compaction, repair) operates WITHIN
+  // whichever generation is live. Crash contract: a crash anywhere
+  // before the marker leaves a marker-less subdir every resolver
+  // ignores — readers stay on the old generation; re-running the
+  // refresh writes the next number.
+
+  private val ModelGenPrefix = "modelgen"
+
+  /** The LIVE model generation's root: the highest-numbered COMMITTED
+    * `modelgen<k>` subdir, else `root` itself (generation 0 — the
+    * plain [[writeIndex]] layout). Every public API entry resolves
+    * through this, so callers keep addressing the index by its
+    * stable root. */
+  private[graft] def liveModelRoot(root: String): String = {
+    val (fs, r) = graft.text.Dedup.hadoopFs(root)
+    if (!fs.exists(r)) root
+    else {
+      val gens = fs.listStatus(r).toSeq.map(_.getPath).filter { p =>
+        val n = p.getName
+        n.startsWith(ModelGenPrefix) &&
+          n.length > ModelGenPrefix.length &&
+          n.drop(ModelGenPrefix.length).forall(_.isDigit) &&
+          fs.exists(new org.apache.hadoop.fs.Path(p, "_COMMITTED"))
+      }
+      if (gens.isEmpty) root
+      else gens.maxBy(_.getName.drop(ModelGenPrefix.length).toLong).toString
+    }
+  }
+
+  /** Retrains codebook + coarse quantizer on `source` (the CURRENT
+    * corpus — base plus every appended delta), re-encodes all of it,
+    * and publishes the result as the next model generation. Returns
+    * the new generation's root. Cost = one full [[writeIndex]] (the
+    * decade row in SERIAL.md prices refresh ≈ build — a retrain IS a
+    * build; what the lifecycle adds is that serving never stops and
+    * the old generation never tears). */
+  def refreshIndex(s: SparkSession, root: String,
+      source: DataFrame): String = {
+    val (fs, r) = graft.text.Dedup.hadoopFs(root)
+    val next = fs.listStatus(r).toSeq.map(_.getPath.getName)
+      .filter(n => n.startsWith(ModelGenPrefix) &&
+        n.drop(ModelGenPrefix.length).forall(_.isDigit) &&
+        n.length > ModelGenPrefix.length)
+      .map(_.drop(ModelGenPrefix.length).toLong)
+      .foldLeft(0L)(math.max) + 1
+    val sub = s"$root/$ModelGenPrefix$next"
+    writeIndex(source, sub)
+    fs.create(new org.apache.hadoop.fs.Path(sub, "_COMMITTED")).close()
+    sub
+  }
+
+  /** The distortion-triggered refresh: retrains iff the LIVE codes'
+    * mean encoding distortion exceeds (num/den) × the live
+    * generation's BUILD-TIME mean (both exact integer sums persisted
+    * with the artifacts — the [[Pq.distortion]] signal wired to the
+    * maintenance action). Cross-multiplied in BigInt so the compare
+    * cannot overflow at any corpus size. Returns the new generation
+    * root when it fired, None when the drift is within budget. */
+  def refreshIfDrifted(s: SparkSession, root: String, source: DataFrame,
+      num: Long = 11, den: Long = 10): Option[String] = {
+    val mr = liveModelRoot(root)
+    val base = s.read.parquet(s"$mr/manifest")
+      .select("base_d2_sum", "base_d2_n").head()
+    val live = s.read.parquet(codesLive(root))
+      .agg(sum(col("d2")).as("s"), count(lit(1)).as("n")).head()
+    val drifted = BigInt(live.getLong(0)) * base.getLong(1) * den >
+      BigInt(base.getLong(0)) * live.getLong(1) * num
+    if (drifted) Some(refreshIndex(s, root, source)) else None
   }
 
   /** Joins each code row with its vector's frozen coarse-cell
@@ -97,30 +185,31 @@ object PqIndex {
 
   /** The manifest row: (m, k, kc, n_base). */
   def readManifest(s: SparkSession, root: String): (Int, Int, Int, Long) = {
-    val r = s.read.parquet(s"$root/manifest")
+    val r = s.read.parquet(s"${liveModelRoot(root)}/manifest")
       .select("m", "k", "kc", "n_base").head()
     (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3))
   }
 
   def readIndex(s: SparkSession, root: String): PqIndexArt = {
-    val (m, k, kc, _) = readManifest(s, root)
+    val mr = liveModelRoot(root)
+    val (m, k, kc, _) = readManifest(s, mr)
     // `cell` comes back as a partition-directory column (type as
     // inferred); [[topKRouted]] casts its tiny probe frame to match,
     // never the scan side — a cast around the partition column would
     // defeat partition pruning.
-    val codes = s.read.parquet(codesLive(root))
+    val codes = s.read.parquet(graft.text.Dedup.livePath(mr, "codes").toString)
     val c =
-      if (graft.text.Dedup.artifactExists(root, "tomb"))
+      if (graft.text.Dedup.artifactExists(mr, "tomb"))
         // tombstone-aware open (the erasure contract shared by all
         // three index families): erased vectors' codes are anti-joined
         // out, so they can appear in no ADC ranking from the erase
         // call on; physical purge at the next [[compactIndex]]
         codes.join(broadcast(s.read.parquet(
-            graft.text.Dedup.livePath(root, "tomb").toString)
+            graft.text.Dedup.livePath(mr, "tomb").toString)
           .select("vec_id")), Seq("vec_id"), "left_anti")
       else codes
-    PqIndexArt(s.read.parquet(s"$root/codebook"), c,
-      s.read.parquet(s"$root/coarse"), m, k, kc)
+    PqIndexArt(s.read.parquet(s"$mr/codebook"), c,
+      s.read.parquet(s"$mr/coarse"), m, k, kc)
   }
 
   /** ROUTED ADC serving through the persisted IVF structure — the
@@ -187,16 +276,18 @@ object PqIndex {
       .select("q_id", "rank", "vec_id", "approx_d2")
   }
 
-  /** The live `codes` artifact (plain build dir = generation 0;
-    * [[compactIndex]] publishes PURGED next generations). */
+  /** The live `codes` artifact of the LIVE MODEL GENERATION (plain
+    * build dir = generation 0; [[compactIndex]] publishes PURGED next
+    * codes generations within a model generation). */
   private[graft] def codesLive(root: String): String =
-    graft.text.Dedup.livePath(root, "codes").toString
+    graft.text.Dedup.livePath(liveModelRoot(root), "codes").toString
 
   /** Right-to-erasure into the PQ index: append the request ids to
-    * the `tomb` artifact (probes exclude them immediately); the
-    * physical rewrite rides [[compactIndex]]. */
+    * the live model generation's `tomb` artifact (probes exclude them
+    * immediately); the physical rewrite rides [[compactIndex]]. */
   def eraseFromIndex(root: String, ids: DataFrame): Unit =
-    graft.text.Dedup.appendTombstones(root, ids.select(col("vec_id")))
+    graft.text.Dedup.appendTombstones(liveModelRoot(root),
+      ids.select(col("vec_id")))
 
   /** Maintenance pass: physically purges tombstoned vectors' codes
     * (published as the next create-only generation) and resets the
@@ -208,20 +299,21 @@ object PqIndex {
     * decision). No-op when no tombstones exist (PQ has no mergeable
     * sidecar partials to compact). */
   def compactIndex(s: SparkSession, root: String): Unit = {
-    val hasTomb = graft.text.Dedup.artifactExists(root, "tomb") &&
-      s.read.parquet(graft.text.Dedup.livePath(root, "tomb").toString)
+    val mr = liveModelRoot(root)
+    val hasTomb = graft.text.Dedup.artifactExists(mr, "tomb") &&
+      s.read.parquet(graft.text.Dedup.livePath(mr, "tomb").toString)
         .limit(1).count() > 0
     if (hasTomb) {
       val tomb = s.read.parquet(
-          graft.text.Dedup.livePath(root, "tomb").toString)
+          graft.text.Dedup.livePath(mr, "tomb").toString)
         .select("vec_id").localCheckpoint()
-      val cur = codesLive(root)
-      graft.text.Dedup.publishNextGen(s, root, "codes") { sd =>
+      val cur = graft.text.Dedup.livePath(mr, "codes").toString
+      graft.text.Dedup.publishNextGen(s, mr, "codes") { sd =>
         s.read.parquet(cur)
           .join(broadcast(tomb), Seq("vec_id"), "left_anti")
           .write.partitionBy("cell").mode("overwrite").parquet(sd)
       }
-      graft.text.Dedup.publishNextGen(s, root, "tomb") { sd =>
+      graft.text.Dedup.publishNextGen(s, mr, "tomb") { sd =>
         s.range(0).select(col("id").as("vec_id"))
           .write.mode("overwrite").parquet(sd)
       }
@@ -247,8 +339,9 @@ object PqIndex {
     * through the generation copy without decode. */
   def repairIndex(s: SparkSession, root: String,
       source: DataFrame): Boolean = {
-    val (m, _, _, _) = readManifest(s, root)
-    val live = codesLive(root)
+    val mr = liveModelRoot(root)
+    val (m, _, _, _) = readManifest(s, mr)
+    val live = graft.text.Dedup.livePath(mr, "codes").toString
     val damaged = s.read.parquet(live)
       .groupBy("vec_id")
       .agg(count(lit(1)).as("n"), countDistinct(col("sub")).as("nd"))
@@ -259,8 +352,8 @@ object PqIndex {
     else {
       val dmgSource = source.join(damaged, Seq("vec_id"))
       val healed = withCells(
-        Pq.encodeAt(dmgSource, s.read.parquet(s"$root/codebook")),
-        dmgSource, s.read.parquet(s"$root/coarse")).localCheckpoint()
+        Pq.encodeAt(dmgSource, s.read.parquet(s"$mr/codebook")),
+        dmgSource, s.read.parquet(s"$mr/coarse")).localCheckpoint()
       // the repair contract REQUIRES source to cover every damaged
       // vector: a silent partial heal would anti-join the uncovered
       // vectors' remaining code rows out of the artifact and return
@@ -271,7 +364,7 @@ object PqIndex {
         s"repairIndex: source covers only $nHealed of $nDamaged damaged " +
           "vectors — refusing a partial heal (the uncovered vectors' " +
           "codes would be silently dropped)")
-      publishCleanCodes(s, root, damaged, healed)
+      publishCleanCodes(s, mr, damaged, healed)
       true
     }
   }
@@ -279,16 +372,22 @@ object PqIndex {
   /** Publishes the next `codes` generation = (live minus `drop`) ∪
     * `add` — the one rewrite spelling repair uses (both inputs are
     * pinned by the caller; the anti-join reads the OLD live path,
-    * deleted only after the new generation's _SUCCESS lands). */
+    * deleted only after the new generation's _SUCCESS lands). Both
+    * union branches cast `cell` to ONE explicit type (int, what
+    * partition-value inference yields on a fresh build): the live
+    * side arrives partition-inferred, the healed side carries
+    * assignAt's cluster type — leaving either uncast made the
+    * rewritten artifact's cell type an accident of union widening. */
   private def publishCleanCodes(s: SparkSession, root: String,
       drop: DataFrame, add: DataFrame): Unit = {
-    val cur = codesLive(root)
+    val cur = graft.text.Dedup.livePath(root, "codes").toString
     graft.text.Dedup.publishNextGen(s, root, "codes") { sd =>
       s.read.parquet(cur)
         .join(drop, Seq("vec_id"), "left_anti")
-        .select("vec_id", "sub", "code", "d2", "cell")
+        .select(col("vec_id"), col("sub"), col("code"), col("d2"),
+          col("cell").cast("int").as("cell"))
         .unionByName(add.select(col("vec_id"), col("sub"), col("code"),
-          col("d2"), col("cell").cast("long")))
+          col("d2"), col("cell").cast("int").as("cell")))
         .write.partitionBy("cell").mode("overwrite").parquet(sd)
     }
   }
@@ -306,9 +405,10 @@ object PqIndex {
     * probed index). */
   def appendIndex(root: String, delta: DataFrame): Unit = {
     val s = delta.sparkSession
-    val live = codesLive(root)
-    withCells(Pq.encodeAt(delta, s.read.parquet(s"$root/codebook")),
-        delta, s.read.parquet(s"$root/coarse"))
+    val mr = liveModelRoot(root)
+    val live = graft.text.Dedup.livePath(mr, "codes").toString
+    withCells(Pq.encodeAt(delta, s.read.parquet(s"$mr/codebook")),
+        delta, s.read.parquet(s"$mr/coarse"))
       .write.partitionBy("cell").mode("append").parquet(live)
     s.catalog.refreshByPath(live)
   }

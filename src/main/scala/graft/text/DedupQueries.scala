@@ -104,8 +104,15 @@ object DedupQueries {
     // delta doc. Oracle equality holds for the same reason as
     // dedup_minhash: verified-100% LSH recall on this corpus and
     // bucket cutoffs that never fire.
+    // Oracle: the fp-screened RESIDUAL spelling ([[jaccardResidualCte]]
+    // — provably EQUAL to the full pair CTE, see there): exact
+    // replicas leave both sides before the quadratic scan, so the
+    // same oracle that gates sf0.01 stays feasible at the 100×
+    // replica-mass corpus where the r14 full spelling spilled > 90 GB
+    // (accepted = delta survivors with no J ≥ 0.7 edge to a base
+    // representative or a lower-id delta survivor).
     Q("dedup_incremental",
-      Some(s"""$jaccardCtePrefix,
+      Some(s"""${jaccardResidualCte("doc_id % 5 <> 0", "doc_id % 5 = 0")},
              |jp AS (SELECT ia, ib FROM pairs
              |       JOIN sizes sa ON sa.doc_id = pairs.ia
              |       JOIN sizes sb ON sb.doc_id = pairs.ib
@@ -114,8 +121,8 @@ object DedupQueries {
              |        UNION
              |        SELECT ia AS doc_id FROM jp
              |        WHERE ia % 5 = 0 AND ib % 5 <> 0)
-             |SELECT doc_id FROM documents
-             |WHERE doc_id % 5 = 0 AND doc_id NOT IN (SELECT doc_id FROM rej)
+             |SELECT doc_id FROM dsurv
+             |WHERE doc_id NOT IN (SELECT doc_id FROM rej)
              |ORDER BY doc_id""".stripMargin),
       (s, d) => Dedup.incrementalAcceptIndexed(
           Dedup.readIndex(s, stagedIndexPath(s, d)),
@@ -265,8 +272,16 @@ object DedupQueries {
     // DIRECTLY (an unpurged erased row would hash-mismatch: doc_id +
     // shingle-set size per survivor); part 2 probes the % 5 = 0 delta
     // — the erased docs can no longer reject anything.
+    // Oracle: the residual spelling over the POST-ERASURE base
+    // population (% 5 ≠ 0 ∧ % 10 ≠ 1 — erased docs are gone from
+    // both probe and reference), 100×-feasible like
+    // dedup_incremental's; part 1 enumerates the purged ix content
+    // from sizes_all (the FULL survivor population — representatives
+    // only reduce the pair scan, never the artifact listing).
     Q("dedup_index_erase",
-      Some(s"""$jaccardCtePrefix,
+      Some(s"""${jaccardResidualCte(
+                 "doc_id % 5 <> 0 AND doc_id % 10 <> 1",
+                 "doc_id % 5 = 0")},
              |jp AS (SELECT ia, ib FROM pairs
              |       JOIN sizes sa ON sa.doc_id = pairs.ia
              |       JOIN sizes sb ON sb.doc_id = pairs.ib
@@ -279,12 +294,11 @@ object DedupQueries {
              |               OR (b % 5 = 0 AND b < a)))
              |SELECT CAST(1 AS BIGINT) AS part, doc_id,
              |       CAST(n AS BIGINT) AS n
-             |FROM sizes WHERE doc_id % 5 <> 0 AND doc_id % 10 <> 1
+             |FROM sizes_all WHERE doc_id % 5 <> 0 AND doc_id % 10 <> 1
              |UNION ALL
              |SELECT CAST(2 AS BIGINT), doc_id, CAST(0 AS BIGINT)
-             |FROM documents
-             |WHERE doc_id % 5 = 0
-             |  AND doc_id NOT IN (SELECT doc_id FROM rej)
+             |FROM dsurv
+             |WHERE doc_id NOT IN (SELECT doc_id FROM rej)
              |ORDER BY part, doc_id""".stripMargin),
       (s, d) => {
         val root = stagedTextErasePath(s, d)
@@ -805,6 +819,64 @@ object DedupQueries {
       |          FROM inv a JOIN inv b ON a.ng = b.ng AND a.doc_id < b.doc_id
       |          GROUP BY 1, 2),
       |sizes AS (SELECT doc_id, len(sh) AS n FROM d)""".stripMargin
+
+  /** fp-screened RESIDUAL spelling of [[jaccardCtePrefix]] for the
+    * incremental-probe oracles — the spelling that stays FEASIBLE at
+    * the 100× replica-mass corpus, where the full pair CTE spills
+    * > 90 GB and dies (SERIAL.md round 14). Exact shingle-set
+    * replicas are removed from BOTH sides before the quadratic pair
+    * scan, mirroring (and independently re-deriving) the engine's
+    * layer-0 screen:
+    *
+    *  - the BASE side keeps one representative per distinct shingle
+    *    set (min doc_id; rejection by an indexed doc is id-agnostic,
+    *    and J(d, b) depends only on sh(b), so set-equal base twins
+    *    are interchangeable references);
+    *  - a DELTA doc survives iff no base doc shares its set and it is
+    *    the min-id delta doc of its set (otherwise it is fp-rejected
+    *    — and, being set-equal to its surviving representative rep(x)
+    *    with rep(x) ≤ x, every doc it would block is equally blocked
+    *    by rep(x), which is a base doc or a lower-id delta survivor —
+    *    the transitivity argument documented at the engine's screen,
+    *    Dedup.incrementalAcceptIndexed layer 0).
+    *
+    * The reduction is therefore an EQUALITY, not an approximation:
+    * the pair scan over (base representatives ∪ delta survivors)
+    * yields exactly the full oracle's delta rejections. Replica
+    * grouping keys on the SORTED SHINGLE LIST itself (GROUP BY a
+    * list value — collision-proof set equality, the SQL analogue of
+    * the engine screen's set-equality verify), not an md5 of it.
+    *
+    * Exposes the same d/inv/pairs/sizes names as [[jaccardCtePrefix]]
+    * (over the residual corpus) plus `dsurv` (surviving delta ids —
+    * the accepted-candidates population downstream SELECTs filter)
+    * and `sizes_all` (per-doc set sizes over the FULL population, for
+    * outputs that enumerate non-probe rows). */
+  private[graft] def jaccardResidualCte(base: String,
+      delta: String): String =
+    s"""WITH d0 AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
+       |    THEN list_transform(range(len(toks)-2),
+       |         i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])
+       |    ELSE [array_to_string(toks, ' ')] END) AS sh
+       |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), ' +') AS toks
+       |        FROM documents WHERE ($base) OR ($delta)) t),
+       |f AS (SELECT doc_id, sh, list_sort(sh) AS key FROM d0),
+       |bfp AS (SELECT key, min(doc_id) AS md FROM f
+       |        WHERE $base GROUP BY key),
+       |dg AS (SELECT key, min(doc_id) AS md FROM f
+       |       WHERE $delta GROUP BY key),
+       |dsurv AS (SELECT md AS doc_id FROM dg
+       |          WHERE NOT EXISTS (SELECT 1 FROM bfp
+       |                            WHERE bfp.key = dg.key)),
+       |d AS (SELECT f.doc_id, f.sh FROM f
+       |      WHERE f.doc_id IN (SELECT md FROM bfp)
+       |         OR f.doc_id IN (SELECT doc_id FROM dsurv)),
+       |inv AS (SELECT doc_id, unnest(sh) AS ng FROM d),
+       |pairs AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS ns
+       |          FROM inv a JOIN inv b ON a.ng = b.ng AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2),
+       |sizes AS (SELECT doc_id, len(sh) AS n FROM d),
+       |sizes_all AS (SELECT doc_id, len(sh) AS n FROM f)""".stripMargin
 
   /** Shared cluster-assignment oracle CTE: exact Jaccard ≥ 0.7 pairs →
     * transitive closure (recursive CTE) → min-reachable-id per node as

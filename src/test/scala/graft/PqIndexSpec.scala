@@ -220,4 +220,44 @@ class PqIndexSpec extends SparkSpec {
         (r.getAs[Long]("code"), r.getAs[Long]("d2"))).toMap
     assert(grown == expected)
   }
+
+  test("codebook refresh: drift fires the trigger, the retrained index " +
+      "publishes as a new model generation, and a STALE-generation " +
+      "reader keeps hash-identical results") {
+    def codesOf(ix: graft.sim.PqIndex.PqIndexArt) =
+      ix.codes.select("vec_id", "sub", "code", "d2")
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.getAs[Long]("code"), r.getAs[Long]("d2"))).toMap
+    val dir = java.nio.file.Files.createTempDirectory("graft_pqref").toString
+    val all = randVecs(0L until 150L)
+    // cold-start: bootstrap on the first 8 arrivals, append the rest
+    PqIndex.writeIndex(all.filter(col("vec_id") < 8), dir)
+    PqIndex.appendIndex(dir, all.filter(col("vec_id") >= 8))
+    // an in-flight reader bound to generation 0 BEFORE the refresh
+    val staleIx = PqIndex.readIndex(spark, dir)
+    val staleBefore = codesOf(staleIx)
+    // within-budget drift does not fire (huge budget), real drift does
+    assert(PqIndex.refreshIfDrifted(spark, dir, all,
+      num = 1000, den = 1).isEmpty)
+    val fired = PqIndex.refreshIfDrifted(spark, dir, all)
+    assert(fired.exists(_.contains("modelgen1")))
+    // the live index moved to the retrained generation: full-corpus
+    // training (seeds 0..3 over ALL vectors — same seeds here, but
+    // centroids from the full population), codes differ
+    val freshIx = PqIndex.readIndex(spark, dir)
+    val fresh = codesOf(freshIx)
+    assert(fresh.size == 150 * Pq.M)
+    assert(fresh != staleBefore,
+      "refresh produced identical codes — drift not observable")
+    // the STALE reader, re-collected AFTER the refresh, is bit-identical
+    // to what it served before — generation 0 is intact on disk
+    assert(codesOf(staleIx) == staleBefore)
+    // drift signal reset at the new generation
+    assert(PqIndex.refreshIfDrifted(spark, dir, all).isEmpty)
+    // appends now land in the NEW generation at ITS codebook
+    PqIndex.appendIndex(dir, randVecs(1000L until 1010L))
+    assert(codesOf(PqIndex.readIndex(spark, dir)).size == 160 * Pq.M)
+    assert(codesOf(staleIx) == staleBefore,
+      "post-refresh append leaked into the stale generation")
+  }
 }
