@@ -64,6 +64,12 @@ object DedupIncAb {
       df.select("doc_id").collect().map(_.getLong(0)).toSet
     val (a, wA) = time(ids(Dedup.incrementalAcceptIndexed(
       Dedup.readIndex(spark, root), delta, "doc_id", "text")))
+    // which plan did the ROUTER pick for A, and at what estimated
+    // load? At the mirror-replica density the cascade must fire from
+    // the router itself (not only via the forced-budget D leg).
+    val routed = Dedup.lastRouterDecision
+      .map { case (c, l) => f" router=${if (c) "CASCADE" else "direct"}(load=$l%.3g)" }
+      .getOrElse("")
     val bLine =
       if (!modes.contains("B")) "  B skipped (guard-free infeasible here)"
       else {
@@ -98,7 +104,7 @@ object DedupIncAb {
       }
     println(f"[dedup-inc-ab] $dir base=${base.count()} delta=${delta.count()} " +
       f"accepted=${a.size} build_wall=$wBuild%.1f probe_wall=$wA%.1f" +
-      bLine + cLine + dLine)
+      routed + bLine + cLine + dLine)
     spark.stop()
   }
 }

@@ -786,7 +786,16 @@ object Multimodal {
     * structural decode bug (wrong frame seeked, flipped raster,
     * channel mixup, mis-sized chunk walk: each inflates the mean
     * error far past the codec's ~quality-0.7 noise, which measures
-    * ≤ ~15 on this corpus; threshold 32). */
+    * ≤ ~15 on this corpus; threshold 32).
+    *
+    * JDK-VERSION DEPENDENCY: the measured ~15 headroom is a property
+    * of the HOST JDK's JPEG quantization (both encode at staging and
+    * decode here go through javax.imageio). A JDK upgrade that
+    * changes quantization tables shifts the corpus-wide error level —
+    * MultimodalSpec's headroom test asserts the measured error stays
+    * ≤ half the threshold, so an encoder drift surfaces as ONE
+    * targeted test failure naming this constant, not as an
+    * unexplained corpus-wide mm_video_mjpg hash mismatch. */
   def mjpgRoundTrip(spark: SparkSession,
       mjpgLake: DataFrame): Dataset[MjpgRoundTrip] = {
     import spark.implicits._

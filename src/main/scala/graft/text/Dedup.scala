@@ -761,6 +761,15 @@ object Dedup {
     (String, String, Int, Int, Int, Long, String),
     (org.apache.spark.sql.Row, Option[DataFrame])](_ => Seq())
 
+  /** OBSERVABILITY ONLY (A/B mains, specs): the last probe build's
+    * router verdict — (picked the cascade?, estimated direct-pairing
+    * load). Never consulted by the probe itself; results are
+    * router-invariant by construction, this just lets evidence runs
+    * record WHICH plan the router chose and at what estimated load
+    * without duplicating the router's arithmetic outside the probe. */
+  @volatile private[graft] var lastRouterDecision:
+    Option[(Boolean, Double)] = None
+
   def incrementalAcceptIndexed(index: DedupIndex, delta: DataFrame,
       idCol: String, textCol: String, threshold: Double = 0.7,
       maxBucket: Int = 100,
@@ -926,6 +935,7 @@ object Dedup {
       else probeStats.getDouble(1)
     val useCascade = probeStats.getLong(0) > 0 &&
       !(loadEst <= cascadeBudget.toDouble)
+    lastRouterDecision = Some((useCascade, loadEst))
     val dProbe = fpRejected.fold(dIx)(r => dIx.join(r, Seq("id"), "left_anti"))
     def probeBuckets = dProbe.select(col("id"), explode(col("bands")).as("bk"))
     // `hot` is assembled ONLY when the router picked the cascade: a

@@ -302,6 +302,31 @@ class MultimodalSpec extends SparkSpec {
     assert(tf.length == 1 && math.abs(tf(0)(0) - 128) <= 8)
   }
 
+  test("MJPG decode-error HEADROOM: this JDK's JPEG quantization stays " +
+      "at ≤ half the decode_ok threshold, so an encoder drift surfaces " +
+      "here, not as a corpus-wide mm_video_mjpg mismatch") {
+    import graft.multimodal.Multimodal.{AviCodec, SynthMedia}
+    // the fidelity gate's threshold (Multimodal.mjpgRoundTrip) and the
+    // sizes the staged lake actually uses (videoDims ranges)
+    val threshold = 32L
+    val worst = (for (id <- Seq(2L, 5L, 8L, 77L, 1001L); nc <- Seq(7L, 23L)) yield {
+      val (w, h) = SynthMedia.videoDims(id, nc)
+      val nf = SynthMedia.videoFrames(id)
+      def pix(f: Int, x: Int, y: Int) = SynthMedia.videoPixel(id, f, x, y)
+      val b = AviCodec.encodeMjpg(w, h, nf, SynthMedia.VideoFps, pix)
+      val (_, _, _, _, frames) = AviCodec.decode(b)
+      frames.zipWithIndex.map { case (px, f) =>
+        val errSum = (for (y <- 0 until h; x <- 0 until w)
+          yield math.abs(px(y * w + x) - pix(f, x, y)).toLong).sum
+        errSum.toDouble / (w * h)
+      }.max
+    }).max
+    assert(worst <= threshold / 2.0,
+      f"JPEG mean abs error headroom eroded: worst=$worst%.1f vs " +
+        s"threshold $threshold — the host JDK's JPEG quantization " +
+        "changed; re-measure and re-set the mjpgRoundTrip bound")
+  }
+
   test("non-ASCII ingest payload: mm_dedup's byte length is UTF-8 " +
       "OCTETS, not chars (the latent the old length(text) oracle had)") {
     import spark.implicits._
