@@ -177,7 +177,9 @@ object Bench {
         "pq_erase" -> (() => sim.PqIndexQueries.stagedPqErasePath(spark, sfDir)),
         "media" -> (() => multimodal.MultimodalQueries.stagedMediaPath(spark, sfDir)),
         "media_mjpg" -> (() => multimodal.MultimodalQueries.stagedMjpgPath(spark, sfDir)),
-        "mm_index" -> (() => multimodal.MultimodalQueries.stagedMmIndexPath(spark, sfDir)))
+        "mm_index" -> (() => multimodal.MultimodalQueries.stagedMmIndexPath(spark, sfDir)),
+        "mm_erase" -> (() => multimodal.MultimodalQueries.stagedMmErasePath(spark, sfDir)),
+        "pq_refresh" -> (() => sim.PqIndexQueries.stagedPqRefreshPath(spark, sfDir)))
       val ecStage = ExecutionContext.fromExecutorService(
         Executors.newFixedThreadPool(6))
       try Await.result(Future.traverse(stagers) { case (n, f) =>
@@ -309,8 +311,10 @@ object Bench {
       // one-time stage on first touch when the pre-stage was skipped
       "mm_video_mjpg", "pq_index_query_ivf",
       // round-15: the persisted mm signature index pays its decode-
-      // once build on first touch
-      "mm_index_build", "mm_incremental")
+      // once build on first touch; the erase/refresh lifecycles their
+      // one-time stage
+      "mm_index_build", "mm_incremental", "mm_index_erase",
+      "pq_index_refresh")
     val batchQs = batchQs0.sortBy(q => if (heavyFirst(q.name)) 0 else 1)
     val wall0 = System.nanoTime()
     // Each headline query runs three times back-to-back; the reported

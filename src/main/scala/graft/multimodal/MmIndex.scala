@@ -70,13 +70,68 @@ object MmIndex {
     * [[graft.text.Dedup.appendIndex]]'s contract. */
   def appendIndex(root: String, acceptedMedia: DataFrame): Unit = {
     val s = acceptedMedia.sparkSession
-    signatures(s, acceptedMedia).write.mode("append").parquet(s"$root/sig")
-    s.catalog.refreshByPath(s"$root/sig")
+    val live = sigLive(root)
+    signatures(s, acceptedMedia).write.mode("append").parquet(live)
+    s.catalog.refreshByPath(live)
   }
 
-  /** Opens the persisted signature table. */
-  def readIndex(s: SparkSession, root: String): DataFrame =
-    s.read.parquet(s"$root/sig")
+  /** Opens the persisted signature table — tombstone-aware (the
+    * erasure contract shared by all four index families): erased
+    * objects' signatures are anti-joined out from the erase call on,
+    * so they can neither appear in index listings nor reject a delta;
+    * the physical purge rides [[compactIndex]]. The `sig` artifact
+    * resolves through the create-only generation machinery (plain
+    * build dir = generation 0; compaction publishes PURGED next
+    * generations). */
+  def readIndex(s: SparkSession, root: String): DataFrame = {
+    val sig = s.read.parquet(sigLive(root))
+    if (graft.text.Dedup.artifactExists(root, "tomb"))
+      sig.join(broadcast(s.read.parquet(
+          graft.text.Dedup.livePath(root, "tomb").toString)
+        .select("doc_id")), Seq("doc_id"), "left_anti")
+    else sig
+  }
+
+  /** The live `sig` artifact generation. */
+  private[graft] def sigLive(root: String): String =
+    graft.text.Dedup.livePath(root, "sig").toString
+
+  /** Right-to-erasure into the media index: append the request ids
+    * (an EXTERNAL request list with a `doc_id` column) to the `tomb`
+    * artifact — every [[readIndex]] open excludes them from that
+    * moment, so an erased object can no longer reject arriving
+    * deltas; the physical rewrite rides the next [[compactIndex]].
+    * O(|request|), no signature recompute, no media decode. */
+  def eraseFromIndex(root: String, ids: DataFrame): Unit =
+    graft.text.Dedup.appendTombstones(root, ids.select(col("doc_id")))
+
+  /** Maintenance pass: physically purges tombstoned objects'
+    * signature rows (published as the next create-only `sig`
+    * generation — a crash mid-write leaves a marker-less torn dir
+    * readers ignore) and resets the tombstone list LAST, the same
+    * crash-safe ordering as the text/embedding/PQ compactions. No-op
+    * without tombstones (the signature table has no mergeable
+    * partials to fold). */
+  def compactIndex(s: SparkSession, root: String): Unit = {
+    val hasTomb = graft.text.Dedup.artifactExists(root, "tomb") &&
+      s.read.parquet(graft.text.Dedup.livePath(root, "tomb").toString)
+        .limit(1).count() > 0
+    if (hasTomb) {
+      val tomb = s.read.parquet(
+          graft.text.Dedup.livePath(root, "tomb").toString)
+        .select("doc_id").localCheckpoint()
+      val cur = sigLive(root)
+      graft.text.Dedup.publishNextGen(s, root, "sig") { sd =>
+        s.read.parquet(cur)
+          .join(broadcast(tomb), Seq("doc_id"), "left_anti")
+          .write.mode("overwrite").parquet(sd)
+      }
+      graft.text.Dedup.publishNextGen(s, root, "tomb") { sd =>
+        s.range(0).select(col("id").as("doc_id"))
+          .write.mode("overwrite").parquet(sd)
+      }
+    }
+  }
 
   /** Screens `deltaMedia` (id + media_type + payload) against the
     * persisted signatures: accepted = delta objects whose signature

@@ -398,6 +398,67 @@ object MultimodalQueries {
       (s, d) => MmIndex.incrementalAccept(
           MmIndex.readIndex(s, stagedMmIndexPath(s, d)),
           media(s, d).filter(col("doc_id") % 5 === 0))
-        .select("doc_id").orderBy("doc_id"))
+        .select("doc_id").orderBy("doc_id")),
+
+    // ERASURE through the media index — completing the erasure column
+    // of the four-family lifecycle matrix (text: dedup_index_erase;
+    // embedding: emb_index_erase; PQ: pq_index_erase): tombstone
+    // append → immediate probe exclusion → physical purge of the
+    // signature rows at MmIndex.compactIndex (create-only generation,
+    // tombstones reset LAST). Part 1 reads the purged sig parquet
+    // DIRECTLY (an unpurged erased signature hash-mismatches); part 2
+    // probes the % 5 = 0 delta against the erased index — an erased
+    // object can no longer reject anything, so deltas that collided
+    // only with erased signatures come back accepted.
+    Q("mm_index_erase",
+      Some(s"""WITH $mmSigCte,
+             |rej AS (SELECT DISTINCT d.doc_id FROM p d JOIN p b
+             |    ON d.media_type = b.media_type
+             |   AND d.phash_hi = b.phash_hi AND d.phash_lo = b.phash_lo
+             |  WHERE d.doc_id % 5 = 0
+             |    AND ((b.doc_id % 5 <> 0 AND b.doc_id % 10 <> 1)
+             |         OR (b.doc_id % 5 = 0 AND b.doc_id < d.doc_id)))
+             |SELECT CAST(1 AS BIGINT) AS part, doc_id, media_type,
+             |       phash_hi, phash_lo
+             |FROM p WHERE doc_id % 5 <> 0 AND doc_id % 10 <> 1
+             |UNION ALL
+             |SELECT CAST(2 AS BIGINT), doc_id, 'accepted', 0, 0
+             |FROM documents WHERE doc_id % 5 = 0
+             |  AND doc_id NOT IN (SELECT doc_id FROM rej)
+             |ORDER BY part, doc_id""".stripMargin),
+      (s, d) => {
+        val root = stagedMmErasePath(s, d)
+        val part1 = s.read.parquet(MmIndex.sigLive(root))
+          .select(lit(1L).as("part"), col("doc_id"), col("media_type"),
+            col("phash_hi"), col("phash_lo"))
+        val part2 = MmIndex.incrementalAccept(
+            MmIndex.readIndex(s, root),
+            media(s, d).filter(col("doc_id") % 5 === 0))
+          .select(lit(2L).as("part"), col("doc_id"),
+            lit("accepted").as("media_type"), lit(0L).as("phash_hi"),
+            lit(0L).as("phash_lo"))
+        part1.unionByName(part2).orderBy("part", "doc_id")
+      })
   )
+
+  /** Stages the `mm_index_erase` artifact once per testdata
+    * generation: signature index over the % 5 ≠ 0 lake (the
+    * mm_index_build population), then [[MmIndex.eraseFromIndex]] of
+    * the % 10 = 1 members and a purging [[MmIndex.compactIndex]],
+    * with require()s pinning the physical purge and tombstone reset. */
+  private[graft] def stagedMmErasePath(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    graft.text.DedupQueries.stageOnce("graft_mm_erase1_", dir) { root =>
+      MmIndex.writeIndex(
+        media(s, dir).filter(col("doc_id") % 5 =!= 0), root)
+      MmIndex.eraseFromIndex(root,
+        media(s, dir).filter(col("doc_id") % 10 === 1).select("doc_id"))
+      MmIndex.compactIndex(s, root)
+      require(s.read.parquet(MmIndex.sigLive(root))
+        .filter(col("doc_id") % 10 === 1).limit(1).count() == 0,
+        "mm erase stage: erased rows survived the sig purge")
+      require(s.read.parquet(
+          graft.text.Dedup.livePath(root, "tomb").toString).count() == 0,
+        "mm erase stage: tombstone list not reset")
+    }
 }

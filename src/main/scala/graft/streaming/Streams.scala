@@ -787,7 +787,7 @@ object Streams {
         MmIndex.readIndex(s, root), batch)
       MmIndex.appendIndex(root, accepted)
     }
-    spark.read.parquet(s"$root/sig")
+    spark.read.parquet(graft.multimodal.MmIndex.sigLive(root))
       .filter(col("doc_id") % 4 =!= 0)
       .select(col("doc_id"), col("media_type"), col("phash_hi"),
         col("phash_lo"), (col("doc_id") % 4).cast("long").as("day"))
