@@ -133,6 +133,38 @@ object MmIndex {
     }
   }
 
+  /** Repairs a RETRIED torn `sig` append via the one-row-per-object
+    * invariant (a signature row is a pure function of the payload, so
+    * a replayed append duplicates rows — it can never write
+    * conflicting ones; a torn write commits nothing under the parquet
+    * committer). Detection is one map-side-combinable groupBy count;
+    * the heal rewrites the damaged ids' rows DISTINCT into the next
+    * create-only generation — no media re-decode (unlike
+    * [[graft.sim.PqIndex.repairIndex]], whose partial per-subspace
+    * rows force a re-encode, a duplicated signature row IS the
+    * correct row), intact rows passing through untouched. Returns
+    * false (artifact untouched) when the invariant already holds, so
+    * re-running repair is idempotent. */
+  def repairIndex(s: SparkSession, root: String): Boolean = {
+    val live = sigLive(root)
+    val damaged = s.read.parquet(live)
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+      .select("doc_id")
+      .localCheckpoint() // pin: the relation it derives from is rewritten
+    if (damaged.isEmpty) false
+    else {
+      graft.text.Dedup.publishNextGen(s, root, "sig") { sd =>
+        val cur = s.read.parquet(live)
+        cur.join(broadcast(damaged), Seq("doc_id"), "left_anti")
+          .unionByName(cur.join(broadcast(damaged), Seq("doc_id"),
+            "left_semi").distinct())
+          .write.mode("overwrite").parquet(sd)
+      }
+      true
+    }
+  }
+
   /** Screens `deltaMedia` (id + media_type + payload) against the
     * persisted signatures: accepted = delta objects whose signature
     * matches no indexed object and no lower-id delta object. The ONLY

@@ -438,8 +438,46 @@ object MultimodalQueries {
             lit("accepted").as("media_type"), lit(0L).as("phash_hi"),
             lit(0L).as("phash_lo"))
         part1.unionByName(part2).orderBy("part", "doc_id")
-      })
+      }),
+
+    // TORN-APPEND REPAIR for the media index — completing the repair
+    // column of the four-family matrix (text: dedup_index_repair;
+    // embedding: emb_index_repair; PQ: pq_index_repair): the staged
+    // artifact suffered a RETRIED append (the delta landed, then the
+    // replay landed again — duplicate signature rows for every delta
+    // object), repairIndex detected the one-row-per-object violation
+    // and healed by distinct-rewrite (signatures are pure functions of
+    // the payload, so the duplicate IS the correct row — no media
+    // re-decode). Output = the healed artifact in full; surviving
+    // duplicates or lost rows hash-mismatch. Stage require()s pin:
+    // repair fired once, then idempotent.
+    Q("mm_index_repair",
+      Some(s"""WITH $mmSigCte
+             |SELECT doc_id, media_type, phash_hi, phash_lo
+             |FROM p ORDER BY doc_id""".stripMargin),
+      (s, d) => s.read.parquet(MmIndex.sigLive(stagedMmRepairPath(s, d)))
+        .select("doc_id", "media_type", "phash_hi", "phash_lo")
+        .orderBy("doc_id"))
   )
+
+  /** Stages the `mm_index_repair` artifact: build over % 5 ≠ 0,
+    * append the % 5 = 0 delta, then REPLAY the append (the retried-
+    * torn-append shape a crash between the append job and its
+    * checkpoint commit leaves — every delta signature row twice),
+    * then repair. */
+  private[graft] def stagedMmRepairPath(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    graft.text.DedupQueries.stageOnce("graft_mm_repair1_", dir) { root =>
+      MmIndex.writeIndex(
+        media(s, dir).filter(col("doc_id") % 5 =!= 0), root)
+      val delta = media(s, dir).filter(col("doc_id") % 5 === 0)
+      MmIndex.appendIndex(root, delta)
+      MmIndex.appendIndex(root, delta) // the replay
+      require(MmIndex.repairIndex(s, root),
+        "mm repair stage: replayed append left no detectable damage")
+      require(!MmIndex.repairIndex(s, root),
+        "mm repair stage: repair is not idempotent")
+    }
 
   /** Stages the `mm_index_erase` artifact once per testdata
     * generation: signature index over the % 5 ≠ 0 lake (the

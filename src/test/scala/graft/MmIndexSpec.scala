@@ -125,6 +125,26 @@ class MmIndexSpec extends SparkSpec {
     assert(MmIndex.readIndex(spark, dir).count() == 30)
   }
 
+  test("repair: a replayed append's duplicate signature rows are " +
+      "detected and healed by distinct-rewrite; repair is idempotent") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mmix6").toString
+    MmIndex.writeIndex(lake(1L to 20L), dir)
+    val delta = lake(101L to 110L)
+    MmIndex.appendIndex(dir, delta)
+    MmIndex.appendIndex(dir, delta) // the replay
+    assert(spark.read.parquet(MmIndex.sigLive(dir)).count() == 40)
+    val want = MmIndex.signatures(spark, lake((1L to 20L) ++ (101L to 110L)))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getLong(2), r.getLong(3))).toSet
+    assert(MmIndex.repairIndex(spark, dir))
+    assert(!MmIndex.repairIndex(spark, dir))
+    val healed = spark.read.parquet(MmIndex.sigLive(dir))
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[String]("media_type"), r.getAs[Long]("phash_hi"),
+        r.getAs[Long]("phash_lo")))
+    assert(healed.length == 30 && healed.toSet == want)
+  }
+
   test("probe plan decodes ONLY the delta: the index side contributes " +
       "the sig parquet scan, no payload column, no media re-decode") {
     val dir = java.nio.file.Files.createTempDirectory("graft_mmix4").toString
