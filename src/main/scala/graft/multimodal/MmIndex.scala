@@ -178,10 +178,40 @@ object MmIndex {
     * against that bounded key set. Flipping it (delta left-semi index)
     * would hash the corpus. Intra-delta dups resolve by min-id per
     * signature over the delta alone. */
-  def incrementalAccept(ixSig: DataFrame, deltaMedia: DataFrame): DataFrame = {
+  def incrementalAccept(ixSig: DataFrame, deltaMedia: DataFrame): DataFrame =
+    incrementalAcceptWithSigs(ixSig, deltaMedia)._1
+
+  /** [[incrementalAccept]] that ALSO returns the accepted objects'
+    * signature rows — the ingest loop appends those directly
+    * ([[appendSignatures]]) instead of re-decoding payloads the probe
+    * already fingerprinted. */
+  def incrementalAcceptWithSigs(ixSig: DataFrame,
+      deltaMedia: DataFrame): (DataFrame, DataFrame) = {
     val s = deltaMedia.sparkSession
+    // the delta's signatures are computed ONCE per probe: the frame
+    // feeds four plan branches (the matched-key broadcast, the
+    // vs-index rejection, both sides of the intra-delta min) plus the
+    // accepted-signatures output, and DECODE is the dominant
+    // per-batch cost this index exists to bound — unshared, Spark
+    // would re-run the three decode kernels per branch. The lazy
+    // localCheckpoint shares the computed RDD (bounded: |delta| rows
+    // × ~20 bytes of fingerprint) and gives the probe SNAPSHOT
+    // semantics against concurrent appends; the rejection ledger is
+    // checkpointed for the same sharing reason (two anti-join
+    // consumers).
+    val dSig = signatures(s, deltaMedia).localCheckpoint(false)
+    val rejected = rejectionPlan(ixSig, dSig).localCheckpoint(false)
+    (deltaMedia.join(rejected, Seq("doc_id"), "left_anti"),
+      dSig.join(rejected, Seq("doc_id"), "left_anti"))
+  }
+
+  /** The rejection plan over an already-derived delta-signature frame
+    * — factored out so MmIndexSpec can pin its scan shape directly
+    * (the production probe consumes it through the checkpointed
+    * ledger above, which hides this subtree from the outer plan). */
+  private[graft] def rejectionPlan(ixSig: DataFrame,
+      dSig: DataFrame): DataFrame = {
     val key = Seq("media_type", "phash_hi", "phash_lo")
-    val dSig = signatures(s, deltaMedia)
     val matchedKeys = ixSig
       .join(broadcast(dSig.select(key.map(col): _*)), key, "left_semi")
       .select(key.map(col): _*).distinct()
@@ -192,7 +222,16 @@ object MmIndex {
         key)
       .filter(col("doc_id") > col("__m"))
       .select("doc_id")
-    val rejected = vsIndex.unionByName(intraDelta)
-    deltaMedia.join(rejected, Seq("doc_id"), "left_anti")
+    vsIndex.unionByName(intraDelta)
+  }
+
+  /** Appends ALREADY-COMPUTED signature rows (the probe's accepted
+    * output) — the ingest loop's append path: zero re-decode. */
+  private[graft] def appendSignatures(root: String, sigs: DataFrame): Unit = {
+    val s = sigs.sparkSession
+    val live = sigLive(root)
+    sigs.select("doc_id", "media_type", "phash_hi", "phash_lo")
+      .write.mode("append").parquet(live)
+    s.catalog.refreshByPath(live)
   }
 }

@@ -139,6 +139,21 @@ object PqIndex {
     * the old generation never tears). */
   def refreshIndex(s: SparkSession, root: String,
       source: DataFrame): String = {
+    val mr = liveModelRoot(root)
+    // the live generation's PENDING TOMBSTONES carry into the refresh
+    // as an anti-join on the training/encoding source: a retrain is
+    // the one maintenance pass that REBUILDS the per-vector record,
+    // and rebuilding it from the raw corpus would resurrect erased
+    // vectors into serving (right-to-erasure silently undone) — and
+    // even let the erased mass's drift be what trips the trigger.
+    // The new generation then needs no tomb artifact at all: erased
+    // rows never enter it.
+    val src =
+      if (graft.text.Dedup.artifactExists(mr, "tomb"))
+        source.join(broadcast(s.read.parquet(
+            graft.text.Dedup.livePath(mr, "tomb").toString)
+          .select("vec_id")), Seq("vec_id"), "left_anti")
+      else source
     val (fs, r) = graft.text.Dedup.hadoopFs(root)
     val next = fs.listStatus(r).toSeq.map(_.getPath.getName)
       .filter(n => n.startsWith(ModelGenPrefix) &&
@@ -147,7 +162,7 @@ object PqIndex {
       .map(_.drop(ModelGenPrefix.length).toLong)
       .foldLeft(0L)(math.max) + 1
     val sub = s"$root/$ModelGenPrefix$next"
-    writeIndex(source, sub)
+    writeIndex(src, sub)
     fs.create(new org.apache.hadoop.fs.Path(sub, "_COMMITTED")).close()
     sub
   }
@@ -164,7 +179,11 @@ object PqIndex {
     val mr = liveModelRoot(root)
     val base = s.read.parquet(s"$mr/manifest")
       .select("base_d2_sum", "base_d2_n").head()
-    val live = s.read.parquet(codesLive(root))
+    // drift is measured over the SERVED codes — readIndex's
+    // tombstone-filtered view — not the raw artifact: pending
+    // erasures are leaving the corpus, so their distortion must not
+    // be what trips a retrain
+    val live = readIndex(s, root).codes
       .agg(sum(col("d2")).as("s"), count(lit(1)).as("n")).head()
     val drifted = BigInt(live.getLong(0)) * base.getLong(1) * den >
       BigInt(base.getLong(0)) * live.getLong(1) * num

@@ -177,10 +177,11 @@ object PqIndexQueries {
       }),
 
     // CODEBOOK REFRESH — the maintenance the frozen-model contract
-    // eventually demands: the staged scenario trains on a QUARTER of
-    // the corpus, appends the other three quarters at that frozen
-    // codebook (their encoding distortion rises — the
-    // sim_pq_distortion signal), and PqIndex.refreshIfDrifted fires
+    // eventually demands: the staged scenario is the production
+    // COLD START (bootstrap the codebook on the first 16 arrivals,
+    // append the whole corpus at it frozen — encoding distortion
+    // rises decisively; the sim_pq_distortion signal), and
+    // PqIndex.refreshIfDrifted fires
     // (live mean d2 > 1.1× the build-time baseline persisted in the
     // manifest), retraining on the FULL corpus and publishing the
     // re-encoded index as model generation 1 — with generation 0
@@ -288,7 +289,7 @@ object PqIndexQueries {
       val before = s.read.parquet(gen0Codes).count()
       require(PqIndex.refreshIfDrifted(s, root, emb).isDefined,
         "pq refresh stage: drift trigger did not fire on the " +
-          "quarter-trained codebook")
+          "cold-start (first-16-vectors) codebook")
       require(PqIndex.codesLive(root).contains("modelgen"),
         "pq refresh stage: live codes did not move to the new generation")
       require(s.read.parquet(gen0Codes).count() == before,

@@ -783,9 +783,12 @@ object Streams {
     runIngestStream(spark, dir, "graft_stream_mmingest",
       m => lake.filter(col("doc_id") % 4 === m)) { batch =>
       val s = batch.sparkSession
-      val accepted = MmIndex.incrementalAccept(
+      // append the probe's OWN accepted-signature rows — the batch's
+      // media decodes exactly once, in the screen; appending media
+      // would re-run the decode kernels over the accepted payloads
+      val (_, acceptedSigs) = MmIndex.incrementalAcceptWithSigs(
         MmIndex.readIndex(s, root), batch)
-      MmIndex.appendIndex(root, accepted)
+      MmIndex.appendSignatures(root, acceptedSigs)
     }
     spark.read.parquet(graft.multimodal.MmIndex.sigLive(root))
       .filter(col("doc_id") % 4 =!= 0)

@@ -279,23 +279,41 @@ object Dedup {
   /** The manifest's frozen band geometry; pre-manifest artifacts
     * (or in-plan [[DedupIndex.fromDocs]] indexes) default to 16×4 —
     * the only geometry that ever existed before the manifest.
-    * Cached per (resolved live path, directory mtime): the manifest
-    * is one row frozen at writeIndex, but reading it is a driver-
-    * blocking Spark job (~0.2 s) that [[readIndex]] would otherwise
-    * pay on EVERY probe. The mtime in the key keeps an in-place
-    * rebuild at a new geometry (writeIndex over the same root — the
-    * spec's 8×8 rebuild) visible without any invalidation hook; a
-    * compaction publishes a NEW generation dir, so its live path
-    * changes by itself. */
+    * Cached per (resolved live path, CONTENT HASH of the manifest's
+    * data files): the manifest is one row frozen at writeIndex, but
+    * reading it through Spark is a driver-blocking job (~0.2 s) that
+    * [[readIndex]] would otherwise pay on EVERY probe. The key hashes
+    * the raw file bytes (the manifest is ~1 KB — one metadata RPC +
+    * one tiny read, orders cheaper than the job), so an in-place
+    * rebuild at a new geometry is visible even when it lands within
+    * the filesystem's mtime granularity (1 s on several Hadoop
+    * filesystems — an mtime-keyed cache would sign deltas at the OLD
+    * width against NEW postings, and bands from two widths never
+    * meet: every near-dup silently accepted). Bounded: cleared at
+    * 1024 entries (reached only by pathological manifest churn). */
   private val manifestCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long), (Int, Int)]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String), (Int, Int)]()
 
   private[graft] def manifestWidth(s: org.apache.spark.sql.SparkSession,
       root: String): (Int, Int) =
     if (artifactExists(root, "manifest")) {
       val live = livePath(root, "manifest").toString
       val (fs, p) = hadoopFs(live)
-      val key = (live, fs.getFileStatus(p).getModificationTime)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      fs.listStatus(p).sortBy(_.getPath.getName).foreach { st =>
+        if (st.isFile && st.getLen > 0 &&
+            !st.getPath.getName.startsWith("_")) {
+          md.update(st.getPath.getName.getBytes("UTF-8"))
+          val in = fs.open(st.getPath)
+          try {
+            val buf = new Array[Byte](8192)
+            var n = in.read(buf)
+            while (n > 0) { md.update(buf, 0, n); n = in.read(buf) }
+          } finally in.close()
+        }
+      }
+      val key = (live, md.digest().map("%02x".format(_)).mkString)
+      if (manifestCache.size > 1024) manifestCache.clear()
       manifestCache.computeIfAbsent(key, { _ =>
         val r = s.read.parquet(live)
           .select("bands", "rows_per_band").head()

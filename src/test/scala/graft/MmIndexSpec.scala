@@ -145,22 +145,34 @@ class MmIndexSpec extends SparkSpec {
     assert(healed.length == 30 && healed.toSet == want)
   }
 
-  test("probe plan decodes ONLY the delta: the index side contributes " +
-      "the sig parquet scan, no payload column, no media re-decode") {
+  test("probe plan decodes ONLY the delta: the rejection plan's file " +
+      "relations are the sig parquet, no payload column; the accepted " +
+      "plan rides the snapshot ledger (no file scan at all)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_mmix4").toString
     MmIndex.writeIndex(lake(1L to 20L), dir)
-    val probe = MmIndex.incrementalAccept(
-      MmIndex.readIndex(spark, dir), lake(21L to 30L))
-    val scans = probe.queryExecution.sparkPlan.collect {
+    val delta = lake(21L to 30L)
+    // the rejection subtree (what the checkpointed ledger computes):
+    // every FILE relation is the persisted sig artifact (the delta
+    // here is a local relation, as a micro-batch is); at 100 TB the
+    // absent scan is the media lake's payload — indexed media bytes
+    // are read zero times per probe
+    val rej = MmIndex.rejectionPlan(MmIndex.readIndex(spark, dir),
+      MmIndex.signatures(spark, delta))
+    val rejScans = rej.queryExecution.sparkPlan.collect {
       case s: org.apache.spark.sql.execution.FileSourceScanExec => s
     }
-    // every FILE relation in the probe plan is the persisted sig
-    // artifact (the delta here is a local relation, as a micro-batch
-    // is); at 100 TB the absent scan is the media lake's payload —
-    // indexed media bytes are read zero times per probe
-    assert(scans.nonEmpty)
-    assert(scans.forall(_.relation.location.rootPaths
+    assert(rejScans.nonEmpty)
+    assert(rejScans.forall(_.relation.location.rootPaths
       .forall(_.toString.contains(dir))))
-    assert(!scans.exists(_.requiredSchema.fieldNames.contains("payload")))
+    assert(!rejScans.exists(_.requiredSchema.fieldNames.contains("payload")))
+    // the production probe consumes that subtree through a
+    // checkpointed ledger: its own lazy plan touches NO files (delta
+    // signatures and the rejection set are each computed once, shared
+    // across the accepted-media and accepted-signature outputs)
+    val probe = MmIndex.incrementalAccept(
+      MmIndex.readIndex(spark, dir), delta)
+    assert(probe.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.isEmpty)
   }
 }

@@ -260,4 +260,27 @@ class PqIndexSpec extends SparkSpec {
     assert(codesOf(staleIx) == staleBefore,
       "post-refresh append leaked into the stale generation")
   }
+
+  test("refresh carries pending tombstones: an erased vector is not " +
+      "resurrected into the retrained generation") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pqreft").toString
+    val all = randVecs(0L until 60L)
+    PqIndex.writeIndex(all.filter(col("vec_id") < 8), dir)
+    PqIndex.appendIndex(dir, all.filter(col("vec_id") >= 8))
+    PqIndex.eraseFromIndex(dir, Seq(42L).toDF("vec_id"))
+    assert(PqIndex.readIndex(spark, dir).codes
+      .filter(col("vec_id") === 42L).count() == 0)
+    val gen = PqIndex.refreshIndex(spark, dir, all)
+    // the retrained generation holds no trace of the erased vector —
+    // in the RAW codes artifact, not just a tomb-filtered view (the
+    // refresh rebuilds the per-vector record, so a raw-source retrain
+    // would have silently undone the erasure)
+    assert(spark.read.parquet(
+        graft.text.Dedup.livePath(gen, "codes").toString)
+      .filter(col("vec_id") === 42L).count() == 0)
+    assert(PqIndex.readIndex(spark, dir).codes.count() == 59 * Pq.M)
+    // ...and the erased vector is also absent from the training set:
+    // the new generation needs no tomb artifact at all
+    assert(!graft.text.Dedup.artifactExists(gen, "tomb"))
+  }
 }
