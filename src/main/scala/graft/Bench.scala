@@ -180,6 +180,7 @@ object Bench {
         "mm_index" -> (() => multimodal.MultimodalQueries.stagedMmIndexPath(spark, sfDir)),
         "mm_erase" -> (() => multimodal.MultimodalQueries.stagedMmErasePath(spark, sfDir)),
         "mm_repair" -> (() => multimodal.MultimodalQueries.stagedMmRepairPath(spark, sfDir)),
+        "emb_rebuild" -> (() => sim.EmbIndexQueries.stagedEmbRebuildPath(spark, sfDir)),
         "pq_refresh" -> (() => sim.PqIndexQueries.stagedPqRefreshPath(spark, sfDir)))
       val ecStage = ExecutionContext.fromExecutorService(
         Executors.newFixedThreadPool(6))
@@ -315,7 +316,7 @@ object Bench {
       // once build on first touch; the erase/refresh lifecycles their
       // one-time stage
       "mm_index_build", "mm_incremental", "mm_index_erase",
-      "mm_index_repair", "pq_index_refresh")
+      "mm_index_repair", "pq_index_refresh", "emb_index_rebuild")
     val batchQs = batchQs0.sortBy(q => if (heavyFirst(q.name)) 0 else 1)
     val wall0 = System.nanoTime()
     // Each headline query runs three times back-to-back; the reported

@@ -98,7 +98,7 @@ object EmbIndex {
 
   /** The manifest row: (bits, width_clamped, max_bucket, n_base). */
   def readManifest(s: SparkSession, root: String): (Int, Boolean, Int, Long) = {
-    val r = s.read.parquet(s"$root/manifest")
+    val r = s.read.parquet(s"${graft.io.ModelGens.liveRoot(root)}/manifest")
       .select("bits", "width_clamped", "max_bucket", "n_base").head()
     (r.getInt(0), r.getBoolean(1), r.getInt(2), r.getLong(3))
   }
@@ -112,11 +112,12 @@ object EmbIndex {
     * DEDUPLICATION of retried appends ([[repairIndex]]); appends grow
     * the live generation in place. */
   def readIndex(s: SparkSession, root: String): EmbeddingIndex = {
-    val (bits, clamped, guard, _) = readManifest(s, root)
-    val vecs = s.read.parquet(vecsLive(root))
-    val post = s.read.parquet(graft.text.Dedup.livePath(root, "post").toString)
+    val mr = graft.io.ModelGens.liveRoot(root)
+    val (bits, clamped, guard, _) = readManifest(s, mr)
+    val vecs = s.read.parquet(vecsLive(mr))
+    val post = s.read.parquet(graft.text.Dedup.livePath(mr, "post").toString)
     val (v, p) =
-      if (graft.text.Dedup.artifactExists(root, "tomb")) {
+      if (graft.text.Dedup.artifactExists(mr, "tomb")) {
         // tombstone-aware open: erased vectors are anti-joined out of
         // the record of truth AND the probe side, so from the erase
         // call onward a tombstoned vector can neither reject a delta
@@ -126,17 +127,18 @@ object EmbIndex {
         // UNFILTERED until compaction: occupancy that still counts
         // erased members only over-guards (drops hot buckets sooner) —
         // the conservative direction.
-        val tomb = broadcast(s.read.parquet(tombLive(root)).select("vec_id"))
+        val tomb = broadcast(s.read.parquet(tombLive(mr)).select("vec_id"))
         (vecs.join(tomb, Seq("vec_id"), "left_anti"),
           post.join(tomb, Seq("vec_id"), "left_anti"))
       } else (vecs, post)
     EmbeddingIndex(v, p,
-      s.read.parquet(graft.text.Dedup.livePath(root, "bk").toString),
+      s.read.parquet(graft.text.Dedup.livePath(mr, "bk").toString),
       bits, clamped, guard)
   }
 
   private def tombLive(root: String): String =
-    graft.text.Dedup.livePath(root, "tomb").toString
+    graft.text.Dedup.livePath(
+      graft.io.ModelGens.liveRoot(root), "tomb").toString
 
   /** Top-k SERVING from the persisted band index — the query a
     * vector-store user runs against a loaded index (the band family's
@@ -220,7 +222,8 @@ object EmbIndex {
     * the physical rewrite is deferred to [[compactIndexStats]], where
     * it rides the maintenance pass the sidecar needs anyway. */
   def eraseFromIndex(root: String, ids: DataFrame): Unit =
-    graft.text.Dedup.appendTombstones(root, ids.select(col("vec_id")))
+    graft.text.Dedup.appendTombstones(
+      graft.io.ModelGens.liveRoot(root), ids.select(col("vec_id")))
 
   /** Maintenance pass — the embedding twin of
     * [[graft.text.Dedup.compactIndexStats]], plus tombstone purge:
@@ -245,7 +248,8 @@ object EmbIndex {
     * and intentionally untouched — the frozen WIDTH is the contract,
     * and erasure shrinks a corpus, never grows it past the width's
     * density point. */
-  def compactIndexStats(s: SparkSession, root: String): Unit = {
+  def compactIndexStats(s: SparkSession, root0: String): Unit = {
+    val root = graft.io.ModelGens.liveRoot(root0)
     val hasTomb = graft.text.Dedup.artifactExists(root, "tomb") &&
       s.read.parquet(tombLive(root)).limit(1).count() > 0
     if (hasTomb) {
@@ -287,7 +291,8 @@ object EmbIndex {
     * append leaves duplicate vec_id rows — so consumers resolve
     * through the same generation machinery as post/bk. */
   private[graft] def vecsLive(root: String): String =
-    graft.text.Dedup.livePath(root, "vecs").toString
+    graft.text.Dedup.livePath(
+      graft.io.ModelGens.liveRoot(root), "vecs").toString
 
   /** Repairs a torn append (the crash-recovery half of the append
     * contract — the text index's [[graft.text.Dedup.repairIndex]]
@@ -308,7 +313,8 @@ object EmbIndex {
     * so direct `vecs` consumers (emb_index_build's content gate)
     * heal too, not just the probe path. Returns true iff a repair
     * was performed; a second call is a detected no-op. */
-  def repairIndex(s: SparkSession, root: String): Boolean = {
+  def repairIndex(s: SparkSession, root0: String): Boolean = {
+    val root = graft.io.ModelGens.liveRoot(root0)
     // The OTHER tear class: a fully-landed append retried end-to-end
     // duplicates a delta's rows in ALL THREE artifacts — post/bk heal
     // below via the count compare, but `vecs` is what emb_index_build
@@ -361,8 +367,9 @@ object EmbIndex {
     * derived from the index being grown must not re-screen against
     * the half-grown index), and `vecs` — the record of truth — lands
     * LAST (see the crash contract above). */
-  def appendIndex(root: String, accepted: DataFrame): Unit = {
+  def appendIndex(root0: String, accepted: DataFrame): Unit = {
     val s = accepted.sparkSession
+    val root = graft.io.ModelGens.liveRoot(root0)
     val (bits, _, _, _) = readManifest(s, root)
     val (fs, r) = graft.text.Dedup.hadoopFs(root)
     val scratch = new org.apache.hadoop.fs.Path(
@@ -382,6 +389,62 @@ object EmbIndex {
       s.catalog.refreshByPath(bkLive)
       s.catalog.refreshByPath(vLive)
     } finally fs.delete(scratch, true)
+  }
+
+  // ── model generations (occupancy-triggered WIDTH REBUILD) ─────────
+  // The band width is sized from the corpus the index was BUILT over
+  // (resolveWidth: more vectors → more hyperplanes → bounded bucket
+  // occupancy), and appends run at that frozen width by contract —
+  // so a corpus that grows far past its build-time count degrades
+  // every bucket's occupancy toward the hot-bucket guard. The
+  // maintenance is a REBUILD at the width the LIVE count resolves,
+  // published as a complete sibling generation under `modelgen<k>`
+  // ([[graft.io.ModelGens]] — the PQ codebook refresh's machinery):
+  // band keys from two widths never meet in a probe, so a rebuild
+  // can no more be an append than a PQ retrain can, and the old
+  // generation stays intact for in-flight readers.
+
+  /** Rebuilds the index at the width the CURRENT corpus resolves,
+    * publishing it as the next model generation. `source` is the raw
+    * embedding corpus (band signs must come from raw floats — the
+    * persisted 1e-6 grid rounds sub-grid magnitudes to zero, which
+    * flips their sign bit); the live generation's pending TOMBSTONES
+    * anti-join it first (the PQ refresh lesson: a rebuild re-derives
+    * the per-vector record, and rebuilding from the raw corpus would
+    * resurrect erased vectors). Returns the new generation root. */
+  def rebuildIndex(s: SparkSession, root: String,
+      source: DataFrame): String = {
+    val mr = graft.io.ModelGens.liveRoot(root)
+    val (_, _, guard, _) = readManifest(s, mr)
+    val src =
+      if (graft.text.Dedup.artifactExists(mr, "tomb"))
+        source.join(broadcast(s.read.parquet(tombLive(mr))
+          .select("vec_id")), Seq("vec_id"), "left_anti")
+      else source
+    val sub = graft.io.ModelGens.nextRoot(root)
+    writeIndex(src, sub, guard)
+    graft.io.ModelGens.commit(sub)
+    sub
+  }
+
+  /** The occupancy-triggered rebuild: fires iff the width the LIVE
+    * corpus count resolves differs from the manifest's frozen width —
+    * the same sizing rule every build uses ([[Similarity
+    * .resolveWidth]]), applied to the tombstone-filtered live count,
+    * so the trigger is exact, cheap (one count over the served view +
+    * a closed form), and quiescent right after a rebuild. Returns the
+    * new generation root when it fired. */
+  def rebuildIfDegraded(s: SparkSession, root: String,
+      source: DataFrame): Option[String] = {
+    val mr = graft.io.ModelGens.liveRoot(root)
+    val (bits, _, guard, _) = readManifest(s, mr)
+    val ix = readIndex(s, mr)
+    val nLive = ix.vecs.count()
+    // minDim from the persisted integer record (array length is
+    // rounding-invariant, unlike the sign bits)
+    val minDim = ix.vecs.agg(min(size(col("qe")))).head().getInt(0)
+    val (want, _) = Similarity.resolveWidth(nLive, minDim, guard)
+    if (want != bits) Some(rebuildIndex(s, root, source)) else None
   }
 
   /** The delta's own index rows feed several plan branches (probe,

@@ -364,9 +364,33 @@ object EmbIndexQueries {
          |WHERE vec_id % 5 = 0 AND vec_id NOT IN (SELECT id FROM rej)
          |ORDER BY part, key""".stripMargin)
 
+  /** Oracle for the WIDTH-REBUILD lifecycle: the rebuilt generation's
+    * full `vecs` payload over the WHOLE corpus at the width the live
+    * count resolves under the scenario's maxBucket = 4 guard
+    * (rendered by graft.Verify at that width via
+    * [[graft.sim.SimQueries.resolvedBandedOracles]], like the rest of
+    * the banded family). */
+  private[graft] def rebuildOracles(bits: Int): Map[String, String] = Map(
+    "emb_index_rebuild" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+         |          FROM embeddings),
+         |q AS (SELECT vec_id, emb,
+         |        list_transform(emb, x -> CAST(round(x * 1e6) AS BIGINT)) AS qe
+         |      FROM e)
+         |SELECT vec_id,
+         |       CAST(list_sum(list_transform(qe, x -> x * x)) AS BIGINT) AS na,
+         |       CAST(list_sum(list_transform(range($bits),
+         |         i -> CASE WHEN emb[i+1] > 0 THEN 1<<i ELSE 0 END))
+         |         AS BIGINT) AS b0_mask,
+         |       CAST(list_sum(list_transform(range($bits),
+         |         i -> CASE WHEN emb[$bits+i+1] > 0 THEN 1<<i ELSE 0 END))
+         |         AS BIGINT) AS b1_mask,
+         |       CAST($bits AS BIGINT) AS bits
+         |FROM q ORDER BY vec_id""".stripMargin)
+
   private lazy val gateOracles =
     indexOracles(8) ++ repairOracles(8) ++ appendOracles(8) ++
-      compactOracles(8) ++ eraseOracles(8)
+      compactOracles(8) ++ eraseOracles(8) ++ rebuildOracles(9)
 
   def queries: Seq[Q] = Seq(
     // PHASE 1: build & persist the base corpus's band index. The
@@ -375,6 +399,34 @@ object EmbIndexQueries {
     // resolved width — so the persisted payload is hash-gated, not
     // just staged. One projection pass over the base, no shuffle; at
     // 100 TB this runs once and is appended to, never rebuilt.
+    // OCCUPANCY-TRIGGERED WIDTH REBUILD — the band family's refresh
+    // lifecycle (text: geometry as a manifest parameter; PQ:
+    // distortion-triggered codebook retrain): the staged scenario
+    // builds over a twentieth of the corpus at a tight occupancy
+    // guard, appends the rest at that frozen width (occupancy
+    // degrades ~20× past the design point), and
+    // EmbIndex.rebuildIfDegraded fires — the width the LIVE
+    // tombstone-filtered count resolves differs from the manifest's —
+    // re-deriving the index at the wider geometry as model generation
+    // 1, with generation 0 intact for in-flight readers. Output = the
+    // rebuilt generation's full vecs payload; the oracle recomputes
+    // every norm and band mask from raw embeddings AT THE REBUILT
+    // WIDTH (graft.Verify renders it from the corpus count), so a
+    // rebuild that kept the stale width — or resolved a different
+    // one — hash-mismatches every row.
+    Q("emb_index_rebuild",
+      Some(gateOracles("emb_index_rebuild")),
+      (s, d) => {
+        val root = stagedEmbRebuildPath(s, d)
+        val (bits, _, _, _) = EmbIndex.readManifest(s, root)
+        s.read.parquet(EmbIndex.vecsLive(root))
+          .select(col("vec_id"), col("na"),
+            col("bands").getItem(0).getField("mask").as("b0_mask"),
+            col("bands").getItem(1).getField("mask").as("b1_mask"),
+            lit(bits.toLong).as("bits"))
+          .orderBy("vec_id")
+      }),
+
     Q("emb_index_build",
       Some(gateOracles("emb_index_build")),
       (s, d) => {
@@ -540,6 +592,36 @@ object EmbIndexQueries {
     stageOnce("graft_emb_index_", dir) { root =>
       EmbIndex.writeIndex(
         embeddings(s, dir).filter(col("vec_id") % 5 =!= 0), root)
+    }
+
+  /** Stages the `emb_index_rebuild` artifact: the index is built over
+    * the % 20 = 0 twentieth at a TIGHT occupancy guard (maxBucket =
+    * 4 → per-bucket design occupancy 1, so the width tracks the
+    * count closely at every SF), the other nineteen twentieths append
+    * at that frozen width — occupancy degrades ~20× past the design
+    * point — and the occupancy-triggered rebuild fires, re-deriving
+    * the index at the width the FULL count resolves and publishing it
+    * as model generation 1. The require()s pin the lifecycle: fired
+    * once, generation 0 byte-intact for in-flight readers, trigger
+    * quiescent at the new generation. */
+  private[graft] def stagedEmbRebuildPath(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    stageOnce("graft_emb_rebuild1_", dir) { root =>
+      val emb = embeddings(s, dir)
+      EmbIndex.writeIndex(emb.filter(col("vec_id") % 20 === 0), root,
+        maxBucket = 4)
+      EmbIndex.appendIndex(root, emb.filter(col("vec_id") % 20 =!= 0))
+      val gen0Vecs = graft.text.Dedup.livePath(root, "vecs").toString
+      val before = s.read.parquet(gen0Vecs).count()
+      require(EmbIndex.rebuildIfDegraded(s, root, emb).isDefined,
+        "emb rebuild stage: occupancy trigger did not fire on the " +
+          "twentieth-sized build width")
+      require(EmbIndex.vecsLive(root).contains("modelgen"),
+        "emb rebuild stage: live vecs did not move to the new generation")
+      require(s.read.parquet(gen0Vecs).count() == before,
+        "emb rebuild stage: generation 0 mutated — stale readers broken")
+      require(EmbIndex.rebuildIfDegraded(s, root, emb).isEmpty,
+        "emb rebuild stage: trigger not quiescent at the new generation")
     }
 
   /** Stages the `emb_index_append` multi-day artifact once per

@@ -107,28 +107,12 @@ object PqIndex {
   // ignores — readers stay on the old generation; re-running the
   // refresh writes the next number.
 
-  private val ModelGenPrefix = "modelgen"
-
-  /** The LIVE model generation's root: the highest-numbered COMMITTED
-    * `modelgen<k>` subdir, else `root` itself (generation 0 — the
-    * plain [[writeIndex]] layout). Every public API entry resolves
-    * through this, so callers keep addressing the index by its
-    * stable root. */
-  private[graft] def liveModelRoot(root: String): String = {
-    val (fs, r) = graft.text.Dedup.hadoopFs(root)
-    if (!fs.exists(r)) root
-    else {
-      val gens = fs.listStatus(r).toSeq.map(_.getPath).filter { p =>
-        val n = p.getName
-        n.startsWith(ModelGenPrefix) &&
-          n.length > ModelGenPrefix.length &&
-          n.drop(ModelGenPrefix.length).forall(_.isDigit) &&
-          fs.exists(new org.apache.hadoop.fs.Path(p, "_COMMITTED"))
-      }
-      if (gens.isEmpty) root
-      else gens.maxBy(_.getName.drop(ModelGenPrefix.length).toLong).toString
-    }
-  }
+  /** The LIVE model generation's root ([[graft.io.ModelGens]] — the
+    * machinery is shared with the embedding index's width rebuild).
+    * Every public API entry resolves through this, so callers keep
+    * addressing the index by its stable root. */
+  private[graft] def liveModelRoot(root: String): String =
+    graft.io.ModelGens.liveRoot(root)
 
   /** Retrains codebook + coarse quantizer on `source` (the CURRENT
     * corpus — base plus every appended delta), re-encodes all of it,
@@ -154,16 +138,9 @@ object PqIndex {
             graft.text.Dedup.livePath(mr, "tomb").toString)
           .select("vec_id")), Seq("vec_id"), "left_anti")
       else source
-    val (fs, r) = graft.text.Dedup.hadoopFs(root)
-    val next = fs.listStatus(r).toSeq.map(_.getPath.getName)
-      .filter(n => n.startsWith(ModelGenPrefix) &&
-        n.drop(ModelGenPrefix.length).forall(_.isDigit) &&
-        n.length > ModelGenPrefix.length)
-      .map(_.drop(ModelGenPrefix.length).toLong)
-      .foldLeft(0L)(math.max) + 1
-    val sub = s"$root/$ModelGenPrefix$next"
+    val sub = graft.io.ModelGens.nextRoot(root)
     writeIndex(src, sub)
-    fs.create(new org.apache.hadoop.fs.Path(sub, "_COMMITTED")).close()
+    graft.io.ModelGens.commit(sub)
     sub
   }
 

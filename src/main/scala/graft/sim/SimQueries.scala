@@ -684,6 +684,11 @@ object SimQueries {
     val (ni, dimI) = Similarity.corpusStats(
       embeddings(s, sfDir).filter(col("vec_id") % 4 === 0))
     val (ingBits, _) = Similarity.resolveWidth(ni, dimI, maxBucket = 100)
+    // the rebuild lifecycle's REBUILT width resolves from the FULL
+    // corpus count under the scenario's tight maxBucket = 4 guard
+    // (target occupancy 1) — the width the staged
+    // rebuildIfDegraded publishes
+    val (rebBits, _) = Similarity.resolveWidth(n, minDim, maxBucket = 4)
     bandedOracles(bits, clamped) ++
       EmbIndexQueries.indexOracles(idxBits) ++
       EmbIndexQueries.repairOracles(repBits) ++
@@ -692,7 +697,8 @@ object SimQueries {
       EmbIndexQueries.compactOracles(cmpBits) ++
       // the erase artifact indexes the SAME % 5 ≠ 0 base as
       // emb_index_build (erasure never re-resolves the frozen width)
-      EmbIndexQueries.eraseOracles(idxBits)
+      EmbIndexQueries.eraseOracles(idxBits) ++
+      EmbIndexQueries.rebuildOracles(rebBits)
   }
 
   /** The exact-integer PQ pipeline as DuckDB CTEs — the ONE

@@ -319,4 +319,43 @@ class EmbIndexSpec extends SparkSpec {
         s"batched vs single serving diverged for query $qid")
     }
   }
+
+  test("width rebuild: occupancy fires the trigger, the rebuilt index " +
+      "publishes as a new model generation at the wider width, a STALE " +
+      "reader keeps hash-identical results, and pending tombstones are " +
+      "not resurrected") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_embreb").toString
+    val all = randVecs(0L until 600L, 64)
+    // build on a 30-vector bootstrap at a tight guard → 8-bit floor;
+    // the full 600 resolve 10 bits under maxBucket = 4
+    EmbIndex.writeIndex(all.filter(col("vec_id") < 30), dir, maxBucket = 4)
+    EmbIndex.appendIndex(dir, all.filter(col("vec_id") >= 30))
+    val (bits0, _, _, _) = EmbIndex.readManifest(spark, dir)
+    // erase one vector BEFORE the rebuild — it must not come back
+    EmbIndex.eraseFromIndex(dir, Seq(123L).toDF("vec_id"))
+    // a reader bound to generation 0 before the rebuild
+    val staleIx = EmbIndex.readIndex(spark, dir)
+    def vecsOf(ix: EmbIndex.EmbeddingIndex) = ix.vecs
+      .select("vec_id", "na").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val staleBefore = vecsOf(staleIx)
+    val fired = EmbIndex.rebuildIfDegraded(spark, dir, all)
+    assert(fired.exists(_.contains("modelgen1")))
+    val (bits1, _, _, _) = EmbIndex.readManifest(spark, dir)
+    assert(bits1 > bits0, s"rebuild kept width $bits0 -> $bits1")
+    // the rebuilt generation's RAW vecs hold no trace of the erased
+    // vector (tombstones carried into the rebuild source)
+    assert(spark.read.parquet(EmbIndex.vecsLive(dir))
+      .filter(col("vec_id") === 123L).count() == 0)
+    assert(EmbIndex.readIndex(spark, dir).vecs.count() == 599)
+    // the stale reader, re-collected after the rebuild, is unchanged
+    assert(vecsOf(staleIx) == staleBefore)
+    // quiescent after the rebuild
+    assert(EmbIndex.rebuildIfDegraded(spark, dir, all).isEmpty)
+    // appends land in the NEW generation at ITS width
+    EmbIndex.appendIndex(dir, randVecs(9000L until 9010L, 64))
+    assert(EmbIndex.readIndex(spark, dir).vecs.count() == 609)
+    assert(vecsOf(staleIx) == staleBefore,
+      "post-rebuild append leaked into the stale generation")
+  }
 }
