@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Persisted multimodal perceptual-hash index [EXT] — the media
@@ -223,6 +223,130 @@ object MmIndex {
       .filter(col("doc_id") > col("__m"))
       .select("doc_id")
     vsIndex.unionByName(intraDelta)
+  }
+
+  // ── near-duplicate (Hamming-tolerance) probing ─────────────────────
+  // Exact signature equality only catches deterministic re-encodes; on
+  // real media a resized/re-encoded copy of the same picture lands a
+  // few aHash bits away. The tolerance layer reuses the text family's
+  // pigeonhole bands over the 64-bit fingerprint: 4 disjoint 16-bit
+  // bands — maxDist ≤ 3 differing bits touch at most 3 of the 4, so
+  // every qualifying pair collides in ≥ 1 INTACT band and the banded
+  // candidate set is COMPLETE (MmIndexSpec pins band-probe ≡
+  // brute-force Hamming); candidates are then verified by exact
+  // Hamming distance (bit_count of the XOR, both halves).
+
+  /** The four 16-bit pigeonhole band keys of a signature frame — one
+    * exploded (band, bv) struct per band, keyed with media_type (a
+    * visual band must not meet an audio band). phash_hi carries bits
+    * 32..63 in its low 32 bits, so bands 0/1 slice the lo half and
+    * 2/3 the hi half. */
+  private[graft] def withBands(sig: DataFrame): DataFrame =
+    sig.withColumn("bk", explode(array(
+      struct(lit(0).as("band"),
+        col("phash_lo").bitwiseAND(lit(0xFFFFL)).as("bv")),
+      struct(lit(1).as("band"),
+        shiftrightunsigned(col("phash_lo"), 16)
+          .bitwiseAND(lit(0xFFFFL)).as("bv")),
+      struct(lit(2).as("band"),
+        col("phash_hi").bitwiseAND(lit(0xFFFFL)).as("bv")),
+      struct(lit(3).as("band"),
+        shiftrightunsigned(col("phash_hi"), 16)
+          .bitwiseAND(lit(0xFFFFL)).as("bv")))))
+      .select(col("*"), col("bk.band").as("band"), col("bk.bv").as("bv"))
+      .drop("bk")
+
+  /** Delta doc_ids rejected under NEAR-duplicate semantics: a delta
+    * object is rejected iff some indexed object — or some LOWER-id
+    * delta object — of the same media_type sits within Hamming
+    * `maxDist` of its fingerprint (the mm_incremental convention,
+    * generalized from distance 0; rejection is not sequential — a
+    * rejected delta still blocks its own later near-dups, keeping the
+    * verdict order-independent).
+    *
+    * Scale shape: the index side is never banded into a self-join —
+    * the corpus-sized signature scan streams through the BROADCAST
+    * delta band keys twice: once filtered-then-aggregated for the
+    * hot-bucket guard (the filter runs before the map-side-combinable
+    * count, so no row explosion), once equi-joined for candidates
+    * (output bounded by |delta bands| × guarded occupancy). The guard
+    * drops buckets whose INDEX occupancy exceeds `maxBucket` — a mass
+    * that large is an exact-dup cluster sharing all four bands, the
+    * text family's escalation territory; it never fires on the test
+    * corpora (MmIndexSpec pins the default-guard probe ≡ brute force
+    * there). Verification is a codegen'd bit_count over the XOR —
+    * 16 bytes per candidate, never payloads; media decode happens
+    * zero times in this plan (`dSig` arrives pre-fingerprinted). */
+  private[graft] def nearRejectionPlan(ixSig: DataFrame, dSig: DataFrame,
+      maxDist: Int = 3, maxBucket: Long = 100000L): DataFrame = {
+    require(maxDist <= 3,
+      s"4x16 banding is complete only to Hamming 3, got $maxDist")
+    val key = Seq("media_type", "band", "bv")
+    def hamming(hiA: Column, loA: Column, hiB: Column, loB: Column) =
+      bit_count(hiA.bitwiseXOR(hiB)) + bit_count(loA.bitwiseXOR(loB))
+    val dB = withBands(dSig)
+    val ixB = withBands(ixSig)
+      .select(col("media_type"), col("band"), col("bv"),
+        col("doc_id").as("__id_b"), col("phash_hi").as("__hi_b"),
+        col("phash_lo").as("__lo_b"))
+    val dKeys = dB.select(key.map(col): _*).distinct()
+    val hot = ixB.join(broadcast(dKeys), key, "left_semi")
+      .groupBy(key.map(col): _*).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxBucket).select(key.map(col): _*)
+    // `hot` is bounded by the delta's own band-key count, so it rides
+    // the same broadcast tier as the keys themselves
+    val okD = dB.join(broadcast(hot), key, "left_anti")
+    val vsIndex = ixB.join(broadcast(okD), key)
+      .filter(hamming(col("__hi_b"), col("__lo_b"),
+        col("phash_hi"), col("phash_lo")) <= maxDist)
+      .select("doc_id")
+    val lower = dB.select(col("media_type"), col("band"), col("bv"),
+      col("doc_id").as("__id_b"), col("phash_hi").as("__hi_b"),
+      col("phash_lo").as("__lo_b"))
+    val intraDelta = dB.join(broadcast(lower), key)
+      .filter(col("__id_b") < col("doc_id") &&
+        hamming(col("__hi_b"), col("__lo_b"),
+          col("phash_hi"), col("phash_lo")) <= maxDist)
+      .select("doc_id")
+    // consumers anti-join / distinct; multi-band collisions may emit
+    // a doc_id up to 4 times, bounded and harmless
+    vsIndex.unionByName(intraDelta)
+  }
+
+  /** Per-delta NEAR-dup verdict report against the persisted index:
+    * (doc_id, media_type, phash_hi, phash_lo, accepted) — one row per
+    * delta object, its decode-once fingerprint, and whether it
+    * survives Hamming-`maxDist` screening against the index and its
+    * lower-id delta peers. The registered-query / serving shape: the
+    * fingerprint columns gate the payload construction end-to-end and
+    * the verdict gates the band+verify plan. The delta's signatures
+    * are computed ONCE (decode is the per-batch cost this index
+    * bounds) and shared by the report row and both rejection branches
+    * via a bounded localCheckpoint, as in [[incrementalAcceptWithSigs]]. */
+  def nearProbeReport(ixSig: DataFrame, deltaMedia: DataFrame,
+      maxDist: Int = 3, maxBucket: Long = 100000L): DataFrame = {
+    val s = deltaMedia.sparkSession
+    val dSig = signatures(s, deltaMedia).localCheckpoint(false)
+    val rej = nearRejectionPlan(ixSig, dSig, maxDist, maxBucket)
+      .distinct().withColumn("__rej", lit(true))
+    dSig.join(broadcast(rej), Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("media_type"),
+        col("phash_hi"), col("phash_lo"),
+        col("__rej").isNull.as("accepted"))
+  }
+
+  /** [[incrementalAcceptWithSigs]]'s near-dup counterpart: accepted
+    * delta rows + their signature rows under Hamming-`maxDist`
+    * semantics — the ingest-loop shape for a tolerance-screened media
+    * stream. */
+  def nearAcceptWithSigs(ixSig: DataFrame, deltaMedia: DataFrame,
+      maxDist: Int = 3, maxBucket: Long = 100000L): (DataFrame, DataFrame) = {
+    val s = deltaMedia.sparkSession
+    val dSig = signatures(s, deltaMedia).localCheckpoint(false)
+    val rejected = nearRejectionPlan(ixSig, dSig, maxDist, maxBucket)
+      .localCheckpoint(false)
+    (deltaMedia.join(rejected, Seq("doc_id"), "left_anti"),
+      dSig.join(rejected, Seq("doc_id"), "left_anti"))
   }
 
   /** Appends ALREADY-COMPUTED signature rows (the probe's accepted

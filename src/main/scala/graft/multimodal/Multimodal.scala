@@ -982,6 +982,82 @@ object Multimodal {
       }
   }
 
+  /** PLANTED near-duplicate media — the probe corpus for the mm
+    * index's Hamming-tolerance layer ([[MmIndex.nearRejectionPlan]]):
+    * for every % 5 = 0 doc (the delta population) whose successor
+    * doc_id + 1 exists in `docs`, a REAL payload whose perceptual hash
+    * sits at a CONTROLLED Hamming distance from the successor's — and
+    * the successor is ALWAYS indexed (doc_id + 1 ≡ 1 mod 5, inside the
+    * % 5 ≠ 0 index population), so every planted pair spans the
+    * delta/index boundary.
+    *
+    * Construction: decode the source object once through the
+    * production signature kernels ([[MmIndex.signatures]]), flip
+    * doc_id % 6 DISTINCT fingerprint bits (positions
+    * (7·doc_id + 13·j) % 64 — distinct for j < 6 since gcd(13, 64) =
+    * 1), and encode a payload that aHashes to exactly the flipped
+    * target: at 8×8 every aHash cell picks its own pixel/sample
+    * (cell i reads unit i when w = h = 8 or n = 64), and 0/255 cells
+    * threshold strictly against their mean to the chosen pattern
+    * (255·64 > 255·k for every k < 64 set bits; 0·64 > s never; an
+    * all-ones target would round-trip to 0 — the oracle mirrors the
+    * construction by re-packing the constructed cells through the one
+    * threshold kernel, so even that corner cannot diverge; on these
+    * formulas source hashes sit near 32 set bits and never reach it).
+    * Planted distances are therefore doc_id % 6 ∈ {0..5}: re-encode-
+    * grade copies both INSIDE (≤ 3) and OUTSIDE (4, 5) the probe's
+    * tolerance, so accept and reject are both exercised. The payloads
+    * are genuine containers (BMP / WAV / 1-frame AVI) decoded by the
+    * SAME real codecs as every other media query; the delta row's
+    * media_type is the SOURCE's modality — a near-dup of an audio
+    * object is an audio object. */
+  def synthNearDupMediaTable(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val srcMedia = docs.filter(col("doc_id") % 5 === 0).select(col("doc_id"))
+      .join(docs.select((col("doc_id") - 1).as("doc_id"),
+          col("doc_id").as("__src"), col("n_chars").as("__nc")),
+        Seq("doc_id"))
+      .as[(Long, Long, Long)]
+      .mapPartitions { rows =>
+        // the SOURCE payload keyed by the DELTA's id: one decode pass
+        // through the production kernels below yields the source hash
+        // already labeled with the delta row it seeds
+        rows.map { case (id, src, nc) =>
+          val mt = (src % 3) match {
+            case 0 => "image"; case 1 => "audio"; case _ => "video"
+          }
+          (id, mt, SynthMedia.payload(src, "", nc))
+        }
+      }
+      .toDF("doc_id", "media_type", "payload")
+    MmIndex.signatures(spark, srcMedia)
+      .select(col("doc_id"), col("media_type"),
+        col("phash_hi"), col("phash_lo"))
+      .as[(Long, String, Long, Long)]
+      .mapPartitions { rows =>
+        rows.map { case (id, mt, hi, lo) =>
+          val full = (hi << 32) | lo // two 32-bit halves → one 64-bit
+          val k = (id % 6).toInt
+          var mask = 0L
+          var j = 0
+          while (j < k) {
+            mask |= 1L << ((7 * id + 13 * j) % 64).toInt
+            j += 1
+          }
+          val t = full ^ mask
+          def bit(i: Int): Int = if (((t >>> i) & 1L) == 1L) 255 else 0
+          val payload = mt match {
+            case "image" => BmpCodec.encode(8, 8, (x, y) => bit(y * 8 + x))
+            case "audio" => WavCodec.encode(Array.tabulate(64)(bit), 8000)
+            case _ => AviCodec.encode(8, 8, 1, SynthMedia.VideoFps,
+              (_, x, y) => bit(y * 8 + x))
+          }
+          (id, mt, payload)
+        }
+      }
+      .toDF("doc_id", "media_type", "payload")
+  }
+
   final case class ResizedMedia(
       doc_id: Long, width: Long, height: Long,
       out_w: Long, out_h: Long, n_out_bytes: Long, checksum: Long)

@@ -87,6 +87,19 @@ object MultimodalQueries {
       |           THEN 1<<i ELSE 0 END)) AS BIGINT) AS phash_lo
       |  FROM c2)""".stripMargin
 
+  /** The PLANTED near-dup probe lake
+    * ([[Multimodal.synthNearDupMediaTable]]): one payload per % 5 = 0
+    * doc at a controlled Hamming distance (doc_id % 6 ∈ 0..5 flipped
+    * fingerprint bits) from its doc_id + 1 successor — which is always
+    * in the % 5 ≠ 0 index population. Staged once per testdata
+    * generation, the mm_index_probe delta. */
+  private[graft] def stagedNearDupPath(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    graft.text.DedupQueries.stageOnce("graft_mm_neardup1_", dir) { root =>
+      Multimodal.synthNearDupMediaTable(s, documents(s, dir))
+        .write.mode("overwrite").parquet(s"$root/media")
+    }
+
   /** The MJPG lake — the compressed-format twin of the video slice of
     * the media lake ([[Multimodal.synthMjpgTable]]), staged once per
     * testdata generation. */
@@ -439,6 +452,76 @@ object MultimodalQueries {
             lit(0L).as("phash_lo"))
         part1.unionByName(part2).orderBy("part", "doc_id")
       }),
+
+    // NEAR-DUP (Hamming ≤ 3) probing through the persisted signature
+    // index — the tolerance layer exact equality can't give: on real
+    // media, re-encoded/resized copies land a few aHash bits apart.
+    // Delta = the PLANTED near-dup lake (real BMP/WAV/AVI payloads
+    // constructed doc_id % 6 fingerprint bits from an always-indexed
+    // source object — distances 0..5, so both sides of the ≤ 3
+    // tolerance are exercised); the probe band-buckets the persisted
+    // signatures through the 4×16-bit pigeonhole bands (complete for
+    // Hamming ≤ 3 — MmIndexSpec pins band ≡ brute force) and verifies
+    // candidates by exact bit_count Hamming. Output = per delta object
+    // its decode-once fingerprint (gating the planted construction
+    // end-to-end) and the accept/reject verdict (gating the band +
+    // verify plan); the oracle recomputes source hashes from the
+    // closed pixel/sample forms, mirrors the mask + 0/255-cell
+    // construction through the one threshold/pack kernel, and
+    // brute-forces Hamming ≤ 3 against index and lower-id peers.
+    Q("mm_index_probe",
+      Some(s"""WITH $mmSigCte,
+             |ix AS (SELECT * FROM p WHERE doc_id % 5 <> 0),
+             |ds AS (SELECT d.doc_id AS doc_id, b.media_type,
+             |         b.phash_hi AS s_hi, b.phash_lo AS s_lo,
+             |         CAST(d.doc_id % 6 AS BIGINT) AS k
+             |       FROM documents d JOIN p b ON b.doc_id = d.doc_id + 1
+             |       WHERE d.doc_id % 5 = 0),
+             |dm AS (SELECT doc_id, media_type,
+             |         xor(s_hi, CAST(coalesce(list_sum(
+             |           list_transform(range(k), j ->
+             |             CASE WHEN (7 * doc_id + 13 * j) % 64 >= 32
+             |                  THEN 1 << ((7 * doc_id + 13 * j) % 64 - 32)
+             |                  ELSE 0 END)), 0) AS BIGINT)) AS t_hi,
+             |         xor(s_lo, CAST(coalesce(list_sum(
+             |           list_transform(range(k), j ->
+             |             CASE WHEN (7 * doc_id + 13 * j) % 64 < 32
+             |                  THEN 1 << ((7 * doc_id + 13 * j) % 64)
+             |                  ELSE 0 END)), 0) AS BIGINT)) AS t_lo
+             |       FROM ds),
+             |dc AS (SELECT doc_id, media_type,
+             |         list_transform(range(64), i ->
+             |           CASE WHEN (CASE WHEN i < 32 THEN (t_lo >> i) & 1
+             |                      ELSE (t_hi >> (i - 32)) & 1 END) = 1
+             |                THEN 255 ELSE 0 END) AS cells
+             |       FROM dm),
+             |dc2 AS (SELECT doc_id, media_type, cells,
+             |          list_sum(cells) AS s FROM dc),
+             |dp AS (SELECT doc_id, media_type,
+             |         CAST(list_sum(list_transform(range(32),
+             |           i -> CASE WHEN cells[i+33] * 64 > s
+             |                THEN 1<<i ELSE 0 END)) AS BIGINT) AS phash_hi,
+             |         CAST(list_sum(list_transform(range(32),
+             |           i -> CASE WHEN cells[i+1] * 64 > s
+             |                THEN 1<<i ELSE 0 END)) AS BIGINT) AS phash_lo
+             |       FROM dc2),
+             |rej AS (SELECT DISTINCT d.doc_id FROM dp d JOIN ix b
+             |          ON d.media_type = b.media_type
+             |         AND bit_count(xor(d.phash_hi, b.phash_hi))
+             |           + bit_count(xor(d.phash_lo, b.phash_lo)) <= 3
+             |        UNION
+             |        SELECT DISTINCT d.doc_id FROM dp d JOIN dp b
+             |          ON d.media_type = b.media_type
+             |         AND b.doc_id < d.doc_id
+             |         AND bit_count(xor(d.phash_hi, b.phash_hi))
+             |           + bit_count(xor(d.phash_lo, b.phash_lo)) <= 3)
+             |SELECT doc_id, media_type, phash_hi, phash_lo,
+             |       doc_id NOT IN (SELECT doc_id FROM rej) AS accepted
+             |FROM dp ORDER BY doc_id""".stripMargin),
+      (s, d) => MmIndex.nearProbeReport(
+          MmIndex.readIndex(s, stagedMmIndexPath(s, d)),
+          s.read.parquet(stagedNearDupPath(s, d) + "/media"))
+        .orderBy("doc_id")),
 
     // TORN-APPEND REPAIR for the media index — completing the repair
     // column of the four-family matrix (text: dedup_index_repair;

@@ -440,6 +440,10 @@ object EmbIndex {
     val (bits, _, guard, _) = readManifest(s, mr)
     val ix = readIndex(s, mr)
     val nLive = ix.vecs.count()
+    // every vector tombstoned → the min-dim aggregate below is null:
+    // an empty index has no geometry to re-resolve, so the trigger is
+    // an explicit no-op rather than an NPE
+    if (nLive == 0) return None
     // minDim from the persisted integer record (array length is
     // rounding-invariant, unlike the sign bits)
     val minDim = ix.vecs.agg(min(size(col("qe")))).head().getInt(0)

@@ -154,14 +154,24 @@ object PqIndex {
   def refreshIfDrifted(s: SparkSession, root: String, source: DataFrame,
       num: Long = 11, den: Long = 10): Option[String] = {
     val mr = liveModelRoot(root)
-    val base = s.read.parquet(s"$mr/manifest")
-      .select("base_d2_sum", "base_d2_n").head()
+    val manifest = s.read.parquet(s"$mr/manifest")
+    // a generation persisted before the baseline columns existed has
+    // no drift reference — refreshing ONCE (explicit policy, not an
+    // AnalysisException) publishes a generation that carries one, so
+    // the trigger self-heals on legacy artifacts
+    if (!manifest.columns.contains("base_d2_sum"))
+      return Some(refreshIndex(s, root, source))
+    val base = manifest.select("base_d2_sum", "base_d2_n").head()
     // drift is measured over the SERVED codes — readIndex's
     // tombstone-filtered view — not the raw artifact: pending
     // erasures are leaving the corpus, so their distortion must not
     // be what trips a retrain
     val live = readIndex(s, root).codes
       .agg(sum(col("d2")).as("s"), count(lit(1)).as("n")).head()
+    // every vector tombstoned → sum() is null: no served mass means
+    // no drift signal, so the trigger stays quiet (the next append or
+    // an explicit refresh re-establishes one)
+    if (live.isNullAt(0)) return None
     val drifted = BigInt(live.getLong(0)) * base.getLong(1) * den >
       BigInt(base.getLong(0)) * live.getLong(1) * num
     if (drifted) Some(refreshIndex(s, root, source)) else None

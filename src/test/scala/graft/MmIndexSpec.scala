@@ -145,6 +145,82 @@ class MmIndexSpec extends SparkSpec {
     assert(healed.length == 30 && healed.toSet == want)
   }
 
+  test("near-dup band probe ≡ brute-force Hamming ≤ 3: pigeonhole " +
+      "completeness over planted distances 0..7, media_type keying, " +
+      "intra-delta lower-id blocking") {
+    // deterministic 64-bit mixer (splitmix64 finalizer) — no RNG state
+    def h64(x: Long): Long = {
+      var z = x + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    def mt(i: Long) = Seq("image", "audio", "video")((i % 3).toInt)
+    def flip(f: Long, id: Long, k: Int): Long = {
+      var t = f; var j = 0
+      // positions (5·id + 11·j) % 64 are distinct for j < 8
+      while (j < k) { t ^= 1L << ((5 * id + 11 * j) % 64).toInt; j += 1 }
+      t
+    }
+    val ixH = (1L to 60L).map(i => i -> h64(i)).toMap
+    // deltas 103..142 sit at Hamming d % 8 ∈ 0..7 from source d − 102
+    // (≡ d mod 3, so the media_type key matches); 201..220 are fresh;
+    // 145/151 are intra-delta near-dups of 103/109 (same mt, Δ ≡ 0
+    // mod 3) — blocked by a LOWER delta id, not by the index
+    val base: Map[Long, Long] =
+      ((103L to 142L).map(d => d -> flip(ixH(d - 102), d, (d % 8).toInt)) ++
+        (201L to 220L).map(d => d -> h64(d * 7777))).toMap
+    val dh: Map[Long, Long] = base +
+      (145L -> flip(base(103L), 145L, 2)) +
+      (151L -> flip(base(109L), 151L, 1))
+    def split(f: Long) = ((f >>> 32) & 0xFFFFFFFFL, f & 0xFFFFFFFFL)
+    val ixSig = ixH.toSeq.map { case (i, f) =>
+      val (hi, lo) = split(f); (i, mt(i), hi, lo)
+    }.toDF("doc_id", "media_type", "phash_hi", "phash_lo")
+    val dSig = dh.toSeq.map { case (i, f) =>
+      val (hi, lo) = split(f); (i, mt(i), hi, lo)
+    }.toDF("doc_id", "media_type", "phash_hi", "phash_lo")
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val brute = dh.keySet.filter { d =>
+      ixH.exists { case (b, f) => mt(b) == mt(d) && ham(dh(d), f) <= 3 } ||
+        dh.exists { case (d2, f2) =>
+          d2 < d && mt(d2) == mt(d) && ham(dh(d), f2) <= 3 }
+    }
+    val got = MmIndex.nearRejectionPlan(ixSig, dSig)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == brute, s"band=$got brute=$brute")
+    // the boundary is exercised on both sides: distances 0..3 planted
+    // (rejected) and 4..7 planted (these specific pairs don't reject —
+    // unless a chance collision elsewhere does, which brute reflects)
+    assert((103L to 142L).filter(d => d % 8 <= 3).forall(brute.contains))
+    assert(Seq(145L, 151L).forall(brute.contains)) // intra-delta blocks
+    assert(got.size < dh.size && got.nonEmpty)
+  }
+
+  test("planted near-dup lake: every payload decodes to exactly " +
+      "doc_id % 6 fingerprint bits from its always-indexed source") {
+    val docs = (0L to 59L)
+      .map(id => (id, "y" * (id % 9 + 2).toInt, id % 9 + 2))
+      .toDF("doc_id", "text", "n_chars")
+    val srcSig = MmIndex.signatures(spark,
+        Multimodal.synthMediaTable(spark, docs))
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    val ndSig = MmIndex.signatures(spark,
+        Multimodal.synthNearDupMediaTable(spark, docs))
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    // one planted row per % 5 = 0 doc with an existing successor
+    assert(ndSig.keySet == (0L to 55L by 5).toSet)
+    ndSig.foreach { case (d, (dmt, dhi, dlo)) =>
+      val (smt, shi, slo) = srcSig(d + 1)
+      assert(dmt == smt, s"delta $d modality drifted from source")
+      val dist = java.lang.Long.bitCount(dhi ^ shi) +
+        java.lang.Long.bitCount(dlo ^ slo)
+      assert(dist == (d % 6).toInt, s"delta $d: dist $dist != ${d % 6}")
+    }
+  }
+
   test("probe plan decodes ONLY the delta: the rejection plan's file " +
       "relations are the sig parquet, no payload column; the accepted " +
       "plan rides the snapshot ledger (no file scan at all)") {
