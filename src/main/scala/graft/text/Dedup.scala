@@ -480,9 +480,13 @@ object Dedup {
     * first, a crash would leave docs IN the membership record but
     * invisible to the probe — later near-dups of them would be
     * silently accepted. */
-  def appendIndex(root: String, accepted: DataFrame, idCol: String,
+  def appendIndex(root0: String, accepted: DataFrame, idCol: String,
       textCol: String): Unit = {
     val s = accepted.sparkSession
+    // appends land in the LIVE model generation (geometry rebuilds
+    // publish siblings under modelgen<k> — [[rebuildIndex]]; a plain
+    // never-rebuilt root resolves to itself)
+    val root = graft.io.ModelGens.liveRoot(root0)
     // The scratch snapshot lives on the index root's OWN filesystem:
     // executors write it and all three appends read it back, so a
     // driver-local tmpdir would work only in local mode — on a real
@@ -510,7 +514,13 @@ object Dedup {
   /** Opens a persisted three-part index written by [[writeIndex]] /
     * grown by [[appendIndex]] / maintained by [[compactIndexStats]]. */
   def readIndex(s: org.apache.spark.sql.SparkSession,
-      root: String): DedupIndex = {
+      root0: String): DedupIndex = {
+    // resolve the LIVE model generation ONCE and pin the handle to it:
+    // the frames, the geometry, and the memo root all describe the
+    // same generation, so a rebuild published mid-session leaves this
+    // handle hash-identical (stale-reader contract) instead of mixing
+    // widths
+    val root = graft.io.ModelGens.liveRoot(root0)
     val ixRaw = s.read.parquet(ixLive(root))
     // pre-fp artifact compat: indexes written before the fingerprint
     // column derive it in-plan from the persisted shingle sets (same
@@ -534,7 +544,7 @@ object Dedup {
       } else (ix, post)
     val (bands, rows) = manifestWidth(s, root)
     DedupIndex(i, p, s.read.parquet(livePath(root, "bk").toString),
-      bands, rows, Some(contentStamp(root)))
+      bands, rows, Some(root))
   }
 
   /** Content identity of a persisted index root for the probe-verdict
@@ -571,7 +581,7 @@ object Dedup {
     * artifact every [[readIndex]] open anti-joins out. O(|request|)
     * now; the physical rewrite rides the next [[compactIndexStats]]. */
   def eraseFromIndex(root: String, ids: DataFrame): Unit =
-    appendTombstones(root, ids.select(col("id")))
+    appendTombstones(graft.io.ModelGens.liveRoot(root), ids.select(col("id")))
 
   /** The ONE tombstone-append spelling shared by all three index
     * families (text here; [[graft.sim.EmbIndex.eraseFromIndex]] and
@@ -612,7 +622,8 @@ object Dedup {
     * the rest). The record-of-truth parts (`ix`, `post`) are
     * append-only and untouched here. */
   def compactIndexStats(s: org.apache.spark.sql.SparkSession,
-      root: String): Unit = {
+      root0: String): Unit = {
+    val root = graft.io.ModelGens.liveRoot(root0)
     val hasTomb = artifactExists(root, "tomb") &&
       s.read.parquet(livePath(root, "tomb").toString).limit(1).count() > 0
     if (hasTomb) {
@@ -686,7 +697,8 @@ object Dedup {
     * corpus-index-sized derivation — never a corpus TEXT re-read.
     * Same single-writer assumption as every index maintenance op. */
   def repairIndex(s: org.apache.spark.sql.SparkSession,
-      root: String): Boolean = {
+      root0: String): Boolean = {
+    val root = graft.io.ModelGens.liveRoot(root0)
     val (mBands, _) = manifestWidth(s, root)
     def ixDocs = s.read.parquet(ixLive(root)).dropDuplicates("id")
     val ixIds = ixDocs
@@ -707,6 +719,92 @@ object Dedup {
       }
     }
     torn
+  }
+
+  // ── model generations (band-geometry REBUILD lifecycle) ────────────
+  // The band geometry is frozen per generation (bands from two widths
+  // never meet in a candidate join), so a geometry change is never an
+  // append — it is a complete re-sign of the corpus published as a
+  // model generation under `root/modelgen<k>` ([[graft.io.ModelGens]],
+  // the machinery the PQ refresh and embedding width rebuild share):
+  // marker-committed last, previous generation INTACT for in-flight
+  // readers, every public entry point resolving through liveRoot.
+
+  /** Live-count threshold where [[resolveGeometry]]'s default posture
+    * moves from the curation knee to the mirror knee. 16×4 was sized
+    * at curation density: background (J ∈ [0.5, 0.7)) pairs collide a
+    * band at ~s⁴, and their POPULATION grows ~n² while the verify
+    * budget grows ~n — past ~10⁶ docs per index the background
+    * candidate mass, not the true-dup mass, dominates probe cost. */
+  val DefaultDenseAt = 1000000L
+
+  /** Corpus-count → band-geometry policy for [[rebuildIfDense]].
+    * UNLIKE the embedding index's width rule (pure occupancy — results
+    * invariant under width), minhash geometry trades RECALL at the
+    * Jaccard threshold ([[bandsColAt]]: 16×4 catches J = 0.7 pairs at
+    * ~99%, 8×8 at ~45% — but 8×8's knee sits near J ≈ 0.92, mirror-
+    * grade dedup), so the policy is an explicit OPERATOR POSTURE the
+    * trigger applies, not a hidden density rule: curation-grade recall
+    * while the corpus is curation-sized (≤ `denseAt` live docs),
+    * mirror-grade precision once it grows past the density where
+    * J ∈ [0.5, 0.7) background pairs saturate candidate work (each
+    * extra row per band cuts their collision rate ~s× while verbatim
+    * and near-verbatim replica masses — the duplication mode that
+    * dominates real crawls — still collide every band). Both knees
+    * spend the same 64-permutation signature, so a rebuild re-slices
+    * persisted-signature semantics without touching the minhash
+    * kernel. */
+  def resolveGeometry(nLive: Long,
+      denseAt: Long = DefaultDenseAt): (Int, Int) =
+    if (nLive > denseAt) (8, 8) else (Bands, RowsPerBand)
+
+  /** Re-signs `source` (the CURRENT raw corpus — band keys must come
+    * from text through the minhash kernel; the persisted `ix` rows
+    * hold only the 16×4 slices' hashes, which cannot be re-sliced) at
+    * an explicit geometry and publishes the complete three-part index
+    * + manifest as the next model generation. The live generation's
+    * pending TOMBSTONES anti-join the source first (the PQ-refresh
+    * lesson: a rebuild re-derives the per-doc record, and rebuilding
+    * from the raw corpus would resurrect erased docs); the new
+    * generation then needs no tomb artifact at all. Returns the new
+    * generation root. Cost = one [[writeIndex]] — a re-sign IS a
+    * build; what the lifecycle adds is that serving never stops and
+    * the old generation never tears. */
+  def rebuildIndex(s: org.apache.spark.sql.SparkSession, root: String,
+      source: DataFrame, idCol: String, textCol: String,
+      bands: Int, rows: Int): String = {
+    val mr = graft.io.ModelGens.liveRoot(root)
+    val src =
+      if (artifactExists(mr, "tomb"))
+        source.join(broadcast(s.read.parquet(
+            livePath(mr, "tomb").toString)
+          .select(col("id").as(idCol))), Seq(idCol), "left_anti")
+      else source
+    val sub = graft.io.ModelGens.nextRoot(root)
+    writeIndex(src, idCol, textCol, sub, bands, rows)
+    graft.io.ModelGens.commit(sub)
+    sub
+  }
+
+  /** The density-triggered geometry rebuild: fires iff the geometry
+    * the LIVE (tombstone-filtered) doc count resolves under the
+    * caller's posture differs from the manifest's frozen one — the
+    * same closed-form rule at trigger time as at build time, so the
+    * trigger is exact, cheap (one count over the served membership
+    * view), and quiescent right after a rebuild (the [[EmbIndex
+    * .rebuildIfDegraded]] contract, for text). Returns the new
+    * generation root when it fired. */
+  def rebuildIfDense(s: org.apache.spark.sql.SparkSession, root: String,
+      source: DataFrame, idCol: String, textCol: String,
+      denseAt: Long = DefaultDenseAt): Option[String] = {
+    val mr = graft.io.ModelGens.liveRoot(root)
+    val (bands, rows) = manifestWidth(s, mr)
+    val nLive = readIndex(s, mr).docs.count()
+    val want = resolveGeometry(nLive, denseAt)
+    if (want != ((bands, rows)))
+      Some(rebuildIndex(s, root, source, idCol, textCol,
+        want._1, want._2))
+    else None
   }
 
   /** INCREMENTAL near-dedup against a PERSISTED index — the production
@@ -909,9 +1007,15 @@ object Dedup {
     // (delta plan, params, index content stamp) — see [[probeMemo]]:
     // a repeated probe of an unchanged index re-plans in milliseconds
     // instead of re-running the probe-build job chain.
-    val memoKey = index.stamp.map(st =>
+    // the stamp is computed NOW, not at readIndex time: the handle's
+    // frames re-list the live dirs on every action (refreshByPath
+    // rides each append), so the memo key must describe the same
+    // filesystem moment the probe will scan — a readIndex-frozen
+    // stamp would memo-hit pre-append scalars against post-append
+    // frames when a handle is reused across an append
+    val memoKey = index.root.map(rt =>
       (idCol, textCol, index.bands, index.rows, maxBucket,
-        cascadeBudget, st))
+        cascadeBudget, contentStamp(rt)))
     val (probeStats, fpRejected) = memoKey
       .flatMap(k => probeMemo.peek(delta, k))
       .getOrElse {
@@ -1242,13 +1346,16 @@ object Dedup {
 final case class DedupIndex(docs: DataFrame, postings: DataFrame,
     bucketStats: DataFrame, bands: Int = Dedup.Bands,
     rows: Int = Dedup.RowsPerBand,
-    /** Filesystem content stamp of the persisted artifacts (file
-      * counts + byte totals + mtimes of the live ix/post/bk/tomb
-      * dirs) — the probe-verdict memo's invalidation key. Only
-      * [[Dedup.readIndex]] fills it; an in-plan [[DedupIndex.fromDocs]]
-      * index has no stable content identity, so probes of it are
-      * never memoized. */
-    stamp: Option[String] = None)
+    /** Persisted index root — the probe-verdict memo's identity. The
+      * probe re-stamps it ([[Dedup.contentStamp]]: file counts + byte
+      * totals + mtimes of the live artifact dirs) AT PROBE TIME, so a
+      * handle held across an [[Dedup.appendIndex]] memo-misses cleanly
+      * (the frames see the refreshed post-append files, and so does
+      * the stamp — a stamp frozen at readIndex time paired pre-append
+      * scalars with post-append scans). Only [[Dedup.readIndex]] fills
+      * it; an in-plan [[DedupIndex.fromDocs]] index has no stable
+      * content identity, so probes of it are never memoized. */
+    root: Option[String] = None)
 
 object DedupIndex {
   /** Derives the probe-side tables in-plan from a per-doc index frame —

@@ -313,6 +313,47 @@ object DedupQueries {
         part1.unionByName(part2).orderBy("part", "doc_id")
       }),
 
+    // BAND-GEOMETRY REBUILD through the persisted text index —
+    // completing the refresh/rebuild column for the fourth family
+    // (PQ: distortion-triggered codebook retrain; embeddings:
+    // occupancy-triggered width rebuild; media: signature equality
+    // has no geometry): the staged index was BUILT over a twentieth
+    // of the corpus (its live count resolves the curation 16×4 knee
+    // under the staged posture), the other nineteen twentieths
+    // appended at that frozen geometry, and Dedup.rebuildIfDense
+    // fired — the live count now resolves the dense 8×8 posture — so
+    // the corpus was re-signed at 8×8 and published as model
+    // generation 1 (generation 0 byte-intact for in-flight readers;
+    // stage require()s pin fired-once/quiescent/gen-0-intact, the
+    // spec pins stale-reader hash-invariance and probe parity with an
+    // in-plan 8×8 index). Output = the rebuilt generation's full ix
+    // payload: per doc its shingle-set size, its content fingerprint
+    // (both re-derived from raw text by the oracle) and the REBUILT
+    // band count — an index left at the stale width, or a rebuild
+    // that lost or resurrected a doc, hash-mismatches every row. The
+    // band keys themselves are xxhash64-of-minhash values with no
+    // ANSI spelling (the dedup_index_build situation).
+    Q("dedup_index_rebuild",
+      Some("""WITH d AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
+             |    THEN list_transform(range(len(toks)-2),
+             |         i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])
+             |    ELSE [array_to_string(toks, ' ')] END) AS sh
+             |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), ' +') AS toks
+             |        FROM documents) t)
+             |SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_shingles,
+             |       md5(array_to_string(list_sort(sh), chr(31))) AS sh_fp,
+             |       CAST(8 AS BIGINT) AS n_bands
+             |FROM d ORDER BY doc_id""".stripMargin),
+      (s, d) => {
+        val root = graft.io.ModelGens.liveRoot(stagedRebuildPath(s, d))
+        s.read.parquet(Dedup.ixLive(root))
+          .select(col("id").as("doc_id"),
+            size(col("sh")).cast("long").as("n_shingles"),
+            col("fp").as("sh_fp"),
+            size(col("bands")).cast("long").as("n_bands"))
+          .orderBy("doc_id")
+      }),
+
     // SimHash fingerprints (+ prefix bucket) for every doc.
     // Rows-only BY DESIGN (no oracle SQL): the production hash family is
     // MurmurHash3 — a tight JVM loop, the right cost profile at 100 TB —
@@ -730,6 +771,38 @@ object DedupQueries {
         "text erase stage: erased rows survived the post purge")
       require(live("tomb").count() == 0,
         "text erase stage: tombstone list not reset")
+    }
+
+  /** Stages the `dedup_index_rebuild` artifact: the index is built
+    * over the % 20 = 0 twentieth at the default 16×4 curation
+    * geometry, the other nineteen twentieths append at that frozen
+    * geometry, and the density-triggered rebuild fires under the
+    * staged denseAt = 100 posture — the full live count resolves 8×8
+    * at every SF — re-signing the corpus from raw text and publishing
+    * it as model generation 1. The require()s pin the lifecycle:
+    * fired once, generation 0 byte-intact for in-flight readers,
+    * trigger quiescent at the new generation. */
+  private[graft] def stagedRebuildPath(
+      s: org.apache.spark.sql.SparkSession, dir: String): String =
+    stageOnce("graft_dedup_rebuild1_", dir) { root =>
+      val docs = documents(s, dir)
+      Dedup.writeIndex(docs.filter(col("doc_id") % 20 === 0),
+        "doc_id", "text", root)
+      Dedup.appendIndex(root,
+        docs.filter(col("doc_id") % 20 =!= 0), "doc_id", "text")
+      val gen0Ix = Dedup.ixLive(root)
+      val before = s.read.parquet(gen0Ix).count()
+      require(Dedup.rebuildIfDense(s, root, docs, "doc_id", "text",
+          denseAt = 100).isDefined,
+        "text rebuild stage: density trigger did not fire on the " +
+          "twentieth-sized build geometry")
+      require(graft.io.ModelGens.liveRoot(root).contains("modelgen"),
+        "text rebuild stage: live root did not move to the new generation")
+      require(s.read.parquet(gen0Ix).count() == before,
+        "text rebuild stage: generation 0 mutated — stale readers broken")
+      require(Dedup.rebuildIfDense(s, root, docs, "doc_id", "text",
+          denseAt = 100).isEmpty,
+        "text rebuild stage: trigger not quiescent at the new generation")
     }
 
   /** Stages the `dedup_index_compact` artifact once per testdata

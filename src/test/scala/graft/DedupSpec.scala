@@ -601,6 +601,67 @@ class DedupSpec extends SparkSpec {
     assert(!Dedup.repairIndex(spark, dir8))
   }
 
+  test("density-triggered geometry rebuild: model generation published " +
+      "at 8×8, stale reader hash-invariant, pending tombstones carried, " +
+      "probe parity with an in-plan 8×8 index, appends follow the live " +
+      "generation, trigger quiescent") {
+    import spark.implicits._
+    val sent = "the quick brown fox jumps over the lazy dog near the river bank"
+    val docs = ((1L to 30L).map(i => (i, s"$sent rep$i word$i")) ++
+      Seq((31L, "completely different content about parquet and columnar storage")))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_txtrb").toString
+    Dedup.writeIndex(docs.filter(col("doc_id") <= 10), "doc_id", "text", dir)
+    Dedup.appendIndex(dir, docs.filter(col("doc_id") > 10), "doc_id", "text")
+    val delta = Seq((900L, s"$sent rep7 word7"),
+      (901L, "novel prose about tidal estuaries and sediment transport"))
+      .toDF("doc_id", "text")
+    // a reader that resolved generation 0 BEFORE the rebuild
+    val stale = Dedup.readIndex(spark, dir)
+    def probe(ix: graft.text.DedupIndex): Set[Long] =
+      Dedup.incrementalAcceptIndexed(ix, delta, "doc_id", "text")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val staleBefore = probe(stale)
+    // pending erasure must carry into the rebuild (not resurrect)
+    Dedup.eraseFromIndex(dir, Seq(Tuple1(5L)).toDF("id"))
+    // live count 30 > denseAt 10 → the dense 8×8 posture ≠ the
+    // manifest's 16×4 → fires, publishing model generation 1
+    val sub = Dedup.rebuildIfDense(spark, dir, docs, "doc_id", "text",
+      denseAt = 10)
+    assert(sub.isDefined && sub.get.contains("modelgen1"))
+    val live = Dedup.readIndex(spark, dir)
+    assert(live.bands == 8 && live.rows == 8)
+    assert(live.docs.select(size(col("bands"))).head.getInt(0) == 8)
+    // the erased doc is gone from the new generation's record — and
+    // the new generation starts with no tombstone debt at all
+    assert(spark.read.parquet(Dedup.ixLive(sub.get))
+      .filter(col("id") === 5L).count() == 0)
+    assert(!Dedup.artifactExists(sub.get, "tomb"))
+    // stale reader: generation 0 is intact, so the pre-rebuild handle
+    // keeps bit-identical probe verdicts (it predates the erase too —
+    // tombstone awareness binds at readIndex time, the family's
+    // from-the-erase-call-on contract)
+    assert(probe(stale) == staleBefore)
+    // probe parity: the persisted rebuilt index ≡ an in-plan 8×8
+    // index over the same live (erase-carried) corpus
+    val inPlan = graft.text.DedupIndex.fromDocs(
+      Dedup.buildIndex(docs.filter(col("doc_id") =!= 5L),
+        "doc_id", "text", 8, 8), 8, 8)
+    assert(probe(live) == probe(inPlan))
+    assert(probe(live) == Set(901L)) // 900 is an exact replica of doc 7
+    // appends resolve to the live generation and sign at its width
+    Dedup.appendIndex(dir,
+      Seq((950L, "fresh prose about glaciers and moraines"))
+        .toDF("doc_id", "text"), "doc_id", "text")
+    assert(spark.read.parquet(
+        Dedup.ixLive(graft.io.ModelGens.liveRoot(dir)))
+      .filter(col("id") === 950L)
+      .select(size(col("bands"))).head.getInt(0) == 8)
+    // quiescent at the new generation
+    assert(Dedup.rebuildIfDense(spark, dir, docs, "doc_id", "text",
+      denseAt = 10).isEmpty)
+  }
+
   test("text index erasure: a tombstoned doc can neither reject a " +
       "delta nor appear in any probe; compaction purges it physically") {
     import spark.implicits._
