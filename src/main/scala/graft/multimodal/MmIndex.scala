@@ -225,6 +225,22 @@ object MmIndex {
     vsIndex.unionByName(intraDelta)
   }
 
+  /** One NIGHTLY MAINTENANCE pass over the media-signature index:
+    * compact if erasure tombstones are pending, repair if a replayed
+    * append violated the one-row-per-object invariant. Signatures have
+    * no trained model, so the regeneration column is structurally
+    * absent (always None — a fingerprint kernel change would be a new
+    * index, not a maintenance step). Step order / crash matrix:
+    * [[graft.io.MaintenanceReport]] and [[graft.MaintainAb]]. */
+  def maintainIndex(s: SparkSession, root: String): graft.io.MaintenanceReport = {
+    val hasTomb = graft.text.Dedup.artifactExists(root, "tomb") &&
+      s.read.parquet(graft.text.Dedup.livePath(root, "tomb").toString)
+        .limit(1).count() > 0
+    if (hasTomb) compactIndex(s, root)
+    val repaired = repairIndex(s, root)
+    graft.io.MaintenanceReport(hasTomb, repaired, None)
+  }
+
   // ── near-duplicate (Hamming-tolerance) probing ─────────────────────
   // Exact signature equality only catches deterministic re-encodes; on
   // real media a resized/re-encoded copy of the same picture lands a
@@ -278,7 +294,8 @@ object MmIndex {
     * 16 bytes per candidate, never payloads; media decode happens
     * zero times in this plan (`dSig` arrives pre-fingerprinted). */
   private[graft] def nearRejectionPlan(ixSig: DataFrame, dSig: DataFrame,
-      maxDist: Int = 3, maxBucket: Long = 100000L): DataFrame = {
+      maxDist: Int = 3, maxBucket: Long = 100000L,
+      withinDelta: Boolean = true): DataFrame = {
     require(maxDist <= 3,
       s"4x16 banding is complete only to Hamming 3, got $maxDist")
     val key = Seq("media_type", "band", "bv")
@@ -309,8 +326,12 @@ object MmIndex {
           col("phash_hi"), col("phash_lo")) <= maxDist)
       .select("doc_id")
     // consumers anti-join / distinct; multi-band collisions may emit
-    // a doc_id up to 4 times, bounded and harmless
-    vsIndex.unionByName(intraDelta)
+    // a doc_id up to 4 times, bounded and harmless. withinDelta=false
+    // is the SERVING posture: a lookup answers "near-dup of the
+    // corpus?" as a pure per-object function, so verdicts stay
+    // batch-composition invariant (the ingest/probe posture keeps the
+    // lower-id intra-delta rule).
+    if (withinDelta) vsIndex.unionByName(intraDelta) else vsIndex
   }
 
   /** Per-delta NEAR-dup verdict report against the persisted index:
@@ -324,10 +345,11 @@ object MmIndex {
     * bounds) and shared by the report row and both rejection branches
     * via a bounded localCheckpoint, as in [[incrementalAcceptWithSigs]]. */
   def nearProbeReport(ixSig: DataFrame, deltaMedia: DataFrame,
-      maxDist: Int = 3, maxBucket: Long = 100000L): DataFrame = {
+      maxDist: Int = 3, maxBucket: Long = 100000L,
+      withinDelta: Boolean = true): DataFrame = {
     val s = deltaMedia.sparkSession
     val dSig = signatures(s, deltaMedia).localCheckpoint(false)
-    val rej = nearRejectionPlan(ixSig, dSig, maxDist, maxBucket)
+    val rej = nearRejectionPlan(ixSig, dSig, maxDist, maxBucket, withinDelta)
       .distinct().withColumn("__rej", lit(true))
     dSig.join(broadcast(rej), Seq("doc_id"), "left_outer")
       .select(col("doc_id"), col("media_type"),

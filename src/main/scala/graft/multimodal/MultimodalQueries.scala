@@ -100,6 +100,50 @@ object MultimodalQueries {
         .write.mode("overwrite").parquet(s"$root/media")
     }
 
+  /** The near-dup probe corpus's oracle CTEs (rendered after
+    * [[mmSigCte]]): `ix` = the indexed signatures, `dp` = the PLANTED
+    * delta's signatures — source hash from the closed forms at
+    * doc_id + 1, the doc_id % 6 mask applied, and the 0/255-cell
+    * construction re-packed through the one threshold kernel (so even
+    * the all-ones corner cannot diverge from the engine's decode).
+    * Shared by mm_index_probe (ingest posture — intra-delta blocking)
+    * and stream_mm_serving (lookup posture — vs index only). */
+  private[graft] val mmNearDupCtes: String =
+    """ix AS (SELECT * FROM p WHERE doc_id % 5 <> 0),
+      |ds AS (SELECT d.doc_id AS doc_id, b.media_type,
+      |         b.phash_hi AS s_hi, b.phash_lo AS s_lo,
+      |         CAST(d.doc_id % 6 AS BIGINT) AS k
+      |       FROM documents d JOIN p b ON b.doc_id = d.doc_id + 1
+      |       WHERE d.doc_id % 5 = 0),
+      |dm AS (SELECT doc_id, media_type,
+      |         xor(s_hi, CAST(coalesce(list_sum(
+      |           list_transform(range(k), j ->
+      |             CASE WHEN (7 * doc_id + 13 * j) % 64 >= 32
+      |                  THEN 1 << ((7 * doc_id + 13 * j) % 64 - 32)
+      |                  ELSE 0 END)), 0) AS BIGINT)) AS t_hi,
+      |         xor(s_lo, CAST(coalesce(list_sum(
+      |           list_transform(range(k), j ->
+      |             CASE WHEN (7 * doc_id + 13 * j) % 64 < 32
+      |                  THEN 1 << ((7 * doc_id + 13 * j) % 64)
+      |                  ELSE 0 END)), 0) AS BIGINT)) AS t_lo
+      |       FROM ds),
+      |dc AS (SELECT doc_id, media_type,
+      |         list_transform(range(64), i ->
+      |           CASE WHEN (CASE WHEN i < 32 THEN (t_lo >> i) & 1
+      |                      ELSE (t_hi >> (i - 32)) & 1 END) = 1
+      |                THEN 255 ELSE 0 END) AS cells
+      |       FROM dm),
+      |dc2 AS (SELECT doc_id, media_type, cells,
+      |          list_sum(cells) AS s FROM dc),
+      |dp AS (SELECT doc_id, media_type,
+      |         CAST(list_sum(list_transform(range(32),
+      |           i -> CASE WHEN cells[i+33] * 64 > s
+      |                THEN 1<<i ELSE 0 END)) AS BIGINT) AS phash_hi,
+      |         CAST(list_sum(list_transform(range(32),
+      |           i -> CASE WHEN cells[i+1] * 64 > s
+      |                THEN 1<<i ELSE 0 END)) AS BIGINT) AS phash_lo
+      |       FROM dc2)""".stripMargin
+
   /** The MJPG lake — the compressed-format twin of the video slice of
     * the media lake ([[Multimodal.synthMjpgTable]]), staged once per
     * testdata generation. */
@@ -471,40 +515,7 @@ object MultimodalQueries {
     // brute-forces Hamming ≤ 3 against index and lower-id peers.
     Q("mm_index_probe",
       Some(s"""WITH $mmSigCte,
-             |ix AS (SELECT * FROM p WHERE doc_id % 5 <> 0),
-             |ds AS (SELECT d.doc_id AS doc_id, b.media_type,
-             |         b.phash_hi AS s_hi, b.phash_lo AS s_lo,
-             |         CAST(d.doc_id % 6 AS BIGINT) AS k
-             |       FROM documents d JOIN p b ON b.doc_id = d.doc_id + 1
-             |       WHERE d.doc_id % 5 = 0),
-             |dm AS (SELECT doc_id, media_type,
-             |         xor(s_hi, CAST(coalesce(list_sum(
-             |           list_transform(range(k), j ->
-             |             CASE WHEN (7 * doc_id + 13 * j) % 64 >= 32
-             |                  THEN 1 << ((7 * doc_id + 13 * j) % 64 - 32)
-             |                  ELSE 0 END)), 0) AS BIGINT)) AS t_hi,
-             |         xor(s_lo, CAST(coalesce(list_sum(
-             |           list_transform(range(k), j ->
-             |             CASE WHEN (7 * doc_id + 13 * j) % 64 < 32
-             |                  THEN 1 << ((7 * doc_id + 13 * j) % 64)
-             |                  ELSE 0 END)), 0) AS BIGINT)) AS t_lo
-             |       FROM ds),
-             |dc AS (SELECT doc_id, media_type,
-             |         list_transform(range(64), i ->
-             |           CASE WHEN (CASE WHEN i < 32 THEN (t_lo >> i) & 1
-             |                      ELSE (t_hi >> (i - 32)) & 1 END) = 1
-             |                THEN 255 ELSE 0 END) AS cells
-             |       FROM dm),
-             |dc2 AS (SELECT doc_id, media_type, cells,
-             |          list_sum(cells) AS s FROM dc),
-             |dp AS (SELECT doc_id, media_type,
-             |         CAST(list_sum(list_transform(range(32),
-             |           i -> CASE WHEN cells[i+33] * 64 > s
-             |                THEN 1<<i ELSE 0 END)) AS BIGINT) AS phash_hi,
-             |         CAST(list_sum(list_transform(range(32),
-             |           i -> CASE WHEN cells[i+1] * 64 > s
-             |                THEN 1<<i ELSE 0 END)) AS BIGINT) AS phash_lo
-             |       FROM dc2),
+             |$mmNearDupCtes,
              |rej AS (SELECT DISTINCT d.doc_id FROM dp d JOIN ix b
              |          ON d.media_type = b.media_type
              |         AND bit_count(xor(d.phash_hi, b.phash_hi))

@@ -451,6 +451,28 @@ object EmbIndex {
     if (want != bits) Some(rebuildIndex(s, root, source)) else None
   }
 
+  /** One NIGHTLY MAINTENANCE pass over the embedding band index:
+    * compact if tombstones or bucket-stat partials are pending, repair
+    * if a torn/replayed append violated the 2-postings-per-vector
+    * invariant, rebuild if the live count resolves a different width
+    * than the manifest's. Step order / source contract / crash matrix:
+    * [[graft.io.MaintenanceReport]] and [[graft.MaintainAb]]. */
+  def maintainIndex(s: SparkSession, root: String,
+      source: DataFrame): graft.io.MaintenanceReport = {
+    val mr = graft.io.ModelGens.liveRoot(root)
+    val hasTomb = graft.text.Dedup.artifactExists(mr, "tomb") &&
+      s.read.parquet(tombLive(mr)).limit(1).count() > 0
+    val hasPartials = s.read.parquet(
+        graft.text.Dedup.livePath(mr, "bk").toString)
+      .groupBy("bk").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > 1).limit(1).count() > 0
+    val doCompact = hasTomb || hasPartials
+    if (doCompact) compactIndexStats(s, mr)
+    val repaired = repairIndex(s, mr)
+    val regen = rebuildIfDegraded(s, root, source)
+    graft.io.MaintenanceReport(doCompact, repaired, regen)
+  }
+
   /** The delta's own index rows feed several plan branches (probe,
     * reference union, both verify sides, the final anti-join) —
     * memoized per (session, delta plan, width) and persisted so the

@@ -81,14 +81,22 @@ object PqIndex {
     // deltas encoded at the frozen codebook can only raise it, and
     // when the drift crosses the caller's budget a retrain is due
     // ([[refreshIfDrifted]]). Written from the WRITTEN parquet so the
-    // baseline can never drift from the artifact.
+    // baseline can never drift from the artifact. The sum accumulates
+    // in DECIMAL(38,0) — still exact integers, but per-vector d2 on
+    // the 1e-7 grid runs ~1e14 against an undertrained codebook, so a
+    // LONG sum wraps somewhere past ~10⁵ vectors (the 100× corpus
+    // found it: ANSI overflow in the trigger's live aggregation).
     val d2r = s.read.parquet(s"$root/codes")
-      .agg(sum(col("d2")).as("s"), count(lit(1)).as("n")).head()
+      .agg(sum(col("d2").cast("decimal(38,0)")).as("s"),
+        count(lit(1)).as("n")).head()
     import s.implicits._
     // 1-row manifest; repartition(1) on a local relation carries no
     // upstream compute (the coalesce(1) lesson does not apply)
-    Seq((Pq.M, Pq.K, KC, emb.count(), d2r.getLong(0), d2r.getLong(1)))
-      .toDF("m", "k", "kc", "n_base", "base_d2_sum", "base_d2_n")
+    Seq((Pq.M, Pq.K, KC, emb.count(),
+        d2r.getDecimal(0).toBigInteger.toString, d2r.getLong(1)))
+      .toDF("m", "k", "kc", "n_base", "__s", "base_d2_n")
+      .withColumn("base_d2_sum", col("__s").cast("decimal(38,0)"))
+      .drop("__s")
       .repartition(1).write.mode("overwrite").parquet(s"$root/manifest")
   }
 
@@ -161,20 +169,49 @@ object PqIndex {
     // the trigger self-heals on legacy artifacts
     if (!manifest.columns.contains("base_d2_sum"))
       return Some(refreshIndex(s, root, source))
-    val base = manifest.select("base_d2_sum", "base_d2_n").head()
+    // the cast reads BOTH manifest vintages (decimal since the 100×
+    // overflow fix, long before it) into the overflow-proof type
+    val base = manifest
+      .select(col("base_d2_sum").cast("decimal(38,0)"), col("base_d2_n"))
+      .head()
     // drift is measured over the SERVED codes — readIndex's
     // tombstone-filtered view — not the raw artifact: pending
     // erasures are leaving the corpus, so their distortion must not
-    // be what trips a retrain
+    // be what trips a retrain. DECIMAL(38,0) accumulation: per-vector
+    // d2 against a drifted codebook reaches ~1e14, so a long sum
+    // wraps past ~10⁵ live vectors (found by the 100× gate).
     val live = readIndex(s, root).codes
-      .agg(sum(col("d2")).as("s"), count(lit(1)).as("n")).head()
+      .agg(sum(col("d2").cast("decimal(38,0)")).as("s"),
+        count(lit(1)).as("n")).head()
     // every vector tombstoned → sum() is null: no served mass means
     // no drift signal, so the trigger stays quiet (the next append or
     // an explicit refresh re-establishes one)
     if (live.isNullAt(0)) return None
-    val drifted = BigInt(live.getLong(0)) * base.getLong(1) * den >
-      BigInt(base.getLong(0)) * live.getLong(1) * num
+    val drifted =
+      BigInt(live.getDecimal(0).toBigInteger) * base.getLong(1) * den >
+        BigInt(base.getDecimal(0).toBigInteger) * live.getLong(1) * num
     if (drifted) Some(refreshIndex(s, root, source)) else None
+  }
+
+  /** One NIGHTLY MAINTENANCE pass over the PQ index: compact if
+    * tombstones are pending (PQ has no mergeable sidecar partials),
+    * repair if a torn/retried append violated the M-codes-per-vector
+    * invariant (re-encoded from `source` at the frozen codebook —
+    * compaction runs FIRST so repair is never asked to re-encode a
+    * vector the corpus of record no longer has), refresh if the live
+    * distortion drifted past num/den × the build-time baseline. Step
+    * order / source contract / crash matrix:
+    * [[graft.io.MaintenanceReport]] and [[graft.MaintainAb]]. */
+  def maintainIndex(s: SparkSession, root: String, source: DataFrame,
+      num: Long = 11, den: Long = 10): graft.io.MaintenanceReport = {
+    val mr = liveModelRoot(root)
+    val hasTomb = graft.text.Dedup.artifactExists(mr, "tomb") &&
+      s.read.parquet(graft.text.Dedup.livePath(mr, "tomb").toString)
+        .limit(1).count() > 0
+    if (hasTomb) compactIndex(s, mr)
+    val repaired = repairIndex(s, mr, source)
+    val regen = refreshIfDrifted(s, root, source, num, den)
+    graft.io.MaintenanceReport(hasTomb, repaired, regen)
   }
 
   /** Joins each code row with its vector's frozen coarse-cell

@@ -354,6 +354,27 @@ object StreamQueries {
               |FROM codes ORDER BY vec_id, sub""".stripMargin),
       (s, d) => Streams.pqIndexIngestCodes(s, d)),
 
+    // MEDIA near-dup lookup SERVING — the fourth family's online READ
+    // path (emb/pq twins above): micro-batches of planted near-dup
+    // media are answered by the Hamming ≤ 3 band probe against the
+    // SHARED staged signature index, verdicts landed exactly-once.
+    // Serving runs withinDelta = false — a lookup is a pure
+    // per-object function of the corpus, so verdicts are
+    // batch-composition invariant and the oracle needs no batch
+    // replay: it recomputes every planted fingerprint from the closed
+    // forms and brute-forces Hamming ≤ 3 against the index only.
+    Q("stream_mm_serving",
+      Some(s"""WITH ${graft.multimodal.MultimodalQueries.mmSigCte},
+             |${graft.multimodal.MultimodalQueries.mmNearDupCtes},
+             |rej AS (SELECT DISTINCT d.doc_id FROM dp d JOIN ix b
+             |          ON d.media_type = b.media_type
+             |         AND bit_count(xor(d.phash_hi, b.phash_hi))
+             |           + bit_count(xor(d.phash_lo, b.phash_lo)) <= 3)
+             |SELECT doc_id, media_type, phash_hi, phash_lo,
+             |       doc_id NOT IN (SELECT doc_id FROM rej) AS accepted
+             |FROM dp ORDER BY doc_id""".stripMargin),
+      (s, d) => Streams.mmIndexServing(s, d)),
+
     // the MEDIA fourth of the ingest choreography: three media "days"
     // fold through the persisted perceptual-hash index — each batch
     // is decoded ONCE, screened against the persisted signatures, and

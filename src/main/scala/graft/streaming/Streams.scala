@@ -880,6 +880,45 @@ object Streams {
     spark.read.parquet(sink).orderBy("q_id", "rank")
   }
 
+  /** STREAMED media near-dup lookup — the online READ path of the
+    * persisted signature index, completing the serving column for the
+    * fourth family (embedding twin: [[embIndexServing]], PQ twin:
+    * [[pqIndexServing]]): media query objects arrive in micro-batches
+    * (the planted near-dup lake — payloads a controlled few aHash
+    * bits from indexed objects) and each batch is answered by the
+    * Hamming-tolerance band probe
+    * ([[graft.multimodal.MmIndex.nearProbeReport]]) against the
+    * SHARED staged % 5 ≠ 0 index, landing verdicts in a parquet sink
+    * exactly-once. Serving runs withinDelta = false — a lookup
+    * answers "near-dup of the corpus?" as a pure per-object function,
+    * so verdicts are batch-composition invariant (StreamingSpec pins
+    * micro-batched ≡ one-shot); each batch decodes ONLY its own
+    * payloads, the index side stays 16-byte signature rows. */
+  def mmIndexServing(spark: SparkSession, dir: String): DataFrame = withStreamParallelism(spark) {
+    import java.nio.file.{Files, Paths}
+    import graft.multimodal.{MmIndex, MultimodalQueries}
+    val root = MultimodalQueries.stagedMmIndexPath(spark, dir)
+    val lake = spark.read.parquet(
+      MultimodalQueries.stagedNearDupPath(spark, dir) + "/media")
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    // query arrivals: the % 5 = 0 planted population, three disjoint
+    // batches (doc_id % 15 ∈ {0, 5, 10})
+    val srcDir = stageArrivals(s"graft_stream_mmserve_src_$tag",
+      (0 to 2).map(m =>
+        lake.filter(col("doc_id") % 15 === m * 5) -> s"q$m.parquet"))
+    val sink = Files.createTempDirectory(Paths.get(sys.props("java.io.tmpdir")),
+      s"graft_stream_mmserve_out_${tag}_").toString
+    val ckpt = Files.createTempDirectory(Paths.get(sys.props("java.io.tmpdir")),
+      s"graft_stream_mmserve_ckpt_${tag}_").toString
+    driveIngest(spark, srcDir, ckpt) { batch =>
+      MmIndex.nearProbeReport(
+          MmIndex.readIndex(batch.sparkSession, root), batch,
+          withinDelta = false)
+        .write.mode("append").parquet(sink)
+    }
+    spark.read.parquet(sink).orderBy("doc_id")
+  }
+
   /** The ONE streaming-ingest choreography both index families run:
     * days 1..3 staged as one parquet file each (admission-ordered by
     * mtime), maxFilesPerTrigger = 1 → one day per micro-batch,

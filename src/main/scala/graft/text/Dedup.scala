@@ -807,6 +807,34 @@ object Dedup {
     else None
   }
 
+  /** One NIGHTLY MAINTENANCE pass over the text index: compact if
+    * erasure tombstones or bucket-stat partials are pending, repair if
+    * a torn/replayed append violated the postings-per-doc invariant,
+    * rebuild if the caller's density posture resolves a different band
+    * geometry. Step order, source contract (erased records already
+    * removed from `source`), and crash matrix are documented on
+    * [[graft.io.MaintenanceReport]]; [[graft.MaintainAb]] injects a
+    * crash after each step and pins re-run-heals / third-run-no-op.
+    * Each gate is one cheap detector (tomb limit-1 count, map-side
+    * per-bucket partial probe, the invariant scan repair already
+    * runs, one live count), so the steady-state pass is metadata-cost
+    * only — the shape a scheduler can run every night at 100 TB. */
+  def maintainIndex(s: org.apache.spark.sql.SparkSession, root: String,
+      source: DataFrame, idCol: String, textCol: String,
+      denseAt: Long = DefaultDenseAt): graft.io.MaintenanceReport = {
+    val mr = graft.io.ModelGens.liveRoot(root)
+    val hasTomb = artifactExists(mr, "tomb") &&
+      s.read.parquet(livePath(mr, "tomb").toString).limit(1).count() > 0
+    val hasPartials = s.read.parquet(livePath(mr, "bk").toString)
+      .groupBy("bk").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > 1).limit(1).count() > 0
+    val doCompact = hasTomb || hasPartials
+    if (doCompact) compactIndexStats(s, mr)
+    val repaired = repairIndex(s, mr)
+    val regen = rebuildIfDense(s, root, source, idCol, textCol, denseAt)
+    graft.io.MaintenanceReport(doCompact, repaired, regen)
+  }
+
   /** INCREMENTAL near-dedup against a PERSISTED index — the production
     * shape for a growing corpus: never re-dedup (or even re-read) the
     * base, only screen the arriving DELTA against the [[buildIndex]]
@@ -954,13 +982,32 @@ object Dedup {
     // delta-bucket list prunes it to |delta postings| distinct
     // buckets before any aggregation — the r14 spelling full-outer-
     // joined and re-aggregated the whole sidecar per probe.
-    // Per-bucket load estimate from the UNSCREENED delta counts (dIx,
-    // not dProbe): fp-screened docs can only make buckets look
-    // HOTTER/heavier, and since the cascade made `hot` a pure cost
-    // signal the conservative direction is safe — while keeping the
-    // router independent of fpRejected, whose materialization then
-    // rides the final action instead of a job of its own.
-    val deltaBk = dIx.select(col("id"), explode(col("bands")).as("bk"))
+    // Per-bucket load estimate from the POST-SCREEN delta: the direct
+    // path's pairing cost is |dProbe ∩ bk| × occupancy(bk), and on a
+    // verbatim-replica mass (the duplication mode the cascade exists
+    // for) the fp screen collapses the delta to its few genuinely
+    // novel docs BEFORE any banded work — pricing the unscreened
+    // counts overshot ~3× there (r15 spam1000x: estimate 1.81e9 →
+    // cascade 17.5 s where the screened direct plan cost 6.0 s). The
+    // screen is priced at FP level inside the same combined job (one
+    // representative per distinct delta fp, minus fps the index
+    // already holds — the sh-equality verification that makes the
+    // real screen SAFE is irrelevant to a cost estimate, and the
+    // md5-collision gap between the two is no wider than the estimate
+    // itself), so the router still costs zero extra driver jobs: the
+    // index-side fp scan below feeds both the applicability count and
+    // this semi-join, and every new frame here is delta-bounded.
+    // `hot` inherits the screened counts too — dProbe's buckets are a
+    // subset of the survivors' buckets by construction, so a bucket
+    // only screened docs touch can no longer be assembled into the
+    // cascade it would never meet.
+    val fpSurvivors = dIx
+      .join(dIx.groupBy("fp").agg(min(col("id")).as("__mid")), Seq("fp"))
+      .filter(col("id") === col("__mid"))
+      .join(broadcast(index.docs.select("fp")
+        .join(broadcast(dIx.select("fp")), Seq("fp"), "left_semi")
+        .distinct()), Seq("fp"), "left_anti")
+    val deltaBk = fpSurvivors.select(col("id"), explode(col("bands")).as("bk"))
       .groupBy("bk").agg(count(lit(1)).as("__delta_n"))
     val bkLoads = deltaBk
       .join(index.bucketStats

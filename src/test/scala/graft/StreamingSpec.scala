@@ -268,6 +268,25 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("mm near-dup serving is batch-size invariant: micro-batched == " +
+      "one-shot lookup (withinDelta=false is a pure per-object function)") {
+    import graft.multimodal.{MmIndex, MultimodalQueries}
+    val streamed = Streams.mmIndexServing(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).toSet
+    val oneShot = MmIndex.nearProbeReport(
+        MmIndex.readIndex(spark,
+          MultimodalQueries.stagedMmIndexPath(spark, sf0001)),
+        spark.read.parquet(
+          MultimodalQueries.stagedNearDupPath(spark, sf0001) + "/media"),
+        withinDelta = false).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).toSet
+    assert(streamed == oneShot)
+    // both verdicts occur — the planted distances straddle the tolerance
+    assert(streamed.exists(_._5) && streamed.exists(!_._5))
+  }
+
   test("ingest drive is restart-idempotent: a re-drive against the same checkpoint ingests nothing") {
     import java.nio.file.{Files, Paths}
     val docs = io.Tables.documents(spark, sf0001).select("doc_id", "text")
