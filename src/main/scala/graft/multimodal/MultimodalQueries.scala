@@ -497,6 +497,27 @@ object MultimodalQueries {
         part1.unionByName(part2).orderBy("part", "doc_id")
       }),
 
+    // NIGHTLY MAINTENANCE through the media signature index — the ONE
+    // idempotent pass a scheduler runs ([[MmIndex.maintainIndex]]:
+    // compact pending erasure tombstones → distinct-rewrite replayed
+    // appends; signatures have no trained model, so the regeneration
+    // column is structurally absent — graft.io.MaintenanceReport pins
+    // the step order, graft.MaintainAb the crash matrix). The staged
+    // artifact is a damaged index: the % 5 = 0 delta's append REPLAYED
+    // end-to-end (two signature rows per delta object), the % 10 = 1
+    // members erased but not yet purged — healed by one maintainIndex
+    // call. Output = the healed artifact's full signature payload read
+    // DIRECTLY from parquet: a surviving replay duplicate doubles its
+    // row, an unpurged erasure resurrects its fingerprint — each a
+    // hash mismatch against the oracle's closed-form recompute.
+    Q("mm_index_maintain",
+      Some(s"""WITH $mmSigCte
+             |SELECT doc_id, media_type, phash_hi, phash_lo
+             |FROM p WHERE doc_id % 10 <> 1 ORDER BY doc_id""".stripMargin),
+      (s, d) => s.read.parquet(MmIndex.sigLive(stagedMmMaintainPath(s, d)))
+        .select("doc_id", "media_type", "phash_hi", "phash_lo")
+        .orderBy("doc_id")),
+
     // NEAR-DUP (Hamming ≤ 3) probing through the persisted signature
     // index — the tolerance layer exact equality can't give: on real
     // media, re-encoded/resized copies land a few aHash bits apart.
@@ -578,6 +599,32 @@ object MultimodalQueries {
     * mm_index_build population), then [[MmIndex.eraseFromIndex]] of
     * the % 10 = 1 members and a purging [[MmIndex.compactIndex]],
     * with require()s pinning the physical purge and tombstone reset. */
+  /** Stages the `mm_index_maintain` artifact: a DAMAGED signature
+    * index — base build over the % 5 ≠ 0 lake, the % 5 = 0 delta
+    * appended then REPLAYED end-to-end (duplicate signature rows —
+    * the one-row-per-object invariant violated), the % 10 = 1 members
+    * erased but not yet purged — healed by ONE
+    * [[MmIndex.maintainIndex]] nightly pass (compact the tombstones,
+    * distinct-rewrite the replay; signatures have no trained model,
+    * so the regeneration column is structurally absent). The
+    * require()s pin the report and that a second pass is a no-op. */
+  private[graft] def stagedMmMaintainPath(
+      s: org.apache.spark.sql.SparkSession, dir: String): String =
+    graft.text.DedupQueries.stageOnce("graft_mm_maintain1_", dir) { root =>
+      val lake = media(s, dir)
+      MmIndex.writeIndex(lake.filter(col("doc_id") % 5 =!= 0), root)
+      val delta = lake.filter(col("doc_id") % 5 === 0)
+      MmIndex.appendIndex(root, delta)
+      MmIndex.appendIndex(root, delta) // the replay
+      MmIndex.eraseFromIndex(root,
+        lake.filter(col("doc_id") % 10 === 1).select("doc_id"))
+      val rep = MmIndex.maintainIndex(s, root)
+      require(rep.compacted && rep.repaired && rep.regenerated.isEmpty,
+        s"mm maintain stage: unexpected report $rep")
+      require(MmIndex.maintainIndex(s, root).noop,
+        "mm maintain stage: second pass not a no-op")
+    }
+
   private[graft] def stagedMmErasePath(s: org.apache.spark.sql.SparkSession,
       dir: String): String =
     graft.text.DedupQueries.stageOnce("graft_mm_erase1_", dir) { root =>

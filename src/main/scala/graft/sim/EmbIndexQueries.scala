@@ -388,9 +388,35 @@ object EmbIndexQueries {
          |       CAST($bits AS BIGINT) AS bits
          |FROM q ORDER BY vec_id""".stripMargin)
 
+  /** Oracle for the NIGHTLY-MAINTENANCE pass: the healed artifact's
+    * full `vecs` payload over the SURVIVOR population (% 10 ≠ 1) at
+    * the width the live count resolves under the scenario's
+    * maxBucket = 4 guard — the staged pass ends in a width rebuild,
+    * so the content gate rides the rebuilt generation (rendered by
+    * graft.Verify at that width via
+    * [[graft.sim.SimQueries.resolvedBandedOracles]]). */
+  private[graft] def maintainOracles(bits: Int): Map[String, String] = Map(
+    "emb_index_maintain" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+         |          FROM embeddings WHERE vec_id % 10 <> 1),
+         |q AS (SELECT vec_id, emb,
+         |        list_transform(emb, x -> CAST(round(x * 1e6) AS BIGINT)) AS qe
+         |      FROM e)
+         |SELECT vec_id,
+         |       CAST(list_sum(list_transform(qe, x -> x * x)) AS BIGINT) AS na,
+         |       CAST(list_sum(list_transform(range($bits),
+         |         i -> CASE WHEN emb[i+1] > 0 THEN 1<<i ELSE 0 END))
+         |         AS BIGINT) AS b0_mask,
+         |       CAST(list_sum(list_transform(range($bits),
+         |         i -> CASE WHEN emb[$bits+i+1] > 0 THEN 1<<i ELSE 0 END))
+         |         AS BIGINT) AS b1_mask,
+         |       CAST($bits AS BIGINT) AS bits
+         |FROM q ORDER BY vec_id""".stripMargin)
+
   private lazy val gateOracles =
     indexOracles(8) ++ repairOracles(8) ++ appendOracles(8) ++
-      compactOracles(8) ++ eraseOracles(8) ++ rebuildOracles(9)
+      compactOracles(8) ++ eraseOracles(8) ++ rebuildOracles(9) ++
+      maintainOracles(9)
 
   def queries: Seq[Q] = Seq(
     // PHASE 1: build & persist the base corpus's band index. The
@@ -418,6 +444,35 @@ object EmbIndexQueries {
       Some(gateOracles("emb_index_rebuild")),
       (s, d) => {
         val root = stagedEmbRebuildPath(s, d)
+        val (bits, _, _, _) = EmbIndex.readManifest(s, root)
+        s.read.parquet(EmbIndex.vecsLive(root))
+          .select(col("vec_id"), col("na"),
+            col("bands").getItem(0).getField("mask").as("b0_mask"),
+            col("bands").getItem(1).getField("mask").as("b1_mask"),
+            lit(bits.toLong).as("bits"))
+          .orderBy("vec_id")
+      }),
+
+    // NIGHTLY MAINTENANCE through the embedding band index — the ONE
+    // idempotent pass a scheduler runs ([[EmbIndex.maintainIndex]]:
+    // compact pending erasure tombstones / sidecar partials → repair
+    // torn or replayed appends (duplicate vecs rows physically
+    // deduplicated — EmbIndex.repairIndex's double-retry contract) →
+    // rebuild if the live count resolves a different width;
+    // graft.io.MaintenanceReport pins the step order, graft.MaintainAb
+    // the crash matrix). The staged artifact is a damaged index: a
+    // twentieth-sized build at the tight maxBucket = 4 guard, the rest
+    // appended at that frozen width, one slice REPLAYED end-to-end,
+    // the % 10 = 1 members erased but not yet purged — so the pass
+    // compacts, repairs, AND ends in the occupancy-triggered width
+    // rebuild over the erasure-filtered source. Output = the rebuilt
+    // generation's full vecs payload at the width the SURVIVOR count
+    // resolves: a surviving duplicate, a resurrected erasure, or a
+    // stale width each hash-mismatch every row.
+    Q("emb_index_maintain",
+      Some(gateOracles("emb_index_maintain")),
+      (s, d) => {
+        val root = stagedEmbMaintainPath(s, d)
         val (bits, _, _, _) = EmbIndex.readManifest(s, root)
         s.read.parquet(EmbIndex.vecsLive(root))
           .select(col("vec_id"), col("na"),
@@ -622,6 +677,35 @@ object EmbIndexQueries {
         "emb rebuild stage: generation 0 mutated — stale readers broken")
       require(EmbIndex.rebuildIfDegraded(s, root, emb).isEmpty,
         "emb rebuild stage: trigger not quiescent at the new generation")
+    }
+
+  /** Stages the `emb_index_maintain` artifact: a DAMAGED index — a
+    * twentieth-sized build at the tight maxBucket = 4 occupancy guard,
+    * the rest appended at that frozen width, the % 20 = 5 slice
+    * REPLAYED end-to-end (duplicate vecs rows — the double-retry tear),
+    * the % 10 = 1 members erased but not yet purged — healed by ONE
+    * [[EmbIndex.maintainIndex]] nightly pass, which compacts, repairs,
+    * and (the live count resolving a wider band width than the
+    * twentieth-sized manifest's) ends in the occupancy-triggered width
+    * REBUILD over the erasure-filtered source. The require()s pin the
+    * report (all three steps fired) and that a second pass is a
+    * three-way no-op at the new generation. */
+  private[graft] def stagedEmbMaintainPath(
+      s: org.apache.spark.sql.SparkSession, dir: String): String =
+    stageOnce("graft_emb_maintain1_", dir) { root =>
+      val emb = embeddings(s, dir)
+      EmbIndex.writeIndex(emb.filter(col("vec_id") % 20 === 0), root,
+        maxBucket = 4)
+      EmbIndex.appendIndex(root, emb.filter(col("vec_id") % 20 =!= 0))
+      EmbIndex.appendIndex(root, emb.filter(col("vec_id") % 20 === 5))
+      EmbIndex.eraseFromIndex(root,
+        emb.filter(col("vec_id") % 10 === 1).select("vec_id"))
+      val source = emb.filter(col("vec_id") % 10 =!= 1)
+      val rep = EmbIndex.maintainIndex(s, root, source)
+      require(rep.compacted && rep.repaired && rep.regenerated.isDefined,
+        s"emb maintain stage: unexpected report $rep")
+      require(EmbIndex.maintainIndex(s, root, source).noop,
+        "emb maintain stage: second pass not a no-op")
     }
 
   /** Stages the `emb_index_append` multi-day artifact once per

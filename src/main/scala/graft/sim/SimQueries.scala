@@ -689,6 +689,12 @@ object SimQueries {
     // (target occupancy 1) — the width the staged
     // rebuildIfDegraded publishes
     val (rebBits, _) = Similarity.resolveWidth(n, minDim, maxBucket = 4)
+    // the maintenance pass's rebuild step resolves from the SURVIVOR
+    // count (% 10 ≠ 1 — the erased members left the live view before
+    // the trigger ran) under the same tight guard
+    val (nm, dimM) = Similarity.corpusStats(
+      embeddings(s, sfDir).filter(col("vec_id") % 10 =!= 1))
+    val (mntBits, _) = Similarity.resolveWidth(nm, dimM, maxBucket = 4)
     bandedOracles(bits, clamped) ++
       EmbIndexQueries.indexOracles(idxBits) ++
       EmbIndexQueries.repairOracles(repBits) ++
@@ -698,7 +704,8 @@ object SimQueries {
       // the erase artifact indexes the SAME % 5 ≠ 0 base as
       // emb_index_build (erasure never re-resolves the frozen width)
       EmbIndexQueries.eraseOracles(idxBits) ++
-      EmbIndexQueries.rebuildOracles(rebBits)
+      EmbIndexQueries.rebuildOracles(rebBits) ++
+      EmbIndexQueries.maintainOracles(mntBits)
   }
 
   /** The exact-integer PQ pipeline as DuckDB CTEs — the ONE

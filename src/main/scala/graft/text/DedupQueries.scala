@@ -354,6 +354,54 @@ object DedupQueries {
           .orderBy("doc_id")
       }),
 
+    // NIGHTLY MAINTENANCE through the persisted text index — the ONE
+    // idempotent pass a scheduler runs between incidents
+    // ([[Dedup.maintainIndex]]: compact pending erasures / sidecar
+    // partials → repair torn or replayed appends → re-geometry if the
+    // density posture moved; graft.io.MaintenanceReport pins the step
+    // order and why, graft.MaintainAb the crash matrix). The staged
+    // artifact is a damaged index: one slice's append REPLAYED
+    // end-to-end (two ix rows and 2×Bands postings per % 20 = 5 doc),
+    // the % 10 = 1 members erased but not yet purged, partials from
+    // every append — healed by one maintainIndex call at the default
+    // curation posture (regeneration quiet: both the build slice and
+    // the live corpus resolve 16×4; the geometry lifecycle is gated
+    // separately by dedup_index_rebuild). Output part 1 audits the
+    // REPAIR-SENSITIVE invariant from the published artifact — exactly
+    // Bands=16 postings per surviving doc (an unhealed replay doubles
+    // its count, an unpurged erasure resurrects its doc); part 2 is
+    // the ix membership + content record (per-doc shingle-set size +
+    // content fingerprint, re-derived from raw text by the oracle),
+    // read through the repair contract's distinct-by-id convention —
+    // replayed ix duplicates are exact copies, TOLERATED by design
+    // (ix stays append-only; see Dedup.repairIndex).
+    Q("dedup_index_maintain",
+      Some("""WITH d AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
+             |    THEN list_transform(range(len(toks)-2),
+             |         i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])
+             |    ELSE [array_to_string(toks, ' ')] END) AS sh
+             |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), ' +') AS toks
+             |        FROM documents) t)
+             |SELECT CAST(1 AS BIGINT) AS part, doc_id,
+             |       CAST(16 AS BIGINT) AS n, '' AS sh_fp
+             |FROM documents WHERE doc_id % 10 <> 1
+             |UNION ALL
+             |SELECT CAST(2 AS BIGINT), doc_id, CAST(len(sh) AS BIGINT),
+             |       md5(array_to_string(list_sort(sh), chr(31)))
+             |FROM d WHERE doc_id % 10 <> 1
+             |ORDER BY part, doc_id""".stripMargin),
+      (s, d) => {
+        val root = graft.io.ModelGens.liveRoot(stagedMaintainPath(s, d))
+        val part1 = s.read.parquet(Dedup.livePath(root, "post").toString)
+          .groupBy(col("id").as("doc_id")).agg(count(lit(1)).as("n"))
+          .select(lit(1L).as("part"), col("doc_id"), col("n"),
+            lit("").as("sh_fp"))
+        val part2 = s.read.parquet(Dedup.ixLive(root)).dropDuplicates("id")
+          .select(lit(2L).as("part"), col("id").as("doc_id"),
+            size(col("sh")).cast("long").as("n"), col("fp").as("sh_fp"))
+        part1.unionByName(part2).orderBy("part", "doc_id")
+      }),
+
     // SimHash fingerprints (+ prefix bucket) for every doc.
     // Rows-only BY DESIGN (no oracle SQL): the production hash family is
     // MurmurHash3 — a tight JVM loop, the right cost profile at 100 TB —
@@ -803,6 +851,37 @@ object DedupQueries {
       require(Dedup.rebuildIfDense(s, root, docs, "doc_id", "text",
           denseAt = 100).isEmpty,
         "text rebuild stage: trigger not quiescent at the new generation")
+    }
+
+  /** Stages the `dedup_index_maintain` artifact: a DAMAGED index — a
+    * twentieth-sized build, the rest appended at that frozen geometry,
+    * one slice ([[% 20 = 5]]) replayed end-to-end (the
+    * postings-per-doc invariant violated, ix rows duplicated), the
+    * % 10 = 1 members erased but not yet purged — healed by ONE
+    * [[Dedup.maintainIndex]] nightly pass at the default curation
+    * posture (the density trigger stays quiet: both the build slice
+    * and the live corpus resolve 16×4 below DefaultDenseAt). The
+    * require()s pin the report (compacted, repaired, no
+    * regeneration) and that a second pass is a three-way no-op. */
+  private[graft] def stagedMaintainPath(
+      s: org.apache.spark.sql.SparkSession, dir: String): String =
+    stageOnce("graft_dedup_maintain1_", dir) { root =>
+      val docs = documents(s, dir)
+      Dedup.writeIndex(docs.filter(col("doc_id") % 20 === 0),
+        "doc_id", "text", root)
+      Dedup.appendIndex(root,
+        docs.filter(col("doc_id") % 20 =!= 0), "doc_id", "text")
+      Dedup.appendIndex(root,
+        docs.filter(col("doc_id") % 20 === 5), "doc_id", "text")
+      Dedup.eraseFromIndex(root,
+        docs.filter(col("doc_id") % 10 === 1)
+          .select(col("doc_id").as("id")))
+      val live = docs.filter(col("doc_id") % 10 =!= 1)
+      val rep = Dedup.maintainIndex(s, root, live, "doc_id", "text")
+      require(rep.compacted && rep.repaired && rep.regenerated.isEmpty,
+        s"text maintain stage: unexpected report $rep")
+      require(Dedup.maintainIndex(s, root, live, "doc_id", "text").noop,
+        "text maintain stage: second pass not a no-op")
     }
 
   /** Stages the `dedup_index_compact` artifact once per testdata
