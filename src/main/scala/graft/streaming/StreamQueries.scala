@@ -301,6 +301,45 @@ object StreamQueries {
              |ORDER BY day, doc_id""".stripMargin),
       (s, d) => Streams.indexIngestAccepted(s, d)),
 
+    // STREAMED text near-dup lookup — the FIRST family's online READ
+    // path (Streams.textIndexServing), completing the serving column
+    // across all four persisted index families: document
+    // micro-batches answered by Dedup.lookupReport against the SHARED
+    // staged % 5 ≠ 0 index, one verdict row per document, landed
+    // exactly-once. The lookup posture has NO intra-delta blocking
+    // (dup ⇔ near-dups SOME indexed doc — a pure per-document
+    // function, so verdicts are batch-composition invariant;
+    // StreamingSpec pins micro-batched ≡ one-shot). Oracle: the
+    // fp-screened residual spelling — delta docs collapse to one
+    // representative per distinct shingle set, dup ⇔ the set equals
+    // an indexed set (the fp short-circuit) or its representative
+    // holds a J ≥ 0.7 edge to a BASE representative; the verdict then
+    // propagates to every member by key. Oracle-exact for the
+    // dedup_minhash reasons (verified-100% LSH recall on this corpus,
+    // bucket cutoffs never fire).
+    Q("stream_text_serving",
+      Some(s"""${graft.text.DedupQueries.jaccardResidualCte(
+                 "doc_id % 5 <> 0", "doc_id % 5 = 0")},
+             |jp AS (SELECT ia, ib FROM pairs
+             |       JOIN sizes sa ON sa.doc_id = pairs.ia
+             |       JOIN sizes sb ON sb.doc_id = pairs.ib
+             |       WHERE CAST(ns AS DOUBLE) / (sa.n + sb.n - ns) >= 0.7),
+             |rej AS (SELECT ib AS doc_id FROM jp
+             |        WHERE ib % 5 = 0 AND ia % 5 <> 0
+             |        UNION
+             |        SELECT ia AS doc_id FROM jp
+             |        WHERE ia % 5 = 0 AND ib % 5 <> 0),
+             |v AS (SELECT dg.key,
+             |        (EXISTS (SELECT 1 FROM bfp WHERE bfp.key = dg.key)
+             |         OR dg.md IN (SELECT doc_id FROM rej)) AS dup
+             |      FROM dg)
+             |SELECT f.doc_id, CAST(len(f.sh) AS BIGINT) AS n_shingles,
+             |       md5(array_to_string(f.key, chr(31))) AS sh_fp, v.dup
+             |FROM f JOIN v ON v.key = f.key
+             |WHERE f.doc_id % 5 = 0
+             |ORDER BY doc_id""".stripMargin),
+      (s, d) => Streams.textIndexServing(s, d)),
+
     // the embedding half of the SAME ingest choreography: three
     // vector "days" fold through the persisted band index at the
     // day-0 MANIFEST width (deltas never re-resolve it). Registered

@@ -919,6 +919,42 @@ object Streams {
     spark.read.parquet(sink).orderBy("doc_id")
   }
 
+  /** STREAMED text near-dup lookup — the online READ path of the
+    * persisted MinHash index, completing the serving column for the
+    * FIRST family (emb twin: [[embIndexServing]], PQ twin:
+    * [[pqIndexServing]], mm twin: [[mmIndexServing]]): document
+    * micro-batches are answered by [[graft.text.Dedup.lookupReport]]
+    * against the SHARED staged % 5 ≠ 0 index (serving is read-only,
+    * so it reuses the cross-process staged artifact), landing one
+    * verdict row per document in a parquet sink exactly-once. The
+    * lookup posture has no intra-delta blocking — verdicts are pure
+    * per-document functions, batch-composition invariant
+    * (StreamingSpec pins micro-batched ≡ one-shot) — and each batch's
+    * cost is batch-side shingling + a broadcast probe of the
+    * corpus-scale artifacts, never an index rewrite. */
+  def textIndexServing(spark: SparkSession, dir: String): DataFrame = withStreamParallelism(spark) {
+    import java.nio.file.{Files, Paths}
+    import graft.text.{Dedup, DedupQueries}
+    val docs = graft.io.Tables.documents(spark, dir).select("doc_id", "text")
+    val root = DedupQueries.stagedIndexPath(spark, dir)
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    // query arrivals: the % 5 = 0 docs (disjoint from the indexed
+    // base), three disjoint batches (doc_id % 15 ∈ {0, 5, 10})
+    val srcDir = stageArrivals(s"graft_stream_textserve_src_$tag",
+      (0 to 2).map(m => docs.filter(col("doc_id") % 5 === 0 &&
+        col("doc_id") % 15 === m * 5) -> s"q$m.parquet"))
+    val sink = Files.createTempDirectory(Paths.get(sys.props("java.io.tmpdir")),
+      s"graft_stream_textserve_out_${tag}_").toString
+    val ckpt = Files.createTempDirectory(Paths.get(sys.props("java.io.tmpdir")),
+      s"graft_stream_textserve_ckpt_${tag}_").toString
+    driveIngest(spark, srcDir, ckpt) { batch =>
+      Dedup.lookupReport(Dedup.readIndex(batch.sparkSession, root),
+          batch, "doc_id", "text")
+        .write.mode("append").parquet(sink)
+    }
+    spark.read.parquet(sink).orderBy("doc_id")
+  }
+
   /** The ONE streaming-ingest choreography both index families run:
     * days 1..3 staged as one parquet file each (admission-ordered by
     * mtime), maxFilesPerTrigger = 1 → one day per micro-batch,

@@ -287,6 +287,23 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exists(_._5) && streamed.exists(!_._5))
   }
 
+  test("text near-dup serving is batch-size invariant: micro-batched == " +
+      "one-shot lookup (no intra-delta blocking in the lookup posture)") {
+    import graft.text.{Dedup, DedupQueries}
+    val docs = io.Tables.documents(spark, sf0001).select("doc_id", "text")
+    val streamed = Streams.textIndexServing(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getBoolean(3)))
+      .toSet
+    val oneShot = Dedup.lookupReport(
+        Dedup.readIndex(spark, DedupQueries.stagedIndexPath(spark, sf0001)),
+        docs.filter(col("doc_id") % 5 === 0), "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getBoolean(3)))
+      .toSet
+    assert(streamed == oneShot)
+    // both verdicts occur — the corpus plants near-dups across the split
+    assert(streamed.exists(_._4) && streamed.exists(!_._4))
+  }
+
   test("ingest drive is restart-idempotent: a re-drive against the same checkpoint ingests nothing") {
     import java.nio.file.{Files, Paths}
     val docs = io.Tables.documents(spark, sf0001).select("doc_id", "text")
