@@ -358,4 +358,14 @@ class EmbIndexSpec extends SparkSpec {
     assert(vecsOf(staleIx) == staleBefore,
       "post-rebuild append leaked into the stale generation")
   }
+
+  test("rebuild trigger on a fully-erased index is an explicit no-op, " +
+      "not an NPE on the empty min-dim aggregate") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_embedge").toString
+    val vecs = randVecs(0L until 30L, 16)
+    EmbIndex.writeIndex(vecs, dir)
+    EmbIndex.eraseFromIndex(dir, (0L until 30L).toSeq.toDF("vec_id"))
+    // an empty index has no geometry to re-resolve
+    assert(EmbIndex.rebuildIfDegraded(spark, dir, vecs).isEmpty)
+  }
 }

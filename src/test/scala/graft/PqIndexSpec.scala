@@ -261,6 +261,33 @@ class PqIndexSpec extends SparkSpec {
       "post-refresh append leaked into the stale generation")
   }
 
+  test("refresh trigger edge cases: a fully-tombstoned index is a " +
+      "quiet no-op; a legacy manifest (no drift baseline) refreshes " +
+      "once and self-heals") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pqedge").toString
+    val all = randVecs(0L until 40L)
+    PqIndex.writeIndex(all, dir)
+    // every vector tombstoned → no served mass, no drift signal
+    PqIndex.eraseFromIndex(dir, (0L until 40L).toSeq.toDF("vec_id"))
+    assert(PqIndex.refreshIfDrifted(spark, dir, all).isEmpty)
+    // legacy artifact: a manifest persisted before the baseline
+    // columns existed → the trigger refreshes ONCE (publishing a
+    // generation that carries one) instead of throwing AnalysisException
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_pqedge2").toString
+    PqIndex.writeIndex(all, dir2)
+    val legacyRows = spark.read.parquet(s"$dir2/manifest")
+      .drop("base_d2_sum", "base_d2_n")
+    val (rows, schema) = (legacyRows.collect().toSeq, legacyRows.schema)
+    spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+      .write.mode("overwrite").parquet(s"$dir2/manifest")
+    spark.catalog.refreshByPath(s"$dir2/manifest")
+    assert(PqIndex.refreshIfDrifted(spark, dir2, all)
+      .exists(_.contains("modelgen1")))
+    // the published generation carries a baseline: an i.i.d. source
+    // now stays under budget — the trigger self-healed
+    assert(PqIndex.refreshIfDrifted(spark, dir2, all).isEmpty)
+  }
+
   test("refresh carries pending tombstones: an erased vector is not " +
       "resurrected into the retrained generation") {
     val dir = java.nio.file.Files.createTempDirectory("graft_pqreft").toString
