@@ -282,17 +282,18 @@ object MmIndex {
     *
     * Scale shape: the index side is never banded into a self-join —
     * the corpus-sized signature scan streams through the BROADCAST
-    * delta band keys twice: once filtered-then-aggregated for the
-    * hot-bucket guard (the filter runs before the map-side-combinable
-    * count, so no row explosion), once equi-joined for candidates
-    * (output bounded by |delta bands| × guarded occupancy). The guard
-    * drops buckets whose INDEX occupancy exceeds `maxBucket` — a mass
-    * that large is an exact-dup cluster sharing all four bands, the
-    * text family's escalation territory; it never fires on the test
-    * corpora (MmIndexSpec pins the default-guard probe ≡ brute force
-    * there). Verification is a codegen'd bit_count over the XOR —
-    * 16 bytes per candidate, never payloads; media decode happens
-    * zero times in this plan (`dSig` arrives pre-fingerprinted). */
+    * delta band keys and, because the vs-index verdict never reads
+    * index document identity, collapses to DISTINCT signatures per
+    * band-bucket before any counting or pairing (map-side combine:
+    * a verbatim dup mass shrinks to one row — the index-side twin of
+    * the text fp screen). The guard drops buckets whose
+    * DISTINCT-SIGNATURE occupancy exceeds `maxBucket` — replica mass
+    * can no longer make a bucket hot, only genuinely diverse
+    * fingerprint density can, and it never fires on the test corpora
+    * (MmIndexSpec pins the default-guard probe ≡ brute force there).
+    * Verification is a codegen'd bit_count over the XOR — 16 bytes
+    * per candidate, never payloads; media decode happens zero times
+    * in this plan (`dSig` arrives pre-fingerprinted). */
   private[graft] def nearRejectionPlan(ixSig: DataFrame, dSig: DataFrame,
       maxDist: Int = 3, maxBucket: Long = 100000L,
       withinDelta: Boolean = true): DataFrame = {
@@ -302,18 +303,29 @@ object MmIndex {
     def hamming(hiA: Column, loA: Column, hiB: Column, loB: Column) =
       bit_count(hiA.bitwiseXOR(hiB)) + bit_count(loA.bitwiseXOR(loB))
     val dB = withBands(dSig)
-    val ixB = withBands(ixSig)
-      .select(col("media_type"), col("band"), col("bv"),
-        col("doc_id").as("__id_b"), col("phash_hi").as("__hi_b"),
-        col("phash_lo").as("__lo_b"))
+    // the vs-index verdict needs only "∃ an indexed signature within
+    // tolerance" — index DOCUMENT identity is never read — so the
+    // index side collapses to DISTINCT signatures per band-bucket
+    // right after the delta restriction (map-side combine): a
+    // verbatim dup mass (the crawl-spam shape) collapses to ONE row
+    // BEFORE the guard counts it or the candidate join pairs it —
+    // the index-side twin of the text family's fp screen. The guard
+    // therefore fires only on DISTINCT-signature density (many
+    // different fingerprints crowding one 16-bit band), never on
+    // replica mass.
     val dKeys = dB.select(key.map(col): _*).distinct()
-    val hot = ixB.join(broadcast(dKeys), key, "left_semi")
-      .groupBy(key.map(col): _*).agg(count(lit(1)).as("__n"))
+    val ixSigs = withBands(ixSig)
+      .select(col("media_type"), col("band"), col("bv"),
+        col("phash_hi").as("__hi_b"), col("phash_lo").as("__lo_b"))
+      .join(broadcast(dKeys), key, "left_semi")
+      .distinct()
+    val hot = ixSigs.groupBy(key.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
       .filter(col("__n") > maxBucket).select(key.map(col): _*)
     // `hot` is bounded by the delta's own band-key count, so it rides
     // the same broadcast tier as the keys themselves
     val okD = dB.join(broadcast(hot), key, "left_anti")
-    val vsIndex = ixB.join(broadcast(okD), key)
+    val vsIndex = ixSigs.join(broadcast(okD), key)
       .filter(hamming(col("__hi_b"), col("__lo_b"),
         col("phash_hi"), col("phash_lo")) <= maxDist)
       .select("doc_id")

@@ -197,6 +197,32 @@ class MmIndexSpec extends SparkSpec {
     assert(got.size < dh.size && got.nonEmpty)
   }
 
+  test("verbatim signature mass cannot evict a bucket: the guard counts " +
+      "DISTINCT signatures, so tolerance verdicts survive a tiny maxBucket") {
+    def split(f: Long) = ((f >>> 32) & 0xFFFFFFFFL, f & 0xFFFFFFFFL)
+    val f0 = 0x0123456789ABCDEFL
+    // index: 500 verbatim copies of ONE fingerprint (the crawl-mirror
+    // mass) + a handful of unrelated signatures
+    val ixSig = ((1L to 500L).map { i =>
+      val (hi, lo) = split(f0); (i, "image", hi, lo)
+    } ++ (600L to 605L).map { i =>
+      val (hi, lo) = split(i * 0x9E3779B97F4A7C15L); (i, "image", hi, lo)
+    }).toDF("doc_id", "media_type", "phash_hi", "phash_lo")
+    // delta: 1000 sits two bits from f0 (a true near-dup), 1001 is far
+    // from everything
+    val dSig = Seq(
+      { val (hi, lo) = split(f0 ^ 3L); (1000L, "image", hi, lo) },
+      { val (hi, lo) = split(0x7777777777777777L); (1001L, "image", hi, lo) })
+      .toDF("doc_id", "media_type", "phash_hi", "phash_lo")
+    // guard at 4 distinct signatures per bucket: the 500-copy mass
+    // collapses to ONE before the guard counts, so no bucket is hot
+    // and the near-dup verdict holds — a raw-occupancy guard would
+    // have dropped every band of the mass and silently accepted 1000
+    val rejected = MmIndex.nearRejectionPlan(ixSig, dSig, maxBucket = 4L)
+      .collect().map(_.getLong(0)).toSet
+    assert(rejected == Set(1000L))
+  }
+
   test("planted near-dup lake: every payload decodes to exactly " +
       "doc_id % 6 fingerprint bits from its always-indexed source") {
     val docs = (0L to 59L)
