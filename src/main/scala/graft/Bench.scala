@@ -154,7 +154,7 @@ object Bench {
     // recorded per-query failure. Staging runs concurrently (the
     // stageOnce per-target locks make that safe) on a bounded pool.
     // SKIPPED under SPARK_GRAFT_BENCH_ONLY: single-query profiling
-    // must not pay the full 17-artifact staging wall for artifacts
+    // must not pay the full staging wall for artifacts
     // the profiled query never touches — each query's own
     // stageOnce first-touch covers staging in that mode.
     val benchOnlyMode = sys.env.contains("SPARK_GRAFT_BENCH_ONLY")
@@ -181,7 +181,13 @@ object Bench {
         "mm_erase" -> (() => multimodal.MultimodalQueries.stagedMmErasePath(spark, sfDir)),
         "mm_repair" -> (() => multimodal.MultimodalQueries.stagedMmRepairPath(spark, sfDir)),
         "emb_rebuild" -> (() => sim.EmbIndexQueries.stagedEmbRebuildPath(spark, sfDir)),
-        "pq_refresh" -> (() => sim.PqIndexQueries.stagedPqRefreshPath(spark, sfDir)))
+        "pq_refresh" -> (() => sim.PqIndexQueries.stagedPqRefreshPath(spark, sfDir)),
+        "mm_neardup" -> (() => multimodal.MultimodalQueries.stagedNearDupPath(spark, sfDir)),
+        "dedup_rebuild" -> (() => text.DedupQueries.stagedRebuildPath(spark, sfDir)),
+        "dedup_maintain" -> (() => text.DedupQueries.stagedMaintainPath(spark, sfDir)),
+        "emb_maintain" -> (() => sim.EmbIndexQueries.stagedEmbMaintainPath(spark, sfDir)),
+        "pq_maintain" -> (() => sim.PqIndexQueries.stagedPqMaintainPath(spark, sfDir)),
+        "mm_maintain" -> (() => multimodal.MultimodalQueries.stagedMmMaintainPath(spark, sfDir)))
       val ecStage = ExecutionContext.fromExecutorService(
         Executors.newFixedThreadPool(6))
       try Await.result(Future.traverse(stagers) { case (n, f) =>

@@ -111,6 +111,43 @@ class DedupSpec extends SparkSpec {
     assert(scansOf("/bk").isEmpty)
   }
 
+  test("serving lookup: vs-index-only verdicts (intra-delta near-dups do " +
+      "NOT flag), fp short-circuit agrees, plan never scans base text") {
+    val base = corpus.filter(col("doc_id").isin(1L, 3L))
+    val delta = Seq(
+      (0L, "entirely novel text about mountain weather patterns and snowfall records"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank tonight"),
+      (4L, "completely different content about databases and storage formats parquet"),
+      (5L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (6L, "completely different content about databases and storage formats orc")
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_lookup_spec").toString
+    Dedup.writeIndex(base, "doc_id", "text", dir)
+    val rep = Dedup.lookupReport(Dedup.readIndex(spark, dir), delta,
+      "doc_id", "text", threshold = 0.5)
+    val got = rep.collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    // the POSTURE difference vs the ingest probe: 6 near-dups only its
+    // delta peer 4, so the ingest probe rejects it but the lookup does
+    // NOT — a lookup answers membership against the CORPUS alone;
+    // 5 is an exact replica of base 1 (the fp short-circuit path),
+    // 2 a near-dup of base 1 (the banded path)
+    assert(got == Map(0L -> false, 2L -> true, 4L -> false,
+      5L -> true, 6L -> false))
+    // production boundary: every file relation in the lookup plan is a
+    // staged index artifact — base raw text is never re-read — and no
+    // scan reads the index band arrays (candidates come from postings)
+    val rels = rep.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+    }
+    assert(rels.nonEmpty)
+    assert(rels.forall(_.relation.asInstanceOf[
+      org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+      .location.rootPaths.forall(_.toString.contains(dir))))
+    assert(!rep.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.exists(_.requiredSchema.fieldNames.contains("bands")))
+  }
+
   test("multi-day cycle: appending accepted rows' index entries composes") {
     // the production contract SCALE.md claims: day N screens against
     // index(base) ∪ index(accepted day 1) ∪ … — per-generation index
