@@ -252,25 +252,31 @@ object MmIndex {
   // brute-force Hamming); candidates are then verified by exact
   // Hamming distance (bit_count of the XOR, both halves).
 
-  /** The four 16-bit pigeonhole band keys of a signature frame — one
-    * exploded (band, bv) struct per band, keyed with media_type (a
-    * visual band must not meet an audio band). phash_hi carries bits
-    * 32..63 in its low 32 bits, so bands 0/1 slice the lo half and
-    * 2/3 the hi half. */
-  private[graft] def withBands(sig: DataFrame): DataFrame =
-    sig.withColumn("bk", explode(array(
-      struct(lit(0).as("band"),
-        col("phash_lo").bitwiseAND(lit(0xFFFFL)).as("bv")),
-      struct(lit(1).as("band"),
-        shiftrightunsigned(col("phash_lo"), 16)
-          .bitwiseAND(lit(0xFFFFL)).as("bv")),
-      struct(lit(2).as("band"),
-        col("phash_hi").bitwiseAND(lit(0xFFFFL)).as("bv")),
-      struct(lit(3).as("band"),
-        shiftrightunsigned(col("phash_hi"), 16)
-          .bitwiseAND(lit(0xFFFFL)).as("bv")))))
+  /** The pigeonhole band keys of a signature frame — one exploded
+    * (band, bv) struct per band, keyed with media_type (a visual band
+    * must not meet an audio band). The geometry is a declared PROBE
+    * parameter, not an index property (bands derive in-plan from the
+    * persisted 64-bit fingerprint, so one artifact serves every
+    * posture): 4×16 is complete for Hamming ≤ 3 — the re-encode/
+    * resize radius; 8×8 for Hamming ≤ 7 — the looser recall posture,
+    * at 256× denser buckets per band (the Hamming twin of the text
+    * family's declared 16×4 / 8×8 minhash postures). phash_hi
+    * carries bits 32..63 in its low 32 bits. */
+  private[graft] def withBands(sig: DataFrame, nBands: Int = 4): DataFrame = {
+    require(nBands == 4 || nBands == 8,
+      s"supported band geometries: 4x16, 8x8 (got $nBands)")
+    val w = 64 / nBands
+    val mask = (1L << w) - 1
+    val slices = (0 until nBands).map { i =>
+      val src = if (i * w < 32) col("phash_lo") else col("phash_hi")
+      struct(lit(i).as("band"),
+        shiftrightunsigned(src, (i * w) % 32)
+          .bitwiseAND(lit(mask)).as("bv"))
+    }
+    sig.withColumn("bk", explode(array(slices: _*)))
       .select(col("*"), col("bk.band").as("band"), col("bk.bv").as("bv"))
       .drop("bk")
+  }
 
   /** Delta doc_ids rejected under NEAR-duplicate semantics: a delta
     * object is rejected iff some indexed object — or some LOWER-id
@@ -296,13 +302,14 @@ object MmIndex {
     * in this plan (`dSig` arrives pre-fingerprinted). */
   private[graft] def nearRejectionPlan(ixSig: DataFrame, dSig: DataFrame,
       maxDist: Int = 3, maxBucket: Long = 100000L,
-      withinDelta: Boolean = true): DataFrame = {
-    require(maxDist <= 3,
-      s"4x16 banding is complete only to Hamming 3, got $maxDist")
+      withinDelta: Boolean = true, nBands: Int = 4): DataFrame = {
+    require(maxDist < nBands,
+      s"${nBands}-band pigeonhole is complete only to Hamming ${nBands - 1}, " +
+        s"got $maxDist")
     val key = Seq("media_type", "band", "bv")
     def hamming(hiA: Column, loA: Column, hiB: Column, loB: Column) =
       bit_count(hiA.bitwiseXOR(hiB)) + bit_count(loA.bitwiseXOR(loB))
-    val dB = withBands(dSig)
+    val dB = withBands(dSig, nBands)
     // the vs-index verdict needs only "∃ an indexed signature within
     // tolerance" — index DOCUMENT identity is never read — so the
     // index side collapses to DISTINCT signatures per band-bucket
@@ -314,7 +321,7 @@ object MmIndex {
     // different fingerprints crowding one 16-bit band), never on
     // replica mass.
     val dKeys = dB.select(key.map(col): _*).distinct()
-    val ixSigs = withBands(ixSig)
+    val ixSigs = withBands(ixSig, nBands)
       .select(col("media_type"), col("band"), col("bv"),
         col("phash_hi").as("__hi_b"), col("phash_lo").as("__lo_b"))
       .join(broadcast(dKeys), key, "left_semi")
@@ -358,10 +365,11 @@ object MmIndex {
     * via a bounded localCheckpoint, as in [[incrementalAcceptWithSigs]]. */
   def nearProbeReport(ixSig: DataFrame, deltaMedia: DataFrame,
       maxDist: Int = 3, maxBucket: Long = 100000L,
-      withinDelta: Boolean = true): DataFrame = {
+      withinDelta: Boolean = true, nBands: Int = 4): DataFrame = {
     val s = deltaMedia.sparkSession
     val dSig = signatures(s, deltaMedia).localCheckpoint(false)
-    val rej = nearRejectionPlan(ixSig, dSig, maxDist, maxBucket, withinDelta)
+    val rej = nearRejectionPlan(ixSig, dSig, maxDist, maxBucket, withinDelta,
+      nBands)
       .distinct().withColumn("__rej", lit(true))
     dSig.join(broadcast(rej), Seq("doc_id"), "left_outer")
       .select(col("doc_id"), col("media_type"),

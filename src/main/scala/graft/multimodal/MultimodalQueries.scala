@@ -555,6 +555,38 @@ object MultimodalQueries {
           s.read.parquet(stagedNearDupPath(s, d) + "/media"))
         .orderBy("doc_id")),
 
+    // The LOOSE tolerance POSTURE of the same probe — band geometry
+    // is a declared probe parameter, not an index property (bands
+    // derive in-plan from the persisted 64-bit fingerprint, so ONE
+    // artifact serves every posture — the Hamming twin of the text
+    // family's declared 16×4/8×8 minhash postures): 8×8-bit bands,
+    // pigeonhole-complete for Hamming ≤ 7, probed here at ≤ 4 over
+    // the SAME staged index and planted lake (distances 0..5, so
+    // both verdicts still occur — 5 accepts where the strict posture
+    // accepted 4 and 5). The recall/cost trade is explicit: 8-bit
+    // bands bucket 256× denser, the price of the wider radius.
+    Q("mm_index_probe_loose",
+      Some(s"""WITH $mmSigCte,
+             |$mmNearDupCtes,
+             |rej AS (SELECT DISTINCT d.doc_id FROM dp d JOIN ix b
+             |          ON d.media_type = b.media_type
+             |         AND bit_count(xor(d.phash_hi, b.phash_hi))
+             |           + bit_count(xor(d.phash_lo, b.phash_lo)) <= 4
+             |        UNION
+             |        SELECT DISTINCT d.doc_id FROM dp d JOIN dp b
+             |          ON d.media_type = b.media_type
+             |         AND b.doc_id < d.doc_id
+             |         AND bit_count(xor(d.phash_hi, b.phash_hi))
+             |           + bit_count(xor(d.phash_lo, b.phash_lo)) <= 4)
+             |SELECT doc_id, media_type, phash_hi, phash_lo,
+             |       doc_id NOT IN (SELECT doc_id FROM rej) AS accepted
+             |FROM dp ORDER BY doc_id""".stripMargin),
+      (s, d) => MmIndex.nearProbeReport(
+          MmIndex.readIndex(s, stagedMmIndexPath(s, d)),
+          s.read.parquet(stagedNearDupPath(s, d) + "/media"),
+          maxDist = 4, nBands = 8)
+        .orderBy("doc_id")),
+
     // TORN-APPEND REPAIR for the media index — completing the repair
     // column of the four-family matrix (text: dedup_index_repair;
     // embedding: emb_index_repair; PQ: pq_index_repair): the staged

@@ -148,6 +148,24 @@ class DedupSpec extends SparkSpec {
     }.exists(_.requiredSchema.fieldNames.contains("bands")))
   }
 
+  test("serving lookup cascade: maxBucket = 1 (every probed bucket hot) " +
+      "keeps verdicts identical to the guard-free lookup") {
+    val docs = io.Tables.documents(spark, sf0001).select("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_lookup_hot").toString
+    Dedup.writeIndex(docs.filter(col("doc_id") % 5 =!= 0),
+      "doc_id", "text", dir)
+    val ix = Dedup.readIndex(spark, dir)
+    val delta = docs.filter(col("doc_id") % 5 === 0)
+    def verdicts(maxBucket: Int) =
+      Dedup.lookupReport(ix, delta, "doc_id", "text", maxBucket = maxBucket)
+        .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    val guarded = verdicts(1)           // both cascade stages exercised
+    val guardFree = verdicts(Int.MaxValue) // no bucket ever hot
+    assert(guarded == guardFree)
+    // the fixture is two-sided and the cascade genuinely fired
+    assert(guarded.values.exists(identity) && guarded.values.exists(!_))
+  }
+
   test("multi-day cycle: appending accepted rows' index entries composes") {
     // the production contract SCALE.md claims: day N screens against
     // index(base) ∪ index(accepted day 1) ∪ … — per-generation index

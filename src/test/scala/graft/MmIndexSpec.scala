@@ -195,6 +195,20 @@ class MmIndexSpec extends SparkSpec {
     assert((103L to 142L).filter(d => d % 8 <= 3).forall(brute.contains))
     assert(Seq(145L, 151L).forall(brute.contains)) // intra-delta blocks
     assert(got.size < dh.size && got.nonEmpty)
+    // the LOOSE posture: 8×8-bit bands are pigeonhole-complete to
+    // Hamming 7 — probed at ≤ 5 over the same planted distances, the
+    // band probe still equals brute force (both verdict sides live:
+    // distances 0..5 reject, 6..7 survive)
+    val brute5 = dh.keySet.filter { d =>
+      ixH.exists { case (b, f) => mt(b) == mt(d) && ham(dh(d), f) <= 5 } ||
+        dh.exists { case (d2, f2) =>
+          d2 < d && mt(d2) == mt(d) && ham(dh(d), f2) <= 5 }
+    }
+    val got5 = MmIndex.nearRejectionPlan(ixSig, dSig, maxDist = 5, nBands = 8)
+      .collect().map(_.getLong(0)).toSet
+    assert(got5 == brute5, s"band8=$got5 brute=$brute5")
+    assert((103L to 142L).filter(d => d % 8 <= 5).forall(brute5.contains))
+    assert(got5.size < dh.size && (got5 -- got).nonEmpty)
   }
 
   test("verbatim signature mass cannot evict a bucket: the guard counts " +
