@@ -187,7 +187,8 @@ object Bench {
         "dedup_maintain" -> (() => text.DedupQueries.stagedMaintainPath(spark, sfDir)),
         "emb_maintain" -> (() => sim.EmbIndexQueries.stagedEmbMaintainPath(spark, sfDir)),
         "pq_maintain" -> (() => sim.PqIndexQueries.stagedPqMaintainPath(spark, sfDir)),
-        "mm_maintain" -> (() => multimodal.MultimodalQueries.stagedMmMaintainPath(spark, sfDir)))
+        "mm_maintain" -> (() => multimodal.MultimodalQueries.stagedMmMaintainPath(spark, sfDir)),
+        "mm_health" -> (() => multimodal.MultimodalQueries.stagedMmHealthPath(spark, sfDir)))
       val ecStage = ExecutionContext.fromExecutorService(
         Executors.newFixedThreadPool(6))
       try Await.result(Future.traverse(stagers) { case (n, f) =>

@@ -65,6 +65,7 @@ object Ledger {
       "analytics" -> ops.Analytics.queries,
       "typed/UDAF" -> ops.Typed.queries,
       "io/catalog" -> io.IoQueries.queries,
+      "observability" -> io.HealthQueries.queries,
       "scalar-fns" -> functions.ExprQueries.queries,
       "scalar-fns-2" -> functions.ExprQueries2.queries,
       "text-analysis" -> text.TextQueries.queries,

@@ -78,6 +78,7 @@ object Registry {
       graft.ops.Analytics.queries ++
       graft.ops.Typed.queries ++
       graft.io.IoQueries.queries ++
+      graft.io.HealthQueries.queries ++
       graft.functions.ExprQueries.queries ++
       graft.functions.ExprQueries2.queries ++
       graft.text.TextQueries.queries ++

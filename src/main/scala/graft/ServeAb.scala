@@ -66,9 +66,9 @@ object ServeAb {
       Dedup.lookupReport(ix, spam, "doc_id", "text")))
     require(b.size == nSpam, s"lost verdict rows: ${b.size} of $nSpam")
     // every replica inherits its source doc's verdict exactly
-    val bad = b.iterator.filter { case (id, v) => a(id / factor) != v }
+    val bad = b.filter { case (id, v) => a(id / factor) != v }
     require(bad.isEmpty,
-      s"replica verdict drift: ${bad.take(5).toSeq}")
+      s"replica verdict drift: ${bad.take(5)}")
     println(f"[serve-ab] $dir base=${base.count()} distinct=${a.size} " +
       f"replicated=$nSpam (R=$factor) build_wall=$wBuild%.1f " +
       f"lookup_wall=$wA%.1f mass_lookup_wall=$wB%.1f " +

@@ -612,6 +612,20 @@ object MultimodalQueries {
     * torn-append shape a crash between the append job and its
     * checkpoint commit leaves — every delta signature row twice),
     * then repair. */
+  /** Stages the mm row of the `obs_index_health` fleet: base build
+    * over the % 5 ≠ 0 lake, the % 10 = 1 members erased and the
+    * compaction deliberately NOT run — the one fleet member with
+    * erasure debt pending, so the health report's tombstone column is
+    * gated against a non-zero closed form. */
+  private[graft] def stagedMmHealthPath(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    graft.text.DedupQueries.stageOnce("graft_mm_health1_", dir) { root =>
+      val lake = media(s, dir)
+      MmIndex.writeIndex(lake.filter(col("doc_id") % 5 =!= 0), root)
+      MmIndex.eraseFromIndex(root,
+        lake.filter(col("doc_id") % 10 === 1).select("doc_id"))
+    }
+
   private[graft] def stagedMmRepairPath(s: org.apache.spark.sql.SparkSession,
       dir: String): String =
     graft.text.DedupQueries.stageOnce("graft_mm_repair1_", dir) { root =>

@@ -705,7 +705,11 @@ object SimQueries {
       // emb_index_build (erasure never re-resolves the frozen width)
       EmbIndexQueries.eraseOracles(idxBits) ++
       EmbIndexQueries.rebuildOracles(rebBits) ++
-      EmbIndexQueries.maintainOracles(mntBits)
+      EmbIndexQueries.maintainOracles(mntBits) ++
+      // the fleet health report's emb geometry column rides the same
+      // corpus-resolved width as the rest of the % 5 ≠ 0 base family
+      Map("obs_index_health" ->
+        graft.io.HealthQueries.healthOracle(idxBits))
   }
 
   /** The exact-integer PQ pipeline as DuckDB CTEs — the ONE
