@@ -60,7 +60,16 @@ object MmIndex {
     * runs once per corpus and is APPENDED to, never rebuilt. */
   def writeIndex(media: DataFrame, root: String): Unit = {
     val s = media.sparkSession
-    signatures(s, media).write.mode("overwrite").parquet(s"$root/sig")
+    // signature rows are fixed-width (~40 B incl. the tag), so the
+    // output file count derives EXACTLY from the object count — a
+    // payload-free count job (the payload column never loads), then
+    // repartition (not coalesce: decode keeps its parallelism) to
+    // size-targeted files instead of one tiny file per decode task
+    // (FileSizing, guide §6).
+    val parts = graft.io.FileSizing.partsFor(
+      media.select("doc_id").count() * 40L)
+    signatures(s, media).repartition(parts)
+      .write.mode("overwrite").parquet(s"$root/sig")
   }
 
   /** Appends the accepted delta objects' signatures — decode pays
@@ -71,7 +80,13 @@ object MmIndex {
   def appendIndex(root: String, acceptedMedia: DataFrame): Unit = {
     val s = acceptedMedia.sparkSession
     val live = sigLive(root)
-    signatures(s, acceptedMedia).write.mode("append").parquet(live)
+    // repartition(1), not coalesce: decode stays partition-parallel
+    // upstream; only the 32-byte signature rows shuffle. One part
+    // file per delta append instead of one per core (FileSizing
+    // rationale, guide §6) — a delta would need >4M objects before
+    // its signatures outgrow one 128 MB target file.
+    signatures(s, acceptedMedia).repartition(1)
+      .write.mode("append").parquet(live)
     s.catalog.refreshByPath(live)
   }
 
@@ -121,9 +136,15 @@ object MmIndex {
           graft.text.Dedup.livePath(root, "tomb").toString)
         .select("doc_id").localCheckpoint()
       val cur = sigLive(root)
+      // hygiene: the purged rewrite coalesces append-accumulated tiny
+      // part files back to size-targeted ones (FileSizing, guide §6)
+      val (cFs, _) = graft.text.Dedup.hadoopFs(root)
+      val sigParts = graft.io.FileSizing.partsFor(
+        graft.io.FileSizing.dirBytes(cFs, cur))
       graft.text.Dedup.publishNextGen(s, root, "sig") { sd =>
         s.read.parquet(cur)
           .join(broadcast(tomb), Seq("doc_id"), "left_anti")
+          .coalesce(sigParts)
           .write.mode("overwrite").parquet(sd)
       }
       graft.text.Dedup.publishNextGen(s, root, "tomb") { sd =>
@@ -154,11 +175,16 @@ object MmIndex {
       .localCheckpoint() // pin: the relation it derives from is rewritten
     if (damaged.isEmpty) false
     else {
+      // hygiene on the healed rewrite (FileSizing, guide §6)
+      val (rFs, _) = graft.text.Dedup.hadoopFs(root)
+      val sigParts = graft.io.FileSizing.partsFor(
+        graft.io.FileSizing.dirBytes(rFs, live))
       graft.text.Dedup.publishNextGen(s, root, "sig") { sd =>
         val cur = s.read.parquet(live)
         cur.join(broadcast(damaged), Seq("doc_id"), "left_anti")
           .unionByName(cur.join(broadcast(damaged), Seq("doc_id"),
             "left_semi").distinct())
+          .coalesce(sigParts)
           .write.mode("overwrite").parquet(sd)
       }
       true
@@ -396,7 +422,11 @@ object MmIndex {
   private[graft] def appendSignatures(root: String, sigs: DataFrame): Unit = {
     val s = sigs.sparkSession
     val live = sigLive(root)
+    // one part file per delta append, not one per core (FileSizing
+    // rationale, guide §6; the rows are 32 B signatures — see
+    // [[appendIndex]]'s sizing note)
     sigs.select("doc_id", "media_type", "phash_hi", "phash_lo")
+      .repartition(1)
       .write.mode("append").parquet(live)
     s.catalog.refreshByPath(live)
   }

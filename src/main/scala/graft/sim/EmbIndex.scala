@@ -84,7 +84,13 @@ object EmbIndex {
     val (n, minDim) = Similarity.corpusStats(emb)
     val (bits, clamped) = Similarity.resolveWidth(n, minDim, maxBucket)
     buildRows(emb, bits).write.mode("overwrite").parquet(s"$root/vecs")
-    indexPostings(s.read.parquet(s"$root/vecs"))
+    // derived postings coalesce to size-targeted files (FileSizing,
+    // guide §6) — input is the just-written vecs parquet, no kernel
+    // work left to serialize; vecs bytes bound post bytes
+    val (vFs, vPath) = graft.text.Dedup.hadoopFs(s"$root/vecs")
+    val vParts = graft.io.FileSizing.partsFor(
+      graft.io.FileSizing.dirBytes(vFs, vPath))
+    indexPostings(s.read.parquet(s"$root/vecs")).coalesce(vParts)
       .write.mode("overwrite").parquet(s"$root/post")
     indexBucketStats(s.read.parquet(s"$root/post"))
       .write.mode("overwrite").parquet(s"$root/bk")
@@ -255,16 +261,26 @@ object EmbIndex {
     if (hasTomb) {
       val tomb = s.read.parquet(tombLive(root)).select("vec_id")
         .localCheckpoint() // snapshot: outlives the tomb reset below
+      // compaction doubles as the file-hygiene pass (FileSizing,
+      // guide §6): purged rewrites coalesce the append-accumulated
+      // tiny part files back to size-targeted ones
+      val (cFs, _) = graft.text.Dedup.hadoopFs(root)
+      def sized(p: String): Int = graft.io.FileSizing.partsFor(
+        graft.io.FileSizing.dirBytes(cFs, p))
       val curVecs = vecsLive(root)
+      val vecsParts = sized(curVecs)
       graft.text.Dedup.publishNextGen(s, root, "vecs") { sd =>
         s.read.parquet(curVecs)
           .join(broadcast(tomb), Seq("vec_id"), "left_anti")
+          .coalesce(vecsParts)
           .write.mode("overwrite").parquet(sd)
       }
       val curPost = graft.text.Dedup.livePath(root, "post").toString
+      val postParts = sized(curPost)
       graft.text.Dedup.publishNextGen(s, root, "post") { sd =>
         s.read.parquet(curPost)
           .join(broadcast(tomb), Seq("vec_id"), "left_anti")
+          .coalesce(postParts)
           .write.mode("overwrite").parquet(sd)
       }
       graft.text.Dedup.publishNextGen(s, root, "bk") { sd =>
@@ -326,10 +342,15 @@ object EmbIndex {
     val dupVecs = s.read.parquet(vecsLive(root))
       .groupBy("vec_id").agg(count(lit(1)).as("__n"))
       .filter(col("__n") > 1L).limit(1).count() > 0
+    val (rFs, _) = graft.text.Dedup.hadoopFs(root)
+    def sized(p: String): Int = graft.io.FileSizing.partsFor(
+      graft.io.FileSizing.dirBytes(rFs, p))
     if (dupVecs) {
       val cur = vecsLive(root)
+      val vecsParts = sized(cur)
       graft.text.Dedup.publishNextGen(s, root, "vecs") { sd =>
         s.read.parquet(cur).dropDuplicates("vec_id")
+          .coalesce(vecsParts)
           .write.mode("overwrite").parquet(sd)
       }
     }
@@ -343,8 +364,10 @@ object EmbIndex {
         col("__want") =!= col("__have"))
       .limit(1).count() > 0
     if (torn) {
+      val postParts = sized(vecsLive(root))
       graft.text.Dedup.publishNextGen(s, root, "post") { sd =>
-        indexPostings(vecsDocs).write.mode("overwrite").parquet(sd)
+        indexPostings(vecsDocs).coalesce(postParts)
+          .write.mode("overwrite").parquet(sd)
       }
       graft.text.Dedup.publishNextGen(s, root, "bk") { sd =>
         indexBucketStats(s.read.parquet(
@@ -380,11 +403,17 @@ object EmbIndex {
       val bkLive = graft.text.Dedup.livePath(root, "bk").toString
       val vLive = vecsLive(root)
       buildRows(accepted, bits).write.mode("overwrite").parquet(sd)
-      indexPostings(s.read.parquet(sd))
+      // appends read the scratch snapshot back — coalesce to
+      // size-targeted part counts (FileSizing, guide §6): a
+      // delta-sized append lands ONE file per artifact, not one per
+      // core
+      val np = graft.io.FileSizing.partsFor(
+        graft.io.FileSizing.dirBytes(fs, new org.apache.hadoop.fs.Path(sd)))
+      indexPostings(s.read.parquet(sd)).coalesce(np)
         .write.mode("append").parquet(postLive)
       indexBucketStats(indexPostings(s.read.parquet(sd)))
         .write.mode("append").parquet(bkLive)
-      s.read.parquet(sd).write.mode("append").parquet(vLive)
+      s.read.parquet(sd).coalesce(np).write.mode("append").parquet(vLive)
       s.catalog.refreshByPath(postLive)
       s.catalog.refreshByPath(bkLive)
       s.catalog.refreshByPath(vLive)

@@ -69,9 +69,14 @@ object PqIndex {
   def writeIndex(emb: DataFrame, root: String): Unit = {
     val s = emb.sparkSession
     val (cent, _) = Pq.codebookAndCodes(emb)
-    cent.write.mode("overwrite").parquet(s"$root/codebook")
+    // model tables are bounded by construction (m·k codebook rows, kc
+    // coarse centroids) — repartition(1) lands each as ONE part file
+    // instead of one per core, and every append/query re-reads them
+    // (FileSizing rationale, guide §6; repartition not coalesce so
+    // the training compute upstream keeps its parallelism)
+    cent.repartition(1).write.mode("overwrite").parquet(s"$root/codebook")
     val (_, kcents) = Clustering.kmeansFull(emb, KC)
-    kcents.write.mode("overwrite").parquet(s"$root/coarse")
+    kcents.repartition(1).write.mode("overwrite").parquet(s"$root/coarse")
     withCells(Pq.encodeAt(emb, s.read.parquet(s"$root/codebook")),
         emb, s.read.parquet(s"$root/coarse"))
       .write.partitionBy("cell").mode("overwrite").parquet(s"$root/codes")
@@ -351,9 +356,16 @@ object PqIndex {
           graft.text.Dedup.livePath(mr, "tomb").toString)
         .select("vec_id").localCheckpoint()
       val cur = graft.text.Dedup.livePath(mr, "codes").toString
+      // hygiene: the purged rewrite coalesces append-accumulated part
+      // files (per input task × per cell) back toward size-targeted
+      // counts (FileSizing, guide §6)
+      val (cFs, _) = graft.text.Dedup.hadoopFs(mr)
+      val codesParts = graft.io.FileSizing.partsFor(
+        graft.io.FileSizing.dirBytes(cFs, cur))
       graft.text.Dedup.publishNextGen(s, mr, "codes") { sd =>
         s.read.parquet(cur)
           .join(broadcast(tomb), Seq("vec_id"), "left_anti")
+          .coalesce(codesParts)
           .write.partitionBy("cell").mode("overwrite").parquet(sd)
       }
       graft.text.Dedup.publishNextGen(s, mr, "tomb") { sd =>
@@ -424,6 +436,10 @@ object PqIndex {
   private def publishCleanCodes(s: SparkSession, root: String,
       drop: DataFrame, add: DataFrame): Unit = {
     val cur = graft.text.Dedup.livePath(root, "codes").toString
+    // hygiene on the healed rewrite too (FileSizing, guide §6)
+    val (rFs, _) = graft.text.Dedup.hadoopFs(root)
+    val codesParts = graft.io.FileSizing.partsFor(
+      graft.io.FileSizing.dirBytes(rFs, cur))
     graft.text.Dedup.publishNextGen(s, root, "codes") { sd =>
       s.read.parquet(cur)
         .join(drop, Seq("vec_id"), "left_anti")
@@ -431,6 +447,7 @@ object PqIndex {
           col("cell").cast("int").as("cell"))
         .unionByName(add.select(col("vec_id"), col("sub"), col("code"),
           col("d2"), col("cell").cast("int").as("cell")))
+        .coalesce(codesParts)
         .write.partitionBy("cell").mode("overwrite").parquet(sd)
     }
   }

@@ -270,7 +270,16 @@ object Dedup {
       .repartition(1).write.mode("overwrite").parquet(s"$root/manifest")
     buildIndex(df, idCol, textCol, bands, rows)
       .write.mode("overwrite").parquet(s"$root/ix")
-    indexPostings(s.read.parquet(s"$root/ix"))
+    // derived artifacts coalesce to size-targeted output files
+    // (graft.io.FileSizing — guide §6): their input is the
+    // just-written ix parquet (cheap read-back, no kernel work to
+    // serialize), and the local splitter would otherwise emit one
+    // tiny part file per core. ix bytes bound post bytes (shingle
+    // sets dominate the per-doc row), so they size the coalesce.
+    val (ixFs, ixPath) = hadoopFs(s"$root/ix")
+    val ixParts = graft.io.FileSizing.partsFor(
+      graft.io.FileSizing.dirBytes(ixFs, ixPath))
+    indexPostings(s.read.parquet(s"$root/ix")).coalesce(ixParts)
       .write.mode("overwrite").parquet(s"$root/post")
     indexBucketStats(s.read.parquet(s"$root/post"))
       .write.mode("overwrite").parquet(s"$root/bk")
@@ -501,12 +510,20 @@ object Dedup {
       val (bands, rows) = manifestWidth(s, root)
       buildIndex(accepted, idCol, textCol, bands, rows)
         .write.mode("overwrite").parquet(sd)
-      val post = indexPostings(s.read.parquet(sd))
+      // the three appends read the scratch snapshot back (no kernel
+      // work left in their lineage), so they coalesce to
+      // size-targeted part counts — a delta-sized append lands ONE
+      // part file per artifact instead of one per core
+      // (graft.io.FileSizing, guide §6; r16 measured 32 tiny files
+      // per append per artifact before this).
+      val np = graft.io.FileSizing.partsFor(
+        graft.io.FileSizing.dirBytes(fs, new org.apache.hadoop.fs.Path(sd)))
+      val post = indexPostings(s.read.parquet(sd)).coalesce(np)
       post.write.mode("append").parquet(livePath(root, "post").toString)
       indexBucketStats(indexPostings(s.read.parquet(sd)))
         .write.mode("append").parquet(livePath(root, "bk").toString)
       val ixL = ixLive(root)
-      s.read.parquet(sd).write.mode("append").parquet(ixL)
+      s.read.parquet(sd).coalesce(np).write.mode("append").parquet(ixL)
       s.catalog.refreshByPath(ixL)
     } finally fs.delete(scratch, true)
   }
@@ -595,7 +612,10 @@ object Dedup {
     val p =
       if (artifactExists(root, "tomb")) livePath(root, "tomb").toString
       else s"$root/tomb"
-    ids.write.mode("append").parquet(p)
+    // erasure requests are request-sized (a GDPR id list, bounded by
+    // the broadcast every readIndex does on it) — one part file per
+    // request, not one per core (FileSizing rationale, guide §6)
+    ids.repartition(1).write.mode("append").parquet(p)
     s.catalog.refreshByPath(p)
   }
 
@@ -636,15 +656,26 @@ object Dedup {
       val tomb = s.read.parquet(livePath(root, "tomb").toString)
         .select("id").localCheckpoint()
       val curIx = ixLive(root)
+      // compaction is ALSO the file-hygiene pass: the purged rewrite
+      // coalesces the append-accumulated tiny part files back to
+      // size-targeted ones (graft.io.FileSizing, guide §6) — the
+      // purged output is bounded by the current live artifact's bytes
+      val (cfs, _) = hadoopFs(root)
+      def sized(p: String): Int = graft.io.FileSizing.partsFor(
+        graft.io.FileSizing.dirBytes(cfs, p))
+      val ixParts = sized(curIx)
       publishNextGen(s, root, "ix") { sd =>
         s.read.parquet(curIx)
           .join(broadcast(tomb), Seq("id"), "left_anti")
+          .coalesce(ixParts)
           .write.mode("overwrite").parquet(sd)
       }
       val curPost = livePath(root, "post").toString
+      val postParts = sized(curPost)
       publishNextGen(s, root, "post") { sd =>
         s.read.parquet(curPost)
           .join(broadcast(tomb), Seq("id"), "left_anti")
+          .coalesce(postParts)
           .write.mode("overwrite").parquet(sd)
       }
       publishNextGen(s, root, "bk") { sd =>
@@ -710,8 +741,14 @@ object Dedup {
         col("__want") =!= col("__have"))
       .limit(1).count() > 0
     if (torn) {
+      // the repair rewrite restores file hygiene too: post is sized
+      // from the ix bytes it derives from (FileSizing, guide §6)
+      val (rfs, _) = hadoopFs(root)
+      val postParts = graft.io.FileSizing.partsFor(
+        graft.io.FileSizing.dirBytes(rfs, ixLive(root)))
       publishNextGen(s, root, "post") { sd =>
-        indexPostings(ixDocs).write.mode("overwrite").parquet(sd)
+        indexPostings(ixDocs).coalesce(postParts)
+          .write.mode("overwrite").parquet(sd)
       }
       publishNextGen(s, root, "bk") { sd =>
         indexBucketStats(s.read.parquet(livePath(root, "post").toString))
