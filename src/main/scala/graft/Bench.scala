@@ -189,12 +189,25 @@ object Bench {
         "pq_maintain" -> (() => sim.PqIndexQueries.stagedPqMaintainPath(spark, sfDir)),
         "mm_maintain" -> (() => multimodal.MultimodalQueries.stagedMmMaintainPath(spark, sfDir)),
         "mm_health" -> (() => multimodal.MultimodalQueries.stagedMmHealthPath(spark, sfDir)))
+      // 10-wide: the 28 stagers are independent build pipelines (mixed
+      // CPU/IO) sharing the 32-core scheduler FAIR; 6 threads left the
+      // tail of long builds (pq kmeans, media decode, the multi-append
+      // lifecycles) serialized behind short ones. Per-stager walls go
+      // to stderr so a drifted staging phase is adjudicable from the
+      // log (guide §1.5 labelling, applied to the staging phase).
       val ecStage = ExecutionContext.fromExecutorService(
-        Executors.newFixedThreadPool(6))
+        Executors.newFixedThreadPool(10))
       try Await.result(Future.traverse(stagers) { case (n, f) =>
-        Future(try f() catch { case e: Throwable =>
-          System.err.println(s"[bench-stage] $n failed: ${e.getMessage}")
-        })(ecStage)
+        Future {
+          val t0 = System.nanoTime()
+          try {
+            f()
+            System.err.println(
+              f"[bench-stage] $n ${(System.nanoTime() - t0) / 1e9}%.1f s")
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench-stage] $n failed: ${e.getMessage}")
+          }
+        }(ecStage)
       }(implicitly, ecStage), Duration.Inf)
       finally ecStage.shutdown()
     }

@@ -16,6 +16,90 @@ object ProfR16 {
     r
   }
 
+  private def noop(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  /** Stage-level decomposition of the round's serial-tail hogs —
+    * run with mode=tail (second arg). */
+  private def tailProfile(spark: SparkSession, dir: String): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = graft.io.Tables.events(spark, dir)
+    t("warmup events") { ev.foreach(_ => ()) }
+    val li = graft.io.Tables.lineitem(spark, dir)
+    t("warmup lineitem") { li.foreach(_ => ()) }
+
+    // ── stat_theil_sen decomposition ────────────────────────────────
+    (1 to 2).foreach { i =>
+      // inlined Extras30.userPairs (private[ops])
+      val vv = ev.select(col("user_id"),
+        unix_micros(col("ts")).as("u"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("c"),
+        row_number().over(Window.partitionBy("user_id")
+          .orderBy("ts", "event_id")).cast("long").as("i"))
+      val aa = vv.select(col("user_id"), col("u").as("ua"),
+        col("c").as("ca"), col("i").as("ia"))
+      val bb = vv.select(col("user_id"), col("u").as("ub"),
+        col("c").as("cb"), col("i").as("ib"))
+      val pairs = aa.join(bb, Seq("user_id"))
+        .filter(col("ib") > col("ia")).filter(col("ub") > col("ua"))
+      t(s"theil pairs only (run$i)") { noop(pairs.select("user_id", "ua")) }
+      val slopes = pairs.select(col("user_id"),
+        expr("""CAST(least(greatest(round((cb - ca) * 3600.0 * 1e6 * 1e6
+               | / (ub - ua)), -9e18), 9e18) AS BIGINT)""".stripMargin)
+          .as("slope_e6"))
+      t(s"theil pairs+slope (run$i)") { noop(slopes) }
+      t(s"theil +count agg (run$i)") {
+        noop(slopes.groupBy("user_id").agg(count(lit(1)).as("n_pairs")))
+      }
+      t(s"theil +percentile_disc (run$i)") {
+        noop(slopes.groupBy("user_id")
+          .agg(count(lit(1)).cast("long").as("n_pairs"),
+            expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY slope_e6) AS BIGINT)")
+              .as("ts_slope_e6")))
+      }
+      t(s"theil window-median spelling (run$i)") {
+        val rk = slopes
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("user_id").orderBy("slope_e6")))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy("user_id")))
+        noop(rk.filter(col("rn") === ((col("n") + 1) / 2).cast("int"))
+          .select(col("user_id"), col("n").as("n_pairs"),
+            col("slope_e6").as("ts_slope_e6")))
+      }
+    }
+
+    // ── agg_histogram_equiheight decomposition ──────────────────────
+    (1 to 2).foreach { i =>
+      val c = li.select(
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("v"))
+      t(s"histeq binByQuantiles only (run$i)") {
+        noop(graft.ops.ScaleRank.binByQuantiles(c, "v", 4, "bin"))
+      }
+      t(s"histeq full (run$i)") {
+        noop(graft.ops.ScaleRank.binByQuantiles(c, "v", 4, "bin")
+          .groupBy("bin")
+          .agg(count(lit(1)).cast("long").as("n_rows"),
+            countDistinct("v").cast("long").as("ndv"),
+            min("v").cast("long").as("lo_cents"),
+            max("v").cast("long").as("hi_cents")))
+      }
+    }
+
+    // ── stat_spearman decomposition ─────────────────────────────────
+    (1 to 2).foreach { i =>
+      val v = li.select(col("l_returnflag").as("rf"),
+        expr("CAST(l_quantity AS BIGINT)").as("x"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("y"))
+      t(s"spearman ranks only (run$i)") {
+        noop(v.select(col("rf"),
+          (rank().over(Window.partitionBy("rf").orderBy("x")).cast("long") * 2
+            + count(lit(1)).over(Window.partitionBy("rf", "x")) - 1).as("rx"),
+          (rank().over(Window.partitionBy("rf").orderBy("y")).cast("long") * 2
+            + count(lit(1)).over(Window.partitionBy("rf", "y")) - 1).as("ry")))
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     java.util.Locale.setDefault(java.util.Locale.US)
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -29,6 +113,13 @@ object ProfR16 {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import graft.text.Dedup
+
+    if (args.lift(1).contains("tail")) {
+      tailProfile(spark, dir)
+      spark.stop()
+      println("""{"metric":"prof","value":0}""")
+      return
+    }
 
     // warm-up: tables + codegen
     t("warmup") {

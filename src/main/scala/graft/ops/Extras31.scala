@@ -47,16 +47,31 @@ object Extras31 {
             expr("""CAST(least(greatest(round((cb - ca) * 3600.0 * 1e6 * 1e6
                    | / (ub - ua)), -9e18), 9e18) AS BIGINT)""".stripMargin)
               .as("slope_e6"))
-          .groupBy("user_id")
-          // percentile_disc's per-group buffer is FINE here: the group
-          // is one user's slope pairs, bounded by per-user activity
-          // (k events → k·(k−1)/2 pairs, k capped by the session
-          // horizon) — never a whole-column buffer. SCALE.md round-7
-          // bounded-group policy; do not rework onto the distributed
-          // CDF, which would add two shuffles for a buffer that fits.
-          .agg(count(lit(1)).cast("long").as("n_pairs"),
-            expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY slope_e6) AS BIGINT)")
-              .as("ts_slope_e6"))
+          // Lower-median ELEMENT selection via a per-user window, not
+          // the percentile_disc aggregate: percentile_disc's
+          // ObjectHashAggregate updates an interpreted per-group
+          // value-frequency map per row — the one non-codegen operator
+          // in this plan, and r16's decomposition priced it at ~2.6 s
+          // of the query's 6.8 s serial wall (pairs+slopes alone:
+          // 0.6 s). The window spelling sorts each user's slopes once
+          // (spill-backed, same (user) partitioning the pair join
+          // already established — no extra Exchange) and picks the
+          // row with row_number = ⌈n/2⌉, which IS percentile_disc(0.5)
+          // (smallest value whose cume_dist ≥ 0.5): measured 3.2 →
+          // 2.2 s on the decomposed stage, hashes unchanged. The
+          // per-user frame stays bounded by per-user activity (k
+          // events → k·(k−1)/2 pairs) exactly as before — the
+          // distributed CDF is still deliberately NOT used here
+          // (SCALE.md round-7 bounded-group policy).
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("user_id").orderBy("slope_e6")))
+          .withColumn("n", count(lit(1)).over(
+            Window.partitionBy("user_id")))
+          // ⌈n/2⌉ in exact integer arithmetic ((n+1) div 2 — `/` is
+          // double division, the width-cliff class past 2^53 pairs)
+          .filter(col("rn") === expr("(n + 1) div 2"))
+          .select(col("user_id"), col("n").cast("long").as("n_pairs"),
+            col("slope_e6").as("ts_slope_e6"))
           .orderBy("user_id")
       }),
 
