@@ -393,10 +393,17 @@ object Bench {
       "stream_pq_serving")
     val (ingestQs, streamRest) = streamQs.partition(q => ingestLane(q.name))
     val streamPool = math.min(pool, 4)
+    // 3-wide (was 2): the lane's six choreographies sum to ~56 s of
+    // pooled wall at sf0.1 and the lane, not the 4-wide rest pool
+    // (~14 s), bounds the whole stream phase — r16 measured
+    // stream_pool 28.2 s with the lane at 2, i.e. lane-sum/2 almost
+    // exactly. The choreographies are checkpoint/latency-bound, not
+    // CPU-bound (guide §2.6 overlap-independent-jobs), so a third
+    // in-flight stream back-fills their idle gaps.
     val ecs = ExecutionContext.fromExecutorService(
       Executors.newFixedThreadPool(streamPool))
     val ecI = ExecutionContext.fromExecutorService(
-      Executors.newFixedThreadPool(2))
+      Executors.newFixedThreadPool(3))
     val streamTimes =
       try {
         val fRest = Future.traverse(streamRest)(q =>

@@ -145,11 +145,24 @@ object Extras51 {
         // exact quartiles via the distributed CDF + shared CASE ladder
         // (percentile_disc buffers the whole column per cutpoint —
         // 4.3s serial at sf0.1 and unbounded memory at scale; see
-        // ScaleRank.exactQuantilesDisc)
-        ScaleRank.binByQuantiles(c, "v", 4, "bin")
+        // ScaleRank.exactQuantilesDisc).
+        // r16 (guide §2.3): EVERY statistic here is a function of the
+        // distinct (value, count) relation the quantile machinery
+        // already reduces to — n_rows = Σcnt, ndv = row count, lo/hi =
+        // min/max over distinct values — so the histogram aggregates
+        // THAT table instead of re-scanning the fact for binning and
+        // paying countDistinct's expand (two extra fact-sized
+        // shuffles). One localCheckpoint makes the reduction the one
+        // fact pass both the cuts and the report read: 4.4 → 2.5 s
+        // serial at sf0.1, hash unchanged.
+        val vc = c.groupBy("v").agg(count(lit(1)).as("cnt"))
+          .localCheckpoint(false)
+        val cuts = ScaleRank.exactQuantilesDiscCounted(vc, "v", "cnt",
+          (1 until 4).map(_ -> 4), (1 until 4).map(i => s"q$i"))
+        ScaleRank.binByCuts(vc, "v", 4, "bin", cuts)
           .groupBy("bin")
-          .agg(count(lit(1)).cast("long").as("n_rows"),
-            countDistinct("v").cast("long").as("ndv"),
+          .agg(sum("cnt").cast("long").as("n_rows"),
+            count(lit(1)).cast("long").as("ndv"),
             min("v").cast("long").as("lo_cents"),
             max("v").cast("long").as("hi_cents"))
           .orderBy("bin")

@@ -208,11 +208,19 @@ object Extras6 {
           .select(col("o_orderkey"), round(col("o_totalprice") * 100).cast("long").as("cents"))
         // distributed exact quartiles + shared CASE ladder —
         // percentile_disc's whole-column aggregate buffer is the
-        // non-scalable spelling (ScaleRank.exactQuantilesDisc doc)
-        ScaleRank.binByQuantiles(c, "cents", 4, "bucket")
-          .select(col("bucket"), col("cents"))
+        // non-scalable spelling (ScaleRank.exactQuantilesDisc doc).
+        // r16 (guide §2.3): every output statistic (n = Σcnt, lo/hi =
+        // min/max) is a function of the distinct (cents, count)
+        // relation the cuts machinery reduces to anyway, so bin THAT
+        // table instead of re-scanning the fact — the
+        // agg_histogram_equiheight shape (Extras51), applied here.
+        val vc = c.groupBy("cents").agg(count(lit(1)).as("cnt"))
+          .localCheckpoint(false)
+        val cuts = ScaleRank.exactQuantilesDiscCounted(vc, "cents", "cnt",
+          (1 until 4).map(_ -> 4), (1 until 4).map(i => s"q$i"))
+        ScaleRank.binByCuts(vc, "cents", 4, "bucket", cuts)
           .groupBy("bucket")
-          .agg(count(lit(1)).as("n"), min(col("cents")).as("lo_cents"),
+          .agg(sum("cnt").as("n"), min(col("cents")).as("lo_cents"),
             max(col("cents")).as("hi_cents"))
           .orderBy("bucket")
       }),

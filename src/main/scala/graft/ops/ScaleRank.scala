@@ -499,7 +499,6 @@ object ScaleRank {
   def exactQuantilesDisc(df: DataFrame, valueCol: String,
       fractions: Seq[(Int, Int)], names: Seq[String],
       nRanges: Int = 32): DataFrame = {
-    requireFractions(fractions, names)
     // Reduce to the domain-bounded (value, count) table FIRST (one
     // map-side-combined shuffle), then rank the DISTINCT values and
     // carry the cumulative ROW count as a running sum of the counts in
@@ -518,6 +517,22 @@ object ScaleRank {
     // non-null rows only).
     val vc = df.select(col(valueCol).as("__v")).filter(col("__v").isNotNull)
       .groupBy("__v").agg(count(lit(1)).as("__cnt"))
+    exactQuantilesDiscCounted(vc, "__v", "__cnt", fractions, names, nRanges)
+  }
+
+  /** [[exactQuantilesDisc]] over an ALREADY-REDUCED (value, count)
+    * relation — for callers that materialize the distinct-value table
+    * anyway (equi-height histogram statistics compute per-bin
+    * ndv/min/max from it), so the fact is scanned once instead of once
+    * per consumer (r16, guide §2.3 aggregate-before-shuffle). NULL
+    * values are dropped here exactly as in the row-level entry, so
+    * both spellings agree for any input. */
+  def exactQuantilesDiscCounted(vc0: DataFrame, valueCol: String,
+      cntCol: String, fractions: Seq[(Int, Int)], names: Seq[String],
+      nRanges: Int = 32): DataFrame = {
+    requireFractions(fractions, names)
+    val vc = vc0.select(col(valueCol).as("__v"), col(cntCol).as("__cnt"))
+      .filter(col("__v").isNotNull)
     val ranked = withGlobalRanks(vc, "__v", "__v", nRanges = nRanges,
       rkName = "__vrk", runOns = Seq("__cnt" -> "__run"))
     val tot = vc.agg(sum("__cnt").cast("long").as("__n"))
