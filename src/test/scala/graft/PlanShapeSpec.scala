@@ -170,10 +170,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("ntile"), p)
     assert(p.contains("windowspecdefinition(__ck0"), p)
     assert(!"windowspecdefinition\\(cents[,)]".r.findFirstIn(p).isDefined, p)
-    // and the tie-proof reduction must precede the ranking: the window
-    // rides the DISTINCT (value, count) table (a __v-keyed aggregate
-    // shuffle), so a heavy tied value can never be a heavy window cell
-    assert("hashpartitioning\\(__v#".r.findFirstIn(p).isDefined, p)
+    // and the tie-proof reduction must precede the ranking. Since r16
+    // the query materializes the distinct (cents, cnt) relation ONCE
+    // (localCheckpoint) and both the cuts and the per-bucket report
+    // read it — the reduction shuffle happens at checkpoint time, so
+    // the pin is the checkpointed reduced scan feeding the plan (no
+    // raw-cents window can exist over it; a heavy tied value is one
+    // row by construction) and the report aggregating its counts.
+    assert("Scan ExistingRDD\\[cents#\\d+L,cnt#".r.findFirstIn(p).isDefined, p)
+    assert(p.contains("sum(cnt#"), p)
   }
 
   test("ohlc is one aggregation pass — no window, no self-join") {
