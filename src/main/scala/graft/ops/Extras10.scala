@@ -57,6 +57,13 @@ object Extras10 {
           .select(col("ck"),
             datediff(col("gmax"), col("last_d")).cast("long").as("r_days"),
             col("f"), col("m_cents"))
+          // r16 (guide §1.2/§5): ScaleRank's eager passes (cutpoint
+          // sketch, joint-cell counts) plus the three ranking windows
+          // each re-ran this whole reduction — 5 scans of orders (and
+          // 5 of the broadcast max-date aggregate) for a ≤|customers|-
+          // row frame. One lazy localCheckpoint makes the reduction
+          // the single fact pass every consumer reads.
+          .localCheckpoint(false)
         // one fused ScaleRank pass for all three quintiles: one
         // cutpoint sketch + one count aggregation over the scan,
         // instead of three independent round-trips (r5 VERDICT #2)

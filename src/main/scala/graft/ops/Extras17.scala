@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.Q
 import graft.io.Tables
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -95,27 +96,48 @@ object Extras17 {
              |            * 1e6) AS BIGINT) AS rho_e6
              |FROM g ORDER BY rf""".stripMargin),
       (s, d) => {
+        // r16 (guide §2.5): the window spelling partitioned BOTH rank
+        // passes by l_returnflag — 3 distinct values, so two full-fact
+        // sorts each ran on 3 tasks (the single-partition-sort shape
+        // ScaleRank exists to kill; measured ~4.8 s serial at sf0.1).
+        // The doubled tie-averaged rank of a row is a function of its
+        // (rf, value) GROUP alone: with d = rows at the value and
+        // c = inclusive running count of rf-rows ≤ value (value-
+        // ascending), rank = c − d + 1 and 2·rank + d − 1 = 2c − d + 1.
+        // So the ranks come from the per-(rf, value) marginals — the
+        // y marginal's running count via partitionedRunningSum (two-
+        // level, #rf × #buckets parallel), the ≤ |rf|·50-row x
+        // marginal broadcast — and only sxy (the one cross-moment)
+        // joins back to the fact, on the high-cardinality (rf, y) key.
+        // Every sum is the same integers added in a different order
+        // (exact in DECIMAL(38,0) / wrap-associative in BIGINT), so
+        // the closed form is bit-identical to the window spelling.
         val v = Tables.lineitem(s, d)
           .select(col("l_returnflag").as("rf"),
             expr("CAST(l_quantity AS BIGINT)").as("x"),
             expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("y"))
-        // rank() is IntegerType: cast to long BEFORE the *2 (the int
-        // multiply wraps past ~1.07e9 rows per flag group — the
-        // scale-audit width-cliff class; the oracle's 2*rank() is
-        // BIGINT and would silently diverge)
-        val r = v.select(col("rf"),
-          (rank().over(Window.partitionBy("rf").orderBy("x")).cast("long") * 2
-            + count(lit(1)).over(Window.partitionBy("rf", "x")) - 1)
-            .as("rx"),
-          (rank().over(Window.partitionBy("rf").orderBy("y")).cast("long") * 2
-            + count(lit(1)).over(Window.partitionBy("rf", "y")) - 1)
-            .as("ry"))
-        r.groupBy("rf")
+          .localCheckpoint(false)
+        def marginal(cn: String) = ScaleRank.partitionedRunningSum(
+            v.groupBy(col("rf"), col(cn)).agg(count(lit(1)).as("d")),
+            "rf", Seq(cn), "d", floor(col(cn) / 65536L), "c")
+          .select(col("rf"), col(cn),
+            (lit(2L) * col("c") - col("d") + 1L).as(s"r$cn"), col("d"))
+        val xr = marginal("x")
+        val yr = marginal("y")
+        def mom(src: DataFrame, rc: String) = src.groupBy("rf")
+          .agg(sum(col("d") * col(rc)).cast("long").as(s"s$rc"),
+            expr(s"CAST(sum(CAST(d AS DECIMAL(38,0)) * $rc * $rc) AS DOUBLE)")
+              .as(s"s$rc$rc"))
+        val sxy = v
+          .join(yr.select("rf", "y", "ry"), Seq("rf", "y"))
+          .join(broadcast(xr.select("rf", "x", "rx")), Seq("rf", "x"))
+          .groupBy("rf")
           .agg(count(lit(1)).cast("long").as("n"),
-            sum("rx").cast("long").as("sx"), sum("ry").cast("long").as("sy"),
-            expr("CAST(sum(CAST(rx AS DECIMAL(38,0)) * ry) AS DOUBLE)").as("sxy"),
-            expr("CAST(sum(CAST(rx AS DECIMAL(38,0)) * rx) AS DOUBLE)").as("sxx"),
-            expr("CAST(sum(CAST(ry AS DECIMAL(38,0)) * ry) AS DOUBLE)").as("syy"))
+            expr("CAST(sum(CAST(rx AS DECIMAL(38,0)) * ry) AS DOUBLE)").as("sxy"))
+        sxy.join(mom(xr, "rx"), Seq("rf")).join(mom(yr, "ry"), Seq("rf"))
+          .select(col("rf"), col("n"), col("srx").as("sx"),
+            col("sry").as("sy"), col("sxy"),
+            col("srxrx").as("sxx"), col("sryry").as("syy"))
           .select(col("rf"), col("n"),
             expr("""CAST(round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
                    | / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)

@@ -33,9 +33,29 @@ object Extras31 {
              |       CAST(quantile_disc(slope_e6, 0.5) AS BIGINT) AS ts_slope_e6
              |FROM p GROUP BY 1 ORDER BY user_id""".stripMargin),
       (s, d) => {
-        Extras30.userPairs(Tables.events(s, d),
-            Seq(unix_micros(col("ts")) -> "u",
-              expr("CAST(round(value * 100) AS BIGINT)") -> "c"))
+        // r16 (guide §2.4/§2.5): the generic userPairs scaffold ranks
+        // BOTH join sides by (ts, event_id) to impose pair order via
+        // ib > ia — but this query ALSO requires ub > ua, and
+        // unix_micros is strictly monotone in ts, so ub > ua alone
+        // implies ib > ia (row_number orders by ts first): the rank
+        // windows (an Exchange+Sort+Window on each join side) are
+        // provably redundant here and are dropped. The surviving
+        // probe side repartitions by user_id at an EXPLICIT width
+        // (defaultParallelism — scale-adaptive, not a constant): the
+        // input is ~30 bytes/row, so AQE's coalescing sees a few MB
+        // of shuffle output and would fold the exchange to 1-3
+        // partitions — serializing the k²-per-user pair explosion,
+        // the slope kernel, AND the downstream median sort that reuse
+        // this partitioning (the whole query ran ~single-threaded;
+        // AQE prices the map output, not the 33× expansion above it).
+        // Pair set, n_pairs and median are unchanged — same oracle.
+        val v = Tables.events(s, d).select(col("user_id"),
+          unix_micros(col("ts")).as("u"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+        val a = v.select(col("user_id"), col("u").as("ua"), col("c").as("ca"))
+          .repartition(s.sparkContext.defaultParallelism, col("user_id"))
+        val b = v.select(col("user_id"), col("u").as("ub"), col("c").as("cb"))
+        a.join(b, Seq("user_id"))
           .filter(col("ub") > col("ua"))
           .select(col("user_id"),
             // saturate at ±9e18: an adjacent-microsecond pair with a

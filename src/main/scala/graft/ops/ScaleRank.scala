@@ -669,9 +669,16 @@ object ScaleRank {
       valueCol: String,
       bucket: Column => Column, aggs: Seq[Column]): DataFrame = {
     require(aggs.nonEmpty)
+    // r16 (guide §1.2/§5): the reduced CDF relation feeds FOUR
+    // consumers (the running-sum frame, its per-bucket offset
+    // aggregate, the per-group totals, and through them the caller's
+    // broadcast-back join) — without a checkpoint each re-ran the
+    // group-value reduction over the fact. One lazy localCheckpoint
+    // makes the reduction the single fact pass.
     val vc = df.filter(col(valueCol).isNotNull)
       .groupBy(col(groupCol).as("__g"), col(valueCol).as("__v"))
       .agg(count(lit(1)).as("__cnt"))
+      .localCheckpoint(false)
     val cum = partitionedRunningSum(vc, "__g", Seq("__v"), "__cnt",
       bucket(col("__v")), "__run")
     val tot = vc.groupBy("__g").agg(sum("__cnt").cast("long").as("__n"))
