@@ -106,15 +106,29 @@ object Extras5 {
              |ORDER BY user_id, hr""".stripMargin),
       (s, d) => {
         val ev = Tables.events(s, d)
+        // r16 (guide §2.4/§2.5): repartition by user_id BEFORE the
+        // grid explode — the per-user (h0, h1) frame is |users| rows,
+        // so the shuffle moves almost nothing and the ~700×-larger
+        // exploded grid is BORN hash-partitioned by user_id at an
+        // explicit scale-adaptive width (AQE would coalesce the tiny
+        // map output to 1-3 partitions and serialize the explode +
+        // both window sorts). The hourly side repartitions the same
+        // way, so the join needs no further exchange AND its output
+        // partitioning already satisfies both windows — the former
+        // plan exchanged the full grid twice (join key, then window
+        // key).
+        val np = s.sparkContext.defaultParallelism
         val grid = ev.groupBy("user_id")
           .agg(date_trunc("hour", min(col("ts"))).as("h0"),
             date_trunc("hour", max(col("ts"))).as("h1"))
+          .repartition(np, col("user_id"))
           .select(col("user_id"),
             explode(sequence(col("h0"), col("h1"),
               expr("INTERVAL 1 HOUR"))).as("hr"))
         val hourly = ev.groupBy(col("user_id"),
             date_trunc("hour", col("ts")).as("hr"))
           .agg(sum(round(col("value") * 1e6).cast("long")).as("v6"))
+          .repartition(np, col("user_id"))
         // both lookups are RUNNING frames: the next-observation pass
         // orders DESC instead of using (currentRow, unboundedFollowing)
         // — Spark's unbounded-FOLLOWING frame re-scans the partition

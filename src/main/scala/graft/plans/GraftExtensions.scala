@@ -19,6 +19,8 @@ object GraftFunctions {
   val Functions: Seq[(String, Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
       org.apache.spark.sql.catalyst.expressions.Expression)] = Seq(
     "cosine_sim" -> (exprs => CosineSimilarity(exprs(0), exprs(1))),
+    "dot_longs" -> (exprs => DotLongs(exprs(0), exprs(1))),
+    "l2sq_longs" -> (exprs => L2SqLongs(exprs(0), exprs(1))),
     "minhash_signature" -> (exprs => MinHashSignature(exprs.head)),
     "shingles" -> (exprs => Shingles(exprs.head)),
     "simhash64" -> (exprs => SimHash64(exprs.head)),
@@ -80,6 +82,8 @@ object GraftFunctions {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private val exprClass = Map(
     "cosine_sim" -> classOf[CosineSimilarity].getName,
+    "dot_longs" -> classOf[DotLongs].getName,
+    "l2sq_longs" -> classOf[L2SqLongs].getName,
     "minhash_signature" -> classOf[MinHashSignature].getName,
     "shingles" -> classOf[Shingles].getName,
     "simhash64" -> classOf[SimHash64].getName,

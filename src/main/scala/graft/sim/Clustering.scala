@@ -33,9 +33,11 @@ object Clustering {
   /** Assign each vector to its nearest centroid (squared L2 in exact
     * BIGINT; ties break to the lowest cluster id). */
   private def assign(vecs: DataFrame, cents: DataFrame): DataFrame = {
-    val d2 = aggregate(
-      zip_with(col("v"), col("c"), (a, b) => (a - b) * (a - b)),
-      lit(0L), (acc, e) => acc + e)
+    // r16: native fused L2² kernel (graft.plans.L2SqLongs) — the k×d
+    // per-vector distance scan is this family's hot loop; bit-identical
+    // to the zip_with/aggregate fold it replaces.
+    graft.plans.GraftFunctions.register(vecs.sparkSession)
+    val d2 = call_function("l2sq_longs", col("v"), col("c"))
     vecs.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("v"), col("j"), d2.as("d2"))
       .groupBy("vec_id")

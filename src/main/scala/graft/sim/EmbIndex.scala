@@ -58,13 +58,17 @@ object EmbIndex {
   /** Per-vector index rows at a GIVEN width — one projection pass over
     * the corpus (no join, no shuffle): the 1e-6-grid quantization, its
     * squared norm, and the two sign-band keys. */
-  def buildRows(emb: DataFrame, bits: Int): DataFrame =
+  def buildRows(emb: DataFrame, bits: Int): DataFrame = {
+    // r16: norms/dots through the native fused kernel (DotLongs) —
+    // codegen, no temporary square array; bit-identical fold.
+    graft.plans.GraftFunctions.register(emb.sparkSession)
     emb.select(col("vec_id"),
         transform(col("embedding"),
           x => round(x.cast("double") * 1e6).cast("long")).as("qe"),
         Similarity.signBandKeys(col("embedding"), bits).as("bands"))
-      .withColumn("na", sumLong(transform(col("qe"), a => a * a)))
+      .withColumn("na", call_function("dot_longs", col("qe"), col("qe")))
       .select("vec_id", "qe", "na", "bands")
+  }
 
   /** Probe-side postings derived from a [[buildRows]] frame. */
   def indexPostings(vecs: DataFrame): DataFrame =
@@ -173,9 +177,7 @@ object EmbIndex {
     ix.vecs.join(cand, Seq("vec_id"))
       .crossJoin(broadcast(q.select("qe_q", "na_q")))
       .filter(col("na") > 0 && col("na_q") > 0)
-      .withColumn("dot", aggregate(
-        zip_with(col("qe"), col("qe_q"), (x, y) => x * y),
-        lit(0L), (acc, v) => acc + v))
+      .withColumn("dot", call_function("dot_longs", col("qe"), col("qe_q")))
       .withColumn("cos_e6",
         expr("""CAST(round(CAST(dot AS DOUBLE)
                | / sqrt(CAST(na AS DOUBLE) * CAST(na_q AS DOUBLE))
@@ -205,9 +207,7 @@ object EmbIndex {
     ix.vecs.join(cand, Seq("vec_id"))
       .join(broadcast(q.select("q_id", "qe_q", "na_q")), Seq("q_id"))
       .filter(col("na") > 0 && col("na_q") > 0)
-      .withColumn("dot", aggregate(
-        zip_with(col("qe"), col("qe_q"), (x, y) => x * y),
-        lit(0L), (acc, v) => acc + v))
+      .withColumn("dot", call_function("dot_longs", col("qe"), col("qe_q")))
       .withColumn("cos_e6",
         expr("""CAST(round(CAST(dot AS DOUBLE)
                | / sqrt(CAST(na AS DOUBLE) * CAST(na_q AS DOUBLE))
@@ -557,8 +557,7 @@ object EmbIndex {
       .join(dIx.select(col("vec_id"), col("qe").as("q_d"), col("na").as("n_d")),
         "vec_id")
       .join(refVecs, "id_ref")
-      .withColumn("dot", sumLong(zip_with(col("q_d"), col("q_r"),
-        (a, b) => a * b)))
+      .withColumn("dot", call_function("dot_longs", col("q_d"), col("q_r")))
       .select(col("vec_id"), col("dot"), col("n_d").as("na"),
         col("n_r").as("nb"))
       .filter(Similarity.exactCosAtLeast(num, den))

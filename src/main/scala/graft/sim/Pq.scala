@@ -175,13 +175,12 @@ object Pq {
     * One broadcast + one scan + TakeOrderedAndProject, ties on
     * vec_id. */
   def exactL2TopK(emb: DataFrame, k: Int): DataFrame = {
+    graft.plans.GraftFunctions.register(emb.sparkSession)
     val q = broadcast(emb.orderBy("vec_id").limit(1)
       .select(col("vec_id").as("q_id"),
         Clustering.quantize(col("embedding")).as("q_v")))
-    val d2 = aggregate(
-      zip_with(Clustering.quantize(col("embedding")), col("q_v"),
-        (a, b) => (a - b) * (a - b)),
-      lit(0L), (acc, e) => acc + e)
+    val d2 = call_function("l2sq_longs",
+      Clustering.quantize(col("embedding")), col("q_v"))
     emb.crossJoin(q).filter(col("vec_id") =!= col("q_id"))
       .select(col("vec_id"), d2.as("gd2"))
       .orderBy("gd2", "vec_id").limit(k)

@@ -298,9 +298,8 @@ object PqIndex {
     val cellType = ix.codes.schema("cell").dataType
     val q = queries.select(col("vec_id").as("q_id"),
       Clustering.quantize(col("embedding")).as("qv"))
-    val d2c = aggregate(
-      zip_with(col("c"), col("qv"), (a, b) => (a - b) * (a - b)),
-      lit(0L), (acc, e) => acc + e)
+    graft.plans.GraftFunctions.register(queries.sparkSession)
+    val d2c = call_function("l2sq_longs", col("c"), col("qv"))
     val probed = q.crossJoin(broadcast(ix.coarse))
       .select(col("q_id"), col("j"), d2c.as("d2"))
       .withColumn("rn", row_number().over(

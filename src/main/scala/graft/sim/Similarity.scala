@@ -168,11 +168,10 @@ object Similarity {
     * cell choice. Returns a ≤nprobe-row (cluster) frame. */
   private[sim] def probeCells(emb: DataFrame, cents: DataFrame,
       nprobe: Int): DataFrame = {
+    graft.plans.GraftFunctions.register(emb.sparkSession)
     val q = broadcast(emb.orderBy("vec_id").limit(1)
       .select(Clustering.quantize(col("embedding")).as("q_v")))
-    val d2 = aggregate(
-      zip_with(col("c"), col("q_v"), (a, b) => (a - b) * (a - b)),
-      lit(0L), (acc, e) => acc + e)
+    val d2 = call_function("l2sq_longs", col("c"), col("q_v"))
     cents.crossJoin(q).select(col("j").as("cluster"), d2.as("d2"))
       .orderBy("d2", "cluster").limit(nprobe).select("cluster")
   }
@@ -403,11 +402,15 @@ object Similarity {
       .join(bb.select(col("bk"), col("vec_id").as("id_b"), col("qe").as("qb")), "bk")
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b", "qa", "qb").distinct()
-    def sumLong(c: Column) = aggregate(c, lit(0L), (s, v) => s + v)
+    // r16: the integer dot/norm moments run through the native fused
+    // kernels (graft.plans.DotLongs — whole-stage codegen, zero
+    // temporary arrays) instead of the interpreted zip_with/aggregate
+    // fold; wrap-addition associativity keeps them bit-identical.
+    graft.plans.GraftFunctions.register(emb.sparkSession)
     cand
-      .withColumn("dot", sumLong(zip_with(col("qa"), col("qb"), (a, b) => a * b)))
-      .withColumn("na", sumLong(transform(col("qa"), a => a * a)))
-      .withColumn("nb", sumLong(transform(col("qb"), b => b * b)))
+      .withColumn("dot", call_function("dot_longs", col("qa"), col("qb")))
+      .withColumn("na", call_function("dot_longs", col("qa"), col("qa")))
+      .withColumn("nb", call_function("dot_longs", col("qb"), col("qb")))
       .select("id_a", "id_b", "dot", "na", "nb")
   }
 
@@ -606,11 +609,11 @@ object Similarity {
         "key")
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b", "qa", "qb").distinct()
-    def sumLong(c: Column) = aggregate(c, lit(0L), (s, v) => s + v)
+    graft.plans.GraftFunctions.register(emb.sparkSession)
     val dup = cand
-      .withColumn("dot", sumLong(zip_with(col("qa"), col("qb"), (a, b) => a * b)))
-      .withColumn("na", sumLong(transform(col("qa"), a => a * a)))
-      .withColumn("nb", sumLong(transform(col("qb"), b => b * b)))
+      .withColumn("dot", call_function("dot_longs", col("qa"), col("qb")))
+      .withColumn("na", call_function("dot_longs", col("qa"), col("qa")))
+      .withColumn("nb", call_function("dot_longs", col("qb"), col("qb")))
       .filter(exactCosAtLeast(num, den))
       .select(col("id_b").as("vec_id")).distinct()
     emb.join(dup, Seq("vec_id"), "left_anti")
@@ -670,15 +673,15 @@ object Similarity {
     // squared norms are per-VECTOR: computed once on the n-row side
     // and joined in, not re-folded on every one of the n² pairs (the
     // dot product is the only inherently per-pair fold)
+    graft.plans.GraftFunctions.register(emb.sparkSession)
     val q = emb.select(col("vec_id"), qeCol.as("qe"))
-    def sumLong(c: Column) = aggregate(c, lit(0L), (s, v) => s + v)
     val qn = q.select(col("vec_id"), col("qe"),
-      sumLong(transform(col("qe"), a => a * a)).as("nn"))
+      call_function("dot_longs", col("qe"), col("qe")).as("nn"))
     val truePairs = qn.select(col("vec_id").as("id_a"), col("qe").as("qa"),
         col("nn").as("na"))
       .join(qn.select(col("vec_id").as("id_b"), col("qe").as("qb"),
         col("nn").as("nb")), col("id_a") < col("id_b"))
-      .withColumn("dot", sumLong(zip_with(col("qa"), col("qb"), (a, b) => a * b)))
+      .withColumn("dot", call_function("dot_longs", col("qa"), col("qb")))
       .filter(exactCosAtLeast(num, den))
       .select("id_a", "id_b")
     val h1 = emb.select(col("vec_id"), signBucket(col("embedding")).as("bucket"))
