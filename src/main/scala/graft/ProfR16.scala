@@ -121,6 +121,23 @@ object ProfR16 {
       return
     }
 
+    // writeIndex step decomposition — mode=wix
+    if (args.lift(1).contains("wix")) {
+      val docs = graft.io.Tables.documents(spark, dir).select("doc_id", "text")
+      t("warmup docs") { docs.foreach(_ => ()) }
+      (1 to 2).foreach { i =>
+        val base = docs.filter(col("doc_id") % 4 === 0)
+        t(s"buildIndex noop (run$i)") { noop(Dedup.buildIndex(base, "doc_id", "text")) }
+        val root = java.nio.file.Files.createTempDirectory(
+          java.nio.file.Paths.get(sys.props("java.io.tmpdir")), "prof_wix_").toString
+        t(s"full writeIndex (run$i)") { Dedup.writeIndex(base, "doc_id", "text", root) }
+        t(s"readIndex (run$i)") { Dedup.readIndex(spark, root) }
+      }
+      spark.stop()
+      println("""{"metric":"prof","value":0}""")
+      return
+    }
+
     // warm-up: tables + codegen
     t("warmup") {
       Seq("documents", "embeddings").foreach(n =>

@@ -409,10 +409,22 @@ object EmbIndex {
       // core
       val np = graft.io.FileSizing.partsFor(
         graft.io.FileSizing.dirBytes(fs, new org.apache.hadoop.fs.Path(sd)))
-      indexPostings(s.read.parquet(sd)).coalesce(np)
-        .write.mode("append").parquet(postLive)
-      indexBucketStats(indexPostings(s.read.parquet(sd)))
-        .write.mode("append").parquet(bkLive)
+      // post/bk are independent derived appends; only `vecs` (the
+      // record of truth) must land last — overlap them (guide §2.6;
+      // same recurring-path rationale as graft.text.Dedup.appendIndex)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val fPost = Future {
+        indexPostings(s.read.parquet(sd)).coalesce(np)
+          .write.mode("append").parquet(postLive)
+      }
+      val fBk = Future {
+        indexBucketStats(indexPostings(s.read.parquet(sd)))
+          .write.mode("append").parquet(bkLive)
+      }
+      Await.result(fPost, Duration.Inf)
+      Await.result(fBk, Duration.Inf)
       s.read.parquet(sd).coalesce(np).write.mode("append").parquet(vLive)
       s.catalog.refreshByPath(postLive)
       s.catalog.refreshByPath(bkLive)

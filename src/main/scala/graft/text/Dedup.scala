@@ -279,10 +279,23 @@ object Dedup {
     val (ixFs, ixPath) = hadoopFs(s"$root/ix")
     val ixParts = graft.io.FileSizing.partsFor(
       graft.io.FileSizing.dirBytes(ixFs, ixPath))
-    indexPostings(s.read.parquet(s"$root/ix")).coalesce(ixParts)
-      .write.mode("overwrite").parquet(s"$root/post")
-    indexBucketStats(s.read.parquet(s"$root/post"))
-      .write.mode("overwrite").parquet(s"$root/bk")
+    // both derived artifacts re-derive from the WRITTEN ix parquet (so
+    // the three artifacts cannot drift); they are independent of each
+    // other, so the two writes overlap (guide §2.6 — day-0 writeIndex
+    // is the fixed-cost prefix of every ingest choreography)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fPost = Future {
+      indexPostings(s.read.parquet(s"$root/ix")).coalesce(ixParts)
+        .write.mode("overwrite").parquet(s"$root/post")
+    }
+    val fBk = Future {
+      indexBucketStats(indexPostings(s.read.parquet(s"$root/ix")))
+        .write.mode("overwrite").parquet(s"$root/bk")
+    }
+    Await.result(fPost, Duration.Inf)
+    Await.result(fBk, Duration.Inf)
   }
 
   /** The manifest's frozen band geometry; pre-manifest artifacts
@@ -518,10 +531,27 @@ object Dedup {
       // per append per artifact before this).
       val np = graft.io.FileSizing.partsFor(
         graft.io.FileSizing.dirBytes(fs, new org.apache.hadoop.fs.Path(sd)))
-      val post = indexPostings(s.read.parquet(sd)).coalesce(np)
-      post.write.mode("append").parquet(livePath(root, "post").toString)
-      indexBucketStats(indexPostings(s.read.parquet(sd)))
-        .write.mode("append").parquet(livePath(root, "bk").toString)
+      // The two DERIVED appends (post, bk) are independent reads of the
+      // scratch snapshot with no ordering contract BETWEEN them — only
+      // `ix` (the record of truth) must land LAST (see the crash
+      // contract above). Run them as two concurrent jobs (guide §2.6
+      // overlap-independent-jobs): each is a small delta-sized write
+      // whose wall is mostly job latency, so overlapping them shaves a
+      // fixed cost from EVERY append — the per-micro-batch recurring
+      // path of stream_index_ingest.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val fPost = Future {
+        indexPostings(s.read.parquet(sd)).coalesce(np)
+          .write.mode("append").parquet(livePath(root, "post").toString)
+      }
+      val fBk = Future {
+        indexBucketStats(indexPostings(s.read.parquet(sd)))
+          .write.mode("append").parquet(livePath(root, "bk").toString)
+      }
+      Await.result(fPost, Duration.Inf)
+      Await.result(fBk, Duration.Inf)
       val ixL = ixLive(root)
       s.read.parquet(sd).coalesce(np).write.mode("append").parquet(ixL)
       s.catalog.refreshByPath(ixL)
