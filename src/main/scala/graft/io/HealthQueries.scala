@@ -78,25 +78,45 @@ object HealthQueries {
   def report(s: SparkSession, dir: String): DataFrame = {
     import graft.sim.{EmbIndex, Pq, PqIndex}
     import graft.multimodal.{MmIndex, MultimodalQueries}
-    val textRoot = graft.text.DedupQueries.stagedRebuildPath(s, dir)
-    val embRoot = graft.sim.EmbIndexQueries.stagedEmbIndexPath(s, dir)
-    val pqRoot = graft.sim.PqIndexQueries.stagedPqIndexPath(s, dir)
-    val mmRoot = MultimodalQueries.stagedMmHealthPath(s, dir)
-    val ixT = graft.text.Dedup.readIndex(s, textRoot)
-    val textRow = row("text", gen(textRoot), s"${ixT.bands}x${ixT.rows}",
-      ixT.docs.agg(count(lit(1)).as("live_rows")),
-      tombs(s, ModelGens.liveRoot(textRoot)))
-    val (bits, _, _, _) = EmbIndex.readManifest(s, ModelGens.liveRoot(embRoot))
-    val embRow = row("emb", gen(embRoot), s"${bits}bx2",
-      EmbIndex.readIndex(s, embRoot).vecs.agg(count(lit(1)).as("live_rows")),
-      tombs(s, ModelGens.liveRoot(embRoot)))
-    val pqRow = row("pq", gen(pqRoot), s"m${Pq.M}k${Pq.K}c${PqIndex.KC}",
-      PqIndex.readIndex(s, pqRoot).codes
-        .agg(countDistinct(col("vec_id")).as("live_rows")),
-      tombs(s, ModelGens.liveRoot(pqRoot)))
-    val mmRow = row("mm", 0L, "ahash64",
-      MmIndex.readIndex(s, mmRoot).agg(count(lit(1)).as("live_rows")),
-      tombs(s, mmRoot))
+    // r16 (guide §2.6): each family row's CONSTRUCTION pays driver-
+    // blocking metadata work (staging-lock first-touch, manifest
+    // reads/head() jobs, generation listings) that is independent
+    // across families — build the four rows concurrently instead of
+    // serializing four metadata round-trips. The returned plan (the
+    // 4-row union) is unchanged.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fText = Future {
+      val textRoot = graft.text.DedupQueries.stagedRebuildPath(s, dir)
+      val ixT = graft.text.Dedup.readIndex(s, textRoot)
+      row("text", gen(textRoot), s"${ixT.bands}x${ixT.rows}",
+        ixT.docs.agg(count(lit(1)).as("live_rows")),
+        tombs(s, ModelGens.liveRoot(textRoot)))
+    }
+    val fEmb = Future {
+      val embRoot = graft.sim.EmbIndexQueries.stagedEmbIndexPath(s, dir)
+      val (bits, _, _, _) = EmbIndex.readManifest(s, ModelGens.liveRoot(embRoot))
+      row("emb", gen(embRoot), s"${bits}bx2",
+        EmbIndex.readIndex(s, embRoot).vecs.agg(count(lit(1)).as("live_rows")),
+        tombs(s, ModelGens.liveRoot(embRoot)))
+    }
+    val fPq = Future {
+      val pqRoot = graft.sim.PqIndexQueries.stagedPqIndexPath(s, dir)
+      row("pq", gen(pqRoot), s"m${Pq.M}k${Pq.K}c${PqIndex.KC}",
+        PqIndex.readIndex(s, pqRoot).codes
+          .agg(countDistinct(col("vec_id")).as("live_rows")),
+        tombs(s, ModelGens.liveRoot(pqRoot)))
+    }
+    val fMm = Future {
+      val mmRoot = MultimodalQueries.stagedMmHealthPath(s, dir)
+      row("mm", 0L, "ahash64",
+        MmIndex.readIndex(s, mmRoot).agg(count(lit(1)).as("live_rows")),
+        tombs(s, mmRoot))
+    }
+    val (textRow, embRow, pqRow, mmRow) =
+      (Await.result(fText, Duration.Inf), Await.result(fEmb, Duration.Inf),
+        Await.result(fPq, Duration.Inf), Await.result(fMm, Duration.Inf))
     embRow.unionByName(mmRow).unionByName(pqRow).unionByName(textRow)
       .orderBy("family")
   }
