@@ -517,6 +517,11 @@ object ScaleRank {
     // non-null rows only).
     val vc = df.select(col(valueCol).as("__v")).filter(col("__v").isNotNull)
       .groupBy("__v").agg(count(lit(1)).as("__cnt"))
+      // three consumers inside the Counted entry (sketch, per-range
+      // masses, targeted selection) — checkpoint HERE so the row-level
+      // entry's reduction runs once, while already-checkpointed
+      // Counted callers are not re-materialized (r16, guide §1.2)
+      .localCheckpoint(false)
     exactQuantilesDiscCounted(vc, "__v", "__cnt", fractions, names, nRanges)
   }
 
@@ -531,18 +536,73 @@ object ScaleRank {
       cntCol: String, fractions: Seq[(Int, Int)], names: Seq[String],
       nRanges: Int = 32): DataFrame = {
     requireFractions(fractions, names)
-    val vc = vc0.select(col(valueCol).as("__v"), col(cntCol).as("__cnt"))
+    // three consumers below (sketch, per-range masses, the targeted
+    // selection) — callers materialize the reduced relation themselves
+    // (the registered ones all localCheckpoint it; the row-level entry
+    // above checkpoints before delegating)
+    val vc = vc0.select(col(valueCol).as("__v"),
+        col(cntCol).cast("long").as("__cnt"))
       .filter(col("__v").isNotNull)
-    val ranked = withGlobalRanks(vc, "__v", "__v", nRanges = nRanges,
-      rkName = "__vrk", runOns = Seq("__cnt" -> "__run"))
-    val tot = vc.agg(sum("__cnt").cast("long").as("__n"))
+    // r16 TARGETED-RANGE SELECTION (guide §1.2): the former spelling
+    // ranked EVERY distinct value (withGlobalRanks: full per-range
+    // running-sum window over the whole reduced relation) and then
+    // min-filtered to ≤|fractions| answers. A discrete quantile only
+    // needs the running sum INSIDE the range that contains its target
+    // mass, and the per-range masses are already collected for the
+    // offset table — so locate each target's range on the driver and
+    // window only those ≤|fractions| ranges (~1/nRanges of the values
+    // each). Same cutpoint sketch, same exact-integer CDF comparison,
+    // same answers; the eager-action count is unchanged (cuts head +
+    // mass collect, exactly withGlobalRanks' two).
+    val frs = (1 until nRanges).map(i => i.toDouble / nRanges)
+    val cutsRow = vc.agg(
+      expr(s"approx_percentile(__v, array(${frs.mkString(",")}), 100)")
+        .as("c")).head()
+    val cuts: Seq[Any] =
+      if (cutsRow.isNullAt(0)) Nil
+      else cutsRow.getSeq[Any](0).filter(_ != null)
+    // ascending range id — the same metric-monotone bucketing as
+    // withGlobalRanksMulti.rangeOf (nulls already filtered)
+    val rangeCol = cuts.foldLeft(lit(0)) { (acc, c) =>
+      acc + when(col("__v") > lit(c), 1).otherwise(0) }
+    val ranged = vc.withColumn("__rng", rangeCol)
+    val masses = ranged.groupBy("__rng")
+      .agg(sum("__cnt").as("__m")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val n = masses.map(_._2).sum
+    if (n == 0L) {
+      // empty input: one all-null row, same shape as the aggregate-
+      // over-empty the previous spelling produced
+      val aggs = fractions.zip(names).map { case (_, nm) =>
+        min(when(lit(false), col("__v"))).as(nm) }
+      return vc.agg(aggs.head, aggs.tail: _*)
+    }
+    val prefix = masses.scanLeft(0L)(_ + _._2) // mass strictly before range i
+    // target mass per fraction: smallest m with m·den ≥ num·n
+    val needed = fractions.map { case (num, den) =>
+      val t = (num.toLong * n + den - 1) / den
+      val i = prefix.indexWhere(_ >= t, 1) - 1
+      masses(i)._1
+    }.distinct
+    val sel = ranged.filter(col("__rng").isin(needed.map(_.asInstanceOf[Any]): _*))
+    val spark = vc.sparkSession
+    import spark.implicits._
+    val bases = masses.zip(prefix.dropRight(1))
+      .map { case ((rng, _), base) => (rng, base) }
+      .filter(p => needed.contains(p._1))
+      .toSeq.toDF("__rng", "__base")
+    val w = Window.partitionBy("__rng").orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val runed = sel.join(broadcast(bases), "__rng")
+      .withColumn("__run", sum(col("__cnt")).over(w) + col("__base"))
     // smallest value whose CDF ≥ num/den ⇔ min value whose cumulative
     // row count reaches ⌈num·n/den⌉ ⇔ min(v | run·den ≥ num·n) — the
-    // CDF comparison in exact integers
+    // CDF comparison in exact integers (n is driver-exact from the
+    // collected masses, embedded as a literal)
     val aggs = fractions.zip(names).map { case ((num, den), nm) =>
-      min(when(col("__run") * den >= col("__n") * num, col("__v"))).as(nm)
+      min(when(col("__run") * den >= lit(n) * num, col("__v"))).as(nm)
     }
-    ranked.crossJoin(broadcast(tot)).agg(aggs.head, aggs.tail: _*)
+    runed.agg(aggs.head, aggs.tail: _*)
   }
 
   /** The 1-row equi-height cutpoint table for `nBins` bins of

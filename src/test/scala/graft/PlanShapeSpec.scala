@@ -166,9 +166,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin"), p) // 1-row thresholds
     assert(!p.contains("SortMergeJoin"), p)
     // the cut points come from exactQuantilesDisc: its window must be
-    // range-partitioned (__ck0 cells), never a global ntile/sort
+    // range-partitioned, never a global ntile/sort. Since the r16
+    // targeted-range selection the running sum windows ONLY the ranges
+    // holding the quantile targets, partitioned by the sketch-derived
+    // range id (__rng) — same invariant (no single-partition sort over
+    // the value domain), new spelling.
     assert(!p.contains("ntile"), p)
-    assert(p.contains("windowspecdefinition(__ck0"), p)
+    assert(p.contains("windowspecdefinition(__rng"), p)
     assert(!"windowspecdefinition\\(cents[,)]".r.findFirstIn(p).isDefined, p)
     // and the tie-proof reduction must precede the ranking. Since r16
     // the query materializes the distinct (cents, cnt) relation ONCE
